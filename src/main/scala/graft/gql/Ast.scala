@@ -1,0 +1,67 @@
+package graft.gql
+
+/** AST for the reference's Cypher-like GQL
+  * (grammar graph/query/src/gql.pest; AST graph/query/src/lib.rs:238-340).
+  *
+  * Surface: linear-chain patterns `(a:L {k: v})-[e:l]->(b)`, WHERE
+  * with {=, !=, <, <=, >, >=} comparisons over literals and var.prop
+  * plus AND/OR, RETURN of `*` | var | var.prop, and CREATE / DELETE /
+  * MATCH-DELETE statements. Values: string, number (Int64 when
+  * integral else Float64, lib.rs:66-88), boolean, null.
+  */
+object Ast {
+
+  sealed trait GqlValue
+  case class GqlString(v: String) extends GqlValue
+  case class GqlInt(v: Long) extends GqlValue
+  case class GqlFloat(v: Double) extends GqlValue
+  case class GqlBool(v: Boolean) extends GqlValue
+  case object GqlNull extends GqlValue
+
+  sealed trait Direction
+  case object Outgoing extends Direction
+  case object Incoming extends Direction
+  case object Undirected extends Direction
+
+  case class NodePattern(
+      variable: Option[String],
+      label: Option[String],
+      props: Map[String, GqlValue])
+
+  case class EdgePattern(
+      variable: Option[String],
+      label: Option[String],
+      props: Map[String, GqlValue],
+      direction: Direction)
+
+  /** Linear chain: nodes(0) -edges(0)- nodes(1) -edges(1)- … */
+  case class GraphPattern(nodes: Seq[NodePattern], edges: Seq[EdgePattern]) {
+    require(nodes.nonEmpty && edges.length == nodes.length - 1)
+  }
+
+  sealed trait Expr
+  case class PropRef(variable: String, prop: String) extends Expr
+  case class Literal(v: GqlValue) extends Expr
+  case class Comparison(left: Expr, op: String, right: Expr) extends Expr
+  case class And(l: Expr, r: Expr) extends Expr
+  case class Or(l: Expr, r: Expr) extends Expr
+
+  sealed trait ReturnItem
+  case object ReturnAll extends ReturnItem
+  case class ReturnVariable(variable: String) extends ReturnItem
+  case class ReturnProperty(variable: String, prop: String) extends ReturnItem
+
+  sealed trait Statement
+  case class MatchStatement(
+      pattern: GraphPattern,
+      where: Option[Expr],
+      ret: Seq[ReturnItem]) extends Statement
+  case class CreateStatement(pattern: GraphPattern) extends Statement
+  /** DELETE var — with an optional MATCH pattern+WHERE scoping it
+    * (executor.rs:569-615).
+    */
+  case class DeleteStatement(
+      pattern: Option[GraphPattern],
+      where: Option[Expr],
+      variable: String) extends Statement
+}

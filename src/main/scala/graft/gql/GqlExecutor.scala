@@ -1,0 +1,286 @@
+package graft.gql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.graph.GraphStore
+import graft.model.PropValue
+import Ast._
+
+/** GQL → DataFrame translator.
+  *
+  * The reference interprets its AST directly over adjacency maps
+  * (graph/query/src/executor.rs:219-277 `match_pattern`): seed
+  * bindings from the first node pattern, then expand edge-by-edge.
+  * Here the same semantics become a chain of equi-joins that Catalyst
+  * plans — the seed filter is pushed into the vertex scan, each
+  * expansion is `bindings ⋈ edges ⋈ vertices`, and join strategy
+  * (broadcast vs shuffle) is picked per join by the optimizer/AQE.
+  *
+  * Binding representation: one DataFrame column set per bound
+  * variable — `<var>__id`, `<var>__label`, `<var>__props` — exactly
+  * the reference's `Bindings = HashMap<var, (VertexId, Props)>`
+  * (executor.rs:157) in columnar form. Edge variables bind
+  * `<var>__props` only (edge identity is (src,dst,label)).
+  *
+  * Vertex label semantics: a real `label` column here; the reference
+  * stores it as the `type` property (executor.rs:534-537) — the
+  * GraphStore writes both views when data round-trips GQL CREATE.
+  */
+object GqlExecutor {
+
+  /** Result of a statement: MATCH returns rows; CREATE/DELETE return
+    * the mutated store plus an empty/summary frame.
+    */
+  case class GqlResult(df: DataFrame, store: GraphStore)
+
+  def run(store: GraphStore, query: String): GqlResult =
+    GqlParser.parse(query) match {
+      case Left(err) => throw new IllegalArgumentException(err)
+      case Right(stmt) => execute(store, stmt)
+    }
+
+  def execute(store: GraphStore, stmt: Statement): GqlResult = stmt match {
+    case m: MatchStatement =>
+      GqlResult(executeMatch(store, m), store)
+    case c: CreateStatement =>
+      val s2 = executeCreate(store, c)
+      GqlResult(s2.vertices.limit(0), s2)
+    case d: DeleteStatement =>
+      val s2 = executeDelete(store, d)
+      GqlResult(s2.vertices.limit(0), s2)
+  }
+
+  // ---- MATCH ------------------------------------------------------
+
+  private def vcol(v: String, field: String): String = s"${v}__$field"
+
+  private def litToValue(v: GqlValue): Any = v match {
+    case GqlString(s) => s
+    case GqlInt(i) => i
+    case GqlFloat(d) => d
+    case GqlBool(b) => b
+    case GqlNull => null
+  }
+
+  /** Node-pattern constraint on a vertex frame with plain
+    * id/label/props columns (P1, executor.rs:280-313).
+    */
+  private def nodeFilter(n: NodePattern): Column = {
+    val labelCond = n.label.map(l => col("label") === l)
+    val propConds = n.props.toSeq.map { case (k, v) =>
+      PropValue.compare(col("props")(k), litToValue(v), "=")
+    }
+    (labelCond.toSeq ++ propConds).reduceOption(_ && _).getOrElse(lit(true))
+  }
+
+  /** Variables are auto-named when absent so every pattern position
+    * is join-addressable.
+    */
+  private def named(pattern: GraphPattern): (Seq[NodePattern], Seq[EdgePattern]) = {
+    val nodes = pattern.nodes.zipWithIndex.map {
+      case (n, i) => n.copy(variable = Some(n.variable.getOrElse(s"__n$i")))
+    }
+    val edges = pattern.edges.zipWithIndex.map {
+      case (e, i) => e.copy(variable = Some(e.variable.getOrElse(s"__e$i")))
+    }
+    (nodes, edges)
+  }
+
+  def executeMatch(store: GraphStore, m: MatchStatement): DataFrame = {
+    val bindings = matchPattern(store, m.pattern)
+    val (nodes, _) = named(m.pattern)
+    val filtered = m.where.fold(bindings)(w => bindings.filter(whereCol(w)))
+    project(filtered, nodes, m.ret)
+  }
+
+  /** J1: iterated expand. Each step joins the current binding set to
+    * the (label-filtered) edge table, then to vertices for the new
+    * variable. `Undirected` unions both orientations before the join
+    * (bag semantics, matching all_neighbors concat —
+    * executor.rs:322-326).
+    */
+  def matchPattern(store: GraphStore, pattern: GraphPattern): DataFrame = {
+    val (nodes, edges) = named(pattern)
+    val v0 = nodes.head.variable.get
+
+    var bound = Set(v0)
+    var df = store.vertices.filter(nodeFilter(nodes.head))
+      .select(
+        col("id").as(vcol(v0, "id")),
+        col("label").as(vcol(v0, "label")),
+        col("props").as(vcol(v0, "props")))
+
+    edges.zip(nodes.sliding(2).toSeq).foreach { case (e, Seq(fromN, toN)) =>
+      val fromV = fromN.variable.get
+      val toV = toN.variable.get
+      val eV = e.variable.get
+
+      val base = e.label.fold(store.edges)(l => store.edges.filter(col("label") === l))
+      val withLabelProps = e.props.foldLeft(base) { case (d, (k, v)) =>
+        d.filter(PropValue.compare(col("props")(k), litToValue(v), "="))
+      }
+      // Orient so the join is always bound-on-"from", new-on-"to".
+      val oriented = e.direction match {
+        case Outgoing => withLabelProps.select(
+          col("src").as("__from"), col("dst").as("__to"), col("props").as(vcol(eV, "props")))
+        case Incoming => withLabelProps.select(
+          col("dst").as("__from"), col("src").as("__to"), col("props").as(vcol(eV, "props")))
+        case Undirected => withLabelProps.select(
+          col("src").as("__from"), col("dst").as("__to"), col("props").as(vcol(eV, "props")))
+          .unionByName(withLabelProps.select(
+            col("dst").as("__from"), col("src").as("__to"), col("props").as(vcol(eV, "props"))))
+      }
+
+      if (bound.contains(toV)) {
+        // Cycle back to an already-bound variable: edge is a filter.
+        df = df.join(oriented,
+          df(vcol(fromV, "id")) === oriented("__from") &&
+            df(vcol(toV, "id")) === oriented("__to"))
+          .drop("__from", "__to")
+      } else {
+        val target = store.vertices.filter(nodeFilter(toN)).select(
+          col("id").as(vcol(toV, "id")),
+          col("label").as(vcol(toV, "label")),
+          col("props").as(vcol(toV, "props")))
+        df = df.join(oriented, df(vcol(fromV, "id")) === oriented("__from"))
+          .join(target, col("__to") === col(vcol(toV, "id")))
+          .drop("__from", "__to")
+        bound += toV
+      }
+    }
+    df
+  }
+
+  /** P3: WHERE → Column (executor.rs:382-464). Cross-kind comparisons
+    * yield NULL → row filtered, identical to the reference's
+    * None-means-false.
+    */
+  def whereCol(e: Expr): Column = e match {
+    case And(l, r) => whereCol(l) && whereCol(r)
+    case Or(l, r) => whereCol(l) || whereCol(r)
+    case PropRef(v, p) => PropValue.truthy(col(vcol(v, "props"))(p))
+    case Literal(GqlBool(b)) => lit(b)
+    case Literal(_) => lit(true)
+    case Comparison(PropRef(v, p), op, Literal(value)) =>
+      PropValue.compare(col(vcol(v, "props"))(p), litToValue(value), op)
+    case Comparison(Literal(value), op, PropRef(v, p)) =>
+      PropValue.compare(col(vcol(v, "props"))(p), litToValue(value), flip(op))
+    case Comparison(PropRef(v1, p1), op, PropRef(v2, p2)) =>
+      variantCompare(col(vcol(v1, "props"))(p1), col(vcol(v2, "props"))(p2), op)
+    case Comparison(Literal(a), op, Literal(b)) =>
+      lit(cmpLiterals(a, op, b))
+  }
+
+  private def flip(op: String): String = op match {
+    case "<" => ">" case ">" => "<" case "<=" => ">=" case ">=" => "<=" case x => x
+  }
+
+  /** Variant-vs-variant comparison with the same coercion table. */
+  private def variantCompare(a: Column, b: Column, op: String): Column = {
+    def c(x: Column, y: Column): Column = op match {
+      case "=" => x === y
+      case "!=" => x =!= y
+      case "<" => x < y
+      case "<=" => x <= y
+      case ">" => x > y
+      case ">=" => x >= y
+    }
+    val numeric = c(PropValue.asDouble(a), PropValue.asDouble(b))
+    val strings = c(PropValue.asString(a), PropValue.asString(b))
+    val bools = c(PropValue.asBool(a), PropValue.asBool(b))
+    coalesce(numeric, strings, bools)
+  }
+
+  private def cmpLiterals(a: GqlValue, op: String, b: GqlValue): Boolean = {
+    val ord: Option[Int] = (a, b) match {
+      case (GqlInt(x), GqlInt(y)) => Some(x.compare(y))
+      case (GqlInt(x), GqlFloat(y)) => Some(x.toDouble.compare(y))
+      case (GqlFloat(x), GqlInt(y)) => Some(x.compare(y.toDouble))
+      case (GqlFloat(x), GqlFloat(y)) => Some(x.compare(y))
+      case (GqlString(x), GqlString(y)) => Some(x.compare(y))
+      case (GqlBool(x), GqlBool(y)) => Some(x.compare(y))
+      case _ => None
+    }
+    ord.exists { c =>
+      op match {
+        case "=" => c == 0
+        case "!=" => c != 0
+        case "<" => c < 0
+        case "<=" => c <= 0
+        case ">" => c > 0
+        case ">=" => c >= 0
+      }
+    }
+  }
+
+  /** P4: RETURN projection (executor.rs:467-518). `var` yields the
+    * vertex triplet; `var.prop` yields the variant column named
+    * `var_prop`; `*` yields every node variable's triplet.
+    */
+  private def project(df: DataFrame, nodes: Seq[NodePattern], items: Seq[ReturnItem]): DataFrame = {
+    val cols: Seq[Column] = items.flatMap {
+      case ReturnAll =>
+        nodes.flatMap(n => tripletCols(n.variable.get))
+      case ReturnVariable(v) => tripletCols(v)
+      case ReturnProperty(v, p) =>
+        Seq(col(vcol(v, "props"))(p).as(s"${v}_$p"))
+    }
+    df.select(cols: _*)
+  }
+
+  private def tripletCols(v: String): Seq[Column] = Seq(
+    col(vcol(v, "id")).as(s"${v}_id"),
+    col(vcol(v, "label")).as(s"${v}_label"),
+    col(vcol(v, "props")).as(s"${v}_props"))
+
+  // ---- CREATE / DELETE (executor.rs:522-615) ----------------------
+
+  /** CREATE assigns ids max_id+1.. in pattern order; consecutive
+    * pattern nodes are linked with the edge's label or the default
+    * `related` (executor.rs:547-562). Node label is stored both as
+    * the `label` column and the `type` prop (executor.rs:534-537).
+    */
+  def executeCreate(store: GraphStore, c: CreateStatement): GraphStore = {
+    val spark = store.spark
+    val maxId = store.maxVertexId()
+    val ids = c.pattern.nodes.indices.map(i => maxId + 1 + i)
+
+    val vRows = c.pattern.nodes.zip(ids).map { case (n, id) =>
+      val props = n.props.map { case (k, v) => k -> litToValue(v) }.toSeq ++
+        n.label.map(l => "type" -> (l: Any)).toSeq
+      (id, n.label.getOrElse("vertex"), props)
+    }
+    val eRows = c.pattern.edges.zipWithIndex.map { case (e, i) =>
+      val (s, d) = e.direction match {
+        case Incoming => (ids(i + 1), ids(i))
+        case _ => (ids(i), ids(i + 1))
+      }
+      (s, d, e.label.getOrElse("related"),
+        e.props.map { case (k, v) => k -> litToValue(v) }.toSeq)
+    }
+
+    val vDf = GraphStore.fromTuples(spark, vRows, Nil).vertices
+    val withV = store.addVertices(vDf)
+    if (eRows.isEmpty) withV
+    else withV.addEdges(GraphStore.fromTuples(spark,
+      Seq((0L, "x", Nil)), eRows).edges)
+  }
+
+  /** MATCH-DELETE: delete every vertex bound to `variable` in the
+    * filtered binding set; edges cascade (executor.rs:569-615).
+    */
+  def executeDelete(store: GraphStore, d: DeleteStatement): GraphStore = {
+    val ids: DataFrame = d.pattern match {
+      case Some(p) =>
+        val bindings = matchPattern(store, p)
+        val filtered = d.where.fold(bindings)(w => bindings.filter(whereCol(w)))
+        filtered.select(col(vcol(d.variable, "id")).as("id")).distinct()
+      case None =>
+        // Bare `DELETE var` without MATCH has nothing bound — the
+        // reference errors here too; empty set keeps it total.
+        store.vertices.limit(0).select(col("id"))
+    }
+    store.removeVertices(ids)
+  }
+}

@@ -1,0 +1,122 @@
+package graft.gql
+
+import scala.util.parsing.combinator.RegexParsers
+import Ast._
+
+/** Recursive-descent GQL parser (scala-parser-combinators, shipped in
+  * /opt/spark/jars).
+  *
+  * Mirrors the reference grammar (graph/query/src/gql.pest, 44 lines)
+  * with the parser-side extensions its Rust code adds on top: `<-`
+  * incoming edges (lib.rs:466-475) and `>=`/`<=` (lib.rs:218-225).
+  * Beyond the reference: full AND/OR nesting with parentheses (the
+  * reference keeps only the first expression, lib.rs:535-554 — a
+  * limitation, not a semantic we preserve).
+  */
+object GqlParser extends RegexParsers {
+
+  override val whiteSpace = """\s+""".r
+
+  private def kw(s: String): Parser[String] = s"(?i)$s\\b".r
+
+  private def ident: Parser[String] = """[A-Za-z_][A-Za-z0-9_]*""".r
+
+  private def stringLit: Parser[String] =
+    "\"" ~> """[^"]*""".r <~ "\""
+
+  private def number: Parser[GqlValue] =
+    """-?\d+\.\d+""".r ^^ (s => GqlFloat(s.toDouble)) |
+      """-?\d+""".r ^^ (s => GqlInt(s.toLong))
+
+  private def value: Parser[GqlValue] =
+    stringLit ^^ GqlString.apply |
+      number |
+      kw("true") ^^ (_ => GqlBool(true)) |
+      kw("false") ^^ (_ => GqlBool(false)) |
+      kw("null") ^^ (_ => GqlNull)
+
+  private def propsBlock: Parser[Map[String, GqlValue]] =
+    "{" ~> repsep(ident ~ (":" ~> value), ",") <~ "}" ^^ {
+      pairs => pairs.map { case k ~ v => k -> v }.toMap
+    }
+
+  private def node: Parser[NodePattern] =
+    "(" ~> opt(ident) ~ opt(":" ~> ident) ~ opt(propsBlock) <~ ")" ^^ {
+      case v ~ l ~ p => NodePattern(v, l, p.getOrElse(Map.empty))
+    }
+
+  private def edgeBody: Parser[(Option[String], Option[String], Map[String, GqlValue])] =
+    "[" ~> opt(ident) ~ opt(":" ~> ident) ~ opt(propsBlock) <~ "]" ^^ {
+      case v ~ l ~ p => (v, l, p.getOrElse(Map.empty))
+    }
+
+  /** -[..]-> outgoing, <-[..]- incoming, -[..]- undirected. */
+  private def edge: Parser[EdgePattern] =
+    "<-" ~> edgeBody <~ "-" ^^ { case (v, l, p) => EdgePattern(v, l, p, Incoming) } |
+      "-" ~> edgeBody ~ ("->" | "-") ^^ {
+        case (v, l, p) ~ "->" => EdgePattern(v, l, p, Outgoing)
+        case (v, l, p) ~ _ => EdgePattern(v, l, p, Undirected)
+      }
+
+  private def pattern: Parser[GraphPattern] =
+    node ~ rep(edge ~ node) ^^ { case first ~ rest =>
+      GraphPattern(first +: rest.map(_._2), rest.map(_._1))
+    }
+
+  private def propRef: Parser[PropRef] =
+    ident ~ ("." ~> ident) ^^ { case v ~ p => PropRef(v, p) }
+
+  private def operand: Parser[Expr] =
+    propRef | value ^^ Literal.apply
+
+  private def cmpOp: Parser[String] = ">=" | "<=" | "!=" | "=" | ">" | "<"
+
+  private def comparison: Parser[Expr] =
+    operand ~ opt(cmpOp ~ operand) ^^ {
+      case l ~ Some(op ~ r) => Comparison(l, op, r)
+      case l ~ None => l // bare var.prop truthiness (executor.rs:387-391)
+    }
+
+  private def primary: Parser[Expr] =
+    "(" ~> expr <~ ")" | comparison
+
+  private def andExpr: Parser[Expr] =
+    primary ~ rep(kw("and") ~> primary) ^^ {
+      case first ~ rest => rest.foldLeft(first)(And.apply)
+    }
+
+  private def expr: Parser[Expr] =
+    andExpr ~ rep(kw("or") ~> andExpr) ^^ {
+      case first ~ rest => rest.foldLeft(first)(Or.apply)
+    }
+
+  private def returnItem: Parser[ReturnItem] =
+    "*" ^^ (_ => ReturnAll) |
+      propRef ^^ (p => ReturnProperty(p.variable, p.prop)) |
+      ident ^^ ReturnVariable.apply
+
+  private def matchOrDelete: Parser[Statement] =
+    kw("match") ~> pattern ~ opt(kw("where") ~> expr) ~
+      ((kw("return") ~> rep1sep(returnItem, ",")) ^^ (Left(_): Either[Seq[ReturnItem], String]) |
+        (kw("delete") ~> ident) ^^ (Right(_): Either[Seq[ReturnItem], String])) ^^ {
+      case p ~ w ~ Left(items) => MatchStatement(p, w, items)
+      case p ~ w ~ Right(v) => DeleteStatement(Some(p), w, v)
+    }
+
+  private def createStmt: Parser[Statement] =
+    kw("create") ~> pattern ^^ CreateStatement.apply
+
+  private def deleteStmt: Parser[Statement] =
+    kw("delete") ~> ident ^^ (v => DeleteStatement(None, None, v))
+
+  private def statement: Parser[Statement] =
+    matchOrDelete | createStmt | deleteStmt
+
+  def parse(input: String): Either[String, Statement] =
+    parseAll(statement, input) match {
+      case Success(stmt, _) => Right(stmt)
+      case NoSuccess(msg, next) =>
+        Left(s"GQL parse error at ${next.pos.line}:${next.pos.column}: $msg")
+      case other => Left(s"GQL parse error: $other")
+    }
+}

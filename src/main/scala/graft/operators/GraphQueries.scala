@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.graph.GraphStore
+import graft.gql.GqlExecutor
+import graft.model.PropValue
+
+/** Graph operator pack: GQL statements executed against the TPC-H
+  * property-graph projection (GraphStore.fromTpch), plus the direct
+  * traversal APIs (J2-J4, G12, A9).
+  *
+  * Every oracle recomputes the same answer from the RAW TPC-H tables
+  * in DuckDB — the graph projection is deterministic, so parity here
+  * proves the whole parser → translator → join-plan path.
+  */
+object GraphQueries {
+
+  private def g(s: SparkSession, dir: String): GraphStore =
+    GraphStore.fromTpch(s, dir)
+
+  private def str(c: org.apache.spark.sql.Column) = PropValue.asString(c)
+  private def dbl(c: org.apache.spark.sql.Column) = PropValue.asDouble(c)
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P1+P3: node-pattern filter + WHERE comparison.
+    "gql_p1_node_filter" -> ((s, dir) => {
+      val r = GqlExecutor.run(g(s, dir),
+        """MATCH (c:Customer) WHERE c.acctbal > 5000.0 RETURN c.name""").df
+      r.select(str(col("c_name")).as("name")).orderBy("name")
+    }),
+
+    // P1: property-equality inside the node pattern.
+    "gql_p1_props_pattern" -> ((s, dir) => {
+      val r = GqlExecutor.run(g(s, dir),
+        """MATCH (c:Customer {mktsegment: "BUILDING"}) RETURN c.name""").df
+      r.select(str(col("c_name")).as("name")).orderBy("name")
+    }),
+
+    // P3: AND/OR precedence (AND binds tighter).
+    "gql_p3_and_or" -> ((s, dir) => {
+      val r = GqlExecutor.run(g(s, dir),
+        """MATCH (c:Customer) WHERE c.acctbal > 9000.0 OR c.mktsegment = "MACHINERY" AND c.acctbal < 0.0 RETURN c.name, c.acctbal""").df
+      r.select(str(col("c_name")).as("name"),
+        round(dbl(col("c_acctbal")), 4).as("acctbal")).orderBy("name")
+    }),
+
+    // J1: single-hop pattern expansion.
+    "gql_j1_expand" -> ((s, dir) => {
+      val r = GqlExecutor.run(g(s, dir),
+        """MATCH (c:Customer)-[:placed]->(o:Order) WHERE o.totalprice > 300000.0 RETURN c.name, o.totalprice""").df
+      r.select(str(col("c_name")).as("name"),
+        round(dbl(col("o_totalprice")), 4).as("totalprice"))
+        .orderBy("name", "totalprice")
+    }),
+
+    // J1 multi-hop: customer → order → part chain.
+    "gql_j1_two_hop" -> ((s, dir) => {
+      val r = GqlExecutor.run(g(s, dir),
+        """MATCH (c:Customer)-[:placed]->(o:Order)-[:contains]->(p:Part) WHERE p.size > 45 RETURN c.name, p.name""").df
+      r.select(str(col("c_name")).as("c_name"), str(col("p_name")).as("p_name"))
+        .orderBy("c_name", "p_name")
+    }),
+
+    // J1 incoming direction: (n)<-[:located_in]-(s).
+    "gql_j1_incoming" -> ((s, dir) => {
+      val r = GqlExecutor.run(g(s, dir),
+        """MATCH (n:Nation)<-[:located_in]-(sp:Supplier) RETURN n.name, sp.name""").df
+      r.select(str(col("n_name")).as("n_name"), str(col("sp_name")).as("s_name"))
+        .orderBy("n_name", "s_name")
+    }),
+
+    // J3: 2-hop traversal API from a start vertex (dedup, excludes
+    // start) — storage lib.rs:802-830 semantics.
+    "j3_two_hop" -> ((s, dir) => {
+      g(s, dir).twoHop(GraphStore.CustomerOff + 1)
+        .orderBy("id")
+    }),
+
+    // J4/A9: in-degree stats — orders per supplier via supplied_by
+    // edges (the follower-statistics view shape,
+    // social_network_platform.rs:211-228).
+    "a9_in_degree" -> ((s, dir) => {
+      val st = g(s, dir)
+      st.edges.filter(col("label") === "supplied_by")
+        .groupBy(col("dst"))
+        .agg(count(lit(1)).as("in_degree"))
+        .select((col("dst") - GraphStore.SupplierOff).as("suppkey"), col("in_degree"))
+        .orderBy("suppkey")
+    }),
+
+    // G12: common neighbors — supplier pairs counted by shared
+    // orders (e1 ⋈ e2 self-join, groupBy pair).
+    "g12_common_neighbors" -> ((s, dir) => {
+      val e = g(s, dir).edges.filter(col("label") === "supplied_by")
+        .select(col("src").as("order_id"), col("dst").as("supp_id"))
+      val a = e.select(col("order_id"), col("supp_id").as("s1"))
+      val b = e.select(col("order_id").as("order_id2"), col("supp_id").as("s2"))
+      a.join(b, col("order_id") === col("order_id2") && col("s1") < col("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("common_orders"))
+        .select((col("s1") - GraphStore.SupplierOff).as("suppkey1"),
+          (col("s2") - GraphStore.SupplierOff).as("suppkey2"),
+          col("common_orders"))
+        .orderBy("suppkey1", "suppkey2")
+    }),
+
+    // A8: degree centrality — max total degree / (2·(n−1)) over the
+    // located_in/in_region membership subgraph
+    // (incremental_engine.rs:1288-1326).
+    "a8_degree_centrality" -> ((s, dir) => {
+      val st = g(s, dir)
+      val e = st.edges.filter(col("label").isin("located_in", "in_region"))
+      val touched = e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id")))
+      val degrees = touched.groupBy("id").agg(count(lit(1)).as("degree"))
+      val n = degrees.agg(count(lit(1)).as("n"), max(col("degree")).as("max_degree"))
+      n.select(round(col("max_degree").cast("double")
+        / (lit(2.0) * (col("n") - 1).cast("double")), 6).as("degree_centrality"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "gql_p1_node_filter" ->
+      "SELECT c_name AS name FROM customer WHERE c_acctbal > 5000.0 ORDER BY name",
+    "gql_p1_props_pattern" ->
+      "SELECT c_name AS name FROM customer WHERE c_mktsegment = 'BUILDING' ORDER BY name",
+    "gql_p3_and_or" ->
+      """SELECT c_name AS name, ROUND(c_acctbal, 4) AS acctbal FROM customer
+         WHERE c_acctbal > 9000.0 OR (c_mktsegment = 'MACHINERY' AND c_acctbal < 0.0)
+         ORDER BY name""",
+    "gql_j1_expand" ->
+      """SELECT c_name AS name, ROUND(o_totalprice, 4) AS totalprice
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_totalprice > 300000.0 ORDER BY name, totalprice""",
+    "gql_j1_two_hop" ->
+      """SELECT c_name, p_name
+         FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) li
+         JOIN orders   ON li.l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN part     ON li.l_partkey = p_partkey
+         WHERE p_size > 45 ORDER BY c_name, p_name""",
+    "gql_j1_incoming" ->
+      """SELECT n_name, s_name
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         ORDER BY n_name, s_name""",
+    "j3_two_hop" ->
+      """SELECT DISTINCT x.id FROM (
+           SELECT li.l_partkey + 5000000000 AS id
+           FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) li
+           JOIN orders ON li.l_orderkey = o_orderkey WHERE o_custkey = 1
+           UNION
+           SELECT li.l_suppkey + 4000000000 AS id
+           FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) li
+           JOIN orders ON li.l_orderkey = o_orderkey WHERE o_custkey = 1
+           UNION
+           SELECT n.n_regionkey + 1000000000 AS id
+           FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+           WHERE c.c_custkey = 1
+         ) x WHERE x.id <> 3000000001 ORDER BY x.id""",
+    "a9_in_degree" ->
+      """SELECT l_suppkey AS suppkey, COUNT(*) AS in_degree
+         FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+         GROUP BY l_suppkey ORDER BY suppkey""",
+    "g12_common_neighbors" ->
+      """SELECT a.l_suppkey AS suppkey1, b.l_suppkey AS suppkey2,
+                COUNT(*) AS common_orders
+         FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
+         JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
+           ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+         GROUP BY 1, 2 ORDER BY suppkey1, suppkey2""",
+    "a8_degree_centrality" ->
+      """WITH e AS (
+           SELECT c_custkey + 3000000000 AS src, c_nationkey + 2000000000 AS dst FROM customer
+           UNION ALL
+           SELECT s_suppkey + 4000000000, s_nationkey + 2000000000 FROM supplier
+           UNION ALL
+           SELECT n_nationkey + 2000000000, n_regionkey + 1000000000 FROM nation),
+         touched AS (SELECT src AS id FROM e UNION ALL SELECT dst FROM e),
+         degrees AS (SELECT id, COUNT(*) AS degree FROM touched GROUP BY id)
+         SELECT ROUND(CAST(MAX(degree) AS DOUBLE)
+                / (2.0 * (COUNT(*) - 1)), 6) AS degree_centrality
+         FROM degrees"""
+  )
+}

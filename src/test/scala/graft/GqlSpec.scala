@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.GraphStore
+import graft.gql.{Ast, GqlExecutor, GqlParser}
+import graft.model.PropValue
+
+/** Golden assertions carried over from the reference's unit tests
+  * (FIXTURES.md §1: executor.rs:742-927, storage lib.rs:1127-1173).
+  */
+class GqlSpec extends SparkSpec {
+
+  lazy val fixture: GraphStore = GraphStore.fromTuples(
+    spark,
+    Seq(
+      (1L, "Person", Seq("name" -> "Alice", "age" -> 30, "department" -> "Engineering")),
+      (2L, "Person", Seq("name" -> "Bob", "age" -> 25)),
+      (3L, "Person", Seq("name" -> "Charlie", "age" -> 35, "department" -> "Marketing")),
+      (4L, "Person", Seq("name" -> "Diana", "age" -> 28, "department" -> "Engineering"))),
+    Seq(
+      (1L, 2L, "friend", Seq("since" -> 2020)),
+      (2L, 3L, "friend", Seq("since" -> 2021)),
+      (2L, 4L, "colleague", Nil),
+      (1L, 3L, "colleague", Seq("since" -> 2019))))
+
+  private def names(df: org.apache.spark.sql.DataFrame, col0: String): Set[String] =
+    df.select(PropValue.asString(col(col0))).collect().map(_.getString(0)).toSet
+
+  test("parser handles the full statement surface") {
+    assert(GqlParser.parse("MATCH (v:Person) WHERE v.age > 25 RETURN v.name").isRight)
+    assert(GqlParser.parse("MATCH (a)-[e:friend]->(b) RETURN b.name").isRight)
+    assert(GqlParser.parse("""CREATE (p:Person {name: "Eve", age: 22})-[:knows]->(q:Person {name: "Sam"})""").isRight)
+    assert(GqlParser.parse("MATCH (v:Person) WHERE v.age < 20 DELETE v").isRight)
+    assert(GqlParser.parse("MATCH (a)<-[:friend]-(b) RETURN a").isRight)
+    assert(GqlParser.parse("MATCH (a)-[:friend]-(b) RETURN *").isRight)
+    assert(GqlParser.parse("MATCH (v Person RETURN").isLeft)
+  }
+
+  test("MATCH (v:Person) WHERE v.age > 25 RETURN v.name → Alice, Charlie, Diana") {
+    val r = GqlExecutor.run(fixture, "MATCH (v:Person) WHERE v.age > 25 RETURN v.name").df
+    assert(names(r, "v_name") == Set("Alice", "Charlie", "Diana"))
+  }
+
+  test("MATCH (a)-[e:friend]->(b) RETURN b.name → Bob, Charlie") {
+    val r = GqlExecutor.run(fixture, "MATCH (a)-[e:friend]->(b) RETURN b.name").df
+    assert(names(r, "b_name") == Set("Bob", "Charlie"))
+  }
+
+  test("age > 25 AND department = Engineering → Alice, Diana") {
+    val r = GqlExecutor.run(fixture,
+      """MATCH (v:Person) WHERE v.age > 25 AND v.department = "Engineering" RETURN v.name""").df
+    assert(names(r, "v_name") == Set("Alice", "Diana"))
+  }
+
+  test("2-hop from 1 via friend → {3}; unlabelled → {3, 4}") {
+    val viaFriend = fixture.twoHop(1L, Some("friend")).collect().map(_.getLong(0)).toSet
+    assert(viaFriend == Set(3L))
+    val all = fixture.twoHop(1L, None).collect().map(_.getLong(0)).toSet
+    assert(all == Set(3L, 4L))
+  }
+
+  test("incoming direction: MATCH (b)<-[:friend]-(a) binds reverse") {
+    val r = GqlExecutor.run(fixture,
+      """MATCH (b {name: "Bob"})<-[e:friend]-(a) RETURN a.name""").df
+    assert(names(r, "a_name") == Set("Alice"))
+  }
+
+  test("undirected edge matches both orientations") {
+    val r = GqlExecutor.run(fixture,
+      """MATCH (x {name: "Bob"})-[e:friend]-(y) RETURN y.name""").df
+    assert(names(r, "y_name") == Set("Alice", "Charlie"))
+  }
+
+  test("cross-kind comparison is false, not error (compare_values → None)") {
+    val r = GqlExecutor.run(fixture,
+      """MATCH (v:Person) WHERE v.name > 100 RETURN v.name""").df
+    assert(r.count() == 0)
+  }
+
+  test("multi-hop chain with edge props filter") {
+    val r = GqlExecutor.run(fixture,
+      """MATCH (a)-[e:friend {since: 2020}]->(b)-[f:friend]->(c) RETURN c.name""").df
+    assert(names(r, "c_name") == Set("Charlie"))
+  }
+
+  test("CREATE assigns max_id+1, stores label as type prop, chains with default label") {
+    val s2 = GqlExecutor.run(fixture,
+      """CREATE (p:Person {name: "Eve", age: 22})-[:knows]->(q:Robot {name: "R2"})""").store
+    assert(s2.vertices.count() == 6)
+    val eve = s2.vertices.filter(col("id") === 5L).head()
+    assert(eve.getAs[String]("label") == "Person")
+    val knows = s2.edges.filter(col("label") === "knows").head()
+    assert(knows.getAs[Long]("src") == 5L && knows.getAs[Long]("dst") == 6L)
+    // default `related` label when edge label omitted
+    val s3 = GqlExecutor.run(fixture, """CREATE (a {name: "X"})-[]->(b {name: "Y"})""").store
+    assert(s3.edges.filter(col("label") === "related").count() == 1)
+  }
+
+  test("MATCH-DELETE removes matched vertices and cascades edges") {
+    val s2 = GqlExecutor.run(fixture,
+      """MATCH (v:Person) WHERE v.name = "Bob" DELETE v""").store
+    assert(s2.vertices.count() == 3)
+    // Bob's 3 incident edges (1→2, 2→3, 2→4) cascade away.
+    assert(s2.edges.count() == 1)
+    assert(s2.changes.filter(col("op") === "remove_vertex").count() == 1)
+  }
+
+  test("bare var.prop truthiness requires Bool(true)") {
+    val s = GraphStore.fromTuples(spark,
+      Seq((1L, "T", Seq("flag" -> true, "name" -> "yes")),
+        (2L, "T", Seq("flag" -> false, "name" -> "no")),
+        (3L, "T", Seq("name" -> "absent"))),
+      Nil)
+    val r = GqlExecutor.run(s, "MATCH (v:T) WHERE v.flag RETURN v.name").df
+    assert(names(r, "v_name") == Set("yes"))
+  }
+
+  test("Int64/Float64 coercion in comparisons") {
+    val s = GraphStore.fromTuples(spark,
+      Seq((1L, "T", Seq("x" -> 42)), (2L, "T", Seq("x" -> 42.5))),
+      Nil)
+    val r = GqlExecutor.run(s, "MATCH (v:T) WHERE v.x > 42.2 RETURN v").df
+    assert(r.select("v_id").collect().map(_.getLong(0)).toSet == Set(2L))
+    val r2 = GqlExecutor.run(s, "MATCH (v:T) WHERE v.x >= 42 RETURN v").df
+    assert(r2.count() == 2)
+  }
+}
