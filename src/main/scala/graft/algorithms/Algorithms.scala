@@ -1,0 +1,228 @@
+package graft.algorithms
+
+import org.apache.spark.graphx.{Edge, EdgeDirection, Graph, Pregel, TripletFields, VertexId}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Batch graph algorithms (SURVEY §2.8) on GraphX/Pregel.
+  *
+  * Inputs are narrow DataFrames — vertices(id), edges(src, dst[,
+  * weight]) — converted to RDDs only at the GraphX boundary with
+  * minimal attributes (the DataFrame↔RDD hop is the perf cliff; keep
+  * it to two longs + a double). All algorithms partition the edge RDD
+  * and iterate via aggregateMessages/Pregel, so at cluster scale the
+  * shuffle per iteration is bounded by the message volume, not the
+  * graph size.
+  *
+  * Semantics mirror graph/algorithms/src/basic.rs: PageRank uses
+  * `new = (1−d)/n + d·Σ(in_score/out_deg)` with uniform 1/n init
+  * (basic.rs:46-131 — the /n-normalized variant, which the survey
+  * flags as the one to adopt); connected components return the min
+  * vertex id per component; Dijkstra carries (dist, pred) for path
+  * reconstruction (basic.rs:277-340). The reference's FIFO-"Dijkstra"
+  * bug (incremental_engine.rs:1233) is intentionally NOT replicated.
+  */
+object Algorithms {
+
+  private def edgeRDD(edges: DataFrame, undirected: Boolean): RDD[Edge[Double]] = {
+    val hasW = edges.columns.contains("weight")
+    val base = if (hasW) edges.select(col("src"), col("dst"), col("weight").cast("double"))
+    else edges.select(col("src"), col("dst"), lit(1.0))
+    val rdd = base.rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getDouble(2)))
+    if (undirected) rdd.flatMap(e => Iterator(e, Edge(e.dstId, e.srcId, e.attr))) else rdd
+  }
+
+  private def vertexRDD(vertices: DataFrame): RDD[(VertexId, Int)] =
+    vertices.select(col("id")).rdd.map(r => (r.getLong(0), 1))
+
+  def makeGraph(vertices: DataFrame, edges: DataFrame, undirected: Boolean): Graph[Int, Double] =
+    Graph(vertexRDD(vertices), edgeRDD(edges, undirected), 1,
+      StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
+
+  private def toDF(spark: SparkSession, rdd: RDD[(VertexId, Double)],
+      valueName: String): DataFrame = {
+    import spark.implicits._
+    rdd.toDF("id", valueName)
+  }
+
+  /** G1: PageRank, fixed-iteration power method with the reference's
+    * exact semantics (basic.rs:46-131): init 1/n, update
+    * `(1−d)/n + d·Σ(in_score/out_deg)`, no dangling-mass
+    * redistribution, no final normalization (GraphX's staticPageRank
+    * L1-normalizes the result — SPARK-18847 — so it can't be used
+    * for parity).
+    *
+    * The loop follows GraphX's internal PageRank persistence pattern:
+    * cache the new graph, materialize its edges (which materializes
+    * the replicated vertex view), only then unpersist the previous
+    * iteration — otherwise every iteration recomputes the full
+    * lineage and runtime explodes exponentially.
+    */
+  def pageRank(vertices: DataFrame, edges: DataFrame,
+      damping: Double = 0.85, numIter: Int = 10,
+      undirected: Boolean = false): DataFrame = {
+    val spark = vertices.sparkSession
+    val n = vertices.count().toDouble
+    val g0 = makeGraph(vertices, edges, undirected)
+    var rankGraph: Graph[Double, Double] = g0
+      .outerJoinVertices(g0.outDegrees) { (_, _, deg) => deg.getOrElse(0) }
+      .mapTriplets(e => 1.0 / e.srcAttr, TripletFields.Src)
+      .mapVertices((_, _) => 1.0 / n)
+    var iteration = 0
+    while (iteration < numIter) {
+      rankGraph.cache()
+      val rankUpdates = rankGraph.aggregateMessages[Double](
+        ctx => ctx.sendToDst(ctx.srcAttr * ctx.attr), _ + _, TripletFields.Src)
+      val prev = rankGraph
+      rankGraph = rankGraph.outerJoinVertices(rankUpdates) {
+        (_, _, msg) => (1.0 - damping) / n + damping * msg.getOrElse(0.0)
+      }.cache()
+      rankGraph.edges.foreachPartition(_ => ()) // materialize before unpersist
+      prev.vertices.unpersist()
+      prev.edges.unpersist()
+      iteration += 1
+    }
+    toDF(spark, rankGraph.vertices, "score")
+  }
+
+  /** G3/G4: connected components (min-label propagation; GraphX
+    * treats the edge set as undirected by messaging both directions).
+    */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    makeGraph(vertices, edges, undirected = false)
+      .connectedComponents().vertices
+      .map { case (id, comp) => (id, comp) }.toDF("id", "component")
+  }
+
+  /** G5/G7: single-source shortest paths via Pregel with (dist, pred)
+    * state — weighted Dijkstra semantics with early-free convergence
+    * (vote-to-halt), unweighted = BFS hop count. Unreachable vertices
+    * are dropped.
+    */
+  def sssp(vertices: DataFrame, edges: DataFrame, source: Long,
+      undirected: Boolean = false, maxIter: Int = Int.MaxValue): DataFrame = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    val g = makeGraph(vertices, edges, undirected)
+      .mapVertices((id, _) =>
+        if (id == source) (0.0, -1L) else (Double.PositiveInfinity, -1L))
+    val res = Pregel(g, (Double.PositiveInfinity, -1L), maxIter, EdgeDirection.Out)(
+      (_, attr, msg) => if (msg._1 < attr._1) msg else attr,
+      t => if (t.srcAttr._1 + t.attr < t.dstAttr._1 - 1e-12)
+        Iterator((t.dstId, (t.srcAttr._1 + t.attr, t.srcId)))
+      else Iterator.empty,
+      (a, b) => if (a._1 <= b._1) a else b)
+    res.vertices
+      .filter { case (_, (d, _)) => !d.isInfinite }
+      .map { case (id, (d, pred)) => (id, d, pred) }
+      .toDF("id", "dist", "pred")
+  }
+
+  /** Path reconstruction from an sssp result (basic.rs:313-330):
+    * walk predecessors target→source. Point lookups over the result
+    * frame — path length bounded by the graph diameter.
+    */
+  def reconstructPath(ssspResult: DataFrame, source: Long, target: Long): Seq[Long] = {
+    val preds = ssspResult.select("id", "pred").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    if (!preds.contains(target)) return Nil
+    val path = scala.collection.mutable.ArrayBuffer(target)
+    var cur = target
+    while (cur != source && preds.getOrElse(cur, -1L) != -1L) {
+      cur = preds(cur)
+      path.prepend(cur)
+    }
+    if (path.head == source) path.toSeq else Nil
+  }
+
+  /** G8: forward reachability from a source set — iterative frontier
+    * expansion, accumulating visited. DataFrame loop with
+    * localCheckpoint every few rounds to truncate lineage.
+    */
+  def reachability(edges: DataFrame, sources: Seq[Long], maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    var visited = sources.toDF("id").persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = visited
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val next = frontier.join(e, frontier("id") === e("src"))
+        .select(e("dst").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        visited = visited.union(next).localCheckpoint()
+        frontier = next
+      }
+      iter += 1
+    }
+    e.unpersist(blocking = false)
+    visited
+  }
+
+  /** G9: k-core — iteratively drop vertices with (undirected) degree
+    * < k and their incident edges until stable
+    * (graph/algorithms/src/lib.rs:47-82). Returns surviving vertex
+    * ids with their core degree.
+    */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 100): DataFrame = {
+    var e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var changed = true
+    var iter = 0
+    while (changed && iter < maxIter) {
+      val deg = e.select(col("src").as("id"))
+        .unionAll(e.select(col("dst").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("degree"))
+      val bad = deg.filter(col("degree") < k).select("id")
+      if (bad.isEmpty) changed = false
+      else {
+        e = e.join(bad.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+          .join(bad.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+          .select("src", "dst")
+          .localCheckpoint()
+      }
+      iter += 1
+    }
+    e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+  }
+
+  /** G10: triangle enumeration over a canonical (a<b) undirected edge
+    * set: e(a,b) ⋈ e(b,c) ⋈ e(a,c) with a<b<c — two shuffled joins,
+    * each prunable by Catalyst.
+    */
+  def triangles(canonicalEdges: DataFrame): DataFrame = {
+    val e = canonicalEdges.select(col("src").as("a"), col("dst").as("b"))
+    val e2 = e.select(col("a").as("b2"), col("b").as("c"))
+    val e3 = e.select(col("a").as("a3"), col("b").as("c3"))
+    e.join(e2, col("b") === col("b2"))
+      .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+      .select(col("a"), col("b"), col("c"))
+  }
+
+  def triangleCount(canonicalEdges: DataFrame): DataFrame =
+    triangles(canonicalEdges).agg(count(lit(1)).as("triangles"))
+
+  /** G11: strongly connected components (GraphX Pregel-based). */
+  def stronglyConnectedComponents(vertices: DataFrame, edges: DataFrame,
+      numIter: Int = 10): DataFrame = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    makeGraph(vertices, edges, undirected = false)
+      .stronglyConnectedComponents(numIter).vertices
+      .map { case (id, comp) => (id, comp) }.toDF("id", "component")
+  }
+
+  /** W1: top-k by score (basic.rs:25-31) — TakeOrderedAndProject, no
+    * global sort.
+    */
+  def topN(scores: DataFrame, scoreCol: String, n: Int): DataFrame =
+    scores.orderBy(desc(scoreCol), asc("id")).limit(n)
+}

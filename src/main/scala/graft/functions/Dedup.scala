@@ -1,0 +1,147 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for 100 TB-scale corpus curation.
+  *
+  * Scale design notes:
+  * - Exact dedup is a hash-groupBy on a 64-bit fingerprint — one
+  *   shuffle of (hash, id), never of document bodies.
+  * - MinHash-LSH banding turns near-dup detection into an equi-join
+  *   on (band, bandHash) — candidate pairs only, no all-pairs
+  *   comparison. Bands/rows trade recall vs candidate volume.
+  * - SimHash reduces each doc to one 64-bit signature; near-dups are
+  *   bucket-joins on rotated prefixes.
+  * - All signatures are computed with codegen'd builtins
+  *   (xxhash64 / transform / aggregate) — no UDF in the scan path.
+  */
+object Dedup {
+
+  /** Exact duplicates: normalize → fingerprint → keep min-id per
+    * group (deterministic survivor).
+    */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fp = TextFunctions.fingerprint(col(textCol))
+    df.withColumn("__fp", fp)
+      .groupBy(col("__fp"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+      .drop("__fp")
+  }
+
+  /** MinHash signature: k independent permutations simulated as
+    * xxhash64(shingle, seed_i); signature_i = min over shingles.
+    */
+  def minHashSignature(text: Column, numHashes: Int, shingleSize: Int = 3): Column = {
+    val sh = TextFunctions.shingles(text, shingleSize)
+    val sigs = (0 until numHashes).map { i =>
+      array_min(transform(sh, s => xxhash64(s, lit(i))))
+    }
+    array(sigs: _*)
+  }
+
+  /** LSH banding: band b's key = hash of rows [b*r, (b+1)*r). Docs
+    * sharing any band key are near-dup candidates.
+    */
+  def lshBands(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",", slice(sig, b * rows + 1, rows).cast("array<string>")))
+          .as("bucket"))
+    }: _*)
+
+  /** Candidate near-dup pairs via MinHash+LSH, verified with exact
+    * signature-overlap (estimated Jaccard) ≥ threshold.
+    * Output: (idA, idB, est_jaccard) with idA < idB.
+    */
+  def minHashDedupPairs(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = df.select(col(idCol).as("id"),
+      minHashSignature(col(textCol), numHashes).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(lshBands(col("sig"), bands, rows)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.bucket"))
+    val a = banded.select(col("band"), col("bucket"),
+      col("id").as("ida"), col("sig").as("siga"))
+    val b = banded.select(col("band").as("band2"), col("bucket").as("bucket2"),
+      col("id").as("idb"), col("sig").as("sigb"))
+    val cand = a.join(b,
+      col("band") === col("band2") && col("bucket") === col("bucket2") &&
+        col("ida") < col("idb"))
+      .select(col("ida"), col("idb"), col("siga"), col("sigb"))
+      .dropDuplicates("ida", "idb")
+    val overlap = size(filter(zip_with(col("siga"), col("sigb"),
+      (x, y) => x === y), b => b))
+    cand.withColumn("est_jaccard",
+      round(overlap.cast("double") / lit(numHashes.toDouble), 4))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("ida"), col("idb"), col("est_jaccard"))
+  }
+
+  /** SimHash: 64-bit signature — bit j is the sign of the sum over
+    * token hashes' j-th bits (+1/−1). Computed via bit arithmetic in
+    * column space.
+    */
+  def simHash(text: Column): Column = {
+    val tokens = TextFunctions.shingles(text, 1)
+    val hashes = transform(tokens, t => xxhash64(t))
+    val bitSums: Seq[Column] = (0 until 64).map { j =>
+      aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(h.bitwiseAND(lit(1L << j)) =!= 0L, 1L).otherwise(-1L))
+    }
+    bitSums.zipWithIndex.map { case (s, j) =>
+      when(s > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: candidates share one of 4 16-bit chunks
+    * (any pair within Hamming distance 3 shares a chunk — pigeonhole),
+    * then filtered by exact Hamming ≤ maxDistance.
+    */
+  def simHashDedupPairs(df: DataFrame, textCol: String, idCol: String,
+      maxDistance: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+    val chunked = sigs.select(col("id"), col("sig"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+      }: _*)).as("ck"))
+      .select(col("id"), col("sig"), col("ck.chunk"), col("ck.key"))
+    val a = chunked.select(col("chunk"), col("key"), col("id").as("ida"), col("sig").as("siga"))
+    val b = chunked.select(col("chunk").as("chunk2"), col("key").as("key2"),
+      col("id").as("idb"), col("sig").as("sigb"))
+    a.join(b, col("chunk") === col("chunk2") && col("key") === col("key2") &&
+      col("ida") < col("idb"))
+      .dropDuplicates("ida", "idb")
+      .withColumn("hamming", hamming(col("siga"), col("sigb")))
+      .filter(col("hamming") <= maxDistance)
+      .select(col("ida"), col("idb"), col("hamming"))
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs — explode
+    * shingles, equi-join on shingle, |∩| via groupBy, |∪| from
+    * per-doc counts. All-pairs-free: only docs sharing ≥1 shingle
+    * ever meet.
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      array_distinct(TextFunctions.shingles(col(textCol), shingleSize)).as("sh"))
+      .withColumn("n", size(col("sh")))
+    val exploded = sh.select(col("id"), col("n"), explode(col("sh")).as("s"))
+    val a = exploded.select(col("s"), col("id").as("ida"), col("n").as("na"))
+    val b = exploded.select(col("s").as("s2"), col("id").as("idb"), col("n").as("nb"))
+    a.join(b, col("s") === col("s2") && col("ida") < col("idb"))
+      .groupBy("ida", "idb")
+      .agg(count(lit(1)).as("inter"), first("na").as("na"), first("nb").as("nb"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double")
+          / (col("na") + col("nb") - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("ida"), col("idb"), col("jaccard"))
+  }
+}

@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate/exact nearest-neighbor search over embedding columns
+  * (`ARRAY<FLOAT>`).
+  *
+  * Scale path: brute-force cosine is the correctness baseline (one
+  * broadcast of the query batch, no all-pairs shuffle when the query
+  * side is small). The LSH variant buckets by random-hyperplane
+  * signatures so candidate generation is an equi-join; recall is
+  * tunable via tables × bits. Dot products use `zip_with` +
+  * `aggregate` — codegen'd, no UDF.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query id: broadcast queries ⋈
+    * corpus, rank by cosine within query, keep k. Corpus never
+    * shuffles — only the (nQueries × corpus) scored pairs do, and
+    * row_number pushes partial top-k into each partition.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col("vec_id").as("corpus_id"), col("embedding").as("cvec"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("cvec"), col("qvec")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), round(col("cos"), 6).as("cosine"),
+        col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (table,
+    * bit, dim): hash → uniform in [-1, 1).
+    */
+  private def planeComponent(table: Int, bit: Int, dim: Column): Column =
+    (xxhash64(lit(table), lit(bit), dim).cast("double")
+      / lit(Long.MaxValue.toDouble))
+
+  /** Random-hyperplane LSH signature per table: one bit per plane =
+    * sign of <v, plane>.
+    */
+  def lshSignature(vec: Column, table: Int, bits: Int): Column = {
+    val bitCols = (0 until bits).map { bit =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x * planeComponent(table, bit, i)),
+        lit(0.0d), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << bit)).otherwise(lit(0L))
+    }
+    bitCols.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN via multi-table hyperplane LSH: candidates share a bucket in
+    * any table; exact cosine re-rank keeps top-k. At 100 TB the
+    * bucket join replaces the cross join — candidate volume is
+    * corpus/2^bits per table per query.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      tables: Int = 4, bits: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def bucketize(df: DataFrame, idName: String, vecName: String): DataFrame =
+      df.select(col("vec_id").as(idName), col("embedding").as(vecName),
+        explode(array((0 until tables).map { t =>
+          struct(lit(t).as("table"),
+            lshSignature(col("embedding"), t, bits).as("bucket"))
+        }: _*)).as("tb"))
+        .select(col(idName), col(vecName), col("tb.table"), col("tb.bucket"))
+
+    val c = bucketize(corpus, "corpus_id", "cvec")
+    val q = bucketize(queries, "query_id", "qvec")
+      .withColumnRenamed("table", "table2").withColumnRenamed("bucket", "bucket2")
+    val cand = c.join(q,
+      col("table") === col("table2") && col("bucket") === col("bucket2") &&
+        col("corpus_id") =!= col("query_id"))
+      .select("query_id", "corpus_id", "cvec", "qvec")
+      .dropDuplicates("query_id", "corpus_id")
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("corpus_id"))
+    cand.withColumn("cos", cosine(col("cvec"), col("qvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), round(col("cos"), 6).as("cosine"),
+        col("rank"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold via LSH
+    * candidates (or exact for small corpora).
+    */
+  def embeddingDedupPairs(corpus: DataFrame, threshold: Double,
+      exact: Boolean = true): DataFrame = {
+    val a = corpus.select(col("vec_id").as("ida"), col("embedding").as("va"))
+    val b = corpus.select(col("vec_id").as("idb"), col("embedding").as("vb"))
+    val pairs =
+      if (exact) a.join(b, col("ida") < col("idb"))
+      else {
+        val ca = a.withColumn("sig", lshSignature(col("va"), 0, 12))
+        val cb = b.withColumn("sig2", lshSignature(col("vb"), 0, 12))
+        ca.join(cb, col("sig") === col("sig2") && col("ida") < col("idb"))
+      }
+    pairs.withColumn("cosine", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("ida", "idb", "cosine")
+  }
+}

@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data
+  * pipelines. Everything is composed from codegen'd builtins —
+  * `split`/`regexp_*`/`aggregate`/`transform` — no Scala UDFs, so the
+  * whole pack stays inside whole-stage codegen and scales linearly
+  * with input splits.
+  */
+object TextFunctions {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish subword count: word-chunks + digits + punctuation each
+    * count as a token (regexp over the raw text).
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("""[A-Za-z]{1,4}|\d|[^\sA-Za-z\d]"""), lit(0)))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** Stopword ratio over a fixed English stopword list. */
+  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+    "is", "it", "that", "was", "for", "on", "with", "as", "at", "by")
+
+  def stopwordRatio(text: Column): Column = {
+    val words = split(lower(trim(text)), "\\s+")
+    val stops = filter(words, w => w.isin(stopwords: _*))
+    when(size(words) > 0, size(stops).cast("double") / size(words).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Punctuation-to-character ratio. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      length(regexp_replace(text, """[^\p{Punct}]""", "")).cast("double")
+        / length(text).cast("double"))
+      .otherwise(lit(0.0))
+
+  def upperRatio(text: Column): Column =
+    when(length(text) > 0,
+      length(regexp_replace(text, "[^A-Z]", "")).cast("double")
+        / length(text).cast("double"))
+      .otherwise(lit(0.0))
+
+  def meanWordLength(text: Column): Column = {
+    val words = split(trim(text), "\\s+")
+    when(size(words) > 0,
+      aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double")
+        / size(words).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Composite quality score in [0,1]: long-enough docs with moderate
+    * punctuation, some stopwords (prose-like), and mixed case score
+    * high. Deterministic, tunable weights.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(charCount(text).cast("double") / 500.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5.0)
+    val upperPenalty = greatest(lit(0.0), lit(1.0) - upperRatio(text) * 3.0)
+    round(lenScore * 0.3 + stopScore * 0.3 + punctPenalty * 0.2 + upperPenalty * 0.2, 6)
+  }
+
+  /** N-gram language-ID heuristic: score per language = fraction of
+    * that language's top trigrams/stopwords present. Tiny fixed
+    * profiles — broadcastable by construction (they're literals in
+    * the plan).
+    */
+  private val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", " of ", " to ", " is ", " that "),
+    "de" -> Seq(" der ", " die ", " und ", " das ", " ist ", " nicht "),
+    "fr" -> Seq(" le ", " la ", " et ", " les ", " des ", " est "),
+    "es" -> Seq(" el ", " la ", " de ", " que ", " los ", " es "))
+
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val scores: Seq[(String, Column)] = langProfiles.toSeq.sortBy(_._1).map {
+      case (lang, marks) =>
+        lang -> marks.map(m => when(padded.contains(m), 1).otherwise(0))
+          .reduce(_ + _)
+    }
+    // argmax with deterministic tie-break on language code order;
+    // no marker hit at all → "und" (undetermined)
+    val best = scores.map(_._2).reduce(greatest(_, _))
+    val pick = scores.foldRight(lit("und")) { case ((lang, sc), acc) =>
+      when(sc === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    pick
+  }
+
+  /** Document fingerprint: 64-bit rolling-style content hash over
+    * normalized text (xxhash64 of the lowercased, space-collapsed
+    * body) — the cheap exact-dup key.
+    */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Word shingles of size k as an array column. */
+  def shingles(text: Column, k: Int): Column = {
+    val words = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+    val n = size(words)
+    when(n >= k,
+      transform(sequence(lit(0), n - k),
+        i => concat_ws(" ", slice(words, i + 1, lit(k)))))
+      .otherwise(array(concat_ws(" ", words)))
+  }
+
+  /** Character n-grams of size k. */
+  def charNgrams(text: Column, k: Int): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    val n = length(norm)
+    when(n >= k,
+      transform(sequence(lit(1), n - k + 1), i => norm.substr(i, lit(k))))
+      .otherwise(array(norm))
+  }
+}

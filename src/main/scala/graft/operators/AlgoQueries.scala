@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.algorithms.Algorithms
+import graft.graph.GraphStore
+import graft.sources.Tables
+import java.util.concurrent.ConcurrentHashMap
+
+/** Graph-algorithm query pack (SURVEY §2.8).
+  *
+  * The analytical graph is the supplier co-order graph: suppliers are
+  * connected when they supplied the same order, weighted by shared
+  * order count, thresholded at ceil(0.7·max(w)) so the structure is
+  * scale-robust (absolute weights grow with SF). Vertex ids are raw
+  * suppkeys — every oracle recomputes the identical graph from
+  * lineitem in DuckDB, including full unrolled PageRank iterations,
+  * transitive-closure connected components and BFS distances, so
+  * these are VALUE-parity checks on iterative algorithms, not
+  * rows-only smoke tests.
+  */
+object AlgoQueries {
+
+  /** (vertices, canonical thresholded edges) per scale dir, persisted
+    * so the 6 algorithm queries share one derivation.
+    */
+  private case class CoOrder(vertices: DataFrame, edges: DataFrame)
+  private val cache = new ConcurrentHashMap[String, CoOrder]()
+
+  private def coOrder(s: SparkSession, dir: String): CoOrder =
+    cache.computeIfAbsent(dir, _ => {
+      val e = GraphStore.fromTpch(s, dir).edges
+        .filter(col("label") === "supplied_by")
+        .select(col("src").as("o"), (col("dst") - GraphStore.SupplierOff).as("sk"))
+      val b = e.select(col("o").as("o2"), col("sk").as("sk2"))
+      val pairs = e.join(b, col("o") === col("o2") && col("sk") < col("sk2"))
+        .groupBy(col("sk").as("s1"), col("sk2").as("s2"))
+        .agg(count(lit(1)).as("w"))
+      val thr = pairs.agg(ceil(max("w") * 0.7)).head().getLong(0)
+      val edges = pairs.filter(col("w") >= thr)
+        .select(col("s1").as("src"), col("s2").as("dst"), col("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val vertices = Tables.supplier(s, dir)
+        .select(col("s_suppkey").cast("long").as("id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      CoOrder(vertices, edges)
+    })
+
+  /** DuckDB CTE prelude shared by all co-order oracles. */
+  private val coOrderCte: String =
+    """pairs AS (
+         SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, COUNT(*) AS w
+         FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
+         JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
+           ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+         GROUP BY 1, 2),
+       thr AS (SELECT CEIL(0.7 * MAX(w)) AS t FROM pairs),
+       ce AS (SELECT s1 AS a, s2 AS b FROM pairs, thr WHERE w >= t),
+       e AS (SELECT a AS src, b AS dst FROM ce UNION ALL SELECT b, a FROM ce),
+       v AS (SELECT CAST(s_suppkey AS BIGINT) AS id FROM supplier),
+       n AS (SELECT COUNT(*) AS c FROM v),
+       deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src)"""
+
+  /** Unrolled 10-iteration PageRank — identical update rule to
+    * Algorithms.pageRank, one CTE stage per iteration.
+    */
+  private def pageRankOracle: String = {
+    val stages = (1 to 10).map { i =>
+      s"""pr$i AS (
+           SELECT v.id, 0.15 / (SELECT c FROM n) + 0.85 * COALESCE(m.s, 0) AS score
+           FROM v LEFT JOIN (
+             SELECT e.dst AS id, SUM(p.score / deg.d) AS s
+             FROM pr${i - 1} p JOIN deg ON p.id = deg.src JOIN e ON e.src = p.id
+             GROUP BY e.dst) m ON m.id = v.id)"""
+    }.mkString(",\n")
+    s"""WITH $coOrderCte,
+       pr0 AS (SELECT id, 1.0 / (SELECT c FROM n) AS score FROM v),
+       $stages
+       SELECT id AS suppkey, ROUND(score, 6) AS score FROM pr10 ORDER BY suppkey"""
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // G1: PageRank (reference rule: (1−d)/n + d·Σ, 1/n init,
+    // basic.rs:46-131), fixed 10 iterations, d=0.85.
+    "g1_pagerank" -> ((s, dir) => {
+      val co = coOrder(s, dir)
+      Algorithms.pageRank(co.vertices, co.edges.select("src", "dst"),
+        damping = 0.85, numIter = 10, undirected = true)
+        .select(col("id").as("suppkey"), round(col("score"), 6).as("score"))
+        .orderBy("suppkey")
+    }),
+
+    // G1+W1: top-5 PageRank (the influence-ranking composition,
+    // social_network_platform.rs:471-497).
+    "g1_pagerank_topk" -> ((s, dir) => {
+      val co = coOrder(s, dir)
+      Algorithms.pageRank(co.vertices, co.edges.select("src", "dst"),
+        damping = 0.85, numIter = 10, undirected = true)
+        .select(col("id").as("suppkey"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), asc("suppkey"))
+        .limit(5)
+    }),
+
+    // G3: connected components (min-label).
+    "g3_connected_components" -> ((s, dir) => {
+      val co = coOrder(s, dir)
+      Algorithms.connectedComponents(co.vertices, co.edges.select("src", "dst"))
+        .select(col("id").as("suppkey"), col("component"))
+        .orderBy("suppkey")
+    }),
+
+    // G5/G7: BFS hop distances from supplier 1 (unweighted sssp).
+    "g5_sssp_hops" -> ((s, dir) => {
+      val co = coOrder(s, dir)
+      Algorithms.sssp(co.vertices, co.edges.select("src", "dst"),
+        source = 1L, undirected = true, maxIter = 20)
+        .select(col("id").as("suppkey"), col("dist").cast("int").as("dist"))
+        .orderBy("suppkey")
+    }),
+
+    // G8: forward reachability over the directed TPC-H property graph
+    // from customer 1 (frontier expansion to fixpoint).
+    "g8_reachability" -> ((s, dir) => {
+      Algorithms.reachability(
+        GraphStore.fromTpch(s, dir).edges,
+        Seq(GraphStore.CustomerOff + 1))
+        .orderBy("id")
+    }),
+
+    // G9: 3-core of the co-order graph (degree-prune to fixpoint;
+    // no SQL oracle — covered by fixture goldens in AlgoSpec).
+    "g9_kcore" -> ((s, dir) => {
+      val co = coOrder(s, dir)
+      Algorithms.kCore(co.edges.select("src", "dst"), k = 3)
+        .orderBy("id")
+    }),
+
+    // G10: triangle count over the canonical thresholded edge set.
+    "g10_triangle_count" -> ((s, dir) => {
+      val co = coOrder(s, dir)
+      Algorithms.triangleCount(co.edges.select("src", "dst"))
+    }),
+
+    // G11: SCC — on the doubled undirected edge set SCC == CC, which
+    // the oracle cross-checks (each undirected edge is a 2-cycle).
+    "g11_scc" -> ((s, dir) => {
+      val co = coOrder(s, dir)
+      Algorithms.stronglyConnectedComponents(
+        co.vertices, co.edges.select("src", "dst")
+          .unionAll(co.edges.select(col("dst").as("src"), col("src").as("dst"))),
+        numIter = 20)
+        .select(col("id").as("suppkey"), col("component"))
+        .orderBy("suppkey")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "g1_pagerank" -> pageRankOracle,
+    "g1_pagerank_topk" -> pageRankOracle
+      .replace("SELECT id AS suppkey, ROUND(score, 6) AS score FROM pr10 ORDER BY suppkey",
+        "SELECT id AS suppkey, ROUND(score, 6) AS score FROM pr10 ORDER BY ROUND(score, 6) DESC, id ASC LIMIT 5"),
+    "g3_connected_components" ->
+      s"""WITH RECURSIVE $coOrderCte,
+         reach(a, b) AS (
+           SELECT id, id FROM v
+           UNION
+           SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src)
+         SELECT a AS suppkey, MIN(b) AS component FROM reach
+         GROUP BY a ORDER BY suppkey""",
+    "g5_sssp_hops" ->
+      s"""WITH RECURSIVE $coOrderCte,
+         bfs(id, dist) AS (
+           SELECT CAST(1 AS BIGINT), 0
+           UNION
+           SELECT e.dst, b.dist + 1 FROM bfs b JOIN e ON b.id = e.src
+           WHERE b.dist < 20)
+         SELECT id AS suppkey, CAST(MIN(dist) AS INTEGER) AS dist FROM bfs
+         GROUP BY id ORDER BY suppkey""",
+    "g8_reachability" ->
+      """WITH o1 AS (SELECT o_orderkey FROM orders WHERE o_custkey = 1),
+         li AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+                JOIN o1 ON l_orderkey = o1.o_orderkey),
+         nk AS (SELECT c_nationkey AS k FROM customer WHERE c_custkey = 1
+                UNION SELECT s_nationkey FROM supplier
+                WHERE s_suppkey IN (SELECT l_suppkey FROM li))
+         SELECT DISTINCT id FROM (
+           SELECT 3000000001 AS id
+           UNION SELECT o_orderkey + 6000000000 FROM o1
+           UNION SELECT l_partkey + 5000000000 FROM li
+           UNION SELECT l_suppkey + 4000000000 FROM li
+           UNION SELECT k + 2000000000 FROM nk
+           UNION SELECT n_regionkey + 1000000000 FROM nation
+                 WHERE n_nationkey IN (SELECT k FROM nk)
+         ) ORDER BY id""",
+    "g10_triangle_count" ->
+      s"""WITH $coOrderCte
+         SELECT COUNT(*) AS triangles
+         FROM ce e1 JOIN ce e2 ON e1.b = e2.a
+         JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b""",
+    "g11_scc" ->
+      s"""WITH RECURSIVE $coOrderCte,
+         reach(a, b) AS (
+           SELECT id, id FROM v
+           UNION
+           SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src)
+         SELECT a AS suppkey, MIN(b) AS component FROM reach
+         GROUP BY a ORDER BY suppkey"""
+  )
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.algorithms.Algorithms
+
+/** Goldens from the reference's algorithm tests (FIXTURES §2:
+  * basic.rs:397-472) on the A→B→C, A→C micro-graph.
+  */
+class AlgoSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val vertices = Seq(1L, 2L, 3L).toDF("id")
+  lazy val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+
+  test("pagerank: all scores > 0, sum ≈ contributes correctly, sink highest") {
+    val pr = Algorithms.pageRank(vertices, edges, 0.85, 20).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.values.forall(_ > 0))
+    // vertex 3 receives from both 1 and 2 → highest score
+    assert(pr(3L) > pr(1L) && pr(3L) > pr(2L))
+    // dangling vertex 3 leaks mass, so sum ≤ 1 but ≥ (1-d)
+    assert(pr.values.sum <= 1.0 + 1e-9 && pr.values.sum > 0.15)
+  }
+
+  test("pagerank matches hand-computed 2-iteration values") {
+    // n=3, d=0.85, init 1/3 each.
+    // iter1: s1=0.05; s2=0.05+0.85*(1/3/2)=0.19166..; s3=0.05+0.85*(1/3/2+1/3)=0.475
+    val pr = Algorithms.pageRank(vertices, edges, 0.85, 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr(1L) - 0.05) < 1e-9)
+    assert(math.abs(pr(2L) - (0.05 + 0.85 / 6)) < 1e-9)
+    assert(math.abs(pr(3L) - (0.05 + 0.85 * (1.0 / 6 + 1.0 / 3))) < 1e-9)
+  }
+
+  test("connected components: single component rooted at 1") {
+    val cc = Algorithms.connectedComponents(vertices, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.values.toSet == Set(1L))
+    // two components when 3 is isolated
+    val cc2 = Algorithms.connectedComponents(
+      vertices, Seq((1L, 2L)).toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc2 == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
+  test("unweighted sssp 1→3: distance 1.0 via direct edge (basic.rs:464-472)") {
+    val res = Algorithms.sssp(vertices, edges, 1L)
+    val d = res.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d == Map(1L -> 0.0, 2L -> 1.0, 3L -> 1.0))
+    assert(Algorithms.reconstructPath(res, 1L, 3L) == Seq(1L, 3L))
+  }
+
+  test("weighted sssp takes the cheaper 2-hop path") {
+    val wEdges = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (1L, 3L, 5.0))
+      .toDF("src", "dst", "weight")
+    val res = Algorithms.sssp(vertices, wEdges, 1L)
+    val d = res.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d(3L) == 2.0)
+    assert(Algorithms.reconstructPath(res, 1L, 3L) == Seq(1L, 2L, 3L))
+  }
+
+  test("directed sssp: no path 3→1 (storage lib.rs:1145-1173)") {
+    val res = Algorithms.sssp(vertices, edges, 3L)
+    assert(Algorithms.reconstructPath(res, 3L, 1L).isEmpty)
+  }
+
+  test("k-core: k=2 keeps the triangle, drops a pendant") {
+    val vs = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val es = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val core = Algorithms.kCore(es, 2).collect().map(_.getLong(0)).toSet
+    assert(core == Set(1L, 2L, 3L))
+  }
+
+  test("triangles: exactly one in the micro-graph") {
+    val tri = Algorithms.triangles(edges).collect()
+    assert(tri.length == 1)
+    assert(tri.head.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("reachability: forward closure from 1 = {1,2,3}; from 3 = {3}") {
+    val r1 = Algorithms.reachability(edges, Seq(1L)).collect().map(_.getLong(0)).toSet
+    assert(r1 == Set(1L, 2L, 3L))
+    val r3 = Algorithms.reachability(edges, Seq(3L)).collect().map(_.getLong(0)).toSet
+    assert(r3 == Set(3L))
+  }
+
+  test("scc: cycle collapses, dag stays apart") {
+    val vs = Seq(1L, 2L, 3L).toDF("id")
+    val cyc = Seq((1L, 2L), (2L, 1L), (2L, 3L)).toDF("src", "dst")
+    val scc = Algorithms.stronglyConnectedComponents(vs, cyc, 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scc(1L) == scc(2L) && scc(3L) != scc(1L))
+  }
+}
