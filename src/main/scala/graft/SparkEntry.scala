@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AlgoQueries, GraphQueries, RelationalQueries}
+import graft.operators.{AlgoQueries, GraphQueries, PipelineQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,8 +18,10 @@ object SparkEntry {
     RelationalQueries.all("j1_join_agg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.all ++ GraphQueries.all ++ AlgoQueries.all
+    RelationalQueries.all ++ GraphQueries.all ++ AlgoQueries.all ++
+      PipelineQueries.all
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ GraphQueries.oracles ++ AlgoQueries.oracles
+    RelationalQueries.oracles ++ GraphQueries.oracles ++ AlgoQueries.oracles ++
+      PipelineQueries.oracles
 }

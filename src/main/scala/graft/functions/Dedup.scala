@@ -32,13 +32,29 @@ object Dedup {
   /** MinHash signature: k independent permutations simulated as
     * xxhash64(shingle, seed_i); signature_i = min over shingles.
     */
-  def minHashSignature(text: Column, numHashes: Int, shingleSize: Int = 3): Column = {
-    val sh = TextFunctions.shingles(text, shingleSize)
-    val sigs = (0 until numHashes).map { i =>
-      array_min(transform(sh, s => xxhash64(s, lit(i))))
-    }
-    array(sigs: _*)
-  }
+  /** CORRECTNESS GOTCHAS (both found by measurement):
+    * (1) the i-th hash function varies the INPUT BYTES (suffix "#i"),
+    * not the hash seed — xxhash64(s, lit(i)) seed chaining leaves the
+    * per-shingle ranking correlated across i (~0.34 signature overlap
+    * where true Jaccard is 0.78), wrecking the estimator;
+    * (2) the shingle expression must be built FRESH per hash function
+    * — sharing one Column instance (whose subtree contains lambda
+    * variables from shingles' own `transform`) across sibling
+    * `transform` lambdas mis-resolves during analysis and yields
+    * wrong minima. Callers that already materialized shingles in a
+    * projection can pass the attribute via `fromShingles` (an
+    * attribute reference is safe to share).
+    */
+  def minHashSignature(text: Column, numHashes: Int, shingleSize: Int = 3): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(TextFunctions.shingles(text, shingleSize),
+        s => xxhash64(concat(s, lit(s"#$i")))))
+    }: _*)
+
+  def minHashSignatureFromShingles(sh: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(sh, s => xxhash64(concat(s, lit(s"#$i")))))
+    }: _*)
 
   /** LSH banding: band b's key = hash of rows [b*r, (b+1)*r). Docs
     * sharing any band key are near-dup candidates.
@@ -57,8 +73,11 @@ object Dedup {
   def minHashDedupPairs(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
-    val sigs = df.select(col(idCol).as("id"),
-      minHashSignature(col(textCol), numHashes).as("sig"))
+    // shingle once (projection barrier), then hash from the attribute
+    val sigs = df
+      .select(col(idCol).as("id"),
+        TextFunctions.shingles(col(textCol), 1).as("__sh"))
+      .select(col("id"), minHashSignatureFromShingles(col("__sh"), numHashes).as("sig"))
     val banded = sigs.select(col("id"), col("sig"),
       explode(lshBands(col("sig"), bands, rows)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.bucket"))
@@ -83,9 +102,12 @@ object Dedup {
     * token hashes' j-th bits (+1/−1). Computed via bit arithmetic in
     * column space.
     */
-  def simHash(text: Column): Column = {
-    val tokens = TextFunctions.shingles(text, 1)
-    val hashes = transform(tokens, t => xxhash64(t))
+  /** Operates on an already-materialized array of token hashes (see
+    * the lambda-sharing gotcha on minHashSignature — the 64 per-bit
+    * aggregates must reference an attribute, not a shared lambda
+    * subtree).
+    */
+  def simHashFromHashes(hashes: Column): Column = {
     val bitSums: Seq[Column] = (0 until 64).map { j =>
       aggregate(hashes, lit(0L),
         (acc, h) => acc + when(h.bitwiseAND(lit(1L << j)) =!= 0L, 1L).otherwise(-1L))
@@ -94,6 +116,9 @@ object Dedup {
       when(s > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
   }
+
+  def tokenHashes(text: Column): Column =
+    transform(TextFunctions.shingles(text, 1), t => xxhash64(t))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -104,7 +129,9 @@ object Dedup {
     */
   def simHashDedupPairs(df: DataFrame, textCol: String, idCol: String,
       maxDistance: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+    val sigs = df
+      .select(col(idCol).as("id"), tokenHashes(col(textCol)).as("__th"))
+      .select(col("id"), simHashFromHashes(col("__th")).as("sig"))
     val chunked = sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),

@@ -15,11 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Sequential left-fold in DOUBLE (inputs are float32 — promoting
+    * before the multiply keeps the value cross-engine reproducible;
+    * a float-accumulated sum would drift at the 1e-7 level).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, v) => acc + v)
 
   def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0d), (acc, v) => acc + v))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
@@ -33,14 +39,16 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val c = corpus.select(col("vec_id").as("corpus_id"), col("embedding").as("cvec"))
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    // Rank on the ROUNDED cosine with corpus_id tie-break: ranking on
+    // raw doubles makes the k-th place depend on last-ulp summation
+    // differences across engines/partitionings.
     val scored = c.crossJoin(broadcast(q))
       .filter(col("corpus_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("cvec"), col("qvec")))
-    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("corpus_id"))
+      .withColumn("cosine", round(cosine(col("cvec"), col("qvec")), 4))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("corpus_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("corpus_id"), round(col("cos"), 6).as("cosine"),
-        col("rank"))
+      .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
   }
 
   /** Deterministic pseudo-random hyperplane component for (table,
@@ -88,12 +96,11 @@ object Similarity {
         col("corpus_id") =!= col("query_id"))
       .select("query_id", "corpus_id", "cvec", "qvec")
       .dropDuplicates("query_id", "corpus_id")
-    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("corpus_id"))
-    cand.withColumn("cos", cosine(col("cvec"), col("qvec")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("corpus_id"))
+    cand.withColumn("cosine", round(cosine(col("cvec"), col("qvec")), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("corpus_id"), round(col("cos"), 6).as("cosine"),
-        col("rank"))
+      .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold via LSH
