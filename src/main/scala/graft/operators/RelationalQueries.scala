@@ -73,7 +73,9 @@ object RelationalQueries {
         .agg(
           count(lit(1)).as("cnt"),
           round(sum("l_quantity"), 4).as("sum_qty"),
-          round(avg("l_extendedprice"), 4).as("avg_price"),
+          // avg via exact integer cents + nudge — see Windows.standardAggs
+          round(round(sum("l_extendedprice") * 100).cast("long")
+            / (count(lit(1)) * 100.0) + lit(1e-9), 4).as("avg_price"),
           round(min("l_discount"), 4).as("min_disc"),
           round(max("l_tax"), 4).as("max_tax"))
         .orderBy("l_returnflag", "l_linestatus")
@@ -217,7 +219,8 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus,
                 COUNT(*) AS cnt,
                 ROUND(SUM(l_quantity), 4) AS sum_qty,
-                ROUND(AVG(l_extendedprice), 4) AS avg_price,
+                ROUND(CAST(ROUND(SUM(l_extendedprice) * 100, 0) AS BIGINT)
+                  / (COUNT(*) * 100.0) + 1e-9, 4) AS avg_price,
                 ROUND(MIN(l_discount), 4) AS min_disc,
                 ROUND(MAX(l_tax), 4) AS max_tax
          FROM lineitem

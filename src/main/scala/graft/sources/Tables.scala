@@ -36,7 +36,9 @@ object Tables {
     val raw = load(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType =>
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+        // integer `div`, NOT `/`: epoch nanos exceed 2^53, so the
+        // double division `/` silently loses microseconds
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampType => raw
       case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
     }

@@ -1,0 +1,269 @@
+package graft.views
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import scala.collection.mutable
+
+/** Materialized-view subsystem (SURVEY §2.10): catalog, refresh
+  * policies, change-impact analysis, dependency DAG, incremental
+  * maintenance, and the view-based query router that the reference
+  * uses in place of a planner (graph/views/src/query_router.rs:1-5).
+  *
+  * Division of labor: all control logic (catalog, DAG, routing
+  * scores) is driver-side plain Scala over tiny metadata; all DATA
+  * movement is DataFrame plans — view contents are DataFrames/parquet
+  * and incremental merges are joins/aggs that scale with the delta,
+  * not the base table.
+  */
+object Views {
+
+  // ---- V1: view types ---------------------------------------------
+
+  sealed trait ViewType
+  /** Point-lookup view over key column values (empty ⇒ all rows). */
+  case class Lookup(keyCol: String, keys: Seq[Long]) extends ViewType
+  /** count/sum/avg/min/max over a numeric column grouped by keys. */
+  case class Aggregation(aggregateType: String, valueCol: String,
+      groupCols: Seq[String]) extends ViewType
+  /** Graph-algorithm product (pagerank, connected_components, …). */
+  case class Analytics(algorithm: String, params: Map[String, String]) extends ViewType
+  /** Free-form SQL over registered tables (V9: table whitelist). */
+  case class SqlQuery(sql: String, tables: Seq[String]) extends ViewType
+  case class Hybrid(parts: Seq[ViewType]) extends ViewType
+
+  // ---- V2: refresh policies ---------------------------------------
+
+  sealed trait RefreshPolicy {
+    /** needs_refresh (view_types.rs:159-190). */
+    def needsRefresh(lastRefreshMs: Long, nowMs: Long, dirty: Boolean): Boolean =
+      this match {
+        case FixedInterval(ms) => nowMs - lastRefreshMs >= ms
+        case EventDriven(debounceMs) => dirty && nowMs - lastRefreshMs >= debounceMs
+        case OnDemand(ttlMs) => nowMs - lastRefreshMs >= ttlMs
+        case HybridPolicy(_, intervalMs) => dirty || nowMs - lastRefreshMs >= intervalMs
+      }
+  }
+  case class FixedInterval(intervalMs: Long) extends RefreshPolicy
+  case class EventDriven(debounceMs: Long) extends RefreshPolicy
+  case class OnDemand(ttlMs: Long) extends RefreshPolicy
+  case class HybridPolicy(eventDriven: Boolean, intervalMs: Long) extends RefreshPolicy
+
+  case class ViewDefn(name: String, viewType: ViewType, policy: RefreshPolicy,
+      sourceTables: Seq[String])
+
+  // ---- V4: dependency DAG -----------------------------------------
+
+  /** Driver-side DAG over view names: topo order for cascade updates,
+    * cycle detection (differential_dataflow.rs:303-477).
+    */
+  final class DependencyDag {
+    private val deps = mutable.Map[String, mutable.Set[String]]() // view -> prerequisites
+
+    def addDependency(view: String, dependsOn: String): Unit = {
+      deps.getOrElseUpdate(view, mutable.Set()) += dependsOn
+      deps.getOrElseUpdate(dependsOn, mutable.Set())
+      require(!hasCycle, s"dependency $view -> $dependsOn creates a cycle")
+    }
+
+    def hasCycle: Boolean = topoOrder.isEmpty && deps.nonEmpty
+
+    /** Kahn topo order (prerequisites first); empty on cycle. */
+    def topoOrder: Seq[String] = {
+      val inDeg = mutable.Map[String, Int]().withDefaultValue(0)
+      deps.foreach { case (v, ds) => inDeg(v) = ds.size }
+      val queue = mutable.Queue(deps.keys.filter(inDeg(_) == 0).toSeq.sorted: _*)
+      val out = mutable.ArrayBuffer[String]()
+      val dependents = deps.toSeq.flatMap { case (v, ds) => ds.map(_ -> v) }
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      while (queue.nonEmpty) {
+        val v = queue.dequeue()
+        out += v
+        dependents.getOrElse(v, Nil).sorted.foreach { w =>
+          inDeg(w) -= 1
+          if (inDeg(w) == 0) queue += w
+        }
+      }
+      if (out.size == deps.size) out.toSeq else Nil
+    }
+
+    /** Dirty view set closed over downstream dependents, in update
+      * order (incremental_engine.rs:449-461).
+      */
+    def updateOrder(dirty: Set[String]): Seq[String] = {
+      val dependents = deps.toSeq.flatMap { case (v, ds) => ds.map(_ -> v) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val closed = mutable.Set[String]()
+      def visit(v: String): Unit = if (closed.add(v))
+        dependents.getOrElse(v, Set()).foreach(visit)
+      dirty.foreach(visit)
+      topoOrder.filter(closed)
+    }
+  }
+
+  // ---- V3: change-impact analysis ---------------------------------
+
+  /** Which views does a change batch affect? The reference inspects
+    * per-view-type rules (incremental_engine.rs:464-648); here a view
+    * is affected when the change feed touches one of its source
+    * tables — derived from the view definition, the moral equivalent
+    * of reading table deps off the Catalyst plan.
+    */
+  def affectedViews(defns: Seq[ViewDefn], changedTables: Set[String]): Set[String] =
+    defns.filter(_.sourceTables.exists(changedTables)).map(_.name).toSet
+
+  // ---- V5-ish storage (S8/S9) -------------------------------------
+
+  /** View catalog: definitions as JSON lines (driver-side), data as
+    * parquet per view (view_registry.rs:100-334).
+    */
+  final class ViewCatalog(spark: SparkSession, dir: String) {
+    private val defns = mutable.Map[String, ViewDefn]()
+    private val data = mutable.Map[String, DataFrame]()
+    private val lastRefresh = mutable.Map[String, Long]()
+
+    def register(d: ViewDefn): Unit = defns(d.name) = d
+    def definitions: Seq[ViewDefn] = defns.values.toSeq
+    def get(name: String): Option[ViewDefn] = defns.get(name)
+
+    def put(name: String, df: DataFrame, persist: Boolean = true): Unit = {
+      data.get(name).foreach(_.unpersist(false))
+      val stored = if (persist) df.persist(StorageLevel.MEMORY_AND_DISK) else df
+      data(name) = stored
+      lastRefresh(name) = System.currentTimeMillis()
+    }
+    def dataOf(name: String): Option[DataFrame] = data.get(name)
+    def lastRefreshMs(name: String): Long = lastRefresh.getOrElse(name, 0L)
+
+    def save(name: String): Unit =
+      data.get(name).foreach(_.write.mode("overwrite").parquet(s"$dir/$name.parquet"))
+    def load(name: String): DataFrame = {
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      data(name) = df
+      df
+    }
+  }
+
+  // ---- V5: incremental maintenance --------------------------------
+
+  /** Incremental aggregation-state merge. State schema:
+    * groupCols…, cnt, sum — and min/max recomputed exactly for
+    * groups touched by deletions (the reference knowingly keeps
+    * stale min/max on removal, incremental_engine.rs:885-892; we fix
+    * that by re-aggregating ONLY affected groups against the base).
+    *
+    * changes: (op ∈ add|remove, groupCols…, value). Cost scales with
+    * the delta + touched groups, not the base table.
+    */
+  def mergeAggDelta(state: DataFrame, changes: DataFrame,
+      groupCols: Seq[String], base: Option[DataFrame] = None,
+      valueCol: String = "value"): DataFrame = {
+    val gc = groupCols.map(col)
+    val sign = when(col("op") === "remove", -1).otherwise(1)
+    val delta = changes.groupBy(gc: _*).agg(
+      sum(sign).as("d_cnt"),
+      sum(sign * col(valueCol)).as("d_sum"))
+    val touchedMinMax = base.map { b =>
+      val removedGroups = changes.filter(col("op") === "remove")
+        .select(gc: _*).distinct()
+      b.join(removedGroups, groupCols, "left_semi")
+        .groupBy(gc: _*)
+        .agg(min(col(valueCol)).as("new_min"), max(col(valueCol)).as("new_max"))
+    }
+    val merged = state.join(delta, groupCols, "full_outer")
+      .select(
+        groupCols.map(col) ++ Seq(
+          (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L))).as("cnt"),
+          (coalesce(col("sum"), lit(0.0)) + coalesce(col("d_sum"), lit(0.0))).as("sum"),
+          col("min"), col("max")): _*)
+    val addsOnly = changes.filter(col("op") =!= "remove")
+      .groupBy(gc: _*).agg(min(col(valueCol)).as("a_min"), max(col(valueCol)).as("a_max"))
+    val withAddMinMax = merged.join(addsOnly, groupCols, "left_outer")
+      .select(groupCols.map(col) ++ Seq(col("cnt"), col("sum"),
+        least(col("min"), col("a_min")).as("min"),
+        greatest(col("max"), col("a_max")).as("max")): _*)
+    val fixed = touchedMinMax match {
+      case None => withAddMinMax
+      case Some(t) =>
+        withAddMinMax.join(t, groupCols, "left_outer")
+          .select(groupCols.map(col) ++ Seq(col("cnt"), col("sum"),
+            coalesce(col("new_min"), col("min")).as("min"),
+            coalesce(col("new_max"), col("max")).as("max")): _*)
+    }
+    fixed.filter(col("cnt") > 0)
+  }
+
+  /** Bootstrap aggregation state from a base table. */
+  def initAggState(base: DataFrame, groupCols: Seq[String],
+      valueCol: String = "value"): DataFrame =
+    base.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("cnt"),
+      sum(col(valueCol)).as("sum"),
+      min(col(valueCol)).as("min"),
+      max(col(valueCol)).as("max"))
+
+  /** Final agg compute (A2, incremental_engine.rs:931-946): expose
+    * count/sum/avg/min/max off the maintained state.
+    */
+  def finalizeAgg(state: DataFrame): DataFrame =
+    state.select(state.columns.filterNot(Seq("cnt", "sum", "min", "max").contains)
+      .map(col) ++ Seq(
+      col("cnt"),
+      round(col("sum"), 4).as("sum"),
+      round(round(col("sum") * 100).cast("long") / (col("cnt") * 100.0)
+        + lit(1e-9), 4).as("avg"),
+      round(col("min"), 4).as("min"),
+      round(col("max"), 4).as("max")): _*)
+
+  // ---- V6: query router -------------------------------------------
+
+  sealed trait QueryPattern
+  case class LookupPattern(keys: Seq[Long]) extends QueryPattern
+  case class AggPattern(aggregateType: String) extends QueryPattern
+  case class AnalyticsPattern(algorithm: String) extends QueryPattern
+  case class TraversalPattern(kind: String) extends QueryPattern
+  case class SqlPattern(sql: String) extends QueryPattern
+
+  /** Match score (query_router.rs:192-260): Lookup = key coverage %,
+    * Aggregation equality 95, Analytics equality 90, traversal via a
+    * graph_traversal view 75, Hybrid = max over parts, SQL catch-all
+    * 50. Ties broken by the per-type latency estimate
+    * (query_router.rs:263-285).
+    */
+  def score(pattern: QueryPattern, vt: ViewType): Double = (pattern, vt) match {
+    case (LookupPattern(qk), Lookup(_, vk)) =>
+      if (vk.isEmpty) 100.0
+      else if (qk.isEmpty) 0.0
+      else 100.0 * qk.count(vk.contains).toDouble / qk.size
+    case (AggPattern(a), Aggregation(b, _, _)) if a == b => 95.0
+    case (AnalyticsPattern(a), Analytics(b, _)) if a == b => 90.0
+    case (TraversalPattern(_), Analytics("graph_traversal", _)) => 75.0
+    case (p, Hybrid(parts)) => parts.map(score(p, _)).maxOption.getOrElse(0.0)
+    case (_, SqlQuery(_, _)) => 50.0
+    case _ => 0.0
+  }
+
+  def latencyEstimateMs(vt: ViewType): Double = vt match {
+    case _: Lookup => 1.0
+    case _: Aggregation => 2.0
+    case _: Analytics => 5.0
+    case _: Hybrid => 3.0
+    case _: SqlQuery => 10.0
+  }
+
+  final class QueryRouter(catalog: ViewCatalog) {
+    /** Best view: max score, then min latency (query_router.rs:183-188);
+      * None below the 50-score routability floor.
+      */
+    def route(pattern: QueryPattern): Option[String] = {
+      val scored = catalog.definitions.map { d =>
+        (d.name, score(pattern, d.viewType), latencyEstimateMs(d.viewType))
+      }.filter(_._2 >= 50.0)
+      scored.sortBy { case (n, s, l) => (-s, l, n) }.headOption.map(_._1)
+    }
+
+    /** V7: routed read — view data on hit, else caller computes. */
+    def routedData(pattern: QueryPattern): Option[DataFrame] =
+      route(pattern).flatMap(catalog.dataOf)
+  }
+}

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.sources.Tables
+import graft.streaming.{CountWindow, Windows}
+import graft.views.Views
+import graft.views.Views._
+
+class StreamViewsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming tumbling agg over file source equals batch result") {
+    val ev = Tables.events(spark, sf)
+    val batch = Windows.tumbling(ev, "ts", "1 day", Seq("event_type"),
+      Seq(count(lit(1)).as("cnt")))
+      .select("event_type", "window_start", "cnt")
+    // file source needs a directory; stage the single parquet file
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      stageDir.resolve("events.parquet"))
+    val stream = spark.readStream
+      .schema(Tables.load(spark, sf, "events").schema)
+      .parquet(stageDir.toString)
+    val evS = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = Windows.tumbling(
+      Windows.withEventTime(evS, "ts", "1 day"),
+      "ts", "1 day", Seq("event_type"), Seq(count(lit(1)).as("cnt")))
+      .select("event_type", "window_start", "cnt")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("tumbling_out").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val want = batch.collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("count-window stream emits complete windows with correct sums") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CountWindow.Ev]
+    val events = (1 to 7).map(i =>
+      CountWindow.Ev(1L, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:0$i"), i.toDouble))
+    input.addData(events: _*)
+    val q = CountWindow.countWindowStream(input.toDS(), maxEvents = 3)
+      .writeStream.outputMode("append").format("memory").queryName("cw_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("cw_out").collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getDouble(3))).sortBy(_._1)
+    // 7 events → two complete windows (1+2+3, 4+5+6); 7 stays buffered
+    assert(out.toSeq == Seq((0L, 3, 6.0), (1L, 3, 15.0)))
+  }
+
+  test("foreachBatch incremental maintenance equals batch recompute") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String, Double)] // op, group, value
+    var state = Views.initAggState(
+      Seq(("a", 1.0), ("a", 5.0), ("b", 2.0)).toDF("g", "value"), Seq("g"))
+    val q = input.toDF().toDF("op", "g", "value")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        state = Views.mergeAggDelta(state, batch, Seq("g")).localCheckpoint()
+      }.start()
+    input.addData(("add", "a", 3.0), ("add", "c", 7.0))
+    q.processAllAvailable()
+    input.addData(("remove", "a", 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = state.orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    // a: {1,3} cnt2 sum4 ; b: {2} ; c: {7}
+    assert(got == Seq(("a", 2L, 4.0), ("b", 1L, 2.0), ("c", 1L, 7.0)))
+  }
+
+  test("mergeAggDelta recomputes exact min/max for removal-touched groups") {
+    val base0 = Seq(("a", 1.0), ("a", 9.0), ("a", 5.0)).toDF("g", "value")
+    val state0 = Views.initAggState(base0, Seq("g"))
+    val changes = Seq(("remove", "a", 9.0)).toDF("op", "g", "value")
+    val baseAfter = Seq(("a", 1.0), ("a", 5.0)).toDF("g", "value")
+    val r = Views.mergeAggDelta(state0, changes, Seq("g"), Some(baseAfter))
+      .collect().head
+    assert(r.getAs[Long]("cnt") == 2L)
+    assert(r.getAs[Double]("max") == 5.0) // NOT the stale 9.0 of the reference
+    assert(r.getAs[Double]("min") == 1.0)
+  }
+
+  test("dependency dag: topo order, cascade, cycle detection") {
+    val dag = new DependencyDag
+    // FIXTURES §5: follower_statistics → influence_ranking;
+    // user_profile_lookup → community_detection → friend_recommendations
+    dag.addDependency("influence_ranking", "follower_statistics")
+    dag.addDependency("community_detection", "user_profile_lookup")
+    dag.addDependency("friend_recommendations", "community_detection")
+    val topo = dag.topoOrder
+    assert(topo.indexOf("follower_statistics") < topo.indexOf("influence_ranking"))
+    assert(topo.indexOf("user_profile_lookup") < topo.indexOf("community_detection"))
+    assert(topo.indexOf("community_detection") < topo.indexOf("friend_recommendations"))
+    val order = dag.updateOrder(Set("community_detection"))
+    assert(order == Seq("community_detection", "friend_recommendations"))
+    intercept[IllegalArgumentException] {
+      dag.addDependency("user_profile_lookup", "friend_recommendations")
+    }
+  }
+
+  test("query router scores: agg 95 > algorithm 90 > traversal 75 > sql 50") {
+    val catalog = new ViewCatalog(spark, "/tmp/graft_views_test")
+    catalog.register(ViewDefn("follower_stats",
+      Aggregation("count_by_in_degree", "value", Seq("dst")),
+      HybridPolicy(eventDriven = true, 30000), Seq("edges")))
+    catalog.register(ViewDefn("influence",
+      Analytics("pagerank", Map("damping" -> "0.85")),
+      FixedInterval(300000), Seq("edges")))
+    catalog.register(ViewDefn("catch_all",
+      SqlQuery("SELECT * FROM vertices", Seq("vertices")),
+      OnDemand(3600000), Seq("vertices")))
+    val router = new QueryRouter(catalog)
+    assert(router.route(AggPattern("count_by_in_degree")).contains("follower_stats"))
+    assert(router.route(AnalyticsPattern("pagerank")).contains("influence"))
+    assert(router.route(AnalyticsPattern("unknown_algo")).contains("catch_all"))
+    assert(router.route(AggPattern("other_agg")).contains("catch_all"))
+  }
+
+  test("view catalog stores and reloads view data as parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_views").toString
+    val catalog = new ViewCatalog(spark, dir)
+    catalog.register(ViewDefn("v1", Lookup("id", Seq(1L, 2L)),
+      EventDriven(50), Seq("vertices")))
+    catalog.put("v1", Seq((1L, "x"), (2L, "y")).toDF("id", "v"), persist = false)
+    catalog.save("v1")
+    val reloaded = catalog.load("v1")
+    assert(reloaded.orderBy("id").collect().map(_.getString(1)).toSeq == Seq("x", "y"))
+  }
+
+  test("refresh policies: needsRefresh semantics") {
+    assert(FixedInterval(1000).needsRefresh(0, 1500, dirty = false))
+    assert(!FixedInterval(1000).needsRefresh(1000, 1500, dirty = true))
+    assert(EventDriven(50).needsRefresh(0, 100, dirty = true))
+    assert(!EventDriven(50).needsRefresh(0, 100, dirty = false))
+    assert(OnDemand(200).needsRefresh(0, 300, dirty = false))
+    assert(HybridPolicy(eventDriven = true, 10000).needsRefresh(0, 5, dirty = true))
+  }
+
+  test("affected views derive from changed source tables") {
+    val defns = Seq(
+      ViewDefn("a", Aggregation("sum", "value", Seq("g")), OnDemand(1), Seq("events")),
+      ViewDefn("b", Analytics("pagerank", Map()), OnDemand(1), Seq("edges")),
+      ViewDefn("c", SqlQuery("", Seq("events", "edges")), OnDemand(1), Seq("events", "edges")))
+    assert(Views.affectedViews(defns, Set("events")) == Set("a", "c"))
+    assert(Views.affectedViews(defns, Set("edges")) == Set("b", "c"))
+  }
+}
