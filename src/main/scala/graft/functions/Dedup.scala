@@ -78,18 +78,24 @@ object Dedup {
       .select(col(idCol).as("id"),
         TextFunctions.shingles(col(textCol), 1).as("__sh"))
       .select(col("id"), minHashSignatureFromShingles(col("__sh"), numHashes).as("sig"))
-    val banded = sigs.select(col("id"), col("sig"),
+    // Candidate generation shuffles ONLY (band, bucket, id) — the
+    // 32-long signatures rejoin after pair-dedup, so the wide arrays
+    // never ride through the O(candidates) join (at sf0.1 this was
+    // the most expensive shuffle in the whole bench).
+    val sigsP = sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigsP.select(col("id"),
       explode(lshBands(col("sig"), bands, rows)).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band"), col("bk.bucket"))
-    val a = banded.select(col("band"), col("bucket"),
-      col("id").as("ida"), col("sig").as("siga"))
+      .select(col("id"), col("bk.band"), col("bk.bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("ida"))
     val b = banded.select(col("band").as("band2"), col("bucket").as("bucket2"),
-      col("id").as("idb"), col("sig").as("sigb"))
+      col("id").as("idb"))
     val cand = a.join(b,
       col("band") === col("band2") && col("bucket") === col("bucket2") &&
         col("ida") < col("idb"))
-      .select(col("ida"), col("idb"), col("siga"), col("sigb"))
+      .select(col("ida"), col("idb"))
       .dropDuplicates("ida", "idb")
+      .join(sigsP.select(col("id").as("ida"), col("sig").as("siga")), "ida")
+      .join(sigsP.select(col("id").as("idb"), col("sig").as("sigb")), "idb")
     val overlap = size(filter(zip_with(col("siga"), col("sigb"),
       (x, y) => x === y), b => b))
     cand.withColumn("est_jaccard",
@@ -102,23 +108,28 @@ object Dedup {
     * token hashes' j-th bits (+1/−1). Computed via bit arithmetic in
     * column space.
     */
-  /** Operates on an already-materialized array of token hashes (see
-    * the lambda-sharing gotcha on minHashSignature — the 64 per-bit
-    * aggregates must reference an attribute, not a shared lambda
-    * subtree).
-    */
-  def simHashFromHashes(hashes: Column): Column = {
-    val bitSums: Seq[Column] = (0 until 64).map { j =>
-      aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(h.bitwiseAND(lit(1L << j)) =!= 0L, 1L).otherwise(-1L))
-    }
-    bitSums.zipWithIndex.map { case (s, j) =>
-      when(s > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-  }
-
   def tokenHashes(text: Column): Column =
     transform(TextFunctions.shingles(text, 1), t => xxhash64(t))
+
+  /** SimHash signatures, relationally: explode token hashes to rows,
+    * compute the 64 per-bit ±1 vote sums as ordinary HashAggregate
+    * columns (whole-stage codegen'd, map-side combined — this is the
+    * formulation that scales), pack the signs into one 64-bit long.
+    * Array-expression formulations (nested transform/aggregate
+    * lambdas) run interpreted and measured 3-8× slower.
+    */
+  def simHashSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(tokenHashes(col(textCol))).as("h"))
+    val voteAggs = (0 until 64).map { j =>
+      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0L, 1).otherwise(-1)).as(s"b$j")
+    }
+    val sums = tok.groupBy("id").agg(voteAggs.head, voteAggs.tail: _*)
+    val sig = (0 until 64).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    sums.select(col("id"), sig.as("sig"))
+  }
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -129,22 +140,27 @@ object Dedup {
     */
   def simHashDedupPairs(df: DataFrame, textCol: String, idCol: String,
       maxDistance: Int = 3): DataFrame = {
-    val sigs = df
-      .select(col(idCol).as("id"), tokenHashes(col(textCol)).as("__th"))
-      .select(col("id"), simHashFromHashes(col("__th")).as("sig"))
-    val chunked = sigs.select(col("id"), col("sig"),
+    val sigs = simHashSignatures(df, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // candidates on (chunk, key, id) only; the 8-byte signature
+    // rejoins after pair-dedup; hamming is bit_count(xor) — a couple
+    // of machine instructions per pair inside codegen
+    val chunked = sigs.select(col("id"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
           shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
       }: _*)).as("ck"))
-      .select(col("id"), col("sig"), col("ck.chunk"), col("ck.key"))
-    val a = chunked.select(col("chunk"), col("key"), col("id").as("ida"), col("sig").as("siga"))
+      .select(col("id"), col("ck.chunk"), col("ck.key"))
+    val a = chunked.select(col("chunk"), col("key"), col("id").as("ida"))
     val b = chunked.select(col("chunk").as("chunk2"), col("key").as("key2"),
-      col("id").as("idb"), col("sig").as("sigb"))
+      col("id").as("idb"))
     a.join(b, col("chunk") === col("chunk2") && col("key") === col("key2") &&
       col("ida") < col("idb"))
+      .select(col("ida"), col("idb"))
       .dropDuplicates("ida", "idb")
-      .withColumn("hamming", hamming(col("siga"), col("sigb")))
+      .join(sigs.select(col("id").as("ida"), col("sig").as("siga")), "ida")
+      .join(sigs.select(col("id").as("idb"), col("sig").as("sigb")), "idb")
+      .withColumn("hamming", hamming(col("siga"), col("sigb")).cast("int"))
       .filter(col("hamming") <= maxDistance)
       .select(col("ida"), col("idb"), col("hamming"))
   }
@@ -159,7 +175,13 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"),
       array_distinct(TextFunctions.shingles(col(textCol), shingleSize)).as("sh"))
       .withColumn("n", size(col("sh")))
-    val exploded = sh.select(col("id"), col("n"), explode(col("sh")).as("s"))
+    // join on the 64-bit shingle hash, not the string — the equi-join
+    // shuffles 8-byte keys instead of full n-gram text (collision
+    // probability ~1e-7 at corpus scale, far below the estimator's
+    // own noise floor)
+    val exploded = sh.select(col("id"), col("n"),
+      explode(col("sh")).as("__s"))
+      .select(col("id"), col("n"), xxhash64(col("__s")).as("s"))
     val a = exploded.select(col("s"), col("id").as("ida"), col("n").as("na"))
     val b = exploded.select(col("s").as("s2"), col("id").as("idb"), col("n").as("nb"))
     a.join(b, col("s") === col("s2") && col("ida") < col("idb"))

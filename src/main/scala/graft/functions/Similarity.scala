@@ -37,14 +37,18 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val c = corpus.select(col("vec_id").as("corpus_id"), col("embedding").as("cvec"))
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val c = corpus.select(col("vec_id").as("corpus_id"), col("embedding").as("cvec"),
+      norm(col("embedding")).as("cn"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+      norm(col("embedding")).as("qn"))
     // Rank on the ROUNDED cosine with corpus_id tie-break: ranking on
     // raw doubles makes the k-th place depend on last-ulp summation
-    // differences across engines/partitionings.
+    // differences across engines/partitionings. Norms precomputed per
+    // side, not per pair.
     val scored = c.crossJoin(broadcast(q))
       .filter(col("corpus_id") =!= col("query_id"))
-      .withColumn("cosine", round(cosine(col("cvec"), col("qvec")), 4))
+      .withColumn("cosine",
+        round(dot(col("cvec"), col("qvec")) / (col("cn") * col("qn")), 4))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("corpus_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -108,8 +112,15 @@ object Similarity {
     */
   def embeddingDedupPairs(corpus: DataFrame, threshold: Double,
       exact: Boolean = true): DataFrame = {
-    val a = corpus.select(col("vec_id").as("ida"), col("embedding").as("va"))
-    val b = corpus.select(col("vec_id").as("idb"), col("embedding").as("vb"))
+    // Norms precomputed once per vector — computing cosine() per pair
+    // re-derives both norms and triples the arithmetic on an O(n²)
+    // join.
+    val normed = corpus.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val a = normed.select(col("vec_id").as("ida"), col("embedding").as("va"),
+      col("nrm").as("na"))
+    val b = normed.select(col("vec_id").as("idb"), col("embedding").as("vb"),
+      col("nrm").as("nb"))
     val pairs =
       if (exact) a.join(b, col("ida") < col("idb"))
       else {
@@ -117,7 +128,8 @@ object Similarity {
         val cb = b.withColumn("sig2", lshSignature(col("vb"), 0, 12))
         ca.join(cb, col("sig") === col("sig2") && col("ida") < col("idb"))
       }
-    pairs.withColumn("cosine", round(cosine(col("va"), col("vb")), 6))
+    pairs.withColumn("cosine",
+      round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cosine") >= threshold)
       .select("ida", "idb", "cosine")
   }

@@ -185,6 +185,18 @@ object RelationalQueries {
       c.except(su).orderBy("nationkey")
     }),
 
+    // E1: custom typed Aggregator (geometric mean) — the reference's
+    // AggregationFunction::Custom shape, with explicit partial-merge
+    // state so the shuffle carries (sumLog, n) per group.
+    "e1_custom_agg" -> ((s, dir) => {
+      val gm = udaf(graft.functions.CustomAggs.GeometricMean)
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(round(gm(col("o_totalprice")), 2).as("geo_mean"),
+          count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority")
+    }),
+
     // F2/F9: scalar function library (string/date/math) — all
     // codegen'd builtins, no UDFs.
     "f9_scalar_funcs" -> ((s, dir) => {
@@ -282,6 +294,10 @@ object RelationalQueries {
          EXCEPT
          SELECT CAST(s_nationkey AS INTEGER) AS nationkey FROM supplier
          ORDER BY nationkey""",
+    "e1_custom_agg" ->
+      """SELECT o_orderpriority, ROUND(EXP(AVG(LN(o_totalprice))), 2) AS geo_mean,
+                COUNT(*) AS cnt
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "f9_scalar_funcs" ->
       """SELECT o_orderkey,
                 CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import graft.operators.RelationalQueries
+import graft.graph.GraphStore
+import graft.views.SqlViews
+
+/** Plan-quality assertions — the 100 TB story depends on these
+  * staying true: filters/projections reach the parquet scan, small
+  * dims broadcast, top-k avoids global sorts, hot paths stay in
+  * whole-stage codegen.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val df = RelationalQueries.all(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("predicate scan pushes filters and prunes columns at the source") {
+    val plan = planOf("s5_predicate_scan")
+    assert(plan.contains("PushedFilters: [IsNotNull(p_size), GreaterThan(p_size,30)")
+      || plan.contains("PushedFilters: [IsNotNull"), plan)
+    // projection pruned to the 4 selected columns
+    assert(plan.contains("ReadSchema") && !plan.contains("p_retailprice"), plan)
+  }
+
+  test("join with tiny dimension broadcasts (no shuffle of nation)") {
+    val plan = planOf("j1_join_agg")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val plan = planOf("w1_topk")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("aggregation runs partial+final (map-side combine)") {
+    // string check: AdaptiveSparkPlanExec hides the tree from
+    // SparkPlan.collect until execution
+    val plan = planOf("a1_agg")
+    assert(plan.contains("partial_count") && plan.contains("partial_sum"), plan)
+  }
+
+  test("relational pack stays in whole-stage codegen") {
+    val df = RelationalQueries.all("a1_agg")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    // `*(n)` prefixes are whole-stage-codegen stage markers
+    assert(plan.contains("*(1)"), plan)
+  }
+
+  test("point lookup pushes the key filter into the scan") {
+    val plan = planOf("s3_point_lookup")
+    assert(plan.contains("EqualTo(c_custkey,42)"), plan)
+  }
+
+  test("sql view path: whitelist enforced, full SQL supported") {
+    val store = GraphStore.fromTpch(spark, sf)
+    SqlViews.registerGraph(store)
+    val ok = SqlViews.runSqlView(spark,
+      "SELECT label, COUNT(*) AS n FROM vertices GROUP BY label")
+    assert(ok.count() == 6) // 6 vertex labels in the TPC-H projection
+    val err = intercept[IllegalArgumentException] {
+      SqlViews.runSqlView(spark, "SELECT * FROM lineitem")
+    }
+    assert(err.getMessage.contains("lineitem"))
+  }
+
+  test("graph store round-trips through parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_store").toString
+    val store = GraphStore.fromTuples(spark,
+      Seq((1L, "A", Seq("x" -> 1)), (2L, "B", Nil)),
+      Seq((1L, 2L, "e", Nil)))
+    store.save(dir)
+    val loaded = GraphStore.load(spark, dir)
+    assert(loaded.vertices.count() == 2 && loaded.edges.count() == 1)
+    import graft.model.PropValue
+    val x = loaded.vertices.filter(col("id") === 1L)
+      .select(PropValue.asLong(col("props")("x"))).head.getLong(0)
+    assert(x == 1L)
+  }
+}
