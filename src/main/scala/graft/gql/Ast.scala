@@ -51,11 +51,19 @@ object Ast {
   case class ReturnVariable(variable: String) extends ReturnItem
   case class ReturnProperty(variable: String, prop: String) extends ReturnItem
 
+  case class OrderItem(ref: PropRef, ascending: Boolean)
+
   sealed trait Statement
+  /** ORDER BY / LIMIT are graft extensions — the reference grammar
+    * has neither (SURVEY W4: no grammar rule, SQL validator rejects
+    * LIMIT) but they are free on Spark.
+    */
   case class MatchStatement(
       pattern: GraphPattern,
       where: Option[Expr],
-      ret: Seq[ReturnItem]) extends Statement
+      ret: Seq[ReturnItem],
+      orderBy: Seq[OrderItem] = Nil,
+      limit: Option[Long] = None) extends Statement
   case class CreateStatement(pattern: GraphPattern) extends Statement
   /** DELETE var — with an optional MATCH pattern+WHERE scoping it
     * (executor.rs:569-615).

@@ -91,7 +91,18 @@ object GqlExecutor {
     val bindings = matchPattern(store, m.pattern)
     val (nodes, _) = named(m.pattern)
     val filtered = m.where.fold(bindings)(w => bindings.filter(whereCol(w)))
-    project(filtered, nodes, m.ret)
+    // ORDER BY (extension): sort on the variant's numeric view first,
+    // string view second — numeric props order numerically, string
+    // props lexicographically, deterministic across kinds.
+    val ordered =
+      if (m.orderBy.isEmpty) filtered
+      else filtered.orderBy(m.orderBy.flatMap { oi =>
+        val v = col(vcol(oi.ref.variable, "props"))(oi.ref.prop)
+        val keys = Seq(PropValue.asDouble(v), PropValue.asString(v))
+        keys.map(k => if (oi.ascending) k.asc else k.desc)
+      }: _*)
+    val projected = project(ordered, nodes, m.ret)
+    m.limit.fold(projected)(n => projected.limit(n.toInt))
   }
 
   /** J1: iterated expand. Each step joins the current binding set to

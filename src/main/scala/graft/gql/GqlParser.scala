@@ -95,11 +95,24 @@ object GqlParser extends RegexParsers {
       propRef ^^ (p => ReturnProperty(p.variable, p.prop)) |
       ident ^^ ReturnVariable.apply
 
+  private def orderItem: Parser[OrderItem] =
+    propRef ~ opt(kw("asc") | kw("desc")) ^^ {
+      case r ~ dir => OrderItem(r, !dir.exists(_.equalsIgnoreCase("desc")))
+    }
+
+  private def orderLimit: Parser[(Seq[OrderItem], Option[Long])] =
+    opt(kw("order") ~> kw("by") ~> rep1sep(orderItem, ",")) ~
+      opt(kw("limit") ~> """\d+""".r) ^^ {
+      case ob ~ lim => (ob.getOrElse(Nil), lim.map(_.toLong))
+    }
+
   private def matchOrDelete: Parser[Statement] =
     kw("match") ~> pattern ~ opt(kw("where") ~> expr) ~
-      ((kw("return") ~> rep1sep(returnItem, ",")) ^^ (Left(_): Either[Seq[ReturnItem], String]) |
-        (kw("delete") ~> ident) ^^ (Right(_): Either[Seq[ReturnItem], String])) ^^ {
-      case p ~ w ~ Left(items) => MatchStatement(p, w, items)
+      ((kw("return") ~> rep1sep(returnItem, ",") ~ orderLimit) ^^
+        (x => Left((x._1, x._2)): Either[(Seq[ReturnItem], (Seq[OrderItem], Option[Long])), String]) |
+        (kw("delete") ~> ident) ^^
+          (Right(_): Either[(Seq[ReturnItem], (Seq[OrderItem], Option[Long])), String])) ^^ {
+      case p ~ w ~ Left((items, (ob, lim))) => MatchStatement(p, w, items, ob, lim)
       case p ~ w ~ Right(v) => DeleteStatement(Some(p), w, v)
     }
 

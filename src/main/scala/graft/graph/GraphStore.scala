@@ -49,21 +49,25 @@ final class GraphStore(
   // ---- traversal (J2-J4) ------------------------------------------
 
   /** Out-neighbors of a vertex set; one equi-join
-    * (graph/storage/src/lib.rs:738-747).
+    * (graph/storage/src/lib.rs:738-747). The id set frequently
+    * derives from `vertices` itself, so the join reduces to
+    * edge-attribute-only columns before rejoining vertices — avoiding
+    * Spark's ambiguous-self-join trap.
     */
-  def outNeighbors(ids: DataFrame, edgeLabel: Option[String] = None): DataFrame = {
-    val e = edgeLabel.fold(edges)(l => edges.filter(col("label") === l))
-    ids.select(col("id").as("__src"))
-      .join(e, col("__src") === e("src"))
-      .join(vertices, e("dst") === vertices("id"))
-      .select(vertices("id"), vertices("label"), vertices("props"))
-  }
+  def outNeighbors(ids: DataFrame, edgeLabel: Option[String] = None): DataFrame =
+    neighbors(ids, edgeLabel, "src", "dst")
 
-  def inNeighbors(ids: DataFrame, edgeLabel: Option[String] = None): DataFrame = {
+  def inNeighbors(ids: DataFrame, edgeLabel: Option[String] = None): DataFrame =
+    neighbors(ids, edgeLabel, "dst", "src")
+
+  private def neighbors(ids: DataFrame, edgeLabel: Option[String],
+      fromCol: String, toCol: String): DataFrame = {
     val e = edgeLabel.fold(edges)(l => edges.filter(col("label") === l))
-    ids.select(col("id").as("__dst"))
-      .join(e, col("__dst") === e("dst"))
-      .join(vertices, e("src") === vertices("id"))
+      .select(col(fromCol).as("__from"), col(toCol).as("__to"))
+    val targets = ids.select(col("id").as("__qid"))
+      .join(e, col("__qid") === col("__from"))
+      .select(col("__to").as("__nid"))
+    vertices.join(targets, vertices("id") === targets("__nid"))
       .select(vertices("id"), vertices("label"), vertices("props"))
   }
 

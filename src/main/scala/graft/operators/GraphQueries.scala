@@ -23,6 +23,37 @@ object GraphQueries {
   private def dbl(c: org.apache.spark.sql.Column) = PropValue.asDouble(c)
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1: full vertex scan — label histogram over the whole vertex
+    // set (the projection itself is the scan under test).
+    "s1_vertex_scan" -> ((s, dir) => {
+      g(s, dir).vertices.groupBy("label")
+        .agg(count(lit(1)).as("cnt")).orderBy("label")
+    }),
+
+    // S2: full edge scan.
+    "s2_edge_scan" -> ((s, dir) => {
+      g(s, dir).edges.groupBy("label")
+        .agg(count(lit(1)).as("cnt")).orderBy("label")
+    }),
+
+    // S4: point edge lookup by (src, dst, label) — the EdgeKey get.
+    // Probe nation 0 → region 0 (the nation table is constant across
+    // scale factors).
+    "s4_edge_lookup" -> ((s, dir) => {
+      g(s, dir).edgesBetween(GraphStore.NationOff, GraphStore.RegionOff,
+        Some("in_region"))
+        .select("src", "dst", "label")
+    }),
+
+    // J2: 1-hop traversal — out-neighbors of customer 1 via placed.
+    "j2_one_hop" -> ((s, dir) => {
+      val st = g(s, dir)
+      st.outNeighbors(
+        st.vertices.filter(col("id") === GraphStore.CustomerOff + 1),
+        Some("placed"))
+        .select(col("id")).orderBy("id")
+    }),
+
     // P1+P3: node-pattern filter + WHERE comparison.
     "gql_p1_node_filter" -> ((s, dir) => {
       val r = GqlExecutor.run(g(s, dir),
@@ -120,6 +151,34 @@ object GraphQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "s1_vertex_scan" ->
+      """SELECT label, COUNT(*) AS cnt FROM (
+           SELECT 'Customer' AS label FROM customer
+           UNION ALL SELECT 'Supplier' FROM supplier
+           UNION ALL SELECT 'Part' FROM part
+           UNION ALL SELECT 'Order' FROM orders
+           UNION ALL SELECT 'Nation' FROM nation
+           UNION ALL SELECT 'Region' FROM region)
+         GROUP BY label ORDER BY label""",
+    "s2_edge_scan" ->
+      """SELECT label, COUNT(*) AS cnt FROM (
+           SELECT 'placed' AS label FROM orders
+           UNION ALL SELECT 'contains'
+             FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+           UNION ALL SELECT 'supplied_by'
+             FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+           UNION ALL SELECT 'located_in' FROM customer
+           UNION ALL SELECT 'located_in' FROM supplier
+           UNION ALL SELECT 'in_region' FROM nation)
+         GROUP BY label ORDER BY label""",
+    "s4_edge_lookup" ->
+      """SELECT CAST(2000000000 AS BIGINT) AS src,
+                CAST(1000000000 AS BIGINT) AS dst,
+                'in_region' AS label
+         FROM nation WHERE n_nationkey = 0 AND n_regionkey = 0""",
+    "j2_one_hop" ->
+      """SELECT o_orderkey + 6000000000 AS id FROM orders
+         WHERE o_custkey = 1 ORDER BY id""",
     "gql_p1_node_filter" ->
       "SELECT c_name AS name FROM customer WHERE c_acctbal > 5000.0 ORDER BY name",
     "gql_p1_props_pattern" ->

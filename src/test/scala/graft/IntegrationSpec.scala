@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Enrichment
+import graft.graph.GraphStore
+import graft.gql.GqlExecutor
+import graft.model.PropValue
+import graft.views.Views
+import graft.views.Views._
+
+/** End-to-end flows from SURVEY §3 plus the round-1 extension set. */
+class IntegrationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("§3.3 spine: mutation → change feed → incremental view → router") {
+    // graph with a maintained "count by label" aggregation view
+    var store = GraphStore.fromTuples(spark,
+      Seq((1L, "User", Seq("score" -> 10.0)), (2L, "User", Seq("score" -> 30.0)),
+        (3L, "Bot", Seq("score" -> 5.0))),
+      Nil)
+    val catalog = new ViewCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_int").toString)
+    catalog.register(ViewDefn("score_by_label",
+      Aggregation("sum", "score", Seq("label")), EventDriven(0), Seq("vertices")))
+
+    def vertexValues(s: GraphStore) = s.vertices.select(col("label"),
+      PropValue.asDouble(col("props")("score")).as("value"))
+    var state = Views.initAggState(vertexValues(store), Seq("label"))
+    catalog.put("score_by_label", Views.finalizeAgg(state), persist = false)
+
+    // write path: GQL CREATE emits change-feed rows
+    store = GqlExecutor.run(store,
+      """CREATE (u:User {score: 60.0})""").store
+    val newChanges = store.changes.filter(col("op") === "add_vertex")
+    assert(newChanges.count() == 1)
+
+    // impact analysis → maintenance: convert change rows to deltas
+    val affected = Views.affectedViews(catalog.definitions, Set("vertices"))
+    assert(affected == Set("score_by_label"))
+    val delta = newChanges.select(lit("add").as("op"),
+      lit("User").as("label"),
+      PropValue.asDouble(col("newProps")("score")).as("value"))
+    state = Views.mergeAggDelta(state, delta, Seq("label"))
+    catalog.put("score_by_label", Views.finalizeAgg(state), persist = false)
+
+    // read path: router serves the maintained view
+    val router = new QueryRouter(catalog)
+    val served = router.routedData(AggPattern("sum")).get
+    val userRow = served.filter(col("label") === "User").head()
+    assert(userRow.getAs[Long]("cnt") == 3L)
+    assert(userRow.getAs[Double]("sum") == 100.0)
+  }
+
+  test("GQL ORDER BY / LIMIT extension") {
+    val store = GraphStore.fromTuples(spark,
+      Seq((1L, "P", Seq("name" -> "a", "age" -> 30)),
+        (2L, "P", Seq("name" -> "b", "age" -> 10)),
+        (3L, "P", Seq("name" -> "c", "age" -> 20))),
+      Nil)
+    val r = GqlExecutor.run(store,
+      "MATCH (v:P) RETURN v.name ORDER BY v.age DESC LIMIT 2").df
+    val names = r.collect().map(row =>
+      row.getStruct(0).getString(1)) // variant struct: kind, s, ...
+    assert(names.toSeq == Seq("a", "c"))
+  }
+
+  test("enrichment: broadcast lookup + pipeline composition (E3/E4)") {
+    val events = Seq((1L, "click"), (2L, "view"), (3L, "unknown_type"))
+      .toDF("id", "event_type")
+    val dict = Seq(("click", 1.0), ("view", 0.2)).toDF("etype", "weight")
+    val enrich = Enrichment.pipeline(
+      df => Enrichment.withLookup(df, "event_type", dict, "etype"),
+      df => Enrichment.withDerived(df, "weighted_id",
+        col("id") * coalesce(col("weight"), lit(0.0))))
+    val out = enrich(events).orderBy("id").collect()
+    assert(out.map(_.getAs[Double]("weighted_id")).toSeq == Seq(1.0, 0.4, 0.0))
+  }
+
+  test("salted join equals plain join (skew tool)") {
+    val large = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k$i", i))
+      .toDF("key", "v")
+    val small = Seq(("hot", 100), ("k1", 1)).toDF("key", "w")
+    val plain = large.join(small, "key").agg(sum(col("v") * col("w"))).head.getLong(0)
+    val salted = Enrichment.saltedJoin(large, small, "key", 8)
+      .agg(sum(col("v") * col("w"))).head.getLong(0)
+    assert(plain == salted)
+  }
+
+  test("approx_count_distinct tracks exact within 5% (A5 scale path)") {
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val exact = li.agg(count_distinct(col("l_partkey"))).head.getLong(0)
+    val approx = li.agg(approx_count_distinct(col("l_partkey"), 0.02)).head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("X2 semantics: versions increase, removals carry prior props") {
+    val s0 = GraphStore.fromTuples(spark, Seq((1L, "T", Seq("k" -> "v"))), Nil)
+    assert(s0.version == 0L)
+    val s1 = s0.addVertices(GraphStore.fromTuples(spark,
+      Seq((2L, "T", Nil)), Nil).vertices)
+    val s2 = s1.removeVertices(Seq(1L).toDF("id"))
+    assert(s2.version == 2L)
+    val rm = s2.changes.filter(col("op") === "remove_vertex").head()
+    assert(PropValue.asString(col("oldProps")("k")) != null)
+    val oldK = s2.changes.filter(col("op") === "remove_vertex")
+      .select(PropValue.asString(col("oldProps")("k"))).head.getString(0)
+    assert(oldK == "v")
+  }
+}
