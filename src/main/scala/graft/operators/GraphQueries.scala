@@ -135,6 +135,25 @@ object GraphQueries {
         .orderBy("suppkey1", "suppkey2")
     }),
 
+    // GQL write path end-to-end: MATCH-DELETE mutates a fresh copy of
+    // the store (cascading incident edges), CREATE appends; the final
+    // counts are recomputed relationally by the oracle. Exercises
+    // executor.rs:522-615 semantics at scale.
+    "gql_mutation_counts" -> ((s, dir) => {
+      val base = GraphStore.fromTpch(s, dir)
+      val afterDelete = GqlExecutor.run(base,
+        "MATCH (c:Customer) WHERE c.acctbal < -900.0 DELETE c").store
+      val afterCreate = GqlExecutor.run(afterDelete,
+        """CREATE (x:Hub {name: "hub"})-[:links]->(y:Hub {name: "spoke"})""").store
+      val vCounts = afterCreate.vertices.groupBy("label")
+        .agg(count(lit(1)).as("cnt"))
+      val eCounts = afterCreate.edges.groupBy("label")
+        .agg(count(lit(1)).as("cnt"))
+      vCounts.select(concat(lit("v:"), col("label")).as("kind"), col("cnt"))
+        .unionByName(eCounts.select(concat(lit("e:"), col("label")).as("kind"), col("cnt")))
+        .orderBy("kind")
+    }),
+
     // A8: degree centrality — max total degree / (2·(n−1)) over the
     // located_in/in_region membership subgraph
     // (incremental_engine.rs:1288-1326).
@@ -227,6 +246,27 @@ object GraphQueries {
          JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
            ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
          GROUP BY 1, 2 ORDER BY suppkey1, suppkey2""",
+    "gql_mutation_counts" ->
+      """WITH kept AS (SELECT c_custkey FROM customer WHERE NOT (c_acctbal < -900.0))
+         SELECT kind, cnt FROM (
+           SELECT 'v:Customer' AS kind, COUNT(*) AS cnt FROM kept
+           UNION ALL SELECT 'v:Supplier', COUNT(*) FROM supplier
+           UNION ALL SELECT 'v:Part', COUNT(*) FROM part
+           UNION ALL SELECT 'v:Order', COUNT(*) FROM orders
+           UNION ALL SELECT 'v:Nation', COUNT(*) FROM nation
+           UNION ALL SELECT 'v:Region', COUNT(*) FROM region
+           UNION ALL SELECT 'v:Hub', CAST(2 AS BIGINT)
+           UNION ALL SELECT 'e:placed', COUNT(*) FROM orders
+             WHERE o_custkey IN (SELECT c_custkey FROM kept)
+           UNION ALL SELECT 'e:contains', COUNT(*)
+             FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+           UNION ALL SELECT 'e:supplied_by', COUNT(*)
+             FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+           UNION ALL SELECT 'e:located_in',
+             (SELECT COUNT(*) FROM kept) + (SELECT COUNT(*) FROM supplier)
+           UNION ALL SELECT 'e:in_region', COUNT(*) FROM nation
+           UNION ALL SELECT 'e:links', CAST(1 AS BIGINT)
+         ) ORDER BY kind""",
     "a8_degree_centrality" ->
       """WITH e AS (
            SELECT c_custkey + 3000000000 AS src, c_nationkey + 2000000000 AS dst FROM customer

@@ -56,6 +56,26 @@ class StreamViewsSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 3, 6.0), (1L, 3, 15.0)))
   }
 
+  test("rate limiting: maxFilesPerTrigger bounds each micro-batch (T3/T4)") {
+    // the Spark-native replacement for the reference's buffer
+    // backpressure + flush thresholds (stream_processing.rs:118-129)
+    val dir = java.nio.file.Files.createTempDirectory("graft_rate")
+    val ev = Tables.load(spark, sf, "events")
+    ev.limit(50).write.parquet(dir.resolve("f1").toString)
+    ev.limit(50).write.parquet(dir.resolve("f2").toString)
+    var batches = 0
+    val q = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString + "/*")
+      .writeStream
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += 1
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    assert(batches >= 2, s"expected >=2 rate-limited batches, got $batches")
+  }
+
   test("foreachBatch incremental maintenance equals batch recompute") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, String, Double)] // op, group, value
