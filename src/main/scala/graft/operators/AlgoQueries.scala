@@ -119,6 +119,19 @@ object AlgoQueries {
         .orderBy("suppkey")
     }),
 
+    // G5: WEIGHTED Dijkstra from supplier 1 — edge cost =
+    // (max_w + 1) − w (stronger co-order ⇒ cheaper), integer costs so
+    // the oracle can enumerate (id, dist) states in a recursive CTE.
+    "g5_sssp_weighted" -> ((s, dir) => {
+      val co = coOrder(s, dir)
+      val maxW = co.edges.agg(max("w")).head().getLong(0)
+      val weighted = co.edges.select(col("src"), col("dst"),
+        (lit(maxW + 1) - col("w")).cast("double").as("weight"))
+      Algorithms.sssp(co.vertices, weighted, source = 1L, undirected = true)
+        .select(col("id").as("suppkey"), col("dist").cast("long").as("dist"))
+        .orderBy("suppkey")
+    }),
+
     // G8: forward reachability over the directed TPC-H property graph
     // from customer 1 (frontier expansion to fixpoint).
     "g8_reachability" -> ((s, dir) => {
@@ -176,6 +189,21 @@ object AlgoQueries {
            SELECT e.dst, b.dist + 1 FROM bfs b JOIN e ON b.id = e.src
            WHERE b.dist < 20)
          SELECT id AS suppkey, CAST(MIN(dist) AS INTEGER) AS dist FROM bfs
+         GROUP BY id ORDER BY suppkey""",
+    "g5_sssp_weighted" ->
+      s"""WITH RECURSIVE $coOrderCte,
+         maxw AS (SELECT MAX(w) AS m FROM pairs),
+         we AS (SELECT s1 AS src, s2 AS dst, (SELECT m + 1 FROM maxw) - w AS c
+                FROM pairs, thr WHERE w >= t
+                UNION ALL
+                SELECT s2, s1, (SELECT m + 1 FROM maxw) - w
+                FROM pairs, thr WHERE w >= t),
+         walk(id, dist) AS (
+           SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+           UNION
+           SELECT we.dst, walk.dist + we.c FROM walk JOIN we ON walk.id = we.src
+           WHERE walk.dist + we.c < 400)
+         SELECT id AS suppkey, MIN(dist) AS dist FROM walk
          GROUP BY id ORDER BY suppkey""",
     "g8_reachability" ->
       """WITH o1 AS (SELECT o_orderkey FROM orders WHERE o_custkey = 1),
