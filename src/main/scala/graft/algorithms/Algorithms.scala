@@ -37,9 +37,14 @@ object Algorithms {
   private def vertexRDD(vertices: DataFrame): RDD[(VertexId, Int)] =
     vertices.select(col("id")).rdd.map(r => (r.getLong(0), 1))
 
+  /** EdgePartition2D bounds each vertex's replication to 2·sqrt(P)
+    * partitions — the partitioning that keeps Pregel shuffle volume
+    * sublinear in degree skew at cluster scale.
+    */
   def makeGraph(vertices: DataFrame, edges: DataFrame, undirected: Boolean): Graph[Int, Double] =
     Graph(vertexRDD(vertices), edgeRDD(edges, undirected), 1,
       StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
+      .partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
 
   private def toDF(spark: SparkSession, rdd: RDD[(VertexId, Double)],
       valueName: String): DataFrame = {

@@ -141,6 +141,20 @@ final class GraphStore(
     changes.write.mode("overwrite").parquet(s"$dir/changes.parquet")
   }
 
+  /** X3: checkpoint/compaction — fold the change feed into the base
+    * tables and truncate it (the Spark analogue of snapshot + WAL
+    * truncate, graph/storage/src/lib.rs:582-611). The vertices/edges
+    * frames already reflect all changes (mutations apply eagerly to
+    * the logical plan); compaction materializes them to parquet and
+    * restarts the feed, so lineage and replay cost stop growing.
+    */
+  def compact(dir: String): GraphStore = {
+    save(dir)
+    val reloaded = GraphStore.load(spark, dir)
+    new GraphStore(reloaded.vertices, reloaded.edges,
+      GraphStore.emptyChanges(spark), version)
+  }
+
   def cache(): GraphStore = {
     vertices.persist(StorageLevel.MEMORY_AND_DISK)
     edges.persist(StorageLevel.MEMORY_AND_DISK)

@@ -94,6 +94,18 @@ class IntegrationSpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
+  test("X3: compaction folds changes into base and truncates the feed") {
+    val s0 = GraphStore.fromTuples(spark, Seq((1L, "T", Nil)), Nil)
+    val s1 = s0.addVertices(GraphStore.fromTuples(spark,
+      Seq((2L, "T", Nil)), Nil).vertices)
+    assert(s1.changes.count() == 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val s2 = s1.compact(dir)
+    assert(s2.vertices.count() == 2)
+    assert(s2.changes.count() == 0)
+    assert(s2.version == s1.version)
+  }
+
   test("X2 semantics: versions increase, removals carry prior props") {
     val s0 = GraphStore.fromTuples(spark, Seq((1L, "T", Seq("k" -> "v"))), Nil)
     assert(s0.version == 0L)
