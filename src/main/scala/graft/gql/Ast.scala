@@ -28,11 +28,16 @@ object Ast {
       label: Option[String],
       props: Map[String, GqlValue])
 
+  /** `range` is a graft extension: `-[:l*1..3]->` matches paths of
+    * 1-3 edges (distinct endpoint pairs; intermediate nodes unbound).
+    * The reference grammar has linear single-hop chains only.
+    */
   case class EdgePattern(
       variable: Option[String],
       label: Option[String],
       props: Map[String, GqlValue],
-      direction: Direction)
+      direction: Direction,
+      range: Option[(Int, Int)] = None)
 
   /** Linear chain: nodes(0) -edges(0)- nodes(1) -edges(1)- … */
   case class GraphPattern(nodes: Seq[NodePattern], edges: Seq[EdgePattern]) {

@@ -143,18 +143,41 @@ object GqlExecutor {
             col("dst").as("__from"), col("src").as("__to"), col("props").as(vcol(eV, "props"))))
       }
 
+      // Variable-length extension: replace the single-hop pair set
+      // with the union of k-hop reachable (from, to) pairs,
+      // k ∈ [min, max], distinct endpoints (cycle-safe, intermediate
+      // nodes and edge props unbound).
+      val orientedPairs = e.range match {
+        case None => oriented
+        case Some((minHops, maxHops)) =>
+          val hop = oriented.select(col("__from"), col("__to")).distinct()
+          val hop2 = hop.select(col("__from").as("__f2"), col("__to").as("__t2"))
+          var reach = hop
+          var acc = if (minHops <= 1) hop else hop.limit(0)
+          var k = 2
+          while (k <= maxHops) {
+            reach = reach.join(hop2, reach("__to") === col("__f2"))
+              .select(reach("__from"), col("__t2").as("__to"))
+              .distinct()
+            if (k >= minHops) acc = acc.unionByName(reach)
+            k += 1
+          }
+          acc.distinct()
+            .withColumn(vcol(eV, "props"), lit(null).cast(PropValue.mapType))
+      }
+
       if (bound.contains(toV)) {
         // Cycle back to an already-bound variable: edge is a filter.
-        df = df.join(oriented,
-          df(vcol(fromV, "id")) === oriented("__from") &&
-            df(vcol(toV, "id")) === oriented("__to"))
+        df = df.join(orientedPairs,
+          df(vcol(fromV, "id")) === orientedPairs("__from") &&
+            df(vcol(toV, "id")) === orientedPairs("__to"))
           .drop("__from", "__to")
       } else {
         val target = store.vertices.filter(nodeFilter(toN)).select(
           col("id").as(vcol(toV, "id")),
           col("label").as(vcol(toV, "label")),
           col("props").as(vcol(toV, "props")))
-        df = df.join(oriented, df(vcol(fromV, "id")) === oriented("__from"))
+        df = df.join(orientedPairs, df(vcol(fromV, "id")) === orientedPairs("__from"))
           .join(target, col("__to") === col(vcol(toV, "id")))
           .drop("__from", "__to")
         bound += toV

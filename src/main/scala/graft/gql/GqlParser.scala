@@ -45,17 +45,30 @@ object GqlParser extends RegexParsers {
       case v ~ l ~ p => NodePattern(v, l, p.getOrElse(Map.empty))
     }
 
-  private def edgeBody: Parser[(Option[String], Option[String], Map[String, GqlValue])] =
-    "[" ~> opt(ident) ~ opt(":" ~> ident) ~ opt(propsBlock) <~ "]" ^^ {
-      case v ~ l ~ p => (v, l, p.getOrElse(Map.empty))
+  /** `*1..3` | `*..3` | `*2..` | `*` (unbounded caps at 10 hops). */
+  private def lengthRange: Parser[(Int, Int)] =
+    "*" ~> opt("""\d+""".r) ~ opt(".." ~> opt("""\d+""".r)) ^^ {
+      case lo ~ hi =>
+        val min = lo.map(_.toInt).getOrElse(1)
+        val max = hi match {
+          case Some(Some(h)) => h.toInt
+          case Some(None) => 10
+          case None => lo.map(_.toInt).getOrElse(10)
+        }
+        (min, max)
+    }
+
+  private def edgeBody: Parser[(Option[String], Option[String], Map[String, GqlValue], Option[(Int, Int)])] =
+    "[" ~> opt(ident) ~ opt(":" ~> ident) ~ opt(lengthRange) ~ opt(propsBlock) <~ "]" ^^ {
+      case v ~ l ~ r ~ p => (v, l, p.getOrElse(Map.empty), r)
     }
 
   /** -[..]-> outgoing, <-[..]- incoming, -[..]- undirected. */
   private def edge: Parser[EdgePattern] =
-    "<-" ~> edgeBody <~ "-" ^^ { case (v, l, p) => EdgePattern(v, l, p, Incoming) } |
+    "<-" ~> edgeBody <~ "-" ^^ { case (v, l, p, r) => EdgePattern(v, l, p, Incoming, r) } |
       "-" ~> edgeBody ~ ("->" | "-") ^^ {
-        case (v, l, p) ~ "->" => EdgePattern(v, l, p, Outgoing)
-        case (v, l, p) ~ _ => EdgePattern(v, l, p, Undirected)
+        case (v, l, p, r) ~ "->" => EdgePattern(v, l, p, Outgoing, r)
+        case (v, l, p, r) ~ _ => EdgePattern(v, l, p, Undirected, r)
       }
 
   private def pattern: Parser[GraphPattern] =

@@ -135,6 +135,15 @@ object GraphQueries {
         .orderBy("suppkey1", "suppkey2")
     }),
 
+    // Variable-length path extension: undirected 2-hop through the
+    // located_in star = customers sharing customer 1's nation
+    // (including the start — the c→nation→c path is a valid walk).
+    "gql_varlength" -> ((s, dir) => {
+      val r = GqlExecutor.run(g(s, dir),
+        """MATCH (c:Customer {name: "Customer#000000001"})-[:located_in*2..2]-(d:Customer) RETURN d.name""").df
+      r.select(str(col("d_name")).as("name")).orderBy("name")
+    }),
+
     // GQL write path end-to-end: MATCH-DELETE mutates a fresh copy of
     // the store (cascading incident edges), CREATE appends; the final
     // counts are recomputed relationally by the oracle. Exercises
@@ -246,6 +255,10 @@ object GraphQueries {
          JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
            ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
          GROUP BY 1, 2 ORDER BY suppkey1, suppkey2""",
+    "gql_varlength" ->
+      """SELECT c2.c_name AS name
+         FROM customer c1 JOIN customer c2 ON c1.c_nationkey = c2.c_nationkey
+         WHERE c1.c_name = 'Customer#000000001' ORDER BY name""",
     "gql_mutation_counts" ->
       """WITH kept AS (SELECT c_custkey FROM customer WHERE NOT (c_acctbal < -900.0))
          SELECT kind, cnt FROM (

@@ -64,6 +64,23 @@ class IntegrationSpec extends SparkSpec {
     assert(names.toSeq == Seq("a", "c"))
   }
 
+  test("GQL variable-length paths extension: -[:friend*1..2]->") {
+    val store = GraphStore.fromTuples(spark,
+      Seq((1L, "P", Seq("name" -> "Alice")), (2L, "P", Seq("name" -> "Bob")),
+        (3L, "P", Seq("name" -> "Charlie")), (4L, "P", Seq("name" -> "Dave"))),
+      Seq((1L, 2L, "friend", Nil), (2L, 3L, "friend", Nil),
+        (3L, 4L, "friend", Nil)))
+    def names(q: String): Set[String] =
+      GqlExecutor.run(store, q).df.collect()
+        .map(_.getStruct(0).getString(1)).toSet
+    assert(names("""MATCH (a {name: "Alice"})-[:friend*1..2]->(b) RETURN b.name""")
+      == Set("Bob", "Charlie"))
+    assert(names("""MATCH (a {name: "Alice"})-[:friend*2..3]->(b) RETURN b.name""")
+      == Set("Charlie", "Dave"))
+    assert(names("""MATCH (a {name: "Alice"})-[:friend*]->(b) RETURN b.name""")
+      == Set("Bob", "Charlie", "Dave"))
+  }
+
   test("enrichment: broadcast lookup + pipeline composition (E3/E4)") {
     val events = Seq((1L, "click"), (2L, "view"), (3L, "unknown_type"))
       .toDF("id", "event_type")
