@@ -80,6 +80,30 @@ object AlgoQueries {
        SELECT id AS suppkey, ROUND(score, 6) AS score FROM pr10 ORDER BY suppkey"""
   }
 
+  /** Unrolled k-core prune rounds: e_{i+1} keeps edges whose both
+    * endpoints have degree ≥ k in e_i. Idempotent after convergence,
+    * so 12 rounds ≥ any fixpoint these graphs reach (≤3 observed).
+    */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    // MATERIALIZED: each stage references the previous twice; inlined
+    // CTEs would expand exponentially (hundreds of base-table scans).
+    val stages = (1 to rounds).map { i =>
+      s"""d${i - 1} AS MATERIALIZED (SELECT id, COUNT(*) AS degree FROM (
+            SELECT src AS id FROM e${i - 1} UNION ALL SELECT dst FROM e${i - 1})
+          GROUP BY id),
+          bad${i - 1} AS MATERIALIZED (SELECT id FROM d${i - 1} WHERE degree < $k),
+          e$i AS MATERIALIZED (SELECT src, dst FROM e${i - 1}
+                  WHERE src NOT IN (SELECT id FROM bad${i - 1})
+                    AND dst NOT IN (SELECT id FROM bad${i - 1}))"""
+    }.mkString(",\n")
+    s"""WITH $coOrderCte,
+        e0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM ce),
+        $stages
+        SELECT id, COUNT(*) AS degree FROM (
+          SELECT src AS id FROM e$rounds UNION ALL SELECT dst FROM e$rounds)
+        GROUP BY id ORDER BY id"""
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // G1: PageRank (reference rule: (1−d)/n + d·Σ, 1/n init,
     // basic.rs:46-131), fixed 10 iterations, d=0.85.
@@ -142,7 +166,8 @@ object AlgoQueries {
     }),
 
     // G9: 3-core of the co-order graph (degree-prune to fixpoint;
-    // no SQL oracle — covered by fixture goldens in AlgoSpec).
+    // oracle = 12 unrolled prune rounds — idempotent once converged,
+    // and these graphs converge in ≤3 rounds).
     "g9_kcore" -> ((s, dir) => {
       val co = coOrder(s, dir)
       Algorithms.kCore(co.edges.select("src", "dst"), k = 3)
@@ -169,6 +194,7 @@ object AlgoQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "g9_kcore" -> kCoreOracle(3, 12),
     "g1_pagerank" -> pageRankOracle,
     "g1_pagerank_topk" -> pageRankOracle
       .replace("SELECT id AS suppkey, ROUND(score, 6) AS score FROM pr10 ORDER BY suppkey",
