@@ -105,6 +105,22 @@ class GqlSpec extends SparkSpec {
     assert(s2.changes.filter(col("op") === "remove_vertex").count() == 1)
   }
 
+  test("cyclic pattern binds back to an earlier variable") {
+    val s = GraphStore.fromTuples(spark,
+      Seq((1L, "N", Seq("name" -> "a")), (2L, "N", Seq("name" -> "b")),
+        (3L, "N", Seq("name" -> "c"))),
+      Seq((1L, 2L, "l", Nil), (2L, 1L, "l", Nil), (2L, 3L, "l", Nil)))
+    val r = GqlExecutor.run(s, "MATCH (x)-[:l]->(y)-[:l]->(x) RETURN x.name").df
+    assert(names(r, "x_name") == Set("a", "b")) // the 1↔2 two-cycle, both starts
+  }
+
+  test("WHERE compares two property refs with numeric coercion") {
+    val r = GqlExecutor.run(fixture,
+      "MATCH (a)-[e:friend]->(b) WHERE a.age > b.age RETURN a.name, b.name").df
+    // Alice(30)->Bob(25) qualifies; Bob(25)->Charlie(35) does not
+    assert(names(r, "a_name") == Set("Alice"))
+  }
+
   test("bare var.prop truthiness requires Bool(true)") {
     val s = GraphStore.fromTuples(spark,
       Seq((1L, "T", Seq("flag" -> true, "name" -> "yes")),
