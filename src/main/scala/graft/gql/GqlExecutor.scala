@@ -146,14 +146,19 @@ object GqlExecutor {
       // Variable-length extension: replace the single-hop pair set
       // with the union of k-hop reachable (from, to) pairs,
       // k ∈ [min, max], distinct endpoints (cycle-safe, intermediate
-      // nodes and edge props unbound).
+      // nodes and edge props unbound). The expansion is SEEDED from
+      // the already-bound frontier — expanding from every vertex and
+      // filtering afterwards would cost O(E·k) regardless of how
+      // selective the preceding pattern is.
       val orientedPairs = e.range match {
         case None => oriented
         case Some((minHops, maxHops)) =>
           val hop = oriented.select(col("__from"), col("__to")).distinct()
           val hop2 = hop.select(col("__from").as("__f2"), col("__to").as("__t2"))
-          var reach = hop
-          var acc = if (minHops <= 1) hop else hop.limit(0)
+          val seeds = df.select(df(vcol(fromV, "id")).as("__seed")).distinct()
+          var reach = seeds.join(hop, col("__seed") === col("__from"))
+            .select(col("__from"), col("__to")).distinct()
+          var acc = if (minHops <= 1) reach else reach.limit(0)
           var k = 2
           while (k <= maxHops) {
             reach = reach.join(hop2, reach("__to") === col("__f2"))
