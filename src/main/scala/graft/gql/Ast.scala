@@ -55,6 +55,12 @@ object Ast {
   case object ReturnAll extends ReturnItem
   case class ReturnVariable(variable: String) extends ReturnItem
   case class ReturnProperty(variable: String, prop: String) extends ReturnItem
+  /** graft extension: aggregate over the binding set — count(v),
+    * count(*), sum/avg/min/max(v.prop). Non-aggregate return items
+    * become implicit grouping keys (Cypher-style).
+    */
+  case class ReturnAggregate(func: String, variable: Option[String],
+      prop: Option[String]) extends ReturnItem
 
   case class OrderItem(ref: PropRef, ascending: Boolean)
 

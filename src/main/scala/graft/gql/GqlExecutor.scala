@@ -256,16 +256,53 @@ object GqlExecutor {
   /** P4: RETURN projection (executor.rs:467-518). `var` yields the
     * vertex triplet; `var.prop` yields the variant column named
     * `var_prop`; `*` yields every node variable's triplet.
+    *
+    * Aggregates (extension): any ReturnAggregate makes the remaining
+    * items implicit grouping keys, Cypher-style. sum/avg/min/max act
+    * on the numeric view of the property (int→float coerced).
     */
   private def project(df: DataFrame, nodes: Seq[NodePattern], items: Seq[ReturnItem]): DataFrame = {
-    val cols: Seq[Column] = items.flatMap {
-      case ReturnAll =>
-        nodes.flatMap(n => tripletCols(n.variable.get))
-      case ReturnVariable(v) => tripletCols(v)
-      case ReturnProperty(v, p) =>
-        Seq(col(vcol(v, "props"))(p).as(s"${v}_$p"))
+    if (!items.exists(_.isInstanceOf[ReturnAggregate])) {
+      val cols: Seq[Column] = items.flatMap {
+        case ReturnAll =>
+          nodes.flatMap(n => tripletCols(n.variable.get))
+        case ReturnVariable(v) => tripletCols(v)
+        case ReturnProperty(v, p) =>
+          Seq(col(vcol(v, "props"))(p).as(s"${v}_$p"))
+        case _: ReturnAggregate => Nil
+      }
+      df.select(cols: _*)
+    } else {
+      val keys: Seq[(String, Column)] = items.collect {
+        case ReturnProperty(v, p) => s"${v}_$p" -> col(vcol(v, "props"))(p)
+        case ReturnVariable(v) => s"${v}_id" -> col(vcol(v, "id"))
+      }
+      val aggs: Seq[Column] = items.collect {
+        case ReturnAggregate("count", None, _) =>
+          count(lit(1)).as("count_all")
+        case ReturnAggregate("count", Some(v), None) =>
+          count(col(vcol(v, "id"))).as(s"count_$v")
+        case ReturnAggregate("count", Some(v), Some(p)) =>
+          count(col(vcol(v, "props"))(p)).as(s"count_${v}_$p")
+        case ReturnAggregate(f @ ("sum" | "avg" | "min" | "max"), Some(v), Some(p)) =>
+          val num = PropValue.asDouble(col(vcol(v, "props"))(p))
+          val agg = f match {
+            case "sum" => sum(num)
+            case "avg" => avg(num)
+            case "min" => min(num)
+            case "max" => max(num)
+          }
+          agg.as(s"${f}_${v}_$p")
+        case ReturnAggregate(f, v, None) if f != "count" =>
+          throw new IllegalArgumentException(
+            s"$f(${v.getOrElse("*")}) needs a property: $f(var.prop)")
+      }
+      val withKeys = keys.foldLeft(df) { case (d, (name, expr)) =>
+        d.withColumn(name, expr)
+      }
+      if (keys.isEmpty) withKeys.agg(aggs.head, aggs.tail: _*)
+      else withKeys.groupBy(keys.map(k => col(k._1)): _*).agg(aggs.head, aggs.tail: _*)
     }
-    df.select(cols: _*)
   }
 
   private def tripletCols(v: String): Seq[Column] = Seq(

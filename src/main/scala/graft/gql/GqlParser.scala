@@ -103,8 +103,19 @@ object GqlParser extends RegexParsers {
       case first ~ rest => rest.foldLeft(first)(Or.apply)
     }
 
+  private def aggFunc: Parser[String] =
+    kw("count") | kw("sum") | kw("avg") | kw("min") | kw("max")
+
+  private def returnAgg: Parser[ReturnItem] =
+    aggFunc ~ ("(" ~> ("*" ^^ (_ => (None, None)) |
+      propRef ^^ (p => (Some(p.variable), Some(p.prop))) |
+      ident ^^ (v => (Some(v), None))) <~ ")") ^^ {
+      case f ~ ((v, p)) => ReturnAggregate(f.toLowerCase, v, p)
+    }
+
   private def returnItem: Parser[ReturnItem] =
     "*" ^^ (_ => ReturnAll) |
+      returnAgg |
       propRef ^^ (p => ReturnProperty(p.variable, p.prop)) |
       ident ^^ ReturnVariable.apply
 

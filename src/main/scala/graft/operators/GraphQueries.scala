@@ -135,6 +135,19 @@ object GraphQueries {
         .orderBy("suppkey1", "suppkey2")
     }),
 
+    // RETURN-aggregate extension: per-nation customer stats straight
+    // from GQL (implicit grouping on n.name).
+    "gql_return_agg" -> ((s, dir) => {
+      val r = GqlExecutor.run(g(s, dir),
+        """MATCH (n:Nation)<-[:located_in]-(c:Customer) RETURN n.name, count(c), sum(c.acctbal), min(c.acctbal), max(c.acctbal)""").df
+      r.select(str(col("n_name")).as("name"),
+        col("count_c").as("cnt"),
+        round(col("sum_c_acctbal"), 4).as("sum_acctbal"),
+        round(col("min_c_acctbal"), 4).as("min_acctbal"),
+        round(col("max_c_acctbal"), 4).as("max_acctbal"))
+        .orderBy("name")
+    }),
+
     // Variable-length path extension: undirected 2-hop through the
     // located_in star = customers sharing customer 1's nation
     // (including the start — the c→nation→c path is a valid walk).
@@ -255,6 +268,13 @@ object GraphQueries {
          JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
            ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
          GROUP BY 1, 2 ORDER BY suppkey1, suppkey2""",
+    "gql_return_agg" ->
+      """SELECT n_name AS name, COUNT(*) AS cnt,
+                ROUND(SUM(c_acctbal), 4) AS sum_acctbal,
+                ROUND(MIN(c_acctbal), 4) AS min_acctbal,
+                ROUND(MAX(c_acctbal), 4) AS max_acctbal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY name""",
     "gql_varlength" ->
       """SELECT c2.c_name AS name
          FROM customer c1 JOIN customer c2 ON c1.c_nationkey = c2.c_nationkey

@@ -105,6 +105,20 @@ class GqlSpec extends SparkSpec {
     assert(s2.changes.filter(col("op") === "remove_vertex").count() == 1)
   }
 
+  test("RETURN aggregates: implicit grouping, count/sum/avg/min/max") {
+    val r = GqlExecutor.run(fixture,
+      "MATCH (a)-[e:friend]->(b) RETURN a.name, count(b), min(b.age)").df
+      .collect().map(row => row.getStruct(0).getString(1) ->
+        ((row.getLong(1), row.getDouble(2)))).toMap
+    // Alice -friend-> Bob(25); Bob -friend-> Charlie(35)
+    assert(r == Map("Alice" -> ((1L, 25.0)), "Bob" -> ((1L, 35.0))))
+    val tot = GqlExecutor.run(fixture,
+      "MATCH (v:Person) RETURN count(*), avg(v.age), sum(v.age)").df.head()
+    assert(tot.getLong(0) == 4L)
+    assert(tot.getDouble(1) == 29.5)
+    assert(tot.getDouble(2) == 118.0)
+  }
+
   test("cyclic pattern binds back to an earlier variable") {
     val s = GraphStore.fromTuples(spark,
       Seq((1L, "N", Seq("name" -> "a")), (2L, "N", Seq("name" -> "b")),
