@@ -215,6 +215,27 @@ object Views {
       round(col("min"), 4).as("min"),
       round(col("max"), 4).as("max")): _*)
 
+  /** Exactly-once view maintenance under foreachBatch retries: Spark
+    * re-delivers a batch with the SAME batchId after restarts, so the
+    * merge must be idempotent per id (SURVEY §7 watch list — the
+    * reference's WAL/OCC has no Spark analogue; batch-id dedup is the
+    * Spark-native equivalent). `appliedIds` should be persisted
+    * alongside the view data in production (same parquet commit).
+    */
+  final class IdempotentMerge(initial: DataFrame) {
+    @volatile var state: DataFrame = initial
+    private var applied: Set[Long] = Set.empty
+    def appliedIds: Set[Long] = applied
+
+    def apply(batch: DataFrame, batchId: Long)(
+        merge: (DataFrame, DataFrame) => DataFrame): Unit = synchronized {
+      if (!applied.contains(batchId)) {
+        state = merge(state, batch).localCheckpoint()
+        applied += batchId
+      }
+    }
+  }
+
   // ---- V6: query router -------------------------------------------
 
   sealed trait QueryPattern

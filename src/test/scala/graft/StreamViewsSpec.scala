@@ -97,6 +97,51 @@ class StreamViewsSpec extends SparkSpec {
     assert(got == Seq(("a", 2L, 4.0), ("b", 1L, 2.0), ("c", 1L, 7.0)))
   }
 
+  test("idempotent merge: re-delivered batchId is a no-op (exactly-once)") {
+    val init = Views.initAggState(Seq(("a", 1.0)).toDF("g", "value"), Seq("g"))
+    val m = new IdempotentMerge(init)
+    val batch = Seq(("add", "a", 5.0)).toDF("op", "g", "value")
+    def merge(s: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      Views.mergeAggDelta(s, b, Seq("g"))
+    m.apply(batch, 7L)(merge)
+    m.apply(batch, 7L)(merge) // retry of the same micro-batch
+    val r = m.state.collect().head
+    assert(r.getAs[Long]("cnt") == 2L && r.getAs[Double]("sum") == 6.0)
+    m.apply(batch, 8L)(merge) // genuinely new batch applies
+    assert(m.state.collect().head.getAs[Long]("cnt") == 3L)
+    assert(m.appliedIds == Set(7L, 8L))
+  }
+
+  test("streaming session windows match the batch computation") {
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_sess")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      stageDir.resolve("events.parquet"))
+    val schema = Tables.load(spark, sf, "events").schema
+    val evS = spark.readStream.schema(schema).parquet(stageDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = Windows.session(
+      Windows.withEventTime(evS, "ts", "1 hour"),
+      "ts", "8 hours", Seq("user_id"),
+      Seq(count(lit(1)).as("cnt")))
+      .select("user_id", "session_start", "cnt")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("sess_out").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val want = Windows.session(Tables.events(spark, sf), "ts", "8 hours",
+      Seq("user_id"), Seq(count(lit(1)).as("cnt")))
+      .select("user_id", "session_start", "cnt").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    // append mode only emits sessions closed before the final
+    // watermark — a subset of the batch result, and nearly all of it
+    // on a 30-day event span with a 1-hour delay
+    assert(got.nonEmpty && got.subsetOf(want))
+    assert(got.size >= (want.size * 0.9).toInt, s"${got.size} vs ${want.size}")
+  }
+
   test("mergeAggDelta recomputes exact min/max for removal-touched groups") {
     val base0 = Seq(("a", 1.0), ("a", 9.0), ("a", 5.0)).toDF("g", "value")
     val state0 = Views.initAggState(base0, Seq("g"))
