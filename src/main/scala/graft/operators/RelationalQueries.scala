@@ -185,6 +185,24 @@ object RelationalQueries {
       c.except(su).orderBy("nationkey")
     }),
 
+    // A7: rollup (grouping sets) — absent in the reference, free in
+    // Spark (cube/groupingSets likewise).
+    "a7_rollup" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 4).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+
+    // F6: JSON rendering of structured values (both engines emit the
+    // same compact format for int/string fields).
+    "f6_json" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          to_json(struct(col("c_custkey"), col("c_name"))).as("j"))
+        .orderBy("c_custkey")
+    }),
+
     // E1: custom typed Aggregator (geometric mean) — the reference's
     // AggregationFunction::Custom shape, with explicit partial-merge
     // state so the shuffle carries (sumLog, n) per group.
@@ -294,6 +312,15 @@ object RelationalQueries {
          EXCEPT
          SELECT CAST(s_nationkey AS INTEGER) AS nationkey FROM supplier
          ORDER BY nationkey""",
+    "a7_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+                ROUND(SUM(l_quantity), 4) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "f6_json" ->
+      """SELECT c_custkey,
+                to_json(struct_pack(c_custkey := c_custkey, c_name := c_name)) AS j
+         FROM customer ORDER BY c_custkey""",
     "e1_custom_agg" ->
       """SELECT o_orderpriority, ROUND(EXP(AVG(LN(o_totalprice))), 2) AS geo_mean,
                 COUNT(*) AS cnt
