@@ -122,7 +122,8 @@ object GqlExecutor {
         col("label").as(vcol(v0, "label")),
         col("props").as(vcol(v0, "props")))
 
-    edges.zip(nodes.sliding(2).toSeq).foreach { case (e, Seq(fromN, toN)) =>
+    edges.zip(nodes.sliding(2).toSeq).foreach { case (e, pair) =>
+      val Seq(fromN, toN) = pair: @unchecked
       val fromV = fromN.variable.get
       val toV = toN.variable.get
       val eV = e.variable.get
