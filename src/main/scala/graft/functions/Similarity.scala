@@ -37,18 +37,21 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
     val c = corpus.select(col("vec_id").as("corpus_id"), col("embedding").as("cvec"),
-      norm(col("embedding")).as("cn"))
+      VecExpressions.vecNorm(spark, col("embedding")).as("cn"))
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
-      norm(col("embedding")).as("qn"))
+      VecExpressions.vecNorm(spark, col("embedding")).as("qn"))
     // Rank on the ROUNDED cosine with corpus_id tie-break: ranking on
     // raw doubles makes the k-th place depend on last-ulp summation
     // differences across engines/partitionings. Norms precomputed per
-    // side, not per pair.
+    // side, not per pair; dot product is the codegen'd FloatVecDot
+    // expression (identical math to the interpreted HOF form).
     val scored = c.crossJoin(broadcast(q))
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("cosine",
-        round(dot(col("cvec"), col("qvec")) / (col("cn") * col("qn")), 4))
+        round(VecExpressions.vecDot(spark, col("cvec"), col("qvec"))
+          / (col("cn") * col("qn")), 4))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("corpus_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -100,8 +103,12 @@ object Similarity {
         col("corpus_id") =!= col("query_id"))
       .select("query_id", "corpus_id", "cvec", "qvec")
       .dropDuplicates("query_id", "corpus_id")
+    val spark = corpus.sparkSession
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("corpus_id"))
-    cand.withColumn("cosine", round(cosine(col("cvec"), col("qvec")), 4))
+    cand.withColumn("cosine",
+        round(VecExpressions.vecDot(spark, col("cvec"), col("qvec"))
+          / (VecExpressions.vecNorm(spark, col("cvec"))
+            * VecExpressions.vecNorm(spark, col("qvec"))), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))

@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression for the float-embedding dot product.
+  *
+  * Why a custom Expression (the only one in the engine): Spark's
+  * higher-order array functions (`zip_with` + `aggregate`) don't
+  * participate in whole-stage codegen — every pair evaluation walks
+  * an interpreted lambda tree, measured ~10× slower than primitive
+  * loops on the O(n²) similarity joins. This expression generates a
+  * tight float loop inside the surrounding codegen stage.
+  *
+  * Semantics match Similarity.dot exactly: per-element float→double
+  * promotion, sequential left-to-right summation (cross-engine
+  * reproducible). Null elements are not expected in embedding arrays
+  * (loader-enforced); a null INPUT array yields null (NullIntolerant
+  * via BinaryExpression's default nullable handling).
+  */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"vec_dot expects two ARRAY<FLOAT> arguments, got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatVecDot =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "vec_dot"
+}
+
+object VecExpressions {
+  private val registered = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+
+  /** Register vec_dot in the session's function registry (idempotent
+    * per session) — Spark 4 constructs Columns through the registry,
+    * not from raw Expressions.
+    */
+  def ensureRegistered(spark: SparkSession): Unit =
+    if (registered.add(spark.sessionState.toString)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "vec_dot", exprs => FloatVecDot(exprs(0), exprs(1)), "built-in")
+    }
+
+  def vecDot(spark: SparkSession, a: Column, b: Column): Column = {
+    ensureRegistered(spark)
+    call_function("vec_dot", a, b)
+  }
+
+  def vecNorm(spark: SparkSession, a: Column): Column = {
+    ensureRegistered(spark)
+    org.apache.spark.sql.functions.sqrt(call_function("vec_dot", a, a))
+  }
+}

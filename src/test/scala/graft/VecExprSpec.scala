@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Similarity, VecExpressions}
+
+class VecExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("FloatVecDot matches the higher-order-function dot exactly") {
+    val emb = graft.sources.Tables.embeddings(spark, sf).limit(200)
+    val both = emb.select(
+      VecExpressions.vecDot(spark, col("embedding"), col("embedding")).as("native"),
+      Similarity.dot(col("embedding"), col("embedding")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("FloatVecDot participates in whole-stage codegen") {
+    val emb = graft.sources.Tables.embeddings(spark, sf).limit(10)
+    val df = emb.select(
+      VecExpressions.vecDot(spark, col("embedding"), col("embedding")).as("d"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan) // codegen stage marker
+  }
+
+  test("interpreted (non-codegen) eval path agrees too") {
+    val r = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b")
+      .select(VecExpressions.vecDot(spark, col("a"), col("b")))
+      .head.getDouble(0)
+    assert(r == 32.0)
+  }
+
+  test("type check rejects non-float arrays") {
+    val bad = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      bad.select(VecExpressions.vecDot(spark, col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("vec_dot")
+      || e.getMessage.contains("ARRAY<FLOAT>"), e.getMessage)
+  }
+}
