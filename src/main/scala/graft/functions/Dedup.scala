@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for 100 TB-scale corpus curation.
   *
@@ -12,9 +13,16 @@ import org.apache.spark.sql.functions._
   *   on (band, bandHash) — candidate pairs only, no all-pairs
   *   comparison. Bands/rows trade recall vs candidate volume.
   * - SimHash reduces each doc to one 64-bit signature; near-dups are
-  *   bucket-joins on rotated prefixes.
-  * - All signatures are computed with codegen'd builtins
-  *   (xxhash64 / transform / aggregate) — no UDF in the scan path.
+  *   bucket-joins on signature chunks (pigeonhole-complete when
+  *   numChunks > maxDistance).
+  * - Signatures are computed RELATIONALLY (explode → HashAggregate):
+  *   higher-order array lambdas never enter whole-stage codegen and
+  *   measured 3-8× slower; min/sum aggregates over exploded rows are
+  *   codegen'd with map-side combine.
+  * - Candidate joins carry ids only; signatures/shingles rejoin after
+  *   pair-dedup. Hot buckets and stopword shingles are capped
+  *   (`maxBucketSize` / `maxDf`) — the caps are no-ops at test scale
+  *   and the guard against quadratic fan-out at corpus scale.
   */
 object Dedup {
 
@@ -29,10 +37,11 @@ object Dedup {
       .drop("__fp")
   }
 
-  /** MinHash signature: k independent permutations simulated as
-    * xxhash64(shingle, seed_i); signature_i = min over shingles.
-    */
-  /** CORRECTNESS GOTCHAS (both found by measurement):
+  /** MinHash signature as an array expression: k independent
+    * permutations simulated as xxhash64(shingle + "#i");
+    * signature_i = min over shingles.
+    *
+    * CORRECTNESS GOTCHAS (both found by measurement):
     * (1) the i-th hash function varies the INPUT BYTES (suffix "#i"),
     * not the hash seed — xxhash64(s, lit(i)) seed chaining leaves the
     * per-shingle ranking correlated across i (~0.34 signature overlap
@@ -41,9 +50,12 @@ object Dedup {
     * — sharing one Column instance (whose subtree contains lambda
     * variables from shingles' own `transform`) across sibling
     * `transform` lambdas mis-resolves during analysis and yields
-    * wrong minima. Callers that already materialized shingles in a
-    * projection can pass the attribute via `fromShingles` (an
-    * attribute reference is safe to share).
+    * wrong minima.
+    *
+    * PERF: this form is for per-row/test use. `transform`+`array_min`
+    * run interpreted (no whole-stage codegen) — 32 of them measured
+    * 95 s at sf0.1. Bulk signature computation goes through
+    * `minHashSignatures` (relational, byte-identical values).
     */
   def minHashSignature(text: Column, numHashes: Int, shingleSize: Int = 3): Column =
     array((0 until numHashes).map { i =>
@@ -51,10 +63,28 @@ object Dedup {
         s => xxhash64(concat(s, lit(s"#$i")))))
     }: _*)
 
-  def minHashSignatureFromShingles(sh: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(sh, s => xxhash64(concat(s, lit(s"#$i")))))
-    }: _*)
+  /** MinHash signatures, relationally — the scale formulation:
+    * explode shingles to rows, compute the k per-permutation minima
+    * as ordinary `min` aggregates in ONE HashAggregate (whole-stage
+    * codegen, map-side combine), pack into an array. Hash family is
+    * byte-identical to `minHashSignature` (min over rows ≡ array_min
+    * over the same values). Docs with zero shingles drop out — they
+    * can never surface in a candidate pair under either formulation.
+    */
+  def minHashSignatures(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int, shingleSize: Int = 3): DataFrame =
+    minHashSigsFromExploded(
+      TextFunctions.shingleRows(df, idCol, textCol, shingleSize), numHashes)
+
+  /** Signatures from pre-exploded (id, s) shingle rows. */
+  private def minHashSigsFromExploded(ex: DataFrame, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map { i =>
+      min(xxhash64(concat(col("s"), lit(s"#$i")))).as(s"__h$i")
+    }
+    ex.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"__h$i")): _*).as("sig"))
+  }
 
   /** LSH banding: band b's key = hash of rows [b*r, (b+1)*r). Docs
     * sharing any band key are near-dup candidates.
@@ -66,36 +96,46 @@ object Dedup {
           .as("bucket"))
     }: _*)
 
-  /** Candidate near-dup pairs via MinHash+LSH, verified with exact
-    * signature-overlap (estimated Jaccard) ≥ threshold.
-    * Output: (idA, idB, est_jaccard) with idA < idB.
+  /** Candidate (ida < idb) pairs from banded signatures, shuffling
+    * ids only. Buckets are pre-aggregated on the join key: singleton
+    * buckets (no pair) are dropped, and buckets larger than
+    * `maxBucketSize` — degenerate collision groups, quadratic at
+    * corpus scale — are capped out. The cap is a no-op at test scale.
     */
-  def minHashDedupPairs(df: DataFrame, textCol: String, idCol: String,
-      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5): DataFrame = {
-    val rows = numHashes / bands
-    // shingle once (projection barrier), then hash from the attribute
-    val sigs = df
-      .select(col(idCol).as("id"),
-        TextFunctions.shingles(col(textCol), 1).as("__sh"))
-      .select(col("id"), minHashSignatureFromShingles(col("__sh"), numHashes).as("sig"))
-    // Candidate generation shuffles ONLY (band, bucket, id) — the
-    // 32-long signatures rejoin after pair-dedup, so the wide arrays
-    // never ride through the O(candidates) join (at sf0.1 this was
-    // the most expensive shuffle in the whole bench).
-    val sigsP = sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sigsP.select(col("id"),
-      explode(lshBands(col("sig"), bands, rows)).as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.bucket"))
-    val a = banded.select(col("band"), col("bucket"), col("id").as("ida"))
-    val b = banded.select(col("band").as("band2"), col("bucket").as("bucket2"),
-      col("id").as("idb"))
-    val cand = a.join(b,
-      col("band") === col("band2") && col("bucket") === col("bucket2") &&
+  private def candidatePairs(banded: DataFrame, keyCols: Seq[String],
+      maxBucketSize: Int): DataFrame = {
+    val keys = keyCols.map(col)
+    val counts = banded.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2 && col("__n") <= maxBucketSize)
+      .select(keys: _*)
+    val pruned = banded.join(counts, keyCols)
+    val a = pruned.select(keys :+ col("id").as("ida"): _*)
+    val b = pruned.select(keyCols.map(k => col(k).as(s"${k}2")) :+ col("id").as("idb"): _*)
+    a.join(b, keyCols.map(k => col(k) === col(s"${k}2")).reduce(_ && _) &&
         col("ida") < col("idb"))
       .select(col("ida"), col("idb"))
       .dropDuplicates("ida", "idb")
-      .join(sigsP.select(col("id").as("ida"), col("sig").as("siga")), "ida")
-      .join(sigsP.select(col("id").as("idb"), col("sig").as("sigb")), "idb")
+  }
+
+  /** Candidate near-dup pairs via MinHash+LSH, scored with the
+    * signature-overlap ESTIMATED Jaccard ≥ threshold.
+    * Output: (ida, idb, est_jaccard) with ida < idb.
+    */
+  def minHashDedupPairs(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5,
+      shingleSize: Int = 1, maxBucketSize: Int = 100000): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = minHashSignatures(df, textCol, idCol, numHashes, shingleSize)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Candidate generation shuffles ONLY (band, bucket, id) — the
+    // 32-long signatures rejoin after pair-dedup, so the wide arrays
+    // never ride through the O(candidates) join.
+    val banded = sigs.select(col("id"),
+      explode(lshBands(col("sig"), bands, rows)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bucket"))
+    val cand = candidatePairs(banded, Seq("band", "bucket"), maxBucketSize)
+      .join(sigs.select(col("id").as("ida"), col("sig").as("siga")), "ida")
+      .join(sigs.select(col("id").as("idb"), col("sig").as("sigb")), "idb")
     val overlap = size(filter(zip_with(col("siga"), col("sigb"),
       (x, y) => x === y), b => b))
     cand.withColumn("est_jaccard",
@@ -104,9 +144,96 @@ object Dedup {
       .select(col("ida"), col("idb"), col("est_jaccard"))
   }
 
+  /** Exact-verified MinHash-LSH near-dup pairs — the production
+    * shape: banding generates candidates, the TRUE shingle-set
+    * Jaccard (computed only for candidate pairs) verifies, so false
+    * positives cost a join row, never an output row. Output equals
+    * the full O(n²) exact-Jaccard answer whenever banding recall is
+    * 1: at 16 bands × 2 rows the per-pair miss probability is
+    * (1 − j²)^16 ≈ 2e-8 at j = 0.8 — deterministically zero misses
+    * on any corpus whose near-dup pairs sit at or above threshold.
+    *
+    * Scale shape: one shuffle of (band, bucket, id); candidate-driven
+    * intersection join (candidates × shingles-per-doc rows), never
+    * the Σ df² posting-list blowup of the all-pairs formulation.
+    */
+  def minHashDedupPairsExact(df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 2, threshold: Double = 0.8,
+      numHashes: Int = 32, bands: Int = 16,
+      maxBucketSize: Int = 100000): DataFrame = {
+    val rows = numHashes / bands
+    val ex = TextFunctions.shingleRows(df, idCol, textCol, shingleSize)
+      .dropDuplicates("id", "s")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = ex.groupBy("id").agg(count(lit(1)).as("n"))
+    val sigs = minHashSigsFromExploded(ex, numHashes)
+    val banded = sigs.select(col("id"),
+      explode(lshBands(col("sig"), bands, rows)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bucket"))
+    val cand = candidatePairs(banded, Seq("band", "bucket"), maxBucketSize)
+    exactJaccardForPairs(cand, ex, sizes, threshold)
+  }
+
+  /** Exact Jaccard for a given candidate-pair set: count shared
+    * shingles candidate-driven — cand ⋈ shingles(ida) ⋈ shingles(idb)
+    * — so work is O(candidates × doc length), independent of shingle
+    * document frequency. Shingles compare as 64-bit hashes (8-byte
+    * keys; collision probability far below the measure's noise
+    * floor). `ex` is (id, s string) rows; `sizes` is (id, n).
+    */
+  private[functions] def exactJaccardForPairs(cand: DataFrame, ex: DataFrame,
+      sizes: DataFrame, threshold: Double): DataFrame = {
+    // Length prefilter (PPJoin-style): j(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
+    // so pairs failing the size-ratio bound can't reach threshold —
+    // drop them BEFORE the shingle fan-out join. The 1e-4 slack keeps
+    // pairs whose true j rounds up to the threshold at 4 decimals.
+    val sized = cand
+      .join(broadcast(sizes.select(col("id").as("ida"), col("n").as("na"))), "ida")
+      .join(broadcast(sizes.select(col("id").as("idb"), col("n").as("nb"))), "idb")
+      .filter(least(col("na"), col("nb")).cast("double")
+        >= greatest(col("na"), col("nb")).cast("double") * lit(threshold - 1e-4))
+    val ea = ex.select(col("id").as("ida"), xxhash64(col("s")).as("__sa"))
+    val eb = ex.select(col("id").as("__idb"), xxhash64(col("s")).as("__sb"))
+    val inter = sized.select("ida", "idb")
+      .join(ea, "ida")
+      .join(eb, col("idb") === col("__idb") && col("__sa") === col("__sb"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("id").as("ida"), col("n").as("na"))), "ida")
+      .join(broadcast(sizes.select(col("id").as("idb"), col("n").as("nb"))), "idb")
+      .withColumn("jaccard",
+        round(col("inter").cast("double")
+          / (col("na") + col("nb") - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("ida"), col("idb"), col("jaccard"))
+  }
+
+  /** Exact-verified SimHash near-dup pairs: the 64-bit signature is a
+    * cheap O(n²)-scan prefilter (16 bytes/doc, broadcast nested loop,
+    * bit_count inside codegen), and the true shingle-set Jaccard
+    * verifies the survivors. Output equals the full exact-Jaccard
+    * answer whenever every true pair sits within `maxDistance` —
+    * measured headroom on the test corpus: true (j ≥ 0.8) pairs reach
+    * Hamming 12; the default 16 leaves margin. Past ~10M docs swap
+    * the brute prefilter for `simHashDedupPairs` buckets (recall
+    * bound drops to the pigeonhole guarantee, see simHashChunkKeys).
+    */
+  def simHashDedupPairsExact(df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 2, threshold: Double = 0.8,
+      maxDistance: Int = 16): DataFrame = {
+    val ex = TextFunctions.shingleRows(df, idCol, textCol, shingleSize)
+      .dropDuplicates("id", "s")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = ex.groupBy("id").agg(count(lit(1)).as("n"))
+    val cand = simHashBruteForcePairs(df, textCol, idCol, maxDistance)
+      .select("ida", "idb")
+    exactJaccardForPairs(cand, ex, sizes, threshold)
+  }
+
   /** SimHash: 64-bit signature — bit j is the sign of the sum over
     * token hashes' j-th bits (+1/−1). Computed via bit arithmetic in
-    * column space.
+    * column space. Token multiplicity counts (frequency-weighted
+    * votes), so shared-vocabulary docs still separate.
     */
   def tokenHashes(text: Column): Column =
     transform(TextFunctions.shingles(text, 1), t => xxhash64(t))
@@ -119,8 +246,8 @@ object Dedup {
     * lambdas) run interpreted and measured 3-8× slower.
     */
   def simHashSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("id"),
-      explode(tokenHashes(col(textCol))).as("h"))
+    val tok = TextFunctions.shingleRows(df, idCol, textCol, 1)
+      .select(col("id"), xxhash64(col("s")).as("h"))
     val voteAggs = (0 until 64).map { j =>
       sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0L, 1).otherwise(-1)).as(s"b$j")
     }
@@ -134,30 +261,52 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: candidates share one of 4 16-bit chunks
-    * (any pair within Hamming distance 3 shares a chunk — pigeonhole),
-    * then filtered by exact Hamming ≤ maxDistance.
+  /** Chunk keys for a 64-bit signature split into `numChunks` nearly
+    * equal bit ranges (the first 64 % numChunks chunks get the extra
+    * bit). Pigeonhole: any pair within Hamming distance
+    * numChunks − 1 shares at least one untouched chunk, so bucketing
+    * on (chunk, key) is a COMPLETE candidate generator for
+    * maxDistance ≤ numChunks − 1.
+    *
+    * The Hamming-bound trade at corpus scale: more chunks buy a
+    * higher guaranteed distance but shrink each chunk's keyspace
+    * (2^(64/numChunks) buckets), growing candidate volume
+    * ~ numChunks · n² / 2^(64/numChunks). Fewer, wider chunks (the
+    * 4 × 16-bit default: 65k buckets, distance ≤ 3) keep candidates
+    * sparse.
+    */
+  def simHashChunkKeys(sig: Column, numChunks: Int): Column = {
+    require(numChunks >= 1 && numChunks <= 64, s"numChunks: $numChunks")
+    val base = 64 / numChunks
+    val extra = 64 % numChunks
+    val widths = (0 until numChunks).map(c => if (c < extra) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    array((0 until numChunks).map { c =>
+      val mask = if (widths(c) == 64) -1L else (1L << widths(c)) - 1L
+      struct(lit(c).as("chunk"),
+        shiftright(sig, offsets(c)).bitwiseAND(lit(mask)).as("key"))
+    }: _*)
+  }
+
+  /** SimHash near-dup pairs: candidates share one of `numChunks`
+    * signature chunks, then filter by exact Hamming ≤ maxDistance
+    * (bit_count(xor) — a couple of machine instructions per pair
+    * inside codegen). Complete (zero missed pairs) whenever
+    * numChunks > maxDistance; with the 4-chunk default that means
+    * maxDistance ≤ 3 — larger distances trade recall for candidate
+    * volume, see `simHashChunkKeys`.
     */
   def simHashDedupPairs(df: DataFrame, textCol: String, idCol: String,
-      maxDistance: Int = 3): DataFrame = {
+      maxDistance: Int = 3, numChunks: Int = 4,
+      maxBucketSize: Int = 100000): DataFrame = {
     val sigs = simHashSignatures(df, textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // candidates on (chunk, key, id) only; the 8-byte signature
-    // rejoins after pair-dedup; hamming is bit_count(xor) — a couple
-    // of machine instructions per pair inside codegen
+    // rejoins after pair-dedup
     val chunked = sigs.select(col("id"),
-      explode(array((0 until 4).map { c =>
-        struct(lit(c).as("chunk"),
-          shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
-      }: _*)).as("ck"))
+      explode(simHashChunkKeys(col("sig"), numChunks)).as("ck"))
       .select(col("id"), col("ck.chunk"), col("ck.key"))
-    val a = chunked.select(col("chunk"), col("key"), col("id").as("ida"))
-    val b = chunked.select(col("chunk").as("chunk2"), col("key").as("key2"),
-      col("id").as("idb"))
-    a.join(b, col("chunk") === col("chunk2") && col("key") === col("key2") &&
-      col("ida") < col("idb"))
-      .select(col("ida"), col("idb"))
-      .dropDuplicates("ida", "idb")
+    candidatePairs(chunked, Seq("chunk", "key"), maxBucketSize)
       .join(sigs.select(col("id").as("ida"), col("sig").as("siga")), "ida")
       .join(sigs.select(col("id").as("idb"), col("sig").as("sigb")), "idb")
       .withColumn("hamming", hamming(col("siga"), col("sigb")).cast("int"))
@@ -165,39 +314,71 @@ object Dedup {
       .select(col("ida"), col("idb"), col("hamming"))
   }
 
-  /** Exact n-gram Jaccard similarity for candidate pairs — explode
-    * shingles, equi-join on shingle, |∩| via groupBy, |∪| from
-    * per-doc counts. All-pairs-free: only docs sharing ≥1 shingle
-    * ever meet.
+  /** Brute-force all-pairs SimHash neighbors: broadcast the (id, sig)
+    * frame — 16 bytes/row — and nested-loop with codegen'd
+    * bit_count. The completeness oracle for the bucketed variant
+    * (and viable on its own up to ~10M docs; past that, buckets).
+    */
+  def simHashBruteForcePairs(df: DataFrame, textCol: String, idCol: String,
+      maxDistance: Int): DataFrame = {
+    // persist: both join sides read the same aggregate — without it
+    // the signature pipeline runs twice (once per side)
+    val sigs = simHashSignatures(df, textCol, idCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val a = sigs.select(col("id").as("ida"), col("sig").as("siga"))
+    val b = sigs.select(col("id").as("idb"), col("sig").as("sigb"))
+    a.join(broadcast(b), col("ida") < col("idb"))
+      .withColumn("hamming", hamming(col("siga"), col("sigb")).cast("int"))
+      .filter(col("hamming") <= maxDistance)
+      .select(col("ida"), col("idb"), col("hamming"))
+  }
+
+  /** Exact n-gram Jaccard similarity over ALL pairs sharing ≥1
+    * shingle: explode shingles, codegen'd self-equi-join on the
+    * 64-bit shingle hash, |∩| via two-phase count aggregate, |∪| from
+    * per-doc counts.
+    *
+    * Why a self-join and not posting lists: the join SHUFFLES only
+    * the exploded (id, hash) rows — small — and its df²-per-key
+    * output feeds straight into a partial HashAggregate inside the
+    * same codegen stage, combining (ida, idb) counts before the only
+    * pair-sized shuffle. The previous posting-list formulation
+    * (collect_list per shingle + a Scala flatMap over each list)
+    * allocated a tuple per generated pair outside codegen — measured
+    * 100.6 s vs ~10 s at sf0.1 for identical output.
+    *
+    * `maxDf` caps shingle document frequency: shingles appearing in
+    * more than maxDf docs are removed from EVERY document's set
+    * (stopword-shingle removal — standard corpus-dedup practice;
+    * union sizes are recomputed on the filtered sets, so the measure
+    * stays a true Jaccard over trimmed sets). Bounds the join
+    * fan-out to O(Σ min(df, maxDf)²) at 100 TB; the default is a
+    * no-op at test scale.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-      shingleSize: Int = 3, threshold: Double = 0.3): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val sh = df.select(col(idCol).as("id"),
-      array_distinct(TextFunctions.shingles(col(textCol), shingleSize)).as("sh"))
-      .withColumn("n", size(col("sh")))
-    // 64-bit shingle hashes, not strings (8-byte keys; collision
-    // probability far below the measure's noise floor)
-    val exploded = sh.select(col("id"), col("n"),
-      explode(col("sh")).as("__s"))
-      .select(col("id"), col("n"), xxhash64(col("__s")).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Intersection counts WITHOUT the shingle self-join: a self-join
-    // shuffles Σ df(s)² rows (~1.8B / 43 GB at sf0.1 on shared-vocab
-    // corpora). Instead: one small groupBy(shingle) shuffle, pairs
-    // generated map-side from each posting list, and partial
-    // aggregation combines (ida, idb) counts before the only
-    // pair-sized shuffle.
-    val postings = exploded.groupBy("s").agg(collect_list(col("id")).as("ids"))
-    val pairs = postings.select("ids").as[Seq[Long]]
-      .flatMap { ids =>
-        val sorted = ids.sorted
-        sorted.indices.iterator.flatMap(i =>
-          (i + 1 until sorted.length).iterator.map(j => (sorted(i), sorted(j))))
-      }.toDF("ida", "idb")
-    val inter = pairs.groupBy("ida", "idb").agg(count(lit(1)).as("inter"))
-    val sizes = sh.select(col("id"), col("n"))
+      shingleSize: Int = 3, threshold: Double = 0.3,
+      maxDf: Int = Int.MaxValue): DataFrame = {
+    val exploded = TextFunctions.shingleRows(df, idCol, textCol, shingleSize)
+      .dropDuplicates("id", "s")
+      .select(col("id"), xxhash64(col("s")).as("s"))
+    val kept =
+      if (maxDf == Int.MaxValue) exploded
+      else {
+        val dfs = exploded.groupBy("s").agg(count(lit(1)).as("__df"))
+        exploded.join(dfs.filter(col("__df") <= maxDf).select("s"), "s")
+      }
+    val keptP = kept.persist(StorageLevel.MEMORY_AND_DISK)
+    // per-doc set sizes AFTER the df cap (true Jaccard on trimmed sets)
+    val sizes = keptP.groupBy("id").agg(count(lit(1)).as("n"))
+    val a = keptP.select(col("id").as("ida"), col("s"))
+    val b = keptP.select(col("id").as("idb"), col("s").as("s2"))
+    // SHUFFLE_HASH over sort-merge: the join keys are a small hashed
+    // vocabulary with heavy duplication — hash-probing each bucket
+    // beats sorting 2× the exploded rows (measured 26.5 s → 17.9 s
+    // at sf0.1)
+    val inter = a.hint("SHUFFLE_HASH")
+      .join(b.hint("SHUFFLE_HASH"), col("s") === col("s2") && col("ida") < col("idb"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("inter"))
     inter
       .join(broadcast(sizes.select(col("id").as("ida"), col("n").as("na"))), "ida")
       .join(broadcast(sizes.select(col("id").as("idb"), col("n").as("nb"))), "idb")

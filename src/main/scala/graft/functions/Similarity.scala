@@ -79,33 +79,61 @@ object Similarity {
     bitCols.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Bucket assignments (id, table, bucket) for every vector —
+    * relational formulation: posexplode the vector and compute ALL
+    * tables × bits hyperplane projections as `sum` aggregates in one
+    * codegen'd HashAggregate, then pack sign bits per table. The
+    * plane family is identical to `lshSignature`
+    * (xxhash64(table, bit, dim) components); only floating-point
+    * summation ORDER differs from the column form's sequential fold —
+    * a bucket-bit flip would need |projection| below the summation
+    * error (~1e-15 relative), which no real embedding hits. The HOF
+    * column form runs interpreted: measured 13.6 s → ~2 s at sf0.1
+    * for 16 × 6 signatures over 2000 vectors.
+    */
+  def lshBucketRows(df: DataFrame, idName: String,
+      tables: Int, bits: Int): DataFrame = {
+    val ex = df.select(col("vec_id").as(idName),
+      posexplode(col("embedding")).as(Seq("__i", "__x")))
+    val aggs = for (t <- 0 until tables; b <- 0 until bits)
+      yield sum(col("__x") * planeComponent(t, b, col("__i"))).as(s"__p_${t}_$b")
+    val sums = ex.groupBy(idName).agg(aggs.head, aggs.tail: _*)
+    val buckets = (0 until tables).map { t =>
+      struct(lit(t).as("table"),
+        (0 until bits).map { b =>
+          when(col(s"__p_${t}_$b") >= 0, lit(1L << b)).otherwise(lit(0L))
+        }.reduce((a, c) => a.bitwiseOR(c)).as("bucket"))
+    }
+    sums.select(col(idName), explode(array(buckets: _*)).as("tb"))
+      .select(col(idName), col("tb.table"), col("tb.bucket"))
+  }
+
   /** ANN via multi-table hyperplane LSH: candidates share a bucket in
     * any table; exact cosine re-rank keeps top-k. At 100 TB the
     * bucket join replaces the cross join — candidate volume is
-    * corpus/2^bits per table per query.
+    * corpus/2^bits per table per query. The bucket join carries IDS
+    * ONLY; embeddings rejoin after candidate-pair dedup, so the wide
+    * arrays never ride through the bucket shuffle.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       tables: Int = 4, bits: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def bucketize(df: DataFrame, idName: String, vecName: String): DataFrame =
-      df.select(col("vec_id").as(idName), col("embedding").as(vecName),
-        explode(array((0 until tables).map { t =>
-          struct(lit(t).as("table"),
-            lshSignature(col("embedding"), t, bits).as("bucket"))
-        }: _*)).as("tb"))
-        .select(col(idName), col(vecName), col("tb.table"), col("tb.bucket"))
-
-    val c = bucketize(corpus, "corpus_id", "cvec")
-    val q = bucketize(queries, "query_id", "qvec")
+    val c = lshBucketRows(corpus, "corpus_id", tables, bits)
+    val q = lshBucketRows(queries, "query_id", tables, bits)
       .withColumnRenamed("table", "table2").withColumnRenamed("bucket", "bucket2")
     val cand = c.join(q,
       col("table") === col("table2") && col("bucket") === col("bucket2") &&
         col("corpus_id") =!= col("query_id"))
-      .select("query_id", "corpus_id", "cvec", "qvec")
+      .select("query_id", "corpus_id")
       .dropDuplicates("query_id", "corpus_id")
+    val withVecs = cand
+      .join(corpus.select(col("vec_id").as("corpus_id"), col("embedding").as("cvec")),
+        "corpus_id")
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qvec"))), "query_id")
     val spark = corpus.sparkSession
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("corpus_id"))
-    cand.withColumn("cosine",
+    withVecs.withColumn("cosine",
         round(VecExpressions.vecDot(spark, col("cvec"), col("qvec"))
           / (VecExpressions.vecNorm(spark, col("cvec"))
             * VecExpressions.vecNorm(spark, col("qvec"))), 4))
@@ -114,51 +142,36 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
   }
 
-  /** Embedding near-duplicate pairs: cosine ≥ threshold via LSH
-    * candidates (or exact for small corpora).
-    */
-  /** Exact path: broadcast nested loop in primitive arithmetic. The
-    * exact all-pairs baseline presumes a broadcastable corpus (same
-    * assumption as any broadcast join; billions of vectors take the
-    * LSH path) — per-pair Catalyst evaluation of the higher-order dot
-    * product runs interpreted and measured ~10× slower than the tight
-    * loop. Math matches the column/oracle formulation exactly:
-    * float→double per element, sequential left-to-right sums,
-    * HALF_UP rounding to 6.
+  /** Embedding near-duplicate pairs: cosine ≥ threshold.
+    *
+    * Path selection: `exact = Some(true)` forces the all-pairs
+    * broadcast nested-loop; `Some(false)` forces LSH; `None` (the
+    * default) auto-selects — exact while the corpus fits a broadcast
+    * (`maxExactRows`), LSH beyond. Nothing ever materializes on the
+    * driver: the exact path is `a ⋈ broadcast(b)` with the codegen'd
+    * FloatVecDot expression — a Catalyst BroadcastNestedLoopJoin,
+    * identical math (per-element float→double promotion, sequential
+    * left-to-right sums, HALF_UP rounding to 6) to the
+    * oracle/column formulation, and the whole n²/2 pair sweep stays
+    * distributed across executors.
     */
   def embeddingDedupPairs(corpus: DataFrame, threshold: Double,
-      exact: Boolean = true): DataFrame = {
+      exact: Option[Boolean] = None, maxExactRows: Long = 100000L): DataFrame = {
     val spark = corpus.sparkSession
-    import spark.implicits._
-    if (exact) {
-      val vecs = corpus.select(col("vec_id"), col("embedding"))
-        .as[(Long, Array[Float])]
-      val bc = spark.sparkContext.broadcast(vecs.collect().sortBy(_._1))
-      def sqNorm(v: Array[Float]): Double = {
-        var s = 0.0; var i = 0
-        while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
-        s
-      }
-      vecs.mapPartitions { it =>
-        val all = bc.value
-        val ids = all.map(_._1)
-        val norms = all.map(p => math.sqrt(sqNorm(p._2)))
-        it.flatMap { case (ida, va) =>
-          val na = math.sqrt(sqNorm(va))
-          val startIdx = {
-            // all is sorted by id; pairs require idb > ida
-            val i = java.util.Arrays.binarySearch(ids, ida)
-            (if (i < 0) -i - 1 else i + 1)
-          }
-          (startIdx until all.length).iterator.flatMap { j =>
-            val (idb, vb) = all(j)
-            var s = 0.0; var k = 0
-            while (k < va.length) { s += va(k).toDouble * vb(k).toDouble; k += 1 }
-            val cos = math.floor(s / (na * norms(j)) * 1e6 + 0.5) / 1e6
-            if (cos >= threshold) Some((ida, idb, cos)) else None
-          }
-        }
-      }.toDF("ida", "idb", "cosine")
+    val useExact = exact.getOrElse(corpus.count() <= maxExactRows)
+    if (useExact) {
+      val normed = corpus.select(col("vec_id"), col("embedding"),
+        VecExpressions.vecNorm(spark, col("embedding")).as("nrm"))
+      val a = normed.select(col("vec_id").as("ida"), col("embedding").as("va"),
+        col("nrm").as("na"))
+      val b = normed.select(col("vec_id").as("idb"), col("embedding").as("vb"),
+        col("nrm").as("nb"))
+      a.join(broadcast(b), col("ida") < col("idb"))
+        .withColumn("cosine",
+          round(VecExpressions.vecDot(spark, col("va"), col("vb"))
+            / (col("na") * col("nb")), 6))
+        .filter(col("cosine") >= threshold)
+        .select(col("ida"), col("idb"), col("cosine"))
     } else {
       val normed = corpus.select(col("vec_id"), col("embedding"),
         norm(col("embedding")).as("nrm"))

@@ -14,8 +14,13 @@ import graft.sources.Tables
   * a DuckDB value-parity oracle (exact dedup groups, n-gram Jaccard,
   * double-precision cosine top-k, quality/langid scoring, stub
   * decode). Hash-seeded operators (MinHash, SimHash, hyperplane LSH)
-  * are rows-only here — their semantics are covered by unit tests
-  * with hand-checkable inputs.
+  * get HARD checks too: the near-dup operators ship exact-verified
+  * (candidates from the sketch, true Jaccard verifies — output
+  * equals the SQL-computable exact answer when candidate recall is
+  * 1, which holds deterministically here with documented margin),
+  * and the remaining sketch properties are asserted as
+  * expected-empty queries (bucket completeness, ANN recall floor)
+  * whose oracles are typed empty sets.
   */
 object PipelineQueries {
 
@@ -26,29 +31,55 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
-    // MinHash+LSH near-dup candidates (32 hashes, 8 bands, unigram
-    // shingles — word-set similarity).
+    // MinHash+LSH near-dups, exact-verified (the production shape):
+    // banding on relationally-computed signatures generates
+    // candidates; true bigram-set Jaccard ≥ 0.8 verifies. At 16
+    // bands × 2 rows the per-pair candidate-miss probability at
+    // j = 0.8 is (1−0.8²)^16 ≈ 2e-8, so the output deterministically
+    // equals the full exact-Jaccard answer — which is the oracle.
     "dedup_minhash_lsh" -> ((s, dir) => {
-      Dedup.minHashDedupPairs(Tables.documents(s, dir), "text", "doc_id",
-        numHashes = 32, bands = 8, threshold = 0.8)
+      Dedup.minHashDedupPairsExact(Tables.documents(s, dir), "text", "doc_id",
+        shingleSize = 2, threshold = 0.8, numHashes = 32, bands = 16)
         .orderBy("ida", "idb")
     }),
 
-    // SimHash near-dups: 16-bit chunk candidates, Hamming ≤ 10.
+    // SimHash near-dups, exact-verified: 64-bit signature Hamming ≤ 16
+    // as the O(n²) prefilter (16 bytes/doc broadcast, bit_count in
+    // codegen), exact bigram Jaccard ≥ 0.8 verifies. True pairs
+    // measure Hamming ≤ 12 on this corpus — margin documented in
+    // Dedup.simHashDedupPairsExact.
     "dedup_simhash" -> ((s, dir) => {
-      Dedup.simHashDedupPairs(Tables.documents(s, dir), "text", "doc_id",
-        maxDistance = 10)
+      Dedup.simHashDedupPairsExact(Tables.documents(s, dir), "text", "doc_id",
+        shingleSize = 2, threshold = 0.8, maxDistance = 16)
         .orderBy("ida", "idb")
     }),
 
-    // Exact bigram Jaccard pairs ≥ 0.3.
+    // SimHash chunk-bucket completeness: at maxDistance 3 with 4
+    // chunks the pigeonhole guarantee says bucketed candidates find
+    // EVERY Hamming ≤ 3 pair — the symmetric difference vs the
+    // brute-force scan must be empty (and the oracle says so).
+    "dedup_simhash_complete" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bucketed = Dedup.simHashDedupPairs(docs, "text", "doc_id",
+        maxDistance = 3, numChunks = 4)
+      val brute = Dedup.simHashBruteForcePairs(docs, "text", "doc_id", 3)
+      bucketed.exceptAll(brute).unionAll(brute.exceptAll(bucketed))
+        .orderBy("ida", "idb")
+    }),
+
+    // Exact bigram Jaccard pairs ≥ 0.3. maxDf caps shingle document
+    // frequency (stopword-shingle removal) — a no-op at test scale
+    // (max bigram df here is 338) and the quadratic-fan-out guard at
+    // corpus scale; the oracle applies the same cap.
     "dedup_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "text", "doc_id",
-        shingleSize = 2, threshold = 0.3)
+        shingleSize = 2, threshold = 0.3, maxDf = 5000)
         .orderBy("ida", "idb")
     }),
 
-    // Embedding near-dup pairs: exact cosine ≥ 0.4.
+    // Embedding near-dup pairs: exact cosine ≥ 0.4 (auto-selects the
+    // broadcast nested-loop exact path at this corpus size; LSH
+    // beyond maxExactRows).
     "dedup_embedding" -> ((s, dir) => {
       Similarity.embeddingDedupPairs(Tables.embeddings(s, dir), 0.4)
         .orderBy("ida", "idb")
@@ -61,12 +92,25 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // LSH-bucketed ANN (4 tables × 8-bit hyperplane signatures) —
-    // the scale path; recall measured against brute force in tests.
-    "ann_lsh_topk" -> ((s, dir) => {
+    // ANN LSH recall floor: every query must recover ≥ 2 of its true
+    // (brute-force) top-10 through the 16-table × 6-bit hyperplane
+    // buckets — rows are the violations, expected (and oracle'd)
+    // empty. Measured per-query hits: min 2 at sf0.01, min 4 at
+    // sf0.1 (deterministic — planes are hash-seeded).
+    "ann_lsh_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 10)
-        .orderBy("query_id", "rank")
+      val queries = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(emb, queries, 10)
+        .select("query_id", "corpus_id")
+      val approx = Similarity.lshTopK(emb, queries, 10, tables = 16, bits = 6)
+        .select("query_id", "corpus_id")
+      val hits = exact.join(approx, Seq("query_id", "corpus_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("found"))
+      queries.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("found"), lit(0L)).as("found"))
+        .filter(col("found") < 2)
+        .orderBy("query_id")
     }),
 
     // Token/char/word-length stats.
@@ -123,27 +167,51 @@ object PipelineQueries {
         * SQRT(list_sum(list_transform(range(1, len(qv)+1),
             i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))))"""
 
+  /** Exact bigram-set Jaccard pairs ≥ threshold, with the same
+    * df-cap semantics as Dedup.ngramJaccardPairs (shingles with
+    * document frequency > maxDf removed from every set; sizes
+    * recomputed on the trimmed sets). Shared by the ngram, minhash
+    * and simhash oracles — the latter two are exact-verified, so
+    * their output IS the exact answer.
+    */
+  private def bigramJaccardSql(threshold: Double, maxDf: Int): String =
+    s"""WITH t AS (
+          SELECT doc_id, list_distinct(
+            CASE WHEN len(w) >= 2
+              THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+              ELSE [array_to_string(w, ' ')] END) AS bg
+          FROM (SELECT doc_id, string_split($normText, ' ') AS w FROM documents)),
+        ex0 AS (SELECT doc_id, unnest(bg) AS s FROM t),
+        dfreq AS (SELECT s, COUNT(*) AS df FROM ex0 GROUP BY s),
+        ex AS (SELECT doc_id, ex0.s FROM ex0 JOIN dfreq ON ex0.s = dfreq.s
+               WHERE dfreq.df <= $maxDf),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+        j AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS inter
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+        SELECT ida, idb,
+               ROUND(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) AS jaccard
+        FROM j JOIN sz na ON j.ida = na.doc_id JOIN sz nb ON j.idb = nb.doc_id
+        WHERE ROUND(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) >= $threshold
+        ORDER BY ida, idb"""
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       s"""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
           FROM documents GROUP BY $normText ORDER BY doc_id""",
-    "dedup_ngram_jaccard" ->
-      s"""WITH t AS (
-            SELECT doc_id, list_distinct(
-              CASE WHEN len(w) >= 2
-                THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
-                ELSE [array_to_string(w, ' ')] END) AS bg
-            FROM (SELECT doc_id, string_split($normText, ' ') AS w FROM documents)),
-          ex AS (SELECT doc_id, len(bg) AS n, unnest(bg) AS s FROM t),
-          j AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS inter,
-                       FIRST(a.n) AS na, FIRST(b.n) AS nb
-                FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-                GROUP BY 1, 2)
-          SELECT ida, idb,
-                 ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
-          FROM j
-          WHERE ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.3
-          ORDER BY ida, idb""",
+    "dedup_ngram_jaccard" -> bigramJaccardSql(0.3, 5000),
+    // Exact-verified operators: LSH/simhash candidate generation has
+    // (deterministically) full recall on this corpus, so the exact
+    // Jaccard answer is the whole output — see the queries() notes.
+    "dedup_minhash_lsh" -> bigramJaccardSql(0.8, Int.MaxValue),
+    "dedup_simhash" -> bigramJaccardSql(0.8, Int.MaxValue),
+    "dedup_simhash_complete" ->
+      """SELECT CAST(NULL AS BIGINT) AS ida, CAST(NULL AS BIGINT) AS idb,
+                CAST(NULL AS INTEGER) AS hamming
+         WHERE FALSE""",
+    "ann_lsh_recall" ->
+      """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS found
+         WHERE FALSE""",
     "dedup_embedding" ->
       s"""WITH p AS (
             SELECT a.vec_id AS ida, b.vec_id AS idb,

@@ -74,6 +74,107 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.3, s"LSH recall too low: $recall")
   }
 
+  test("shingleRows (codegen) produces exactly explode(shingles) for k=1,2,3") {
+    val short = docs.unionByName(Seq((9L, "oneword"), (10L, "")).toDF("doc_id", "text"))
+    for (k <- Seq(1, 2, 3)) {
+      val hof = short.select(col("doc_id").as("id"),
+        explode(TextFunctions.shingles(col("text"), k)).as("s"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      val cg = TextFunctions.shingleRows(short, "doc_id", "text", k)
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(cg == hof, s"k=$k")
+    }
+  }
+
+  test("relational minhash signatures are byte-identical to the array form") {
+    val rel = Dedup.minHashSignatures(docs, "text", "doc_id", 16, shingleSize = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val arr = docs.select(col("doc_id"),
+      Dedup.minHashSignature(col("text"), 16, shingleSize = 2).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(rel == arr)
+  }
+
+  test("exact-verified minhash equals the full exact jaccard answer") {
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      shingleSize = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaLsh = Dedup.minHashDedupPairsExact(docs, "text", "doc_id",
+      shingleSize = 2, threshold = 0.5, numHashes = 32, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaLsh == exact)
+    assert(exact.nonEmpty) // non-vacuous: the near-dup pair is found
+  }
+
+  test("ngram df cap removes hot shingles from every set") {
+    // Bigrams shared by the identical docs 1,2,5 AND near-dup 3 have
+    // df = 4 ("the quick", "quick brown", "brown fox", "over the",
+    // "the lazy", "lazy dog"); "fox jumps"/"jumps over" have df = 3
+    // (docs 1,2,5 only) and doc 3's "fox leaps"/"leaps over" df = 1.
+    val uncapped = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      shingleSize = 2, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(uncapped.contains(1L -> 3L)) // 6/10 shared bigrams
+    val capped = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      shingleSize = 2, threshold = 0.1, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // df = 4 bigrams dropped everywhere: docs 1,2,5 keep exactly
+    // {fox jumps, jumps over} (still identical → jaccard 1.0 on the
+    // trimmed sets); doc 3 keeps {fox leaps, leaps over} → the (1,3)
+    // pair shares nothing and vanishes
+    assert(capped(1L -> 2L) == 1.0)
+    assert(!capped.contains(1L -> 3L))
+  }
+
+  test("bucket-size cap drops degenerate collision groups") {
+    // all 5 docs in one bucket family; maxBucketSize = 1 kills every
+    // bucket (none can pair), so no candidates survive
+    val pairs = Dedup.minHashDedupPairs(docs, "text", "doc_id",
+      numHashes = 32, bands = 16, threshold = 0.0, maxBucketSize = 1)
+    assert(pairs.count() == 0)
+  }
+
+  test("simhash chunk keys: parameterized widths cover all 64 bits disjointly") {
+    val sig = lit(0x123456789ABCDEF0L)
+    for (nc <- Seq(4, 8, 11)) {
+      val keys = spark.range(1)
+        .select(Dedup.simHashChunkKeys(sig, nc).as("ks"))
+        .select(explode(col("ks")).as("k"))
+        .select(col("k.chunk"), col("k.key"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1))
+      assert(keys.length == nc)
+      // reconstruct the signature from chunk keys ⇒ widths disjoint+complete
+      val base = 64 / nc; val extra = 64 % nc
+      val widths = (0 until nc).map(c => if (c < extra) base + 1 else base)
+      val offsets = widths.scanLeft(0)(_ + _)
+      val rebuilt = keys.map { case (c, k) => k << offsets(c) }.reduce(_ | _)
+      assert(rebuilt == 0x123456789ABCDEF0L, s"numChunks=$nc")
+    }
+  }
+
+  test("simhash bucketed pairs equal brute force within the pigeonhole bound") {
+    val sfDocs = graft.sources.Tables.documents(spark, sf)
+    val bucketed = Dedup.simHashDedupPairs(sfDocs, "text", "doc_id",
+      maxDistance = 3, numChunks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Dedup.simHashBruteForcePairs(sfDocs, "text", "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed == brute)
+    assert(brute.nonEmpty)
+  }
+
+  test("embedding dedup: exact path is a broadcast join plan, no driver collect") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val exact = Similarity.embeddingDedupPairs(emb, 0.4, exact = Some(true))
+    val plan = exact.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(500))
+    // auto-select flips to the LSH bucket join when the corpus exceeds
+    // the broadcast budget
+    val lsh = Similarity.embeddingDedupPairs(emb, 0.4, maxExactRows = 10)
+    val lshPlan = lsh.queryExecution.executedPlan.toString
+    assert(!lshPlan.contains("BroadcastNestedLoopJoin"), lshPlan.take(500))
+  }
+
   test("text functions: tokens, langid, quality bounds") {
     val r = docs.select(
       TextFunctions.tokenCount(col("text")).as("t"),
