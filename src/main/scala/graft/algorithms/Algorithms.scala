@@ -103,45 +103,104 @@ object Algorithms {
       .map { case (id, comp) => (id, comp) }.toDF("id", "component")
   }
 
-  /** G5/G7: single-source shortest paths via Pregel with (dist, pred)
-    * state — weighted Dijkstra semantics with early-free convergence
-    * (vote-to-halt), unweighted = BFS hop count. Unreachable vertices
-    * are dropped.
+  /** G5/G7: single-source shortest paths with (dist, pred) state —
+    * weighted Dijkstra semantics with vote-to-halt convergence,
+    * unweighted = BFS hop count. Unreachable vertices are dropped.
+    *
+    * `target`: optional early termination (basic.rs:299-305 stops
+    * popping when the target settles). The BSP analogue: once
+    * dist(target) ≤ the minimum pending relaxation distance, no
+    * future message can improve the target OR any vertex on its
+    * shortest path (non-negative weights: improving a vertex at
+    * dist ≤ d(target) would need a message strictly below it, but
+    * every pending message is ≥ that minimum) — so the loop halts
+    * with the target's distance and full predecessor chain final.
+    * Distances of vertices farther than the target may be unsettled;
+    * callers wanting the full map pass target = None.
     */
   def sssp(vertices: DataFrame, edges: DataFrame, source: Long,
-      undirected: Boolean = false, maxIter: Int = Int.MaxValue): DataFrame = {
+      undirected: Boolean = false, maxIter: Int = Int.MaxValue,
+      target: Option[Long] = None): DataFrame = {
     val spark = vertices.sparkSession
     import spark.implicits._
-    val g = makeGraph(vertices, edges, undirected)
+    val init = makeGraph(vertices, edges, undirected)
       .mapVertices((id, _) =>
         if (id == source) (0.0, -1L) else (Double.PositiveInfinity, -1L))
-    val res = Pregel(g, (Double.PositiveInfinity, -1L), maxIter, EdgeDirection.Out)(
-      (_, attr, msg) => if (msg._1 < attr._1) msg else attr,
-      t => if (t.srcAttr._1 + t.attr < t.dstAttr._1 - 1e-12)
+
+    def sendMsg(t: org.apache.spark.graphx.EdgeTriplet[(Double, Long), Double]) =
+      if (t.srcAttr._1 + t.attr < t.dstAttr._1 - 1e-12)
         Iterator((t.dstId, (t.srcAttr._1 + t.attr, t.srcId)))
-      else Iterator.empty,
-      (a, b) => if (a._1 <= b._1) a else b)
-    res.vertices
+      else Iterator.empty
+    def mergeMsg(a: (Double, Long), b: (Double, Long)) = if (a._1 <= b._1) a else b
+
+    val res = target match {
+      case None =>
+        Pregel(init, (Double.PositiveInfinity, -1L), maxIter, EdgeDirection.Out)(
+          (_, attr, msg) => if (msg._1 < attr._1) msg else attr,
+          sendMsg, mergeMsg).vertices
+      case Some(tgt) =>
+        // Manual BSP loop (same relaxation as the Pregel branch) with
+        // the per-round halt check; follows GraphX's cache/
+        // materialize/unpersist iteration pattern.
+        var g = init.cache()
+        var msgs = g.aggregateMessages[(Double, Long)](
+          ctx => sendMsg(ctx.toEdgeTriplet).foreach(m => ctx.sendToDst(m._2)),
+          mergeMsg).cache()
+        var active = msgs.count()
+        var iter = 0
+        var halted = false
+        while (active > 0 && iter < maxIter && !halted) {
+          val tDist = g.vertices.lookup(tgt).headOption.map(_._1)
+            .getOrElse(Double.PositiveInfinity)
+          val minPending = msgs.map(_._2._1).fold(Double.PositiveInfinity)(math.min)
+          if (tDist <= minPending) halted = true
+          else {
+            val prev = g
+            val prevMsgs = msgs
+            g = g.outerJoinVertices(msgs) { (_, attr, m) =>
+              m.filter(_._1 < attr._1).getOrElse(attr)
+            }.cache()
+            g.edges.foreachPartition(_ => ())
+            msgs = g.aggregateMessages[(Double, Long)](
+              ctx => sendMsg(ctx.toEdgeTriplet).foreach(m => ctx.sendToDst(m._2)),
+              mergeMsg).cache()
+            active = msgs.count()
+            prev.vertices.unpersist(); prev.edges.unpersist()
+            prevMsgs.unpersist()
+            iter += 1
+          }
+        }
+        g.vertices
+    }
+    res
       .filter { case (_, (d, _)) => !d.isInfinite }
       .map { case (id, (d, pred)) => (id, d, pred) }
       .toDF("id", "dist", "pred")
   }
 
   /** Path reconstruction from an sssp result (basic.rs:313-330):
-    * walk predecessors target→source. Point lookups over the result
-    * frame — path length bounded by the graph diameter.
+    * walk predecessors target→source with POINT LOOKUPS against the
+    * (persisted) result frame — O(path length) driver memory and
+    * jobs, never an O(V) collect, so it survives graphs whose
+    * vertex set dwarfs the driver.
     */
-  def reconstructPath(ssspResult: DataFrame, source: Long, target: Long): Seq[Long] = {
-    val preds = ssspResult.select("id", "pred").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    if (!preds.contains(target)) return Nil
-    val path = scala.collection.mutable.ArrayBuffer(target)
-    var cur = target
-    while (cur != source && preds.getOrElse(cur, -1L) != -1L) {
-      cur = preds(cur)
-      path.prepend(cur)
-    }
-    if (path.head == source) path.toSeq else Nil
+  def reconstructPath(ssspResult: DataFrame, source: Long, target: Long,
+      maxLen: Int = 100000): Seq[Long] = {
+    val slim = ssspResult.select(col("id"), col("pred"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val path = scala.collection.mutable.ArrayBuffer(target)
+      var cur = target
+      while (cur != source && path.length <= maxLen) {
+        val row = slim.filter(col("id") === cur).select("pred").take(1)
+        if (row.isEmpty) return Nil // fell off the settled set: unreachable
+        val pred = row(0).getLong(0)
+        if (pred == -1L) return if (cur == source) path.toSeq else Nil
+        cur = pred
+        path.prepend(cur)
+      }
+      if (path.head == source) path.toSeq else Nil
+    } finally slim.unpersist(blocking = false)
   }
 
   /** G8: forward reachability from a source set — iterative frontier

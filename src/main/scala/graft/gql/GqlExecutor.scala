@@ -254,9 +254,19 @@ object GqlExecutor {
     }
   }
 
-  /** P4: RETURN projection (executor.rs:467-518). `var` yields the
-    * vertex triplet; `var.prop` yields the variant column named
-    * `var_prop`; `*` yields every node variable's triplet.
+  /** P4: RETURN projection (executor.rs:467-518). Bare `RETURN var`
+    * explodes every property of the bound vertex into one `var.key`
+    * column per key, exactly the reference's build_result rows
+    * (executor.rs:492-500) in columnar form — rows missing a key
+    * carry NULL where the reference's ragged row simply omits the
+    * pair. `var.prop` yields the variant column named `var_prop`;
+    * `*` yields every node variable's (id, label, props) triplet
+    * (the reference returns its Vertices form here — id + props —
+    * executor.rs:478-486).
+    *
+    * The `var.key` column set is discovered from the data (distinct
+    * map keys of the bound vertices — schema inference, same nature
+    * as spark.read.json; a driver-side key VOCABULARY, never rows).
     *
     * Aggregates (extension): any ReturnAggregate makes the remaining
     * items implicit grouping keys, Cypher-style. sum/avg/min/max act
@@ -267,7 +277,11 @@ object GqlExecutor {
       val cols: Seq[Column] = items.flatMap {
         case ReturnAll =>
           nodes.flatMap(n => tripletCols(n.variable.get))
-        case ReturnVariable(v) => tripletCols(v)
+        case ReturnVariable(v) =>
+          val keys = df.select(explode(map_keys(col(vcol(v, "props")))).as("k"))
+            .distinct().collect().map(_.getString(0)).sorted.toSeq
+          if (keys.isEmpty) tripletCols(v).take(1) // unpropertied: keep var_id
+          else keys.map(k => col(vcol(v, "props"))(k).as(s"$v.$k"))
         case ReturnProperty(v, p) =>
           Seq(col(vcol(v, "props"))(p).as(s"${v}_$p"))
         case _: ReturnAggregate => Nil

@@ -130,6 +130,67 @@ final class GraphStore(
     new GraphStore(newV, newE, changes.unionByName(ch), version + 1)
   }
 
+  /** Remove edges by exact (src, dst, label) key
+    * (graph/storage/src/lib.rs:61-63, applied at :299-308). Keys
+    * with no matching edge are no-ops, as in the reference.
+    */
+  def removeEdges(keys: DataFrame): GraphStore = {
+    val k = keys.select(col("src"), col("dst"), col("label"))
+    val removed = edges.join(k, Seq("src", "dst", "label"), "left_semi")
+    val newE = edges.join(k, Seq("src", "dst", "label"), "left_anti")
+    val ch = removed.select(
+      lit("remove_edge").as("op"), lit(null).cast(LongType).as("id"),
+      col("src"), col("dst"), col("label").as("elabel"),
+      col("props").as("oldProps"), lit(null).cast(PropValue.mapType).as("newProps"),
+      lit("api").as("source"), current_timestamp().as("ts"),
+      lit(version + 1).as("version"))
+    new GraphStore(vertices, newE, changes.unionByName(ch), version + 1)
+  }
+
+  /** Replace the property map of existing vertices
+    * (graph/storage/src/lib.rs:64-67, applied at :310-312 — REPLACE,
+    * not merge). rows: (id, props). Ids without a vertex are ignored
+    * (the reference's props-only map would insert a bare entry; this
+    * store carries a label column an update cannot invent).
+    */
+  def updateVertexProps(rows: DataFrame): GraphStore = {
+    val upd = rows.select(col("id"), col("props").as("__newProps"))
+    val matched = vertices.join(upd, Seq("id"))
+    val newV = vertices.join(upd.select("id"), Seq("id"), "left_anti")
+      .unionByName(matched.select(col("id"), col("label"),
+        col("__newProps").as("props")))
+    val ch = matched.select(
+      lit("update_vertex_props").as("op"), col("id"),
+      lit(null).cast(LongType).as("src"), lit(null).cast(LongType).as("dst"),
+      lit(null).cast(StringType).as("elabel"),
+      col("props").as("oldProps"), col("__newProps").as("newProps"),
+      lit("api").as("source"), current_timestamp().as("ts"),
+      lit(version + 1).as("version"))
+    new GraphStore(newV, edges, changes.unionByName(ch), version + 1)
+  }
+
+  /** Replace the property map of existing edges, keyed (src, dst,
+    * label) (graph/storage/src/lib.rs:68-71, applied at :313-318 —
+    * the reference's `if let Some` makes missing keys no-ops too).
+    * rows: (src, dst, label, props).
+    */
+  def updateEdgeProps(rows: DataFrame): GraphStore = {
+    val upd = rows.select(col("src"), col("dst"), col("label"),
+      col("props").as("__newProps"))
+    val matched = edges.join(upd, Seq("src", "dst", "label"))
+    val newE = edges.join(upd.select("src", "dst", "label"),
+        Seq("src", "dst", "label"), "left_anti")
+      .unionByName(matched.select(col("src"), col("dst"), col("label"),
+        col("__newProps").as("props")))
+    val ch = matched.select(
+      lit("update_edge_props").as("op"), lit(null).cast(LongType).as("id"),
+      col("src"), col("dst"), col("label").as("elabel"),
+      col("props").as("oldProps"), col("__newProps").as("newProps"),
+      lit("api").as("source"), current_timestamp().as("ts"),
+      lit(version + 1).as("version"))
+    new GraphStore(vertices, newE, changes.unionByName(ch), version + 1)
+  }
+
   def maxVertexId(): Long =
     vertices.agg(coalesce(max("id"), lit(0L))).head().getLong(0)
 

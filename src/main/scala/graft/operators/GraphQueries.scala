@@ -148,6 +148,19 @@ object GraphQueries {
         .orderBy("name")
     }),
 
+    // P4 reference semantics: bare `RETURN c` explodes every vertex
+    // property into `c.<key>` columns (executor.rs:492-500) — read
+    // back through the dotted names and compare values per column.
+    "gql_return_var" -> ((s, dir) => {
+      val r = GqlExecutor.run(g(s, dir),
+        "MATCH (c:Customer) WHERE c.acctbal < 0.0 RETURN c").df
+      r.select(str(col("`c.name`")).as("name"),
+        round(dbl(col("`c.acctbal`")), 4).as("acctbal"),
+        str(col("`c.mktsegment`")).as("mktsegment"),
+        dbl(col("`c.nationkey`")).cast("long").as("nationkey"))
+        .orderBy("name")
+    }),
+
     // Variable-length path extension: undirected 2-hop through the
     // located_in star = customers sharing customer 1's nation
     // (including the start — the c→nation→c path is a valid walk).
@@ -173,6 +186,45 @@ object GraphQueries {
         .agg(count(lit(1)).as("cnt"))
       vCounts.select(concat(lit("v:"), col("label")).as("kind"), col("cnt"))
         .unionByName(eCounts.select(concat(lit("e:"), col("label")).as("kind"), col("cnt")))
+        .orderBy("kind")
+    }),
+
+    // X1: the full mutation-op surface (remove_edge +
+    // update_vertex_props / update_edge_props, matching the
+    // reference's GraphOperation enum, storage/src/lib.rs:49-72):
+    // remove region-0 membership edges, zero out BUILDING customers'
+    // props, stamp quantity=999 onto the contains edges of the first
+    // 100 orders — then read back counts/sums AND the change-feed
+    // op tallies, all recomputable from raw TPC-H in DuckDB.
+    "x1_mutation_ops" -> ((s, dir) => {
+      val base = GraphStore.fromTpch(s, dir)
+      val dropKeys = base.edges.filter(col("label") === "in_region" &&
+        col("dst") === GraphStore.RegionOff)
+        .select("src", "dst", "label")
+      val s1 = base.removeEdges(dropKeys)
+      val vUpd = base.vertices.filter(col("label") === "Customer" &&
+        PropValue.compare(col("props")("mktsegment"), "BUILDING", "="))
+        .select(col("id"), map(lit("flagged"), GraphStore.pv(true)).as("props"))
+      val s2 = s1.updateVertexProps(vUpd)
+      val eUpd = base.edges.filter(col("label") === "contains" &&
+        col("src") < GraphStore.OrderOff + 100L)
+        .select(col("src"), col("dst"), col("label"),
+          map(lit("quantity"), GraphStore.pv(999.0)).as("props"))
+      val s3 = s2.updateEdgeProps(eUpd)
+      val acctbalSum = s3.vertices.filter(col("label") === "Customer")
+        .agg(round(sum(dbl(col("props")("acctbal"))), 2).cast("double").as("val"))
+        .select(lit("v:acctbal_sum").as("kind"), col("val"))
+      val inRegion = s3.edges.filter(col("label") === "in_region")
+        .agg(count(lit(1)).cast("double").as("val"))
+        .select(lit("e:in_region").as("kind"), col("val"))
+      val q999 = s3.edges.filter(col("label") === "contains" &&
+        PropValue.compare(col("props")("quantity"), 999.0, "="))
+        .agg(count(lit(1)).cast("double").as("val"))
+        .select(lit("e:quantity999").as("kind"), col("val"))
+      val feed = s3.changes.groupBy("op")
+        .agg(count(lit(1)).cast("double").as("val"))
+        .select(concat(lit("ch:"), col("op")).as("kind"), col("val"))
+      acctbalSum.unionByName(inRegion).unionByName(q999).unionByName(feed)
         .orderBy("kind")
     }),
 
@@ -299,6 +351,30 @@ object GraphQueries {
              (SELECT COUNT(*) FROM kept) + (SELECT COUNT(*) FROM supplier)
            UNION ALL SELECT 'e:in_region', COUNT(*) FROM nation
            UNION ALL SELECT 'e:links', CAST(1 AS BIGINT)
+         ) ORDER BY kind""",
+    "gql_return_var" ->
+      """SELECT c_name AS name, ROUND(c_acctbal, 4) AS acctbal,
+                c_mktsegment AS mktsegment,
+                CAST(c_nationkey AS BIGINT) AS nationkey
+         FROM customer WHERE c_acctbal < 0.0 ORDER BY name""",
+    "x1_mutation_ops" ->
+      """SELECT kind, val FROM (
+           SELECT 'v:acctbal_sum' AS kind,
+             ROUND(SUM(CASE WHEN c_mktsegment <> 'BUILDING'
+               THEN c_acctbal END), 2) AS val FROM customer
+           UNION ALL SELECT 'e:in_region',
+             CAST(COUNT(*) AS DOUBLE) FROM nation WHERE n_regionkey <> 0
+           UNION ALL SELECT 'e:quantity999', CAST(COUNT(*) AS DOUBLE)
+             FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                   WHERE l_orderkey < 100)
+           UNION ALL SELECT 'ch:remove_edge',
+             CAST(COUNT(*) AS DOUBLE) FROM nation WHERE n_regionkey = 0
+           UNION ALL SELECT 'ch:update_vertex_props',
+             CAST(COUNT(*) AS DOUBLE) FROM customer
+             WHERE c_mktsegment = 'BUILDING'
+           UNION ALL SELECT 'ch:update_edge_props', CAST(COUNT(*) AS DOUBLE)
+             FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                   WHERE l_orderkey < 100)
          ) ORDER BY kind""",
     "a8_degree_centrality" ->
       """WITH e AS (

@@ -64,6 +64,21 @@ class AlgoSpec extends SparkSpec {
     assert(Algorithms.reconstructPath(res, 3L, 1L).isEmpty)
   }
 
+  test("targeted sssp halts early with the same distance and path") {
+    // weighted diamond + a tail beyond the target: the tail must not
+    // need settling for the target's distance/path to be final
+    val vs = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val es = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (1L, 3L, 5.0),
+      (3L, 4L, 1.0), (4L, 5L, 1.0)).toDF("src", "dst", "weight")
+    val res = Algorithms.sssp(vs, es, 1L, target = Some(3L))
+    val d = res.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d(3L) == 2.0)
+    assert(Algorithms.reconstructPath(res, 1L, 3L) == Seq(1L, 2L, 3L))
+    // unreachable target: empty settled path
+    val back = Algorithms.sssp(vs, es, 3L, target = Some(1L))
+    assert(Algorithms.reconstructPath(back, 3L, 1L).isEmpty)
+  }
+
   test("k-core: k=2 keeps the triangle, drops a pendant") {
     val vs = Seq(1L, 2L, 3L, 4L).toDF("id")
     val es = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")

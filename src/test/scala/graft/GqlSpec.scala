@@ -26,6 +26,26 @@ class GqlSpec extends SparkSpec {
   private def names(df: org.apache.spark.sql.DataFrame, col0: String): Set[String] =
     df.select(PropValue.asString(col(col0))).collect().map(_.getString(0)).toSet
 
+  test("RETURN var explodes properties into var.key columns (build_result)") {
+    // Mirrors executor.rs:492-500: bare `RETURN v` emits one
+    // ("v.<key>", value) pair per property of the bound vertex. The
+    // columnar form carries the distinct key union as columns, NULL
+    // where a row lacks the key (Bob has no department).
+    val r = GqlExecutor.run(fixture,
+      "MATCH (v:Person) WHERE v.age > 25 RETURN v").df
+    assert(r.columns.sorted.toSeq == Seq("v.age", "v.department", "v.name"))
+    val rows = r.select(
+      PropValue.asString(col("`v.name`")).as("n"),
+      PropValue.asDouble(col("`v.age`")).as("a"),
+      PropValue.asString(col("`v.department`")).as("d"))
+      .collect().map(x => x.getString(0) ->
+        (x.getDouble(1), if (x.isNullAt(2)) null else x.getString(2))).toMap
+    assert(rows.keySet == Set("Alice", "Charlie", "Diana"))
+    assert(rows("Alice") == ((30.0, "Engineering")))
+    assert(rows("Charlie") == ((35.0, "Marketing")))
+    assert(rows("Diana") == ((28.0, "Engineering")))
+  }
+
   test("parser handles the full statement surface") {
     assert(GqlParser.parse("MATCH (v:Person) WHERE v.age > 25 RETURN v.name").isRight)
     assert(GqlParser.parse("MATCH (a)-[e:friend]->(b) RETURN b.name").isRight)
@@ -150,7 +170,8 @@ class GqlSpec extends SparkSpec {
       Seq((1L, "T", Seq("x" -> 42)), (2L, "T", Seq("x" -> 42.5))),
       Nil)
     val r = GqlExecutor.run(s, "MATCH (v:T) WHERE v.x > 42.2 RETURN v").df
-    assert(r.select("v_id").collect().map(_.getLong(0)).toSet == Set(2L))
+    assert(r.select(PropValue.asDouble(col("`v.x`"))).collect()
+      .map(_.getDouble(0)).toSet == Set(42.5))
     val r2 = GqlExecutor.run(s, "MATCH (v:T) WHERE v.x >= 42 RETURN v").df
     assert(r2.count() == 2)
   }

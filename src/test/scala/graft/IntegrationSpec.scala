@@ -123,6 +123,42 @@ class IntegrationSpec extends SparkSpec {
     assert(s2.version == s1.version)
   }
 
+  test("X1 parity: remove_edge + update props, replace-not-merge, feed rows") {
+    val s0 = GraphStore.fromTuples(spark,
+      Seq((1L, "P", Seq("name" -> "alice", "age" -> 30)),
+        (2L, "P", Seq("name" -> "bob")), (3L, "P", Nil)),
+      Seq((1L, 2L, "knows", Seq("w" -> 1.0)), (1L, 3L, "knows", Nil),
+        (2L, 3L, "likes", Nil)))
+
+    // remove_edge by exact (src, dst, label); missing keys are no-ops
+    val s1 = s0.removeEdges(Seq((1L, 2L, "knows"), (9L, 9L, "nope"))
+      .toDF("src", "dst", "label"))
+    assert(s1.edges.count() == 2)
+    val rm = s1.changes.filter(col("op") === "remove_edge")
+    assert(rm.count() == 1)
+    assert(rm.select(PropValue.asDouble(col("oldProps")("w"))).head.getDouble(0) == 1.0)
+
+    // update_vertex_props REPLACES the map (reference lib.rs:310-312):
+    // age must be gone, not merged
+    val s2 = s1.updateVertexProps(
+      Seq(1L).toDF("id").withColumn("props", GraphStore.propsMap("name" -> "alice2")))
+    val v1 = s2.vertices.filter(col("id") === 1L)
+    assert(v1.select(PropValue.asString(col("props")("name"))).head.getString(0) == "alice2")
+    assert(v1.select(col("props")("age")).head.isNullAt(0))
+    val uv = s2.changes.filter(col("op") === "update_vertex_props")
+    assert(uv.count() == 1)
+    assert(uv.select(PropValue.asString(col("oldProps")("name"))).head.getString(0) == "alice")
+
+    // update_edge_props: existing key replaced, absent key ignored
+    val s3 = s2.updateEdgeProps(
+      Seq((2L, 3L, "likes"), (7L, 7L, "ghost")).toDF("src", "dst", "label")
+        .withColumn("props", GraphStore.propsMap("w" -> 9.0)))
+    val e23 = s3.edges.filter(col("src") === 2L && col("dst") === 3L)
+    assert(e23.select(PropValue.asDouble(col("props")("w"))).head.getDouble(0) == 9.0)
+    assert(s3.changes.filter(col("op") === "update_edge_props").count() == 1)
+    assert(s3.version == 3L)
+  }
+
   test("X2 semantics: versions increase, removals carry prior props") {
     val s0 = GraphStore.fromTuples(spark, Seq((1L, "T", Seq("k" -> "v"))), Nil)
     assert(s0.version == 0L)

@@ -56,6 +56,34 @@ class StreamViewsSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 3, 6.0), (1L, 3, 15.0)))
   }
 
+  test("S10: socket connector round-trips lines into a streaming sink") {
+    import graft.streaming.StreamConnectors
+    val server = new java.net.ServerSocket(0)
+    val port = server.getLocalPort
+    val writer = new Thread(() => {
+      val s = server.accept()
+      val out = new java.io.PrintWriter(s.getOutputStream, true)
+      (1 to 5).foreach(i => out.println(s"evt$i"))
+      out.flush()
+      Thread.sleep(60000) // hold the connection open for the query's lifetime
+    })
+    writer.setDaemon(true)
+    writer.start()
+    val lines = StreamConnectors.read(spark,
+      StreamConnectors.SocketSource("localhost", port))
+    val q = lines.writeStream.outputMode("append")
+      .format("memory").queryName("sock_out").start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.table("sock_out").count() < 5 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+      assert(spark.table("sock_out").collect().map(_.getString(0)).toSet ==
+        (1 to 5).map(i => s"evt$i").toSet)
+    } finally {
+      q.stop(); server.close()
+    }
+  }
+
   test("rate limiting: maxFilesPerTrigger bounds each micro-batch (T3/T4)") {
     // the Spark-native replacement for the reference's buffer
     // backpressure + flush thresholds (stream_processing.rs:118-129)
