@@ -298,9 +298,18 @@ object Dedup {
     */
   def simHashDedupPairs(df: DataFrame, textCol: String, idCol: String,
       maxDistance: Int = 3, numChunks: Int = 4,
+      maxBucketSize: Int = 100000): DataFrame =
+    simHashDedupPairsFromSigs(
+      simHashSignatures(df, textCol, idCol).persist(StorageLevel.MEMORY_AND_DISK),
+      maxDistance, numChunks, maxBucketSize)
+
+  /** Bucketed pairs from a precomputed (id, sig) frame — callers
+    * comparing bucketed vs brute answers persist the signatures once
+    * and feed both paths.
+    */
+  def simHashDedupPairsFromSigs(sigs: DataFrame,
+      maxDistance: Int, numChunks: Int,
       maxBucketSize: Int = 100000): DataFrame = {
-    val sigs = simHashSignatures(df, textCol, idCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // candidates on (chunk, key, id) only; the 8-byte signature
     // rejoins after pair-dedup
     val chunked = sigs.select(col("id"),
@@ -320,11 +329,15 @@ object Dedup {
     * (and viable on its own up to ~10M docs; past that, buckets).
     */
   def simHashBruteForcePairs(df: DataFrame, textCol: String, idCol: String,
-      maxDistance: Int): DataFrame = {
+      maxDistance: Int): DataFrame =
     // persist: both join sides read the same aggregate — without it
     // the signature pipeline runs twice (once per side)
-    val sigs = simHashSignatures(df, textCol, idCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    simHashBruteForcePairsFromSigs(
+      simHashSignatures(df, textCol, idCol).persist(StorageLevel.MEMORY_AND_DISK),
+      maxDistance)
+
+  /** Brute-force pairs from a precomputed (id, sig) frame. */
+  def simHashBruteForcePairsFromSigs(sigs: DataFrame, maxDistance: Int): DataFrame = {
     val a = sigs.select(col("id").as("ida"), col("sig").as("siga"))
     val b = sigs.select(col("id").as("idb"), col("sig").as("sigb"))
     a.join(broadcast(b), col("ida") < col("idb"))

@@ -126,12 +126,22 @@ object Similarity {
         col("corpus_id") =!= col("query_id"))
       .select("query_id", "corpus_id")
       .dropDuplicates("query_id", "corpus_id")
+    rerankTopK(cand, corpus, queries, k)
+  }
+
+  /** Exact cosine re-rank of an (query_id, corpus_id) candidate set:
+    * rejoin both embeddings, codegen'd FloatVecDot, partition-local
+    * row_number top-k. Shared tail of every ANN variant.
+    */
+  private def rerankTopK(cand: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
     val withVecs = cand
       .join(corpus.select(col("vec_id").as("corpus_id"), col("embedding").as("cvec")),
         "corpus_id")
       .join(broadcast(queries.select(col("vec_id").as("query_id"),
         col("embedding").as("qvec"))), "query_id")
-    val spark = corpus.sparkSession
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("corpus_id"))
     withVecs.withColumn("cosine",
         round(VecExpressions.vecDot(spark, col("cvec"), col("qvec"))
@@ -140,6 +150,114 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
+  }
+
+  /** IVF coarse quantizer: spherical k-means over the unit sphere,
+    * run as a driver loop of DataFrame jobs (the centroid set is
+    * MODEL state — nlist × dim floats — never data; corpus vectors
+    * stay distributed throughout). Deterministic end to end: seeds
+    * are the nlist lowest-id vectors, argmax ties break to the
+    * lowest cell id, and centroids are rounded to 6 dp after every
+    * update so floating-point summation order can't leak into
+    * assignments. Returns unit-norm centroids (cid, cvec).
+    */
+  def ivfCentroids(corpus: DataFrame, nlist: Int = 16,
+      iters: Int = 5): Array[(Int, Array[Float])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def unit(v: Array[Float]): Array[Float] = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      val n = math.sqrt(s)
+      v.map(x => (x / n).toFloat)
+    }
+    def roundedUnit(v: Array[Double]): Array[Float] = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      val n = math.sqrt(s)
+      v.map(x => (math.floor(x / n * 1e6 + 0.5) / 1e6).toFloat)
+    }
+    var cents: Array[(Int, Array[Float])] = corpus.orderBy("vec_id").limit(nlist)
+      .select(col("embedding")).as[Array[Float]].collect()
+      .zipWithIndex.map { case (v, i) => (i, unit(v)) }
+    for (_ <- 0 until iters) {
+      val centDF = cents.toSeq.toDF("cid", "cvec")
+      val assigned = ivfAssign(corpus, centDF)
+      // new centroid = mean of member UNIT vectors (spherical update):
+      // posexplode + one HashAggregate; (cid, dim) keyspace is tiny
+      val normed = corpus.join(assigned, "vec_id")
+        .select(col("cid"), col("embedding"),
+          VecExpressions.vecNorm(spark, col("embedding")).as("nrm"))
+      val means = normed
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("i", "x")), col("nrm"))
+        .select(col("cid"), col("i"), (col("x") / col("nrm")).as("u"))
+        .groupBy("cid", "i").agg(avg("u").as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      val byCell = means.groupBy(_._1)
+      cents = cents.map { case (cid, old) =>
+        byCell.get(cid) match {
+          case Some(rows) =>
+            val arr = new Array[Double](old.length)
+            rows.foreach { case (_, i, m) => arr(i) = m }
+            (cid, roundedUnit(arr))
+          case None => (cid, old) // empty cell keeps its centroid
+        }
+      }
+    }
+    cents
+  }
+
+  /** Nearest-cell assignment: argmax over cells of <v, centroid>
+    * (centroids unit-norm, so no per-vector normalization is needed
+    * for the argmax). corpus × nlist rows — nlist is small.
+    */
+  private def ivfAssign(vecs: DataFrame, centDF: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = vecs.sparkSession
+    val w = Window.partitionBy("vec_id").orderBy(desc("dot"), asc("cid"))
+    vecs.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centDF))
+      .withColumn("dot",
+        round(VecExpressions.vecDot(spark, col("embedding"), col("cvec")), 6))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("cid"))
+  }
+
+  /** Top-`nprobe` cells per query vector. */
+  private def ivfProbe(queries: DataFrame, centDF: DataFrame, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = queries.sparkSession
+    val w = Window.partitionBy("query_id").orderBy(desc("dot"), asc("cid"))
+    queries.select(col("vec_id").as("query_id"), col("embedding"))
+      .crossJoin(broadcast(centDF))
+      .withColumn("dot",
+        round(VecExpressions.vecDot(spark, col("embedding"), col("cvec")), 6))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= nprobe)
+      .select(col("query_id"), col("cid"))
+  }
+
+  /** ANN via an IVF index — the second scale path beside hyperplane
+    * LSH: the coarse quantizer splits the corpus into nlist cells,
+    * each query probes its nprobe nearest cells and reranks exactly
+    * inside them. Candidate volume ≈ corpus × nprobe / nlist; at
+    * cluster scale the corpus would be WRITTEN partitioned by cid
+    * (partition pruning turns each probe into a cell-local scan)
+    * and the centroid model is a broadcast either way.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centDF = ivfCentroids(corpus, nlist, iters).toSeq.toDF("cid", "cvec")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = ivfAssign(corpus, centDF)
+    val probes = ivfProbe(queries, centDF, nprobe)
+    val cand = probes.join(assigned, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("corpus_id"))
+    rerankTopK(cand, corpus, queries, k)
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold.

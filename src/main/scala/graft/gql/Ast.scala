@@ -69,12 +69,19 @@ object Ast {
     * has neither (SURVEY W4: no grammar rule, SQL validator rejects
     * LIMIT) but they are free on Spark.
     */
+  /** `optional` (graft extension, Cypher semantics): each OPTIONAL
+    * MATCH chain left-joins onto the bindings through its shared
+    * variables — unmatched rows keep NULL bindings. `distinct`
+    * dedups the projected rows (RETURN DISTINCT).
+    */
   case class MatchStatement(
       pattern: GraphPattern,
       where: Option[Expr],
       ret: Seq[ReturnItem],
       orderBy: Seq[OrderItem] = Nil,
-      limit: Option[Long] = None) extends Statement
+      limit: Option[Long] = None,
+      optional: Seq[GraphPattern] = Nil,
+      distinct: Boolean = false) extends Statement
   case class CreateStatement(pattern: GraphPattern) extends Statement
   /** DELETE var — with an optional MATCH pattern+WHERE scoping it
     * (executor.rs:569-615).

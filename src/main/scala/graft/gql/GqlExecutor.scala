@@ -75,21 +75,57 @@ object GqlExecutor {
   }
 
   /** Variables are auto-named when absent so every pattern position
-    * is join-addressable.
+    * is join-addressable. `prefix` keeps auto-names collision-free
+    * across the main pattern and each OPTIONAL MATCH chain.
     */
-  private def named(pattern: GraphPattern): (Seq[NodePattern], Seq[EdgePattern]) = {
+  private def named(pattern: GraphPattern,
+      prefix: String = "__"): (Seq[NodePattern], Seq[EdgePattern]) = {
     val nodes = pattern.nodes.zipWithIndex.map {
-      case (n, i) => n.copy(variable = Some(n.variable.getOrElse(s"__n$i")))
+      case (n, i) => n.copy(variable = Some(n.variable.getOrElse(s"${prefix}n$i")))
     }
     val edges = pattern.edges.zipWithIndex.map {
-      case (e, i) => e.copy(variable = Some(e.variable.getOrElse(s"__e$i")))
+      case (e, i) => e.copy(variable = Some(e.variable.getOrElse(s"${prefix}e$i")))
     }
     (nodes, edges)
   }
 
+  /** OPTIONAL MATCH (Cypher semantics): evaluate the optional chain,
+    * then LEFT JOIN it onto the current bindings through its shared
+    * variables (vertex identity) — unmatched binding rows survive
+    * with NULL columns for the chain's new variables. At least one
+    * variable must be shared, otherwise the clause would be a
+    * cartesian product (rejected, as Cypher planners warn).
+    */
+  private def optionalJoin(store: GraphStore, df: DataFrame,
+      p: GraphPattern, idx: Int): DataFrame = {
+    val prefix = s"__o${idx}_"
+    val sub = matchPattern(store, p, prefix)
+    val (nodes, edges) = named(p, prefix)
+    val vars = nodes.map(_.variable.get) ++ edges.map(_.variable.get)
+    val shared = nodes.map(_.variable.get)
+      .filter(v => df.columns.contains(vcol(v, "id")))
+    require(shared.nonEmpty,
+      s"OPTIONAL MATCH must share a variable with the bound pattern (bound: " +
+        df.columns.filter(_.endsWith("__id")).map(_.stripSuffix("__id")).mkString(",") + ")")
+    val renamed = sub.columns.foldLeft(sub)((d, c) => d.withColumnRenamed(c, s"$c@opt"))
+    val cond = shared.map(v =>
+      df(vcol(v, "id")) === renamed(s"${vcol(v, "id")}@opt")).reduce(_ && _)
+    val joined = df.join(renamed, cond, "left")
+    // keep the left copy of shared vars; surface the new vars' columns
+    val dropShared = renamed.columns
+      .filter(c => shared.exists(v => c.startsWith(s"${v}__")))
+    val restored = joined.drop(dropShared: _*)
+    restored.columns.filter(_.endsWith("@opt")).foldLeft(restored)(
+      (d, c) => d.withColumnRenamed(c, c.stripSuffix("@opt")))
+  }
+
   def executeMatch(store: GraphStore, m: MatchStatement): DataFrame = {
-    val bindings = matchPattern(store, m.pattern)
-    val (nodes, _) = named(m.pattern)
+    val base = matchPattern(store, m.pattern)
+    val bindings = m.optional.zipWithIndex.foldLeft(base) {
+      case (df, (p, i)) => optionalJoin(store, df, p, i)
+    }
+    val nodes = named(m.pattern)._1 ++
+      m.optional.zipWithIndex.flatMap { case (p, i) => named(p, s"__o${i}_")._1 }
     val filtered = m.where.fold(bindings)(w => bindings.filter(whereCol(w)))
     // ORDER BY (extension): sort on the variant's numeric view first,
     // string view second — numeric props order numerically, string
@@ -101,7 +137,9 @@ object GqlExecutor {
         val keys = Seq(PropValue.asDouble(v), PropValue.asString(v))
         keys.map(k => if (oi.ascending) k.asc else k.desc)
       }: _*)
-    val projected = project(ordered, nodes, m.ret)
+    val distinctNodes = nodes.foldLeft(Vector.empty[NodePattern])(
+      (acc, n) => if (acc.exists(_.variable == n.variable)) acc else acc :+ n)
+    val projected = project(ordered, distinctNodes, m.ret, m.distinct)
     m.limit.fold(projected)(n => projected.limit(n.toInt))
   }
 
@@ -111,8 +149,9 @@ object GqlExecutor {
     * (bag semantics, matching all_neighbors concat —
     * executor.rs:322-326).
     */
-  def matchPattern(store: GraphStore, pattern: GraphPattern): DataFrame = {
-    val (nodes, edges) = named(pattern)
+  def matchPattern(store: GraphStore, pattern: GraphPattern,
+      prefix: String = "__"): DataFrame = {
+    val (nodes, edges) = named(pattern, prefix)
     val v0 = nodes.head.variable.get
 
     var bound = Set(v0)
@@ -272,7 +311,8 @@ object GqlExecutor {
     * items implicit grouping keys, Cypher-style. sum/avg/min/max act
     * on the numeric view of the property (int→float coerced).
     */
-  private def project(df: DataFrame, nodes: Seq[NodePattern], items: Seq[ReturnItem]): DataFrame = {
+  private def project(df: DataFrame, nodes: Seq[NodePattern],
+      items: Seq[ReturnItem], distinct: Boolean = false): DataFrame = {
     if (!items.exists(_.isInstanceOf[ReturnAggregate])) {
       val cols: Seq[Column] = items.flatMap {
         case ReturnAll =>
@@ -286,7 +326,8 @@ object GqlExecutor {
           Seq(col(vcol(v, "props"))(p).as(s"${v}_$p"))
         case _: ReturnAggregate => Nil
       }
-      df.select(cols: _*)
+      val projected = df.select(cols: _*)
+      if (distinct) projected.distinct() else projected
     } else {
       val keys: Seq[(String, Column)] = items.collect {
         case ReturnProperty(v, p) => s"${v}_$p" -> col(vcol(v, "props"))(p)

@@ -130,14 +130,18 @@ object GqlParser extends RegexParsers {
       case ob ~ lim => (ob.getOrElse(Nil), lim.map(_.toLong))
     }
 
+  private def optionalMatch: Parser[GraphPattern] =
+    kw("optional") ~> kw("match") ~> pattern
+
   private def matchOrDelete: Parser[Statement] =
-    kw("match") ~> pattern ~ opt(kw("where") ~> expr) ~
-      ((kw("return") ~> rep1sep(returnItem, ",") ~ orderLimit) ^^
-        (x => Left((x._1, x._2)): Either[(Seq[ReturnItem], (Seq[OrderItem], Option[Long])), String]) |
+    kw("match") ~> pattern ~ rep(optionalMatch) ~ opt(kw("where") ~> expr) ~
+      ((kw("return") ~> opt(kw("distinct")) ~ rep1sep(returnItem, ",") ~ orderLimit) ^^
+        (x => Left((x._1._1.isDefined, x._1._2, x._2)): Either[(Boolean, Seq[ReturnItem], (Seq[OrderItem], Option[Long])), String]) |
         (kw("delete") ~> ident) ^^
-          (Right(_): Either[(Seq[ReturnItem], (Seq[OrderItem], Option[Long])), String])) ^^ {
-      case p ~ w ~ Left((items, (ob, lim))) => MatchStatement(p, w, items, ob, lim)
-      case p ~ w ~ Right(v) => DeleteStatement(Some(p), w, v)
+          (Right(_): Either[(Boolean, Seq[ReturnItem], (Seq[OrderItem], Option[Long])), String])) ^^ {
+      case p ~ opts ~ w ~ Left((dist, items, (ob, lim))) =>
+        MatchStatement(p, w, items, ob, lim, opts, dist)
+      case p ~ _ ~ w ~ Right(v) => DeleteStatement(Some(p), w, v)
     }
 
   private def createStmt: Parser[Statement] =

@@ -202,6 +202,28 @@ final class GraphStore(
     changes.write.mode("overwrite").parquet(s"$dir/changes.parquet")
   }
 
+  /** Cluster-scale co-location (the 100 TB form of S6): persist
+    * vertices bucketed by id and edges bucketed by src — both sorted
+    * — so every id/src-keyed join (traversals, degree aggregations,
+    * the GQL expand chain) probes bucket-to-bucket with NO exchange
+    * and no sort on either side. At 1000 executors this is the
+    * difference between a full edge shuffle per hop and a local
+    * merge join; the in-memory adjacency index the reference builds
+    * (lib.rs:176-187) becomes a storage layout property instead of a
+    * data structure. Registered as external parquet tables under
+    * `dir`.
+    */
+  def saveBucketed(namePrefix: String, buckets: Int, dir: String): Unit = {
+    vertices.write.mode("overwrite").format("parquet")
+      .option("path", s"$dir/${namePrefix}_vertices")
+      .bucketBy(buckets, "id").sortBy("id")
+      .saveAsTable(s"${namePrefix}_vertices")
+    edges.write.mode("overwrite").format("parquet")
+      .option("path", s"$dir/${namePrefix}_edges")
+      .bucketBy(buckets, "src").sortBy("src")
+      .saveAsTable(s"${namePrefix}_edges")
+  }
+
   /** X3: checkpoint/compaction — fold the change feed into the base
     * tables and truncate it (the Spark analogue of snapshot + WAL
     * truncate, graph/storage/src/lib.rs:582-611). The vertices/edges

@@ -148,6 +148,24 @@ object GraphQueries {
         .orderBy("name")
     }),
 
+    // OPTIONAL MATCH extension (Cypher left-join semantics): nations
+    // keep a row even with no supplier — most nations at this scale
+    // have none, so the null-padding is load-bearing, not vacuous.
+    "gql_optional_match" -> ((s, dir) => {
+      val r = GqlExecutor.run(g(s, dir),
+        "MATCH (n:Nation) OPTIONAL MATCH (n)<-[:located_in]-(sp:Supplier) RETURN n.name, sp.name").df
+      r.select(str(col("n_name")).as("name"), str(col("sp_name")).as("sp_name"))
+        .orderBy("name", "sp_name")
+    }),
+
+    // RETURN DISTINCT extension: nations having at least one
+    // customer, each exactly once despite the per-customer fan-out.
+    "gql_return_distinct" -> ((s, dir) => {
+      val r = GqlExecutor.run(g(s, dir),
+        "MATCH (n:Nation)<-[:located_in]-(c:Customer) RETURN DISTINCT n.name").df
+      r.select(str(col("n_name")).as("name")).orderBy("name")
+    }),
+
     // P4 reference semantics: bare `RETURN c` explodes every vertex
     // property into `c.<key>` columns (executor.rs:492-500) — read
     // back through the dotted names and compare values per column.
@@ -352,6 +370,14 @@ object GraphQueries {
            UNION ALL SELECT 'e:in_region', COUNT(*) FROM nation
            UNION ALL SELECT 'e:links', CAST(1 AS BIGINT)
          ) ORDER BY kind""",
+    "gql_optional_match" ->
+      """SELECT n_name AS name, s_name AS sp_name
+         FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+         ORDER BY name, sp_name""",
+    "gql_return_distinct" ->
+      """SELECT DISTINCT n_name AS name
+         FROM nation JOIN customer ON c_nationkey = n_nationkey
+         ORDER BY name""",
     "gql_return_var" ->
       """SELECT c_name AS name, ROUND(c_acctbal, 4) AS acctbal,
                 c_mktsegment AS mktsegment,

@@ -60,9 +60,11 @@ object PipelineQueries {
     // brute-force scan must be empty (and the oracle says so).
     "dedup_simhash_complete" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val bucketed = Dedup.simHashDedupPairs(docs, "text", "doc_id",
+      val sigs = Dedup.simHashSignatures(docs, "text", "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bucketed = Dedup.simHashDedupPairsFromSigs(sigs,
         maxDistance = 3, numChunks = 4)
-      val brute = Dedup.simHashBruteForcePairs(docs, "text", "doc_id", 3)
+      val brute = Dedup.simHashBruteForcePairsFromSigs(sigs, 3)
       bucketed.exceptAll(brute).unionAll(brute.exceptAll(bucketed))
         .orderBy("ida", "idb")
     }),
@@ -110,6 +112,29 @@ object PipelineQueries {
         .join(hits, Seq("query_id"), "left")
         .select(col("query_id"), coalesce(col("found"), lit(0L)).as("found"))
         .filter(col("found") < 2)
+        .orderBy("query_id")
+    }),
+
+    // ANN IVF recall floor: the inverted-file index (16-cell
+    // spherical k-means, 4-cell probe — a quarter of the corpus
+    // scanned per query) must recover ≥ 5 of each query's true
+    // top-10. Rows are violations, expected (and oracle'd) empty.
+    // Measured per-query hits: min 7 at sf0.001/sf0.01, min 8 at
+    // sf0.1 (deterministic — seeded from the lowest-id vectors,
+    // centroids rounded each update).
+    "ann_ivf_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(emb, queries, 10)
+        .select("query_id", "corpus_id")
+      val approx = Similarity.ivfTopK(emb, queries, 10, nlist = 16, nprobe = 4)
+        .select("query_id", "corpus_id")
+      val hits = exact.join(approx, Seq("query_id", "corpus_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("found"))
+      queries.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("found"), lit(0L)).as("found"))
+        .filter(col("found") < 5)
         .orderBy("query_id")
     }),
 
@@ -210,6 +235,9 @@ object PipelineQueries {
                 CAST(NULL AS INTEGER) AS hamming
          WHERE FALSE""",
     "ann_lsh_recall" ->
+      """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS found
+         WHERE FALSE""",
+    "ann_ivf_recall" ->
       """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS found
          WHERE FALSE""",
     "dedup_embedding" ->

@@ -46,6 +46,26 @@ class GqlSpec extends SparkSpec {
     assert(rows("Diana") == ((28.0, "Engineering")))
   }
 
+  test("OPTIONAL MATCH pads unmatched rows with nulls; DISTINCT dedups") {
+    // Diana has no outgoing friend edge → null padding; Alice/Bob do
+    val r = GqlExecutor.run(fixture,
+      "MATCH (a:Person) OPTIONAL MATCH (a)-[:friend]->(b) RETURN a.name, b.name").df
+    val got = r.select(PropValue.asString(col("a_name")).as("a"),
+      PropValue.asString(col("b_name")).as("b"))
+      .collect().map(x => x.getString(0) ->
+        (if (x.isNullAt(1)) null else x.getString(1))).toSet
+    assert(got == Set("Alice" -> "Bob", "Bob" -> "Charlie",
+      "Charlie" -> null, "Diana" -> null))
+
+    // DISTINCT collapses the fan-out: Alice/Bob each have 2 out-edges
+    val d = GqlExecutor.run(fixture,
+      "MATCH (a:Person)-[]->(b) RETURN DISTINCT a.name").df
+    assert(names(d, "a_name") == Set("Alice", "Bob"))
+    val nd = GqlExecutor.run(fixture,
+      "MATCH (a:Person)-[]->(b) RETURN a.name").df
+    assert(nd.count() == 4) // without DISTINCT: one row per edge
+  }
+
   test("parser handles the full statement surface") {
     assert(GqlParser.parse("MATCH (v:Person) WHERE v.age > 25 RETURN v.name").isRight)
     assert(GqlParser.parse("MATCH (a)-[e:friend]->(b) RETURN b.name").isRight)

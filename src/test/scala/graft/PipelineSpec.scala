@@ -175,6 +175,21 @@ class PipelineSpec extends SparkSpec {
     assert(!lshPlan.contains("BroadcastNestedLoopJoin"), lshPlan.take(500))
   }
 
+  test("ivf ann: deterministic centroids, recall beats hyperplane lsh here") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, 5, nlist = 16, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.7, s"IVF recall too low: $recall")
+    // determinism: a second build lands on identical centroids
+    val c1 = Similarity.ivfCentroids(emb, 16, 5).map { case (i, v) => (i, v.toSeq) }
+    val c2 = Similarity.ivfCentroids(emb, 16, 5).map { case (i, v) => (i, v.toSeq) }
+    assert(c1.toSeq == c2.toSeq)
+  }
+
   test("text functions: tokens, langid, quality bounds") {
     val r = docs.select(
       TextFunctions.tokenCount(col("text")).as("t"),

@@ -68,6 +68,34 @@ class PlanSpec extends SparkSpec {
     assert(err.getMessage.contains("lineitem"))
   }
 
+  test("bucketed tables: id/src-keyed joins are exchange-free and sort-free") {
+    val store = GraphStore.fromTpch(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+    store.saveBucketed("bkt", 4, dir)
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // vertices(id) ⋈ edges(src): both sides bucketed+sorted on the
+      // join key with equal bucket counts → merge join straight off
+      // the files: no Exchange, no Sort
+      val v = spark.table("bkt_vertices")
+      val e = spark.table("bkt_edges")
+      val joined = v.join(e, v("id") === e("src"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(400))
+      assert(!plan.contains("Exchange"), plan.take(1200))
+      assert(joined.count() > 0)
+      // edges self-join on src (common-neighbor shape): same property
+      val e2 = e.select(col("src").as("src2"), col("dst").as("dst2"))
+      val self = e.join(e2, col("src") === col("src2"))
+      assert(!self.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS bkt_vertices")
+      spark.sql("DROP TABLE IF EXISTS bkt_edges")
+    }
+  }
+
   test("graph store round-trips through parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft_store").toString
     val store = GraphStore.fromTuples(spark,
