@@ -92,6 +92,52 @@ object Algorithms {
     toDF(spark, rankGraph.vertices, "score")
   }
 
+  /** G2: incremental PageRank refresh — power iteration WARM-STARTED
+    * from the previous fixpoint with an L1-convergence stop. After a
+    * small graph delta the prior scores are a near-solution, so
+    * iterations-to-converge scale with the perturbation, not the
+    * graph (the reference recomputes from scratch per refresh,
+    * incremental_engine.rs G2 path — this is the genuinely
+    * incremental form its name promises). Same reference-exact
+    * recurrence as `pageRank`; vertices absent from `priorScores`
+    * (newly added) start at 1/n.
+    */
+  def pageRankIncremental(vertices: DataFrame, edges: DataFrame,
+      priorScores: DataFrame, damping: Double = 0.85,
+      tol: Double = 1e-7, maxIter: Int = 50,
+      undirected: Boolean = false): DataFrame = {
+    val spark = vertices.sparkSession
+    val n = vertices.count().toDouble
+    val prior = priorScores.select(col("id"), col("score"))
+      .rdd.map(r => (r.getLong(0), r.getDouble(1)))
+    val g0 = makeGraph(vertices, edges, undirected)
+    var rankGraph: Graph[Double, Double] = g0
+      .outerJoinVertices(g0.outDegrees) { (_, _, deg) => deg.getOrElse(0) }
+      .mapTriplets(e => 1.0 / e.srcAttr, TripletFields.Src)
+      .outerJoinVertices(org.apache.spark.graphx.VertexRDD(prior)) {
+        (_, _, s) => s.getOrElse(1.0 / n)
+      }
+    var iteration = 0
+    var delta = Double.PositiveInfinity
+    while (iteration < maxIter && delta > tol) {
+      rankGraph.cache()
+      val rankUpdates = rankGraph.aggregateMessages[Double](
+        ctx => ctx.sendToDst(ctx.srcAttr * ctx.attr), _ + _, TripletFields.Src)
+      val prev = rankGraph
+      rankGraph = rankGraph.outerJoinVertices(rankUpdates) {
+        (_, _, msg) => (1.0 - damping) / n + damping * msg.getOrElse(0.0)
+      }.cache()
+      rankGraph.edges.foreachPartition(_ => ()) // materialize before unpersist
+      delta = prev.vertices.join(rankGraph.vertices)
+        .map { case (_, (a, b)) => math.abs(a - b) }
+        .fold(0.0)(_ + _)
+      prev.vertices.unpersist()
+      prev.edges.unpersist()
+      iteration += 1
+    }
+    toDF(spark, rankGraph.vertices, "score")
+  }
+
   /** G3/G4: connected components (min-label propagation; GraphX
     * treats the edge set as undirected by messaging both directions).
     */

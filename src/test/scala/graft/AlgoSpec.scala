@@ -79,6 +79,30 @@ class AlgoSpec extends SparkSpec {
     assert(Algorithms.reconstructPath(back, 3L, 1L).isEmpty)
   }
 
+  test("incremental pagerank: warm start converges to the cold answer fast") {
+    val vs = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val es0 = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val prior = Algorithms.pageRank(vs, es0, 0.85, 30)
+    // delta: one new edge 4→1 closes a cycle
+    val es1 = es0.unionByName(Seq((4L, 1L)).toDF("src", "dst"))
+    // 120 cold iterations: 0.85^120 ≈ 3e-9 — the comparison target
+    // must itself be at the fixpoint for a 1e-6 assertion
+    val cold = Algorithms.pageRank(vs, es1, 0.85, 120).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val warm = Algorithms.pageRankIncremental(vs, es1, prior,
+      damping = 0.85, tol = 1e-10, maxIter = 120).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    cold.foreach { case (id, s) => assert(math.abs(warm(id) - s) < 1e-5, s"id $id") }
+    // warm start from the EXACT answer needs one confirming pass only:
+    // tolerance is met immediately, far under maxIter
+    val confirm = Algorithms.pageRankIncremental(vs, es1,
+      Seq.empty[(Long, Double)].toDF("id", "score").unionByName(
+        cold.toSeq.toDF("id", "score")),
+      damping = 0.85, tol = 1e-4, maxIter = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    cold.foreach { case (id, s) => assert(math.abs(confirm(id) - s) < 1e-3) }
+  }
+
   test("k-core: k=2 keeps the triangle, drops a pendant") {
     val vs = Seq(1L, 2L, 3L, 4L).toDF("id")
     val es = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")

@@ -123,6 +123,33 @@ class IntegrationSpec extends SparkSpec {
     assert(s2.version == s1.version)
   }
 
+  test("§3.2 front door: GQL routes to a registered view, else executes") {
+    import graft.gql.RoutedGql
+    val store = GraphStore.fromTuples(spark,
+      Seq((1L, "Person", Seq("name" -> "Alice")), (2L, "Person", Seq("name" -> "Bob"))),
+      Seq((1L, 2L, "friend", Nil)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_router").toString
+    val catalog = new ViewCatalog(spark, dir)
+    // a maintained count view — the router should serve COUNT queries
+    // from it without touching the executor
+    catalog.register(ViewDefn("person_count",
+      Aggregation("count", "id", Nil), OnDemand(60000), Seq("vertices")))
+    catalog.put("person_count",
+      store.vertices.agg(count(lit(1)).as("cnt")))
+    val served = RoutedGql.run(store, catalog, "MATCH (p:Person) RETURN count(*)")
+    assert(served.servedBy.contains("person_count"))
+    assert(served.df.head.getLong(0) == 2L)
+    // a traversal has no qualifying view (count view scores 0) →
+    // falls through to direct execution
+    val direct = RoutedGql.run(store, catalog,
+      "MATCH (a:Person)-[:friend]->(b) RETURN b.name")
+    assert(direct.servedBy.isEmpty)
+    assert(direct.df.count() == 1)
+    // writes never route
+    val w = RoutedGql.run(store, catalog, """CREATE (x:Person {name: "Carol"})""")
+    assert(w.servedBy.isEmpty && w.store.vertices.count() == 3)
+  }
+
   test("X1 parity: remove_edge + update props, replace-not-merge, feed rows") {
     val s0 = GraphStore.fromTuples(spark,
       Seq((1L, "P", Seq("name" -> "alice", "age" -> 30)),
