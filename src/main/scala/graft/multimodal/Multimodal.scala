@@ -47,6 +47,59 @@ object Multimodal {
     }.toDF()
   }
 
+  case class Frame(id: Long, frame_idx: Int, frame_offset: Long, n_bytes: Int)
+
+  /** Frame sampling (the video stand-in): the payload splits into
+    * fixed `frameBytes`-sized frames and every `stride`-th frame
+    * becomes its OWN row — the 1→N row expansion a video pipeline
+    * needs, as a per-partition iterator flatMap (schema-stable,
+    * executor-local, batch-scoped decoder setup point preserved; a
+    * real codec would replace the fixed-size split with keyframe
+    * offsets).
+    */
+  def frameSample(df: DataFrame, idCol: String, binCol: String,
+      stride: Int, frameBytes: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(binCol).as("payload"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.filter(_.payload != null).flatMap { r =>
+          val len = r.payload.length
+          val nFrames = (len + frameBytes - 1) / frameBytes
+          (0 until nFrames by stride).iterator.map { i =>
+            Frame(r.id, i, i.toLong * frameBytes,
+              math.min(frameBytes, len - i * frameBytes))
+          }
+        }
+      }.toDF()
+  }
+
+  /** Resize stub: deterministic stride-resample of the byte payload
+    * to exactly w×h×3 bytes (stands in for a real scaler — the
+    * binary-in → binary-out + refreshed-metadata contract is the
+    * real part). Output metadata reflects the TARGET dimensions.
+    */
+  def resize(df: DataFrame, idCol: String, binCol: String,
+      w: Int, h: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(binCol).as("payload"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        val outLen = w * h * 3
+        rows.filter(r => r.payload != null && r.payload.nonEmpty).map { r =>
+          val out = new Array[Byte](outLen)
+          var i = 0
+          while (i < outLen) {
+            out(i) = r.payload((i.toLong * r.payload.length / outLen).toInt)
+            i += 1
+          }
+          (r.id, out, w, h, 3)
+        }
+      }.toDF("id", "payload", "width", "height", "channels")
+  }
+
   /** Fixed-size feature vector from the payload (stand-in for an
     * embedding model): byte-value histogram over 8 buckets,
     * L1-normalized. Columnar, deterministic, schema-stable.

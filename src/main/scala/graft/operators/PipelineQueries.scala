@@ -179,6 +179,17 @@ object PipelineQueries {
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
       Multimodal.decodeMeta(withBin, "doc_id", "payload")
         .orderBy("id")
+    }),
+
+    // Multimodal frame sampling: every 2nd 256-byte frame of each
+    // payload becomes a row — the 1→N expansion of a video pipeline,
+    // per-partition flatMap, deterministic from payload length.
+    "mm_frame_sample" -> ((s, dir) => {
+      val withBin = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.frameSample(withBin, "doc_id", "payload",
+        stride = 2, frameBytes = 256)
+        .orderBy("id", "frame_idx")
     })
   )
 
@@ -330,6 +341,15 @@ object PipelineQueries {
          FROM sc ORDER BY doc_id""",
     "text_fingerprint" ->
       s"SELECT COUNT(DISTINCT $normText) AS distinct_docs FROM documents",
+    "mm_frame_sample" ->
+      """WITH d AS (SELECT doc_id, strlen(text) AS len FROM documents),
+         f AS (SELECT doc_id, len,
+                 unnest(range(0, CAST(ceil(len / 256.0) AS BIGINT), 2)) AS i
+               FROM d)
+         SELECT doc_id AS id, CAST(i AS INTEGER) AS frame_idx,
+                i * 256 AS frame_offset,
+                CAST(LEAST(256, len - i * 256) AS INTEGER) AS n_bytes
+         FROM f ORDER BY id, frame_idx""",
     "mm_decode_meta" ->
       """SELECT doc_id AS id,
            CAST(32 + strlen(text) % 32 AS INTEGER) AS width,

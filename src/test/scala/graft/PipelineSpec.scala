@@ -200,6 +200,21 @@ class PipelineSpec extends SparkSpec {
     assert(r.forall(row => row.getDouble(2) >= 0.0 && row.getDouble(2) <= 1.0))
   }
 
+  test("multimodal frame sample + resize: expansion and contract shapes") {
+    val withBin = docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    // doc 1 is 43 bytes → 3 frames of 16; stride 2 keeps frames 0, 2
+    val frames = Multimodal.frameSample(withBin, "doc_id", "payload",
+      stride = 2, frameBytes = 16)
+      .filter(col("id") === 1L).orderBy("frame_idx")
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getInt(3)))
+    assert(frames.toSeq == Seq((0, 0L, 16), (2, 32L, 11)))
+    // resize always emits exactly w*h*3 bytes with target metadata
+    val resized = Multimodal.resize(withBin, "doc_id", "payload", 4, 2)
+      .collect()
+    assert(resized.forall(_.getAs[Array[Byte]]("payload").length == 24))
+    assert(resized.forall(r => r.getInt(2) == 4 && r.getInt(3) == 2))
+  }
+
   test("multimodal stub decode: deterministic meta from payload bytes") {
     val withBin = docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
     val meta = Multimodal.decodeMeta(withBin, "doc_id", "payload")
