@@ -215,6 +215,27 @@ object Views {
       round(col("min"), 4).as("min"),
       round(col("max"), 4).as("max")): _*)
 
+  /** G2/V5 analytics refresh: maintain a PageRank view through the
+    * catalog — the first refresh computes cold (reference-exact fixed
+    * iterations); every later refresh WARM-STARTS power iteration
+    * from the prior materialization (Algorithms.pageRankIncremental),
+    * so post-delta refresh cost tracks the perturbation, not the
+    * graph. The reference re-runs from scratch on every refresh
+    * (incremental_engine.rs G2 path); this is the incremental form.
+    */
+  def refreshPageRankView(catalog: ViewCatalog, name: String,
+      vertices: DataFrame, edges: DataFrame, damping: Double = 0.85,
+      coldIters: Int = 20, tol: Double = 1e-7, maxIter: Int = 50): DataFrame = {
+    val scores = catalog.dataOf(name) match {
+      case Some(prior) => graft.algorithms.Algorithms.pageRankIncremental(
+        vertices, edges, prior, damping, tol, maxIter)
+      case None => graft.algorithms.Algorithms.pageRank(
+        vertices, edges, damping, coldIters)
+    }
+    catalog.put(name, scores)
+    scores
+  }
+
   /** Exactly-once view maintenance under foreachBatch retries: Spark
     * re-delivers a batch with the SAME batchId after restarts, so the
     * merge must be idempotent per id (SURVEY §7 watch list — the

@@ -96,6 +96,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dedup pack plan quality: hash join honored, no cartesian joins") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val nj = graft.functions.Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      shingleSize = 2, threshold = 0.3)
+    val njPlan = nj.queryExecution.executedPlan.toString
+    assert(njPlan.contains("ShuffledHashJoin"), njPlan.take(600))
+    assert(!njPlan.contains("CartesianProduct"))
+    val mh = graft.functions.Dedup.minHashDedupPairsExact(docs, "text", "doc_id")
+    val mhPlan = mh.queryExecution.executedPlan.toString
+    assert(!mhPlan.contains("CartesianProduct"), mhPlan.take(600))
+    // the simhash prefilter is an intentional broadcast nested loop
+    // over 16-byte rows — broadcast, never a shuffled cartesian
+    val sh = graft.functions.Dedup.simHashDedupPairsExact(docs, "text", "doc_id")
+    val shPlan = sh.queryExecution.executedPlan.toString
+    assert(shPlan.contains("BroadcastNestedLoopJoin"), shPlan.take(600))
+    assert(!shPlan.contains("CartesianProduct"))
+  }
+
   test("graph store round-trips through parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft_store").toString
     val store = GraphStore.fromTuples(spark,

@@ -182,6 +182,30 @@ class StreamViewsSpec extends SparkSpec {
     assert(r.getAs[Double]("min") == 1.0)
   }
 
+  test("G2: pagerank view refresh warm-starts from the prior fixpoint") {
+    val vs = Seq(1L, 2L, 3L).toDF("id")
+    val es0 = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pr_view").toString
+    val catalog = new ViewCatalog(spark, dir)
+    catalog.register(ViewDefn("pr", Analytics("pagerank", Map.empty),
+      EventDriven(0), Seq("edges")))
+    val cold = Views.refreshPageRankView(catalog, "pr", vs, es0, coldIters = 60)
+    assert(catalog.dataOf("pr").isDefined)
+    // graph delta: 3→1 closes the cycle; warm refresh must land on the
+    // mutated graph's fixpoint (cold recompute as truth)
+    val es1 = es0.unionByName(Seq((3L, 1L)).toDF("src", "dst"))
+    val warm = Views.refreshPageRankView(catalog, "pr", vs, es1,
+      tol = 1e-10, maxIter = 120)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val truth = graft.algorithms.Algorithms.pageRank(vs, es1, 0.85, 120)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    truth.foreach { case (id, s) => assert(math.abs(warm(id) - s) < 1e-5) }
+    // the view data is the refreshed result
+    assert(catalog.dataOf("pr").get.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap == warm)
+    assert(cold.collect().nonEmpty)
+  }
+
   test("dependency dag: topo order, cascade, cycle detection") {
     val dag = new DependencyDag
     // FIXTURES §5: follower_statistics → influence_ranking;
