@@ -181,6 +181,15 @@ object Dedup {
     * keys; collision probability far below the measure's noise
     * floor). `ex` is (id, s string) rows; `sizes` is (id, n).
     */
+  /** NOTE on the `broadcast(sizes)` hints below: `sizes` is one row
+    * per DOCUMENT (id, n) — 16 bytes/doc, broadcastable far beyond
+    * these test scales but not at billions of docs. The hint buys a
+    * measured ~25% on the whole dedup pack locally (AQE's runtime
+    * SMJ→BHJ conversion does not recover it — the mid-pipeline
+    * exchanges break the codegen stage either way); past the
+    * broadcast budget, drop the hint and the same plan runs as a
+    * shuffle join keyed on ids.
+    */
   private[functions] def exactJaccardForPairs(cand: DataFrame, ex: DataFrame,
       sizes: DataFrame, threshold: Double): DataFrame = {
     // Length prefilter (PPJoin-style): j(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
