@@ -117,7 +117,6 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       tables: Int = 4, bits: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val c = lshBucketRows(corpus, "corpus_id", tables, bits)
     val q = lshBucketRows(queries, "query_id", tables, bits)
       .withColumnRenamed("table", "table2").withColumnRenamed("bucket", "bucket2")
