@@ -252,6 +252,50 @@ object Dedup {
     exactJaccardForPairs(cand, ex, sizes, threshold)
   }
 
+  /** Benchmark decontamination (training-data hygiene): flag corpus
+    * documents sharing any word k-gram with a benchmark/eval set.
+    * Both sides explode to hashed shingle rows; contamination is an
+    * aggregated equi-join on the 64-bit shingle hash — one shuffle
+    * of (hash, id), never of text, and the benchmark side (eval sets
+    * are small by nature) broadcasts. Returns (id, n_hits) for
+    * contaminated docs only; k defaults to 5 — short enough to catch
+    * paraphrase-adjacent overlap, long enough that shared vocabulary
+    * alone doesn't fire.
+    */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      k: Int = 5): DataFrame = {
+    val corpusEx = TextFunctions.shingleRows(docs, idCol, textCol, k)
+      .dropDuplicates("id", "s")
+      .select(col("id"), xxhash64(col("s")).as("h"))
+    val benchEx = TextFunctions.shingleRows(bench, benchIdCol, benchTextCol, k)
+      .select(xxhash64(col("s")).as("h")).distinct()
+    corpusEx.join(broadcast(benchEx), "h")
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Near-dup cluster resolution — the dedup SELECTION operator a
+    * corpus pipeline actually runs: union near-dup pairs into
+    * clusters (connected components over the pair graph; a
+    * component's label is its minimum doc id) and map EVERY document
+    * to its canonical survivor — itself when it touches no pair.
+    * The pair set is tiny relative to the corpus, so the iterative
+    * CC runs on the pair-touched subgraph only; the full corpus
+    * joins in exactly once, as an anti-join.
+    */
+  def resolveDupClusters(docs: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val touched = pairs.select(col("ida").as("id"))
+      .unionByName(pairs.select(col("idb").as("id"))).distinct()
+    val cc = graft.algorithms.Algorithms.connectedComponents(
+      touched, pairs.select(col("ida").as("src"), col("idb").as("dst")))
+    val clustered = cc.select(col("id"), col("component").as("canonical_id"))
+    val loners = docs.select(col(idCol).as("id"))
+      .join(touched, Seq("id"), "left_anti")
+      .withColumn("canonical_id", col("id"))
+    clustered.unionByName(loners)
+  }
+
   /** SimHash: 64-bit signature — bit j is the sign of the sum over
     * token hashes' j-th bits (+1/−1). Computed via bit arithmetic in
     * column space. Token multiplicity counts (frequency-weighted

@@ -79,6 +79,27 @@ object PipelineQueries {
         .orderBy("ida", "idb")
     }),
 
+    // Near-dup cluster resolution: exact-verified minhash pairs →
+    // connected components → canonical survivor per cluster; every
+    // doc maps to its canonical id (itself outside any cluster).
+    "dedup_cluster_resolve" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minHashDedupPairsExact(docs, "text", "doc_id",
+        shingleSize = 2, threshold = 0.8, numHashes = 32, bands = 16)
+      Dedup.resolveDupClusters(docs, "doc_id", pairs)
+        .orderBy("id")
+    }),
+
+    // Benchmark decontamination: docs 0-9 stand in for an eval set;
+    // any other doc sharing a word 5-gram with them is contaminated.
+    "pipe_decontaminate" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.contamination(
+        d.filter(col("doc_id") >= 10), "doc_id", "text",
+        d.filter(col("doc_id") < 10), "doc_id", "text", k = 5)
+        .orderBy("id")
+    }),
+
     // Embedding near-dup pairs: exact cosine ≥ 0.4 (auto-selects the
     // broadcast nested-loop exact path at this corpus size; LSH
     // beyond maxExactRows).
@@ -245,6 +266,48 @@ object PipelineQueries {
       """SELECT CAST(NULL AS BIGINT) AS ida, CAST(NULL AS BIGINT) AS idb,
                 CAST(NULL AS INTEGER) AS hamming
          WHERE FALSE""",
+    // Transitive closure of the exact j>=0.8 pair graph; component
+    // label = min reachable id — the same clusters the CC computes.
+    "dedup_cluster_resolve" ->
+      s"""WITH RECURSIVE t AS (
+            SELECT doc_id, list_distinct(
+              CASE WHEN len(w) >= 2
+                THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                ELSE [array_to_string(w, ' ')] END) AS bg
+            FROM (SELECT doc_id, string_split($normText, ' ') AS w FROM documents)),
+          ex AS (SELECT doc_id, len(bg) AS n, unnest(bg) AS s FROM t),
+          j AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS inter,
+                       FIRST(a.n) AS na, FIRST(b.n) AS nb
+                FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+          p AS (SELECT ida, idb FROM j
+                WHERE ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.8),
+          e AS (SELECT ida AS a, idb AS b FROM p
+                UNION SELECT idb, ida FROM p),
+          reach(a, b) AS (
+            SELECT a, b FROM e
+            UNION
+            SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+          canon AS (SELECT a AS id, LEAST(a, MIN(b)) AS canonical_id
+                    FROM reach GROUP BY a)
+          SELECT d.doc_id AS id,
+                 COALESCE(c.canonical_id, d.doc_id) AS canonical_id
+          FROM documents d LEFT JOIN canon c ON d.doc_id = c.id
+          ORDER BY id""",
+    "pipe_decontaminate" ->
+      s"""WITH t AS (
+            SELECT doc_id, list_distinct(
+              CASE WHEN len(w) >= 5
+                THEN list_transform(range(1, len(w) - 3),
+                  i -> array_to_string(w[i:i+4], ' '))
+                ELSE [array_to_string(w, ' ')] END) AS gs
+            FROM (SELECT doc_id, string_split($normText, ' ') AS w FROM documents)),
+          ex AS (SELECT doc_id, unnest(gs) AS s FROM t),
+          bench AS (SELECT DISTINCT s FROM ex WHERE doc_id < 10)
+          SELECT ex.doc_id AS id, COUNT(*) AS n_hits
+          FROM ex JOIN bench ON ex.s = bench.s
+          WHERE ex.doc_id >= 10
+          GROUP BY 1 ORDER BY id""",
     "ann_lsh_recall" ->
       """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS found
          WHERE FALSE""",

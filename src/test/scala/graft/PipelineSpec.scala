@@ -175,6 +175,31 @@ class PipelineSpec extends SparkSpec {
     assert(!lshPlan.contains("BroadcastNestedLoopJoin"), lshPlan.take(500))
   }
 
+  test("contamination flags only docs sharing a full 5-gram with the benchmark") {
+    val bench = Seq((100L, "Completely DIFFERENT content about spark"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.contamination(docs, "doc_id", "text",
+      bench, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 4 contains that exact normalized 5-gram; the fox docs share
+    // no 5-gram with the benchmark despite sharing common words
+    assert(hits == Map(4L -> 1L))
+  }
+
+  test("cluster resolution maps every doc to its component's min id") {
+    val pairs = Seq((1L, 2L), (2L, 5L), (3L, 4L)).toDF("ida", "idb")
+      .withColumn("jaccard", lit(1.0))
+    val canon = Dedup.resolveDupClusters(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // {1,2,5} → 1 (transitively through 2), {3,4} → 3; no loners here
+    assert(canon == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 3L -> 3L, 4L -> 3L))
+    // with a pair-free doc present, it maps to itself
+    val more = docs.unionByName(Seq((9L, "solo doc")).toDF("doc_id", "text"))
+    val canon2 = Dedup.resolveDupClusters(more, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(canon2(9L) == 9L)
+  }
+
   test("ivf ann: deterministic centroids, recall beats hyperplane lsh here") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 5)
