@@ -185,6 +185,21 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // End-to-end curation filter — the composition a training
+    // pipeline actually ships: language gate × quality floor × token
+    // bounds, emitting the surviving docs with their curation
+    // features (all codegen'd column functions, one scan).
+    "pipe_quality_filter" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.select(col("doc_id"),
+          TextFunctions.langId(col("text")).as("lang_pred"),
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        .filter(col("lang_pred") === "en" && col("quality") >= 0.5 &&
+          col("n_tokens").between(5, 1000))
+        .orderBy("doc_id")
+    }),
+
     // Fingerprint injectivity: distinct fingerprints == distinct
     // normalized texts.
     "text_fingerprint" -> ((s, dir) => {
@@ -215,6 +230,68 @@ object PipelineQueries {
   )
 
   private val normText = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  private val qualitySql: String =
+    """WITH c AS (
+         SELECT doc_id,
+           LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+           CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) > 0
+             THEN CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> x IN ('the','a','an','and','or','of','to','in','is','it',
+                          'that','was','for','on','with','as','at','by'))) AS DOUBLE)
+               / CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE)
+             ELSE 0.0 END AS stop_ratio,
+           CASE WHEN length(text) > 0
+             THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+           CASE WHEN length(text) > 0
+             THEN CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS upper_ratio
+         FROM documents)
+       SELECT doc_id,
+         ROUND(len_score * 0.3 + LEAST(stop_ratio * 4.0, 1.0) * 0.3
+           + GREATEST(0.0, 1.0 - punct_ratio * 5.0) * 0.2
+           + GREATEST(0.0, 1.0 - upper_ratio * 3.0) * 0.2, 6) AS quality
+       FROM c"""
+
+  private val langidSql: String =
+    """WITH s AS (
+         SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
+       sc AS (
+         SELECT doc_id,
+           (CASE WHEN contains(p, ' der ') THEN 1 ELSE 0 END +
+            CASE WHEN contains(p, ' die ') THEN 1 ELSE 0 END +
+            CASE WHEN contains(p, ' und ') THEN 1 ELSE 0 END +
+            CASE WHEN contains(p, ' das ') THEN 1 ELSE 0 END +
+            CASE WHEN contains(p, ' ist ') THEN 1 ELSE 0 END +
+            CASE WHEN contains(p, ' nicht ') THEN 1 ELSE 0 END) AS s_de,
+           (CASE WHEN contains(p, ' the ') THEN 1 ELSE 0 END +
+            CASE WHEN contains(p, ' and ') THEN 1 ELSE 0 END +
+            CASE WHEN contains(p, ' of ') THEN 1 ELSE 0 END +
+            CASE WHEN contains(p, ' to ') THEN 1 ELSE 0 END +
+            CASE WHEN contains(p, ' is ') THEN 1 ELSE 0 END +
+            CASE WHEN contains(p, ' that ') THEN 1 ELSE 0 END) AS s_en,
+           (CASE WHEN contains(p, ' el ') THEN 1 ELSE 0 END +
+            CASE WHEN contains(p, ' la ') THEN 1 ELSE 0 END +
+            CASE WHEN contains(p, ' de ') THEN 1 ELSE 0 END +
+            CASE WHEN contains(p, ' que ') THEN 1 ELSE 0 END +
+            CASE WHEN contains(p, ' los ') THEN 1 ELSE 0 END +
+            CASE WHEN contains(p, ' es ') THEN 1 ELSE 0 END) AS s_es,
+           (CASE WHEN contains(p, ' le ') THEN 1 ELSE 0 END +
+            CASE WHEN contains(p, ' la ') THEN 1 ELSE 0 END +
+            CASE WHEN contains(p, ' et ') THEN 1 ELSE 0 END +
+            CASE WHEN contains(p, ' les ') THEN 1 ELSE 0 END +
+            CASE WHEN contains(p, ' des ') THEN 1 ELSE 0 END +
+            CASE WHEN contains(p, ' est ') THEN 1 ELSE 0 END) AS s_fr
+         FROM s)
+       SELECT doc_id,
+         CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+              WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr) THEN 'de'
+              WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
+              WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
+              ELSE 'fr' END AS lang_pred
+       FROM sc"""
+
 
   private val cosExpr: String =
     """list_sum(list_transform(range(1, len(cv)+1),
@@ -343,65 +420,28 @@ object PipelineQueries {
              / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 4)
              AS mean_word_len
          FROM documents ORDER BY doc_id""",
-    "text_quality" ->
-      """WITH c AS (
-           SELECT doc_id,
-             LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
-             CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) > 0
-               THEN CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                 x -> x IN ('the','a','an','and','or','of','to','in','is','it',
-                            'that','was','for','on','with','as','at','by'))) AS DOUBLE)
-                 / CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE)
-               ELSE 0.0 END AS stop_ratio,
-             CASE WHEN length(text) > 0
-               THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
-                 / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct_ratio,
-             CASE WHEN length(text) > 0
-               THEN CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
-                 / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS upper_ratio
-           FROM documents)
-         SELECT doc_id,
-           ROUND(len_score * 0.3 + LEAST(stop_ratio * 4.0, 1.0) * 0.3
-             + GREATEST(0.0, 1.0 - punct_ratio * 5.0) * 0.2
-             + GREATEST(0.0, 1.0 - upper_ratio * 3.0) * 0.2, 6) AS quality
-         FROM c ORDER BY doc_id""",
-    "text_langid" ->
-      """WITH s AS (
-           SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
-         sc AS (
-           SELECT doc_id,
-             (CASE WHEN contains(p, ' der ') THEN 1 ELSE 0 END +
-              CASE WHEN contains(p, ' die ') THEN 1 ELSE 0 END +
-              CASE WHEN contains(p, ' und ') THEN 1 ELSE 0 END +
-              CASE WHEN contains(p, ' das ') THEN 1 ELSE 0 END +
-              CASE WHEN contains(p, ' ist ') THEN 1 ELSE 0 END +
-              CASE WHEN contains(p, ' nicht ') THEN 1 ELSE 0 END) AS s_de,
-             (CASE WHEN contains(p, ' the ') THEN 1 ELSE 0 END +
-              CASE WHEN contains(p, ' and ') THEN 1 ELSE 0 END +
-              CASE WHEN contains(p, ' of ') THEN 1 ELSE 0 END +
-              CASE WHEN contains(p, ' to ') THEN 1 ELSE 0 END +
-              CASE WHEN contains(p, ' is ') THEN 1 ELSE 0 END +
-              CASE WHEN contains(p, ' that ') THEN 1 ELSE 0 END) AS s_en,
-             (CASE WHEN contains(p, ' el ') THEN 1 ELSE 0 END +
-              CASE WHEN contains(p, ' la ') THEN 1 ELSE 0 END +
-              CASE WHEN contains(p, ' de ') THEN 1 ELSE 0 END +
-              CASE WHEN contains(p, ' que ') THEN 1 ELSE 0 END +
-              CASE WHEN contains(p, ' los ') THEN 1 ELSE 0 END +
-              CASE WHEN contains(p, ' es ') THEN 1 ELSE 0 END) AS s_es,
-             (CASE WHEN contains(p, ' le ') THEN 1 ELSE 0 END +
-              CASE WHEN contains(p, ' la ') THEN 1 ELSE 0 END +
-              CASE WHEN contains(p, ' et ') THEN 1 ELSE 0 END +
-              CASE WHEN contains(p, ' les ') THEN 1 ELSE 0 END +
-              CASE WHEN contains(p, ' des ') THEN 1 ELSE 0 END +
-              CASE WHEN contains(p, ' est ') THEN 1 ELSE 0 END) AS s_fr
-           FROM s)
-         SELECT doc_id,
-           CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
-                WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr) THEN 'de'
-                WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
-                WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
-                ELSE 'fr' END AS lang_pred
-         FROM sc ORDER BY doc_id""",
+    "text_quality" -> (qualitySql + " ORDER BY doc_id"),
+    "text_langid" -> (langidSql + " ORDER BY doc_id"),
+    "pipe_quality_filter" ->
+      s"""SELECT q.doc_id, l.lang_pred, q.quality, tk.n_tokens
+          FROM ($qualitySql) q
+          JOIN ($langidSql) l ON q.doc_id = l.doc_id
+          JOIN (SELECT doc_id,
+                  CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER)
+                    AS n_tokens FROM documents) tk ON q.doc_id = tk.doc_id
+          WHERE l.lang_pred = 'en' AND q.quality >= 0.5
+            AND tk.n_tokens BETWEEN 5 AND 1000
+          ORDER BY q.doc_id""",
+    "pipe_quality_filter" ->
+      s"""SELECT q.doc_id, l.lang_pred, q.quality, tk.n_tokens
+          FROM ($qualitySql) q
+          JOIN ($langidSql) l ON q.doc_id = l.doc_id
+          JOIN (SELECT doc_id,
+                  CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER)
+                    AS n_tokens FROM documents) tk ON q.doc_id = tk.doc_id
+          WHERE l.lang_pred = 'en' AND q.quality >= 0.5
+            AND tk.n_tokens BETWEEN 5 AND 1000
+          ORDER BY q.doc_id""",
     "text_fingerprint" ->
       s"SELECT COUNT(DISTINCT $normText) AS distinct_docs FROM documents",
     "mm_frame_sample" ->
