@@ -285,10 +285,16 @@ object Dedup {
     */
   def resolveDupClusters(docs: DataFrame, idCol: String,
       pairs: DataFrame): DataFrame = {
-    val touched = pairs.select(col("ida").as("id"))
-      .unionByName(pairs.select(col("idb").as("id"))).distinct()
+    // pairs is read three times (two vertex projections + the edge
+    // set) and its producer is typically a whole sketch+verify
+    // pipeline — persist it, or the iterative CC recomputes that
+    // pipeline once per read
+    val p = pairs.select(col("ida"), col("idb"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val touched = p.select(col("ida").as("id"))
+      .unionByName(p.select(col("idb").as("id"))).distinct()
     val cc = graft.algorithms.Algorithms.connectedComponents(
-      touched, pairs.select(col("ida").as("src"), col("idb").as("dst")))
+      touched, p.select(col("ida").as("src"), col("idb").as("dst")))
     val clustered = cc.select(col("id"), col("component").as("canonical_id"))
     val loners = docs.select(col(idCol).as("id"))
       .join(touched, Seq("id"), "left_anti")
