@@ -154,7 +154,11 @@ object GraphQueries {
     "gql_optional_match" -> ((s, dir) => {
       val r = GqlExecutor.run(g(s, dir),
         "MATCH (n:Nation) OPTIONAL MATCH (n)<-[:located_in]-(sp:Supplier) RETURN n.name, sp.name").df
-      r.select(str(col("n_name")).as("name"), str(col("sp_name")).as("sp_name"))
+      // null-free output: engines disagree on NULL sort order
+      // (Spark NULLS FIRST, DuckDB NULLS LAST) — the unmatched marker
+      // is an empty string on both sides
+      r.select(str(col("n_name")).as("name"),
+        coalesce(str(col("sp_name")), lit("")).as("sp_name"))
         .orderBy("name", "sp_name")
     }),
 
@@ -371,7 +375,7 @@ object GraphQueries {
            UNION ALL SELECT 'e:links', CAST(1 AS BIGINT)
          ) ORDER BY kind""",
     "gql_optional_match" ->
-      """SELECT n_name AS name, s_name AS sp_name
+      """SELECT n_name AS name, COALESCE(s_name, '') AS sp_name
          FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
          ORDER BY name, sp_name""",
     "gql_return_distinct" ->
