@@ -42,7 +42,7 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1L
-      }
+      } finally TransientCache.releaseAll()
       if (n < 0) System.err.println(s"[bench] $name returned error")
       name -> (System.nanoTime() - t0) / 1e9
     }

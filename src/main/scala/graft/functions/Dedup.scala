@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for 100 TB-scale corpus curation.
   *
@@ -125,8 +124,8 @@ object Dedup {
       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5,
       shingleSize: Int = 1, maxBucketSize: Int = 100000): DataFrame = {
     val rows = numHashes / bands
-    val sigs = minHashSignatures(df, textCol, idCol, numHashes, shingleSize)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = graft.TransientCache.persist(
+      minHashSignatures(df, textCol, idCol, numHashes, shingleSize))
     // Candidate generation shuffles ONLY (band, bucket, id) — the
     // 32-long signatures rejoin after pair-dedup, so the wide arrays
     // never ride through the O(candidates) join.
@@ -162,9 +161,9 @@ object Dedup {
       numHashes: Int = 32, bands: Int = 16,
       maxBucketSize: Int = 100000): DataFrame = {
     val rows = numHashes / bands
-    val ex = TextFunctions.shingleRows(df, idCol, textCol, shingleSize)
-      .dropDuplicates("id", "s")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ex = graft.TransientCache.persist(
+      TextFunctions.shingleRows(df, idCol, textCol, shingleSize)
+        .dropDuplicates("id", "s"))
     val sizes = ex.groupBy("id").agg(count(lit(1)).as("n"))
     val sigs = minHashSigsFromExploded(ex, numHashes)
     val banded = sigs.select(col("id"),
@@ -230,17 +229,16 @@ object Dedup {
   def simHashDedupPairsExact(df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 2, threshold: Double = 0.8,
       maxDistance: Int = 16): DataFrame = {
-    val ex = TextFunctions.shingleRows(df, idCol, textCol, shingleSize)
-      .dropDuplicates("id", "s")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ex = graft.TransientCache.persist(
+      TextFunctions.shingleRows(df, idCol, textCol, shingleSize)
+        .dropDuplicates("id", "s"))
     val sizes = ex.groupBy("id").agg(count(lit(1)).as("n"))
     // The Hamming AND length-ratio prefilters both evaluate inside
     // the nested-loop join condition — candidates materialize
     // pre-filtered (24 bytes/row broadcast side; ~3× fewer surviving
     // rows than hamming alone on this corpus)
-    val sigs = simHashSignatures(df, textCol, idCol)
-      .join(broadcast(sizes), "id")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = graft.TransientCache.persist(
+      simHashSignatures(df, textCol, idCol).join(broadcast(sizes), "id"))
     val a = sigs.select(col("id").as("ida"), col("sig").as("siga"), col("n").as("na"))
     val b = sigs.select(col("id").as("idb"), col("sig").as("sigb"), col("n").as("nb"))
     val cand = a.join(broadcast(b),
@@ -289,8 +287,7 @@ object Dedup {
     // set) and its producer is typically a whole sketch+verify
     // pipeline — persist it, or the iterative CC recomputes that
     // pipeline once per read
-    val p = pairs.select(col("ida"), col("idb"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val p = graft.TransientCache.persist(pairs.select(col("ida"), col("idb")))
     val touched = p.select(col("ida").as("id"))
       .unionByName(p.select(col("idb").as("id"))).distinct()
     val cc = graft.algorithms.Algorithms.connectedComponents(
@@ -372,7 +369,7 @@ object Dedup {
       maxDistance: Int = 3, numChunks: Int = 4,
       maxBucketSize: Int = 100000): DataFrame =
     simHashDedupPairsFromSigs(
-      simHashSignatures(df, textCol, idCol).persist(StorageLevel.MEMORY_AND_DISK),
+      graft.TransientCache.persist(simHashSignatures(df, textCol, idCol)),
       maxDistance, numChunks, maxBucketSize)
 
   /** Bucketed pairs from a precomputed (id, sig) frame — callers
@@ -405,7 +402,7 @@ object Dedup {
     // persist: both join sides read the same aggregate — without it
     // the signature pipeline runs twice (once per side)
     simHashBruteForcePairsFromSigs(
-      simHashSignatures(df, textCol, idCol).persist(StorageLevel.MEMORY_AND_DISK),
+      graft.TransientCache.persist(simHashSignatures(df, textCol, idCol)),
       maxDistance)
 
   /** Brute-force pairs from a precomputed (id, sig) frame. */
@@ -452,7 +449,7 @@ object Dedup {
         val dfs = exploded.groupBy("s").agg(count(lit(1)).as("__df"))
         exploded.join(dfs.filter(col("__df") <= maxDf).select("s"), "s")
       }
-    val keptP = kept.persist(StorageLevel.MEMORY_AND_DISK)
+    val keptP = graft.TransientCache.persist(kept)
     // per-doc set sizes AFTER the df cap (true Jaccard on trimmed sets)
     val sizes = keptP.groupBy("id").agg(count(lit(1)).as("n"))
     val a = keptP.select(col("id").as("ida"), col("s"))

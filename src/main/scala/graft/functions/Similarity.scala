@@ -249,8 +249,8 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 5): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centDF = ivfCentroids(corpus, nlist, iters).toSeq.toDF("cid", "cvec")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centDF = graft.TransientCache.persist(
+      ivfCentroids(corpus, nlist, iters).toSeq.toDF("cid", "cvec"))
     val assigned = ivfAssign(corpus, centDF)
     val probes = ivfProbe(queries, centDF, nprobe)
     val cand = probes.join(assigned, "cid")

@@ -60,8 +60,8 @@ object PipelineQueries {
     // brute-force scan must be empty (and the oracle says so).
     "dedup_simhash_complete" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val sigs = Dedup.simHashSignatures(docs, "text", "doc_id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sigs = graft.TransientCache.persist(
+        Dedup.simHashSignatures(docs, "text", "doc_id"))
       val bucketed = Dedup.simHashDedupPairsFromSigs(sigs,
         maxDistance = 3, numChunks = 4)
       val brute = Dedup.simHashBruteForcePairsFromSigs(sigs, 3)
