@@ -138,6 +138,38 @@ object TextFunctions {
     }
   }
 
+  /** Per-document repetition signals (Gopher-style quality filters):
+    * a doc whose mass concentrates in repeated words/n-grams is
+    * boilerplate or degenerate generation, whatever its other
+    * quality scores say. Returns
+    * (id, n_words, dup_word_frac, dup_bigram_frac, top_bigram_frac):
+    * the fraction of word occurrences that are repeats, the same for
+    * bigrams, and the mass share of the single most frequent bigram.
+    *
+    * Computed relationally — explode once, two chained HashAggregates
+    * ((id, gram) counts → per-id sum/count/max) — fully codegen'd
+    * with map-side combine; no per-row array building. Documents
+    * shorter than 2 words take the whole-text fallback shingle
+    * (total = distinct = 1 → zero repetition, top fraction 1).
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val wordStats = shingleRows(df, idCol, textCol, 1)
+      .groupBy("id", "s").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(sum("c").as("nw"), count(lit(1)).as("dw"))
+    val bigramStats = shingleRows(df, idCol, textCol, 2)
+      .groupBy("id", "s").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(sum("c").as("nb"), count(lit(1)).as("db"),
+        max("c").as("topc"))
+    wordStats.join(bigramStats, Seq("id"))
+      .select(col("id"), col("nw").as("n_words"),
+        round(lit(1.0) - col("dw").cast("double") / col("nw").cast("double"), 4)
+          .as("dup_word_frac"),
+        round(lit(1.0) - col("db").cast("double") / col("nb").cast("double"), 4)
+          .as("dup_bigram_frac"),
+        round(col("topc").cast("double") / col("nb").cast("double"), 4)
+          .as("top_bigram_frac"))
+  }
+
   /** Character n-grams of size k. */
   def charNgrams(text: Column, k: Int): Column = {
     val norm = regexp_replace(lower(trim(text)), "\\s+", " ")

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{Dedup, Similarity, TextFunctions}
+import graft.functions.{Dedup, Sampling, Similarity, TextFunctions}
 import graft.multimodal.Multimodal
 import graft.sources.Tables
 
@@ -23,6 +23,12 @@ import graft.sources.Tables
   * whose oracles are typed empty sets.
   */
 object PipelineQueries {
+
+  /** Mixing rate table for the sampling queries: up-weight two named
+    * sources, down-weight one, sample everything else at 10%.
+    */
+  private val mixRates: Map[String, Double] =
+    Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25)
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: normalized-text fingerprint groups.
@@ -200,6 +206,84 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Gopher-style repetition signals: word/bigram repeat fractions
+    // and the top-bigram mass share — the boilerplate/degenerate-
+    // generation filters that run beside quality scoring.
+    "text_repetition" -> ((s, dir) => {
+      TextFunctions.repetitionSignals(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("id")
+    }),
+
+    // Deterministic stratified sample — the corpus-mixing operator:
+    // per-source keep rates decided by a hash of the stable doc id,
+    // reproducible at any scale/partitioning (sampling never uses
+    // df.sample, whose seed is partition-dependent).
+    "pipe_sample_mix" -> ((s, dir) => {
+      Sampling.stratifiedSample(Tables.documents(s, dir), "source", "doc_id",
+          mixRates, defaultRate = 0.1)
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    }),
+
+    // Mixing audit: per-source total/kept/realized-rate for the same
+    // rate table — the drift report a mixing pass logs.
+    "pipe_mix_stats" -> ((s, dir) => {
+      Sampling.mixStats(Tables.documents(s, dir), "source", "doc_id",
+          mixRates, defaultRate = 0.1)
+        .orderBy("source")
+    }),
+
+    // Corpus vocabulary stats: global top-20 bigrams by occurrence
+    // (deterministic tiebreak on the gram), with document frequency —
+    // the first report of any corpus-analysis pass. Two chained
+    // aggregates + TakeOrdered; at 100 TB the same plan holds
+    // (top-k never materializes the full vocabulary on one node).
+    "text_top_ngrams" -> ((s, dir) => {
+      val bi = TextFunctions.shingleRows(Tables.documents(s, dir),
+        "doc_id", "text", 2)
+      val counts = bi.groupBy("s")
+        .agg(count(lit(1)).as("occurrences"),
+          count_distinct(col("id")).as("doc_freq"))
+      counts
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(
+            col("occurrences").desc, col("s").asc)))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("s").as("ngram"),
+          col("occurrences"), col("doc_freq"))
+        .orderBy("rank")
+    }),
+
+    // Sketch error bounds — the approximate operators a 100 TB stats
+    // pass actually runs (exact distinct/quantiles don't fit), each
+    // checked against its exact answer at test scale. Rows are
+    // tolerance VIOLATIONS: approx_count_distinct beyond 5% relative
+    // error, approx median outside the exact 40th-60th percentile
+    // band. Expected (and oracle'd) empty.
+    "stats_sketch_bounds" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val fp = d.select(TextFunctions.fingerprint(col("text")).as("fp"),
+        col("n_chars"))
+      val agg = fp.agg(
+        approx_count_distinct(col("fp")).as("approx_nd"),
+        count_distinct(col("fp")).as("exact_nd"),
+        percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("approx_med"),
+        expr("percentile(n_chars, 0.4)").as("p40"),
+        expr("percentile(n_chars, 0.6)").as("p60"))
+      val ndViolation = agg
+        .filter(abs(col("approx_nd") - col("exact_nd")).cast("double")
+          > col("exact_nd").cast("double") * 0.05)
+        .select(lit("approx_count_distinct").as("metric"),
+          col("approx_nd").cast("double").as("approx_value"),
+          col("exact_nd").cast("double").as("exact_value"))
+      val medViolation = agg
+        .filter(col("approx_med") < col("p40") || col("approx_med") > col("p60"))
+        .select(lit("approx_median").as("metric"),
+          col("approx_med").cast("double").as("approx_value"),
+          col("p40").cast("double").as("exact_value"))
+      ndViolation.unionByName(medViolation)
+    }),
+
     // Fingerprint injectivity: distinct fingerprints == distinct
     // normalized texts.
     "text_fingerprint" -> ((s, dir) => {
@@ -230,6 +314,17 @@ object PipelineQueries {
   )
 
   private val normText = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  /** The mixing rate table as a SQL CASE yielding the per-row keep
+    * threshold in 1/10000ths — must mirror `mixRates` + the 0.1
+    * default exactly.
+    */
+  private val mixThresholdSql: String = {
+    val cases = mixRates.toSeq.sortBy(_._1).map { case (k, r) =>
+      s"WHEN source = '$k' THEN ${(r * Sampling.Denominator).toLong}"
+    }.mkString(" ")
+    s"(CASE $cases ELSE ${(0.1 * Sampling.Denominator).toLong} END)"
+  }
 
   private val qualitySql: String =
     """WITH c AS (
@@ -432,16 +527,63 @@ object PipelineQueries {
           WHERE l.lang_pred = 'en' AND q.quality >= 0.5
             AND tk.n_tokens BETWEEN 5 AND 1000
           ORDER BY q.doc_id""",
-    "pipe_quality_filter" ->
-      s"""SELECT q.doc_id, l.lang_pred, q.quality, tk.n_tokens
-          FROM ($qualitySql) q
-          JOIN ($langidSql) l ON q.doc_id = l.doc_id
-          JOIN (SELECT doc_id,
-                  CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER)
-                    AS n_tokens FROM documents) tk ON q.doc_id = tk.doc_id
-          WHERE l.lang_pred = 'en' AND q.quality >= 0.5
-            AND tk.n_tokens BETWEEN 5 AND 1000
-          ORDER BY q.doc_id""",
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normText, ' ') AS w
+                     FROM documents),
+          ws AS (SELECT doc_id, len(w) AS nw, len(list_distinct(w)) AS dw
+                 FROM t),
+          bg AS (SELECT doc_id,
+                   CASE WHEN len(w) >= 2
+                     THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                     ELSE [array_to_string(w, ' ')] END AS b
+                 FROM t),
+          bc AS (SELECT doc_id, s, COUNT(*) AS c
+                 FROM (SELECT doc_id, unnest(b) AS s FROM bg) GROUP BY 1, 2),
+          bs AS (SELECT doc_id, SUM(c) AS nb, COUNT(*) AS db, MAX(c) AS topc
+                 FROM bc GROUP BY 1)
+          SELECT ws.doc_id AS id, CAST(nw AS BIGINT) AS n_words,
+                 ROUND(1.0 - CAST(dw AS DOUBLE) / nw, 4) AS dup_word_frac,
+                 ROUND(1.0 - CAST(db AS DOUBLE) / nb, 4) AS dup_bigram_frac,
+                 ROUND(CAST(topc AS DOUBLE) / nb, 4) AS top_bigram_frac
+          FROM ws JOIN bs ON ws.doc_id = bs.doc_id
+          ORDER BY id""",
+    "pipe_sample_mix" ->
+      s"""SELECT doc_id, source, lang FROM documents
+          WHERE (doc_id * 2654435761) % 10000 < $mixThresholdSql
+          ORDER BY doc_id""",
+    "pipe_mix_stats" ->
+      s"""SELECT source, COUNT(*) AS n_total,
+                 CAST(COUNT(*) FILTER (WHERE
+                   (doc_id * 2654435761) % 10000 < $mixThresholdSql)
+                   AS BIGINT) AS n_kept,
+                 ROUND(CAST(COUNT(*) FILTER (WHERE
+                     (doc_id * 2654435761) % 10000 < $mixThresholdSql)
+                   AS DOUBLE) / COUNT(*), 4) AS realized_rate
+          FROM documents GROUP BY source ORDER BY source""",
+    "text_top_ngrams" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normText, ' ') AS w
+                     FROM documents),
+          bg AS (SELECT doc_id,
+                   CASE WHEN len(w) >= 2
+                     THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                     ELSE [array_to_string(w, ' ')] END AS b
+                 FROM t),
+          ex AS (SELECT doc_id, unnest(b) AS s FROM bg),
+          c AS (SELECT s, COUNT(*) AS occurrences,
+                       COUNT(DISTINCT doc_id) AS doc_freq
+                FROM ex GROUP BY s),
+          r AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY occurrences DESC, s ASC)
+                         AS INTEGER) AS rank,
+                       s AS ngram, occurrences, doc_freq
+                FROM c)
+          SELECT rank, ngram, CAST(occurrences AS BIGINT) AS occurrences,
+                 CAST(doc_freq AS BIGINT) AS doc_freq
+          FROM r WHERE rank <= 20 ORDER BY rank""",
+    "stats_sketch_bounds" ->
+      """SELECT CAST(NULL AS VARCHAR) AS metric,
+                CAST(NULL AS DOUBLE) AS approx_value,
+                CAST(NULL AS DOUBLE) AS exact_value
+         WHERE FALSE""",
     "text_fingerprint" ->
       s"SELECT COUNT(DISTINCT $normText) AS distinct_docs FROM documents",
     "mm_frame_sample" ->

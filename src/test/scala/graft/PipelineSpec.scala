@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.functions.{Dedup, Similarity, TextFunctions}
+import graft.functions.{Dedup, Sampling, Similarity, TextFunctions}
 import graft.multimodal.Multimodal
 
 class PipelineSpec extends SparkSpec {
@@ -223,6 +223,56 @@ class PipelineSpec extends SparkSpec {
     assert(r.head.getInt(0) == 9)
     assert(r.head.getString(1) == "en")
     assert(r.forall(row => row.getDouble(2) >= 0.0 && row.getDouble(2) <= 1.0))
+  }
+
+
+  test("repetition signals: degenerate repetition scores high, prose low") {
+    val rep = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "the quick brown fox jumps over a lazy dog"),
+      (3L, "one")).toDF("doc_id", "text")
+    val got = TextFunctions.repetitionSignals(rep, "doc_id", "text")
+      .sort("id").collect()
+    // doc 1: 6 words, 1 distinct -> dup_word 5/6; 5 bigrams all "spam spam"
+    assert(got(0).getLong(1) === 6L)
+    assert(got(0).getDouble(2) === 0.8333) // round(1 - 1/6, 4)
+    assert(got(0).getDouble(3) === 0.8)    // 1 - 1/5
+    assert(got(0).getDouble(4) === 1.0)          // top bigram owns all mass
+    // doc 2: zero repetition, every bigram unique
+    assert(got(1).getDouble(2) === 0.0)
+    assert(got(1).getDouble(3) === 0.0)
+    assert(got(1).getDouble(4) === 0.125)        // 1 of 8 bigrams
+    // doc 3: single word -> whole-text fallback shingle
+    assert(got(2).getLong(1) === 1L)
+    assert(got(2).getDouble(4) === 1.0)
+  }
+
+  test("stratified sample is deterministic, rate-accurate, and pushdown-safe") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val rates = Map("src0" -> 1.0, "src1" -> 0.0)
+    val s1 = Sampling.stratifiedSample(d, "source", "doc_id", rates, 0.5)
+    val s2 = Sampling.stratifiedSample(d, "source", "doc_id", rates, 0.5)
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty) // reproducible
+    val bySrc = s1.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = d.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.getOrElse("src1", 0L) === 0L)            // rate 0 keeps none
+    assert(bySrc("src0") === totals("src0"))              // rate 1 keeps all
+    // the sampling filter reaches the scan side (no shuffle before it)
+    assert(!s1.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("mixStats reports exact kept counts per stratum") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val rates = Map("src0" -> 1.0)
+    val stats = Sampling.mixStats(d, "source", "doc_id", rates, 0.2).collect()
+    val direct = Sampling.stratifiedSample(d, "source", "doc_id", rates, 0.2)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    stats.foreach { r =>
+      assert(r.getLong(2) === direct.getOrElse(r.getString(0), 0L))
+    }
   }
 
   test("multimodal frame sample + resize: expansion and contract shapes") {
