@@ -61,6 +61,10 @@ object Ast {
     */
   case class ReturnAggregate(func: String, variable: Option[String],
       prop: Option[String]) extends ReturnItem
+  /** graft extension (Cypher path functions): `length(p)` /
+    * `nodes(p)` over a bound path variable.
+    */
+  case class ReturnPathFunc(func: String, variable: String) extends ReturnItem
 
   case class OrderItem(ref: PropRef, ascending: Boolean)
 
@@ -72,7 +76,11 @@ object Ast {
   /** `optional` (graft extension, Cypher semantics): each OPTIONAL
     * MATCH chain left-joins onto the bindings through its shared
     * variables — unmatched rows keep NULL bindings. `distinct`
-    * dedups the projected rows (RETURN DISTINCT).
+    * dedups the projected rows (RETURN DISTINCT). `pathVar`
+    * (extension, Cypher `p = (...)`) binds the matched node sequence;
+    * with a var-length segment the match enumerates one row PER PATH
+    * (simple paths — no vertex revisits) instead of per distinct
+    * endpoint pair.
     */
   case class MatchStatement(
       pattern: GraphPattern,
@@ -81,7 +89,8 @@ object Ast {
       orderBy: Seq[OrderItem] = Nil,
       limit: Option[Long] = None,
       optional: Seq[GraphPattern] = Nil,
-      distinct: Boolean = false) extends Statement
+      distinct: Boolean = false,
+      pathVar: Option[String] = None) extends Statement
   case class CreateStatement(pattern: GraphPattern) extends Statement
   /** DELETE var — with an optional MATCH pattern+WHERE scoping it
     * (executor.rs:569-615).

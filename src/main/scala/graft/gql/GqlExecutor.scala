@@ -120,7 +120,12 @@ object GqlExecutor {
   }
 
   def executeMatch(store: GraphStore, m: MatchStatement): DataFrame = {
-    val base = matchPattern(store, m.pattern)
+    m.ret.collect { case ReturnPathFunc(f, v) => (f, v) }.foreach { case (f, v) =>
+      require(m.pathVar.contains(v),
+        s"$f($v) references an unbound path variable" +
+          m.pathVar.fold("")(p => s" (bound: $p)"))
+    }
+    val base = matchPattern(store, m.pattern, trackPath = m.pathVar.isDefined)
     val bindings = m.optional.zipWithIndex.foldLeft(base) {
       case (df, (p, i)) => optionalJoin(store, df, p, i)
     }
@@ -150,7 +155,7 @@ object GqlExecutor {
     * executor.rs:322-326).
     */
   def matchPattern(store: GraphStore, pattern: GraphPattern,
-      prefix: String = "__"): DataFrame = {
+      prefix: String = "__", trackPath: Boolean = false): DataFrame = {
     val (nodes, edges) = named(pattern, prefix)
     val v0 = nodes.head.variable.get
 
@@ -160,6 +165,10 @@ object GqlExecutor {
         col("id").as(vcol(v0, "id")),
         col("label").as(vcol(v0, "label")),
         col("props").as(vcol(v0, "props")))
+    // Path tracking (`p = ...`): __path carries the node-id sequence;
+    // each expansion appends. One extra array column per row, never a
+    // separate shuffle — and only materialized when a path var binds.
+    if (trackPath) df = df.withColumn("__path", array(col(vcol(v0, "id"))))
 
     edges.zip(nodes.sliding(2).toSeq).foreach { case (e, pair) =>
       val Seq(fromN, toN) = pair: @unchecked
@@ -192,7 +201,7 @@ object GqlExecutor {
       // selective the preceding pattern is.
       val orientedPairs = e.range match {
         case None => oriented
-        case Some((minHops, maxHops)) =>
+        case Some((minHops, maxHops)) if !trackPath =>
           val hop = oriented.select(col("__from"), col("__to")).distinct()
           val hop2 = hop.select(col("__from").as("__f2"), col("__to").as("__t2"))
           val seeds = df.select(df(vcol(fromV, "id")).as("__seed")).distinct()
@@ -209,22 +218,60 @@ object GqlExecutor {
           }
           acc.distinct()
             .withColumn(vcol(eV, "props"), lit(null).cast(PropValue.mapType))
+        case Some((minHops, maxHops)) =>
+          // Path-tracked var-length: enumerate SIMPLE paths (one row
+          // per path, no vertex revisits) carrying the hop sequence
+          // in __seg — the per-path cardinality a bound path variable
+          // implies. Same seeded expansion; distinct() is on whole
+          // paths implicitly (each extension is a distinct edge).
+          val hop = oriented.select(col("__from"), col("__to")).distinct()
+          val hop2 = hop.select(col("__from").as("__f2"), col("__to").as("__t2"))
+          val seeds = df.select(df(vcol(fromV, "id")).as("__seed")).distinct()
+          var reach = seeds.join(hop, col("__seed") === col("__from"))
+            .select(col("__from"), col("__to"),
+              array(col("__from"), col("__to")).as("__seg"))
+          var acc = if (minHops <= 1) reach else reach.limit(0)
+          var k = 2
+          while (k <= maxHops) {
+            reach = reach.join(hop2,
+              reach("__to") === col("__f2") &&
+                !array_contains(reach("__seg"), col("__t2")))
+              .select(reach("__from"), col("__t2").as("__to"),
+                concat(reach("__seg"), array(col("__t2"))).as("__seg"))
+            if (k >= minHops) acc = acc.unionByName(reach)
+            k += 1
+          }
+          acc.withColumn(vcol(eV, "props"), lit(null).cast(PropValue.mapType))
       }
+
+      // After the expansion join, extend __path: single hops append
+      // the new endpoint; var-length segments append __seg minus its
+      // head (the head IS the current path tail).
+      def extendPath(joined: DataFrame): DataFrame =
+        if (!trackPath) joined
+        else if (joined.columns.contains("__seg"))
+          joined.withColumn("__path",
+            concat(col("__path"),
+              slice(col("__seg"), lit(2), size(col("__seg")) - 1)))
+            .drop("__seg")
+        else joined.withColumn("__path",
+          concat(col("__path"), array(col(vcol(toV, "id")))))
 
       if (bound.contains(toV)) {
         // Cycle back to an already-bound variable: edge is a filter.
-        df = df.join(orientedPairs,
+        df = extendPath(df.join(orientedPairs,
           df(vcol(fromV, "id")) === orientedPairs("__from") &&
             df(vcol(toV, "id")) === orientedPairs("__to"))
-          .drop("__from", "__to")
+          .drop("__from", "__to"))
       } else {
         val target = store.vertices.filter(nodeFilter(toN)).select(
           col("id").as(vcol(toV, "id")),
           col("label").as(vcol(toV, "label")),
           col("props").as(vcol(toV, "props")))
-        df = df.join(orientedPairs, df(vcol(fromV, "id")) === orientedPairs("__from"))
-          .join(target, col("__to") === col(vcol(toV, "id")))
-          .drop("__from", "__to")
+        df = extendPath(
+          df.join(orientedPairs, df(vcol(fromV, "id")) === orientedPairs("__from"))
+            .join(target, col("__to") === col(vcol(toV, "id")))
+            .drop("__from", "__to"))
         bound += toV
       }
     }
@@ -324,6 +371,7 @@ object GqlExecutor {
           else keys.map(k => col(vcol(v, "props"))(k).as(s"$v.$k"))
         case ReturnProperty(v, p) =>
           Seq(col(vcol(v, "props"))(p).as(s"${v}_$p"))
+        case ReturnPathFunc(f, v) => Seq(pathFuncCol(f, v))
         case _: ReturnAggregate => Nil
       }
       val projected = df.select(cols: _*)
@@ -332,6 +380,7 @@ object GqlExecutor {
       val keys: Seq[(String, Column)] = items.collect {
         case ReturnProperty(v, p) => s"${v}_$p" -> col(vcol(v, "props"))(p)
         case ReturnVariable(v) => s"${v}_id" -> col(vcol(v, "id"))
+        case ReturnPathFunc(f, v) => s"${f}_$v" -> pathFuncCol(f, v)
       }
       val aggs: Seq[Column] = items.collect {
         case ReturnAggregate("count", None, _) =>
@@ -359,6 +408,17 @@ object GqlExecutor {
       if (keys.isEmpty) withKeys.agg(aggs.head, aggs.tail: _*)
       else withKeys.groupBy(keys.map(k => col(k._1)): _*).agg(aggs.head, aggs.tail: _*)
     }
+  }
+
+  /** Path functions over the tracked node-id sequence: `length(p)` =
+    * edge count; `nodes(p)` = the id sequence rendered `a->b->c`
+    * (string form — engine-portable, and path arrays never need to
+    * round-trip as typed arrays).
+    */
+  private def pathFuncCol(f: String, v: String): Column = f match {
+    case "length" => (size(col("__path")) - 1).as(s"length_$v")
+    case "nodes" =>
+      concat_ws("->", col("__path").cast("array<string>")).as(s"nodes_$v")
   }
 
   private def tripletCols(v: String): Seq[Column] = Seq(

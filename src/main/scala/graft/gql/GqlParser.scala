@@ -113,8 +113,14 @@ object GqlParser extends RegexParsers {
       case f ~ ((v, p)) => ReturnAggregate(f.toLowerCase, v, p)
     }
 
+  private def returnPathFunc: Parser[ReturnItem] =
+    (kw("length") | kw("nodes")) ~ ("(" ~> ident <~ ")") ^^ {
+      case f ~ v => ReturnPathFunc(f.toLowerCase, v)
+    }
+
   private def returnItem: Parser[ReturnItem] =
     "*" ^^ (_ => ReturnAll) |
+      returnPathFunc |
       returnAgg |
       propRef ^^ (p => ReturnProperty(p.variable, p.prop)) |
       ident ^^ ReturnVariable.apply
@@ -134,14 +140,15 @@ object GqlParser extends RegexParsers {
     kw("optional") ~> kw("match") ~> pattern
 
   private def matchOrDelete: Parser[Statement] =
-    kw("match") ~> pattern ~ rep(optionalMatch) ~ opt(kw("where") ~> expr) ~
+    kw("match") ~> opt(ident <~ "=") ~ pattern ~ rep(optionalMatch) ~
+      opt(kw("where") ~> expr) ~
       ((kw("return") ~> opt(kw("distinct")) ~ rep1sep(returnItem, ",") ~ orderLimit) ^^
         (x => Left((x._1._1.isDefined, x._1._2, x._2)): Either[(Boolean, Seq[ReturnItem], (Seq[OrderItem], Option[Long])), String]) |
         (kw("delete") ~> ident) ^^
           (Right(_): Either[(Boolean, Seq[ReturnItem], (Seq[OrderItem], Option[Long])), String])) ^^ {
-      case p ~ opts ~ w ~ Left((dist, items, (ob, lim))) =>
-        MatchStatement(p, w, items, ob, lim, opts, dist)
-      case p ~ _ ~ w ~ Right(v) => DeleteStatement(Some(p), w, v)
+      case pv ~ p ~ opts ~ w ~ Left((dist, items, (ob, lim))) =>
+        MatchStatement(p, w, items, ob, lim, opts, dist, pv)
+      case _ ~ p ~ _ ~ w ~ Right(v) => DeleteStatement(Some(p), w, v)
     }
 
   private def createStmt: Parser[Statement] =

@@ -192,6 +192,17 @@ object GraphQueries {
       r.select(str(col("d_name")).as("name")).orderBy("name")
     }),
 
+    // Path variables (extension): bind the matched node sequence,
+    // return Cypher path functions. Var-length + path var = one row
+    // per SIMPLE path; nodes(p) renders the id sequence, so the
+    // oracle reconstructs the exact paths from the TPC-H id offsets.
+    "gql_path_vars" -> ((s, dir) => {
+      val r = GqlExecutor.run(g(s, dir),
+        """MATCH p = (c:Customer {name: "Customer#000000001"})-[:located_in*1..2]-(d) RETURN length(p), nodes(p), d.name""").df
+      r.select(col("length_p"), col("nodes_p"), str(col("d_name")).as("name"))
+        .orderBy("nodes_p")
+    }),
+
     // GQL write path end-to-end: MATCH-DELETE mutates a fresh copy of
     // the store (cascading incident edges), CREATE appends; the final
     // counts are recomputed relationally by the oracle. Exercises
@@ -353,6 +364,36 @@ object GraphQueries {
       """SELECT c2.c_name AS name
          FROM customer c1 JOIN customer c2 ON c1.c_nationkey = c2.c_nationkey
          WHERE c1.c_name = 'Customer#000000001' ORDER BY name""",
+    // Path ids from the disjoint TPC-H id offsets (GraphStore:
+    // customer +3e9, nation +2e9, supplier +4e9). 1 hop reaches the
+    // nation; 2 undirected hops fan back out to every other
+    // customer/supplier located in it (simple paths — never back to
+    // the seed customer).
+    "gql_path_vars" ->
+      """WITH c1 AS (SELECT c_custkey, c_nationkey FROM customer
+                     WHERE c_name = 'Customer#000000001')
+         SELECT * FROM (
+           SELECT CAST(1 AS INTEGER) AS length_p,
+                  CAST(3000000000 + c_custkey AS VARCHAR) || '->' ||
+                  CAST(2000000000 + c_nationkey AS VARCHAR) AS nodes_p,
+                  n_name AS name
+           FROM c1 JOIN nation ON n_nationkey = c_nationkey
+           UNION ALL
+           SELECT CAST(2 AS INTEGER),
+                  CAST(3000000000 + c1.c_custkey AS VARCHAR) || '->' ||
+                  CAST(2000000000 + c1.c_nationkey AS VARCHAR) || '->' ||
+                  CAST(3000000000 + c2.c_custkey AS VARCHAR),
+                  c2.c_name
+           FROM c1 JOIN customer c2 ON c2.c_nationkey = c1.c_nationkey
+                                   AND c2.c_custkey <> c1.c_custkey
+           UNION ALL
+           SELECT CAST(2 AS INTEGER),
+                  CAST(3000000000 + c1.c_custkey AS VARCHAR) || '->' ||
+                  CAST(2000000000 + c1.c_nationkey AS VARCHAR) || '->' ||
+                  CAST(4000000000 + s.s_suppkey AS VARCHAR),
+                  s.s_name
+           FROM c1 JOIN supplier s ON s.s_nationkey = c1.c_nationkey
+         ) ORDER BY nodes_p""",
     "gql_mutation_counts" ->
       """WITH kept AS (SELECT c_custkey FROM customer WHERE NOT (c_acctbal < -900.0))
          SELECT kind, cnt FROM (

@@ -105,6 +105,46 @@ class GqlSpec extends SparkSpec {
     assert(names(r, "a_name") == Set("Alice"))
   }
 
+  test("path variable: fixed chain tracks nodes and length") {
+    val r = GqlExecutor.run(fixture,
+      """MATCH p = (a:Person {name: "Alice"})-[:friend]->(b)-[:friend]->(c)
+         RETURN length(p), nodes(p), c.name""").df
+    val rows = r.select(col("length_p"), col("nodes_p"),
+      PropValue.asString(col("c_name"))).collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getString(2)))
+    assert(rows.toSeq == Seq((2, "1->2->3", "Charlie")))
+  }
+
+  test("path variable: var-length enumerates one row per simple path") {
+    // 1..2 hops out of Alice over friend edges:
+    //   1 hop: 1->2; 2 hops: 1->2->3. (No friend edge out of 3.)
+    val r = GqlExecutor.run(fixture,
+      """MATCH p = (a:Person {name: "Alice"})-[:friend*1..2]->(b)
+         RETURN length(p), nodes(p)""").df
+    val rows = r.select(col("length_p"), col("nodes_p")).collect()
+      .map(x => (x.getInt(0), x.getString(1))).toSet
+    assert(rows == Set((1, "1->2"), (2, "1->2->3")))
+  }
+
+  test("path variable: simple paths never revisit a vertex") {
+    // undirected *1..3 from Alice: every enumerated path is simple
+    val r = GqlExecutor.run(fixture,
+      """MATCH p = (a:Person {name: "Alice"})-[*1..3]-(b) RETURN nodes(p)""").df
+    val paths = r.select(col("nodes_p")).collect().map(_.getString(0))
+    assert(paths.nonEmpty)
+    paths.foreach { pth =>
+      val ids = pth.split("->")
+      assert(ids.distinct.length == ids.length, s"revisit in $pth")
+    }
+  }
+
+  test("path functions demand the declared path variable") {
+    val e = intercept[IllegalArgumentException] {
+      GqlExecutor.run(fixture, "MATCH (a:Person) RETURN length(q)").df
+    }
+    assert(e.getMessage.contains("unbound path variable"))
+  }
+
   test("undirected edge matches both orientations") {
     val r = GqlExecutor.run(fixture,
       """MATCH (x {name: "Bob"})-[e:friend]-(y) RETURN y.name""").df
