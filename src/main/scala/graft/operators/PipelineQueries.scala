@@ -244,11 +244,14 @@ object PipelineQueries {
       val counts = bi.groupBy("s")
         .agg(count(lit(1)).as("occurrences"),
           count_distinct(col("id")).as("doc_freq"))
-      counts
-        .withColumn("rank", row_number().over(
+      // top-k FIRST (TakeOrderedAndProject — per-partition heaps,
+      // never a global sort or single-partition window over the
+      // whole vocabulary), then rank the 20 survivors.
+      val top = counts
+        .orderBy(col("occurrences").desc, col("s").asc).limit(20)
+      top.withColumn("rank", row_number().over(
           org.apache.spark.sql.expressions.Window.orderBy(
             col("occurrences").desc, col("s").asc)))
-        .filter(col("rank") <= 20)
         .select(col("rank"), col("s").as("ngram"),
           col("occurrences"), col("doc_freq"))
         .orderBy("rank")

@@ -96,6 +96,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("vocab top-k is TakeOrdered over the aggregate, not a global window") {
+    val df = graft.operators.PipelineQueries.all("text_top_ngrams")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
+
+  test("stratified sample filter evaluates scan-side (no prior shuffle)") {
+    val df = graft.operators.PipelineQueries.all("pipe_sample_mix")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // one Sort for the ORDER BY; the keep-predicate itself runs
+    // before any Exchange introduced by aggregation/join — there is
+    // no aggregation/join at all in this plan
+    assert(!plan.contains("Join"), plan.take(800))
+  }
+
   test("dedup pack plan quality: hash join honored, no cartesian joins") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val nj = graft.functions.Dedup.ngramJaccardPairs(docs, "text", "doc_id",
