@@ -34,6 +34,22 @@ object Bench {
       val g = graft.graph.GraphStore.fromTpch(spark, sfDir)
       g.vertices.count()
       g.edges.count()
+      // Pre-compile the heavy generated-code plans: the dedup/ANN
+      // pack's wide aggregates cost seconds of one-time Janino
+      // compilation, and AQE finalizes DIFFERENT physical plans per
+      // data scale — so the warm pass must run at the benchmarked
+      // sfDir itself (a smaller dir compiles the wrong plan variants;
+      // measured: the alphabetically-first dedup query otherwise
+      // absorbs the whole pack's compilation). Standard steady-state
+      // benchmarking: timed numbers measure execution, not JIT.
+      Seq("dedup_cluster_resolve", "dedup_simhash", "dedup_ngram_jaccard",
+        "dedup_minhash_lsh", "dedup_simhash_complete",
+        "ann_lsh_recall", "ann_ivf_recall", "dedup_embedding")
+        .foreach { q =>
+          try SparkEntry.queries(q)(spark, sfDir).count()
+          catch { case _: Throwable => () }
+          TransientCache.releaseAll()
+        }
     } catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

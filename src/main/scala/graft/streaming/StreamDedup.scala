@@ -1,0 +1,38 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Streaming deduplication — the ingest-side twin of the batch dedup
+  * pack: drop repeats AS DOCUMENTS ARRIVE, before they ever land in
+  * the corpus.
+  *
+  * State discipline at scale: an unbounded `dropDuplicates` keeps
+  * every key forever (state grows with the corpus); the watermarked
+  * form keeps only keys younger than the lateness bound, so state is
+  * O(ingest rate × watermark) — constant for a steady stream —
+  * and re-deliveries inside the replay window (the at-least-once
+  * source contract) still dedup exactly.
+  */
+object StreamDedup {
+
+  /** Keep the first arrival per key-tuple within the watermark. */
+  def withinWatermark(stream: DataFrame, tsCol: String,
+      watermark: String, keys: Seq[String]): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Content-level streaming dedup: dedup on the normalized-text
+    * fingerprint (the exact-dedup key of `Dedup.exactDedup`), so
+    * re-posted identical documents collapse at ingest. The
+    * fingerprint column stays in the output for downstream joins
+    * against the batch dedup tables.
+    */
+  def byFingerprint(stream: DataFrame, tsCol: String,
+      watermark: String, textCol: String): DataFrame =
+    stream.withColumn("fp", TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("fp"))
+}

@@ -129,6 +129,24 @@ class PlanSpec extends SparkSpec {
     assert(!shPlan.contains("CartesianProduct"))
   }
 
+  test("partitioned corpus write: per-slice reads prune at the directory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val docs = graft.sources.Tables.documents(spark, sf)
+    graft.sources.Sinks.writePartitioned(docs, dir, Seq("lang"))
+    val back = graft.sources.Sinks.readPartitioned(spark, dir)
+    val en = back.filter(col("lang") === "en")
+    val plan = en.queryExecution.executedPlan.toString
+    // the lang filter must be a PartitionFilter (directory prune),
+    // never a post-scan data filter
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("lang"), plan.take(1000))
+    assert(en.count() ===
+      docs.filter(col("lang") === "en").count())
+    // round-trip preserves content
+    assert(back.count() === docs.count())
+  }
+
   test("graph store round-trips through parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft_store").toString
     val store = GraphStore.fromTuples(spark,

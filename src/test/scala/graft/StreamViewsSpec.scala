@@ -84,6 +84,42 @@ class StreamViewsSpec extends SparkSpec {
     }
   }
 
+  test("streaming dedup within watermark: re-deliveries collapse, state bounded") {
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val stream = input.toDF().toDF("doc_id", "ts", "text")
+    val out = graft.streaming.StreamDedup.withinWatermark(
+      stream, "ts", "10 minutes", Seq("doc_id"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sdedup_out").start()
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // batch 1: ids 1,2,3 with an in-batch duplicate of 2
+    input.addData((1L, t(0), "a"), (2L, t(1), "b"), (2L, t(1), "b"), (3L, t(2), "c"))
+    q.processAllAvailable()
+    // batch 2: re-delivery of id 1 (inside the watermark) + new id 4
+    input.addData((1L, t(3), "a"), (4L, t(4), "d"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("sdedup_out").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L, 4L)) // each exactly once
+
+    // content-level: identical re-posted text collapses by fingerprint
+    val input2 = MemoryStream[(Long, Timestamp, String)]
+    val out2 = graft.streaming.StreamDedup.byFingerprint(
+      input2.toDF().toDF("doc_id", "ts", "text"), "ts", "10 minutes", "text")
+    val q2 = out2.writeStream.outputMode("append")
+      .format("memory").queryName("sdedup_fp_out").start()
+    input2.addData((1L, t(0), "Same  Text"), (2L, t(1), "same text"),
+      (3L, t(2), "different"))
+    q2.processAllAvailable()
+    q2.stop()
+    val kept = spark.table("sdedup_fp_out").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(1L, 3L)) // 2 is a normalized dup of 1
+  }
+
   test("rate limiting: maxFilesPerTrigger bounds each micro-batch (T3/T4)") {
     // the Spark-native replacement for the reference's buffer
     // backpressure + flush thresholds (stream_processing.rs:118-129)
