@@ -239,25 +239,41 @@ object Dedup {
   def simHashDedupPairsExact(df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 2, threshold: Double = 0.8,
       maxDistance: Int = 16): DataFrame = {
-    val ex = graft.TransientCache.persist(
-      TextFunctions.shingleRows(df, idCol, textCol, shingleSize)
-        .dropDuplicates("id", "s"))
-    val sizes = ex.groupBy("id").agg(count(lit(1)).as("n"))
-    // The Hamming AND length-ratio prefilters both evaluate inside
-    // the nested-loop join condition — candidates materialize
-    // pre-filtered (24 bytes/row broadcast side; ~3× fewer surviving
-    // rows than hamming alone on this corpus)
-    val sigs = graft.TransientCache.persist(
-      simHashSignatures(df, textCol, idCol).join(broadcast(sizes), "id"))
-    val a = sigs.select(col("id").as("ida"), col("sig").as("siga"), col("n").as("na"))
-    val b = sigs.select(col("id").as("idb"), col("sig").as("sigb"), col("n").as("nb"))
-    val cand = a.join(broadcast(b),
-      col("ida") < col("idb") &&
-        hamming(col("siga"), col("sigb")) <= maxDistance &&
-        least(col("na"), col("nb")).cast("double")
-          >= greatest(col("na"), col("nb")).cast("double") * lit(threshold - 1e-4))
-      .select("ida", "idb")
-    exactJaccardForPairs(cand, ex, sizes, threshold)
+    val spark = df.sparkSession
+    // One frame carries everything the scan needs per doc: the
+    // 64-bit signature, the SORTED shingle-hash set (sort_array +
+    // collect_set — one aggregate), and its size. ~8 bytes per
+    // shingle per doc on the broadcast — the same ≤ ~10M-doc
+    // broadcast boundary the signature prefilter already implies;
+    // past it, switch to chunk-bucket candidates + the candidate-
+    // driven `exactJaccardForPairs` (the minhash path's shape).
+    val ex = TextFunctions.shingleRows(df, idCol, textCol, shingleSize)
+    val sets = graft.TransientCache.persist(
+      ex.groupBy("id")
+        .agg(sort_array(collect_set(xxhash64(col("s")))).as("set"))
+        .withColumn("n", size(col("set")))
+        .join(simHashSignatures(df, textCol, idCol), "id"))
+    val a = sets.select(col("id").as("ida"), col("sig").as("siga"),
+      col("set").as("seta"), col("n").as("na"))
+    val b = sets.select(col("id").as("idb"), col("sig").as("sigb"),
+      col("set").as("setb"), col("n").as("nb"))
+    // Hamming and length-ratio prefilters evaluate in the join
+    // condition; survivors verify EXACTLY in the same codegen stage —
+    // `sorted_intersect` is a primitive two-pointer loop, so there is
+    // no per-candidate join fan-out over exploded shingle rows
+    // (measured 13-20 s → ~3 s at sf0.1, where hamming ≤ 16 passes
+    // 1.4M candidates for 256 true pairs on this shared-vocab corpus).
+    val inter = VecExpressions.sortedIntersect(spark, col("seta"), col("setb"))
+    a.join(broadcast(b),
+        col("ida") < col("idb") &&
+          hamming(col("siga"), col("sigb")) <= maxDistance &&
+          least(col("na"), col("nb")).cast("double")
+            >= greatest(col("na"), col("nb")).cast("double") * lit(threshold - 1e-4))
+      .withColumn("jaccard",
+        round(inter.cast("double")
+          / (col("na") + col("nb") - inter).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("ida"), col("idb"), col("jaccard"))
   }
 
   /** Benchmark decontamination (training-data hygiene): flag corpus

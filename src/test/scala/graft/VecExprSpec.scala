@@ -39,4 +39,26 @@ class VecExprSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("vec_dot")
       || e.getMessage.contains("ARRAY<FLOAT>"), e.getMessage)
   }
+
+  test("sorted_intersect: two-pointer merge counts exactly") {
+    val rows = Seq(
+      (Seq(1L, 3L, 5L, 7L), Seq(3L, 4L, 5L, 9L), 2),   // {3,5}
+      (Seq(1L, 2L), Seq(3L, 4L), 0),                   // disjoint
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L), 3),           // identical
+      (Seq.empty[Long], Seq(1L), 0))                   // empty side
+    rows.foreach { case (a, b, want) =>
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(VecExpressions.sortedIntersect(spark, col("a"), col("b")))
+        .head.getInt(0)
+      assert(got === want, s"$a ∩ $b")
+    }
+  }
+
+  test("sorted_intersect stays inside whole-stage codegen") {
+    // LocalTableScan never codegens — drive from a codegen'd range
+    val df = spark.range(10).select(VecExpressions.sortedIntersect(spark,
+      sequence(lit(1L), col("id") + 1), sequence(lit(2L), col("id") + 2)).as("c"))
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("*(1)"))
+  }
 }
