@@ -20,6 +20,11 @@ object Bench {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // iterative queries (CC rounds, k-hop expansion) generate one
+      // codegen class per iteration DEPTH; the default 100-entry
+      // class cache thrashes across 82 queries and re-Janino-compiles
+      // the tail queries' loops every run
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -61,4 +61,21 @@ class VecExprSpec extends SparkSpec {
     df.collect()
     assert(df.queryExecution.executedPlan.toString.contains("*(1)"))
   }
+
+  test("GraftExtensions injects the SQL functions at session build") {
+    // applying the extensions class to a fresh SparkSessionExtensions
+    // must register both builders without error
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+    // and the same builders resolve through SQL on a live session
+    graft.functions.VecExpressions.ensureRegistered(spark)
+    val d = spark.sql(
+      "SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").head.getDouble(0)
+    assert(d === 11.0)
+    val c = spark.sql(
+      "SELECT sorted_intersect(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS c")
+      .head.getInt(0)
+    assert(c === 2)
+  }
 }
