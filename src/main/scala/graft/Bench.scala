@@ -57,7 +57,15 @@ object Bench {
         }
     } catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated query filter for local iteration
+    // (SPARK_GRAFT_ONLY=g1_pagerank,g11_scc); the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val n = try fn(spark, sfDir).count() catch {
         case e: Throwable =>
@@ -67,10 +75,45 @@ object Bench {
       if (n < 0) System.err.println(s"[bench] $name returned error")
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // The harness that records this run keeps only the LAST ~2000
+    // chars of output, so the machine-read line must be (a) the final
+    // line printed and (b) short enough to fit that window whole —
+    // rounds 1-3 emitted full-precision doubles for every query
+    // (~3 KB) and the line was always truncated, never parsed. Full
+    // precision goes on an earlier BENCH_DETAIL line for humans; the
+    // final line rounds to centiseconds and, if the query list ever
+    // outgrows the window, folds the fastest queries into one
+    // "other_N_fastest" bucket (the slow tail is what gets audited).
+    def fmt(v: Double): String = {
+      val s = f"$v%.2f"
+      if (s.endsWith(".00")) s.dropRight(3)
+      else if (s.endsWith("0")) s.dropRight(1) else s
+    }
+    def render(keep: Seq[(String, Double)], foldedN: Int, foldedSum: Double): String = {
+      val entries = keep.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) } ++
+        (if (foldedN > 0) Seq("\"other_" + foldedN + "_fastest\":" + fmt(foldedSum)) else Nil)
+      val qs = entries.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    val detail = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""BENCH_DETAIL {"total":$total,"queries":$detail,"sf":"$sfDir"}""")
+
+    val budget = 1800
+    var line = render(results, 0, 0.0)
+    if (line.length > budget) {
+      val byTime = results.sortBy(-_._2)
+      var keepN = byTime.length
+      while (keepN > 1 && {
+        val (keep, fold) = byTime.splitAt(keepN)
+        line = render(keep, fold.length, fold.map(_._2).sum)
+        line.length > budget
+      }) keepN -= 1
+    }
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }
