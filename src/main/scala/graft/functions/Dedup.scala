@@ -311,9 +311,14 @@ object Dedup {
       pairs: DataFrame): DataFrame = {
     // pairs is read three times (two vertex projections + the edge
     // set) and its producer is typically a whole sketch+verify
-    // pipeline — persist it, or the iterative CC recomputes that
-    // pipeline once per read
-    val p = graft.TransientCache.persist(pairs.select(col("ida"), col("idb")))
+    // pipeline. localCheckpoint, not persist: a persist caches the
+    // BLOCKS but every downstream plan still carries (and re-analyzes,
+    // re-codegens) the full sketch+verify lineage — measured 6+ s of
+    // pure planning per CC round at sf0.1. The checkpoint cuts the
+    // plan to a flat in-memory scan. (Cluster caveat, as with every
+    // localCheckpoint here: blocks don't survive executor loss; a
+    // long-lived production job would use a reliable checkpoint dir.)
+    val p = pairs.select(col("ida"), col("idb")).localCheckpoint()
     val touched = p.select(col("ida").as("id"))
       .unionByName(p.select(col("idb").as("id"))).distinct()
     val clustered = pairGraphComponents(touched, p)
@@ -338,22 +343,25 @@ object Dedup {
     */
   private def pairGraphComponents(vertices: DataFrame, pairs: DataFrame,
       maxRounds: Int = 30): DataFrame = {
-    val spark = vertices.sparkSession
-    val edges = graft.TransientCache.persist(
-      pairs.select(col("ida").as("a"), col("idb").as("b"))
-        .unionByName(pairs.select(col("idb").as("a"), col("ida").as("b"))))
-    var labels = graft.TransientCache.persist(
-      vertices.select(col("id"), col("id").as("component")))
+    // Every per-round frame is localCheckpoint'ed: persist alone keeps
+    // the full producer lineage in the plan, and the optimizer +
+    // Janino re-walk it each round — the classic iterative-DataFrame
+    // trap (lineage grows per round, planning time dominates compute).
+    val edges = pairs.select(col("ida").as("a"), col("idb").as("b"))
+      .unionByName(pairs.select(col("idb").as("a"), col("ida").as("b")))
+      .localCheckpoint()
+    var labels = vertices.select(col("id"), col("id").as("component"))
+      .localCheckpoint()
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
       val nbrMin = edges.join(labels, edges("b") === labels("id"))
         .groupBy(col("a").as("id2")).agg(min("component").as("nbr"))
-      val next = graft.TransientCache.persist(
-        labels.join(nbrMin, labels("id") === col("id2"), "left")
-          .select(labels("id"),
-            least(col("component"), coalesce(col("nbr"), col("component")))
-              .as("component")))
+      val next = labels.join(nbrMin, labels("id") === col("id2"), "left")
+        .select(labels("id"),
+          least(col("component"), coalesce(col("nbr"), col("component")))
+            .as("component"))
+        .localCheckpoint()
       // rename before the change-count self-join: next derives from
       // labels, so bare attribute references would be ambiguous
       val changed = next.select(col("id"), col("component").as("__c2"))
