@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AlgoQueries, GraphQueries, PipelineQueries, RelationalQueries, StreamQueries, TemporalQueries}
+import graft.operators.{AlgoQueries, CurationQueries, GraphQueries, PipelineQueries, RelationalQueries, StreamQueries, TemporalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,9 +19,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.all ++ GraphQueries.all ++ AlgoQueries.all ++
-      PipelineQueries.all ++ StreamQueries.all ++ TemporalQueries.all
+      PipelineQueries.all ++ StreamQueries.all ++ TemporalQueries.all ++
+      CurationQueries.all
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ GraphQueries.oracles ++ AlgoQueries.oracles ++
-      PipelineQueries.oracles ++ StreamQueries.oracles ++ TemporalQueries.oracles
+      PipelineQueries.oracles ++ StreamQueries.oracles ++
+      TemporalQueries.oracles ++ CurationQueries.oracles
 }

@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline
+  * runs between filtering and shard writing: per-stratum selection,
+  * keyword extraction, and token-budget sequence packing.
+  *
+  * All three are pure DataFrame compositions — shuffles only on the
+  * declared keys, window partitions bounded by a stratum/shard (never
+  * a global single-partition window), arithmetic expressible in both
+  * Spark and an ANSI oracle so every operator is value-checked.
+  */
+object Curation {
+
+  /** Top-k documents per stratum (source/domain) by a score column —
+    * the "keep the best N pages per domain" curation step. The rank
+    * window partitions by the stratum, so each partition sorts only
+    * its own stratum; with AQE skew handling a hot domain splits into
+    * sorted sub-partitions before ranking. Deterministic tiebreak on
+    * the id.
+    */
+  def domainTopK(df: DataFrame, stratumCol: String, idCol: String,
+      scoreCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Per-document top-k terms by TF-IDF (natural-log IDF, no
+    * smoothing): tf(d,t) · ln(N / df(t)).
+    *
+    * Two chained HashAggregates — (id, term) term frequencies, then
+    * term document frequencies — and one equi-join on the term; the
+    * corpus size N rides in as a broadcast single-row frame so the
+    * whole plan stays lazy. Scores are ranked and emitted ROUNDED (4
+    * dp): ranking on the rounded score makes the order robust to
+    * last-ulp differences in ln() across engines, and the tiebreak
+    * (term asc) is total.
+    */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val words = TextFunctions.shingleRows(df, idCol, textCol, 1)
+    val tf = words.groupBy("id", "s").agg(count(lit(1)).as("tf"))
+    val dfreq = words.select("id", "s").distinct()
+      .groupBy("s").agg(count(lit(1)).as("df"))
+    val n = broadcast(df.agg(count(lit(1)).as("n_docs")))
+    val scored = tf.join(dfreq, Seq("s")).crossJoin(n)
+      .select(col("id"), col("s").as("term"),
+        round(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")), 4)
+          .as("tfidf"))
+    val w = Window.partitionBy("id")
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Multiplicative hash on a long id — the deterministic,
+    * partitioning-independent pseudo-shuffle key (same recipe as
+    * Sampling: Knuth multiplicative hashing, reproducible in any
+    * engine — no xxhash in the oracle's dialect).
+    */
+  private def mixKey(id: org.apache.spark.sql.Column) =
+    (id * lit(2654435761L)) % lit(1000000007L)
+
+  /** Token-budget sequence packing: deterministically shuffle docs
+    * (hash order), split them into `nShards` independent shards, and
+    * within each shard assign consecutive docs to packs of ~`budget`
+    * tokens by running token count (a doc whose cumulative count
+    * crosses the boundary opens the next pack — the streaming-writer
+    * approximation of bin packing; exact first-fit is inherently
+    * sequential and doesn't distribute).
+    *
+    * Scale shape: the ONLY window is per-shard, so parallelism =
+    * nShards and no global sort exists anywhere in the plan. At
+    * 100 TB the shard count rises (it's a parameter, not a constant)
+    * and each shard's window stays executor-sized; shards are also
+    * exactly the unit a downstream shard-writer consumes.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      budget: Int, nShards: Int): DataFrame = {
+    val t = df.select(col(idCol).as("doc_id"),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      mixKey(col(idCol)).as("h"))
+      .withColumn("shard", (col("h") % nShards).cast("int"))
+    val w = Window.partitionBy("shard").orderBy(col("h").asc, col("doc_id").asc)
+    t.withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("pack_id", expr(s"(cum_tokens - 1) div $budget"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        col("cum_tokens"), col("pack_id"))
+  }
+
+  /** PII-style pattern redaction: replace every match of the given
+    * regex classes with a typed placeholder and report per-doc match
+    * counts — the scan-side scrub a corpus release runs. All
+    * regexp_replace/regexp_count, fully codegen'd, one pass.
+    */
+  def redactPatterns(df: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[(String, String)]): DataFrame = {
+    val redacted = patterns.foldLeft(col(textCol)) {
+      case (c, (name, re)) => regexp_replace(c, re, s"<$name>")
+    }
+    val counts = patterns.map { case (name, re) =>
+      regexp_count(col(textCol), lit(re)).as(s"n_$name")
+    }
+    df.select(col(idCol).as("id") +: counts :+
+      length(redacted).as("redacted_len"): _*)
+  }
+}

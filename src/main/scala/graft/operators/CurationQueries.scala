@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Curation, EmbeddingOps, TextFunctions}
+import graft.sources.Tables
+
+/** Curation / embedding-maintenance query pack (round 4): per-domain
+  * selection, keyword extraction, sequence packing, pattern scrubbing,
+  * funnel attribution, and the embedding-column maintenance passes.
+  * Every query has a DuckDB value oracle.
+  */
+object CurationQueries {
+
+  /** Redaction classes for `pipe_redact`. PII regexes (emails, phone
+    * numbers) find nothing in the synthetic word-soup corpus, which
+    * would make the oracle vacuous — these two lexical classes
+    * exercise the same operator (sequential global regexp scrub +
+    * per-class match counts) with real signal. Fold order matters and
+    * the oracle mirrors it.
+    */
+  private val redactClasses: Seq[(String, String)] = Seq(
+    "spanword" -> "\\bsp[a-z]+\\b", // words starting 'sp'
+    "longword" -> "\\b[a-z]{6,}\\b" // 6+ letter lowercase words
+  )
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Keep the best 20 docs per source by quality score — the
+    // per-domain curation cut.
+    "pipe_domain_topk" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val scored = d.select(col("doc_id"), col("source"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      Curation.domainTopK(scored, "source", "doc_id", "quality", 20)
+        .select(col("source"), col("rank"), col("doc_id"), col("quality"))
+        .orderBy("source", "rank")
+    }),
+
+    // Per-doc top-3 TF-IDF terms.
+    "tfidf_top_terms" -> ((s, dir) => {
+      Curation.tfIdfTopTerms(Tables.documents(s, dir), "doc_id", "text", 3)
+        .select(col("id").as("doc_id"), col("rank"), col("term"), col("tfidf"))
+        .orderBy("doc_id", "rank")
+    }),
+
+    // Token-budget sequence packing into 32 shards × 512-token packs.
+    "pipe_pack_sequences" -> ((s, dir) => {
+      Curation.packSequences(Tables.documents(s, dir), "doc_id", "text",
+          budget = 512, nShards = 32)
+        .orderBy("doc_id")
+    }),
+
+    // Pattern scrubbing with per-class counts.
+    "pipe_redact" -> ((s, dir) => {
+      Curation.redactPatterns(Tables.documents(s, dir), "doc_id", "text",
+          redactClasses)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // Funnel attribution: users whose first click converts to a
+    // purchase within one hour, with the conversion delay.
+    "evt_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val firstClick = ev.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(min("ts").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"))
+      firstClick.join(purchases, Seq("user_id"))
+        .filter(col("p_ts") >= col("click_ts"))
+        .groupBy("user_id", "click_ts")
+        .agg(min("p_ts").as("purchase_ts"))
+        .select(col("user_id"),
+          (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+            .as("delay_us"))
+        .filter(col("delay_us") <= 3600L * 1000000L)
+        .orderBy("user_id")
+    }),
+
+    // Int8 quantization audit per vector.
+    "emb_quantize" -> ((s, dir) => {
+      EmbeddingOps.quantizeInt8Stats(Tables.embeddings(s, dir),
+          "vec_id", "embedding")
+        .orderBy("vec_id")
+    }),
+
+    // Per-label centroid coordinates.
+    "emb_centroids" -> ((s, dir) => {
+      EmbeddingOps.labelCentroids(Tables.embeddings(s, dir),
+          "label", "embedding")
+        .orderBy("label", "pos")
+    }),
+
+    // Top-5 farthest-from-centroid vectors per label.
+    "emb_outliers" -> ((s, dir) => {
+      EmbeddingOps.centroidOutliers(Tables.embeddings(s, dir),
+          "vec_id", "label", "embedding", 5)
+        .orderBy("label", "rank")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "pipe_domain_topk" ->
+      s"""WITH q AS (${PipelineQueries.qualitySql}),
+          r AS (SELECT d.source, q.doc_id, q.quality,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY d.source
+                    ORDER BY q.quality DESC, q.doc_id ASC) AS INTEGER) AS rank
+                FROM q JOIN documents d ON q.doc_id = d.doc_id)
+          SELECT source, rank, doc_id, quality FROM r
+          WHERE rank <= 20 ORDER BY source, rank""",
+    "tfidf_top_terms" ->
+      s"""WITH w AS (SELECT doc_id,
+                unnest(string_split(${PipelineQueries.normText}, ' ')) AS s
+              FROM documents),
+          tf AS (SELECT doc_id, s, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+          df AS (SELECT s, COUNT(*) AS df
+                 FROM (SELECT DISTINCT doc_id, s FROM w) GROUP BY s),
+          n AS (SELECT COUNT(*) AS n_docs FROM documents),
+          sc AS (SELECT tf.doc_id, tf.s AS term,
+                   ROUND(CAST(tf.tf AS DOUBLE)
+                     * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 4)
+                     AS tfidf
+                 FROM tf JOIN df ON tf.s = df.s CROSS JOIN n),
+          r AS (SELECT doc_id, term, tfidf,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank
+                FROM sc)
+          SELECT doc_id, rank, term, tfidf FROM r
+          WHERE rank <= 3 ORDER BY doc_id, rank""",
+    "pipe_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+              CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                AS n_tokens,
+              (doc_id * 2654435761) % 1000000007 AS h
+            FROM documents),
+          s AS (SELECT doc_id, n_tokens, h,
+                  CAST(h % 32 AS INTEGER) AS shard FROM t),
+          c AS (SELECT doc_id, shard, n_tokens,
+                  CAST(SUM(n_tokens) OVER (PARTITION BY shard
+                    ORDER BY h ASC, doc_id ASC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+                FROM s)
+          SELECT doc_id, shard, n_tokens, cum_tokens,
+                 CAST((cum_tokens - 1) // 512 AS BIGINT) AS pack_id
+          FROM c ORDER BY doc_id""",
+    "pipe_redact" ->
+      """SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\bsp[a-z]+\b')) AS INTEGER)
+             AS n_spanword,
+           CAST(len(regexp_extract_all(text, '\b[a-z]{6,}\b')) AS INTEGER)
+             AS n_longword,
+           CAST(length(regexp_replace(
+                  regexp_replace(text, '\bsp[a-z]+\b', '<spanword>', 'g'),
+                  '\b[a-z]{6,}\b', '<longword>', 'g')) AS INTEGER)
+             AS redacted_len
+         FROM documents ORDER BY doc_id""",
+    "evt_funnel" ->
+      """WITH c AS (SELECT user_id, MIN(ts) AS click_ts FROM events
+                    WHERE event_type = 'click' GROUP BY 1),
+          p AS (SELECT c.user_id, c.click_ts, MIN(e.ts) AS purchase_ts
+                FROM c JOIN events e ON e.user_id = c.user_id
+                 AND e.event_type = 'purchase' AND e.ts >= c.click_ts
+                GROUP BY 1, 2)
+          SELECT user_id,
+                 epoch_us(purchase_ts) - epoch_us(click_ts) AS delay_us
+          FROM p
+          WHERE epoch_us(purchase_ts) - epoch_us(click_ts) <= 3600000000
+          ORDER BY user_id""",
+    "emb_quantize" ->
+      """WITH ex0 AS (SELECT vec_id, unnest(embedding) AS xf FROM embeddings),
+          ex AS (SELECT vec_id, CAST(xf AS DOUBLE) AS x FROM ex0),
+          a AS (SELECT vec_id, MAX(ABS(x)) AS amax FROM ex GROUP BY 1),
+          er AS (SELECT ex.vec_id, a.amax,
+                   ABS(x - FLOOR(x * 127.0 / amax + 0.5) * amax / 127.0) AS e
+                 FROM ex JOIN a ON ex.vec_id = a.vec_id)
+          SELECT vec_id, ROUND(MAX(amax) / 127.0, 6) AS scale,
+                 ROUND(MAX(e), 6) AS max_err
+          FROM er GROUP BY vec_id ORDER BY vec_id""",
+    "emb_centroids" ->
+      """WITH ex0 AS (SELECT label,
+              unnest(range(1, len(embedding) + 1)) AS i,
+              unnest(embedding) AS xf
+            FROM embeddings),
+          ex AS (SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+                   CAST(xf AS DOUBLE) AS x FROM ex0)
+          SELECT label, pos, ROUND(AVG(x), 6) AS centroid,
+                 COUNT(*) AS n_vecs
+          FROM ex GROUP BY 1, 2 ORDER BY label, pos""",
+    "emb_outliers" ->
+      """WITH ex0 AS (SELECT vec_id, label,
+              unnest(range(1, len(embedding) + 1)) AS i,
+              unnest(embedding) AS xf
+            FROM embeddings),
+          ex AS (SELECT vec_id, label, CAST(i - 1 AS INTEGER) AS pos,
+                   CAST(xf AS DOUBLE) AS x FROM ex0),
+          cent AS (SELECT label, pos, AVG(x) AS c FROM ex GROUP BY 1, 2),
+          d AS (SELECT ex.vec_id, ex.label,
+                  ROUND(SQRT(SUM((x - c) * (x - c))), 4) AS dist
+                FROM ex JOIN cent ON ex.label = cent.label
+                  AND ex.pos = cent.pos
+                GROUP BY 1, 2),
+          r AS (SELECT label, vec_id, dist,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY label
+                    ORDER BY dist DESC, vec_id ASC) AS INTEGER) AS rank
+                FROM d)
+          SELECT label, rank, vec_id, dist FROM r
+          WHERE rank <= 5 ORDER BY label, rank"""
+  )
+}

@@ -316,7 +316,7 @@ object PipelineQueries {
     })
   )
 
-  private val normText = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+  private[operators] val normText = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
   /** The mixing rate table as a SQL CASE yielding the per-row keep
     * threshold in 1/10000ths — must mirror `mixRates` + the 0.1
@@ -329,7 +329,7 @@ object PipelineQueries {
     s"(CASE $cases ELSE ${(0.1 * Sampling.Denominator).toLong} END)"
   }
 
-  private val qualitySql: String =
+  private[operators] val qualitySql: String =
     """WITH c AS (
          SELECT doc_id,
            LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
