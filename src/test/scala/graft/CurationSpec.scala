@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.algorithms.Algorithms
+import graft.functions.{Curation, EmbeddingOps}
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- domainTopK ---------------------------------------------------
+
+  test("domainTopK keeps k per stratum with deterministic ties") {
+    val df = Seq(
+      (1L, "a", 0.9), (2L, "a", 0.9), (3L, "a", 0.5),
+      (4L, "b", 0.1)
+    ).toDF("id", "src", "score")
+    val out = Curation.domainTopK(df, "src", "id", "score", 2)
+      .select("src", "rank", "id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    // tie at 0.9 broken by id asc; id 3 (rank 3) dropped
+    assert(out == Set(("a", 1, 1L), ("a", 2, 2L), ("b", 1, 4L)))
+  }
+
+  // ---- tfIdfTopTerms ------------------------------------------------
+
+  test("tfIdfTopTerms scores rare repeated terms above ubiquitous ones") {
+    val df = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "banana date")
+    ).toDF("doc_id", "text")
+    val out = Curation.tfIdfTopTerms(df, "doc_id", "text", 2)
+      .filter(col("id") === 1L).orderBy("rank")
+      .select("term", "tfidf").collect()
+    // banana is in every doc → idf = ln(1) = 0; apple: tf=2, df=1
+    assert(out(0).getString(0) == "apple")
+    assert(math.abs(out(0).getDouble(1) - 2.0 * math.log(3.0)) < 1e-3)
+    assert(out(1).getDouble(1) == 0.0) // banana
+  }
+
+  // ---- packSequences ------------------------------------------------
+
+  test("packSequences: per-shard running totals open packs at the budget") {
+    val docs = (0L until 40L).map(i => (i, "w " * 100)).toDF("doc_id", "text")
+    val out = Curation.packSequences(docs, "doc_id", "text",
+      budget = 250, nShards = 4).collect()
+    assert(out.length == 40)
+    // deterministic: recompute each shard's expected packing in scala
+    val rows = out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"),
+      r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_tokens"),
+      r.getAs[Long]("pack_id")))
+    rows.groupBy(_._2).foreach { case (_, shardRows) =>
+      val byOrder = shardRows.sortBy(r =>
+        ((r._1 * 2654435761L) % 1000000007L, r._1))
+      var cum = 0L
+      byOrder.foreach { r =>
+        cum += r._3
+        assert(r._4 == cum, s"cum_tokens mismatch for doc ${r._1}")
+        assert(r._5 == (cum - 1) / 250, s"pack_id mismatch for doc ${r._1}")
+      }
+    }
+    // shard assignment is the documented hash, not partition-dependent
+    assert(rows.forall(r => r._2 == ((r._1 * 2654435761L) % 1000000007L) % 4))
+  }
+
+  test("packSequences plan has no global single-partition window") {
+    val docs = (0L until 10L).map(i => (i, "a b c")).toDF("doc_id", "text")
+    val plan = Curation.packSequences(docs, "doc_id", "text", 512, 8)
+      .queryExecution.optimizedPlan.toString()
+    // the window must partition by shard; an empty partitionBy would
+    // show as 'windowspecdefinition(' with no partition columns
+    assert(plan.contains("windowspecdefinition(shard"),
+      s"expected shard-partitioned window, got:\n$plan")
+  }
+
+  // ---- redactPatterns -----------------------------------------------
+
+  test("redactPatterns applies classes sequentially and counts matches") {
+    val df = Seq((1L, "spark sparkle xylophones ok")).toDF("id", "text")
+    val out = Curation.redactPatterns(df, "id", "text",
+      Seq("sp" -> "\\bsp[a-z]+\\b", "long" -> "\\b[a-z]{6,}\\b")).head()
+    // counts are over the ORIGINAL text, not the partially-redacted one
+    assert(out.getAs[Int]("n_sp") == 2) // spark, sparkle
+    assert(out.getAs[Int]("n_long") == 2) // sparkle, xylophones
+    // replacement IS sequential: both sp-words redact first, so the
+    // long-word pass sees placeholders, and 'xylophones' still redacts
+    val expected = "<sp> <sp> <long> ok".length
+    assert(out.getAs[Int]("redacted_len") == expected)
+  }
+
+  // ---- quantizeInt8Stats --------------------------------------------
+
+  test("quantizeInt8Stats: scale is max|x|/127, max_err bounded by scale/2") {
+    val df = Seq((1L, Array(1.0f, -0.5f, 0.25f)), (2L, Array(0.1f, 0.2f, -0.4f)))
+      .toDF("vec_id", "embedding")
+    val out = EmbeddingOps.quantizeInt8Stats(df, "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+    assert(math.abs(out(0).getAs[Double]("scale") - 1.0 / 127) < 1e-6)
+    out.foreach { r =>
+      assert(r.getAs[Double]("max_err") <= r.getAs[Double]("scale") / 2 + 1e-9)
+    }
+  }
+
+  // ---- labelCentroids / centroidOutliers -----------------------------
+
+  test("labelCentroids averages coordinate-wise per label") {
+    val df = Seq(
+      (1L, 0, Array(1.0f, 3.0f)), (2L, 0, Array(3.0f, 5.0f)),
+      (3L, 1, Array(10.0f, 10.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val cents = EmbeddingOps.labelCentroids(df, "label", "embedding")
+      .orderBy("label", "pos").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+    assert(cents.toSeq == Seq((0, 0, 2.0, 2L), (0, 1, 4.0, 2L),
+      (1, 0, 10.0, 1L), (1, 1, 10.0, 1L)))
+  }
+
+  test("centroidOutliers ranks by distance to own-label centroid") {
+    val df = Seq(
+      (1L, 0, Array(0.0f, 0.0f)), (2L, 0, Array(0.0f, 2.0f)),
+      (3L, 0, Array(0.0f, 100.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val top = EmbeddingOps.centroidOutliers(df, "vec_id", "label",
+      "embedding", 1).head()
+    assert(top.getAs[Long]("vec_id") == 3L)
+  }
+
+  // ---- DataFrame-native SCC ------------------------------------------
+
+  test("scc: two cycles joined by a one-way bridge stay separate") {
+    val vs = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    // cycle {1,2}, bridge 2->3, cycle {3,4}; 5 isolated
+    val es = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L))
+      .toDF("src", "dst")
+    val scc = Algorithms.stronglyConnectedComponents(vs, es, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scc(1L) == scc(2L))
+    assert(scc(3L) == scc(4L))
+    assert(scc(1L) != scc(3L))
+    assert(scc(5L) == 5L)
+    // min-member labels
+    assert(scc(1L) == 1L && scc(3L) == 3L)
+  }
+
+  test("scc: long path DAG decomposes into singletons") {
+    val vs = (1L to 6L).toDF("id")
+    val es = (1L to 5L).map(i => (i, i + 1)).toDF("src", "dst")
+    val scc = Algorithms.stronglyConnectedComponents(vs, es, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scc == (1L to 6L).map(i => i -> i).toMap)
+  }
+
+  test("scc: strongly connected ring collapses to one component") {
+    val vs = (0L to 4L).toDF("id")
+    val es = (0L to 4L).map(i => (i, (i + 1) % 5)).toDF("src", "dst")
+    val scc = Algorithms.stronglyConnectedComponents(vs, es, 10)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(scc == Set(0L))
+  }
+
+  // ---- evt_funnel equivalence ----------------------------------------
+
+  test("evt_funnel counts only first-click conversions inside the window") {
+    import graft.operators.CurationQueries
+    val out = CurationQueries.all("evt_funnel")(spark, sf)
+    val rows = out.collect()
+    assert(rows.forall(_.getAs[Long]("delay_us") >= 0))
+    assert(rows.forall(_.getAs[Long]("delay_us") <= 3600L * 1000000L))
+  }
+}
