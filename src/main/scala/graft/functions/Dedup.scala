@@ -226,6 +226,52 @@ object Dedup {
       .select(col("ida"), col("idb"), col("jaccard"))
   }
 
+  /** Incremental near-dup detection — dedup a NEW batch against an
+    * existing corpus without re-pairing the corpus with itself: the
+    * O(delta) shape a daily-ingest pipeline runs, where the corpus
+    * side's signatures would be a precomputed index (here recomputed
+    * because the test corpus is tiny; the banding join is what
+    * matters). Candidates come from a new-vs-corpus bucket join —
+    * candidate volume scales with the batch, never corpus² — and the
+    * TRUE shingle Jaccard verifies, exactly as
+    * `minHashDedupPairsExact`. Id spaces must be disjoint. Output:
+    * (ida = corpus id, idb = new id, jaccard ≥ threshold).
+    * Hot corpus buckets are capped (`maxBucketSize`) like the
+    * self-join path.
+    */
+  def minHashNewVsCorpusPairs(newDocs: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String, shingleSize: Int = 2,
+      threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 16,
+      maxBucketSize: Int = 100000): DataFrame = {
+    val rows = numHashes / bands
+    def prep(df: DataFrame) = {
+      val ex = graft.TransientCache.persist(
+        TextFunctions.shingleRows(df, idCol, textCol, shingleSize)
+          .dropDuplicates("id", "s"))
+      val sigs = graft.TransientCache.persist(
+        minHashSigsFromExploded(ex, numHashes, withSize = true))
+      val banded = sigs.select(col("id"),
+        explode(lshBands(col("sig"), bands, rows)).as("bk"))
+        .select(col("id"), col("bk.band"), col("bk.bucket"))
+      (ex, sigs, banded)
+    }
+    val (exNew, sigsNew, bandedNew) = prep(newDocs)
+    val (exOld, sigsOld, bandedOld) = prep(corpus)
+    val okBuckets = bandedOld.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucketSize)
+      .select("band", "bucket")
+    val cand = bandedNew.select(col("band"), col("bucket"), col("id").as("idb"))
+      .join(bandedOld.join(okBuckets, Seq("band", "bucket"))
+        .select(col("band"), col("bucket"), col("id").as("ida")),
+        Seq("band", "bucket"))
+      .select(col("ida"), col("idb"))
+      .dropDuplicates("ida", "idb")
+    val ex = exOld.unionByName(exNew)
+    val sizes = sigsOld.select(col("id"), col("n"))
+      .unionByName(sigsNew.select(col("id"), col("n")))
+    exactJaccardForPairs(cand, ex, sizes, threshold)
+  }
+
   /** Exact-verified SimHash near-dup pairs: the 64-bit signature is a
     * cheap O(n²)-scan prefilter (16 bytes/doc, broadcast nested loop,
     * bit_count inside codegen), and the true shingle-set Jaccard

@@ -77,6 +77,35 @@ object CurationQueries {
         .orderBy("user_id")
     }),
 
+    // Incremental dedup: docs with doc_id % 10 == 0 stand in for a
+    // newly ingested batch; find their near-dups in the rest of the
+    // corpus via a new-vs-corpus banding join (candidates scale with
+    // the batch, never corpus²), true-Jaccard verified — same
+    // recall-1 banding argument as dedup_minhash_lsh, so the output
+    // IS the exact cross-boundary answer the oracle computes.
+    "dedup_increment" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      graft.functions.Dedup.minHashNewVsCorpusPairs(
+          d.filter(col("doc_id") % 10 === 0),
+          d.filter(col("doc_id") % 10 =!= 0),
+          "text", "doc_id", shingleSize = 2, threshold = 0.8,
+          numHashes = 32, bands = 16)
+        .orderBy("ida", "idb")
+    }),
+
+    // Z-order layout key: Morton interleave of two lineitem dims —
+    // the clustering key a 100 TB write path sorts by so parquet
+    // min/max stats prune on BOTH dimensions (value-checked bit
+    // math; the write-path plumbing is Layout.zorderLayout).
+    "layout_zorder" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).filter(col("l_orderkey") < 1000)
+      li.select(col("l_orderkey"), col("l_linenumber"),
+          graft.functions.Layout.zorderKey(Seq(
+            pmod(col("l_orderkey"), lit(256)),
+            pmod(col("l_suppkey"), lit(256))), 8).as("zkey"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // Int8 quantization audit per vector.
     "emb_quantize" -> ((s, dir) => {
       EmbeddingOps.quantizeInt8Stats(Tables.embeddings(s, dir),
@@ -99,7 +128,19 @@ object CurationQueries {
     })
   )
 
+  /** The Morton-interleave bit expression, generated to mirror
+    * Layout.zorderKey(Seq(orderkey%256, suppkey%256), 8) term by term.
+    */
+  private val zorderSql: String = (0 until 8).flatMap(i => Seq(
+    s"((((l_orderkey % 256) >> $i) & 1) << ${2 * i})",
+    s"((((l_suppkey % 256) >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+
   val oracles: Map[String, String] = Map(
+    "layout_zorder" ->
+      s"""SELECT l_orderkey, l_linenumber,
+                 CAST($zorderSql AS BIGINT) AS zkey
+          FROM lineitem WHERE l_orderkey < 1000
+          ORDER BY l_orderkey, l_linenumber""",
     "pipe_domain_topk" ->
       s"""WITH q AS (${PipelineQueries.qualitySql}),
           r AS (SELECT d.source, q.doc_id, q.quality,
@@ -166,6 +207,25 @@ object CurationQueries {
           FROM p
           WHERE epoch_us(purchase_ts) - epoch_us(click_ts) <= 3600000000
           ORDER BY user_id""",
+    "dedup_increment" ->
+      s"""WITH t AS (
+            SELECT doc_id, list_distinct(
+              CASE WHEN len(w) >= 2
+                THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                ELSE [array_to_string(w, ' ')] END) AS bg
+            FROM (SELECT doc_id, string_split(${PipelineQueries.normText}, ' ')
+                    AS w FROM documents)),
+          ex AS (SELECT doc_id, unnest(bg) AS s FROM t),
+          sz AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY 1),
+          corp AS (SELECT * FROM ex WHERE doc_id % 10 <> 0),
+          nw AS (SELECT * FROM ex WHERE doc_id % 10 = 0),
+          j AS (SELECT c.doc_id AS ida, n2.doc_id AS idb, COUNT(*) AS inter
+                FROM corp c JOIN nw n2 ON c.s = n2.s GROUP BY 1, 2)
+          SELECT ida, idb,
+                 ROUND(CAST(inter AS DOUBLE) / (a.n + b.n - inter), 4) AS jaccard
+          FROM j JOIN sz a ON j.ida = a.doc_id JOIN sz b ON j.idb = b.doc_id
+          WHERE ROUND(CAST(inter AS DOUBLE) / (a.n + b.n - inter), 4) >= 0.8
+          ORDER BY ida, idb""",
     "emb_quantize" ->
       """WITH ex0 AS (SELECT vec_id, unnest(embedding) AS xf FROM embeddings),
           ex AS (SELECT vec_id, CAST(xf AS DOUBLE) AS x FROM ex0),

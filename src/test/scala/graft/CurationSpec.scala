@@ -159,6 +159,69 @@ class CurationSpec extends SparkSpec {
     assert(scc == Set(0L))
   }
 
+  // ---- incremental dedup ----------------------------------------------
+
+  test("minHashNewVsCorpusPairs finds only cross-boundary pairs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"), // dup of 1
+      (3L, "completely different text with other words entirely here"),
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // new dup
+      (11L, "nothing like anything else in this corpus at all")
+    ).toDF("doc_id", "text")
+    val out = graft.functions.Dedup.minHashNewVsCorpusPairs(
+        docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+        "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    TransientCache.releaseAll()
+    // 10 pairs with corpus dups 1 and 2; the corpus-internal 1-2 pair
+    // and the new-batch-only combinations never appear
+    assert(out == Set((1L, 10L), (2L, 10L)))
+  }
+
+  // ---- z-order layout --------------------------------------------------
+
+  test("zorderKey interleaves bits per the Morton reference") {
+    def mortonRef(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (255L, 255L), (170L, 85L))
+      .toDF("x", "y")
+    val got = df.select(col("x"), col("y"),
+        graft.functions.Layout.zorderKey(Seq(col("x"), col("y")), 8).as("z"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(2) == mortonRef(r.getLong(0), r.getLong(1), 8))
+    }
+  }
+
+  test("zorderLayout clusters both dimensions, not just the leading one") {
+    // a 32×32 grid; z-sorted neighbors must stay close in BOTH dims
+    val grid = (for { x <- 0L until 32L; y <- 0L until 32L } yield (x, y))
+      .toDF("x", "y")
+    val key = graft.functions.Layout.zorderKey(Seq(col("x"), col("y")), 5)
+    val z = graft.functions.Layout.zorderLayout(grid, key, 4)
+    // within each output partition, the y-range must be much narrower
+    // than the full domain (a plain x-sort would leave it at 0..31 in
+    // every partition)
+    val spans = z.withColumn("pid", spark_partition_id())
+      .groupBy("pid").agg((max("y") - min("y")).as("yspan"),
+        (max("x") - min("x")).as("xspan"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(spans.forall { case (ys, xs) => ys <= 16 && xs <= 16 },
+      s"z-order partitions should bound both dims, got ${spans.mkString(",")}")
+  }
+
+  test("normalizeDim maps a range onto [0, 2^bits) with clamping") {
+    val df = Seq(0L, 500L, 999L, 1500L).toDF("v")
+    val out = df.select(graft.functions.Layout
+        .normalizeDim(col("v"), 0L, 999L, 8).as("n"))
+      .collect().map(_.getLong(0))
+    assert(out(0) == 0L && out(1) == 128L && out(2) == 255L)
+    assert(out(3) == 255L) // beyond-max clamps
+  }
+
   // ---- evt_funnel equivalence ----------------------------------------
 
   test("evt_funnel counts only first-click conversions inside the window") {
