@@ -40,6 +40,35 @@ class StreamViewsSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("streaming funnel converts once per user across micro-batches") {
+    import graft.streaming.FunnelDetector
+    import graft.streaming.FunnelDetector.FEv
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[FEv]
+    // batch 1: user 1 clicks; user 2 purchases with no prior click
+    input.addData(
+      FEv(1L, ts("2024-01-01 10:00:00"), "click"),
+      FEv(2L, ts("2024-01-01 10:00:00"), "purchase"))
+    val q = FunnelDetector.clickToPurchase(input.toDS(), 3600L * 1000000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_out").start()
+    q.processAllAvailable()
+    // batch 2: user 1 purchases twice inside the window (one
+    // conversion only); user 2 clicks then purchases out of window
+    input.addData(
+      FEv(1L, ts("2024-01-01 10:30:00"), "purchase"),
+      FEv(1L, ts("2024-01-01 10:40:00"), "purchase"),
+      FEv(2L, ts("2024-01-01 11:00:00"), "click"),
+      FEv(2L, ts("2024-01-01 13:00:00"), "purchase"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("funnel_out").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    // exactly one conversion: user 1, 30 min delay, click from batch 1
+    assert(out.toSeq == Seq((1L, 1800L * 1000000L)))
+  }
+
   test("count-window stream emits complete windows with correct sums") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[CountWindow.Ev]
