@@ -147,6 +147,36 @@ class PlanSpec extends SparkSpec {
     assert(back.count() === docs.count())
   }
 
+  test("curation pack plan quality: rank windows group-limit, no cartesians") {
+    import graft.operators.CurationQueries
+    // WindowGroupLimit pushes the rank<=k filter below the sort —
+    // per-partition heaps, never a full sort-then-filter per stratum
+    val topk = CurationQueries.all("pipe_domain_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(topk.contains("WindowGroupLimit"), topk)
+    val tfidf = CurationQueries.all("tfidf_top_terms")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(tfidf.contains("WindowGroupLimit"), tfidf)
+    // incremental dedup joins new-vs-corpus on (band,bucket) —
+    // an equi-join, never a cartesian
+    val incr = CurationQueries.all("dedup_increment")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!incr.contains("CartesianProduct"), incr)
+    graft.TransientCache.releaseAll()
+  }
+
+  test("zorder layout writes range-partitioned, sorted-within-partition") {
+    import graft.functions.Layout
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val key = Layout.zorderKey(Seq(
+      pmod(col("l_orderkey"), lit(256)), pmod(col("l_suppkey"), lit(256))), 8)
+    val plan = Layout.zorderLayout(li, key, 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning") || plan.contains("RangePartitioning"),
+      plan)
+    assert(plan.contains("Sort "), plan)
+  }
+
   test("graph store round-trips through parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft_store").toString
     val store = GraphStore.fromTuples(spark,
