@@ -94,6 +94,27 @@ object Curation {
         col("cum_tokens"), col("pack_id"))
   }
 
+  /** Per-stratum token-budget sampling — "keep ~B tokens per source":
+    * docs take the deterministic hash order, and a running token
+    * total per stratum keeps every doc that starts inside the budget.
+    * Reproducible at any partitioning (same mixKey recipe as
+    * packSequences). The window partitions by stratum; a stratum far
+    * bigger than its budget should be pre-thinned with
+    * Sampling.stratifiedSample at rate ≈ budget/stratum_tokens so the
+    * sort feeding this window stays proportional to the KEPT set, not
+    * the corpus.
+    */
+  def tokenBudgetSample(df: DataFrame, stratumCol: String, idCol: String,
+      textCol: String, budget: Long): DataFrame = {
+    val t = df.select(col(idCol).as("doc_id"), col(stratumCol).as("stratum"),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      mixKey(col(idCol)).as("h"))
+    val w = Window.partitionBy("stratum").orderBy(col("h").asc, col("doc_id").asc)
+    t.withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("stratum"), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** PII-style pattern redaction: replace every match of the given
     * regex classes with a typed placeholder and report per-doc match
     * counts — the scan-side scrub a corpus release runs. All

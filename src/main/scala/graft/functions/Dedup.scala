@@ -375,6 +375,28 @@ object Dedup {
     clustered.unionByName(loners)
   }
 
+  /** Quality-aware cluster resolution: like `resolveDupClusters`, but
+    * the survivor of each near-dup cluster is its HIGHEST-`scoreCol`
+    * member (tie → lowest id) instead of the lowest id — what a real
+    * curation pass keeps. `scored` must carry (idCol, scoreCol).
+    * One rank window partitioned by component (clusters are tiny by
+    * construction, so partitions are, too), one map-back join.
+    */
+  def resolveDupClustersByScore(scored: DataFrame, idCol: String,
+      scoreCol: String, pairs: DataFrame): DataFrame = {
+    val members = resolveDupClusters(scored, idCol, pairs)
+      .select(col("id"), col("canonical_id").as("component"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
+      .orderBy(col(scoreCol).desc, col("id").asc)
+    val survivors = members
+      .join(scored.select(col(idCol).as("id"), col(scoreCol)), "id")
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("component"), col("id").as("survivor_id"))
+    members.join(survivors, Seq("component"))
+      .select(col("id"), col("survivor_id"))
+  }
+
   /** Connected components of the near-dup PAIR graph as a DataFrame
     * min-label propagation loop: each round every vertex takes the
     * minimum label among itself and its neighbors, until a round

@@ -93,6 +93,30 @@ object CurationQueries {
         .orderBy("ida", "idb")
     }),
 
+    // Quality-aware cluster resolution: every doc maps to its near-dup
+    // cluster's HIGHEST-quality member (tie → lowest id) — the
+    // survivor selection a curation pass actually ships (min-id
+    // selection is dedup_cluster_resolve).
+    "dedup_best_survivor" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val scored = d.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      val pairs = graft.functions.Dedup.minHashDedupPairsExact(
+        d, "text", "doc_id", shingleSize = 2, threshold = 0.8,
+        numHashes = 32, bands = 16)
+      graft.functions.Dedup.resolveDupClustersByScore(
+          scored, "doc_id", "quality", pairs)
+        .orderBy("id")
+    }),
+
+    // Per-source token budget: keep docs (hash order) while the
+    // running token total stays ≤ 2000 — "sample N tokens per source".
+    "pipe_token_budget" -> ((s, dir) => {
+      Curation.tokenBudgetSample(Tables.documents(s, dir),
+          "source", "doc_id", "text", budget = 2000L)
+        .orderBy("doc_id")
+    }),
+
     // Z-order layout key: Morton interleave of two lineitem dims —
     // the clustering key a 100 TB write path sorts by so parquet
     // min/max stats prune on BOTH dimensions (value-checked bit
@@ -136,6 +160,54 @@ object CurationQueries {
     s"((((l_suppkey % 256) >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "dedup_best_survivor" ->
+      s"""WITH RECURSIVE t AS (
+            SELECT doc_id, list_distinct(
+              CASE WHEN len(w) >= 2
+                THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                ELSE [array_to_string(w, ' ')] END) AS bg
+            FROM (SELECT doc_id, string_split(${PipelineQueries.normText}, ' ')
+                    AS w FROM documents)),
+          ex AS (SELECT doc_id, len(bg) AS n, unnest(bg) AS s FROM t),
+          j AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS inter,
+                       FIRST(a.n) AS na, FIRST(b.n) AS nb
+                FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+          p AS (SELECT ida, idb FROM j
+                WHERE ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.8),
+          e AS (SELECT ida AS a, idb AS b FROM p
+                UNION SELECT idb, ida FROM p),
+          reach(a, b) AS (
+            SELECT a, b FROM e
+            UNION
+            SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+          canon AS (SELECT a AS id, LEAST(a, MIN(b)) AS component
+                    FROM reach GROUP BY a),
+          m AS (SELECT d.doc_id AS id,
+                       COALESCE(c.component, d.doc_id) AS component
+                FROM documents d LEFT JOIN canon c ON d.doc_id = c.id),
+          q AS (${PipelineQueries.qualitySql}),
+          r AS (SELECT m.component, m.id,
+                  ROW_NUMBER() OVER (PARTITION BY m.component
+                    ORDER BY q.quality DESC, m.id ASC) AS rk
+                FROM m JOIN q ON m.id = q.doc_id),
+          sv AS (SELECT component, id AS survivor_id FROM r WHERE rk = 1)
+          SELECT m.id, sv.survivor_id
+          FROM m JOIN sv ON m.component = sv.component
+          ORDER BY id""",
+    "pipe_token_budget" ->
+      """WITH t AS (SELECT doc_id, source,
+              CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                AS n_tokens,
+              (doc_id * 2654435761) % 1000000007 AS h
+            FROM documents),
+          c AS (SELECT doc_id, source AS stratum, n_tokens,
+                  CAST(SUM(n_tokens) OVER (PARTITION BY source
+                    ORDER BY h ASC, doc_id ASC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+                FROM t)
+          SELECT doc_id, stratum, n_tokens, cum_tokens FROM c
+          WHERE cum_tokens <= 2000 ORDER BY doc_id""",
     "layout_zorder" ->
       s"""SELECT l_orderkey, l_linenumber,
                  CAST($zorderSql AS BIGINT) AS zkey

@@ -179,6 +179,48 @@ class CurationSpec extends SparkSpec {
     assert(out == Set((1L, 10L), (2L, 10L)))
   }
 
+  // ---- quality-aware survivor resolution -------------------------------
+
+  test("resolveDupClustersByScore keeps the best-scoring cluster member") {
+    val scored = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.9), (4L, 0.5) // 4 untouched
+    ).toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("ida", "idb")
+      .withColumn("jaccard", lit(1.0))
+    val out = graft.functions.Dedup.resolveDupClustersByScore(
+        scored, "doc_id", "quality", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    TransientCache.releaseAll()
+    // cluster {1,2,3}: 2 and 3 tie at 0.9 → lowest id (2) survives
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 4L))
+  }
+
+  // ---- token-budget sampling --------------------------------------------
+
+  test("tokenBudgetSample keeps hash-ordered docs up to the stratum budget") {
+    val docs = (0L until 20L).map(i =>
+      (i, if (i < 10) "a" else "b", "w " * 10)).toDF("doc_id", "src", "text")
+    val out = graft.functions.Curation.tokenBudgetSample(
+        docs, "src", "doc_id", "text", budget = 35L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    // each doc is 10 tokens → exactly 3 docs per stratum fit 35
+    val byStratum = out.groupBy(_._2)
+    assert(byStratum.keySet == Set("a", "b"))
+    byStratum.values.foreach { rows =>
+      assert(rows.length == 3)
+      assert(rows.map(_._3).max <= 35L)
+      // kept docs are the 3 lowest in deterministic hash order
+      val ids = rows.map(_._1).toSet
+      val expected = rows.map(_._1).headOption.map { _ =>
+        // recompute: sort the stratum's ids by the documented hash
+        val stratumIds = (0L until 20L).filter(i =>
+          (if (i < 10) "a" else "b") == rows.head._2)
+        stratumIds.sortBy(i => ((i * 2654435761L) % 1000000007L, i)).take(3).toSet
+      }.get
+      assert(ids == expected)
+    }
+  }
+
   // ---- z-order layout --------------------------------------------------
 
   test("zorderKey interleaves bits per the Morton reference") {
