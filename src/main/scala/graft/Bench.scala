@@ -47,9 +47,10 @@ object Bench {
       // measured: the alphabetically-first dedup query otherwise
       // absorbs the whole pack's compilation). Standard steady-state
       // benchmarking: timed numbers measure execution, not JIT.
-      Seq("dedup_cluster_resolve", "dedup_simhash", "dedup_ngram_jaccard",
-        "dedup_minhash_lsh", "dedup_simhash_complete", "dedup_increment",
-        "ann_lsh_recall", "ann_ivf_recall", "dedup_embedding")
+      Seq("dedup_cluster_resolve", "dedup_best_survivor", "dedup_simhash",
+        "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash_complete",
+        "dedup_increment", "ann_lsh_recall", "ann_ivf_recall",
+        "dedup_embedding")
         .foreach { q =>
           try SparkEntry.queries(q)(spark, sfDir).count()
           catch { case _: Throwable => () }

@@ -272,6 +272,73 @@ object Dedup {
     exactJaccardForPairs(cand, ex, sizes, threshold)
   }
 
+  /** Persistable MinHash INDEX — one row per document carrying
+    * everything incremental dedup needs: the signature, the sorted
+    * distinct shingle-hash set, and its size. Built once per corpus,
+    * saved like any table (bucket by id, or pre-explode the bands and
+    * bucket by (band, bucket) for a co-located candidate join), then
+    * every future batch dedups against it WITHOUT touching corpus
+    * text again — the piece `minHashNewVsCorpusPairs` recomputes.
+    * Row cost ≈ 8 B/shingle + 8 B/hash; the arrays stay columnar in
+    * parquet and only candidate ids' rows ever shuffle.
+    */
+  def buildMinHashIndex(docs: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 2, numHashes: Int = 32): DataFrame = {
+    val ex = TextFunctions.shingleRows(docs, idCol, textCol, shingleSize)
+      .dropDuplicates("id", "s")
+    val sigs = minHashSigsFromExploded(ex, numHashes, withSize = true)
+    val sets = ex.groupBy("id")
+      .agg(sort_array(collect_set(xxhash64(col("s")))).as("set"))
+    // both aggregates shuffle on id — the join is co-partitioned
+    sigs.join(sets, "id")
+  }
+
+  /** Incremental near-dup pairs against a SAVED index (the scale form
+    * of `minHashNewVsCorpusPairs`): candidates from a new-vs-index
+    * banding join, verification as a codegen'd two-pointer
+    * `sorted_intersect` over the per-doc hash sets riding the
+    * candidate join — no shingle-row fan-out join at all. Output:
+    * (ida = index id, idb = new id, jaccard ≥ threshold), identical
+    * to the recompute path (PipelineSpec asserts it through a parquet
+    * round-trip).
+    */
+  def minHashIndexPairs(newDocs: DataFrame, index: DataFrame,
+      textCol: String, idCol: String, shingleSize: Int = 2,
+      threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 16,
+      maxBucketSize: Int = 100000): DataFrame = {
+    val spark = newDocs.sparkSession
+    val rows = numHashes / bands
+    val newIdx = graft.TransientCache.persist(
+      buildMinHashIndex(newDocs, textCol, idCol, shingleSize, numHashes))
+    def banded(ix: DataFrame) = ix.select(col("id"),
+      explode(lshBands(col("sig"), bands, rows)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bucket"))
+    val bOld = banded(index)
+    val okBuckets = bOld.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucketSize)
+      .select("band", "bucket")
+    val cand = banded(newIdx)
+      .select(col("band"), col("bucket"), col("id").as("idb"))
+      .join(bOld.join(okBuckets, Seq("band", "bucket"))
+        .select(col("band"), col("bucket"), col("id").as("ida")),
+        Seq("band", "bucket"))
+      .select(col("ida"), col("idb"))
+      .dropDuplicates("ida", "idb")
+    val a = index.select(col("id").as("ida"), col("set").as("seta"),
+      col("n").as("na"))
+    val b = newIdx.select(col("id").as("idb"), col("set").as("setb"),
+      col("n").as("nb"))
+    val inter = VecExpressions.sortedIntersect(spark, col("seta"), col("setb"))
+    cand.join(a, "ida").join(b, "idb")
+      .filter(least(col("na"), col("nb")).cast("double")
+        >= greatest(col("na"), col("nb")).cast("double") * lit(threshold - 1e-4))
+      .withColumn("jaccard",
+        round(inter.cast("double")
+          / (col("na") + col("nb") - inter).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("ida"), col("idb"), col("jaccard"))
+  }
+
   /** Exact-verified SimHash near-dup pairs: the 64-bit signature is a
     * cheap O(n²)-scan prefilter (16 bytes/doc, broadcast nested loop,
     * bit_count inside codegen), and the true shingle-set Jaccard

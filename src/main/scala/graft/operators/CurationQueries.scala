@@ -85,9 +85,14 @@ object CurationQueries {
     // IS the exact cross-boundary answer the oracle computes.
     "dedup_increment" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      graft.functions.Dedup.minHashNewVsCorpusPairs(
-          d.filter(col("doc_id") % 10 === 0),
-          d.filter(col("doc_id") % 10 =!= 0),
+      // index path: in production the corpus index is a SAVED table
+      // (buildMinHashIndex → parquet); here it derives in-query —
+      // identical rows either way (PipelineSpec round-trips it)
+      val corpusIdx = graft.TransientCache.persist(
+        graft.functions.Dedup.buildMinHashIndex(
+          d.filter(col("doc_id") % 10 =!= 0), "text", "doc_id"))
+      graft.functions.Dedup.minHashIndexPairs(
+          d.filter(col("doc_id") % 10 === 0), corpusIdx,
           "text", "doc_id", shingleSize = 2, threshold = 0.8,
           numHashes = 32, bands = 16)
         .orderBy("ida", "idb")

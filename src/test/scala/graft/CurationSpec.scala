@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.algorithms.Algorithms
 import graft.functions.{Curation, EmbeddingOps}
+import graft.sources.Tables
 
 class CurationSpec extends SparkSpec {
   import spark.implicits._
@@ -177,6 +178,26 @@ class CurationSpec extends SparkSpec {
     // 10 pairs with corpus dups 1 and 2; the corpus-internal 1-2 pair
     // and the new-batch-only combinations never appear
     assert(out == Set((1L, 10L), (2L, 10L)))
+  }
+
+  // ---- index-backed incremental dedup ----------------------------------
+
+  test("minHashIndexPairs through a saved parquet index matches recompute") {
+    val docs = Tables.documents(spark, sf)
+    val newB = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val direct = graft.functions.Dedup.minHashNewVsCorpusPairs(
+        newB, corpus, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    TransientCache.releaseAll()
+    val dir = java.nio.file.Files.createTempDirectory("mh_index").toString
+    graft.functions.Dedup.buildMinHashIndex(corpus, "text", "doc_id")
+      .write.mode("overwrite").parquet(dir)
+    val viaIndex = graft.functions.Dedup.minHashIndexPairs(
+        newB, spark.read.parquet(dir), "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    TransientCache.releaseAll()
+    assert(viaIndex == direct && direct.nonEmpty)
   }
 
   // ---- quality-aware survivor resolution -------------------------------
