@@ -285,6 +285,15 @@ class CurationSpec extends SparkSpec {
     assert(out(3) == 255L) // beyond-max clamps
   }
 
+  // ---- driver-contract wiring ------------------------------------------
+
+  test("every SparkEntry query has exactly one oracle and vice versa") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(q == o, s"queries without oracle: ${(q -- o).toSeq.sorted}; " +
+      s"oracles without query: ${(o -- q).toSeq.sorted}")
+  }
+
   // ---- evt_funnel equivalence ----------------------------------------
 
   test("evt_funnel counts only first-click conversions inside the window") {
