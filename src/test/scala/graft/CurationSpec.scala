@@ -200,6 +200,37 @@ class CurationSpec extends SparkSpec {
     assert(viaIndex == direct && direct.nonEmpty)
   }
 
+  test("batchwise index folding reproduces the full-corpus dedup answer") {
+    // the invariant a daily-ingest pipeline relies on: pairs(full) ==
+    // Σ batches [ pairs(within batch) + pairs(batch vs index-so-far) ]
+    val docs = Tables.documents(spark, sf)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)), r.getDouble(2))).toSet
+    val full = canon(graft.functions.Dedup.minHashDedupPairsExact(
+      docs, "text", "doc_id"))
+    TransientCache.releaseAll()
+    val batches = Seq(
+      docs.filter(col("doc_id") % 3 === 0),
+      docs.filter(col("doc_id") % 3 === 1),
+      docs.filter(col("doc_id") % 3 === 2))
+    var index: Option[org.apache.spark.sql.DataFrame] = None
+    var acc = Set.empty[(Long, Long, Double)]
+    batches.foreach { b =>
+      acc ++= canon(graft.functions.Dedup.minHashDedupPairsExact(
+        b, "text", "doc_id"))
+      index.foreach { ix =>
+        acc ++= canon(graft.functions.Dedup.minHashIndexPairs(
+          b, ix, "text", "doc_id"))
+      }
+      val bIdx = graft.functions.Dedup.buildMinHashIndex(b, "text", "doc_id")
+        .localCheckpoint()
+      index = Some(index.map(_.unionByName(bIdx)).getOrElse(bIdx))
+      TransientCache.releaseAll()
+    }
+    assert(acc == full && full.nonEmpty)
+  }
+
   // ---- quality-aware survivor resolution -------------------------------
 
   test("resolveDupClustersByScore keeps the best-scoring cluster member") {
