@@ -250,12 +250,16 @@ object Algorithms {
   }
 
   /** G8: forward reachability from a source set — iterative frontier
-    * expansion, accumulating visited. DataFrame loop with
-    * localCheckpoint every few rounds to truncate lineage.
+    * expansion, accumulating visited. DataFrame loop with lineage
+    * truncation per round (`checkpointDir` swaps the local truncation
+    * for a reliable one — see [[graft.Lineage]]).
     */
-  def reachability(edges: DataFrame, sources: Seq[Long], maxIter: Int = 50): DataFrame = {
+  def reachability(edges: DataFrame, sources: Seq[Long], maxIter: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    import graft.Lineage.CutOps
     val spark = edges.sparkSession
     import spark.implicits._
+    val rel = graft.Lineage.configure(edges, checkpointDir)
     val e = edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
     var visited = sources.toDF("id").persist(StorageLevel.MEMORY_AND_DISK)
     var frontier = visited
@@ -265,10 +269,10 @@ object Algorithms {
       val next = frontier.join(e, frontier("id") === e("src"))
         .select(e("dst").as("id")).distinct()
         .join(visited, Seq("id"), "left_anti")
-        .localCheckpoint()
+        .cut(rel)
       if (next.isEmpty) done = true
       else {
-        visited = visited.union(next).localCheckpoint()
+        visited = visited.union(next).cut(rel)
         frontier = next
       }
       iter += 1
@@ -282,8 +286,11 @@ object Algorithms {
     * (graph/algorithms/src/lib.rs:47-82). Returns surviving vertex
     * ids with their core degree.
     */
-  def kCore(edges: DataFrame, k: Int, maxIter: Int = 100): DataFrame = {
-    var e = edges.select(col("src"), col("dst")).localCheckpoint()
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 100,
+      checkpointDir: Option[String] = None): DataFrame = {
+    import graft.Lineage.CutOps
+    val rel = graft.Lineage.configure(edges, checkpointDir)
+    var e = edges.select(col("src"), col("dst")).cut(rel)
     var changed = true
     var iter = 0
     while (changed && iter < maxIter) {
@@ -296,7 +303,7 @@ object Algorithms {
         e = e.join(bad.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
           .join(bad.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
           .select("src", "dst")
-          .localCheckpoint()
+          .cut(rel)
       }
       iter += 1
     }
@@ -336,26 +343,33 @@ object Algorithms {
     *  3. peel every root SCC (≥1 per color class per round), restrict
     *     edges, repeat.
     *
-    * Every per-round frame is localCheckpoint'ed — flat lineage, the
-    * iterative-DataFrame pattern used by reachability/kCore/CC here.
-    * `numIter` caps OUTER rounds (each peels ≥1 SCC per color; deep
-    * SCC-DAG chains need more rounds — leftovers get their forward
-    * label, the same best-effort cutoff GraphX's numIter applies).
+    * Every per-round frame is lineage-truncated — flat lineage, the
+    * iterative-DataFrame pattern used by reachability/kCore/CC here
+    * (`checkpointDir` swaps local truncation for reliable — see
+    * [[graft.Lineage]]). `numIter` caps OUTER rounds (each peels ≥1
+    * SCC per color; deep SCC-DAG chains need more rounds — leftovers
+    * get their forward min-reaching-id label, the same best-effort
+    * cutoff GraphX's numIter applies, which can MERGE distinct SCCs;
+    * the cutoff is counted and logged so it can't fire silently, and
+    * the default cap is far above any peel depth seen in the bench
+    * graphs, where convergence exits the loop early anyway).
     */
   def stronglyConnectedComponents(vertices: DataFrame, edges: DataFrame,
-      numIter: Int = 10): DataFrame = {
-    var remaining = vertices.select(col("id")).localCheckpoint()
+      numIter: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
+    import graft.Lineage.CutOps
+    val rel = graft.Lineage.configure(vertices, checkpointDir)
+    var remaining = vertices.select(col("id")).cut(rel)
     var e = edges.select(col("src"), col("dst"))
-      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+      .filter(col("src") =!= col("dst")).distinct().cut(rel)
     var result: DataFrame = null
     def accumulate(done: DataFrame): Unit =
-      result = if (result == null) done.localCheckpoint()
-      else result.unionByName(done).localCheckpoint()
+      result = if (result == null) done.cut(rel)
+      else result.unionByName(done).cut(rel)
     var outer = 0
     var lastF: DataFrame = null
     while (outer < numIter && !remaining.isEmpty) {
       // 1. forward min-label fixpoint
-      var f = remaining.select(col("id"), col("id").as("f")).localCheckpoint()
+      var f = remaining.select(col("id"), col("id").as("f")).cut(rel)
       var converged = false
       while (!converged) {
         val upd = e.join(f.select(col("id").as("src"), col("f").as("fs")), "src")
@@ -363,7 +377,7 @@ object Algorithms {
         val next = f.join(upd, Seq("id"), "left")
           .select(col("id"),
             least(col("f"), coalesce(col("nbrf"), col("f"))).as("f"))
-          .localCheckpoint()
+          .cut(rel)
         val changed = next
           .join(f.select(col("id"), col("f").as("f0")), "id")
           .filter(col("f") =!= col("f0")).count()
@@ -372,7 +386,7 @@ object Algorithms {
       }
       lastF = f
       // 2. backward sweep within color from the roots
-      var marked = f.filter(col("f") === col("id")).localCheckpoint()
+      var marked = f.filter(col("f") === col("id")).cut(rel)
       converged = false
       while (!converged) {
         val newly = e
@@ -382,21 +396,26 @@ object Algorithms {
           .filter(col("f") === col("fw"))
           .select(col("id"), col("f")).distinct()
           .join(marked.select(col("id")), Seq("id"), "left_anti")
-          .localCheckpoint()
+          .cut(rel)
         if (newly.isEmpty) converged = true
-        else marked = marked.unionByName(newly).localCheckpoint()
+        else marked = marked.unionByName(newly).cut(rel)
       }
       // 3. peel
       accumulate(marked.select(col("id"), col("f").as("component")))
       remaining = remaining
-        .join(marked.select(col("id")), Seq("id"), "left_anti").localCheckpoint()
+        .join(marked.select(col("id")), Seq("id"), "left_anti").cut(rel)
       e = e.join(marked.select(col("id").as("src")), Seq("src"), "left_anti")
         .join(marked.select(col("id").as("dst")), Seq("dst"), "left_anti")
-        .select(col("src"), col("dst")).localCheckpoint()
+        .select(col("src"), col("dst")).cut(rel)
       outer += 1
     }
     if (!remaining.isEmpty) {
-      // numIter cutoff: best-effort labels for unpeeled vertices
+      // numIter cutoff: best-effort labels for unpeeled vertices —
+      // logged, never silent (forward labels can merge distinct SCCs)
+      val unpeeled = remaining.count()
+      System.err.println(
+        s"[graft] SCC numIter=$numIter cap hit: $unpeeled vertices keep " +
+          "best-effort forward labels (distinct SCCs may merge); raise numIter")
       val fallback =
         if (lastF != null) remaining.join(lastF, Seq("id"))
           .select(col("id"), col("f").as("component"))

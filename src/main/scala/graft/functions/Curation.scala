@@ -59,13 +59,18 @@ object Curation {
       .filter(col("rank") <= k)
   }
 
-  /** Multiplicative hash on a long id — the deterministic,
-    * partitioning-independent pseudo-shuffle key (same recipe as
-    * Sampling: Knuth multiplicative hashing, reproducible in any
-    * engine — no xxhash in the oracle's dialect).
+  /** Multiplicative hash on a non-negative long id — the
+    * deterministic, partitioning-independent pseudo-shuffle key (same
+    * recipe as Sampling: Knuth multiplicative hashing, reproducible
+    * in any engine — no xxhash in the oracle's dialect). The id is
+    * reduced mod 1e9+7 BEFORE the multiply: the product then peaks at
+    * ~2.65e18 < Long.MaxValue, so the recipe never overflows in
+    * either engine (a raw id above ~3.47e9 — routine at 100 TB —
+    * would silently wrap negative in Spark and raise in an ANSI
+    * engine). No-op below 1e9+7, so small-id results are unchanged.
     */
   private def mixKey(id: org.apache.spark.sql.Column) =
-    (id * lit(2654435761L)) % lit(1000000007L)
+    ((id % lit(1000000007L)) * lit(2654435761L)) % lit(1000000007L)
 
   /** Token-budget sequence packing: deterministically shuffle docs
     * (hash order), split them into `nShards` independent shards, and

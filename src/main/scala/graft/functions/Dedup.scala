@@ -421,20 +421,23 @@ object Dedup {
     * joins in exactly once, as an anti-join.
     */
   def resolveDupClusters(docs: DataFrame, idCol: String,
-      pairs: DataFrame): DataFrame = {
+      pairs: DataFrame, checkpointDir: Option[String] = None,
+      maxRounds: Int = 30): DataFrame = {
+    import graft.Lineage.CutOps
     // pairs is read three times (two vertex projections + the edge
     // set) and its producer is typically a whole sketch+verify
-    // pipeline. localCheckpoint, not persist: a persist caches the
+    // pipeline. Checkpoint, not persist: a persist caches the
     // BLOCKS but every downstream plan still carries (and re-analyzes,
     // re-codegens) the full sketch+verify lineage — measured 6+ s of
     // pure planning per CC round at sf0.1. The checkpoint cuts the
-    // plan to a flat in-memory scan. (Cluster caveat, as with every
-    // localCheckpoint here: blocks don't survive executor loss; a
-    // long-lived production job would use a reliable checkpoint dir.)
-    val p = pairs.select(col("ida"), col("idb")).localCheckpoint()
+    // plan to a flat scan. `checkpointDir` selects the RELIABLE
+    // variant (blocks survive executor loss — the long-lived
+    // cluster-job setting); default is the faster localCheckpoint.
+    val rel = graft.Lineage.configure(pairs, checkpointDir)
+    val p = pairs.select(col("ida"), col("idb")).cut(rel)
     val touched = p.select(col("ida").as("id"))
       .unionByName(p.select(col("idb").as("id"))).distinct()
-    val clustered = pairGraphComponents(touched, p)
+    val clustered = pairGraphComponents(touched, p, maxRounds, reliable = rel)
       .select(col("id"), col("component").as("canonical_id"))
     val loners = docs.select(col(idCol).as("id"))
       .join(touched, Seq("id"), "left_anti")
@@ -450,8 +453,9 @@ object Dedup {
     * construction, so partitions are, too), one map-back join.
     */
   def resolveDupClustersByScore(scored: DataFrame, idCol: String,
-      scoreCol: String, pairs: DataFrame): DataFrame = {
-    val members = resolveDupClusters(scored, idCol, pairs)
+      scoreCol: String, pairs: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val members = resolveDupClusters(scored, idCol, pairs, checkpointDir)
       .select(col("id"), col("canonical_id").as("component"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
       .orderBy(col(scoreCol).desc, col("id").asc)
@@ -477,16 +481,17 @@ object Dedup {
     * `Algorithms.connectedComponents` (GraphX, hash-partitioned).
     */
   private def pairGraphComponents(vertices: DataFrame, pairs: DataFrame,
-      maxRounds: Int = 30): DataFrame = {
-    // Every per-round frame is localCheckpoint'ed: persist alone keeps
+      maxRounds: Int = 30, reliable: Boolean = false): DataFrame = {
+    import graft.Lineage.CutOps
+    // Every per-round frame is lineage-truncated: persist alone keeps
     // the full producer lineage in the plan, and the optimizer +
     // Janino re-walk it each round — the classic iterative-DataFrame
     // trap (lineage grows per round, planning time dominates compute).
     val edges = pairs.select(col("ida").as("a"), col("idb").as("b"))
       .unionByName(pairs.select(col("idb").as("a"), col("ida").as("b")))
-      .localCheckpoint()
+      .cut(reliable)
     var labels = vertices.select(col("id"), col("id").as("component"))
-      .localCheckpoint()
+      .cut(reliable)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -496,7 +501,7 @@ object Dedup {
         .select(labels("id"),
           least(col("component"), coalesce(col("nbr"), col("component")))
             .as("component"))
-        .localCheckpoint()
+        .cut(reliable)
       // rename before the change-count self-join: next derives from
       // labels, so bare attribute references would be ambiguous
       val changed = next.select(col("id"), col("component").as("__c2"))
@@ -506,10 +511,18 @@ object Dedup {
       converged = changed == 0
       round += 1
     }
-    require(converged, s"pair-graph CC did not converge in $maxRounds rounds" +
-      " — component diameter exceeds the near-dup assumption; use" +
-      " Algorithms.connectedComponents for general graphs")
-    labels
+    if (converged) labels
+    else {
+      // Round cap hit: the component diameter exceeded the shallow-
+      // cluster assumption (threshold-transitive CHAINS are legal
+      // near-dup inputs, not anomalies). Finish the job on the
+      // general-graph CC (GraphX Pregel — per-round cost independent
+      // of diameter growth in plan size) instead of aborting.
+      System.err.println(s"[graft] pair-graph CC hit $maxRounds rounds; " +
+        "falling back to Algorithms.connectedComponents (deep component)")
+      graft.algorithms.Algorithms.connectedComponents(vertices,
+        pairs.select(col("ida").as("src"), col("idb").as("dst")))
+    }
   }
 
   /** SimHash: 64-bit signature — bit j is the sign of the sum over
@@ -647,12 +660,17 @@ object Dedup {
     * (stopword-shingle removal — standard corpus-dedup practice;
     * union sizes are recomputed on the filtered sets, so the measure
     * stays a true Jaccard over trimmed sets). Bounds the join
-    * fan-out to O(Σ min(df, maxDf)²) at 100 TB; the default is a
-    * no-op at test scale.
+    * fan-out to O(Σ min(df, maxDf)²) at 100 TB. The DEFAULT is
+    * finite — an uncapped call is the one shape that blows up
+    * quadratically on the first stopword shingle at corpus scale, so
+    * unbounded is the explicit opt-in (`maxDf = Int.MaxValue`), not
+    * the thing a caller gets by accident. 5000 is a no-op at test
+    * scale (max bigram df here is 338) and well above any
+    * discriminative shingle's df at corpus scale.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, threshold: Double = 0.3,
-      maxDf: Int = Int.MaxValue): DataFrame = {
+      maxDf: Int = 5000): DataFrame = {
     val exploded = TextFunctions.shingleRows(df, idCol, textCol, shingleSize)
       .dropDuplicates("id", "s")
       .select(col("id"), xxhash64(col("s")).as("s"))

@@ -35,8 +35,12 @@ object EmbeddingOps {
     ex.join(scale, Seq("vid"))
       .select(col("vid"),
         col("amax"),
-        abs(col("x") -
-          floor(col("x") * 127.0 / col("amax") + 0.5) * col("amax") / 127.0)
+        // all-zero vector: amax = 0 would make the error 0/0 (NaN in
+        // Spark, engine-dependent elsewhere); its true error is
+        // exactly 0, so guard rather than divide
+        when(col("amax") === 0.0, lit(0.0)).otherwise(
+          abs(col("x") -
+            floor(col("x") * 127.0 / col("amax") + 0.5) * col("amax") / 127.0))
           .as("e"))
       .groupBy("vid")
       .agg(round(max("amax") / 127.0, 6).as("scale"),

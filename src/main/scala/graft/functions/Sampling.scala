@@ -25,13 +25,18 @@ object Sampling {
   /** Knuth multiplicative hash of a non-negative integral id column.
     * NOT xxhash64 (which would be the production choice for string
     * or high-cardinality keys) — this form is reproducible in ANSI
-    * SQL (`(id * 2654435761) % 10000`), which keeps the sampling
-    * decision oracle-checkable across engines. Swap in
-    * `xxhash64(id)` when cross-engine reproducibility stops
-    * mattering before id-space regularity does.
+    * SQL (`((id % 1000000007) * 2654435761) % 10000`), which keeps
+    * the sampling decision oracle-checkable across engines. The id
+    * reduces mod 1e9+7 before the multiply so the product stays
+    * within Long range in both engines (ids above ~3.47e9 — routine
+    * at 100 TB — would otherwise wrap in Spark and raise in ANSI
+    * engines); a no-op below 1e9+7. Swap in `xxhash64(id)` when
+    * cross-engine reproducibility stops mattering before id-space
+    * regularity does.
     */
   def idHash(id: Column): Column =
-    pmod(id.cast("long") * lit(2654435761L), lit(Denominator))
+    pmod((id.cast("long") % lit(1000000007L)) * lit(2654435761L),
+      lit(Denominator))
 
   /** The keep predicate: hash(id) mod 10^4 under the stratum's
     * quantized rate (`rates`, falling back to `defaultRate`).

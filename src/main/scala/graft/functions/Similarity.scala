@@ -65,31 +65,17 @@ object Similarity {
     (xxhash64(lit(table), lit(bit), dim).cast("double")
       / lit(Long.MaxValue.toDouble))
 
-  /** Random-hyperplane LSH signature per table: one bit per plane =
-    * sign of <v, plane>.
-    */
-  def lshSignature(vec: Column, table: Int, bits: Int): Column = {
-    val bitCols = (0 until bits).map { bit =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x * planeComponent(table, bit, i)),
-        lit(0.0d), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L << bit)).otherwise(lit(0L))
-    }
-    bitCols.reduce((a, b) => a.bitwiseOR(b))
-  }
-
   /** Bucket assignments (id, table, bucket) for every vector —
     * relational formulation: posexplode the vector and compute ALL
     * tables × bits hyperplane projections as `sum` aggregates in one
     * codegen'd HashAggregate, then pack sign bits per table. The
-    * plane family is identical to `lshSignature`
-    * (xxhash64(table, bit, dim) components); only floating-point
-    * summation ORDER differs from the column form's sequential fold —
-    * a bucket-bit flip would need |projection| below the summation
-    * error (~1e-15 relative), which no real embedding hits. The HOF
-    * column form runs interpreted: measured 13.6 s → ~2 s at sf0.1
-    * for 16 × 6 signatures over 2000 vectors.
+    * plane family is xxhash64(table, bit, dim) components; summation
+    * order across a partition is whatever the aggregate sees — a
+    * bucket-bit flip vs a sequential fold would need |projection|
+    * below the summation error (~1e-15 relative), which no real
+    * embedding hits. The equivalent HOF column form (nested
+    * transform/aggregate lambdas) runs interpreted: measured
+    * 13.6 s → ~2 s at sf0.1 for 16 × 6 signatures over 2000 vectors.
     */
   def lshBucketRows(df: DataFrame, idName: String,
       tables: Int, bits: Int): DataFrame = {
@@ -271,18 +257,36 @@ object Similarity {
     * left-to-right sums, HALF_UP rounding to 6) to the
     * oracle/column formulation, and the whole n²/2 pair sweep stays
     * distributed across executors.
+    *
+    * The LSH branch — the path that activates at real corpus scale —
+    * is built from the same proven pieces as the ANN path: candidates
+    * come from `lshBucketRows` multi-table hyperplane buckets (one
+    * codegen'd HashAggregate; only IDS ride the bucket shuffle), hot
+    * buckets are capped at `maxBucketSize` members (same guard as
+    * MinHash banding — a degenerate bucket would otherwise fan out
+    * quadratically), and every candidate is verified with the exact
+    * codegen'd FloatVecDot cosine, so precision is always 1 and
+    * recall is the only approximation. Per-pair candidate probability
+    * at cosine c is 1 − (1 − p^bits)^tables with
+    * p = 1 − acos(c)/π; the defaults (16 × 8) give ≈ 0.67 at
+    * c = 0.4, ≈ 0.98 at c = 0.7 and ≈ 1 − 3e-6 at c = 0.9 — sized
+    * for the high-similarity pairs a dedup pass is after, and
+    * tunable when the threshold is lower (recall rises with `tables`,
+    * candidate volume falls with `bits`).
     */
   def embeddingDedupPairs(corpus: DataFrame, threshold: Double,
-      exact: Option[Boolean] = None, maxExactRows: Long = 100000L): DataFrame = {
+      exact: Option[Boolean] = None, maxExactRows: Long = 100000L,
+      tables: Int = 16, bits: Int = 8,
+      maxBucketSize: Long = 100000L): DataFrame = {
     val spark = corpus.sparkSession
     val useExact = exact.getOrElse(corpus.count() <= maxExactRows)
+    val normed = corpus.select(col("vec_id"), col("embedding"),
+      VecExpressions.vecNorm(spark, col("embedding")).as("nrm"))
+    val a = normed.select(col("vec_id").as("ida"), col("embedding").as("va"),
+      col("nrm").as("na"))
+    val b = normed.select(col("vec_id").as("idb"), col("embedding").as("vb"),
+      col("nrm").as("nb"))
     if (useExact) {
-      val normed = corpus.select(col("vec_id"), col("embedding"),
-        VecExpressions.vecNorm(spark, col("embedding")).as("nrm"))
-      val a = normed.select(col("vec_id").as("ida"), col("embedding").as("va"),
-        col("nrm").as("na"))
-      val b = normed.select(col("vec_id").as("idb"), col("embedding").as("vb"),
-        col("nrm").as("nb"))
       a.join(broadcast(b), col("ida") < col("idb"))
         .withColumn("cosine",
           round(VecExpressions.vecDot(spark, col("va"), col("vb"))
@@ -290,19 +294,25 @@ object Similarity {
         .filter(col("cosine") >= threshold)
         .select(col("ida"), col("idb"), col("cosine"))
     } else {
-      val normed = corpus.select(col("vec_id"), col("embedding"),
-        norm(col("embedding")).as("nrm"))
-      val a = normed.select(col("vec_id").as("ida"), col("embedding").as("va"),
-        col("nrm").as("na"))
-      val b = normed.select(col("vec_id").as("idb"), col("embedding").as("vb"),
-        col("nrm").as("nb"))
-      val ca = a.withColumn("sig", lshSignature(col("va"), 0, 12))
-      val cb = b.withColumn("sig2", lshSignature(col("vb"), 0, 12))
-      ca.join(cb, col("sig") === col("sig2") && col("ida") < col("idb"))
+      val buckets = lshBucketRows(corpus, "vec_id", tables, bits)
+      val okBuckets = buckets.groupBy("table", "bucket")
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= maxBucketSize)
+        .select("table", "bucket")
+      val kept = buckets.join(okBuckets, Seq("table", "bucket"))
+      val kept2 = kept.select(col("vec_id").as("id2"),
+        col("table").as("t2"), col("bucket").as("bk2"))
+      val cand = kept.join(kept2,
+          col("table") === col("t2") && col("bucket") === col("bk2") &&
+            col("vec_id") < col("id2"))
+        .select(col("vec_id").as("ida"), col("id2").as("idb"))
+        .dropDuplicates("ida", "idb")
+      cand.join(a, "ida").join(b, "idb")
         .withColumn("cosine",
-          round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+          round(VecExpressions.vecDot(spark, col("va"), col("vb"))
+            / (col("na") * col("nb")), 6))
         .filter(col("cosine") >= threshold)
-        .select("ida", "idb", "cosine")
+        .select(col("ida"), col("idb"), col("cosine"))
     }
   }
 }

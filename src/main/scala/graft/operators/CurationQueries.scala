@@ -204,7 +204,7 @@ object CurationQueries {
       """WITH t AS (SELECT doc_id, source,
               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
                 AS n_tokens,
-              (doc_id * 2654435761) % 1000000007 AS h
+              ((doc_id % 1000000007) * 2654435761) % 1000000007 AS h
             FROM documents),
           c AS (SELECT doc_id, source AS stratum, n_tokens,
                   CAST(SUM(n_tokens) OVER (PARTITION BY source
@@ -249,7 +249,7 @@ object CurationQueries {
       """WITH t AS (SELECT doc_id,
               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
                 AS n_tokens,
-              (doc_id * 2654435761) % 1000000007 AS h
+              ((doc_id % 1000000007) * 2654435761) % 1000000007 AS h
             FROM documents),
           s AS (SELECT doc_id, n_tokens, h,
                   CAST(h % 32 AS INTEGER) AS shard FROM t),
@@ -308,7 +308,9 @@ object CurationQueries {
           ex AS (SELECT vec_id, CAST(xf AS DOUBLE) AS x FROM ex0),
           a AS (SELECT vec_id, MAX(ABS(x)) AS amax FROM ex GROUP BY 1),
           er AS (SELECT ex.vec_id, a.amax,
-                   ABS(x - FLOOR(x * 127.0 / amax + 0.5) * amax / 127.0) AS e
+                   CASE WHEN a.amax = 0 THEN 0.0
+                     ELSE ABS(x - FLOOR(x * 127.0 / amax + 0.5) * amax / 127.0)
+                   END AS e
                  FROM ex JOIN a ON ex.vec_id = a.vec_id)
           SELECT vec_id, ROUND(MAX(amax) / 127.0, 6) AS scale,
                  ROUND(MAX(e), 6) AS max_err

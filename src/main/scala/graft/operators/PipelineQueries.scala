@@ -114,6 +114,30 @@ object PipelineQueries {
         .orderBy("ida", "idb")
     }),
 
+    // Embedding near-dup LSH-branch recall floor: force the LSH path
+    // (the branch that activates beyond maxExactRows at real corpus
+    // scale) and require it to recover ≥ 70% of the exact-branch
+    // pairs. This corpus is the adversarial case — every true pair
+    // sits barely above the 0.4 threshold (median cosine 0.42), where
+    // hyperplane collision probability is weakest — so the floor is
+    // deliberately below the measured recall (0.85 sf0.01 / 0.90
+    // sf0.1 / 0.89 sf0.001 at 32 tables × 6 bits; deterministic —
+    // planes are hash-seeded). Rows are violations, expected (and
+    // oracle'd) empty.
+    "dedup_embedding_lsh_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val exactPairs = Similarity.embeddingDedupPairs(emb, 0.4,
+        exact = Some(true)).select("ida", "idb")
+      val lshPairs = Similarity.embeddingDedupPairs(emb, 0.4,
+        exact = Some(false), tables = 32, bits = 6).select("ida", "idb")
+      val found = exactPairs.join(lshPairs, Seq("ida", "idb"), "left_semi")
+        .agg(count(lit(1)).as("found"))
+      val total = exactPairs.agg(count(lit(1)).as("total"))
+      found.crossJoin(total)
+        .filter(col("found").cast("double") < col("total").cast("double") * 0.7)
+        .select(col("found"), col("total"))
+    }),
+
     // Brute-force cosine top-10 for the first 10 vectors.
     "ann_cosine_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -486,6 +510,9 @@ object PipelineQueries {
     "ann_lsh_recall" ->
       """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS found
          WHERE FALSE""",
+    "dedup_embedding_lsh_recall" ->
+      """SELECT CAST(NULL AS BIGINT) AS found, CAST(NULL AS BIGINT) AS total
+         WHERE FALSE""",
     "ann_ivf_recall" ->
       """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS found
          WHERE FALSE""",
@@ -552,15 +579,15 @@ object PipelineQueries {
           ORDER BY id""",
     "pipe_sample_mix" ->
       s"""SELECT doc_id, source, lang FROM documents
-          WHERE (doc_id * 2654435761) % 10000 < $mixThresholdSql
+          WHERE ((doc_id % 1000000007) * 2654435761) % 10000 < $mixThresholdSql
           ORDER BY doc_id""",
     "pipe_mix_stats" ->
       s"""SELECT source, COUNT(*) AS n_total,
                  CAST(COUNT(*) FILTER (WHERE
-                   (doc_id * 2654435761) % 10000 < $mixThresholdSql)
+                   ((doc_id % 1000000007) * 2654435761) % 10000 < $mixThresholdSql)
                    AS BIGINT) AS n_kept,
                  ROUND(CAST(COUNT(*) FILTER (WHERE
-                     (doc_id * 2654435761) % 10000 < $mixThresholdSql)
+                     ((doc_id % 1000000007) * 2654435761) % 10000 < $mixThresholdSql)
                    AS DOUBLE) / COUNT(*), 4) AS realized_rate
           FROM documents GROUP BY source ORDER BY source""",
     "text_top_ngrams" ->

@@ -175,6 +175,38 @@ class PipelineSpec extends SparkSpec {
     assert(!lshPlan.contains("BroadcastNestedLoopJoin"), lshPlan.take(500))
   }
 
+  test("cluster resolution survives a 40-pair chain via the CC fallback") {
+    // a threshold-transitive CHAIN: diameter 40 > the round cap, so
+    // min-label propagation can't converge — the fallback to the
+    // general-graph CC must finish the job instead of aborting
+    val n = 41
+    val chainDocs = (0 until n).map(i => (i.toLong, s"chain doc number $i"))
+      .toDF("doc_id", "text")
+    val pairs = (0 until n - 1).map(i => (i.toLong, i.toLong + 1))
+      .toDF("ida", "idb").withColumn("jaccard", lit(1.0))
+    val canon = Dedup.resolveDupClusters(chainDocs, "doc_id", pairs,
+        maxRounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(canon.size == n)
+    assert(canon.values.forall(_ == 0L), canon)
+  }
+
+  test("embedding dedup LSH branch: precision 1, recall over floor, cap bounds buckets") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val exact = Similarity.embeddingDedupPairs(emb, 0.4, exact = Some(true))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.embeddingDedupPairs(emb, 0.4, exact = Some(false),
+      tables = 32, bits = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every LSH pair is exact-verified → a subset with identical cosines
+    lsh.foreach { case (k, c) => assert(exact.get(k).contains(c), k) }
+    assert(lsh.size >= (exact.size * 0.7).toInt, s"${lsh.size}/${exact.size}")
+    // a 1-member bucket cap kills every candidate → empty, not an error
+    val capped = Similarity.embeddingDedupPairs(emb, 0.4, exact = Some(false),
+      tables = 4, bits = 4, maxBucketSize = 1)
+    assert(capped.count() == 0)
+  }
+
   test("contamination flags only docs sharing a full 5-gram with the benchmark") {
     val bench = Seq((100L, "Completely DIFFERENT content about spark"))
       .toDF("doc_id", "text")
