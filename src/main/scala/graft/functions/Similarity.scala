@@ -245,6 +245,50 @@ object Similarity {
     rerankTopK(cand, corpus, queries, k)
   }
 
+  /** Persist an IVF index: the corpus is WRITTEN partitioned by its
+    * cell assignment (`cid=<n>/` directories via the partitioned
+    * sink) and the centroid model lands beside it as a tiny parquet.
+    * This is the at-rest layout the in-memory `ivfTopK` only
+    * describes: once the corpus lives partitioned by cid, a probe
+    * scans exactly its nprobe cells — directory-level pruning, zero
+    * I/O in the other nlist − nprobe cells — which is the difference
+    * between reading 100 TB and reading nprobe/nlist of it.
+    */
+  def writeIvfIndex(corpus: DataFrame, path: String, nlist: Int = 16,
+      iters: Int = 5): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centDF = ivfCentroids(corpus, nlist, iters).toSeq.toDF("cid", "cvec")
+    val assigned = ivfAssign(corpus, centDF)
+    graft.sources.Sinks.writePartitioned(
+      corpus.join(assigned, "vec_id"), s"$path/corpus", Seq("cid"))
+    centDF.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** ANN top-k against a persisted IVF index. The probed cell ids
+    * (nQueries × nprobe ints — MODEL-sized, like the centroids
+    * themselves, never data) become a literal `cid IN (...)` filter,
+    * so the partitioned corpus scan prunes at the directory level —
+    * assert `PartitionFilters` in the scan node. Candidates then
+    * restrict to each query's own cells via the probe join, and the
+    * exact FloatVecDot rerank keeps top-k, identical to `ivfTopK`'s
+    * in-memory tail.
+    */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
+    val centDF = spark.read.parquet(s"$path/centroids")
+    val probes = graft.TransientCache.persist(
+      ivfProbe(queries, centDF, nprobe))
+    val probedCids = probes.select("cid").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val corpus = graft.sources.Sinks.readPartitioned(spark, s"$path/corpus")
+      .filter(col("cid").isin(probedCids: _*))
+    val cand = probes.join(corpus, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("corpus_id"))
+    rerankTopK(cand, corpus, queries, k)
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold.
     *
     * Path selection: `exact = Some(true)` forces the all-pairs

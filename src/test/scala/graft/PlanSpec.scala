@@ -147,6 +147,25 @@ class PlanSpec extends SparkSpec {
     assert(back.count() === docs.count())
   }
 
+  test("ivf index at rest: probe scan prunes to the probed cells") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    graft.functions.Similarity.writeIvfIndex(emb, dir, nlist = 8, iters = 2)
+    val queries = emb.filter(col("vec_id") < 3)
+    val top = graft.functions.Similarity.ivfTopKFromIndex(
+      spark, dir, queries, 5, nprobe = 2)
+    val plan = top.queryExecution.executedPlan.toString
+    // the probed-cell filter must prune the corpus scan at the
+    // DIRECTORY level (PartitionFilters), not post-scan
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toList
+    assert(pf.exists(_.contains("cid")), plan.take(1500))
+    // value parity with the in-memory path — centroids are
+    // deterministic, so the persisted index answers identically
+    val mem = graft.functions.Similarity.ivfTopK(
+      emb, queries, 5, nlist = 8, nprobe = 2, iters = 2)
+    assert(top.collect().toSet == mem.collect().toSet)
+  }
+
   test("curation pack plan quality: rank windows group-limit, no cartesians") {
     import graft.operators.CurationQueries
     // WindowGroupLimit pushes the rank<=k filter below the sort —
