@@ -93,6 +93,14 @@ object Bench {
       }
       val p1 = onePass(); canary()
       val p2 = onePass(); canary()
+      // Untimed GC between queries: localCheckpoint blocks and shuffle
+      // files are reclaimed by the ContextCleaner only after the JVM
+      // collects the owning RDD reference — across ~190 passes the
+      // unreclaimed state otherwise accumulates in the block manager
+      // and tmp dirs and leaks one query's pressure into the next
+      // (observed: a 3× slower second pass for the largest shuffle
+      // query late in a full run, unreproducible in isolation).
+      System.gc()
       (name, p1, p2)
     }
     val mins = results.map { case (n, p1, p2) => n -> math.min(p1, p2) }

@@ -365,8 +365,18 @@ object GqlExecutor {
         case ReturnAll =>
           nodes.flatMap(n => tripletCols(n.variable.get))
         case ReturnVariable(v) =>
+          // a key VOCABULARY (schema inference, same nature as
+          // spark.read.json), never rows — but user-generated prop
+          // keys could explode it, so the discovery is capped: one
+          // row past the cap proves the overflow and aborts with a
+          // clear message instead of materializing an unbounded set
+          val maxKeys = 10000
           val keys = df.select(explode(map_keys(col(vcol(v, "props")))).as("k"))
-            .distinct().collect().map(_.getString(0)).sorted.toSeq
+            .distinct().limit(maxKeys + 1).collect().map(_.getString(0))
+            .sorted.toSeq
+          require(keys.size <= maxKeys,
+            s"RETURN $v would explode more than $maxKeys distinct property" +
+              s" keys to columns; project explicit properties instead")
           if (keys.isEmpty) tripletCols(v).take(1) // unpropertied: keep var_id
           else keys.map(k => col(vcol(v, "props"))(k).as(s"$v.$k"))
         case ReturnProperty(v, p) =>

@@ -116,25 +116,27 @@ object PipelineQueries {
 
     // Embedding near-dup LSH-branch recall floor: force the LSH path
     // (the branch that activates beyond maxExactRows at real corpus
-    // scale) and require it to recover ≥ 70% of the exact-branch
+    // scale) and require it to recover ≥ 80% of the exact-branch
     // pairs. This corpus is the adversarial case — every true pair
     // sits barely above the 0.4 threshold (median cosine 0.42), where
-    // hyperplane collision probability is weakest — so the floor is
-    // deliberately below the measured recall (0.85 sf0.01 / 0.90
-    // sf0.1 / 0.89 sf0.001 at 32 tables × 6 bits; deterministic —
-    // planes are hash-seeded). Rows are violations, expected (and
-    // oracle'd) empty.
+    // hyperplane collision probability is weakest — which is exactly
+    // the regime multi-probe exists for: at the default 16 × 8 with
+    // Hamming-1 probing, measured recall is 0.924 sf0.001 / 0.932
+    // sf0.01 / 0.925 sf0.1 (deterministic — planes are hash-seeded;
+    // single-probe at the same tables would be 0.37). Rows are
+    // violations, expected (and oracle'd) empty.
     "dedup_embedding_lsh_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val exactPairs = Similarity.embeddingDedupPairs(emb, 0.4,
         exact = Some(true)).select("ida", "idb")
       val lshPairs = Similarity.embeddingDedupPairs(emb, 0.4,
-        exact = Some(false), tables = 32, bits = 6).select("ida", "idb")
+        exact = Some(false), tables = 16, bits = 8, probes = 1)
+        .select("ida", "idb")
       val found = exactPairs.join(lshPairs, Seq("ida", "idb"), "left_semi")
         .agg(count(lit(1)).as("found"))
       val total = exactPairs.agg(count(lit(1)).as("total"))
       found.crossJoin(total)
-        .filter(col("found").cast("double") < col("total").cast("double") * 0.7)
+        .filter(col("found").cast("double") < col("total").cast("double") * 0.8)
         .select(col("found"), col("total"))
     }),
 

@@ -196,11 +196,17 @@ class PipelineSpec extends SparkSpec {
     val exact = Similarity.embeddingDedupPairs(emb, 0.4, exact = Some(true))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val lsh = Similarity.embeddingDedupPairs(emb, 0.4, exact = Some(false),
-      tables = 32, bits = 6)
+      tables = 16, bits = 8, probes = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     // every LSH pair is exact-verified → a subset with identical cosines
     lsh.foreach { case (k, c) => assert(exact.get(k).contains(c), k) }
-    assert(lsh.size >= (exact.size * 0.7).toInt, s"${lsh.size}/${exact.size}")
+    assert(lsh.size >= (exact.size * 0.8).toInt, s"${lsh.size}/${exact.size}")
+    // multi-probe strictly widens the single-probe candidate set
+    val single = Similarity.embeddingDedupPairs(emb, 0.4, exact = Some(false),
+      tables = 16, bits = 8, probes = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(single.subsetOf(lsh.keySet))
+    assert(lsh.size > single.size)
     // a 1-member bucket cap kills every candidate → empty, not an error
     val capped = Similarity.embeddingDedupPairs(emb, 0.4, exact = Some(false),
       tables = 4, bits = 4, maxBucketSize = 1)

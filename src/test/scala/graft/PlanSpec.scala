@@ -147,6 +147,20 @@ class PlanSpec extends SparkSpec {
     assert(back.count() === docs.count())
   }
 
+  test("embedding dedup LSH branch plan: bucket equi-join, no cartesian") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val lsh = graft.functions.Similarity.embeddingDedupPairs(emb, 0.4,
+      exact = Some(false), tables = 8, bits = 6)
+    val plan = lsh.queryExecution.executedPlan.toString
+    // candidates come from an equi-join on (table, bucket) — never a
+    // cartesian or a broadcast nested loop over the corpus
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+    // signatures are the relational HashAggregate form, not
+    // interpreted array lambdas
+    assert(plan.contains("HashAggregate"), plan.take(600))
+  }
+
   test("ivf index at rest: probe scan prunes to the probed cells") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
     val emb = graft.sources.Tables.embeddings(spark, sf)
