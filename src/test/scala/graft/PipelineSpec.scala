@@ -175,6 +175,20 @@ class PipelineSpec extends SparkSpec {
     assert(!lshPlan.contains("BroadcastNestedLoopJoin"), lshPlan.take(500))
   }
 
+  test("prefix-filtered ngram jaccard equals the plain self-join exactly") {
+    val sfDocs = graft.sources.Tables.documents(spark, sf)
+    for (t <- Seq(0.3, 0.8)) {
+      val plain = Dedup.ngramJaccardPairs(sfDocs, "text", "doc_id",
+        shingleSize = 2, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val prefix = Dedup.ngramJaccardPairsPrefix(sfDocs, "text", "doc_id",
+        shingleSize = 2, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(prefix == plain, s"t=$t: ${plain.size} vs ${prefix.size}")
+      assert(plain.nonEmpty || t > 0.3)
+    }
+  }
+
   test("cluster resolution survives a 40-pair chain via the CC fallback") {
     // a threshold-transitive CHAIN: diameter 40 > the round cap, so
     // min-label propagation can't converge — the fallback to the
