@@ -120,6 +120,38 @@ object Curation {
       .select(col("doc_id"), col("stratum"), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Sequence chunking with stride: split each document's token
+    * stream into windows of `chunkTokens`, starting every
+    * `strideTokens` (overlap = chunk − stride), until the starts run
+    * past the end — the pretraining pass that turns long documents
+    * into model-context-sized pieces (and the 1→N row expansion that
+    * precedes `packSequences`).
+    *
+    * Fully relational: `posexplode(sequence(0, n−1, stride))`
+    * generates the window starts in codegen, `slice` +
+    * `array_join` materialize each window — one scan, no lambdas,
+    * no state; the expansion factor is ~n/stride rows per doc and
+    * each output row is chunk-sized, so the operator streams at any
+    * corpus size.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(chunkTokens > 0 && strideTokens > 0 && strideTokens <= chunkTokens,
+      s"need 0 < stride <= chunk: chunk=$chunkTokens stride=$strideTokens")
+    val words = split(trim(col(textCol)), "\\s+")
+    df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("id"), words.as("__w"))
+      .select(col("id"), col("__w"),
+        posexplode(sequence(lit(0), size(col("__w")) - 1,
+          lit(strideTokens))).as(Seq("chunk_idx", "__start")))
+      .select(col("id"), col("chunk_idx"),
+        col("__start").as("start_token"),
+        least(size(col("__w")) - col("__start"), lit(chunkTokens))
+          .as("n_tokens"),
+        array_join(slice(col("__w"), col("__start") + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"))
+  }
+
   /** PII-style pattern redaction: replace every match of the given
     * regex classes with a typed placeholder and report per-doc match
     * counts — the scan-side scrub a corpus release runs. All

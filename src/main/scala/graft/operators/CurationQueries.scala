@@ -135,6 +135,16 @@ object CurationQueries {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Sequence chunking: 64-token windows starting every 48 tokens
+    // (16-token overlap) — the long-doc → context-window expansion
+    // that precedes packing.
+    "pipe_chunk_docs" -> ((s, dir) => {
+      Curation.chunkDocuments(Tables.documents(s, dir), "doc_id", "text",
+          chunkTokens = 64, strideTokens = 48)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // Int8 quantization audit per vector.
     "emb_quantize" -> ((s, dir) => {
       EmbeddingOps.quantizeInt8Stats(Tables.embeddings(s, dir),
@@ -303,6 +313,16 @@ object CurationQueries {
           FROM j JOIN sz a ON j.ida = a.doc_id JOIN sz b ON j.idb = b.doc_id
           WHERE ROUND(CAST(inter AS DOUBLE) / (a.n + b.n - inter), 4) >= 0.8
           ORDER BY ida, idb""",
+    "pipe_chunk_docs" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                    FROM documents WHERE length(trim(text)) > 0),
+         s AS (SELECT doc_id, w, len(w) AS n FROM t),
+         c AS (SELECT doc_id, w, n, unnest(range(0, n, 48)) AS start FROM s)
+         SELECT doc_id, CAST(start // 48 AS INTEGER) AS chunk_idx,
+                CAST(start AS INTEGER) AS start_token,
+                CAST(LEAST(n - start, 64) AS INTEGER) AS n_tokens,
+                array_to_string(w[start+1:start+64], ' ') AS chunk_text
+         FROM c ORDER BY doc_id, chunk_idx""",
     "emb_quantize" ->
       """WITH ex0 AS (SELECT vec_id, unnest(embedding) AS xf FROM embeddings),
           ex AS (SELECT vec_id, CAST(xf AS DOUBLE) AS x FROM ex0),

@@ -77,6 +77,29 @@ class CurationSpec extends SparkSpec {
 
   // ---- redactPatterns -----------------------------------------------
 
+  test("chunkDocuments: stride windows cover every token, overlap = chunk - stride") {
+    val docs = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (2L, "single"), (3L, "   "))
+      .toDF("doc_id", "text")
+    val chunks = Curation.chunkDocuments(docs, "doc_id", "text",
+        chunkTokens = 4, strideTokens = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+      .sortBy(c => (c._1, c._2))
+    // 10 tokens, C=4, S=3 → starts 0,3,6,9; lengths 4,4,4,1
+    val d1 = chunks.filter(_._1 == 1L)
+    assert(d1.map(c => (c._2, c._3, c._4)).toSeq ==
+      Seq((0, 0, 4), (1, 3, 4), (2, 6, 4), (3, 9, 1)))
+    assert(d1.head._5 == "w1 w2 w3 w4")
+    assert(d1.last._5 == "w10")
+    // consecutive chunks overlap by chunk − stride = 1 token
+    assert(d1(0)._5.split(" ").last == d1(1)._5.split(" ").head)
+    // a short doc yields one chunk; a whitespace-only doc yields none
+    assert(chunks.filter(_._1 == 2L).map(c => (c._2, c._4, c._5)).toSeq ==
+      Seq((0, 1, "single")))
+    assert(!chunks.exists(_._1 == 3L))
+  }
+
   test("redactPatterns applies classes sequentially and counts matches") {
     val df = Seq((1L, "spark sparkle xylophones ok")).toDF("id", "text")
     val out = Curation.redactPatterns(df, "id", "text",
