@@ -8,8 +8,14 @@ import graft.streaming.{CountWindow, Windows}
 import graft.views.Views
 import graft.views.Views._
 
+object StreamViewsSpec {
+  case class Click(user: Long, click_ts: java.sql.Timestamp)
+  case class Buy(user: Long, buy_ts: java.sql.Timestamp)
+}
+
 class StreamViewsSpec extends SparkSpec {
   import spark.implicits._
+  import StreamViewsSpec.{Buy, Click}
 
   test("streaming tumbling agg over file source equals batch result") {
     val ev = Tables.events(spark, sf)
@@ -67,6 +73,49 @@ class StreamViewsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(2)))
     // exactly one conversion: user 1, 30 min delay, click from batch 1
     assert(out.toSeq == Seq((1L, 1800L * 1000000L)))
+  }
+
+  test("stream-stream interval join matches in-window pairs, batch-parity") {
+    import graft.streaming.StreamJoins
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = Seq(
+      Click(1L, ts("2024-01-01 10:00:00")),
+      Click(2L, ts("2024-01-01 10:00:00")),
+      Click(3L, ts("2024-01-01 12:00:00")))
+    val buys = Seq(
+      Buy(1L, ts("2024-01-01 10:30:00")), // in window
+      Buy(1L, ts("2024-01-01 12:30:00")), // out of window (> 1h)
+      Buy(2L, ts("2024-01-01 09:30:00")), // before the click
+      Buy(3L, ts("2024-01-01 12:59:00"))) // in window
+    val want = Set((1L, "10:30:00"), (3L, "12:59:00"))
+
+    // streaming form: two MemoryStreams through the watermarked join
+    val lIn = MemoryStream[Click]
+    val rIn = MemoryStream[Buy]
+    lIn.addData(clicks: _*)
+    rIn.addData(buys: _*)
+    val q = StreamJoins.intervalJoin(
+        lIn.toDF(), "click_ts", "10 minutes",
+        rIn.toDF(), "buy_ts", "10 minutes",
+        Seq("user"), "1 hour")
+      .select(col("l.user"), col("buy_ts"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sj_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sj_out").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString.substring(11, 19))).toSet
+    assert(got == want)
+
+    // identical code path over batch frames gives the same answer
+    val batch = StreamJoins.intervalJoin(
+        clicks.toDF(), "click_ts", "10 minutes",
+        buys.toDF(), "buy_ts", "10 minutes",
+        Seq("user"), "1 hour")
+      .select(col("l.user"), col("buy_ts"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString.substring(11, 19))).toSet
+    assert(batch == want)
   }
 
   test("count-window stream emits complete windows with correct sums") {
