@@ -191,6 +191,31 @@ object PipelineQueries {
         .orderBy("query_id")
     }),
 
+    // The composed pipeline a curation pass actually ships, end to
+    // end in ONE plan: language gate × quality floor → exact-dup
+    // survivors (min id per normalized fingerprint) → per-source
+    // token budget. Every stage is oracle'd on its own elsewhere;
+    // this query pins the CROSS-STAGE composition to the same DuckDB
+    // answer, because composition is where column/semantic drift
+    // between engines actually bites.
+    "pipe_end_to_end" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir)
+      val kept = d.select(col("doc_id"), col("source"), col("text"),
+          TextFunctions.langId(col("text")).as("lang_pred"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        .filter(col("lang_pred") === "en" && col("quality") >= 0.5)
+      val surv = kept
+        .withColumn("fp", TextFunctions.fingerprint(col("text")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("fp").orderBy("doc_id")))
+        .filter(col("rk") === 1)
+        .select("doc_id", "source", "text")
+      graft.functions.Curation.tokenBudgetSample(
+          surv, "source", "doc_id", "text", budget = 1000L)
+        .orderBy("doc_id")
+    }),
+
     // Token/char/word-length stats.
     "text_stats" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
@@ -559,6 +584,30 @@ object PipelineQueries {
           WHERE l.lang_pred = 'en' AND q.quality >= 0.5
             AND tk.n_tokens BETWEEN 5 AND 1000
           ORDER BY q.doc_id""",
+    "pipe_end_to_end" ->
+      s"""WITH q AS ($qualitySql), l AS ($langidSql),
+          keep AS (SELECT d.doc_id, d.source, d.text
+                   FROM documents d
+                   JOIN q ON d.doc_id = q.doc_id
+                   JOIN l ON d.doc_id = l.doc_id
+                   WHERE l.lang_pred = 'en' AND q.quality >= 0.5),
+          rk AS (SELECT doc_id, source, text,
+                   ROW_NUMBER() OVER (PARTITION BY $normText
+                     ORDER BY doc_id) AS rk
+                 FROM keep),
+          surv AS (SELECT doc_id, source, text FROM rk WHERE rk = 1),
+          t AS (SELECT doc_id, source,
+                  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                    AS n_tokens,
+                  ((doc_id % 1000000007) * 2654435761) % 1000000007 AS h
+                FROM surv),
+          c AS (SELECT doc_id, source AS stratum, n_tokens,
+                  CAST(SUM(n_tokens) OVER (PARTITION BY source
+                    ORDER BY h ASC, doc_id ASC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+                FROM t)
+          SELECT doc_id, stratum, n_tokens, cum_tokens FROM c
+          WHERE cum_tokens <= 1000 ORDER BY doc_id""",
     "text_repetition" ->
       s"""WITH t AS (SELECT doc_id, string_split($normText, ' ') AS w
                      FROM documents),
