@@ -215,6 +215,71 @@ object Views {
       round(col("min"), 4).as("min"),
       round(col("max"), 4).as("max")): _*)
 
+  // ---- V5b: incremental JOIN views --------------------------------
+
+  /** Bootstrap join-view state for `a ⋈keys b`: the joined rows with
+    * a multiplicity column (multiset semantics — duplicates are
+    * counted, not lost). Non-key columns of the two sides must be
+    * disjoint (standard view-schema hygiene; `keys` appear once).
+    */
+  def initJoinState(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
+    val joined = a.join(b, keys)
+    joined.groupBy(joined.columns.map(col): _*)
+      .agg(count(lit(1)).as("__mult"))
+  }
+
+  /** Signed delta of an inner equi-join view under base-table deltas
+    * — the classic incremental view maintenance rule:
+    *
+    *   (A+ΔA) ⋈ (B+ΔB) = A⋈B + ΔA⋈B + A⋈ΔB + ΔA⋈ΔB
+    *
+    * with removals as −1-signed rows and signs multiplying through
+    * the join. `dA`/`dB` carry (op ∈ add|remove, cols…); either may
+    * be empty. Returns (view cols…, __sign).
+    *
+    * Cost scales with the DELTAS: both big-side terms are equi-joins
+    * whose delta side is small enough to broadcast, so A and B are
+    * scanned but never shuffled, and the view itself (often far
+    * bigger than either base) is never recomputed. That is the whole
+    * point — the reference recomputes joins on refresh.
+    */
+  def joinViewDelta(aOld: DataFrame, dA: DataFrame,
+      bOld: DataFrame, dB: DataFrame, keys: Seq[String]): DataFrame = {
+    def signed(d: DataFrame, s: String) = d
+      .withColumn(s, when(col("op") === "remove", -1).otherwise(1))
+      .drop("op")
+    val sA = signed(dA, "__sa")
+    val sB = signed(dB, "__sb")
+    val t1 = sA.join(bOld.withColumn("__sb", lit(1)), keys)
+    val t2 = aOld.withColumn("__sa", lit(1)).join(broadcast(sB), keys)
+    val t3 = sA.join(broadcast(sB), keys)
+    t1.unionByName(t2).unionByName(t3)
+      .withColumn("__sign", col("__sa") * col("__sb"))
+      .drop("__sa", "__sb")
+  }
+
+  /** Fold a signed join delta into multiset state: merge on the view
+    * columns, sum multiplicities, drop rows whose net count reaches
+    * zero. One shuffle of (state ∪ delta) on the view columns.
+    */
+  def mergeJoinDelta(state: DataFrame, delta: DataFrame): DataFrame = {
+    val cols = state.columns.filterNot(_ == "__mult")
+    state.select(cols.map(col) :+ col("__mult").as("__m"): _*)
+      .unionByName(delta.select(cols.map(col) :+
+        col("__sign").cast("long").as("__m"): _*))
+      .groupBy(cols.map(col): _*)
+      .agg(sum("__m").as("__mult"))
+      .filter(col("__mult") > 0)
+  }
+
+  /** The maintained join view as plain rows (multiplicity expanded). */
+  def finalizeJoin(state: DataFrame): DataFrame = {
+    val cols = state.columns.filterNot(_ == "__mult")
+    state.select(cols.map(col) :+
+        explode(sequence(lit(1L), col("__mult"))).as("__i"): _*)
+      .drop("__i")
+  }
+
   /** G2/V5 analytics refresh: maintain a PageRank view through the
     * catalog — the first refresh computes cold (reference-exact fixed
     * iterations); every later refresh WARM-STARTS power iteration

@@ -75,6 +75,38 @@ class StreamViewsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 1800L * 1000000L)))
   }
 
+  test("incremental join view: two delta rounds equal the full recompute") {
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toList).groupBy(identity).view.mapValues(_.length).toMap
+    val a0 = Seq((1L, "a1"), (2L, "a2"), (2L, "a2dup"), (3L, "a3"))
+      .toDF("k", "av")
+    val b0 = Seq((1L, 10.0), (2L, 20.0), (4L, 40.0)).toDF("k", "bv")
+    var state = Views.initJoinState(a0, b0, Seq("k"))
+
+    // round 1: add a matching row on each side, remove one A row
+    val dA1 = Seq(("add", 4L, "a4"), ("remove", 2L, "a2"))
+      .toDF("op", "k", "av")
+    val dB1 = Seq(("add", 3L, 30.0)).toDF("op", "k", "bv")
+    state = Views.mergeJoinDelta(state,
+      Views.joinViewDelta(a0, dA1, b0, dB1, Seq("k")))
+    val a1 = Seq((1L, "a1"), (2L, "a2dup"), (3L, "a3"), (4L, "a4")).toDF("k", "av")
+    val b1 = Seq((1L, 10.0), (2L, 20.0), (4L, 40.0), (3L, 30.0)).toDF("k", "bv")
+    assert(multiset(Views.finalizeJoin(state)) == multiset(a1.join(b1, Seq("k"))))
+
+    // round 2: remove a B row (kills two joined rows' worth of A side),
+    // add a duplicate A row (multiplicity must rise to 2)
+    val dA2 = Seq(("add", 1L, "a1")).toDF("op", "k", "av")
+    val dB2 = Seq(("remove", 4L, 40.0)).toDF("op", "k", "bv")
+    state = Views.mergeJoinDelta(state,
+      Views.joinViewDelta(a1, dA2, b1, dB2, Seq("k")))
+    val a2 = a1.unionByName(Seq((1L, "a1")).toDF("k", "av"))
+    val b2 = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "bv")
+    val want = multiset(a2.join(b2, Seq("k")))
+    assert(multiset(Views.finalizeJoin(state)) == want)
+    // duplicate (1, a1, 10.0) really is multiplicity 2
+    assert(want(List(1L, "a1", 10.0)) == 2)
+  }
+
   test("stream-stream interval join matches in-window pairs, batch-parity") {
     import graft.streaming.StreamJoins
     implicit val sqlCtx = spark.sqlContext
