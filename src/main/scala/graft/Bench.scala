@@ -81,18 +81,21 @@ object Bench {
       case None => SparkEntry.queries
     }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def onePass(): Double = {
+      // (seconds, succeeded) — a failed pass must never win the min
+      // (a fast-failing query would otherwise read as a phantom
+      // speed-up in the machine line, with the error only on stderr
+      // where the recording window never looks)
+      def onePass(): (Double, Boolean) = {
         val t0 = System.nanoTime()
         val n = try fn(spark, sfDir).count() catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             -1L
         } finally TransientCache.releaseAll()
-        if (n < 0) System.err.println(s"[bench] $name returned error")
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, n >= 0)
       }
-      val p1 = onePass(); canary()
-      val p2 = onePass(); canary()
+      val (p1, ok1) = onePass(); canary()
+      val (p2, ok2) = onePass(); canary()
       // Untimed GC between queries: localCheckpoint blocks and shuffle
       // files are reclaimed by the ContextCleaner only after the JVM
       // collects the owning RDD reference — across ~190 passes the
@@ -101,9 +104,14 @@ object Bench {
       // (observed: a 3× slower second pass for the largest shuffle
       // query late in a full run, unreproducible in isolation).
       System.gc()
-      (name, p1, p2)
+      // min over SUCCESSFUL passes; if both failed, report the worse
+      // elapsed and flag the query in the machine line's failed list
+      val successful = Seq(p1 -> ok1, p2 -> ok2).filter(_._2).map(_._1)
+      val repr = if (successful.nonEmpty) successful.min else math.max(p1, p2)
+      (name, p1, p2, repr, ok1 || ok2)
     }
-    val mins = results.map { case (n, p1, p2) => n -> math.min(p1, p2) }
+    val mins = results.map { case (n, _, _, repr, _) => n -> repr }
+    val failed = results.filter(!_._5).map(_._1)
     val total = mins.map(_._2).sum
     val p1Total = results.map(_._2).sum
     val p2Total = results.map(_._3).sum
@@ -131,15 +139,19 @@ object Bench {
       val entries = keep.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) } ++
         (if (foldedN > 0) Seq("\"other_" + foldedN + "_fastest\":" + fmt(foldedSum)) else Nil)
       val qs = entries.mkString("{", ",", "}")
+      val failedField =
+        if (failed.isEmpty) ""
+        else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
         s""","queries":$qs,"passes":2,"p1_total":${fmt(p1Total)}""" +
         s""","p2_total":${fmt(p2Total)},"canary_med":${fmt(canaryMed)}""" +
-        s""","canary_max":${fmt(canaryMax)},"sf":"$sfDir"}"""
+        s""","canary_max":${fmt(canaryMax)}$failedField,"sf":"$sfDir"}"""
     }
 
     def raw(v: Double): String = String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
-    val detailQs = results.map { case (k, p1, p2) =>
-      "\"" + k + "\":[" + raw(p1) + "," + raw(p2) + "]"
+    val detailQs = results.map { case (k, p1, p2, _, ok) =>
+      "\"" + k + "\":[" + raw(p1) + "," + raw(p2) + "," +
+        (if (ok) "true" else "false") + "]"
     }.mkString("{", ",", "}")
     val detail = s"""{"total":${raw(total)},"p1_total":${raw(p1Total)},""" +
       s""""p2_total":${raw(p2Total)},"queries":$detailQs,""" +

@@ -25,6 +25,12 @@ object GraftSession {
       // iterative plans generate a codegen class per loop round —
       // size the class cache so mixed workloads don't recompile them
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // iterative loops run with a RELIABLE checkpointDir write one
+      // frame per round; without this the files outlive their RDDs
+      // (Spark's default) and a deep job leaks O(rounds) durable
+      // storage — must be set at session build, the ContextCleaner
+      // reads it once at startup
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -14,9 +14,26 @@ import org.apache.spark.sql.DataFrame
   */
 object Lineage {
 
-  /** Point the session at a reliable checkpoint dir (no-op when None). */
+  /** Point the session at a reliable checkpoint dir (no-op when None).
+    *
+    * Checkpoint files are only reclaimed when the session was built
+    * with `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+    * (GraftSession sets it; Spark's default is false and the
+    * ContextCleaner reads it once at startup) — an iterative loop
+    * writes one frame per round, so without cleanup a deep job leaks
+    * O(rounds × frame size) of durable storage. Warn rather than
+    * fail: the files are orphaned, not wrong.
+    */
   def configure(df: DataFrame, checkpointDir: Option[String]): Boolean = {
-    checkpointDir.foreach(df.sparkSession.sparkContext.setCheckpointDir)
+    checkpointDir.foreach { d =>
+      val sc = df.sparkSession.sparkContext
+      if (!sc.getConf.getBoolean(
+          "spark.cleaner.referenceTracking.cleanCheckpoints", false))
+        System.err.println("[graft] reliable checkpointing without " +
+          "spark.cleaner.referenceTracking.cleanCheckpoints=true (set at " +
+          "session build): per-round checkpoint files will not be reclaimed")
+      sc.setCheckpointDir(d)
+    }
     checkpointDir.isDefined
   }
 

@@ -668,19 +668,33 @@ object Dedup {
     * scale (max bigram df here is 338) and well above any
     * discriminative shingle's df at corpus scale.
     */
-  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-      shingleSize: Int = 3, threshold: Double = 0.3,
-      maxDf: Int = 5000): DataFrame = {
+  /** Shared shingle prep for the exact-Jaccard paths: distinct
+    * (id, 64-bit shingle hash) rows with the df cap applied, plus the
+    * surviving shingles' document frequencies (exact — the cap only
+    * removes whole shingle groups, so kept-set df == corpus df for
+    * every survivor). Both frames are lazy; a caller that never uses
+    * the dfs frame never pays for it. The kept rows come back
+    * persisted via TransientCache (read multiple times downstream).
+    */
+  private def keptShingleRows(df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int, maxDf: Int): (DataFrame, DataFrame) = {
     val exploded = TextFunctions.shingleRows(df, idCol, textCol, shingleSize)
       .dropDuplicates("id", "s")
       .select(col("id"), xxhash64(col("s")).as("s"))
-    val kept =
-      if (maxDf == Int.MaxValue) exploded
+    val dfs = exploded.groupBy("s").agg(count(lit(1)).as("sdf"))
+    val (kept, keptDfs) =
+      if (maxDf == Int.MaxValue) (exploded, dfs)
       else {
-        val dfs = exploded.groupBy("s").agg(count(lit(1)).as("__df"))
-        exploded.join(dfs.filter(col("__df") <= maxDf).select("s"), "s")
+        val ok = dfs.filter(col("sdf") <= maxDf)
+        (exploded.join(ok.select("s"), "s"), ok)
       }
-    val keptP = graft.TransientCache.persist(kept)
+    (graft.TransientCache.persist(kept), keptDfs)
+  }
+
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.3,
+      maxDf: Int = 5000): DataFrame = {
+    val (keptP, _) = keptShingleRows(df, textCol, idCol, shingleSize, maxDf)
     // per-doc set sizes AFTER the df cap (true Jaccard on trimmed sets)
     val sizes = keptP.groupBy("id").agg(count(lit(1)).as("n"))
     val a = keptP.select(col("id").as("ida"), col("s"))
@@ -744,20 +758,11 @@ object Dedup {
       maxDf: Int = 5000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
-    val exploded = TextFunctions.shingleRows(df, idCol, textCol, shingleSize)
-      .dropDuplicates("id", "s")
-      .select(col("id"), xxhash64(col("s")).as("s"))
-    val kept =
-      if (maxDf == Int.MaxValue) exploded
-      else {
-        val dfsAll = exploded.groupBy("s").agg(count(lit(1)).as("__df"))
-        exploded.join(dfsAll.filter(col("__df") <= maxDf).select("s"), "s")
-      }
-    val keptP = graft.TransientCache.persist(kept)
+    val (keptP, keptDfs) =
+      keptShingleRows(df, textCol, idCol, shingleSize, maxDf)
     val sizes = keptP.groupBy("id").agg(count(lit(1)).as("n"))
-    val dfs = keptP.groupBy("s").agg(count(lit(1)).as("sdf"))
     val w = Window.partitionBy("id").orderBy(col("sdf").asc, col("s").asc)
-    val prefix = keptP.join(dfs, "s")
+    val prefix = keptP.join(keptDfs, "s")
       .withColumn("__pos", row_number().over(w))
       .join(sizes, "id")
       .filter(col("__pos") <=

@@ -250,9 +250,12 @@ object Views {
       .drop("op")
     val sA = signed(dA, "__sa")
     val sB = signed(dB, "__sb")
-    val t1 = sA.join(bOld.withColumn("__sb", lit(1)), keys)
+    // the DELTA side broadcasts in every term — deltas have no stats,
+    // so without the hint Catalyst would sort-merge and shuffle the
+    // whole base, the exact cost this operator exists to avoid
+    val t1 = broadcast(sA).join(bOld.withColumn("__sb", lit(1)), keys)
     val t2 = aOld.withColumn("__sa", lit(1)).join(broadcast(sB), keys)
-    val t3 = sA.join(broadcast(sB), keys)
+    val t3 = broadcast(sA).join(sB, keys)
     t1.unionByName(t2).unionByName(t3)
       .withColumn("__sign", col("__sa") * col("__sb"))
       .drop("__sa", "__sb")
