@@ -59,6 +59,39 @@ object Sampling {
       rates: Map[String, Double], defaultRate: Double): DataFrame =
     df.filter(keepPredicate(strataCol, idCol, rates, defaultRate))
 
+  /** Temperature-based source mixing — the standard pretraining
+    * recipe for damping head sources and upweighting tail ones:
+    * target mixture weight w_s ∝ n_s^alpha, so with a target sample
+    * of `targetRows` the per-stratum keep rate is
+    * min(1, targetRows · w_s / n_s). alpha = 1 keeps every stratum
+    * at the same uniform rate (proportional mixing), alpha = 0 aims
+    * the same ROW COUNT at every stratum (maximal tail upweighting),
+    * values between interpolate.
+    *
+    * The rate arithmetic rounds to 6 dp BEFORE quantizing to the
+    * 1/10000 hash threshold, so any engine whose pow() agrees to
+    * ~1e-7 (all of them) derives the identical integer threshold —
+    * the sample stays oracle-checkable and partitioning-independent
+    * like every other sampler here. Cost: one per-stratum count
+    * aggregate, a single-row weight sum, a broadcast rate join, and
+    * the scan-side hash filter.
+    */
+  def temperatureSample(df: DataFrame, strataCol: String, idCol: String,
+      alpha: Double, targetRows: Long): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha in [0,1]: $alpha")
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("__n"))
+    val wsum = counts.agg(sum(pow(col("__n"), alpha)).as("__wsum"))
+    val thresholds = counts.crossJoin(broadcast(wsum))
+      .select(col(strataCol),
+        floor(least(lit(1.0),
+          round(lit(targetRows.toDouble) * pow(col("__n"), alpha)
+            / col("__wsum") / col("__n"), 6)) * Denominator)
+          .cast("long").as("__thr"))
+    df.join(broadcast(thresholds), strataCol)
+      .filter(idHash(col(idCol)) < col("__thr"))
+      .drop("__thr")
+  }
+
   /** Mixing report for a stratified sample: per-stratum total rows,
     * kept rows, and the realized rate — the audit a mixing pass logs
     * so weight drift is visible. One conditional aggregate over a

@@ -276,6 +276,16 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Temperature mixing at alpha = 0.5, target 200 rows: tail
+    // sources keep a HIGHER fraction than head sources (the
+    // n_s^alpha recipe), all deterministic from the id hash.
+    "pipe_temperature_mix" -> ((s, dir) => {
+      Sampling.temperatureSample(Tables.documents(s, dir), "source",
+          "doc_id", alpha = 0.5, targetRows = 200L)
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    }),
+
     // Mixing audit: per-source total/kept/realized-rate for the same
     // rate table — the drift report a mixing pass logs.
     "pipe_mix_stats" -> ((s, dir) => {
@@ -632,6 +642,18 @@ object PipelineQueries {
       s"""SELECT doc_id, source, lang FROM documents
           WHERE ((doc_id % 1000000007) * 2654435761) % 10000 < $mixThresholdSql
           ORDER BY doc_id""",
+    "pipe_temperature_mix" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+         w AS (SELECT source, n, POW(n, 0.5) AS wgt FROM c),
+         ws AS (SELECT SUM(wgt) AS wsum FROM w),
+         r AS (SELECT source,
+                 CAST(FLOOR(LEAST(1.0,
+                   ROUND(200.0 * wgt / wsum / n, 6)) * 10000) AS BIGINT) AS thr
+               FROM w CROSS JOIN ws)
+         SELECT d.doc_id, d.source, d.lang
+         FROM documents d JOIN r ON d.source = r.source
+         WHERE ((d.doc_id % 1000000007) * 2654435761) % 10000 < r.thr
+         ORDER BY d.doc_id""",
     "pipe_mix_stats" ->
       s"""SELECT source, COUNT(*) AS n_total,
                  CAST(COUNT(*) FILTER (WHERE

@@ -175,6 +175,36 @@ class PipelineSpec extends SparkSpec {
     assert(!lshPlan.contains("BroadcastNestedLoopJoin"), lshPlan.take(500))
   }
 
+  test("temperature sampling: alpha=1 uniform rate, alpha=0 equal counts, tail upweighted") {
+    // 3 sources with skewed sizes: 600 / 300 / 100 rows
+    val rows = (0 until 600).map(i => (i.toLong, "head")) ++
+      (600 until 900).map(i => (i.toLong, "mid")) ++
+      (900 until 1000).map(i => (i.toLong, "tail"))
+    val df = rows.toDF("doc_id", "source")
+    def keptBySource(alpha: Double, target: Long): Map[String, Long] =
+      Sampling.temperatureSample(df, "source", "doc_id", alpha, target)
+        .groupBy("source").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        .withDefaultValue(0L)
+    // alpha = 1: every source keeps the SAME fraction (~target/N)
+    val a1 = keptBySource(1.0, 500L)
+    assert(math.abs(a1("head") / 600.0 - a1("mid") / 300.0) < 0.1, a1)
+    // alpha = 0: every source aims at the SAME ROW COUNT (~target/3)
+    val a0 = keptBySource(0.0, 150L)
+    assert(a0("tail") > 0)
+    assert(math.abs(a0("head").toDouble - a0("mid").toDouble) <
+      0.5 * math.max(a0("head"), a0("mid")).toDouble, a0)
+    // alpha = 0.5: the tail's keep FRACTION strictly exceeds the head's
+    val ah = keptBySource(0.5, 300L)
+    assert(ah("tail") / 100.0 > ah("head") / 600.0, ah)
+    // deterministic under repartitioning
+    val again = Sampling.temperatureSample(df.repartition(7), "source",
+      "doc_id", 0.5, 300L).select("doc_id").collect().map(_.getLong(0)).toSet
+    val first = Sampling.temperatureSample(df, "source",
+      "doc_id", 0.5, 300L).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == first)
+  }
+
   test("prefix-filtered ngram jaccard equals the plain self-join exactly") {
     val sfDocs = graft.sources.Tables.documents(spark, sf)
     for (t <- Seq(0.3, 0.8)) {

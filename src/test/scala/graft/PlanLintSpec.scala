@@ -35,6 +35,7 @@ class PlanLintSpec extends SparkSpec {
     "ann_ivf_recall" -> "query batch, centroid model, brute-force reference side",
     "stats_sketch_bounds" -> "single-row aggregate crossJoined to itself",
     "tfidf_top_terms" -> "single-row corpus count broadcast",
+    "pipe_temperature_mix" -> "single-row weight-sum broadcast",
     "text_fingerprint" -> "single-row aggregate",
     "emb_outliers" -> "per-label centroid model"
   )
