@@ -19,7 +19,16 @@ import org.apache.spark.sql.SparkSession
   *    shuffle) runs after every timed pass; its median and max land
   *    in the machine line. A quiet machine shows ~ms medians; a
   *    contended one shows inflated canaries next to inflated query
-  *    times, separating environment noise from plan regressions.
+  *    times, separating environment noise from plan regressions;
+  *  - (round 6) a fixed CPU-THROUGHPUT canary — a codegen BNLJ with
+  *    FloatVecDot over two static vector frames, the same shape as
+  *    the heaviest compute-bound queries — runs once per query;
+  *    `cpu_canary_med`/`cpu_canary_max` land in the machine line.
+  *    The scheduler canary bounds dispatch latency; this one bounds
+  *    per-core compute speed, so a driver round can adjudicate a
+  *    compute-bound swing (r5: dedup_embedding 4× driver-vs-local on
+  *    identical code, flat scheduler canaries) without the builder's
+  *    local record.
   * Per-query pass detail (both passes, full precision, every canary
   * sample) is written to BENCH_LOCAL.json (override with
   * SPARK_GRAFT_BENCH_OUT) since the harness window only keeps the
@@ -72,6 +81,58 @@ object Bench {
       canaries += (System.nanoTime() - t0) / 1e9
     }
 
+    // CPU-THROUGHPUT canary: the scheduler canary bounds dispatch
+    // latency but says nothing about per-core compute speed — round
+    // 5's driver run recorded a pure-compute BNLJ query at 4× its
+    // local time BESIDE flat scheduler canaries, and the harness
+    // could not adjudicate the swing in-band. This job is the same
+    // shape as that workload — a broadcast nested-loop join whose
+    // condition is the codegen'd FloatVecDot over two STATIC
+    // spark.range-derived float-vector frames (fully deterministic,
+    // zero data dependence) — so its runtime tracks host CPU
+    // throughput under the exact codegen path the heavy queries use.
+    // Runs once per query (not per pass): ~98 samples interleaved
+    // across the run is plenty for a median while adding seconds,
+    // not tens of seconds, to the total.
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    import spark.implicits._
+    // Vectors are generated DRIVER-SIDE with a fixed-seed LCG and ship
+    // as LocalRelations: a spark.range + generated-expression form was
+    // measured at ~260 ms/run dominated by re-OPTIMIZING its 128-array
+    // expression tree on every action — driver planning, not the
+    // executor throughput this canary exists to measure.
+    val cpuDim = 64
+    def cpuVecs(seed: Long, n: Int): Seq[Array[Float]] = {
+      var s = seed
+      def next(): Float = {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        ((s >>> 40) % 1000).toFloat / 1000f
+      }
+      (0 until n).map(_ => Array.fill(cpuDim)(next()))
+    }
+    // parallelize (not repartition) pins 4 partitions without paying
+    // a shuffle on every timed run
+    val cpuLeft = spark.createDataset(
+      spark.sparkContext.parallelize(cpuVecs(1L, 1024), 4)).toDF("va")
+    val cpuRight = cpuVecs(2L, 512).toDF("vb")
+    val cpuCanaryDf = cpuLeft.join(broadcast(cpuRight),
+      graft.functions.VecExpressions.vecDot(spark, col("va"), col("vb"))
+        > lit(17.0))
+    // Time the REUSED physical RDD, not a fresh count(): a DataFrame
+    // action pays ~0.2 s of fixed driver-side work (re-planning, AQE
+    // stage setup, broadcast rebuild) that swamps the executor loop —
+    // measured flat from 1k to 4M pairs. toRdd keeps one finalized
+    // plan whose broadcast is built once, so each timed run is task
+    // scheduling (~the scheduler canary) + the pure codegen BNLJ loop.
+    val cpuCanaryRdd = cpuCanaryDf.queryExecution.toRdd
+    cpuCanaryRdd.count() // untimed: Janino compile + broadcast build
+    val cpuCanaries = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def cpuCanary(): Unit = {
+      val t0 = System.nanoTime()
+      cpuCanaryRdd.count()
+      cpuCanaries += (System.nanoTime() - t0) / 1e9
+    }
+
     // Optional comma-separated query filter for local iteration
     // (SPARK_GRAFT_ONLY=g1_pagerank,g11_scc); the driver never sets it.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -95,7 +156,7 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, n >= 0)
       }
       val (p1, ok1) = onePass(); canary()
-      val (p2, ok2) = onePass(); canary()
+      val (p2, ok2) = onePass(); canary(); cpuCanary()
       // Untimed GC between queries: localCheckpoint blocks and shuffle
       // files are reclaimed by the ContextCleaner only after the JVM
       // collects the owning RDD reference — across ~190 passes the
@@ -115,10 +176,12 @@ object Bench {
     val total = mins.map(_._2).sum
     val p1Total = results.map(_._2).sum
     val p2Total = results.map(_._3).sum
-    val canarySorted = canaries.toSeq.sorted
-    val canaryMed =
-      if (canarySorted.isEmpty) 0.0 else canarySorted(canarySorted.size / 2)
-    val canaryMax = if (canarySorted.isEmpty) 0.0 else canarySorted.last
+    def med(xs: Seq[Double]): Double =
+      if (xs.isEmpty) 0.0 else xs.sorted.apply(xs.size / 2)
+    val canaryMed = med(canaries.toSeq)
+    val canaryMax = if (canaries.isEmpty) 0.0 else canaries.max
+    val cpuCanaryMed = med(cpuCanaries.toSeq)
+    val cpuCanaryMax = if (cpuCanaries.isEmpty) 0.0 else cpuCanaries.max
 
     // The harness that records this run keeps only the LAST ~2000
     // chars of output, so the machine-read line must be (a) the final
@@ -145,7 +208,9 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
         s""","queries":$qs,"passes":2,"p1_total":${fmt(p1Total)}""" +
         s""","p2_total":${fmt(p2Total)},"canary_med":${fmt(canaryMed)}""" +
-        s""","canary_max":${fmt(canaryMax)}$failedField,"sf":"$sfDir"}"""
+        s""","canary_max":${fmt(canaryMax)}""" +
+        s""","cpu_canary_med":${fmt(cpuCanaryMed)}""" +
+        s""","cpu_canary_max":${fmt(cpuCanaryMax)}$failedField,"sf":"$sfDir"}"""
     }
 
     def raw(v: Double): String = String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
@@ -155,7 +220,8 @@ object Bench {
     }.mkString("{", ",", "}")
     val detail = s"""{"total":${raw(total)},"p1_total":${raw(p1Total)},""" +
       s""""p2_total":${raw(p2Total)},"queries":$detailQs,""" +
-      s""""canary":[${canaries.map(raw).mkString(",")}],"sf":"$sfDir"}"""
+      s""""canary":[${canaries.map(raw).mkString(",")}],""" +
+      s""""cpu_canary":[${cpuCanaries.map(raw).mkString(",")}],"sf":"$sfDir"}"""
     println(s"BENCH_DETAIL $detail")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
