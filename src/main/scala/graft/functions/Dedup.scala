@@ -455,8 +455,13 @@ object Dedup {
   def resolveDupClustersByScore(scored: DataFrame, idCol: String,
       scoreCol: String, pairs: DataFrame,
       checkpointDir: Option[String] = None): DataFrame = {
-    val members = resolveDupClusters(scored, idCol, pairs, checkpointDir)
-      .select(col("id"), col("canonical_id").as("component"))
+    // members is consumed twice (survivor ranking + the map-back
+    // join); without the persist each consumer re-runs the corpus
+    // anti-join tail of resolveDupClusters — two full corpus scans
+    // at cluster scale for one logical pass
+    val members = graft.TransientCache.persist(
+      resolveDupClusters(scored, idCol, pairs, checkpointDir)
+        .select(col("id"), col("canonical_id").as("component")))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
       .orderBy(col(scoreCol).desc, col("id").asc)
     val survivors = members
