@@ -289,6 +289,29 @@ object Similarity {
     rerankTopK(cand, corpus, queries, k)
   }
 
+  /** Jobless row estimate from the optimized plan's statistics:
+    * the exact `rowCount` when available (CBO/analyzed tables,
+    * LocalRelations), otherwise `sizeInBytes` divided by Spark's own
+    * per-row width estimate for the schema — the same arithmetic
+    * `SizeInBytesOnlyStatsPlanVisitor` runs in reverse. Parquet
+    * `sizeInBytes` is the compressed file size, so the quotient
+    * UNDERestimates rows (compression ≥ 1); the consumer here only
+    * uses it to pick between two correct branches, where the error
+    * moves the crossover, never the answer. None only when the plan
+    * reports a non-positive size (never for file sources).
+    */
+  private[graft] def estimatedRows(df: DataFrame): Option[Long] = {
+    val plan = df.queryExecution.optimizedPlan
+    val stats = plan.stats
+    stats.rowCount.map(_.toLong).orElse {
+      val width = org.apache.spark.sql.catalyst.plans.logical.statsEstimation
+        .EstimationUtils.getSizePerRow(plan.output)
+      if (stats.sizeInBytes > 0 && width > 0)
+        Some((stats.sizeInBytes / width).toLong max 1L)
+      else None
+    }
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold.
     *
     * Path selection: `exact = Some(true)` forces the all-pairs
@@ -333,7 +356,13 @@ object Similarity {
     require(probes == 0 || probes == 1,
       s"probes supports 0 (exact buckets) or 1 (Hamming-1 neighbors), got $probes")
     val spark = corpus.sparkSession
-    val useExact = exact.getOrElse(corpus.count() <= maxExactRows)
+    // Branch selection must not cost a corpus scan: at cluster scale
+    // an uncached count() just to pick exact-vs-LSH reads the whole
+    // table once before any real work. The optimizer's row estimate
+    // is free and errs only on WHICH branch runs (both are correct);
+    // count() remains the fallback for plans with no estimate at all.
+    val useExact = exact.getOrElse(
+      estimatedRows(corpus).getOrElse(corpus.count()) <= maxExactRows)
     val normed = corpus.select(col("vec_id"), col("embedding"),
       VecExpressions.vecNorm(spark, col("embedding")).as("nrm"))
     val a = normed.select(col("vec_id").as("ida"), col("embedding").as("va"),

@@ -235,6 +235,31 @@ class PipelineSpec extends SparkSpec {
     assert(canon.values.forall(_ == 0L), canon)
   }
 
+  test("embedding dedup auto-select decides from plan stats, launching no job") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    // the estimator must resolve on a parquet-backed frame — the
+    // count() fallback would mean a full corpus scan at cluster scale
+    val est = Similarity.estimatedRows(emb)
+    assert(est.isDefined, "parquet scan reported no size estimate")
+    val sc = spark.sparkContext
+    val group = s"autoselect-${System.nanoTime()}"
+    sc.setJobGroup(group, "auto-select must not launch jobs", false)
+    val (auto, autoLsh) =
+      try {
+        (Similarity.embeddingDedupPairs(emb, 0.4), // default auto-select
+          Similarity.embeddingDedupPairs(emb, 0.4, maxExactRows = 1))
+      } finally sc.clearJobGroup()
+    org.apache.spark.graft.SparkTestAccess.flushListenerBus(sc)
+    assert(sc.statusTracker.getJobIdsForGroup(group).isEmpty,
+      "branch selection launched a Spark job")
+    // …and the estimate drives the same branch decisions count() did:
+    // under the default budget → exact BNLJ; over a tiny budget → LSH
+    val autoPlan = auto.queryExecution.executedPlan.toString
+    assert(autoPlan.contains("BroadcastNestedLoopJoin"), autoPlan.take(500))
+    val lshPlan = autoLsh.queryExecution.executedPlan.toString
+    assert(!lshPlan.contains("BroadcastNestedLoopJoin"), lshPlan.take(500))
+  }
+
   test("embedding dedup LSH branch: precision 1, recall over floor, cap bounds buckets") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val exact = Similarity.embeddingDedupPairs(emb, 0.4, exact = Some(true))
