@@ -265,6 +265,28 @@ object Similarity {
     centDF.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Incrementally maintain a persisted IVF index: assign NEW
+    * vectors to the EXISTING centroid model and append them into
+    * their `cid=<n>/` partitions. The model is deliberately frozen —
+    * the append-only contract a production IVF index runs between
+    * retrain cycles, and the same incremental-maintenance intent as
+    * `minHashIndexPairs` (new-vs-index) applied to the ANN operator:
+    * work scales with the BATCH (assign = batch × nlist dot products,
+    * write = batch rows), never with the indexed corpus, and only the
+    * partitions that received new vectors gain files — every other
+    * cell directory is untouched (dynamic-partition append), so a
+    * 100 TB index absorbs a daily batch without a rewrite. Queries
+    * via `ivfTopKFromIndex` see old + new rows with unchanged pruning.
+    */
+  def appendToIvfIndex(newVecs: DataFrame, path: String): Unit = {
+    val spark = newVecs.sparkSession
+    val centDF = spark.read.parquet(s"$path/centroids")
+    val assigned = ivfAssign(newVecs, centDF)
+    graft.sources.Sinks.writePartitioned(
+      newVecs.join(assigned, "vec_id"), s"$path/corpus", Seq("cid"),
+      mode = "append")
+  }
+
   /** ANN top-k against a persisted IVF index. The probed cell ids
     * (nQueries × nprobe ints — MODEL-sized, like the centroids
     * themselves, never data) become a literal `cid IN (...)` filter,

@@ -191,6 +191,37 @@ object PipelineQueries {
         .orderBy("query_id")
     }),
 
+    // Incremental IVF index maintenance: the at-rest index is built
+    // on 90% of the corpus, the remaining 10% arrives as a batch
+    // appended against the FROZEN centroid model (appendToIvfIndex —
+    // assign cost scales with the batch, only touched cid partitions
+    // gain files), and the directory-pruned probe over the appended
+    // index must still recover ≥ 4 of each query's true top-10 over
+    // the UNIONED corpus (in-engine brute force). Rows are
+    // violations, expected (and oracle'd) empty. Measured per-query
+    // hits: min 6 at sf0.001, min 5 at sf0.01/sf0.1 (deterministic —
+    // centroids seed from the lowest-id base vectors and round each
+    // update); the floor keeps one hit of margin.
+    "ann_ivf_increment" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft_ivf_inc")
+        .toString
+      Similarity.writeIvfIndex(emb.filter(col("vec_id") % 10 =!= 0), path)
+      Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 10 === 0), path)
+      val queries = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(emb, queries, 10)
+        .select("query_id", "corpus_id")
+      val approx = Similarity.ivfTopKFromIndex(s, path, queries, 10, nprobe = 4)
+        .select("query_id", "corpus_id")
+      val hits = exact.join(approx, Seq("query_id", "corpus_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("found"))
+      queries.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("found"), lit(0L)).as("found"))
+        .filter(col("found") < 4)
+        .orderBy("query_id")
+    }),
+
     // The composed pipeline a curation pass actually ships, end to
     // end in ONE plan: language gate × quality floor → exact-dup
     // survivors (min id per normalized fingerprint) → per-source
@@ -551,6 +582,9 @@ object PipelineQueries {
       """SELECT CAST(NULL AS BIGINT) AS found, CAST(NULL AS BIGINT) AS total
          WHERE FALSE""",
     "ann_ivf_recall" ->
+      """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS found
+         WHERE FALSE""",
+    "ann_ivf_increment" ->
       """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS found
          WHERE FALSE""",
     "dedup_embedding" ->

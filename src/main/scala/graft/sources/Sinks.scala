@@ -24,11 +24,15 @@ object Sinks {
     */
   def writePartitioned(df: DataFrame, path: String,
       partitionCols: Seq[String],
-      maxRecordsPerFile: Long = 5000000L): Unit = {
+      maxRecordsPerFile: Long = 5000000L,
+      mode: String = "overwrite"): Unit = {
     import org.apache.spark.sql.functions.col
+    // mode "append" adds files only under the partition directories
+    // present in df — the incremental-maintenance path (IVF index
+    // appends); every other directory's files are untouched
     df.repartition(partitionCols.map(col): _*)
       .write
-      .mode("overwrite")
+      .mode(mode)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCols: _*)
       .parquet(path)

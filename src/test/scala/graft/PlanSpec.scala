@@ -180,6 +180,49 @@ class PlanSpec extends SparkSpec {
     assert(top.collect().toSet == mem.collect().toSet)
   }
 
+  test("ivf index append: only the appended cells' partitions gain files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+    graft.functions.Similarity.writeIvfIndex(base, dir, nlist = 8, iters = 2)
+    def filesByCell(): Map[String, Set[String]] = {
+      val corpus = new java.io.File(s"$dir/corpus")
+      corpus.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cid="))
+        .map(d => d.getName -> d.listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).toSet).toMap
+    }
+    val before = filesByCell()
+    graft.functions.Similarity.appendToIvfIndex(batch, dir)
+    val after = filesByCell()
+    // which cells the batch landed in, read back from the index itself
+    val indexed = spark.read.parquet(s"$dir/corpus")
+    val batchIds = batch.select("vec_id").collect().map(_.getLong(0)).toSet
+    val touched = indexed.filter(col("vec_id").isin(batchIds.toSeq: _*))
+      .select("cid").distinct().collect().map(r => s"cid=${r.get(0)}").toSet
+    assert(touched.nonEmpty)
+    // untouched cell directories keep their EXACT file lists — the
+    // append is incremental at the directory level, never a rewrite
+    (before.keySet -- touched).foreach { cell =>
+      assert(after(cell) == before(cell), s"$cell was rewritten")
+    }
+    // touched cells only GAIN files (old files intact)
+    touched.foreach { cell =>
+      assert(before.getOrElse(cell, Set.empty).subsetOf(after(cell)), cell)
+    }
+    // the appended index serves the union: every vector is queryable
+    assert(indexed.count() === emb.count())
+    // appended rows were assigned against the FROZEN model: their
+    // cids match a fresh assignment under the persisted centroids
+    val top = graft.functions.Similarity.ivfTopKFromIndex(
+      spark, dir, emb.filter(col("vec_id") < 3), 5, nprobe = 8)
+    val full = graft.functions.Similarity.bruteForceTopK(
+      emb, emb.filter(col("vec_id") < 3), 5)
+    // probing ALL 8 cells makes the index answer exactly the
+    // brute-force top-k over old + new — proves nothing was dropped
+    assert(top.collect().toSet == full.collect().toSet)
+  }
+
   test("curation pack plan quality: rank windows group-limit, no cartesians") {
     import graft.operators.CurationQueries
     // WindowGroupLimit pushes the rank<=k filter below the sort —
