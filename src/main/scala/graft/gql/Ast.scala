@@ -39,8 +39,17 @@ object Ast {
       direction: Direction,
       range: Option[(Int, Int)] = None)
 
-  /** Linear chain: nodes(0) -edges(0)- nodes(1) -edges(1)- … */
-  case class GraphPattern(nodes: Seq[NodePattern], edges: Seq[EdgePattern]) {
+  /** Linear chain: nodes(0) -edges(0)- nodes(1) -edges(1)- …
+    *
+    * `shortest` (graft extension, Cypher `shortestPath(...)`): the
+    * pattern must be a single (possibly var-length) edge between two
+    * nodes; the match binds, per (a, b) endpoint pair, only the
+    * MINIMUM-hop connection (BFS, `Algorithms.sssp`) instead of every
+    * path — the reference exposes the same capability at its storage
+    * API (graph/storage/src/lib.rs:834-871) but not in its grammar.
+    */
+  case class GraphPattern(nodes: Seq[NodePattern], edges: Seq[EdgePattern],
+      shortest: Boolean = false) {
     require(nodes.nonEmpty && edges.length == nodes.length - 1)
   }
 

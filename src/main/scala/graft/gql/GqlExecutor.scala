@@ -156,6 +156,8 @@ object GqlExecutor {
     */
   def matchPattern(store: GraphStore, pattern: GraphPattern,
       prefix: String = "__", trackPath: Boolean = false): DataFrame = {
+    if (pattern.shortest)
+      return shortestPathMatch(store, pattern, prefix, trackPath)
     val (nodes, edges) = named(pattern, prefix)
     val v0 = nodes.head.variable.get
 
@@ -276,6 +278,118 @@ object GqlExecutor {
       }
     }
     df
+  }
+
+  /** `shortestPath((a)-[*..k]-(b))`: per (a, b) endpoint pair, bind
+    * only the MINIMUM-hop connection. Translates to
+    * [[graft.algorithms.Algorithms.sssp]] (BFS on unit weights) from
+    * each vertex the source pattern binds — the reference's
+    * storage-level BFS (graph/storage/src/lib.rs:834-871) surfaced in
+    * the grammar. The source side must be selective: seeds are
+    * collected (model-sized, capped) because each one is an sssp run;
+    * all-pairs shortest paths is a different operator
+    * (`Algorithms.sssp` per partition / G5), not a MATCH clause.
+    *
+    * With a bound path variable the node sequence is reconstructed
+    * RELATIONALLY (never a driver walk): the deterministic
+    * predecessor of a settled vertex is its LOWEST-id neighbor one
+    * hop closer to the seed, derived with one join + min-aggregate,
+    * then followed for maxHops rounds of bounded joins. Lowest-id
+    * (not sssp's own `pred`) because Pregel's message merge breaks
+    * distance ties by arrival order — nondeterministic across
+    * partitionings; min-id re-derivation makes `nodes(p)`
+    * reproducible, and `length(p)` is the (deterministic) BFS
+    * distance either way.
+    */
+  private def shortestPathMatch(store: GraphStore, pattern: GraphPattern,
+      prefix: String, trackPath: Boolean): DataFrame = {
+    require(pattern.nodes.size == 2 && pattern.edges.size == 1,
+      s"shortestPath(...) takes exactly (a)-[...]-(b); got " +
+        s"${pattern.nodes.size} nodes")
+    val (nodes, edges) = named(pattern, prefix)
+    val Seq(aN, bN) = nodes: @unchecked
+    val e = edges.head
+    val (minHops, maxHops) = e.range.getOrElse((1, 10))
+    val aV = aN.variable.get
+    val bV = bN.variable.get
+
+    val base = e.label.fold(store.edges)(l => store.edges.filter(col("label") === l))
+    val filteredE = e.props.foldLeft(base) { case (d, (k, v)) =>
+      d.filter(PropValue.compare(col("props")(k), litToValue(v), "="))
+    }
+    val oriented = e.direction match {
+      case Incoming => filteredE.select(col("dst").as("src"), col("src").as("dst"))
+      case _ => filteredE.select(col("src"), col("dst"))
+    }
+    val undirected = e.direction == Undirected
+
+    val maxSeeds = 64
+    val seeds = store.vertices.filter(nodeFilter(aN))
+      .select("id").limit(maxSeeds + 1).collect().map(_.getLong(0)).sorted
+    require(seeds.length <= maxSeeds,
+      s"shortestPath source pattern binds more than $maxSeeds vertices; " +
+        "constrain it, or use Algorithms.sssp/bfs for bulk distances")
+
+    val states =
+      if (seeds.isEmpty)
+        store.spark.range(0).select(col("id").as("__sp_src"), col("id"),
+          col("id").cast("int").as("__sp_hops"))
+      else seeds.map { s =>
+        graft.algorithms.Algorithms.sssp(store.vertices, oriented, s,
+            undirected = undirected, maxIter = maxHops)
+          .select(lit(s).as("__sp_src"), col("id"),
+            col("dist").cast("int").as("__sp_hops"))
+      }.reduce(_ unionByName _)
+    val st = graft.TransientCache.persist(
+      states.filter(col("__sp_hops") <= maxHops))
+
+    val pairs = st.filter(col("__sp_hops") >= minHops)
+    val aSide = store.vertices.filter(nodeFilter(aN)).select(
+      col("id").as(vcol(aV, "id")), col("label").as(vcol(aV, "label")),
+      col("props").as(vcol(aV, "props")))
+    val bSide = store.vertices.filter(nodeFilter(bN)).select(
+      col("id").as(vcol(bV, "id")), col("label").as(vcol(bV, "label")),
+      col("props").as(vcol(bV, "props")))
+    var out = pairs
+      .join(aSide, col("__sp_src") === col(vcol(aV, "id")))
+      .join(bSide, pairs("id") === col(vcol(bV, "id")))
+
+    if (trackPath) {
+      val adj = if (undirected)
+        oriented.unionByName(
+          oriented.select(col("dst").as("src"), col("src").as("dst")))
+      else oriented
+      val prev = st.select(col("__sp_src").as("__p_src"),
+        col("id").as("__p_id"), col("__sp_hops").as("__p_hops"))
+      val detPred = graft.TransientCache.persist(
+        st.join(adj.select(col("src").as("__e_src"), col("dst").as("__e_dst")),
+            st("id") === col("__e_dst"))
+          .join(prev, col("__p_src") === col("__sp_src") &&
+            col("__p_id") === col("__e_src") &&
+            col("__p_hops") === col("__sp_hops") - 1)
+          .groupBy(col("__sp_src").as("__d_src"), st("id").as("__d_id"))
+          .agg(min(col("__p_id")).as("__d_pred")))
+      var paths = pairs.select(col("__sp_src").as("__w_src"),
+        col("id").as("__w_tgt"), array(col("id")).as("__path"),
+        col("id").as("__w_cur"))
+      for (_ <- 0 until maxHops) {
+        paths = paths.join(detPred,
+            col("__w_src") === col("__d_src") &&
+              col("__w_cur") === col("__d_id") &&
+              col("__w_cur") =!= col("__w_src"), "left")
+          .withColumn("__path",
+            when(col("__d_pred").isNotNull,
+              concat(array(col("__d_pred")), col("__path")))
+              .otherwise(col("__path")))
+          .withColumn("__w_cur", coalesce(col("__d_pred"), col("__w_cur")))
+          .drop("__d_src", "__d_id", "__d_pred")
+      }
+      out = out.join(paths,
+          col("__sp_src") === col("__w_src") &&
+            col(vcol(bV, "id")) === col("__w_tgt"))
+        .drop("__w_src", "__w_tgt", "__w_cur")
+    }
+    out.drop("__sp_src", "id", "__sp_hops")
   }
 
   /** P3: WHERE → Column (executor.rs:382-464). Cross-kind comparisons

@@ -76,6 +76,15 @@ object GqlParser extends RegexParsers {
       GraphPattern(first +: rest.map(_._2), rest.map(_._1))
     }
 
+  /** `shortestPath((a)-[*..3]->(b))` — Cypher-style wrapper; the
+    * inner pattern must be exactly two nodes and one edge (checked
+    * in the executor, which owns the error message).
+    */
+  private def shortestPat: Parser[GraphPattern] =
+    kw("shortestPath") ~> "(" ~> pattern <~ ")" ^^ (_.copy(shortest = true))
+
+  private def matchPat: Parser[GraphPattern] = shortestPat | pattern
+
   private def propRef: Parser[PropRef] =
     ident ~ ("." ~> ident) ^^ { case v ~ p => PropRef(v, p) }
 
@@ -140,7 +149,7 @@ object GqlParser extends RegexParsers {
     kw("optional") ~> kw("match") ~> pattern
 
   private def matchOrDelete: Parser[Statement] =
-    kw("match") ~> opt(ident <~ "=") ~ pattern ~ rep(optionalMatch) ~
+    kw("match") ~> opt(ident <~ "=") ~ matchPat ~ rep(optionalMatch) ~
       opt(kw("where") ~> expr) ~
       ((kw("return") ~> opt(kw("distinct")) ~ rep1sep(returnItem, ",") ~ orderLimit) ^^
         (x => Left((x._1._1.isDefined, x._1._2, x._2)): Either[(Boolean, Seq[ReturnItem], (Seq[OrderItem], Option[Long])), String]) |

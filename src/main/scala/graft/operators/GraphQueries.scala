@@ -203,6 +203,22 @@ object GraphQueries {
         .orderBy("nodes_p")
     }),
 
+    // shortestPath clause (extension; the reference exposes BFS at
+    // its storage API — lib.rs:834-871 — but not in the grammar):
+    // min-hop connection from one customer to every Supplier within
+    // 3 undirected hops, via Algorithms.sssp. All hits land at hop 2
+    // (co-located in the customer's nation, or supplying one of its
+    // orders): the TPC-H graph is multipartite, so odd-length
+    // customer→supplier paths don't exist. The oracle is a genuine
+    // recursive-CTE BFS over the same 6-label edge set, min hops per
+    // vertex — it does NOT bake in the hop-2 argument.
+    "gql_shortest_path" -> ((s, dir) => {
+      val r = GqlExecutor.run(g(s, dir),
+        """MATCH p = shortestPath((c:Customer {name: "Customer#000000001"})-[*..3]-(s:Supplier)) RETURN s.name, length(p)""").df
+      r.select(str(col("s_name")).as("name"), col("length_p").as("hops"))
+        .orderBy("name")
+    }),
+
     // GQL write path end-to-end: MATCH-DELETE mutates a fresh copy of
     // the store (cascading incident edges), CREATE appends; the final
     // counts are recomputed relationally by the oracle. Exercises
@@ -369,6 +385,33 @@ object GraphQueries {
     // nation; 2 undirected hops fan back out to every other
     // customer/supplier located in it (simple paths — never back to
     // the seed customer).
+    "gql_shortest_path" ->
+      """WITH RECURSIVE seed AS (
+           SELECT c_custkey + 3000000000 AS id FROM customer
+           WHERE c_name = 'Customer#000000001'),
+         ed AS (
+           SELECT o_custkey + 3000000000 AS src, o_orderkey + 6000000000 AS dst FROM orders
+           UNION ALL
+           SELECT l_orderkey + 6000000000, l_partkey + 5000000000 FROM lineitem
+           UNION ALL
+           SELECT l_orderkey + 6000000000, l_suppkey + 4000000000 FROM lineitem
+           UNION ALL
+           SELECT c_custkey + 3000000000, c_nationkey + 2000000000 FROM customer
+           UNION ALL
+           SELECT s_suppkey + 4000000000, s_nationkey + 2000000000 FROM supplier
+           UNION ALL
+           SELECT n_nationkey + 2000000000, n_regionkey + 1000000000 FROM nation),
+         sym AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
+         bfs(id, d) AS (
+           SELECT id, 0 FROM seed
+           UNION
+           SELECT sym.dst, b.d + 1 FROM bfs b JOIN sym ON sym.src = b.id
+           WHERE b.d < 3),
+         md AS (SELECT id, MIN(d) AS hops FROM bfs GROUP BY id)
+         SELECT s_name AS name, CAST(md.hops AS INTEGER) AS hops
+         FROM md JOIN supplier ON md.id = s_suppkey + 4000000000
+         WHERE md.hops >= 1
+         ORDER BY name""",
     "gql_path_vars" ->
       """WITH c1 AS (SELECT c_custkey, c_nationkey FROM customer
                      WHERE c_name = 'Customer#000000001')

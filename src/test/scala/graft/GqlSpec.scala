@@ -235,4 +235,40 @@ class GqlSpec extends SparkSpec {
     val r2 = GqlExecutor.run(s, "MATCH (v:T) WHERE v.x >= 42 RETURN v").df
     assert(r2.count() == 2)
   }
+
+  test("shortestPath binds the minimum-hop connection per endpoint pair") {
+    // diamond + long detour: 1→2→4 and 1→3→4 (2 hops), 1→5→6→4
+    // (3 hops); shortest to 4 must be the 2-hop, and nodes(p) must
+    // pick the min-id branch (via 2, not 3) deterministically
+    val s = GraphStore.fromTuples(spark,
+      (1L to 6L).map(i => (i, "N", Seq("name" -> s"n$i"))),
+      Seq((1L, 2L, "e", Nil), (1L, 3L, "e", Nil), (2L, 4L, "e", Nil),
+        (3L, 4L, "e", Nil), (1L, 5L, "e", Nil), (5L, 6L, "e", Nil),
+        (6L, 4L, "e", Nil)))
+    val r = GqlExecutor.run(s,
+      """MATCH p = shortestPath((a:N {name: "n1"})-[*..5]->(b:N)) RETURN b.name, length(p), nodes(p)""").df
+    val rows = r.select(PropValue.asString(col("b_name")),
+        col("length_p"), col("nodes_p"))
+      .collect().map(x => x.getString(0) -> ((x.getInt(1), x.getString(2)))).toMap
+    assert(rows == Map(
+      "n2" -> ((1, "1->2")), "n3" -> ((1, "1->3")), "n5" -> ((1, "1->5")),
+      "n4" -> ((2, "1->2->4")), "n6" -> ((2, "1->5->6"))))
+    // direction respected: nothing reaches n1 but n1 (excluded at min 1 hop)
+    assert(!rows.contains("n1"))
+    // min-hop floor: *2.. drops the 1-hop neighbors
+    val r2 = GqlExecutor.run(s,
+      """MATCH shortestPath((a:N {name: "n1"})-[*2..5]->(b:N)) RETURN b.name""").df
+    assert(names(r2, "b_name") == Set("n4", "n6"))
+    // incoming direction inverts reachability
+    val r3 = GqlExecutor.run(s,
+      """MATCH shortestPath((a:N {name: "n4"})<-[*..5]-(b:N)) RETURN b.name""").df
+    assert(names(r3, "b_name") == Set("n1", "n2", "n3", "n5", "n6"))
+    // seed cap: an unconstrained source pattern on a 6-vertex graph
+    // is fine; the cap error message names the limit
+    val err = intercept[IllegalArgumentException] {
+      GqlExecutor.run(fixture,
+        "MATCH shortestPath((a)-[*..2]->(b)-[*..2]->(c)) RETURN c").df
+    }
+    assert(err.getMessage.contains("exactly (a)-[...]-(b)"))
+  }
 }
