@@ -9,11 +9,16 @@ import org.apache.spark.sql.functions._
   * batched Pandas UDF: one iterator per partition, amortized setup,
   * executor-local).
   *
-  * The decode step itself is a STUB — this container has no image/
-  * audio codecs — implemented as a deterministic fake that derives
-  * metadata from the byte stream, so the Spark-side contract (schema,
-  * binary handling, partition batching, null behavior) is fully real
-  * and testable. Swap `decodeStub` for a codec call in production.
+  * Metadata decoding is REAL for PNG and JPEG payloads — a pure-JVM
+  * header parse (`decodeHeader`: PNG IHDR, JPEG SOF marker walk —
+  * public format knowledge, no codec dependency, and all a metadata
+  * pass needs). Payloads that are not image streams fall back to
+  * `decodeStub`, a deterministic fake keyed on payload length, so the
+  * Spark-side contract (schema, binary handling, partition batching,
+  * null behavior) stays exercised by the synthetic test corpus. Full
+  * pixel decode / resize / feature extraction remain stand-ins —
+  * this container ships no codecs — with the batch-scoped setup
+  * points a production codec would slot into.
   */
 object Multimodal {
 
@@ -28,9 +33,69 @@ object Multimodal {
     (32 + n % 32, 32 + (n / 32) % 32, 3)
   }
 
+  /** Real image-header parse, pure JVM: (width, height, channels)
+    * for payloads that ARE PNG or JPEG streams, None otherwise —
+    * malformed or truncated streams return None rather than throw,
+    * so a mixed-quality corpus never kills a partition.
+    *
+    *  - PNG (RFC 2083): 8-byte signature, then the IHDR chunk —
+    *    width/height as big-endian u32 at offsets 16/20, channels
+    *    derived from the color-type byte at 25.
+    *  - JPEG (ITU-T T.81 §B): SOI then marker segments, each
+    *    FF <marker> <u16 length>; walk to the first SOF0-SOF15
+    *    frame header (skipping DHT/JPG/DAC, stopping at SOS/EOI),
+    *    which carries height/width as big-endian u16 and the
+    *    component count = channels.
+    */
+  def decodeHeader(p: Array[Byte]): Option[(Int, Int, Int)] = {
+    def u8(i: Int): Int = p(i) & 0xFF
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    val pngSig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+    if (p.length >= 26 && pngSig.indices.forall(i => u8(i) == pngSig(i))) {
+      if (new String(p.slice(12, 16), "US-ASCII") != "IHDR") return None
+      val w = u32(16); val h = u32(20)
+      val channels = u8(25) match {
+        case 0 => 1 // grayscale
+        case 2 => 3 // truecolor
+        case 3 => 1 // palette (one index per pixel)
+        case 4 => 2 // gray + alpha
+        case 6 => 4 // RGBA
+        case _ => 0
+      }
+      if (w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue &&
+        channels > 0) Some((w.toInt, h.toInt, channels))
+      else None
+    } else if (p.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
+      var i = 2
+      while (i + 1 < p.length) {
+        if (u8(i) != 0xFF) return None // desynced: not a marker stream
+        val m = u8(i + 1)
+        if (m == 0xFF) i += 1 // fill byte
+        else if (m == 0x01 || (m >= 0xD0 && m <= 0xD8)) i += 2 // standalone
+        else if (m == 0xD9 || m == 0xDA) return None // EOI/SOS before any SOF
+        else {
+          if (i + 3 >= p.length) return None
+          val len = u16(i + 2)
+          if (len < 2 || i + 2 + len > p.length) return None
+          if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+            // SOFn: precision u8, height u16, width u16, components u8
+            if (len < 8) return None
+            val h = u16(i + 5); val w = u16(i + 7); val c = u8(i + 9)
+            return if (w > 0 && h > 0 && c > 0) Some((w, h, c)) else None
+          }
+          i += 2 + len
+        }
+      }
+      None
+    } else None
+  }
+
   /** Batched decode over a binary column: per-partition iterator →
-    * typed metadata rows. Null payloads are dropped (a real decoder
-    * would route them to a quarantine sink).
+    * typed metadata rows. Real PNG/JPEG headers parse exactly;
+    * everything else takes the deterministic stub. Null payloads are
+    * dropped (a real decoder would route them to a quarantine sink).
     */
   def decodeMeta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -41,7 +106,7 @@ object Multimodal {
     ds.mapPartitions { rows =>
       // batch-scoped setup would go here (codec init, model load)
       rows.filter(_.payload != null).map { r =>
-        val (w, h, c) = decodeStub(r.payload)
+        val (w, h, c) = decodeHeader(r.payload).getOrElse(decodeStub(r.payload))
         MediaMeta(r.id, w, h, c, r.payload.length.toLong)
       }
     }.toDF()

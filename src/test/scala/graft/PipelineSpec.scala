@@ -406,4 +406,61 @@ class PipelineSpec extends SparkSpec {
     val feats = Multimodal.extractFeatures(withBin, "doc_id", "payload").collect()
     assert(feats.forall(_.getSeq[Double](1).sum > 0.99)) // L1-normalized histogram
   }
+
+  // hand-built image headers (public format knowledge) for the real
+  // header parser — no codec library in this container, so fixtures
+  // are constructed byte by byte
+  private def pngBytes(w: Int, h: Int, colorType: Int): Array[Byte] = {
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+    def u32(v: Int) = Array((v >> 24) & 0xFF, (v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF)
+    (sig ++ u32(13) ++ "IHDR".getBytes("US-ASCII").map(_ & 0xFF) ++
+      u32(w) ++ u32(h) ++ Array(8, colorType, 0, 0, 0) ++
+      Array(0, 0, 0, 0) // CRC placeholder (parser doesn't verify)
+    ).map(_.toByte)
+  }
+
+  private def jpegBytes(w: Int, h: Int, comps: Int, sofMarker: Int = 0xC0,
+      leadingSegments: Boolean = true): Array[Byte] = {
+    def u16(v: Int) = Array((v >> 8) & 0xFF, v & 0xFF)
+    val app0 = Array(0xFF, 0xE0) ++ u16(16) ++ Array.fill(14)(0x4A)
+    val com = Array(0xFF, 0xFE) ++ u16(9) ++ "fixture".getBytes("US-ASCII").map(_ & 0xFF)
+    val sofLen = 8 + 3 * comps
+    val sof = Array(0xFF, sofMarker) ++ u16(sofLen) ++ Array(8) ++
+      u16(h) ++ u16(w) ++ Array(comps) ++ Array.fill(3 * comps)(0x11)
+    ((Array(0xFF, 0xD8) ++ (if (leadingSegments) app0 ++ com else Array.empty[Int]))
+      ++ sof).map(_.toByte)
+  }
+
+  test("real PNG/JPEG header parse: exact dims + channels, stub only for non-images") {
+    // PNG color types → channel counts (RFC 2083 §4.1.1)
+    assert(Multimodal.decodeHeader(pngBytes(640, 480, 2)).contains((640, 480, 3)))
+    assert(Multimodal.decodeHeader(pngBytes(16, 8, 6)).contains((16, 8, 4)))
+    assert(Multimodal.decodeHeader(pngBytes(1, 1, 0)).contains((1, 1, 1)))
+    assert(Multimodal.decodeHeader(pngBytes(5, 5, 4)).contains((5, 5, 2)))
+    // JPEG: baseline SOF0 behind APP0+COM segments, progressive SOF2,
+    // grayscale, and a bare SOI+SOF stream
+    assert(Multimodal.decodeHeader(jpegBytes(640, 480, 3)).contains((640, 480, 3)))
+    assert(Multimodal.decodeHeader(jpegBytes(99, 7, 3, sofMarker = 0xC2)).contains((99, 7, 3)))
+    assert(Multimodal.decodeHeader(jpegBytes(32, 32, 1)).contains((32, 32, 1)))
+    assert(Multimodal.decodeHeader(
+      jpegBytes(8, 4, 3, leadingSegments = false)).contains((8, 4, 3)))
+    // malformed streams answer None, never throw: truncated PNG,
+    // JPEG whose scan starts before any SOF, plain text
+    assert(Multimodal.decodeHeader(pngBytes(640, 480, 2).take(20)).isEmpty)
+    val sosFirst = Array(0xFF, 0xD8, 0xFF, 0xDA, 0x00, 0x04, 0x01, 0x02).map(_.toByte)
+    assert(Multimodal.decodeHeader(sosFirst).isEmpty)
+    assert(Multimodal.decodeHeader("just some text".getBytes("UTF-8")).isEmpty)
+    // decodeMeta routes per row: image rows parse exactly, text rows
+    // keep the deterministic stub — one mixed frame, one pass
+    val text = "synthetic payload".getBytes("UTF-8")
+    val mixed = Seq((1L, pngBytes(640, 480, 2)), (2L, jpegBytes(12, 34, 3)),
+      (3L, text)).toDF("doc_id", "payload")
+    val meta = Multimodal.decodeMeta(mixed, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))).toMap
+    assert(meta(1L) == ((640, 480, 3, pngBytes(640, 480, 2).length.toLong)))
+    assert(meta(2L) == ((12, 34, 3, jpegBytes(12, 34, 3).length.toLong)))
+    val (sw, sh, sc) = Multimodal.decodeStub(text)
+    assert(meta(3L) == ((sw, sh, sc, text.length.toLong)))
+  }
 }
