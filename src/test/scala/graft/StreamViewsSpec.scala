@@ -11,11 +11,12 @@ import graft.views.Views._
 object StreamViewsSpec {
   case class Click(user: Long, click_ts: java.sql.Timestamp)
   case class Buy(user: Long, buy_ts: java.sql.Timestamp)
+  case class Sess(user: Long, ts: java.sql.Timestamp, amount: Double)
 }
 
 class StreamViewsSpec extends SparkSpec {
   import spark.implicits._
-  import StreamViewsSpec.{Buy, Click}
+  import StreamViewsSpec.{Buy, Click, Sess}
 
   test("streaming tumbling agg over file source equals batch result") {
     val ev = Tables.events(spark, sf)
@@ -147,6 +148,55 @@ class StreamViewsSpec extends SparkSpec {
         Seq("user"), "1 hour")
       .select(col("l.user"), col("buy_ts"))
       .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString.substring(11, 19))).toSet
+    assert(batch == want)
+  }
+
+  test("T8 session window: streaming run equals the batch query") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: two sessions (10:00-10:08 chained within the 5-min gap,
+    // then 11:00 alone); user 2: one session; the 10:04 event extends
+    // session 1 even though 10:00→10:08 alone would exceed the gap
+    val rows = Seq(
+      Sess(1L, ts("2024-01-01 10:00:00"), 1.0),
+      Sess(1L, ts("2024-01-01 10:04:00"), 2.0),
+      Sess(1L, ts("2024-01-01 10:08:00"), 4.0),
+      Sess(1L, ts("2024-01-01 11:00:00"), 8.0),
+      Sess(2L, ts("2024-01-01 10:30:00"), 16.0))
+    val aggs = Seq(count(lit(1)).as("cnt"), round(sum(col("amount")), 4).as("sum_amount"))
+    def normalize(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long, Double)] =
+      df.select(col("user"), col("session_start"), col("cnt"), col("sum_amount"))
+        .collect().map(r => (r.getLong(0),
+          r.getTimestamp(1).toString.substring(11, 19),
+          r.getLong(2), r.getDouble(3))).toSet
+    val want = Set(
+      (1L, "10:00:00", 3L, 7.0), (1L, "11:00:00", 1L, 8.0),
+      (2L, "10:30:00", 1L, 16.0))
+
+    // streaming form: the same session() code path behind a
+    // watermark, append mode (sessions emit once the watermark
+    // passes their close — processAllAvailable + a final empty
+    // batch advances it past every fixture event)
+    val in = MemoryStream[Sess]
+    in.addData(rows: _*)
+    val q = Windows.session(
+        Windows.withEventTime(in.toDF(), "ts", "1 minute"),
+        "ts", "5 minutes", Seq("user"), aggs)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_out").start()
+    q.processAllAvailable()
+    // a later marker event pushes the watermark beyond 11:00 so the
+    // last open sessions close and emit in append mode
+    in.addData(Sess(99L, ts("2024-01-02 00:00:00"), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = normalize(spark.table("sess_out")
+      .filter(col("user") =!= 99L))
+    assert(got == want)
+
+    // identical code path over a batch frame gives the same answer
+    val batch = normalize(Windows.session(rows.toDF(), "ts", "5 minutes",
+      Seq("user"), aggs))
     assert(batch == want)
   }
 
