@@ -32,6 +32,18 @@ object Lineage {
         System.err.println("[graft] reliable checkpointing without " +
           "spark.cleaner.referenceTracking.cleanCheckpoints=true (set at " +
           "session build): per-round checkpoint files will not be reclaimed")
+      // the checkpoint dir is SESSION-GLOBAL SparkContext state: two
+      // operators running concurrently in one session with different
+      // dirs race, and the last caller silently redirects the
+      // other's checkpoints — surface the overwrite instead.
+      // (getCheckpointDir returns the qualified <dir>/<uuid> path
+      // setCheckpointDir created, hence the containment check.)
+      sc.getCheckpointDir
+        .filterNot(_.contains(d.stripSuffix("/")))
+        .foreach(existing => System.err.println(
+          s"[graft] overwriting session checkpoint dir $existing with $d — " +
+            "checkpointDir is session-global; concurrent operators with " +
+            "different dirs will checkpoint into the LAST one set"))
       sc.setCheckpointDir(d)
     }
     checkpointDir.isDefined

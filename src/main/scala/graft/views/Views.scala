@@ -245,8 +245,15 @@ object Views {
     */
   def joinViewDelta(aOld: DataFrame, dA: DataFrame,
       bOld: DataFrame, dB: DataFrame, keys: Seq[String]): DataFrame = {
+    // op is validated in-plan: a typo'd op ("delete", "upsert") must
+    // fail the batch, not silently insert rows into the maintained
+    // view — matching the strictness of the rest of the IVM path
     def signed(d: DataFrame, s: String) = d
-      .withColumn(s, when(col("op") === "remove", -1).otherwise(1))
+      .withColumn(s, when(col("op") === "remove", -1)
+        .when(col("op") === "add", 1)
+        .otherwise(raise_error(concat(
+          lit("joinViewDelta: op must be add|remove, got '"),
+          col("op"), lit("'"))).cast("int")))
       .drop("op")
     val sA = signed(dA, "__sa")
     val sB = signed(dB, "__sb")

@@ -9,6 +9,14 @@ import graft.sources.Tables
 class CurationSpec extends SparkSpec {
   import spark.implicits._
 
+  /** The production deterministic-order hash (Curation.scala:73,
+    * Sampling.scala:38) — mod BEFORE multiply, so expected values
+    * stay right for ids past 1e9+7 too. Tests must share the exact
+    * formula, not a for-small-ids-equivalent one.
+    */
+  private def detHash(id: Long): Long =
+    ((id % 1000000007L) * 2654435761L) % 1000000007L
+
   // ---- domainTopK ---------------------------------------------------
 
   test("domainTopK keeps k per stratum with deterministic ties") {
@@ -53,7 +61,7 @@ class CurationSpec extends SparkSpec {
       r.getAs[Long]("pack_id")))
     rows.groupBy(_._2).foreach { case (_, shardRows) =>
       val byOrder = shardRows.sortBy(r =>
-        ((r._1 * 2654435761L) % 1000000007L, r._1))
+        (detHash(r._1), r._1))
       var cum = 0L
       byOrder.foreach { r =>
         cum += r._3
@@ -62,7 +70,7 @@ class CurationSpec extends SparkSpec {
       }
     }
     // shard assignment is the documented hash, not partition-dependent
-    assert(rows.forall(r => r._2 == ((r._1 * 2654435761L) % 1000000007L) % 4))
+    assert(rows.forall(r => r._2 == detHash(r._1) % 4))
   }
 
   test("packSequences plan has no global single-partition window") {
@@ -290,7 +298,7 @@ class CurationSpec extends SparkSpec {
         // recompute: sort the stratum's ids by the documented hash
         val stratumIds = (0L until 20L).filter(i =>
           (if (i < 10) "a" else "b") == rows.head._2)
-        stratumIds.sortBy(i => ((i * 2654435761L) % 1000000007L, i)).take(3).toSet
+        stratumIds.sortBy(i => (detHash(i), i)).take(3).toSet
       }.get
       assert(ids == expected)
     }

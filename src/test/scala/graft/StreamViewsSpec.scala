@@ -106,6 +106,13 @@ class StreamViewsSpec extends SparkSpec {
     assert(multiset(Views.finalizeJoin(state)) == want)
     // duplicate (1, a1, 10.0) really is multiplicity 2
     assert(want(List(1L, "a1", 10.0)) == 2)
+
+    // a typo'd op must FAIL the batch, never silently sign as an add
+    val dBad = Seq(("delete", 1L, "oops")).toDF("op", "k", "av")
+    val err = intercept[Exception] {
+      Views.joinViewDelta(a1, dBad, b1, dB2.limit(0), Seq("k")).collect()
+    }
+    assert(err.getMessage.contains("op must be add|remove"), err.getMessage)
   }
 
   test("stream-stream interval join matches in-window pairs, batch-parity") {
