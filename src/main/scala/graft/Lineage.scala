@@ -36,10 +36,16 @@ object Lineage {
       // operators running concurrently in one session with different
       // dirs race, and the last caller silently redirects the
       // other's checkpoints — surface the overwrite instead.
-      // (getCheckpointDir returns the qualified <dir>/<uuid> path
-      // setCheckpointDir created, hence the containment check.)
+      // getCheckpointDir returns the qualified <dir>/<uuid> path
+      // setCheckpointDir created, so compare its PARENT path against
+      // the requested dir (URI paths, not substrings — a prefix-named
+      // sibling dir must still warn).
       sc.getCheckpointDir
-        .filterNot(_.contains(d.stripSuffix("/")))
+        .filterNot { existing =>
+          val parent = new org.apache.hadoop.fs.Path(existing).getParent
+          parent != null &&
+            parent.toUri.getPath == new org.apache.hadoop.fs.Path(d).toUri.getPath
+        }
         .foreach(existing => System.err.println(
           s"[graft] overwriting session checkpoint dir $existing with $d — " +
             "checkpointDir is session-global; concurrent operators with " +

@@ -315,12 +315,17 @@ object Similarity {
     * the exact `rowCount` when available (CBO/analyzed tables,
     * LocalRelations), otherwise `sizeInBytes` divided by Spark's own
     * per-row width estimate for the schema — the same arithmetic
-    * `SizeInBytesOnlyStatsPlanVisitor` runs in reverse. Parquet
-    * `sizeInBytes` is the compressed file size, so the quotient
-    * UNDERestimates rows (compression ≥ 1); the consumer here only
-    * uses it to pick between two correct branches, where the error
-    * moves the crossover, never the answer. None only when the plan
-    * reports a non-positive size (never for file sources).
+    * `SizeInBytesOnlyStatsPlanVisitor` runs in reverse. The quotient
+    * is coarse in BOTH directions: parquet `sizeInBytes` is the
+    * compressed on-disk size (fewer bytes than in memory → fewer
+    * estimated rows), while Catalyst's default width prices an array
+    * column as ONE element (a 64-float embedding counts 4 bytes →
+    * more estimated rows — the dominant error for this operator's
+    * schema, roughly the array length as a factor). Callers must
+    * treat it as an order-of-magnitude signal, not a count; see
+    * `embeddingDedupPairs` for the decisive-band pattern. None only
+    * when the plan reports a non-positive size (never for file
+    * sources).
     */
   private[graft] def estimatedRows(df: DataFrame): Option[Long] = {
     val plan = df.queryExecution.optimizedPlan
@@ -331,6 +336,52 @@ object Similarity {
       if (stats.sizeInBytes > 0 && width > 0)
         Some((stats.sizeInBytes / width).toLong max 1L)
       else None
+    }
+  }
+
+  /** DECISION-GRADE row count without a Spark job, when one exists:
+    * the plan's `rowCount` statistic (exact for LocalRelations,
+    * catalog-informed under CBO), else — for a plan that is an
+    * unfiltered parquet scan under projections/aliases only — the
+    * EXACT count summed from the parquet footers: O(#files)
+    * driver-side metadata reads, zero data I/O, which is precisely
+    * the statistic a warehouse catalog would serve. None as soon as
+    * a row-changing operator (filter, join, …) sits in the plan or
+    * the source is not a parquet file relation.
+    */
+  private[graft] def knownRows(df: DataFrame): Option[Long] = {
+    val plan = df.queryExecution.optimizedPlan
+    plan.stats.rowCount.map(_.toLong).orElse(footerRowCount(plan))
+  }
+
+  private def footerRowCount(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Option[Long] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    @scala.annotation.tailrec
+    def unwrap(p: LogicalPlan): LogicalPlan = p match {
+      case Project(_, child) => unwrap(child) // projections keep row counts
+      case SubqueryAlias(_, child) => unwrap(child)
+      case other => other
+    }
+    unwrap(plan) match {
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case fs: HadoopFsRelation if fs.fileFormat.isInstanceOf[
+              org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] =>
+            try {
+              val conf = fs.sparkSession.sessionState.newHadoopConf()
+              val counts = fs.location.inputFiles.map { f =>
+                val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+                  org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                    new org.apache.hadoop.fs.Path(f), conf))
+                try reader.getRecordCount finally reader.close()
+              }
+              Some(counts.sum)
+            } catch { case scala.util.control.NonFatal(_) => None }
+          case _ => None
+        }
+      case _ => None
     }
   }
 
@@ -380,11 +431,28 @@ object Similarity {
     val spark = corpus.sparkSession
     // Branch selection must not cost a corpus scan: at cluster scale
     // an uncached count() just to pick exact-vs-LSH reads the whole
-    // table once before any real work. The optimizer's row estimate
-    // is free and errs only on WHICH branch runs (both are correct);
-    // count() remains the fallback for plans with no estimate at all.
-    val useExact = exact.getOrElse(
-      estimatedRows(corpus).getOrElse(corpus.count()) <= maxExactRows)
+    // table once before any real work. Order of preference:
+    //  1. a decision-grade count with no job — parquet footer sums
+    //     for unfiltered scans, LocalRelation/CBO rowCount — compared
+    //     directly against the budget;
+    //  2. the width-heuristic estimate, trusted only DECISIVELY
+    //     outside the budget (beyond its ~order-of-magnitude error
+    //     envelope; a 100 TB corpus lands here and skips the count);
+    //  3. one exact count() for the remaining boundary band, because
+    //     the two branches are NOT output-identical — LSH
+    //     approximates recall, and a silent flip from an estimation
+    //     error would drop near-dup pairs a fitting corpus is owed.
+    val decisive = 64L
+    val useExact = exact.getOrElse {
+      knownRows(corpus) match {
+        case Some(n) => n <= maxExactRows
+        case None => estimatedRows(corpus) match {
+          case Some(n) if n > maxExactRows * decisive => false
+          case Some(n) if n <= maxExactRows / decisive => true
+          case _ => corpus.count() <= maxExactRows
+        }
+      }
+    }
     val normed = corpus.select(col("vec_id"), col("embedding"),
       VecExpressions.vecNorm(spark, col("embedding")).as("nrm"))
     val a = normed.select(col("vec_id").as("ida"), col("embedding").as("va"),

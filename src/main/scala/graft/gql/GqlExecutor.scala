@@ -309,9 +309,15 @@ object GqlExecutor {
     val (nodes, edges) = named(pattern, prefix)
     val Seq(aN, bN) = nodes: @unchecked
     val e = edges.head
-    val (minHops, maxHops) = e.range.getOrElse((1, 10))
+    // a non-var-length edge keeps the grammar's single-hop meaning
+    // (shortestPath then just asserts direct adjacency); only an
+    // explicit * range widens the search
+    val (minHops, maxHops) = e.range.getOrElse((1, 1))
     val aV = aN.variable.get
     val bV = bN.variable.get
+    require(aV != bV,
+      "shortestPath endpoints must bind distinct variables " +
+        s"(both sides are '$aV')")
 
     val base = e.label.fold(store.edges)(l => store.edges.filter(col("label") === l))
     val filteredE = e.props.foldLeft(base) { case (d, (k, v)) =>

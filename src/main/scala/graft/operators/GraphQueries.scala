@@ -380,11 +380,10 @@ object GraphQueries {
       """SELECT c2.c_name AS name
          FROM customer c1 JOIN customer c2 ON c1.c_nationkey = c2.c_nationkey
          WHERE c1.c_name = 'Customer#000000001' ORDER BY name""",
-    // Path ids from the disjoint TPC-H id offsets (GraphStore:
-    // customer +3e9, nation +2e9, supplier +4e9). 1 hop reaches the
-    // nation; 2 undirected hops fan back out to every other
-    // customer/supplier located in it (simple paths — never back to
-    // the seed customer).
+    // Recursive-CTE BFS over the full 6-label undirected edge set:
+    // min hops per vertex from the seed customer, restricted to
+    // suppliers within 3 hops — the genuine shortest-path reference,
+    // no baked-in assumptions about which hop count wins.
     "gql_shortest_path" ->
       """WITH RECURSIVE seed AS (
            SELECT c_custkey + 3000000000 AS id FROM customer
@@ -412,6 +411,11 @@ object GraphQueries {
          FROM md JOIN supplier ON md.id = s_suppkey + 4000000000
          WHERE md.hops >= 1
          ORDER BY name""",
+    // Path ids from the disjoint TPC-H id offsets (GraphStore:
+    // customer +3e9, nation +2e9, supplier +4e9). 1 hop reaches the
+    // nation; 2 undirected hops fan back out to every other
+    // customer/supplier located in it (simple paths — never back to
+    // the seed customer).
     "gql_path_vars" ->
       """WITH c1 AS (SELECT c_custkey, c_nationkey FROM customer
                      WHERE c_name = 'Customer#000000001')

@@ -1,6 +1,6 @@
 package graft.views
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import scala.collection.mutable
@@ -155,11 +155,23 @@ object Views {
     * changes: (op ∈ add|remove, groupCols…, value). Cost scales with
     * the delta + touched groups, not the base table.
     */
+  /** ±1 sign for a delta `op` column, validated IN-PLAN: any value
+    * outside {add, remove} (a typo'd "delete", a null) fails the
+    * batch instead of silently signing as an add and drifting the
+    * maintained view. Shared by the agg and join IVM paths.
+    */
+  private def validatedSign: Column =
+    when(col("op") === "remove", -1)
+      .when(col("op") === "add", 1)
+      .otherwise(raise_error(concat(
+        lit("IVM delta: op must be add|remove, got '"),
+        col("op"), lit("'"))).cast("int"))
+
   def mergeAggDelta(state: DataFrame, changes: DataFrame,
       groupCols: Seq[String], base: Option[DataFrame] = None,
       valueCol: String = "value"): DataFrame = {
     val gc = groupCols.map(col)
-    val sign = when(col("op") === "remove", -1).otherwise(1)
+    val sign = validatedSign
     val delta = changes.groupBy(gc: _*).agg(
       sum(sign).as("d_cnt"),
       sum(sign * col(valueCol)).as("d_sum"))
@@ -176,7 +188,7 @@ object Views {
           (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L))).as("cnt"),
           (coalesce(col("sum"), lit(0.0)) + coalesce(col("d_sum"), lit(0.0))).as("sum"),
           col("min"), col("max")): _*)
-    val addsOnly = changes.filter(col("op") =!= "remove")
+    val addsOnly = changes.filter(col("op") === "add")
       .groupBy(gc: _*).agg(min(col(valueCol)).as("a_min"), max(col(valueCol)).as("a_max"))
     val withAddMinMax = merged.join(addsOnly, groupCols, "left_outer")
       .select(groupCols.map(col) ++ Seq(col("cnt"), col("sum"),
@@ -245,15 +257,10 @@ object Views {
     */
   def joinViewDelta(aOld: DataFrame, dA: DataFrame,
       bOld: DataFrame, dB: DataFrame, keys: Seq[String]): DataFrame = {
-    // op is validated in-plan: a typo'd op ("delete", "upsert") must
-    // fail the batch, not silently insert rows into the maintained
-    // view — matching the strictness of the rest of the IVM path
+    // op validated in-plan (validatedSign): a typo'd op must fail
+    // the batch, not silently insert rows into the maintained view
     def signed(d: DataFrame, s: String) = d
-      .withColumn(s, when(col("op") === "remove", -1)
-        .when(col("op") === "add", 1)
-        .otherwise(raise_error(concat(
-          lit("joinViewDelta: op must be add|remove, got '"),
-          col("op"), lit("'"))).cast("int")))
+      .withColumn(s, validatedSign)
       .drop("op")
     val sA = signed(dA, "__sa")
     val sB = signed(dB, "__sb")

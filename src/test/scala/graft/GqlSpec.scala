@@ -263,6 +263,11 @@ class GqlSpec extends SparkSpec {
     val r3 = GqlExecutor.run(s,
       """MATCH shortestPath((a:N {name: "n4"})<-[*..5]-(b:N)) RETURN b.name""").df
     assert(names(r3, "b_name") == Set("n1", "n2", "n3", "n5", "n6"))
+    // a non-var-length edge keeps its single-hop meaning: only
+    // direct successors, not everything within the default range
+    val r4 = GqlExecutor.run(s,
+      """MATCH shortestPath((a:N {name: "n1"})-[:e]->(b:N)) RETURN b.name""").df
+    assert(names(r4, "b_name") == Set("n2", "n3", "n5"))
     // seed cap: an unconstrained source pattern on a 6-vertex graph
     // is fine; the cap error message names the limit
     val err = intercept[IllegalArgumentException] {
@@ -270,5 +275,11 @@ class GqlSpec extends SparkSpec {
         "MATCH shortestPath((a)-[*..2]->(b)-[*..2]->(c)) RETURN c").df
     }
     assert(err.getMessage.contains("exactly (a)-[...]-(b)"))
+    // both endpoints on one variable is rejected up front, not as an
+    // ambiguous-column analysis crash
+    val err2 = intercept[IllegalArgumentException] {
+      GqlExecutor.run(s, "MATCH shortestPath((a)-[*..3]->(a)) RETURN a").df
+    }
+    assert(err2.getMessage.contains("distinct variables"))
   }
 }

@@ -237,10 +237,15 @@ class PipelineSpec extends SparkSpec {
 
   test("embedding dedup auto-select decides from plan stats, launching no job") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
-    // the estimator must resolve on a parquet-backed frame — the
-    // count() fallback would mean a full corpus scan at cluster scale
-    val est = Similarity.estimatedRows(emb)
-    assert(est.isDefined, "parquet scan reported no size estimate")
+    // an unfiltered parquet scan must yield a decision-grade count
+    // from its footers (metadata only, EXACT) — the count() fallback
+    // would mean a full corpus scan at cluster scale
+    val known = Similarity.knownRows(emb)
+    assert(known.contains(emb.count()), s"footer count $known wrong")
+    // a filtered plan can NOT use footers; the width heuristic still
+    // yields an order-of-magnitude estimate
+    assert(Similarity.knownRows(emb.filter(col("vec_id") > 5)).isEmpty)
+    assert(Similarity.estimatedRows(emb).isDefined)
     val sc = spark.sparkContext
     val group = s"autoselect-${System.nanoTime()}"
     sc.setJobGroup(group, "auto-select must not launch jobs", false)
