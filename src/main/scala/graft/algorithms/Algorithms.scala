@@ -281,6 +281,52 @@ object Algorithms {
     visited
   }
 
+  /** Multi-source BFS hop counts: ONE DataFrame frontier loop serves
+    * the whole source SET simultaneously — state is (source, id,
+    * hops) keyed by the pair, each round joins the frontier to the
+    * edge list and anti-joins the visited set, so first visit = BFS
+    * minimum. This is the bulk form of unweighted `sssp`: a driver
+    * loop of per-source Pregel runs costs a GraphX build (vertex/edge
+    * RDD conversion + partitionBy shuffle) PER SOURCE, where this
+    * pays `maxHops` equi-joins total for any number of sources —
+    * the shape that survives a thousand-seed batch at cluster scale.
+    * Sources: a single-column (`id`) frame; output rows include the
+    * seeds at hops 0. Rounds are lineage-truncated (`checkpointDir`
+    * selects the reliable variant).
+    */
+  def multiSourceBfs(edges: DataFrame, sources: DataFrame, maxHops: Int,
+      undirected: Boolean = false,
+      checkpointDir: Option[String] = None): DataFrame = {
+    import graft.Lineage.CutOps
+    val rel = graft.Lineage.configure(edges, checkpointDir)
+    val e0 = edges.select(col("src"), col("dst"))
+    val e = (if (undirected)
+        e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      else e0).persist(StorageLevel.MEMORY_AND_DISK)
+    var visited = sources.select(col("id").as("source"), col("id"),
+      lit(0).as("hops")).cut(rel)
+    var frontier = visited
+    var hop = 1
+    var done = frontier.isEmpty
+    while (!done && hop <= maxHops) {
+      val next = frontier.join(e, frontier("id") === e("src"))
+        .select(frontier("source"), e("dst").as("id")).distinct()
+        .join(visited.select(col("source").as("__v_src"), col("id").as("__v_id")),
+          col("source") === col("__v_src") && col("id") === col("__v_id"),
+          "left_anti")
+        .withColumn("hops", lit(hop))
+        .cut(rel)
+      if (next.isEmpty) done = true
+      else {
+        visited = visited.unionByName(next).cut(rel)
+        frontier = next
+      }
+      hop += 1
+    }
+    e.unpersist(blocking = false)
+    visited
+  }
+
   /** G9: k-core — iteratively drop vertices with (undirected) degree
     * < k and their incident edges until stable
     * (graph/algorithms/src/lib.rs:47-82). Returns surviving vertex

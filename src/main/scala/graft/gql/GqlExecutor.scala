@@ -281,25 +281,23 @@ object GqlExecutor {
   }
 
   /** `shortestPath((a)-[*..k]-(b))`: per (a, b) endpoint pair, bind
-    * only the MINIMUM-hop connection. Translates to
-    * [[graft.algorithms.Algorithms.sssp]] (BFS on unit weights) from
-    * each vertex the source pattern binds — the reference's
-    * storage-level BFS (graph/storage/src/lib.rs:834-871) surfaced in
-    * the grammar. The source side must be selective: seeds are
-    * collected (model-sized, capped) because each one is an sssp run;
-    * all-pairs shortest paths is a different operator
-    * (`Algorithms.sssp` per partition / G5), not a MATCH clause.
+    * only the MINIMUM-hop connection — the reference's storage-level
+    * BFS (graph/storage/src/lib.rs:834-871) surfaced in the grammar.
+    * Translates to [[graft.algorithms.Algorithms.multiSourceBfs]]:
+    * one relational frontier loop serves EVERY vertex the source
+    * pattern binds (seeds stay a DataFrame — no driver collect, no
+    * seed cap, no per-seed GraphX build; the single-seed Pregel form
+    * measured 6.5 s per bench pass at sf0.1 against ~1 s for the
+    * frontier loop, and a per-seed driver loop cannot survive a
+    * thousand-seed source pattern).
     *
     * With a bound path variable the node sequence is reconstructed
     * RELATIONALLY (never a driver walk): the deterministic
     * predecessor of a settled vertex is its LOWEST-id neighbor one
     * hop closer to the seed, derived with one join + min-aggregate,
-    * then followed for maxHops rounds of bounded joins. Lowest-id
-    * (not sssp's own `pred`) because Pregel's message merge breaks
-    * distance ties by arrival order — nondeterministic across
-    * partitionings; min-id re-derivation makes `nodes(p)`
-    * reproducible, and `length(p)` is the (deterministic) BFS
-    * distance either way.
+    * then followed for maxHops rounds of bounded joins — min-id makes
+    * `nodes(p)` reproducible across partitionings, and `length(p)` is
+    * the (deterministic) BFS distance either way.
     */
   private def shortestPathMatch(store: GraphStore, pattern: GraphPattern,
       prefix: String, trackPath: Boolean): DataFrame = {
@@ -329,25 +327,12 @@ object GqlExecutor {
     }
     val undirected = e.direction == Undirected
 
-    val maxSeeds = 64
-    val seeds = store.vertices.filter(nodeFilter(aN))
-      .select("id").limit(maxSeeds + 1).collect().map(_.getLong(0)).sorted
-    require(seeds.length <= maxSeeds,
-      s"shortestPath source pattern binds more than $maxSeeds vertices; " +
-        "constrain it, or use Algorithms.sssp/bfs for bulk distances")
-
-    val states =
-      if (seeds.isEmpty)
-        store.spark.range(0).select(col("id").as("__sp_src"), col("id"),
-          col("id").cast("int").as("__sp_hops"))
-      else seeds.map { s =>
-        graft.algorithms.Algorithms.sssp(store.vertices, oriented, s,
-            undirected = undirected, maxIter = maxHops)
-          .select(lit(s).as("__sp_src"), col("id"),
-            col("dist").cast("int").as("__sp_hops"))
-      }.reduce(_ unionByName _)
+    val seedsDf = store.vertices.filter(nodeFilter(aN)).select(col("id"))
     val st = graft.TransientCache.persist(
-      states.filter(col("__sp_hops") <= maxHops))
+      graft.algorithms.Algorithms
+        .multiSourceBfs(oriented, seedsDf, maxHops, undirected)
+        .select(col("source").as("__sp_src"), col("id"),
+          col("hops").cast("int").as("__sp_hops")))
 
     val pairs = st.filter(col("__sp_hops") >= minHops)
     val aSide = store.vertices.filter(nodeFilter(aN)).select(

@@ -130,4 +130,31 @@ class AlgoSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(scc(1L) == scc(2L) && scc(3L) != scc(1L))
   }
+
+  test("multi-source BFS: per-pair min hops, matches single-source sssp") {
+    // diamond + detour: 1→{2,3}→4, 1→5→6→4
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L), (5L, 6L), (6L, 4L)).toDF("src", "dst")
+    val v = (1L to 6L).toDF("id")
+    val got = Algorithms.multiSourceBfs(e, Seq(1L, 5L).toDF("id"), maxHops = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got((1L, 1L)) == 0 && got((1L, 4L)) == 2 && got((1L, 6L)) == 2)
+    assert(got((5L, 4L)) == 2 && got((5L, 6L)) == 1)
+    assert(!got.contains((5L, 2L))) // 2 not reachable from 5
+    // hop bound respected: maxHops 1 keeps only direct successors
+    val one = Algorithms.multiSourceBfs(e, Seq(1L).toDF("id"), maxHops = 1)
+      .filter(col("hops") > 0).collect().map(_.getLong(1)).toSet
+    assert(one == Set(2L, 3L, 5L))
+    // single-source case agrees with the Pregel sssp hop counts
+    val pregel = Algorithms.sssp(v, e, source = 1L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1).toInt).toMap
+    val bfs1 = Algorithms.multiSourceBfs(e, Seq(1L).toDF("id"), maxHops = 10)
+      .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    assert(bfs1 == pregel)
+    // undirected: 2 reaches 3 through either 1 or 4
+    val und = Algorithms.multiSourceBfs(e, Seq(2L).toDF("id"), maxHops = 3,
+      undirected = true).collect()
+      .map(r => r.getLong(1) -> r.getInt(2)).toMap
+    assert(und(3L) == 2)
+  }
 }

@@ -268,8 +268,21 @@ class GqlSpec extends SparkSpec {
     val r4 = GqlExecutor.run(s,
       """MATCH shortestPath((a:N {name: "n1"})-[:e]->(b:N)) RETURN b.name""").df
     assert(names(r4, "b_name") == Set("n2", "n3", "n5"))
-    // seed cap: an unconstrained source pattern on a 6-vertex graph
-    // is fine; the cap error message names the limit
+    // unconstrained source pattern: the BFS is multi-source (one
+    // frontier loop for ALL seeds, no driver loop, no seed cap) —
+    // every ordered pair at its min hop distance
+    val r5 = GqlExecutor.run(s,
+      """MATCH p = shortestPath((a:N)-[*..5]->(b:N)) RETURN a.name, b.name, length(p)""").df
+    val pairHops = r5.select(PropValue.asString(col("a_name")),
+        PropValue.asString(col("b_name")), col("length_p"))
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getInt(2)).toMap
+    assert(pairHops(("n1", "n4")) == 2)
+    assert(pairHops(("n5", "n4")) == 2) // 5→6→4
+    assert(pairHops(("n2", "n4")) == 1)
+    assert(!pairHops.contains(("n4", "n1"))) // direction respected
+    // reachable ordered pairs: 5 from n1, 1 each from n2/n3/n6, 2 from n5
+    assert(pairHops.size == 10, pairHops)
+    // arity: shortestPath takes exactly two endpoints
     val err = intercept[IllegalArgumentException] {
       GqlExecutor.run(fixture,
         "MATCH shortestPath((a)-[*..2]->(b)-[*..2]->(c)) RETURN c").df
