@@ -156,6 +156,18 @@ object AlgoQueries {
         .orderBy("suppkey")
     }),
 
+    // G7 bulk form: multi-source BFS — ONE frontier loop serves the
+    // whole seed set (suppliers 1-5), per-(source, vertex) min hops.
+    // The driver-loop alternative (one sssp per seed) pays a GraphX
+    // build per source; this is the thousand-seed-safe shape.
+    "g7_bfs_multi" -> ((s, dir) => {
+      val co = coOrder(s, dir)
+      Algorithms.multiSourceBfs(co.edges.select("src", "dst"),
+        co.vertices.filter(col("id") <= 5), maxHops = 3, undirected = true)
+        .select(col("source"), col("id").as("suppkey"), col("hops"))
+        .orderBy("source", "suppkey")
+    }),
+
     // G8: forward reachability over the directed TPC-H property graph
     // from customer 1 (frontier expansion to fixpoint).
     "g8_reachability" -> ((s, dir) => {
@@ -231,6 +243,16 @@ object AlgoQueries {
            WHERE walk.dist + we.c < 400)
          SELECT id AS suppkey, MIN(dist) AS dist FROM walk
          GROUP BY id ORDER BY suppkey""",
+    "g7_bfs_multi" ->
+      s"""WITH RECURSIVE $coOrderCte,
+         seeds AS (SELECT id AS s FROM v WHERE id <= 5),
+         bfs(source, id, hops) AS (
+           SELECT s, s, 0 FROM seeds
+           UNION
+           SELECT b.source, e.dst, b.hops + 1 FROM bfs b JOIN e ON b.id = e.src
+           WHERE b.hops < 3)
+         SELECT source, id AS suppkey, CAST(MIN(hops) AS INTEGER) AS hops
+         FROM bfs GROUP BY source, id ORDER BY source, suppkey""",
     "g8_reachability" ->
       """WITH o1 AS (SELECT o_orderkey FROM orders WHERE o_custkey = 1),
          li AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
