@@ -303,28 +303,37 @@ object Algorithms {
     val e = (if (undirected)
         e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
       else e0).persist(StorageLevel.MEMORY_AND_DISK)
-    var visited = sources.select(col("id").as("source"), col("id"),
-      lit(0).as("hops")).cut(rel)
+    // distinct(): the per-(source, vertex) output contract must hold
+    // even for a seed frame with duplicate ids (hop-0 rows never pass
+    // through the per-round distinct below).
+    var visited = sources.select(col("id")).distinct()
+      .select(col("id").as("source"), col("id"), lit(0).as("hops")).cut(rel)
     var frontier = visited
-    var hop = 1
-    var done = frontier.isEmpty
-    while (!done && hop <= maxHops) {
-      val next = frontier.join(e, frontier("id") === e("src"))
-        .select(frontier("source"), e("dst").as("id")).distinct()
-        .join(visited.select(col("source").as("__v_src"), col("id").as("__v_id")),
-          col("source") === col("__v_src") && col("id") === col("__v_id"),
-          "left_anti")
-        .withColumn("hops", lit(hop))
-        .cut(rel)
-      if (next.isEmpty) done = true
-      else {
-        visited = visited.unionByName(next).cut(rel)
-        frontier = next
+    try {
+      var hop = 1
+      var done = frontier.isEmpty
+      while (!done && hop <= maxHops) {
+        val next = frontier.join(e, frontier("id") === e("src"))
+          .select(frontier("source"), e("dst").as("id")).distinct()
+          .join(visited.select(col("source").as("__v_src"), col("id").as("__v_id")),
+            col("source") === col("__v_src") && col("id") === col("__v_id"),
+            "left_anti")
+          .withColumn("hops", lit(hop))
+          .cut(rel)
+        if (next.isEmpty) done = true
+        else {
+          // Lazy union of already-cut frontiers: each round's rows are
+          // materialized exactly ONCE (by next's cut); re-cutting the
+          // cumulative union would rewrite all prior rounds every
+          // round — O(maxHops × state) materialization instead of
+          // O(state).
+          visited = visited.unionByName(next)
+          frontier = next
+        }
+        hop += 1
       }
-      hop += 1
-    }
-    e.unpersist(blocking = false)
-    visited
+      visited
+    } finally e.unpersist(blocking = false)
   }
 
   /** G9: k-core — iteratively drop vertices with (undirected) degree

@@ -156,5 +156,10 @@ class AlgoSpec extends SparkSpec {
       undirected = true).collect()
       .map(r => r.getLong(1) -> r.getInt(2)).toMap
     assert(und(3L) == 2)
+    // duplicate seeds collapse: one row per (source, vertex) pair
+    val dup = Algorithms.multiSourceBfs(e, Seq(1L, 1L, 5L).toDF("id"),
+      maxHops = 2).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dup.length == dup.distinct.length)
+    assert(dup.count(_ == (1L, 1L)) == 1)
   }
 }

@@ -273,9 +273,13 @@ class GqlSpec extends SparkSpec {
     // every ordered pair at its min hop distance
     val r5 = GqlExecutor.run(s,
       """MATCH p = shortestPath((a:N)-[*..5]->(b:N)) RETURN a.name, b.name, length(p)""").df
-    val pairHops = r5.select(PropValue.asString(col("a_name")),
+    val pairRows = r5.select(PropValue.asString(col("a_name")),
         PropValue.asString(col("b_name")), col("length_p"))
-      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getInt(2)).toMap
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getInt(2))
+    // row cardinality BEFORE collapsing to a map: exactly one row per
+    // endpoint pair (a duplicate would vanish inside toMap)
+    assert(pairRows.length == pairRows.map(_._1).distinct.length)
+    val pairHops = pairRows.toMap
     assert(pairHops(("n1", "n4")) == 2)
     assert(pairHops(("n5", "n4")) == 2) // 5→6→4
     assert(pairHops(("n2", "n4")) == 1)
