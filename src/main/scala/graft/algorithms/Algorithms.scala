@@ -293,16 +293,68 @@ object Algorithms {
     * Sources: a single-column (`id`) frame; output rows include the
     * seeds at hops 0. Rounds are lineage-truncated (`checkpointDir`
     * selects the reliable variant).
+    *
+    * Join-side economics (the part AQE cannot fix here): each round's
+    * frontier is a checkpointed frame with no catalog stats, so the
+    * planner's default is a sort-merge join that SHUFFLES the full
+    * edge set every round — and AQE only downgrades to broadcast
+    * after the edge map stage has already been written. The loop
+    * instead tracks exact frontier/visited counts (one cheap count
+    * on each already-materialized checkpoint) and broadcast-hints any
+    * side at or below `broadcastRows`, so a selective BFS never
+    * shuffles the edge list at all — each round is one in-memory edge
+    * scan. When a frontier outgrows the threshold (a thousand-seed
+    * batch on a dense graph), the edge set is re-partitioned by `src`
+    * and sorted ONCE, lazily, so the remaining sort-merge rounds
+    * exchange and sort only the frontier side.
     */
   def multiSourceBfs(edges: DataFrame, sources: DataFrame, maxHops: Int,
       undirected: Boolean = false,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      broadcastRows: Long = 1000000L): DataFrame = {
     import graft.Lineage.CutOps
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
     val rel = graft.Lineage.configure(edges, checkpointDir)
     val e0 = edges.select(col("src"), col("dst"))
-    val e = (if (undirected)
-        e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
-      else e0).persist(StorageLevel.MEMORY_AND_DISK)
+    // Persist the edge projection only when it isn't already served
+    // from cache (or a driver-local relation): re-materializing an
+    // already-cached multi-million-row edge list into a second cache
+    // copy costs more than the whole loop reads.
+    val inputServedCheaply = e0.queryExecution.optimizedPlan.collectFirst {
+      case r: InMemoryRelation => r
+      case l: LocalRelation => l
+    }.nonEmpty
+    val e = if (inputServedCheaply) e0
+      else e0.persist(StorageLevel.MEMORY_AND_DISK)
+    // The undirected edge set is two scans of `e`, never a
+    // materialized doubled copy.
+    def expand(fr: DataFrame): DataFrame = {
+      val fwd = fr.join(e, fr("id") === e("src"))
+        .select(fr("source"), e("dst").as("id"))
+      if (!undirected) fwd
+      else fwd.unionByName(fr.join(e, fr("id") === e("dst"))
+        .select(fr("source"), e("src").as("id")))
+    }
+    // Lazily built big-frontier variant: the DOUBLED set,
+    // hash-partitioned on src and sorted within partitions, so every
+    // SMJ round elides the e-side exchange AND sort
+    // (InMemoryTableScan preserves both).
+    var ePart: DataFrame = null
+    def eSmj(): DataFrame = {
+      if (ePart == null)
+        ePart = (if (undirected)
+            e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+          else e)
+          .repartition(col("src")).sortWithinPartitions("src")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      ePart
+    }
+    def expandSmj(fr: DataFrame): DataFrame = {
+      val ep = eSmj()
+      fr.join(ep, fr("id") === ep("src"))
+        .select(fr("source"), ep("dst").as("id"))
+    }
     // distinct(): the per-(source, vertex) output contract must hold
     // even for a seed frame with duplicate ids (hop-0 rows never pass
     // through the per-round distinct below).
@@ -310,17 +362,25 @@ object Algorithms {
       .select(col("id").as("source"), col("id"), lit(0).as("hops")).cut(rel)
     var frontier = visited
     try {
+      var frontierCount = frontier.count()
+      var visitedCount = frontierCount
       var hop = 1
-      var done = frontier.isEmpty
+      var done = frontierCount == 0L
       while (!done && hop <= maxHops) {
-        val next = frontier.join(e, frontier("id") === e("src"))
-          .select(frontier("source"), e("dst").as("id")).distinct()
-          .join(visited.select(col("source").as("__v_src"), col("id").as("__v_id")),
+        val candidates =
+          if (frontierCount <= broadcastRows) expand(broadcast(frontier))
+          else expandSmj(frontier)
+        val vis = visited.select(col("source").as("__v_src"),
+          col("id").as("__v_id"))
+        val visSide = if (visitedCount <= broadcastRows) broadcast(vis) else vis
+        val next = candidates.distinct()
+          .join(visSide,
             col("source") === col("__v_src") && col("id") === col("__v_id"),
             "left_anti")
           .withColumn("hops", lit(hop))
           .cut(rel)
-        if (next.isEmpty) done = true
+        val cnt = next.count()
+        if (cnt == 0L) done = true
         else {
           // Lazy union of already-cut frontiers: each round's rows are
           // materialized exactly ONCE (by next's cut); re-cutting the
@@ -328,12 +388,17 @@ object Algorithms {
           // round — O(maxHops × state) materialization instead of
           // O(state).
           visited = visited.unionByName(next)
+          visitedCount += cnt
           frontier = next
+          frontierCount = cnt
         }
         hop += 1
       }
       visited
-    } finally e.unpersist(blocking = false)
+    } finally {
+      if (!inputServedCheaply) e.unpersist(blocking = false)
+      if (ePart != null) ePart.unpersist(blocking = false)
+    }
   }
 
   /** G9: k-core — iteratively drop vertices with (undirected) degree

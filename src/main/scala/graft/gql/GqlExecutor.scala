@@ -286,10 +286,10 @@ object GqlExecutor {
     * Translates to [[graft.algorithms.Algorithms.multiSourceBfs]]:
     * one relational frontier loop serves EVERY vertex the source
     * pattern binds (seeds stay a DataFrame — no driver collect, no
-    * seed cap, no per-seed GraphX build; the single-seed Pregel form
-    * measured 6.5 s per bench pass at sf0.1 against ~1 s for the
-    * frontier loop, and a per-seed driver loop cannot survive a
-    * thousand-seed source pattern).
+    * seed cap, no per-seed GraphX build; at sf0.1 the full driver
+    * query measures ~3.4 s warm against 6.5-8 s for the per-seed
+    * Pregel form it replaced, and a per-seed driver loop cannot
+    * survive a thousand-seed source pattern).
     *
     * With a bound path variable the node sequence is reconstructed
     * RELATIONALLY (never a driver walk): the deterministic
@@ -333,6 +333,14 @@ object GqlExecutor {
         .multiSourceBfs(oriented, seedsDf, maxHops, undirected)
         .select(col("source").as("__sp_src"), col("id"),
           col("hops").cast("int").as("__sp_hops")))
+    // st is already checkpoint-materialized inside the BFS, so this
+    // count is a cheap cached scan — and it buys broadcast decisions
+    // for every downstream join: st-derived frames (pairs, detPred,
+    // paths) are stats-less to the planner, whose fallback is a
+    // sort-merge join that shuffles the full vertex table / adjacency
+    // against what is usually a tiny settled set.
+    val stSmall = st.count() <= 1000000L
+    def bc(df: DataFrame): DataFrame = if (stSmall) broadcast(df) else df
 
     val pairs = st.filter(col("__sp_hops") >= minHops)
     val aSide = store.vertices.filter(nodeFilter(aN)).select(
@@ -341,8 +349,8 @@ object GqlExecutor {
     val bSide = store.vertices.filter(nodeFilter(bN)).select(
       col("id").as(vcol(bV, "id")), col("label").as(vcol(bV, "label")),
       col("props").as(vcol(bV, "props")))
-    var out = pairs
-      .join(aSide, col("__sp_src") === col(vcol(aV, "id")))
+    var out = bc(bc(pairs)
+      .join(aSide, col("__sp_src") === col(vcol(aV, "id"))))
       .join(bSide, pairs("id") === col(vcol(bV, "id")))
 
     if (trackPath) {
@@ -353,9 +361,9 @@ object GqlExecutor {
       val prev = st.select(col("__sp_src").as("__p_src"),
         col("id").as("__p_id"), col("__sp_hops").as("__p_hops"))
       val detPred = graft.TransientCache.persist(
-        st.join(adj.select(col("src").as("__e_src"), col("dst").as("__e_dst")),
+        bc(st).join(adj.select(col("src").as("__e_src"), col("dst").as("__e_dst")),
             st("id") === col("__e_dst"))
-          .join(prev, col("__p_src") === col("__sp_src") &&
+          .join(bc(prev), col("__p_src") === col("__sp_src") &&
             col("__p_id") === col("__e_src") &&
             col("__p_hops") === col("__sp_hops") - 1)
           .groupBy(col("__sp_src").as("__d_src"), st("id").as("__d_id"))
@@ -364,7 +372,7 @@ object GqlExecutor {
         col("id").as("__w_tgt"), array(col("id")).as("__path"),
         col("id").as("__w_cur"))
       for (_ <- 0 until maxHops) {
-        paths = paths.join(detPred,
+        paths = paths.join(bc(detPred),
             col("__w_src") === col("__d_src") &&
               col("__w_cur") === col("__d_id") &&
               col("__w_cur") =!= col("__w_src"), "left")
@@ -375,7 +383,7 @@ object GqlExecutor {
           .withColumn("__w_cur", coalesce(col("__d_pred"), col("__w_cur")))
           .drop("__d_src", "__d_id", "__d_pred")
       }
-      out = out.join(paths,
+      out = out.join(bc(paths),
           col("__sp_src") === col("__w_src") &&
             col(vcol(bV, "id")) === col("__w_tgt"))
         .drop("__w_src", "__w_tgt", "__w_cur")
