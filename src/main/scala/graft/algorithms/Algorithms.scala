@@ -253,32 +253,70 @@ object Algorithms {
     * expansion, accumulating visited. DataFrame loop with lineage
     * truncation per round (`checkpointDir` swaps the local truncation
     * for a reliable one — see [[graft.Lineage]]).
+    *
+    * Same join-side economics as [[multiSourceBfs]]: checkpointed
+    * frontiers are stats-less, so without a hint every round
+    * sort-merge-shuffles the full edge set. Exact frontier/visited
+    * counts (cheap on materialized checkpoints) drive broadcast
+    * hints; the edge projection is persisted only when the input
+    * isn't already cache-backed; the cumulative visited set stays a
+    * lazy union of the once-cut frontiers.
     */
   def reachability(edges: DataFrame, sources: Seq[Long], maxIter: Int = 50,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      broadcastRows: Long = 1000000L): DataFrame = {
     import graft.Lineage.CutOps
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
     val spark = edges.sparkSession
     import spark.implicits._
     val rel = graft.Lineage.configure(edges, checkpointDir)
-    val e = edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
-    var visited = sources.toDF("id").persist(StorageLevel.MEMORY_AND_DISK)
-    var frontier = visited
-    var iter = 0
-    var done = false
-    while (!done && iter < maxIter) {
-      val next = frontier.join(e, frontier("id") === e("src"))
-        .select(e("dst").as("id")).distinct()
-        .join(visited, Seq("id"), "left_anti")
-        .cut(rel)
-      if (next.isEmpty) done = true
-      else {
-        visited = visited.union(next).cut(rel)
-        frontier = next
-      }
-      iter += 1
+    val e0 = edges.select(col("src"), col("dst"))
+    val inputServedCheaply = e0.queryExecution.optimizedPlan.collectFirst {
+      case r: InMemoryRelation => r
+      case l: LocalRelation => l
+    }.nonEmpty
+    val e = if (inputServedCheaply) e0
+      else e0.persist(StorageLevel.MEMORY_AND_DISK)
+    var ePart: DataFrame = null
+    def eSmj(): DataFrame = {
+      if (ePart == null)
+        ePart = e.repartition(col("src")).sortWithinPartitions("src")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      ePart
     }
-    e.unpersist(blocking = false)
-    visited
+    var visited = sources.toDF("id").cut(rel)
+    var frontier = visited
+    try {
+      var frontierCount = frontier.count()
+      var visitedCount = frontierCount
+      var iter = 0
+      var done = frontierCount == 0L
+      while (!done && iter < maxIter) {
+        val small = frontierCount <= broadcastRows
+        val fr = if (small) broadcast(frontier) else frontier
+        val eSide = if (small) e else eSmj()
+        val visSide = if (visitedCount <= broadcastRows) broadcast(visited)
+          else visited
+        val next = fr.join(eSide, fr("id") === eSide("src"))
+          .select(eSide("dst").as("id")).distinct()
+          .join(visSide, Seq("id"), "left_anti")
+          .cut(rel)
+        val cnt = next.count()
+        if (cnt == 0L) done = true
+        else {
+          visited = visited.union(next)
+          visitedCount += cnt
+          frontier = next
+          frontierCount = cnt
+        }
+        iter += 1
+      }
+      visited
+    } finally {
+      if (!inputServedCheaply) e.unpersist(blocking = false)
+      if (ePart != null) ePart.unpersist(blocking = false)
+    }
   }
 
   /** Multi-source BFS hop counts: ONE DataFrame frontier loop serves
