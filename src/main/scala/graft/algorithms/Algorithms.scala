@@ -26,6 +26,34 @@ import org.apache.spark.storage.StorageLevel
   */
 object Algorithms {
 
+  /** Row-count ceiling for broadcast-hinting SLIM frames (2-3 longs
+    * per row — BFS frontiers, visited sets): 1M rows ≈ tens of MB
+    * broadcast, far under Spark's 8 GB hard limit. Frames carrying
+    * fat columns (props maps, path arrays) need their own, lower
+    * ceiling — an explicit hint is obeyed regardless of byte size,
+    * so the caller owns the bytes-per-row reasoning (see
+    * GqlExecutor's fat-frame threshold).
+    */
+  val DefaultBroadcastRows: Long = 1000000L
+
+  /** True when `df` is a pure projection over an already-cached (or
+    * driver-local) relation — the cases where re-persisting would
+    * duplicate a cache that already serves scans cheaply. Any other
+    * operator in the plan (filter, join, aggregate) returns false:
+    * an iterative loop would re-execute it every round.
+    */
+  private[graft] def servedFromCache(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, LogicalPlan, Project}
+    def pure(p: LogicalPlan): Boolean = p match {
+      case _: InMemoryRelation => true
+      case _: LocalRelation => true
+      case pr: Project => pure(pr.child)
+      case _ => false
+    }
+    pure(df.queryExecution.optimizedPlan)
+  }
+
   private def edgeRDD(edges: DataFrame, undirected: Boolean): RDD[Edge[Double]] = {
     val hasW = edges.columns.contains("weight")
     val base = if (hasW) edges.select(col("src"), col("dst"), col("weight").cast("double"))
@@ -264,18 +292,13 @@ object Algorithms {
     */
   def reachability(edges: DataFrame, sources: Seq[Long], maxIter: Int = 50,
       checkpointDir: Option[String] = None,
-      broadcastRows: Long = 1000000L): DataFrame = {
+      broadcastRows: Long = DefaultBroadcastRows): DataFrame = {
     import graft.Lineage.CutOps
-    import org.apache.spark.sql.execution.columnar.InMemoryRelation
-    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
     val spark = edges.sparkSession
     import spark.implicits._
     val rel = graft.Lineage.configure(edges, checkpointDir)
     val e0 = edges.select(col("src"), col("dst"))
-    val inputServedCheaply = e0.queryExecution.optimizedPlan.collectFirst {
-      case r: InMemoryRelation => r
-      case l: LocalRelation => l
-    }.nonEmpty
+    val inputServedCheaply = servedFromCache(e0)
     val e = if (inputServedCheaply) e0
       else e0.persist(StorageLevel.MEMORY_AND_DISK)
     var ePart: DataFrame = null
@@ -349,20 +372,18 @@ object Algorithms {
   def multiSourceBfs(edges: DataFrame, sources: DataFrame, maxHops: Int,
       undirected: Boolean = false,
       checkpointDir: Option[String] = None,
-      broadcastRows: Long = 1000000L): DataFrame = {
+      broadcastRows: Long = DefaultBroadcastRows): DataFrame = {
     import graft.Lineage.CutOps
-    import org.apache.spark.sql.execution.columnar.InMemoryRelation
-    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
     val rel = graft.Lineage.configure(edges, checkpointDir)
     val e0 = edges.select(col("src"), col("dst"))
-    // Persist the edge projection only when it isn't already served
-    // from cache (or a driver-local relation): re-materializing an
-    // already-cached multi-million-row edge list into a second cache
-    // copy costs more than the whole loop reads.
-    val inputServedCheaply = e0.queryExecution.optimizedPlan.collectFirst {
-      case r: InMemoryRelation => r
-      case l: LocalRelation => l
-    }.nonEmpty
+    // Persist the edge projection only when it is a pure projection
+    // of an already-cached (or driver-local) relation:
+    // re-materializing an already-cached multi-million-row edge list
+    // into a second cache copy costs more than the whole loop reads.
+    // Anything beyond Project over a cached leaf — a filter, a join,
+    // an aggregate — must still persist, or every round would
+    // re-execute it (twice per round when undirected).
+    val inputServedCheaply = servedFromCache(e0)
     val e = if (inputServedCheaply) e0
       else e0.persist(StorageLevel.MEMORY_AND_DISK)
     // The undirected edge set is two scans of `e`, never a

@@ -29,6 +29,12 @@ import Ast._
   */
 object GqlExecutor {
 
+  /** Broadcast-hint row ceiling for FAT frames (props maps, path
+    * arrays) — see the rationale at the `stSmall` use site; slim
+    * frames use [[graft.algorithms.Algorithms.DefaultBroadcastRows]].
+    */
+  private val FatBroadcastRows: Long = 100000L
+
   /** Result of a statement: MATCH returns rows; CREATE/DELETE return
     * the mutated store plus an empty/summary frame.
     */
@@ -338,8 +344,14 @@ object GqlExecutor {
     // for every downstream join: st-derived frames (pairs, detPred,
     // paths) are stats-less to the planner, whose fallback is a
     // sort-merge join that shuffles the full vertex table / adjacency
-    // against what is usually a tiny settled set.
-    val stSmall = st.count() <= 1000000L
+    // against what is usually a tiny settled set. The ceiling is 10×
+    // lower than Algorithms.DefaultBroadcastRows because the frames
+    // hinted here carry FAT columns — vertex props maps and
+    // maxHops-length path arrays, hundreds of bytes per row, not the
+    // BFS loop's 2-3 longs — and an explicit hint is obeyed
+    // regardless of byte size (100k × ~1 KB ≈ 100 MB, safely under
+    // the 8 GB broadcast hard limit).
+    val stSmall = st.count() <= FatBroadcastRows
     def bc(df: DataFrame): DataFrame = if (stSmall) broadcast(df) else df
 
     val pairs = st.filter(col("__sp_hops") >= minHops)

@@ -162,4 +162,25 @@ class AlgoSpec extends SparkSpec {
     assert(dup.length == dup.distinct.length)
     assert(dup.count(_ == (1L, 1L)) == 1)
   }
+
+  test("frontier loops: forced SMJ fallback (broadcastRows=0) matches broadcast path") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L), (5L, 6L), (6L, 4L)).toDF("src", "dst")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val bcast = rows(Algorithms.multiSourceBfs(e, Seq(1L, 5L).toDF("id"), 4))
+    val smj = rows(Algorithms.multiSourceBfs(e, Seq(1L, 5L).toDF("id"), 4,
+      broadcastRows = 0L))
+    assert(smj == bcast)
+    val undB = rows(Algorithms.multiSourceBfs(e, Seq(2L).toDF("id"), 3,
+      undirected = true))
+    val undS = rows(Algorithms.multiSourceBfs(e, Seq(2L).toDF("id"), 3,
+      undirected = true, broadcastRows = 0L))
+    assert(undS == undB)
+    val reachB = Algorithms.reachability(e, Seq(1L)).collect()
+      .map(_.getLong(0)).toSet
+    val reachS = Algorithms.reachability(e, Seq(1L), broadcastRows = 0L)
+      .collect().map(_.getLong(0)).toSet
+    assert(reachS == reachB && reachB == Set(1L, 2L, 3L, 4L, 5L, 6L))
+  }
 }
