@@ -466,7 +466,8 @@ object Algorithms {
     * ids with their core degree.
     */
   def kCore(edges: DataFrame, k: Int, maxIter: Int = 100,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      broadcastRows: Long = DefaultBroadcastRows): DataFrame = {
     import graft.Lineage.CutOps
     val rel = graft.Lineage.configure(edges, checkpointDir)
     var e = edges.select(col("src"), col("dst")).cut(rel)
@@ -476,11 +477,17 @@ object Algorithms {
       val deg = e.select(col("src").as("id"))
         .unionAll(e.select(col("dst").as("id")))
         .groupBy("id").agg(count(lit(1)).as("degree"))
-      val bad = deg.filter(col("degree") < k).select("id")
-      if (bad.isEmpty) changed = false
+      // cut + count: without it the isEmpty probe AND both anti-joins
+      // would each recompute the degree aggregation; the count also
+      // licenses broadcasting the (usually tiny) prune set so the
+      // anti-joins stream `e` instead of shuffling it every round
+      val bad = deg.filter(col("degree") < k).select("id").cut(rel)
+      val badCnt = bad.count()
+      if (badCnt == 0L) changed = false
       else {
-        e = e.join(bad.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
-          .join(bad.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+        val b = if (badCnt <= broadcastRows) broadcast(bad) else bad
+        e = e.join(b.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+          .join(b.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
           .select("src", "dst")
           .cut(rel)
       }
@@ -534,7 +541,8 @@ object Algorithms {
     * graphs, where convergence exits the loop early anyway).
     */
   def stronglyConnectedComponents(vertices: DataFrame, edges: DataFrame,
-      numIter: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
+      numIter: Int = 50, checkpointDir: Option[String] = None,
+      broadcastRows: Long = DefaultBroadcastRows): DataFrame = {
     import graft.Lineage.CutOps
     val rel = graft.Lineage.configure(vertices, checkpointDir)
     var remaining = vertices.select(col("id")).cut(rel)
@@ -546,19 +554,29 @@ object Algorithms {
       else result.unionByName(done).cut(rel)
     var outer = 0
     var lastF: DataFrame = null
-    while (outer < numIter && !remaining.isEmpty) {
+    // Every frame in the loops below is checkpointed, i.e. stats-less
+    // to the planner, whose SMJ fallback costs 3-4 shuffle stages per
+    // inner iteration. The vertex-sided frames (f, upd, marked) are
+    // bounded by the remaining-vertex count, which the loop already
+    // pays a count job to learn — broadcast-hint them while they fit
+    // (slim rows: id + label), leave the edge side streaming.
+    var remainingCount = remaining.count()
+    def bc(df: DataFrame): DataFrame =
+      if (remainingCount <= broadcastRows) broadcast(df) else df
+    while (outer < numIter && remainingCount > 0L) {
       // 1. forward min-label fixpoint
       var f = remaining.select(col("id"), col("id").as("f")).cut(rel)
       var converged = false
       while (!converged) {
-        val upd = e.join(f.select(col("id").as("src"), col("f").as("fs")), "src")
+        val upd = e.join(bc(f.select(col("id").as("src"), col("f").as("fs"))),
+            "src")
           .groupBy(col("dst").as("id")).agg(min("fs").as("nbrf"))
-        val next = f.join(upd, Seq("id"), "left")
+        val next = f.join(bc(upd), Seq("id"), "left")
           .select(col("id"),
             least(col("f"), coalesce(col("nbrf"), col("f"))).as("f"))
           .cut(rel)
         val changed = next
-          .join(f.select(col("id"), col("f").as("f0")), "id")
+          .join(bc(f.select(col("id"), col("f").as("f0"))), "id")
           .filter(col("f") =!= col("f0")).count()
         f = next
         converged = changed == 0
@@ -569,12 +587,13 @@ object Algorithms {
       converged = false
       while (!converged) {
         val newly = e
-          .join(marked.select(col("id").as("dst"), col("f").as("fw")), "dst")
+          .join(bc(marked.select(col("id").as("dst"), col("f").as("fw"))),
+            "dst")
           .select(col("src").as("id"), col("fw"))
-          .join(f, Seq("id"))
+          .join(bc(f), Seq("id"))
           .filter(col("f") === col("fw"))
           .select(col("id"), col("f")).distinct()
-          .join(marked.select(col("id")), Seq("id"), "left_anti")
+          .join(bc(marked.select(col("id"))), Seq("id"), "left_anti")
           .cut(rel)
         if (newly.isEmpty) converged = true
         else marked = marked.unionByName(newly).cut(rel)
@@ -582,16 +601,17 @@ object Algorithms {
       // 3. peel
       accumulate(marked.select(col("id"), col("f").as("component")))
       remaining = remaining
-        .join(marked.select(col("id")), Seq("id"), "left_anti").cut(rel)
-      e = e.join(marked.select(col("id").as("src")), Seq("src"), "left_anti")
-        .join(marked.select(col("id").as("dst")), Seq("dst"), "left_anti")
+        .join(bc(marked.select(col("id"))), Seq("id"), "left_anti").cut(rel)
+      e = e.join(bc(marked.select(col("id").as("src"))), Seq("src"), "left_anti")
+        .join(bc(marked.select(col("id").as("dst"))), Seq("dst"), "left_anti")
         .select(col("src"), col("dst")).cut(rel)
+      remainingCount = remaining.count()
       outer += 1
     }
-    if (!remaining.isEmpty) {
+    if (remainingCount > 0L) {
       // numIter cutoff: best-effort labels for unpeeled vertices —
       // logged, never silent (forward labels can merge distinct SCCs)
-      val unpeeled = remaining.count()
+      val unpeeled = remainingCount
       System.err.println(
         s"[graft] SCC numIter=$numIter cap hit: $unpeeled vertices keep " +
           "best-effort forward labels (distinct SCCs may merge); raise numIter")

@@ -182,5 +182,17 @@ class AlgoSpec extends SparkSpec {
     val reachS = Algorithms.reachability(e, Seq(1L), broadcastRows = 0L)
       .collect().map(_.getLong(0)).toSet
     assert(reachS == reachB && reachB == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // scc: cycle 1↔2 plus dag edge to 3, forced-SMJ == broadcast
+    val vs = Seq(1L, 2L, 3L).toDF("id")
+    val cyc = Seq((1L, 2L), (2L, 1L), (2L, 3L)).toDF("src", "dst")
+    def sccMap(br: Long) = Algorithms.stronglyConnectedComponents(vs, cyc,
+      10, broadcastRows = br).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sccMap(0L) == sccMap(Algorithms.DefaultBroadcastRows))
+    // k-core: triangle + pendant, forced-SMJ == broadcast
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    def core(br: Long) = Algorithms.kCore(tri, 2, broadcastRows = br)
+      .collect().map(_.getLong(0)).toSet
+    assert(core(0L) == core(Algorithms.DefaultBroadcastRows))
   }
 }
