@@ -497,12 +497,22 @@ object Dedup {
       .cut(reliable)
     var labels = vertices.select(col("id"), col("id").as("component"))
       .cut(reliable)
+    // The label frame's row count is CONSTANT across rounds (one row
+    // per pair-subgraph vertex) and the frames are checkpointed, i.e.
+    // stats-less — one count licenses broadcast-hinting the
+    // vertex-sided frames every round so the loop stops sort-merge-
+    // shuffling the edge set (see Algorithms.DefaultBroadcastRows).
+    val vertCnt = labels.count()
+    def bc(df: DataFrame): DataFrame =
+      if (vertCnt <= graft.algorithms.Algorithms.DefaultBroadcastRows)
+        broadcast(df)
+      else df
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      val nbrMin = edges.join(labels, edges("b") === labels("id"))
+      val nbrMin = edges.join(bc(labels), edges("b") === labels("id"))
         .groupBy(col("a").as("id2")).agg(min("component").as("nbr"))
-      val next = labels.join(nbrMin, labels("id") === col("id2"), "left")
+      val next = labels.join(bc(nbrMin), labels("id") === col("id2"), "left")
         .select(labels("id"),
           least(col("component"), coalesce(col("nbr"), col("component")))
             .as("component"))
@@ -510,7 +520,7 @@ object Dedup {
       // rename before the change-count self-join: next derives from
       // labels, so bare attribute references would be ambiguous
       val changed = next.select(col("id"), col("component").as("__c2"))
-        .join(labels.select(col("id"), col("component").as("__c1")), "id")
+        .join(bc(labels.select(col("id"), col("component").as("__c1"))), "id")
         .filter(col("__c2") =!= col("__c1")).count()
       labels = next
       converged = changed == 0
