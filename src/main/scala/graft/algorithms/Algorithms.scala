@@ -36,19 +36,38 @@ object Algorithms {
     */
   val DefaultBroadcastRows: Long = 1000000L
 
+  /** Count-gated broadcast hint: the one definition of the pattern
+    * used by every iterative loop in this package (frames behind a
+    * checkpoint are stats-less, so the planner's fallback is a
+    * sort-merge join that shuffles the big side every round; an
+    * exact count licenses forcing the hash-join build side instead).
+    * The ceiling is a ROW count — an explicit hint is obeyed
+    * regardless of byte size, so callers of fat frames (props maps,
+    * arrays) must pass a lower ceiling (see GqlExecutor).
+    */
+  private[graft] def hintIfAtMost(df: DataFrame, rows: Long,
+      ceiling: Long): DataFrame =
+    if (rows <= ceiling) broadcast(df) else df
+
   /** True when `df` is a pure projection over an already-cached (or
     * driver-local) relation — the cases where re-persisting would
-    * duplicate a cache that already serves scans cheaply. Any other
-    * operator in the plan (filter, join, aggregate) returns false:
-    * an iterative loop would re-execute it every round.
+    * duplicate a cache that already serves scans cheaply. Anything
+    * else — a filter, join, aggregate, or a projection COMPUTING
+    * expressions (a re-executed-per-round cost the persist exists to
+    * pay once) — returns false.
     */
   private[graft] def servedFromCache(df: DataFrame): Boolean = {
     import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
     import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, LogicalPlan, Project}
     def pure(p: LogicalPlan): Boolean = p match {
       case _: InMemoryRelation => true
       case _: LocalRelation => true
-      case pr: Project => pure(pr.child)
+      case pr: Project if pr.projectList.forall {
+        case _: AttributeReference => true
+        case a: Alias => a.child.isInstanceOf[AttributeReference]
+        case _ => false
+      } => pure(pr.child)
       case _ => false
     }
     pure(df.queryExecution.optimizedPlan)
@@ -317,10 +336,9 @@ object Algorithms {
       var done = frontierCount == 0L
       while (!done && iter < maxIter) {
         val small = frontierCount <= broadcastRows
-        val fr = if (small) broadcast(frontier) else frontier
+        val fr = hintIfAtMost(frontier, frontierCount, broadcastRows)
         val eSide = if (small) e else eSmj()
-        val visSide = if (visitedCount <= broadcastRows) broadcast(visited)
-          else visited
+        val visSide = hintIfAtMost(visited, visitedCount, broadcastRows)
         val next = fr.join(eSide, fr("id") === eSide("src"))
           .select(eSide("dst").as("id")).distinct()
           .join(visSide, Seq("id"), "left_anti")
@@ -431,7 +449,7 @@ object Algorithms {
           else expandSmj(frontier)
         val vis = visited.select(col("source").as("__v_src"),
           col("id").as("__v_id"))
-        val visSide = if (visitedCount <= broadcastRows) broadcast(vis) else vis
+        val visSide = hintIfAtMost(vis, visitedCount, broadcastRows)
         val next = candidates.distinct()
           .join(visSide,
             col("source") === col("__v_src") && col("id") === col("__v_id"),
@@ -485,7 +503,7 @@ object Algorithms {
       val badCnt = bad.count()
       if (badCnt == 0L) changed = false
       else {
-        val b = if (badCnt <= broadcastRows) broadcast(bad) else bad
+        val b = hintIfAtMost(bad, badCnt, broadcastRows)
         e = e.join(b.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
           .join(b.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
           .select("src", "dst")
@@ -546,8 +564,19 @@ object Algorithms {
     import graft.Lineage.CutOps
     val rel = graft.Lineage.configure(vertices, checkpointDir)
     var remaining = vertices.select(col("id")).cut(rel)
+    var remainingCount = remaining.count()
+    // Restrict edges to the declared vertex set at ENTRY (the later
+    // label joins filtered stray endpoints anyway, so semantics are
+    // unchanged): afterwards every per-round frame — f, marked, and
+    // the groupBy-dst aggregate `upd` — is provably bounded by
+    // remainingCount, which makes the broadcast hints below sound
+    // even for edge inputs mentioning ids outside `vertices`.
+    val vIds = hintIfAtMost(remaining, remainingCount, broadcastRows)
     var e = edges.select(col("src"), col("dst"))
-      .filter(col("src") =!= col("dst")).distinct().cut(rel)
+      .filter(col("src") =!= col("dst")).distinct()
+      .join(vIds.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(vIds.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .select(col("src"), col("dst")).cut(rel)
     var result: DataFrame = null
     def accumulate(done: DataFrame): Unit =
       result = if (result == null) done.cut(rel)
@@ -560,9 +589,8 @@ object Algorithms {
     // bounded by the remaining-vertex count, which the loop already
     // pays a count job to learn — broadcast-hint them while they fit
     // (slim rows: id + label), leave the edge side streaming.
-    var remainingCount = remaining.count()
     def bc(df: DataFrame): DataFrame =
-      if (remainingCount <= broadcastRows) broadcast(df) else df
+      hintIfAtMost(df, remainingCount, broadcastRows)
     while (outer < numIter && remainingCount > 0L) {
       // 1. forward min-label fixpoint
       var f = remaining.select(col("id"), col("id").as("f")).cut(rel)

@@ -422,7 +422,9 @@ object Dedup {
     */
   def resolveDupClusters(docs: DataFrame, idCol: String,
       pairs: DataFrame, checkpointDir: Option[String] = None,
-      maxRounds: Int = 30): DataFrame = {
+      maxRounds: Int = 30,
+      broadcastRows: Long = graft.algorithms.Algorithms.DefaultBroadcastRows)
+      : DataFrame = {
     import graft.Lineage.CutOps
     // pairs is read three times (two vertex projections + the edge
     // set) and its producer is typically a whole sketch+verify
@@ -437,7 +439,8 @@ object Dedup {
     val p = pairs.select(col("ida"), col("idb")).cut(rel)
     val touched = p.select(col("ida").as("id"))
       .unionByName(p.select(col("idb").as("id"))).distinct()
-    val clustered = pairGraphComponents(touched, p, maxRounds, reliable = rel)
+    val clustered = pairGraphComponents(touched, p, maxRounds,
+        reliable = rel, broadcastRows = broadcastRows)
       .select(col("id"), col("component").as("canonical_id"))
     val loners = docs.select(col(idCol).as("id"))
       .join(touched, Seq("id"), "left_anti")
@@ -486,7 +489,9 @@ object Dedup {
     * `Algorithms.connectedComponents` (GraphX, hash-partitioned).
     */
   private def pairGraphComponents(vertices: DataFrame, pairs: DataFrame,
-      maxRounds: Int = 30, reliable: Boolean = false): DataFrame = {
+      maxRounds: Int = 30, reliable: Boolean = false,
+      broadcastRows: Long = graft.algorithms.Algorithms.DefaultBroadcastRows)
+      : DataFrame = {
     import graft.Lineage.CutOps
     // Every per-round frame is lineage-truncated: persist alone keeps
     // the full producer lineage in the plan, and the optimizer +
@@ -504,9 +509,7 @@ object Dedup {
     // shuffling the edge set (see Algorithms.DefaultBroadcastRows).
     val vertCnt = labels.count()
     def bc(df: DataFrame): DataFrame =
-      if (vertCnt <= graft.algorithms.Algorithms.DefaultBroadcastRows)
-        broadcast(df)
-      else df
+      graft.algorithms.Algorithms.hintIfAtMost(df, vertCnt, broadcastRows)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {

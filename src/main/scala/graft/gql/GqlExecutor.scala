@@ -351,8 +351,9 @@ object GqlExecutor {
     // BFS loop's 2-3 longs — and an explicit hint is obeyed
     // regardless of byte size (100k × ~1 KB ≈ 100 MB, safely under
     // the 8 GB broadcast hard limit).
-    val stSmall = st.count() <= FatBroadcastRows
-    def bc(df: DataFrame): DataFrame = if (stSmall) broadcast(df) else df
+    val stCnt = st.count()
+    def bc(df: DataFrame): DataFrame =
+      graft.algorithms.Algorithms.hintIfAtMost(df, stCnt, FatBroadcastRows)
 
     val pairs = st.filter(col("__sp_hops") >= minHops)
     val aSide = store.vertices.filter(nodeFilter(aN)).select(

@@ -195,4 +195,25 @@ class AlgoSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(core(0L) == core(Algorithms.DefaultBroadcastRows))
   }
+
+  test("servedFromCache: pure renames over a cache qualify, computed plans don't") {
+    // LocalRelation qualifies outright (driver-local stays cheap even
+    // after the optimizer folds projections/filters into it)
+    val base = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    assert(Algorithms.servedFromCache(base))
+    // the cached cases: InMemoryRelation is a black box to the
+    // optimizer, so the plan shape above it is what the guard sees
+    val cached = base.persist()
+    try {
+      cached.count()
+      assert(Algorithms.servedFromCache(cached))
+      assert(Algorithms.servedFromCache(
+        cached.select(col("src").as("a"), col("dst").as("b"))))
+      // computed projection / filter re-execute per scan — must NOT
+      // qualify (the loop would pay them every round)
+      assert(!Algorithms.servedFromCache(
+        cached.select((col("src") + 1).as("src"), col("dst"))))
+      assert(!Algorithms.servedFromCache(cached.filter(col("src") > 1)))
+    } finally cached.unpersist(blocking = true)
+  }
 }

@@ -278,6 +278,19 @@ class CurationSpec extends SparkSpec {
     assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 4L))
   }
 
+  test("resolveDupClusters: forced-SMJ CC (broadcastRows=0) matches broadcast path") {
+    val docs = (1L to 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("ida", "idb")
+    def resolve(br: Long) = graft.functions.Dedup.resolveDupClusters(
+        docs, "doc_id", pairs, broadcastRows = br)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bcast = resolve(graft.algorithms.Algorithms.DefaultBroadcastRows)
+    val smj = resolve(0L)
+    assert(smj == bcast)
+    assert(bcast == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L))
+  }
+
   // ---- token-budget sampling --------------------------------------------
 
   test("tokenBudgetSample keeps hash-ordered docs up to the stratum budget") {
