@@ -70,6 +70,35 @@ class PropertySpec extends SparkSpec {
     assert(again == first)
   }
 
+  test("property: multiSourceBfs equals a reference BFS on random graphs") {
+    // one random directed graph (25 vertices, ~60 edges) + seed set;
+    // the DataFrame frontier loop must agree with a plain-Scala BFS
+    // on every (source, vertex) min-hop pair, at a binding hop cap
+    val vN = 25
+    val edges = sample(
+      Gen.zip(Gen.choose(1L, vN.toLong), Gen.choose(1L, vN.toLong)), 60)
+      .filter { case (a, b) => a != b }.distinct
+    val seeds = sample(Gen.choose(1L, vN.toLong), 6).distinct
+    val maxHops = 4
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    def refBfs(s: Long): Map[Long, Int] = {
+      var dist = Map(s -> 0)
+      var frontier = Seq(s)
+      for (h <- 1 to maxHops) {
+        frontier = frontier.flatMap(v => adj.getOrElse(v, Nil))
+          .distinct.filterNot(dist.contains)
+        frontier.foreach(v => dist += v -> h)
+      }
+      dist
+    }
+    val expect = seeds.flatMap(s =>
+      refBfs(s).map { case (v, d) => (s, v) -> d }).toMap
+    val got = graft.algorithms.Algorithms.multiSourceBfs(
+        edges.toDF("src", "dst"), seeds.toDF("id"), maxHops)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got == expect)
+  }
+
   test("property: normalizeDim clamps any long into [0, 2^bits), order-preserving") {
     val cases = sample(Gen.choose(-100000L, 100000L), 400).distinct.sorted
     val df = cases.toDF("v")
