@@ -253,6 +253,33 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Sort "), plan)
   }
 
+  test("small-frontier BFS rounds execute broadcast joins, never SMJ") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(f: String, qe: QueryExecution,
+          e: Exception): Unit = ()
+    }
+    org.apache.spark.graft.SparkTestAccess.flushListenerBus(spark.sparkContext)
+    spark.listenerManager.register(l)
+    try {
+      val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L)).toDF("src", "dst")
+      graft.algorithms.Algorithms
+        .multiSourceBfs(e, Seq(1L).toDF("id"), 3, undirected = true).count()
+      org.apache.spark.graft.SparkTestAccess.flushListenerBus(spark.sparkContext)
+      val all = plans.toArray.mkString("\n")
+      // the hint must have taken effect in at least one executed round
+      assert(all.contains("BroadcastHashJoin"), all.take(800))
+      // and no round may have fallen back to shuffling the edge set
+      assert(!all.contains("SortMergeJoin"),
+        "small-frontier BFS executed a sort-merge join")
+    } finally spark.listenerManager.unregister(l)
+  }
+
   test("graph store round-trips through parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft_store").toString
     val store = GraphStore.fromTuples(spark,
