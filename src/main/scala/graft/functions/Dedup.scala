@@ -636,6 +636,60 @@ object Dedup {
       .select(col("ida"), col("idb"), col("hamming"))
   }
 
+  /** Incremental SimHash near-dup: a newly ingested batch vs an
+    * AT-REST signature index (the `simHashSignatures` (id, sig)
+    * frame, persisted once per corpus — 16 bytes/doc, the cheapest
+    * index in the family). Mirrors `minHashIndexPairs` /
+    * `appendToIvfIndex`'s new-vs-index contract: candidates come
+    * from chunked pigeonhole buckets joined batch-side against the
+    * index's (capped) buckets, so candidate volume scales with the
+    * BATCH, never corpus²; survivors are hamming-verified. The
+    * pigeonhole guarantee holds unchanged (numChunks > maxDistance ⇒
+    * some chunk matches exactly), so cross-boundary recall at
+    * `maxDistance` is total wherever no bucket overflows the cap.
+    * Output: (ida = index doc, idb = batch doc, hamming).
+    */
+  def simHashIndexPairs(newDocs: DataFrame, sigIndex: DataFrame,
+      textCol: String, idCol: String, maxDistance: Int = 3,
+      numChunks: Int = 4, maxBucketSize: Int = 100000): DataFrame = {
+    val newSigs = graft.TransientCache.persist(
+      simHashSignatures(newDocs, textCol, idCol))
+    def chunked(s: DataFrame) = s.select(col("id"),
+      explode(simHashChunkKeys(col("sig"), numChunks)).as("ck"))
+      .select(col("id"), col("ck.chunk"), col("ck.key"))
+    val cOld = chunked(sigIndex)
+    val okBuckets = cOld.groupBy("chunk", "key")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucketSize)
+      .select("chunk", "key")
+    val cand = chunked(newSigs)
+      .select(col("chunk"), col("key"), col("id").as("idb"))
+      .join(cOld.join(okBuckets, Seq("chunk", "key"))
+        .select(col("chunk"), col("key"), col("id").as("ida")),
+        Seq("chunk", "key"))
+      .select(col("ida"), col("idb"))
+      .dropDuplicates("ida", "idb")
+    cand
+      .join(sigIndex.select(col("id").as("ida"), col("sig").as("siga")), "ida")
+      .join(newSigs.select(col("id").as("idb"), col("sig").as("sigb")), "idb")
+      .withColumn("hamming", hamming(col("siga"), col("sigb")).cast("int"))
+      .filter(col("hamming") <= maxDistance)
+      .select(col("ida"), col("idb"), col("hamming"))
+  }
+
+  /** Brute-force CROSS pairs between two (id, sig) frames (the
+    * completeness oracle for `simHashIndexPairs`): broadcast the
+    * smaller batch side, codegen bit_count scan of the index side.
+    */
+  def simHashCrossBruteForce(sigsIndex: DataFrame, sigsBatch: DataFrame,
+      maxDistance: Int): DataFrame =
+    sigsIndex.select(col("id").as("ida"), col("sig").as("siga"))
+      .join(broadcast(
+        sigsBatch.select(col("id").as("idb"), col("sig").as("sigb"))),
+        col("ida") =!= col("idb"))
+      .withColumn("hamming", hamming(col("siga"), col("sigb")).cast("int"))
+      .filter(col("hamming") <= maxDistance)
+      .select(col("ida"), col("idb"), col("hamming"))
+
   /** Brute-force all-pairs SimHash neighbors: broadcast the (id, sig)
     * frame — 16 bytes/row — and nested-loop with codegen'd
     * bit_count. The completeness oracle for the bucketed variant

@@ -75,6 +75,28 @@ object PipelineQueries {
         .orderBy("ida", "idb")
     }),
 
+    // Incremental SimHash (new-vs-index, mirroring dedup_increment's
+    // MinHash path and ann_ivf_increment's IVF path): batch = docs
+    // with doc_id % 10 == 0 against the at-rest signature index of
+    // the rest. VIOLATION query: the bucketed index path must find
+    // EVERY cross-boundary Hamming ≤ 3 pair the brute-force cross
+    // scan finds (pigeonhole: 4 chunks > 3 flips), and nothing else
+    // — symmetric difference empty, typed-empty oracle.
+    "dedup_simhash_increment" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sigIndex = graft.TransientCache.persist(
+        Dedup.simHashSignatures(
+          docs.filter(col("doc_id") % 10 =!= 0), "text", "doc_id"))
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      val indexed = Dedup.simHashIndexPairs(batch, sigIndex,
+        "text", "doc_id", maxDistance = 3, numChunks = 4)
+      val batchSigs = graft.TransientCache.persist(
+        Dedup.simHashSignatures(batch, "text", "doc_id"))
+      val brute = Dedup.simHashCrossBruteForce(sigIndex, batchSigs, 3)
+      indexed.exceptAll(brute).unionAll(brute.exceptAll(indexed))
+        .orderBy("ida", "idb")
+    }),
+
     // Exact bigram Jaccard pairs ≥ 0.3. maxDf caps shingle document
     // frequency (stopword-shingle removal) — a no-op at test scale
     // (max bigram df here is 338) and the quadratic-fan-out guard at
@@ -540,6 +562,11 @@ object PipelineQueries {
     "dedup_minhash_lsh" -> bigramJaccardSql(0.8, Int.MaxValue),
     "dedup_simhash" -> bigramJaccardSql(0.8, Int.MaxValue),
     "dedup_simhash_complete" ->
+      """SELECT CAST(NULL AS BIGINT) AS ida, CAST(NULL AS BIGINT) AS idb,
+                CAST(NULL AS INTEGER) AS hamming
+         WHERE FALSE""",
+    // violation query: bucketed new-vs-index == brute cross scan
+    "dedup_simhash_increment" ->
       """SELECT CAST(NULL AS BIGINT) AS ida, CAST(NULL AS BIGINT) AS idb,
                 CAST(NULL AS INTEGER) AS hamming
          WHERE FALSE""",

@@ -163,6 +163,32 @@ class PipelineSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("simhash incremental index: new-vs-index pairs equal brute cross scan") {
+    val sfDocs = graft.sources.Tables.documents(spark, sf)
+    val corpus = sfDocs.filter(col("doc_id") % 10 =!= 0)
+    val batch = sfDocs.filter(col("doc_id") % 10 === 0)
+    // the index AT REST is just the signature frame
+    val sigIndex = TransientCache.persist(
+      Dedup.simHashSignatures(corpus, "text", "doc_id"))
+    val got = Dedup.simHashIndexPairs(batch, sigIndex, "text", "doc_id",
+      maxDistance = 3, numChunks = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val batchSigs = TransientCache.persist(
+      Dedup.simHashSignatures(batch, "text", "doc_id"))
+    val brute = Dedup.simHashCrossBruteForce(sigIndex, batchSigs, 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(got == brute)
+    assert(brute.nonEmpty, "fixture has no cross-boundary near-dups")
+    // every returned ida is an index doc, every idb a batch doc
+    got.keys.foreach { case (ida, idb) =>
+      assert(ida % 10 != 0 && idb % 10 == 0, (ida, idb))
+    }
+    // an empty batch yields no candidates and no output
+    assert(Dedup.simHashIndexPairs(batch.limit(0), sigIndex,
+      "text", "doc_id").count() == 0)
+    TransientCache.releaseAll()
+  }
+
   test("embedding dedup: exact path is a broadcast join plan, no driver collect") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val exact = Similarity.embeddingDedupPairs(emb, 0.4, exact = Some(true))

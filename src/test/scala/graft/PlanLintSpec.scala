@@ -30,6 +30,7 @@ class PlanLintSpec extends SparkSpec {
     "dedup_embedding_lsh_recall" -> "exact branch of the recall comparison + single-row found x total",
     "dedup_simhash" -> "16-byte signature rows (BNLJ prefilter documented at simHashDedupPairsExact)",
     "dedup_simhash_complete" -> "16-byte signature rows, bucketed vs brute-force comparison",
+    "dedup_simhash_increment" -> "16-byte batch signature rows, index path vs brute-force cross scan",
     "ann_cosine_topk" -> "query batch (vec_id < 10)",
     "ann_lsh_recall" -> "query batch + brute-force reference side",
     "ann_ivf_recall" -> "query batch, centroid model, brute-force reference side",
