@@ -651,9 +651,24 @@ object Dedup {
     */
   def simHashIndexPairs(newDocs: DataFrame, sigIndex: DataFrame,
       textCol: String, idCol: String, maxDistance: Int = 3,
-      numChunks: Int = 4, maxBucketSize: Int = 100000): DataFrame = {
-    val newSigs = graft.TransientCache.persist(
-      simHashSignatures(newDocs, textCol, idCol))
+      numChunks: Int = 4, maxBucketSize: Int = 100000): DataFrame =
+    simHashIndexPairsFromSigs(
+      graft.TransientCache.persist(
+        simHashSignatures(newDocs, textCol, idCol)),
+      sigIndex, maxDistance, numChunks, maxBucketSize)
+
+  /** Index path from a precomputed batch (id, sig) frame — callers
+    * comparing the index answer against the brute cross scan persist
+    * the batch signatures once and feed both paths (the FromSigs
+    * convention of this family). Id spaces SHOULD be disjoint (an id
+    * in both frames is a re-ingest — dedup against the stale index
+    * row first); self-pairs (ida == idb) are excluded here exactly as
+    * `simHashCrossBruteForce` excludes them, so the completeness
+    * relationship between the two paths holds even under overlap.
+    */
+  def simHashIndexPairsFromSigs(newSigs: DataFrame, sigIndex: DataFrame,
+      maxDistance: Int = 3, numChunks: Int = 4,
+      maxBucketSize: Int = 100000): DataFrame = {
     def chunked(s: DataFrame) = s.select(col("id"),
       explode(simHashChunkKeys(col("sig"), numChunks)).as("ck"))
       .select(col("id"), col("ck.chunk"), col("ck.key"))
@@ -666,6 +681,7 @@ object Dedup {
       .join(cOld.join(okBuckets, Seq("chunk", "key"))
         .select(col("chunk"), col("key"), col("id").as("ida")),
         Seq("chunk", "key"))
+      .filter(col("ida") =!= col("idb"))
       .select(col("ida"), col("idb"))
       .dropDuplicates("ida", "idb")
     cand

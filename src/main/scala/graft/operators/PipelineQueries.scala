@@ -87,11 +87,13 @@ object PipelineQueries {
       val sigIndex = graft.TransientCache.persist(
         Dedup.simHashSignatures(
           docs.filter(col("doc_id") % 10 =!= 0), "text", "doc_id"))
-      val batch = docs.filter(col("doc_id") % 10 === 0)
-      val indexed = Dedup.simHashIndexPairs(batch, sigIndex,
-        "text", "doc_id", maxDistance = 3, numChunks = 4)
+      // batch signatures computed ONCE, feeding both paths (the
+      // FromSigs convention)
       val batchSigs = graft.TransientCache.persist(
-        Dedup.simHashSignatures(batch, "text", "doc_id"))
+        Dedup.simHashSignatures(
+          docs.filter(col("doc_id") % 10 === 0), "text", "doc_id"))
+      val indexed = Dedup.simHashIndexPairsFromSigs(batchSigs, sigIndex,
+        maxDistance = 3, numChunks = 4)
       val brute = Dedup.simHashCrossBruteForce(sigIndex, batchSigs, 3)
       indexed.exceptAll(brute).unionAll(brute.exceptAll(indexed))
         .orderBy("ida", "idb")

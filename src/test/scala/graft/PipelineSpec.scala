@@ -170,11 +170,16 @@ class PipelineSpec extends SparkSpec {
     // the index AT REST is just the signature frame
     val sigIndex = TransientCache.persist(
       Dedup.simHashSignatures(corpus, "text", "doc_id"))
+    // the docs-frame wrapper and the FromSigs form agree
     val got = Dedup.simHashIndexPairs(batch, sigIndex, "text", "doc_id",
       maxDistance = 3, numChunks = 4)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
     val batchSigs = TransientCache.persist(
       Dedup.simHashSignatures(batch, "text", "doc_id"))
+    val fromSigs = Dedup.simHashIndexPairsFromSigs(batchSigs, sigIndex,
+      maxDistance = 3, numChunks = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(got == fromSigs)
     val brute = Dedup.simHashCrossBruteForce(sigIndex, batchSigs, 3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
     assert(got == brute)
@@ -186,6 +191,11 @@ class PipelineSpec extends SparkSpec {
     // an empty batch yields no candidates and no output
     assert(Dedup.simHashIndexPairs(batch.limit(0), sigIndex,
       "text", "doc_id").count() == 0)
+    // re-ingest overlap: a batch id already in the index never pairs
+    // with itself — both paths exclude self-pairs consistently
+    val overlap = Dedup.simHashIndexPairsFromSigs(sigIndex.limit(5),
+      sigIndex, maxDistance = 3, numChunks = 4).collect()
+    overlap.foreach(r => assert(r.getLong(0) != r.getLong(1)))
     TransientCache.releaseAll()
   }
 
