@@ -37,14 +37,22 @@ object Lineage {
       // dirs race, and the last caller silently redirects the
       // other's checkpoints — surface the overwrite instead.
       // getCheckpointDir returns the qualified <dir>/<uuid> path
-      // setCheckpointDir created, so compare its PARENT path against
-      // the requested dir (URI paths, not substrings — a prefix-named
-      // sibling dir must still warn).
+      // setCheckpointDir created, so compare its PARENT against the
+      // requested dir. Compare FULLY-QUALIFIED paths (FileSystem
+      // .makeQualified fills in scheme + authority + working dir), not
+      // just the path component: hdfs://nn/ckpt vs file:/ckpt must
+      // warn, and the same /ckpt on two different namenodes must too.
+      // Qualification needs a FileSystem lookup that can throw on an
+      // unknown scheme; this is warning-only code, so fall back to the
+      // raw-path comparison rather than fail the operator.
+      def qualified(p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
+        scala.util.Try(p.getFileSystem(sc.hadoopConfiguration).makeQualified(p))
+          .getOrElse(p)
       sc.getCheckpointDir
         .filterNot { existing =>
           val parent = new org.apache.hadoop.fs.Path(existing).getParent
           parent != null &&
-            parent.toUri.getPath == new org.apache.hadoop.fs.Path(d).toUri.getPath
+            qualified(parent) == qualified(new org.apache.hadoop.fs.Path(d))
         }
         .foreach(existing => System.err.println(
           s"[graft] overwriting session checkpoint dir $existing with $d — " +

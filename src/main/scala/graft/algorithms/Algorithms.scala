@@ -327,7 +327,10 @@ object Algorithms {
           .persist(StorageLevel.MEMORY_AND_DISK)
       ePart
     }
-    var visited = sources.toDF("id").cut(rel)
+    // distinct BEFORE the first cut (mirrors multiSourceBfs): duplicate
+    // seed ids would duplicate every visited row and inflate the exact
+    // frontier/visited counts the broadcast gating relies on
+    var visited = sources.distinct.toDF("id").cut(rel)
     var frontier = visited
     try {
       var frontierCount = frontier.count()

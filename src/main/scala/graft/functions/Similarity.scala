@@ -339,6 +339,17 @@ object Similarity {
     }
   }
 
+  /** Element count of the `embedding` column, read from ONE row
+    * (`limit(1)` — a single partial partition scan, never the whole
+    * corpus). Used to size `estimatedRows`' error envelope, which
+    * grows with the array length. 0 for an empty frame — callers
+    * must treat that as "no information" (the `max(decisive, …)`
+    * floor already does).
+    */
+  private def probedDim(corpus: DataFrame): Long =
+    corpus.select(org.apache.spark.sql.functions.size(col("embedding")).as("d"))
+      .limit(1).collect().headOption.map(_.getInt(0).toLong).getOrElse(0L)
+
   /** DECISION-GRADE row count without a Spark job, when one exists:
     * the plan's `rowCount` statistic (exact for LocalRelations,
     * catalog-informed under CBO), else — for a plan that is an
@@ -447,8 +458,23 @@ object Similarity {
       knownRows(corpus) match {
         case Some(n) => n <= maxExactRows
         case None => estimatedRows(corpus) match {
-          case Some(n) if n > maxExactRows * decisive => false
           case Some(n) if n <= maxExactRows / decisive => true
+          case Some(n) =>
+            // The estimate's overestimate factor scales with the
+            // embedding DIM (Catalyst prices array<float> as one
+            // element — doc on estimatedRows), so a fixed 64× band
+            // sits INSIDE the error envelope for any dim > 64: a
+            // 384-dim corpus of maxExactRows rows behind a filter
+            // can estimate > 64 × maxExactRows and silently flip to
+            // LSH, dropping pairs. Derive the envelope from the real
+            // dim — one limit(1) probe, O(one row-group) vs the full
+            // count() it lets large corpora skip — with a 4× safety
+            // margin and the old 64× as the floor. A silent flip to
+            // LSH is recall loss; an unnecessary count() is only
+            // latency, so only the LSH direction may skip the count.
+            val factor = math.max(decisive, 4L * probedDim(corpus))
+            if (n > maxExactRows * factor) false
+            else corpus.count() <= maxExactRows
           case _ => corpus.count() <= maxExactRows
         }
       }
