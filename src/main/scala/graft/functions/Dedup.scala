@@ -841,6 +841,33 @@ object Dedup {
     * generation entirely, where the plain join can only cap them
     * via maxDf.
     */
+  /** Measured crossover between the two exact-Jaccard formulations
+    * (sf0.1, identical output, min-of-2): plain self-join 15 s vs
+    * prefix 25 s at t = 0.3; parity ~20-24 s at t = 0.6; prefix wins
+    * above. The driver of the crossover is prefix length
+    * (n − ⌈t·n⌉ + 1 ≈ (1−t)·n): below ~0.6 the prefix covers most of
+    * every doc and the plain join's in-stage partial aggregate wins;
+    * above, candidate exclusion dominates.
+    */
+  val NgramJaccardCrossover = 0.6
+
+  /** Threshold-selected exact n-gram Jaccard pairs: one entry point
+    * that picks [[ngramJaccardPairs]] (in-stage partial-aggregate
+    * self-join) below [[NgramJaccardCrossover]] and
+    * [[ngramJaccardPairsPrefix]] (AllPairs/PPJoin prefix filtering)
+    * at or above it. The two are row-identical (PipelineSpec pins
+    * this on both sides of the crossover), so the choice is pure
+    * plan selection — callers should use this unless they are
+    * explicitly studying one formulation.
+    */
+  def ngramJaccardPairsAuto(df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.3,
+      maxDf: Int = 5000): DataFrame =
+    if (threshold >= NgramJaccardCrossover)
+      ngramJaccardPairsPrefix(df, textCol, idCol, shingleSize, threshold, maxDf)
+    else
+      ngramJaccardPairs(df, textCol, idCol, shingleSize, threshold, maxDf)
+
   def ngramJaccardPairsPrefix(df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, threshold: Double = 0.3,
       maxDf: Int = 5000): DataFrame = {

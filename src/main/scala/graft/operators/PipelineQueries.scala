@@ -99,12 +99,14 @@ object PipelineQueries {
         .orderBy("ida", "idb")
     }),
 
-    // Exact bigram Jaccard pairs ≥ 0.3. maxDf caps shingle document
-    // frequency (stopword-shingle removal) — a no-op at test scale
-    // (max bigram df here is 338) and the quadratic-fan-out guard at
-    // corpus scale; the oracle applies the same cap.
+    // Exact bigram Jaccard pairs ≥ 0.3, through the threshold
+    // selector (t = 0.3 < crossover 0.6 → the partial-aggregate
+    // self-join formulation). maxDf caps shingle document frequency
+    // (stopword-shingle removal) — a no-op at test scale (max bigram
+    // df here is 338) and the quadratic-fan-out guard at corpus
+    // scale; the oracle applies the same cap.
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "text", "doc_id",
+      Dedup.ngramJaccardPairsAuto(Tables.documents(s, dir), "text", "doc_id",
         shingleSize = 2, threshold = 0.3, maxDf = 5000)
         .orderBy("ida", "idb")
     }),

@@ -243,6 +243,8 @@ class PipelineSpec extends SparkSpec {
 
   test("prefix-filtered ngram jaccard equals the plain self-join exactly") {
     val sfDocs = graft.sources.Tables.documents(spark, sf)
+    // one threshold on each side of NgramJaccardCrossover (0.6), so
+    // the selector parity below exercises BOTH branches
     for (t <- Seq(0.3, 0.8)) {
       val plain = Dedup.ngramJaccardPairs(sfDocs, "text", "doc_id",
         shingleSize = 2, threshold = t)
@@ -252,6 +254,18 @@ class PipelineSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(prefix == plain, s"t=$t: ${plain.size} vs ${prefix.size}")
       assert(plain.nonEmpty || t > 0.3)
+      val auto = Dedup.ngramJaccardPairsAuto(sfDocs, "text", "doc_id",
+        shingleSize = 2, threshold = t)
+      val autoRows = auto
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(autoRows == plain, s"t=$t selector output diverged")
+      // the selector must actually SWITCH formulations at the
+      // crossover: only the prefix plan carries the per-doc
+      // row_number window
+      val hasWindow = auto.queryExecution.optimizedPlan.toString
+        .contains("row_number")
+      assert(hasWindow == (t >= Dedup.NgramJaccardCrossover),
+        s"t=$t picked the wrong branch (window=$hasWindow)")
     }
   }
 

@@ -99,6 +99,80 @@ class PropertySpec extends SparkSpec {
     assert(got == expect)
   }
 
+  /** Reference SCC: textbook recursive Tarjan in plain Scala (fine at
+    * this graph size), components labeled by their min member id —
+    * the same convention `stronglyConnectedComponents` emits.
+    */
+  private def tarjanScc(vs: Seq[Long], es: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val idx = scala.collection.mutable.Map.empty[Long, Int]
+    val low = scala.collection.mutable.Map.empty[Long, Int]
+    val onStack = scala.collection.mutable.Set.empty[Long]
+    val stack = scala.collection.mutable.Stack.empty[Long]
+    var next = 0
+    var comps = List.empty[List[Long]]
+    def strong(v: Long): Unit = {
+      idx(v) = next; low(v) = next; next += 1
+      stack.push(v); onStack += v
+      for (w <- adj.getOrElse(v, Nil)) {
+        if (!idx.contains(w)) { strong(w); low(v) = math.min(low(v), low(w)) }
+        else if (onStack(w)) low(v) = math.min(low(v), idx(w))
+      }
+      if (low(v) == idx(v)) {
+        var comp = List.empty[Long]
+        var w = -1L
+        while (w != v) { w = stack.pop(); onStack -= w; comp ::= w }
+        comps ::= comp
+      }
+    }
+    vs.foreach(v => if (!idx.contains(v)) strong(v))
+    comps.flatMap { c => val m = c.min; c.map(_ -> m) }.toMap
+  }
+
+  test("property: SCC equals Tarjan on random graphs") {
+    // random directed graph with planted cycles: base edges plus the
+    // reverse of every third one (guarantees non-trivial SCCs without
+    // collapsing everything into one), across three seeds
+    for (seed <- Seq(42L, 43L, 44L)) {
+      val vN = 22
+      val base = Gen.listOfN(70,
+          Gen.zip(Gen.choose(1L, vN.toLong), Gen.choose(1L, vN.toLong)))
+        .pureApply(Gen.Parameters.default, Seed(seed))
+        .filter { case (a, b) => a != b }.distinct
+      val es = (base ++ base.zipWithIndex.collect {
+        case ((a, b), i) if i % 3 == 0 => (b, a)
+      }).distinct
+      val vs = (1L to vN.toLong)
+      val expect = tarjanScc(vs, es)
+      val got = graft.algorithms.Algorithms.stronglyConnectedComponents(
+          vs.toDF("id"), es.toDF("src", "dst"), numIter = 50)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"seed=$seed")
+    }
+  }
+
+  test("SCC numIter cap: best-effort labels, logged, never silent-wrong peeled rows") {
+    // a singleton-SCC chain 1→2→…→10 peels exactly ONE vertex per
+    // outer round (each round's sole root is the current min id), so
+    // numIter = 3 forces the cap path: peeled {1,2,3} keep exact
+    // labels, and the unpeeled tail keeps the LAST round's forward
+    // fixpoint — computed on remaining = {3..10} before 3 was peeled,
+    // so every leftover carries the merged best-effort label 3
+    val chain = (1L until 10L).map(v => (v, v + 1))
+    val vs = (1L to 10L).toDF("id")
+    val capped = graft.algorithms.Algorithms.stronglyConnectedComponents(
+        vs, chain.toDF("src", "dst"), numIter = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped.keySet == (1L to 10L).toSet)
+    (1L to 3L).foreach(v => assert(capped(v) == v, s"peeled $v"))
+    (4L to 10L).foreach(v => assert(capped(v) == 3L, s"unpeeled $v"))
+    // with the cap lifted the same input matches Tarjan exactly
+    val full = graft.algorithms.Algorithms.stronglyConnectedComponents(
+        vs, chain.toDF("src", "dst"), numIter = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full == tarjanScc(1L to 10L, chain))
+  }
+
   test("property: normalizeDim clamps any long into [0, 2^bits), order-preserving") {
     val cases = sample(Gen.choose(-100000L, 100000L), 400).distinct.sorted
     val df = cases.toDF("v")
