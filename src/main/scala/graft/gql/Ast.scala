@@ -59,6 +59,13 @@ object Ast {
   case class Comparison(left: Expr, op: String, right: Expr) extends Expr
   case class And(l: Expr, r: Expr) extends Expr
   case class Or(l: Expr, r: Expr) extends Expr
+  /** Extensions beyond the reference grammar (its WHERE has no NOT,
+    * IN, or CONTAINS — graph/query/src/lib.rs:238-251); semantics
+    * follow Cypher/SQL three-valued logic.
+    */
+  case class Not(e: Expr) extends Expr
+  case class In(left: Expr, values: Seq[GqlValue]) extends Expr
+  case class Contains(left: Expr, right: Expr) extends Expr
 
   sealed trait ReturnItem
   case object ReturnAll extends ReturnItem

@@ -381,10 +381,11 @@ object GqlExecutor {
             col("__p_hops") === col("__sp_hops") - 1)
           .groupBy(col("__sp_src").as("__d_src"), st("id").as("__d_id"))
           .agg(min(col("__p_id")).as("__d_pred")))
+      import graft.Lineage.CutOps
       var paths = pairs.select(col("__sp_src").as("__w_src"),
         col("id").as("__w_tgt"), array(col("id")).as("__path"),
         col("id").as("__w_cur"))
-      for (_ <- 0 until maxHops) {
+      for (h <- 1 to maxHops) {
         paths = paths.join(bc(detPred),
             col("__w_src") === col("__d_src") &&
               col("__w_cur") === col("__d_id") &&
@@ -395,6 +396,14 @@ object GqlExecutor {
               .otherwise(col("__path")))
           .withColumn("__w_cur", coalesce(col("__d_pred"), col("__w_cur")))
           .drop("__d_src", "__d_id", "__d_pred")
+        // lineage cut every few rounds: without it the loop hands
+        // Catalyst/Janino a maxHops-join-deep plan to re-optimize and
+        // re-codegen at every action (a `*..20` pattern = 20 chained
+        // joins). Every 4th round keeps short join runs inside one
+        // codegen stage while the eager localCheckpoint (the frame is
+        // settled-pairs-sized, bounded by stCnt) resets plan depth to
+        // O(1); the last round always cuts so `out` joins a flat frame.
+        if (h % 4 == 0 || h == maxHops) paths = paths.cut(false)
       }
       out = out.join(bc(paths),
           col("__sp_src") === col("__w_src") &&
@@ -422,6 +431,30 @@ object GqlExecutor {
       variantCompare(col(vcol(v1, "props"))(p1), col(vcol(v2, "props"))(p2), op)
     case Comparison(Literal(a), op, Literal(b)) =>
       lit(cmpLiterals(a, op, b))
+    // Extensions beyond the reference's WHERE (lib.rs:238-251), SQL
+    // three-valued logic throughout:
+    case Not(inner) => !whereCol(inner)
+    // IN = OR-fold of the same per-literal compares a hand-written
+    // `p = v1 OR p = v2 ...` would produce — one codegen'd predicate,
+    // identical NULL behavior (cross-kind → NULL → false unless
+    // another element matches)
+    case In(PropRef(v, p), vals) =>
+      vals.map(x => PropValue.compare(col(vcol(v, "props"))(p), litToValue(x), "="))
+        .reduce(_ || _)
+    case In(Literal(a), vals) =>
+      lit(vals.exists(x => cmpLiterals(a, "=", x)))
+    case In(other, _) =>
+      throw new IllegalArgumentException(s"IN left side must be a property or literal: $other")
+    // CONTAINS is string containment (Cypher semantics): non-string
+    // sides view as NULL → predicate false, mirroring cross-kind
+    // comparisons
+    case Contains(l, r) => containsStrView(l).contains(containsStrView(r))
+  }
+
+  private def containsStrView(e: Expr): Column = e match {
+    case PropRef(v, p) => PropValue.asString(col(vcol(v, "props"))(p))
+    case Literal(GqlString(s)) => lit(s)
+    case _ => lit(null).cast(org.apache.spark.sql.types.StringType)
   }
 
   private def flip(op: String): String = op match {

@@ -93,14 +93,26 @@ object GqlParser extends RegexParsers {
 
   private def cmpOp: Parser[String] = ">=" | "<=" | "!=" | "=" | ">" | "<"
 
+  /** Cypher-style literal list for IN: `[v, v, ...]`, at least one
+    * element (`IN []` is always-false noise — rejected, like Cypher
+    * rejects a bare `IN`).
+    */
+  private def valueList: Parser[Seq[GqlValue]] =
+    "[" ~> rep1sep(value, ",") <~ "]"
+
   private def comparison: Parser[Expr] =
-    operand ~ opt(cmpOp ~ operand) ^^ {
-      case l ~ Some(op ~ r) => Comparison(l, op, r)
+    operand ~ opt(
+      cmpOp ~ operand ^^ { case op ~ r => (l: Expr) => Comparison(l, op, r) } |
+        kw("in") ~> valueList ^^ { vs => (l: Expr) => In(l, vs) } |
+        kw("contains") ~> operand ^^ { r => (l: Expr) => Contains(l, r) }) ^^ {
+      case l ~ Some(mk) => mk(l)
       case l ~ None => l // bare var.prop truthiness (executor.rs:387-391)
     }
 
+  /** NOT binds tighter than AND/OR and nests (`NOT NOT x.p`). */
   private def primary: Parser[Expr] =
-    "(" ~> expr <~ ")" | comparison
+    kw("not") ~> primary ^^ Not.apply |
+      "(" ~> expr <~ ")" | comparison
 
   private def andExpr: Parser[Expr] =
     primary ~ rep(kw("and") ~> primary) ^^ {

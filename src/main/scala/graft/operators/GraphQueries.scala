@@ -76,6 +76,17 @@ object GraphQueries {
         round(dbl(col("c_acctbal")), 4).as("acctbal")).orderBy("name")
     }),
 
+    // P3 extensions (round 7): NOT / IN / CONTAINS in WHERE — the
+    // reference grammar has none of the three (lib.rs:238-251);
+    // semantics are Cypher/SQL three-valued logic, pinned here
+    // against the DuckDB oracle's NOT / IN / LIKE.
+    "gql_where_not_in" -> ((s, dir) => {
+      val r = GqlExecutor.run(g(s, dir),
+        """MATCH (c:Customer) WHERE c.mktsegment IN ["BUILDING", "MACHINERY"] AND NOT c.acctbal < 0.0 AND c.name CONTAINS "0001" RETURN c.name, c.mktsegment""").df
+      r.select(str(col("c_name")).as("name"),
+        str(col("c_mktsegment")).as("mktsegment")).orderBy("name")
+    }),
+
     // J1: single-hop pattern expansion.
     "gql_j1_expand" -> ((s, dir) => {
       val r = GqlExecutor.run(g(s, dir),
@@ -328,6 +339,11 @@ object GraphQueries {
     "gql_p3_and_or" ->
       """SELECT c_name AS name, ROUND(c_acctbal, 4) AS acctbal FROM customer
          WHERE c_acctbal > 9000.0 OR (c_mktsegment = 'MACHINERY' AND c_acctbal < 0.0)
+         ORDER BY name""",
+    "gql_where_not_in" ->
+      """SELECT c_name AS name, c_mktsegment AS mktsegment FROM customer
+         WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+           AND NOT (c_acctbal < 0.0) AND c_name LIKE '%0001%'
          ORDER BY name""",
     "gql_j1_expand" ->
       """SELECT c_name AS name, ROUND(o_totalprice, 4) AS totalprice
