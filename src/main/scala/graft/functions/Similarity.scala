@@ -192,22 +192,33 @@ object Similarity {
     cents
   }
 
-  /** Nearest-cell assignment: argmax over cells of <v, centroid>
-    * (centroids unit-norm, so no per-vector normalization is needed
-    * for the argmax). corpus × nlist rows — nlist is small.
+  /** Nearest-cell assignment plus the assignment QUALITY: cosine of
+    * each vector to its winning centroid (`acos` — centroids are
+    * unit-norm, so cos = dot / |v|). The quality column feeds the
+    * staleness signal in [[ivfStaleness]]; callers that only need the
+    * assignment project it away and Catalyst prunes the norm compute.
     */
-  private def ivfAssign(vecs: DataFrame, centDF: DataFrame): DataFrame = {
+  private def ivfAssignWithCos(vecs: DataFrame, centDF: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = vecs.sparkSession
     val w = Window.partitionBy("vec_id").orderBy(desc("dot"), asc("cid"))
-    vecs.select(col("vec_id"), col("embedding"))
+    vecs.select(col("vec_id"), col("embedding"),
+        VecExpressions.vecNorm(spark, col("embedding")).as("__nrm"))
       .crossJoin(broadcast(centDF))
       .withColumn("dot",
         round(VecExpressions.vecDot(spark, col("embedding"), col("cvec")), 6))
       .withColumn("r", row_number().over(w))
       .filter(col("r") === 1)
-      .select(col("vec_id"), col("cid"))
+      .select(col("vec_id"), col("cid"),
+        when(col("__nrm") > 0, col("dot") / col("__nrm")).as("acos"))
   }
+
+  /** Nearest-cell assignment: argmax over cells of <v, centroid>
+    * (centroids unit-norm, so no per-vector normalization is needed
+    * for the argmax). corpus × nlist rows — nlist is small.
+    */
+  private def ivfAssign(vecs: DataFrame, centDF: DataFrame): DataFrame =
+    ivfAssignWithCos(vecs, centDF).select(col("vec_id"), col("cid"))
 
   /** Top-`nprobe` cells per query vector. */
   private def ivfProbe(queries: DataFrame, centDF: DataFrame, nprobe: Int): DataFrame = {
@@ -259,10 +270,25 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val centDF = ivfCentroids(corpus, nlist, iters).toSeq.toDF("cid", "cvec")
-    val assigned = ivfAssign(corpus, centDF)
-    graft.sources.Sinks.writePartitioned(
-      corpus.join(assigned, "vec_id"), s"$path/corpus", Seq("cid"))
-    centDF.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // local persist (not TransientCache — releasing mid-operator
+    // would drain OTHER operators' registered frames): read twice
+    // below, by the partitioned write and by the fit aggregate
+    val assigned = ivfAssignWithCos(corpus, centDF)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      graft.sources.Sinks.writePartitioned(
+        corpus.join(assigned.select("vec_id", "cid"), "vec_id"),
+        s"$path/corpus", Seq("cid"))
+      centDF.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      // Train-time fit record for the refresh policy (one aggregate
+      // over the cached assignment): how well the model fit its own
+      // training data is the baseline any later batch's assignment
+      // quality is compared against in ivfStaleness.
+      val fit = assigned.agg(count(lit(1)).as("n"), avg("acos").as("c")).head()
+      Seq((fit.getLong(0), fit.getDouble(1), nlist))
+        .toDF("trained_rows", "mean_assign_cos", "nlist")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    } finally assigned.unpersist(blocking = false)
   }
 
   /** Incrementally maintain a persisted IVF index: assign NEW
@@ -287,11 +313,116 @@ object Similarity {
       mode = "append")
   }
 
+  /** Exact per-cell row counts of a persisted IVF index, from parquet
+    * footers only — O(#files) driver-side metadata reads, zero data
+    * I/O, the same no-job statistic `knownRows` serves for flat
+    * tables applied per `cid=<n>/` directory.
+    */
+  def ivfCellCounts(spark: org.apache.spark.sql.SparkSession,
+      path: String): Map[Int, Long] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(s"$path/corpus")
+    val fs = root.getFileSystem(conf)
+    fs.listStatus(root).iterator.filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.startsWith("cid="))
+      .map { dir =>
+        val cnt = fs.listStatus(dir).iterator
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map { f =>
+            val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+            try reader.getRecordCount finally reader.close()
+          }.sum
+        dir.getName.drop(4).toInt -> cnt
+      }.toMap
+  }
+
+  /** Staleness report for a persisted IVF index — the refresh-policy
+    * decision the reference applies to views (view_types.rs:80-96,
+    * threshold-triggered refresh) applied to index maintenance.
+    * `appendToIvfIndex` freezes the centroid model by design; under
+    * distribution drift recall decays SILENTLY (appended vectors
+    * crowd into cells whose boundaries were drawn for old data), so
+    * the index needs a cheap, jobless-where-possible signal that the
+    * model no longer fits:
+    *
+    *  - `grown`: total rows (exact, parquet footers — no job) exceed
+    *    `growthFactor` × the rows the model was trained on;
+    *  - `imbalanced`: the largest cell holds more than
+    *    `imbalanceFactor` × its fair 1/nlist share (footers again) —
+    *    the signature of appends concentrating where the old model
+    *    has no resolution;
+    *  - `drifted`: a probe batch's mean assignment cosine (one
+    *    batch-sized aggregate, the only signal that runs a job —
+    *    batch × nlist dots, never corpus-sized) sits more than
+    *    `driftMargin` below the train-time fit recorded in
+    *    `<path>/meta`.
+    */
+  case class IvfStaleness(trainedRows: Long, totalRows: Long,
+      trainMeanAssignCos: Double, batchMeanAssignCos: Option[Double],
+      maxCellShare: Double, nlist: Int,
+      grown: Boolean, imbalanced: Boolean, drifted: Boolean) {
+    def shouldRetrain: Boolean = grown || imbalanced || drifted
+  }
+
+  def ivfStaleness(spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: Option[DataFrame] = None, growthFactor: Double = 2.0,
+      imbalanceFactor: Double = 4.0, driftMargin: Double = 0.15): IvfStaleness = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val trainedRows = meta.getAs[Long]("trained_rows")
+    val trainCos = meta.getAs[Double]("mean_assign_cos")
+    val nlist = meta.getAs[Int]("nlist")
+    val counts = ivfCellCounts(spark, path)
+    val total = counts.values.sum
+    val maxShare = if (total == 0L) 0.0 else counts.values.max.toDouble / total
+    val batchCos = batch.map { b =>
+      val centDF = spark.read.parquet(s"$path/centroids")
+      ivfAssignWithCos(b, centDF).agg(avg("acos")).head().getDouble(0)
+    }
+    IvfStaleness(trainedRows, total, trainCos, batchCos, maxShare, nlist,
+      grown = total > growthFactor * trainedRows,
+      imbalanced = maxShare > imbalanceFactor / nlist,
+      drifted = batchCos.exists(_ < trainCos - driftMargin))
+  }
+
+  /** Refresh-policy front door: check the incoming batch BEFORE
+    * appending it (drift shows up in the batch's assignment quality
+    * whether or not it has been written yet).
+    */
+  def shouldRetrainIvf(spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: Option[DataFrame] = None, growthFactor: Double = 2.0,
+      imbalanceFactor: Double = 4.0, driftMargin: Double = 0.15): Boolean =
+    ivfStaleness(spark, path, batch, growthFactor, imbalanceFactor,
+      driftMargin).shouldRetrain
+
+  /** Rebuild the index from its own at-rest corpus: fresh k-means,
+    * fresh assignment, fresh fit record. The corpus is materialized
+    * (localCheckpoint) before the overwrite so the rewrite never
+    * reads the files it is replacing. That materialization is
+    * test/modest-index convenience — a 100 TB deployment retrains by
+    * writing a NEW versioned path (`writeIvfIndex(corpus, newPath)`)
+    * and swapping readers, never in place.
+    */
+  def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      nlist: Int = 16, iters: Int = 5): Unit = {
+    val data = graft.sources.Sinks.readPartitioned(spark, s"$path/corpus")
+      .drop("cid").localCheckpoint()
+    writeIvfIndex(data, path, nlist, iters)
+  }
+
   /** ANN top-k against a persisted IVF index. The probed cell ids
-    * (nQueries × nprobe ints — MODEL-sized, like the centroids
-    * themselves, never data) become a literal `cid IN (...)` filter,
-    * so the partitioned corpus scan prunes at the directory level —
-    * assert `PartitionFilters` in the scan node. Candidates then
+    * become a literal `cid IN (...)` filter, so the partitioned
+    * corpus scan prunes at the directory level — assert
+    * `PartitionFilters` in the scan node.
+    *
+    * The driver-side collect below is bounded by the MODEL, not the
+    * batch: it runs on `probes.select("cid").distinct()`, and there
+    * are only nlist distinct cell ids in existence, so the collect
+    * returns ≤ nlist ints whether the batch holds ten queries or ten
+    * million (a million-query batch changes the DISTRIBUTED probe
+    * frame's size, never this driver list — pinned by a large-batch
+    * PipelineSpec case). The per-query probe pairs themselves stay in
+    * the persisted `probes` frame and never reach the driver. Candidates then
     * restrict to each query's own cells via the probe join, and the
     * exact FloatVecDot rerank keeps top-k, identical to `ivfTopK`'s
     * in-memory tail.

@@ -223,6 +223,134 @@ class PlanSpec extends SparkSpec {
     assert(top.collect().toSet == full.collect().toSet)
   }
 
+  // deterministic clustered vectors for the IVF lifecycle specs:
+  // fixed-seed LCG, cluster = center + jitter per dim
+  private def clusteredVecs(idFrom: Long, n: Int, center: Array[Double],
+      jitter: Double, seed0: Long): Seq[(Long, Array[Float])] = {
+    var seed = seed0
+    def next(): Double = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 40) % 2000).toDouble / 1000.0 - 1.0
+    }
+    (idFrom until idFrom + n).map(i =>
+      (i, center.map(c => (c + jitter * next()).toFloat)))
+  }
+  private val ivfE1 = Array(1.0, 0, 0, 0, 0, 0, 0, 0)
+  private val ivfE2 = Array(0.0, 1, 0, 0, 0, 0, 0, 0)
+  private val ivfE3 = Array(0.0, 0, 1, 0, 0, 0, 0, 0)
+
+  test("ivf refresh policy: drift fires, recall decays frozen and recovers on retrain") {
+    import spark.implicits._
+    val S = graft.functions.Similarity
+    // train on two clusters (e1 × 250, e2 × 150); drift to e3 —
+    // orthogonal to everything the model saw
+    val clusterA = clusteredVecs(1L, 250, ivfE1, 0.15, 7L)
+    val clusterB = clusteredVecs(251L, 150, ivfE2, 0.15, 11L)
+    val inDist = clusteredVecs(401L, 50, ivfE1, 0.15, 13L)
+    val drifted = clusteredVecs(501L, 200, ivfE3, 0.15, 17L)
+    def df(rows: Seq[(Long, Array[Float])]) = rows.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_refresh").toString
+    S.writeIvfIndex(df(clusterA ++ clusterB), dir, nlist = 3, iters = 4)
+
+    // footer cell counts are exact and jobless: they sum to the corpus
+    val counts = S.ivfCellCounts(spark, dir)
+    assert(counts.values.sum == 400L, counts)
+
+    // an in-distribution batch does NOT trigger (fit ≈ train fit)
+    val stIn = S.ivfStaleness(spark, dir, Some(df(inDist)))
+    assert(!stIn.shouldRetrain, stIn)
+    assert(stIn.batchMeanAssignCos.get > stIn.trainMeanAssignCos - 0.05, stIn)
+
+    // the drifted batch fires BEFORE it is appended — assignment
+    // quality collapses (measured 0.056 vs 0.974 train fit)
+    val stDrift = S.ivfStaleness(spark, dir, Some(df(drifted)))
+    assert(stDrift.drifted && stDrift.shouldRetrain, stDrift)
+    assert(stDrift.batchMeanAssignCos.get < 0.5, stDrift)
+
+    // append anyway (the frozen-model contract), measure the decay:
+    // drifted neighbors scatter across cells drawn for old data
+    S.appendToIvfIndex(df(drifted), dir)
+    assert(S.ivfCellCounts(spark, dir).values.sum == 600L)
+    // growth signal, exercised via its threshold: 600 > 1.4 × 400
+    val stGrown = S.ivfStaleness(spark, dir, growthFactor = 1.4)
+    assert(stGrown.grown && stGrown.shouldRetrain, stGrown)
+    assert(!S.ivfStaleness(spark, dir).shouldRetrain) // default 2.0: not yet
+
+    val queries = df(drifted.take(20))
+    val full = df(clusterA ++ clusterB ++ drifted)
+    val truth = S.bruteForceTopK(full, queries, 10)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(): Double = {
+      val got = S.ivfTopKFromIndex(spark, dir, queries, 10, nprobe = 1)
+        .select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    val stale = recall() // measured 0.72
+    assert(stale < 0.9, s"stale recall $stale")
+
+    // retrain: fresh k-means gives the e3 cluster its own cell;
+    // the same nprobe=1 probe now sees every drifted neighbor
+    S.retrainIvfIndex(spark, dir, nlist = 3, iters = 4)
+    val recovered = recall() // measured 1.0
+    assert(recovered > 0.95, s"recovered recall $recovered")
+    assert(recovered > stale)
+    // the fit record was refreshed with the retrain
+    val stAfter = S.ivfStaleness(spark, dir)
+    assert(stAfter.trainedRows == 600L && !stAfter.shouldRetrain, stAfter)
+  }
+
+  test("ivf refresh policy: imbalance signal fires independently of growth/drift") {
+    import spark.implicits._
+    val S = graft.functions.Similarity
+    val clusterA = clusteredVecs(1L, 250, ivfE1, 0.15, 7L)
+    val clusterB = clusteredVecs(251L, 150, ivfE2, 0.15, 11L)
+    def df(rows: Seq[(Long, Array[Float])]) = rows.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_imb").toString
+    S.writeIvfIndex(df(clusterA ++ clusterB), dir, nlist = 8, iters = 4)
+    // a tight 1.5×-corpus batch at the e1 center is IN distribution
+    // (assign cos ≈ train fit → drift silent) but concentrates into
+    // the few cells covering that center
+    val concentrated = clusteredVecs(2001L, 600, ivfE1, 0.01, 23L)
+    assert(!S.ivfStaleness(spark, dir, Some(df(concentrated))).drifted)
+    S.appendToIvfIndex(df(concentrated), dir)
+    // measured max cell share 0.301 vs fair 1/8 = 0.125: the
+    // imbalance threshold isolates the signal (growth bound lifted)
+    val st = S.ivfStaleness(spark, dir, growthFactor = 10.0,
+      imbalanceFactor = 2.0)
+    assert(st.imbalanced && !st.grown && !st.drifted, st)
+    assert(st.shouldRetrain)
+    assert(st.maxCellShare > 2.0 / 8 && st.maxCellShare < 0.5, st)
+  }
+
+  test("ivf probe driver collect stays model-bounded for a 20k-query batch") {
+    import spark.implicits._
+    val S = graft.functions.Similarity
+    val clusterA = clusteredVecs(1L, 250, ivfE1, 0.15, 7L)
+    val clusterB = clusteredVecs(251L, 150, ivfE2, 0.15, 11L)
+    def df(rows: Seq[(Long, Array[Float])]) = rows.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_big").toString
+    S.writeIvfIndex(df(clusterA ++ clusterB), dir, nlist = 8, iters = 4)
+    // 20k queries: the per-query probe pairs (20k × nprobe) live in
+    // the distributed probes frame; the only driver-side list is
+    // distinct cids, which cannot exceed nlist no matter the batch
+    val big = df(clusteredVecs(100001L, 10000, ivfE1, 0.2, 29L) ++
+      clusteredVecs(200001L, 10000, ivfE2, 0.2, 31L))
+    val top = S.ivfTopKFromIndex(spark, dir, big, 3, nprobe = 2)
+    val plan = top.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*cid[^\\]]*\\]".r.findFirstIn(plan)
+    assert(pf.isDefined, plan.take(1500))
+    // the IN-list literal count in the partition filter ≤ nlist = 8
+    val inList = "IN \\(([^)]*)\\)".r.findFirstMatchIn(pf.get)
+    assert(inList.isDefined, pf.get)
+    assert(inList.get.group(1).count(_ == ',') + 1 <= 8, pf.get)
+    val rows = top.groupBy("query_id").count()
+      .agg(max("count"), count(lit(1))).head()
+    assert(rows.getLong(0) <= 3L) // k respected per query
+    assert(rows.getLong(1) == 20000L) // every query answered
+  }
+
   test("curation pack plan quality: rank windows group-limit, no cartesians") {
     import graft.operators.CurationQueries
     // WindowGroupLimit pushes the rank<=k filter below the sort —

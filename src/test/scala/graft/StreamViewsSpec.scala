@@ -328,6 +328,69 @@ class StreamViewsSpec extends SparkSpec {
     assert(got == Seq(("a", 2L, 4.0), ("b", 1L, 2.0), ("c", 1L, 7.0)))
   }
 
+  test("restart from checkpoint: failed batch re-delivers, merge stays exactly-once") {
+    // The §3.3 exactly-once story, exercised across a REAL restart:
+    // a file-source stream maintains an agg view via IdempotentMerge;
+    // the handler applies micro-batch 1's merge and then dies BEFORE
+    // Spark commits that batch, so the restarted query (same
+    // checkpoint dir) re-delivers batch 1 with the same batchId —
+    // without the applied-id dedup the view would double-count.
+    val stage = java.nio.file.Files.createTempDirectory("graft_restart_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_restart_ck").toString
+    def writeDelta(name: String, rows: Seq[(String, String, Double)]): Unit =
+      rows.toDF("op", "g", "value").coalesce(1)
+        .write.parquet(stage.resolve(name).toString)
+    writeDelta("d0", Seq(("add", "a", 3.0)))
+    writeDelta("d1", Seq(("add", "c", 7.0)))
+    writeDelta("d2", Seq(("remove", "a", 5.0)))
+
+    val base = Seq(("a", 1.0), ("a", 5.0), ("b", 2.0)).toDF("g", "value")
+    val m = new IdempotentMerge(Views.initAggState(base, Seq("g")))
+    val delivered = scala.collection.concurrent.TrieMap.empty[Long, Int]
+    @volatile var failedOnce = false
+    def handler(batch: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      delivered.updateWith(id) { c => Some(c.getOrElse(0) + 1) }
+      m.apply(batch, id)(Views.mergeAggDelta(_, _, Seq("g")))
+      if (id == 1L && !failedOnce) {
+        failedOnce = true
+        throw new RuntimeException("injected mid-batch failure")
+      }
+    }
+    val schema = base.sparkSession.createDataFrame(
+      Seq(("add", "a", 0.0))).toDF("op", "g", "value").schema
+    def startQ() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString + "/*")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(handler _)
+      .start()
+
+    val q1 = startQ()
+    try q1.processAllAvailable()
+    catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+    assert(q1.exception.isDefined, "first run must die mid-batch")
+
+    val q2 = startQ()
+    q2.processAllAvailable()
+    q2.stop()
+
+    // batch 1 was delivered to the handler in BOTH runs (uncommitted
+    // → retried with the same id), and the dedup absorbed the retry
+    assert(delivered(1L) == 2, delivered)
+    assert(m.appliedIds == Set(0L, 1L, 2L), m.appliedIds)
+    val got = m.state.orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    // equals the batch recompute over base + all deltas:
+    // a: {1,3} cnt2 sum4 ; b: {2} ; c: {7}
+    val recompute = Views.initAggState(
+      base.unionByName(Seq(("a", 3.0), ("c", 7.0)).toDF("g", "value"))
+        .join(Seq(("a", 5.0)).toDF("g", "value"), Seq("g", "value"), "left_anti"),
+      Seq("g")).orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == recompute, s"$got vs $recompute")
+  }
+
   test("idempotent merge: re-delivered batchId is a no-op (exactly-once)") {
     val init = Views.initAggState(Seq(("a", 1.0)).toDF("g", "value"), Seq("g"))
     val m = new IdempotentMerge(init)
