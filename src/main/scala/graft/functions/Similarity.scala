@@ -285,7 +285,11 @@ object Similarity {
       // training data is the baseline any later batch's assignment
       // quality is compared against in ivfStaleness.
       val fit = assigned.agg(count(lit(1)).as("n"), avg("acos").as("c")).head()
-      Seq((fit.getLong(0), fit.getDouble(1), nlist))
+      // a degenerate corpus (empty, or all-zero-norm vectors) has no
+      // fit: record 1.0 — vacuously perfect, so the first real batch's
+      // quality drives the drift signal instead of an NPE here
+      val fitCos = if (fit.isNullAt(1)) 1.0 else fit.getDouble(1)
+      Seq((fit.getLong(0), fitCos, nlist))
         .toDF("trained_rows", "mean_assign_cos", "nlist")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     } finally assigned.unpersist(blocking = false)
@@ -326,16 +330,24 @@ object Similarity {
     fs.listStatus(root).iterator.filter(_.isDirectory)
       .map(_.getPath).filter(_.getName.startsWith("cid="))
       .map { dir =>
-        val cnt = fs.listStatus(dir).iterator
+        val files = fs.listStatus(dir).iterator
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .map { f =>
-            val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
-            try reader.getRecordCount finally reader.close()
-          }.sum
-        dir.getName.drop(4).toInt -> cnt
+          .map(_.getPath).toSeq
+        dir.getName.drop(4).toInt -> sumFooterRows(files, conf)
       }.toMap
   }
+
+  /** Sum of parquet footer record counts — the shared metadata-only
+    * primitive behind both `footerRowCount` (flat tables) and
+    * `ivfCellCounts` (per-cell directories).
+    */
+  private def sumFooterRows(files: Iterable[org.apache.hadoop.fs.Path],
+      conf: org.apache.hadoop.conf.Configuration): Long =
+    files.iterator.map { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      try reader.getRecordCount finally reader.close()
+    }.sum
 
   /** Staleness report for a persisted IVF index — the refresh-policy
     * decision the reference applies to views (view_types.rs:80-96,
@@ -368,22 +380,43 @@ object Similarity {
   def ivfStaleness(spark: org.apache.spark.sql.SparkSession, path: String,
       batch: Option[DataFrame] = None, growthFactor: Double = 2.0,
       imbalanceFactor: Double = 4.0, driftMargin: Double = 0.15): IvfStaleness = {
-    val meta = spark.read.parquet(s"$path/meta").head()
+    val meta = readIvfMeta(spark, path)
     val trainedRows = meta.getAs[Long]("trained_rows")
     val trainCos = meta.getAs[Double]("mean_assign_cos")
     val nlist = meta.getAs[Int]("nlist")
     val counts = ivfCellCounts(spark, path)
     val total = counts.values.sum
-    val maxShare = if (total == 0L) 0.0 else counts.values.max.toDouble / total
-    val batchCos = batch.map { b =>
+    val maxShare = if (total == 0L) 0.0
+      else counts.values.max.toDouble / total
+    // an empty probe batch (routine between appends) or one of
+    // all-zero-norm vectors has no assignment quality: no signal,
+    // not an NPE — batchMeanAssignCos stays None and drift is silent
+    val batchCos = batch.flatMap { b =>
       val centDF = spark.read.parquet(s"$path/centroids")
-      ivfAssignWithCos(b, centDF).agg(avg("acos")).head().getDouble(0)
+      val row = ivfAssignWithCos(b, centDF).agg(avg("acos")).head()
+      if (row.isNullAt(0)) None else Some(row.getDouble(0))
     }
     IvfStaleness(trainedRows, total, trainCos, batchCos, maxShare, nlist,
       grown = total > growthFactor * trainedRows,
       imbalanced = maxShare > imbalanceFactor / nlist,
       drifted = batchCos.exists(_ < trainCos - driftMargin))
   }
+
+  /** The `<path>/meta` fit record, with an explanatory failure for
+    * indexes written before the record existed (`appendToIvfIndex` /
+    * `ivfTopKFromIndex` still serve them; only the refresh policy
+    * needs the baseline, and one retrain/rewrite backfills it).
+    */
+  private def readIvfMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.spark.sql.Row =
+    try spark.read.parquet(s"$path/meta").head()
+    catch { case scala.util.control.NonFatal(e) =>
+      throw new IllegalStateException(
+        s"IVF index at $path has no readable fit record ($path/meta) — " +
+          "it predates the refresh policy or the write was interrupted. " +
+          "Queries and appends still work; run retrainIvfIndex (or " +
+          "writeIvfIndex over the corpus) once to backfill the record.", e)
+    }
 
   /** Refresh-policy front door: check the incoming batch BEFORE
     * appending it (drift shows up in the batch's assignment quality
@@ -396,18 +429,25 @@ object Similarity {
       driftMargin).shouldRetrain
 
   /** Rebuild the index from its own at-rest corpus: fresh k-means,
-    * fresh assignment, fresh fit record. The corpus is materialized
-    * (localCheckpoint) before the overwrite so the rewrite never
-    * reads the files it is replacing. That materialization is
-    * test/modest-index convenience — a 100 TB deployment retrains by
-    * writing a NEW versioned path (`writeIvfIndex(corpus, newPath)`)
-    * and swapping readers, never in place.
+    * fresh assignment, fresh fit record. `nlist = 0` (the default)
+    * reuses the nlist recorded at train time — a default-argument
+    * retrain must not silently reshape the model (cell count feeds
+    * the imbalance threshold and the nprobe/nlist recall trade).
+    * The corpus is materialized (localCheckpoint) before the
+    * overwrite so the rewrite never reads the files it is replacing.
+    * That materialization is test/modest-index convenience — a
+    * 100 TB deployment retrains by writing a NEW versioned path
+    * (`writeIvfIndex(corpus, newPath)`) and swapping readers, never
+    * in place.
     */
   def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      nlist: Int = 16, iters: Int = 5): Unit = {
+      nlist: Int = 0, iters: Int = 5): Unit = {
+    val effectiveNlist =
+      if (nlist > 0) nlist
+      else readIvfMeta(spark, path).getAs[Int]("nlist")
     val data = graft.sources.Sinks.readPartitioned(spark, s"$path/corpus")
       .drop("cid").localCheckpoint()
-    writeIvfIndex(data, path, nlist, iters)
+    writeIvfIndex(data, path, effectiveNlist, iters)
   }
 
   /** ANN top-k against a persisted IVF index. The probed cell ids
@@ -513,13 +553,9 @@ object Similarity {
               org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] =>
             try {
               val conf = fs.sparkSession.sessionState.newHadoopConf()
-              val counts = fs.location.inputFiles.map { f =>
-                val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-                  org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-                    new org.apache.hadoop.fs.Path(f), conf))
-                try reader.getRecordCount finally reader.close()
-              }
-              Some(counts.sum)
+              Some(sumFooterRows(
+                fs.location.inputFiles.toSeq
+                  .map(new org.apache.hadoop.fs.Path(_)), conf))
             } catch { case scala.util.control.NonFatal(_) => None }
           case _ => None
         }

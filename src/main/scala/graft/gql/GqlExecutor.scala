@@ -430,7 +430,7 @@ object GqlExecutor {
     case Comparison(PropRef(v1, p1), op, PropRef(v2, p2)) =>
       variantCompare(col(vcol(v1, "props"))(p1), col(vcol(v2, "props"))(p2), op)
     case Comparison(Literal(a), op, Literal(b)) =>
-      lit(cmpLiterals(a, op, b))
+      threeValued(cmpLiteralsOpt(a, op, b))
     // Extensions beyond the reference's WHERE (lib.rs:238-251), SQL
     // three-valued logic throughout:
     case Not(inner) => !whereCol(inner)
@@ -441,8 +441,16 @@ object GqlExecutor {
     case In(PropRef(v, p), vals) =>
       vals.map(x => PropValue.compare(col(vcol(v, "props"))(p), litToValue(x), "="))
         .reduce(_ || _)
+    // literal-side folds mirror the prop-side OR-fold's 3VL exactly
+    // (true > NULL > false), so `NOT (1 IN ["a"])` filters the same
+    // rows as `NOT (v.p IN ["a"])` with v.p holding int 1 — both
+    // NULL, never a two-valued `false` the NOT would flip
     case In(Literal(a), vals) =>
-      lit(vals.exists(x => cmpLiterals(a, "=", x)))
+      val cmps = vals.map(x => cmpLiteralsOpt(a, "=", x))
+      threeValued(
+        if (cmps.contains(Some(true))) Some(true)
+        else if (cmps.contains(None)) None
+        else Some(false))
     case In(other, _) =>
       throw new IllegalArgumentException(s"IN left side must be a property or literal: $other")
     // CONTAINS is string containment (Cypher semantics): non-string
@@ -477,7 +485,11 @@ object GqlExecutor {
     coalesce(numeric, strings, bools)
   }
 
-  private def cmpLiterals(a: GqlValue, op: String, b: GqlValue): Boolean = {
+  /** Literal-vs-literal comparison with the same coercion table as
+    * the Column paths; None = incomparable kinds, the driver-side
+    * spelling of the NULL a cross-kind Column compare produces.
+    */
+  private def cmpLiteralsOpt(a: GqlValue, op: String, b: GqlValue): Option[Boolean] = {
     val ord: Option[Int] = (a, b) match {
       case (GqlInt(x), GqlInt(y)) => Some(x.compare(y))
       case (GqlInt(x), GqlFloat(y)) => Some(x.toDouble.compare(y))
@@ -487,7 +499,7 @@ object GqlExecutor {
       case (GqlBool(x), GqlBool(y)) => Some(x.compare(y))
       case _ => None
     }
-    ord.exists { c =>
+    ord.map { c =>
       op match {
         case "=" => c == 0
         case "!=" => c != 0
@@ -497,6 +509,12 @@ object GqlExecutor {
         case ">=" => c >= 0
       }
     }
+  }
+
+  /** Three-valued driver constant → Column (None = SQL NULL). */
+  private def threeValued(v: Option[Boolean]): Column = v match {
+    case Some(b) => lit(b)
+    case None => lit(null).cast(org.apache.spark.sql.types.BooleanType)
   }
 
   /** P4: RETURN projection (executor.rs:467-518). Bare `RETURN var`

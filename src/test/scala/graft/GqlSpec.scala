@@ -188,6 +188,15 @@ class GqlSpec extends SparkSpec {
     val crossKind = GqlExecutor.run(fixture,
       """MATCH (v:Person) WHERE v.name IN [1, 2] RETURN v.name""").df
     assert(crossKind.count() == 0)
+    // literal-side 3VL mirrors the prop side under NOT: a cross-kind
+    // literal IN is NULL (not a two-valued false), so its negation
+    // still filters every row — same as the v.name form above
+    val litNull = GqlExecutor.run(fixture,
+      """MATCH (v:Person) WHERE NOT 1 IN ["a"] RETURN v.name""").df
+    assert(litNull.count() == 0)
+    val propNull = GqlExecutor.run(fixture,
+      """MATCH (v:Person) WHERE NOT v.name IN [1] RETURN v.name""").df
+    assert(propNull.count() == 0)
   }
 
   test("WHERE CONTAINS: string containment; non-string sides are false") {

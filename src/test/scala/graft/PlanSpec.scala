@@ -291,8 +291,10 @@ class PlanSpec extends SparkSpec {
     assert(stale < 0.9, s"stale recall $stale")
 
     // retrain: fresh k-means gives the e3 cluster its own cell;
-    // the same nprobe=1 probe now sees every drifted neighbor
-    S.retrainIvfIndex(spark, dir, nlist = 3, iters = 4)
+    // the same nprobe=1 probe now sees every drifted neighbor.
+    // nlist deliberately omitted — the default reuses the recorded
+    // train-time nlist (3), never silently reshaping the model
+    S.retrainIvfIndex(spark, dir, iters = 4)
     val recovered = recall() // measured 1.0
     assert(recovered > 0.95, s"recovered recall $recovered")
     assert(recovered > stale)
