@@ -173,6 +173,111 @@ class PropertySpec extends SparkSpec {
     assert(full == tarjanScc(1L to 10L, chain))
   }
 
+  test("property: weighted sssp equals a reference Dijkstra on random graphs") {
+    // random weighted directed graph; the Pregel relaxation loop must
+    // agree with a textbook driver-side Dijkstra on every distance
+    val vN = 20
+    val raw = sample(Gen.zip(Gen.zip(Gen.choose(1L, vN.toLong),
+      Gen.choose(1L, vN.toLong)), Gen.choose(1, 9)), 55)
+      .collect { case ((a, b), w) if a != b => (a, b, w / 2.0) }
+      .distinctBy(e => (e._1, e._2))
+    val adj = raw.groupBy(_._1)
+      .map { case (k, v) => k -> v.map(e => (e._2, e._3)) }
+    def refDijkstra(s: Long): Map[Long, Double] = {
+      val dist = scala.collection.mutable.Map(s -> 0.0)
+      val done = scala.collection.mutable.Set.empty[Long]
+      while (done.size < dist.size) {
+        val (u, du) = dist.iterator.filterNot(kv => done(kv._1)).minBy(_._2)
+        done += u
+        adj.getOrElse(u, Nil).foreach { case (v, w) =>
+          if (du + w < dist.getOrElse(v, Double.PositiveInfinity))
+            dist(v) = du + w
+        }
+      }
+      dist.toMap
+    }
+    val vs = (1L to vN.toLong).toDF("id")
+    val es = raw.toDF("src", "dst", "weight")
+    for (source <- Seq(1L, 7L)) {
+      val got = graft.algorithms.Algorithms.sssp(vs, es, source)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1))
+        .filter(_._2.isFinite).toMap
+      assert(got == refDijkstra(source), s"source=$source")
+    }
+  }
+
+  test("property: kCore equals a reference peel loop on random graphs") {
+    val vN = 18
+    val es = sample(Gen.zip(Gen.choose(1L, vN.toLong), Gen.choose(1L, vN.toLong)), 70)
+      .collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    def refCore(k: Int): Map[Long, Long] = {
+      // iteratively drop vertices with incident-edge count < k
+      var edges = es
+      var changed = true
+      while (changed) {
+        val deg = edges.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).map { case (v, o) => v -> o.size.toLong }
+        val bad = deg.filter(_._2 < k).keySet
+        changed = bad.nonEmpty
+        edges = edges.filterNot(e => bad(e._1) || bad(e._2))
+      }
+      edges.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (v, o) => v -> o.size.toLong }
+    }
+    for (k <- Seq(2, 3)) {
+      val got = graft.algorithms.Algorithms.kCore(es.toDF("src", "dst"), k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == refCore(k), s"k=$k")
+    }
+  }
+
+  test("property: triangles equal brute-force triple enumeration") {
+    val vN = 16
+    val es = sample(Gen.zip(Gen.choose(1L, vN.toLong), Gen.choose(1L, vN.toLong)), 80)
+      .collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val eSet = es.toSet
+    val expect = (for {
+      (a, b) <- es
+      c <- (b + 1) to vN.toLong
+      if eSet((b, c)) && eSet((a, c))
+    } yield (a, b, c)).toSet
+    val got = graft.algorithms.Algorithms.triangles(es.toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+    assert(expect.nonEmpty) // the generated graph must exercise the join
+  }
+
+  test("property: pageRank equals a plain power iteration (reference recurrence)") {
+    // the reference's exact recurrence: init 1/n, update
+    // (1-d)/n + d * sum(score/outdeg), NO dangling redistribution,
+    // no normalization — any deviation (normalizing, redistributing)
+    // would diverge on a random graph with dangling vertices
+    val vN = 15
+    val es = sample(Gen.zip(Gen.choose(1L, vN.toLong), Gen.choose(1L, vN.toLong)), 40)
+      .filter { case (a, b) => a != b }.distinct
+    val d = 0.85
+    val iters = 10
+    val outDeg = es.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val inNbrs = es.groupBy(_._2).map { case (k, v) => k -> v.map(_._1) }
+    var score = (1L to vN.toLong).map(_ -> 1.0 / vN).toMap
+    for (_ <- 1 to iters) {
+      score = score.map { case (v, _) =>
+        val in = inNbrs.getOrElse(v, Nil)
+          .map(u => score(u) / outDeg(u)).sum
+        v -> ((1 - d) / vN + d * in)
+      }
+    }
+    val got = graft.algorithms.Algorithms.pageRank(
+        (1L to vN.toLong).toDF("id"), es.toDF("src", "dst"), d, iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == score.keySet)
+    score.foreach { case (v, s) =>
+      assert(math.abs(got(v) - s) < 1e-9, s"v=$v ref=$s got=${got(v)}")
+    }
+  }
+
   test("property: normalizeDim clamps any long into [0, 2^bits), order-preserving") {
     val cases = sample(Gen.choose(-100000L, 100000L), 400).distinct.sorted
     val df = cases.toDF("v")
