@@ -402,8 +402,12 @@ object GqlExecutor {
         // joins). Every 4th round keeps short join runs inside one
         // codegen stage while the eager localCheckpoint (the frame is
         // settled-pairs-sized, bounded by stCnt) resets plan depth to
-        // O(1); the last round always cuts so `out` joins a flat frame.
-        if (h % 4 == 0 || h == maxHops) paths = paths.cut(false)
+        // O(1). No cut outside the multiples — the tail (≤ 3 joins)
+        // rides into `out`'s plan for free, so the common `*..3`
+        // pattern pays NO materialization at all (measured: an
+        // unconditional last-round cut cost gql_shortest_path
+        // 2.9 → 3.7 s at sf0.1 for zero depth benefit).
+        if (h % 4 == 0) paths = paths.cut(false)
       }
       out = out.join(bc(paths),
           col("__sp_src") === col("__w_src") &&

@@ -111,6 +111,17 @@ object PipelineQueries {
         .orderBy("ida", "idb")
     }),
 
+    // The selector's OTHER branch under its own oracle: t = 0.8 ≥ the
+    // 0.6 crossover routes to the AllPairs/PPJoin prefix-filtered
+    // formulation, so both exact-Jaccard plans carry independent
+    // DuckDB parity (the t = 0.3 query can only ever exercise the
+    // plain self-join).
+    "dedup_ngram_jaccard_prefix" -> ((s, dir) => {
+      Dedup.ngramJaccardPairsAuto(Tables.documents(s, dir), "text", "doc_id",
+        shingleSize = 2, threshold = 0.8, maxDf = 5000)
+        .orderBy("ida", "idb")
+    }),
+
     // Near-dup cluster resolution: exact-verified minhash pairs →
     // connected components → canonical survivor per cluster; every
     // doc maps to its canonical id (itself outside any cluster).
@@ -560,6 +571,7 @@ object PipelineQueries {
       s"""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
           FROM documents GROUP BY $normText ORDER BY doc_id""",
     "dedup_ngram_jaccard" -> bigramJaccardSql(0.3, 5000),
+    "dedup_ngram_jaccard_prefix" -> bigramJaccardSql(0.8, 5000),
     // Exact-verified operators: LSH/simhash candidate generation has
     // (deterministically) full recall on this corpus, so the exact
     // Jaccard answer is the whole output — see the queries() notes.
