@@ -199,9 +199,11 @@ class PropertySpec extends SparkSpec {
     val vs = (1L to vN.toLong).toDF("id")
     val es = raw.toDF("src", "dst", "weight")
     for (source <- Seq(1L, 7L)) {
+      // no finiteness filter here: sssp documents that unreachable
+      // vertices are DROPPED, so an +Infinity row leaking out must
+      // fail this equality, not be silently stripped
       val got = graft.algorithms.Algorithms.sssp(vs, es, source)
-        .collect().map(r => r.getLong(0) -> r.getDouble(1))
-        .filter(_._2.isFinite).toMap
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
       assert(got == refDijkstra(source), s"source=$source")
     }
   }
