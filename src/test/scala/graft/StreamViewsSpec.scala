@@ -328,6 +328,48 @@ class StreamViewsSpec extends SparkSpec {
     assert(got == Seq(("a", 2L, 4.0), ("b", 1L, 2.0), ("c", 1L, 7.0)))
   }
 
+  test("count-window state survives a checkpointed restart") {
+    // the flatMapGroupsWithState state store is the OTHER exactly-once
+    // surface beside foreachBatch dedup: windowIndex derives from the
+    // cumulative per-key `seen` counter, so a restart that lost state
+    // would re-emit windowIndex 0 — recovering index 1 proves the
+    // store came back from the checkpoint
+    import CountWindow.{Ev, WindowOut}
+    val stage = java.nio.file.Files.createTempDirectory("graft_cw_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cw_ck").toString
+    def writeEvents(name: String, vals: Seq[Double]): Unit =
+      vals.zipWithIndex.map { case (v, i) =>
+        Ev(1L, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:${i}%02d"), v)
+      }.toDF().coalesce(1).write.parquet(stage.resolve(name).toString)
+    writeEvents("d0", Seq(1.0, 2.0, 3.0))
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[WindowOut]
+    val evSchema = Seq.empty[Ev].toDF().schema
+    def startQ() = CountWindow.countWindowStream(
+        spark.readStream.schema(evSchema).parquet(stage.toString + "/*").as[Ev],
+        maxEvents = 3)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[WindowOut], _: Long) =>
+        got.synchronized { got ++= batch.collect() }
+        ()
+      }.start()
+
+    val q1 = startQ()
+    q1.processAllAvailable()
+    q1.stop()
+    assert(got.toSeq == Seq(WindowOut(1L, 0L, 3, 6.0)), got)
+
+    // second file arrives AFTER the graceful stop; the restarted
+    // query must resume with seen=3 from the state store
+    writeEvents("d1", Seq(4.0, 5.0, 6.0))
+    val q2 = startQ()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(got.toSeq == Seq(WindowOut(1L, 0L, 3, 6.0),
+      WindowOut(1L, 1L, 3, 15.0)), got)
+  }
+
   test("restart from checkpoint: failed batch re-delivers, merge stays exactly-once") {
     // The §3.3 exactly-once story, exercised across a REAL restart:
     // a file-source stream maintains an agg view via IdempotentMerge;
