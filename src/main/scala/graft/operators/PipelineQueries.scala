@@ -263,6 +263,44 @@ object PipelineQueries {
         .orderBy("query_id")
     }),
 
+    // IVF refresh policy as a driver-level contract (view_types.rs
+    // refresh intent applied to index maintenance): train on 90% of
+    // the corpus, then (a) a self-sample probe batch must stay QUIET
+    // on every signal — measured assignment cos within 0.017 of the
+    // recorded fit at every sf vs the 0.15 margin, max cell share
+    // ≤ 0.092 vs the 0.25 threshold — and (b) after the remaining
+    // 10% is appended, the growth signal must fire at a 1.05 factor
+    // (footer-exact arithmetic: total/trained = 10/9 ≈ 1.111 > 1.05)
+    // while drift and imbalance stay silent. Rows are violations,
+    // expected (and oracle'd) empty. The DRIFT signal is deliberately
+    // not exercised on this corpus: it is too diffuse for a safe
+    // margin (fit 0.27-0.34 vs the ~0.225 random-assignment floor of
+    // a 16-centroid model — measured across negated / reversed /
+    // hash-random batches); PlanSpec pins drift on a constructed
+    // clustered corpus where the gap is 0.92.
+    "ann_ivf_refresh" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val path = ivfRefreshDirs.computeIfAbsent(dir, _ =>
+        java.nio.file.Files.createTempDirectory("graft_ivf_rp").toString)
+      Similarity.writeIvfIndex(emb.filter(col("vec_id") % 10 =!= 0), path)
+      val before = Similarity.ivfStaleness(s, path,
+        Some(emb.filter(col("vec_id") % 7 === 0)))
+      val batch = emb.filter(col("vec_id") % 10 === 0)
+      Similarity.appendToIvfIndex(batch, path)
+      val after = Similarity.ivfStaleness(s, path, growthFactor = 1.05)
+      Seq(
+        ("train_fit_must_be_recorded", before.trainedRows == 0L),
+        ("in_dist_must_stay_quiet", before.shouldRetrain),
+        ("append_must_be_visible_in_footers",
+          after.totalRows != before.totalRows + batch.count()),
+        ("growth_must_fire_past_factor", !after.grown),
+        ("growth_must_trigger_retrain", !after.shouldRetrain),
+        ("drift_must_stay_silent_without_batch", after.drifted))
+        .filter(_._2).map(_._1).toDF("violation")
+        .orderBy("violation")
+    }),
+
     // The composed pipeline a curation pass actually ships, end to
     // end in ONE plan: language gate × quality floor → exact-dup
     // survivors (min id per normalized fingerprint) → per-source
@@ -455,6 +493,9 @@ object PipelineQueries {
   private val ivfIncDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private val ivfRefreshDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private[operators] val normText = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
   /** The mixing rate table as a SQL CASE yielding the per-row keep
@@ -640,6 +681,8 @@ object PipelineQueries {
     "ann_ivf_increment" ->
       """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS found
          WHERE FALSE""",
+    "ann_ivf_refresh" ->
+      """SELECT CAST(NULL AS VARCHAR) AS violation WHERE FALSE""",
     "dedup_embedding" ->
       s"""WITH p AS (
             SELECT a.vec_id AS ida, b.vec_id AS idb,
