@@ -9,10 +9,10 @@ import org.apache.spark.sql.functions._
   * batched Pandas UDF: one iterator per partition, amortized setup,
   * executor-local).
   *
-  * Metadata decoding is REAL for PNG and JPEG payloads — a pure-JVM
-  * header parse (`decodeHeader`: PNG IHDR, JPEG SOF marker walk —
-  * public format knowledge, no codec dependency, and all a metadata
-  * pass needs). Payloads that are not image streams fall back to
+  * Metadata decoding is REAL for PNG, JPEG, and WAV payloads — a
+  * pure-JVM header parse (`decodeHeader`: PNG IHDR, JPEG SOF marker
+  * walk; `decodeWavHeader`: RIFF chunk walk — public format
+  * knowledge, no codec dependency, and all a metadata pass needs). Payloads that are not image streams fall back to
   * `decodeStub`, a deterministic fake keyed on payload length, so the
   * Spark-side contract (schema, binary handling, partition batching,
   * null behavior) stays exercised by the synthetic test corpus. Full
@@ -110,6 +110,87 @@ object Multimodal {
         MediaMeta(r.id, w, h, c, r.payload.length.toLong)
       }
     }.toDF()
+  }
+
+  case class AudioMeta(id: Long, sample_rate: Int, channels: Int,
+    bits_per_sample: Int, n_samples: Long, duration_ms: Long, n_bytes: Long)
+
+  /** Real WAV (RIFF) header parse, pure JVM — the audio counterpart
+    * of `decodeHeader`: (sampleRate, channels, bitsPerSample,
+    * dataBytes) for payloads that ARE canonical RIFF/WAVE streams,
+    * None otherwise. Same stance as the image path: public format
+    * knowledge only (RIFF 1991 spec / WAVE PCM), malformed or
+    * truncated streams return None rather than throw.
+    *
+    * Layout walked: "RIFF" u32le "WAVE", then word-aligned chunks of
+    * `<4cc> <u32le size>`; the `fmt ` chunk carries channels u16le @
+    * +10, sample rate u32le @ +12, bits/sample u16le @ +22; the
+    * `data` chunk's DECLARED size is the payload byte count (a
+    * metadata pass reads headers, never the bulk, so a data chunk
+    * larger than the in-hand slice still reports its declared size —
+    * exactly what a object-store range-read of the first KB yields).
+    */
+  def decodeWavHeader(p: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def u8(i: Int): Int = p(i) & 0xFF
+    def u16le(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def u32le(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) |
+        (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int): String =
+      if (i + 4 <= p.length) new String(p, i, 4, "US-ASCII") else ""
+    if (p.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var fmt: Option[(Int, Int, Int)] = None
+    var data: Option[Long] = None
+    var i = 12L
+    while (i + 8 <= p.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = tag(i.toInt)
+      val size = u32le(i.toInt + 4)
+      if (id == "fmt ") {
+        if (size < 16 || i + 8 + 16 > p.length) return None
+        val channels = u16le(i.toInt + 10)
+        val rate = u32le(i.toInt + 12)
+        val bits = u16le(i.toInt + 22)
+        if (channels <= 0 || rate <= 0 || rate > Int.MaxValue || bits <= 0)
+          return None
+        fmt = Some((rate.toInt, channels, bits))
+      } else if (id == "data") {
+        data = Some(size)
+      }
+      i += 8L + size + (size & 1L) // chunks are word-aligned
+    }
+    for { (r, c, b) <- fmt; d <- data } yield (r, c, b, d)
+  }
+
+  /** STUB audio decoder for non-WAV payloads, deterministic from the
+    * payload length (the audio analogue of `decodeStub`).
+    */
+  def decodeAudioStub(payload: Array[Byte]): (Int, Int, Int, Long) = {
+    val n = payload.length
+    (8000 + (n % 8) * 1000, 1 + n % 2, 16, n.toLong)
+  }
+
+  /** Batched audio-metadata decode: real WAV headers parse exactly,
+    * everything else takes the deterministic stub; null payloads are
+    * dropped. Derived fields use integer arithmetic only (exact,
+    * engine-portable): n_samples = dataBytes / blockAlign,
+    * duration_ms = n_samples × 1000 / rate.
+    */
+  def decodeAudioMeta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(binCol).as("payload"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.filter(_.payload != null).map { r =>
+          val (rate, ch, bits, dataBytes) =
+            decodeWavHeader(r.payload).getOrElse(decodeAudioStub(r.payload))
+          val blockAlign = ch.toLong * (bits / 8)
+          val nSamples = if (blockAlign > 0) dataBytes / blockAlign else 0L
+          val durMs = if (rate > 0) nSamples * 1000L / rate else 0L
+          AudioMeta(r.id, rate, ch, bits, nSamples, durMs,
+            r.payload.length.toLong)
+        }
+      }.toDF()
   }
 
   case class Frame(id: Long, frame_idx: Int, frame_offset: Long, n_bytes: Int)

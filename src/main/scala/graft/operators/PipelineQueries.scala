@@ -475,6 +475,18 @@ object PipelineQueries {
         .orderBy("id")
     }),
 
+    // Audio-metadata decode over opaque binary payloads: real WAV
+    // (RIFF) headers parse exactly (byte-level spec in PipelineSpec);
+    // the synthetic text payloads take the deterministic stub, whose
+    // integer arithmetic the oracle mirrors — pinning the schema,
+    // null handling, and derived-field math of the audio path.
+    "mm_audio_meta" -> ((s, dir) => {
+      val withBin = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.decodeAudioMeta(withBin, "doc_id", "payload")
+        .orderBy("id")
+    }),
+
     // Multimodal frame sampling: every 2nd 256-byte frame of each
     // payload becomes a row — the 1→N expansion of a video pipeline,
     // per-partition flatMap, deterministic from payload length.
@@ -834,6 +846,22 @@ object PipelineQueries {
            CAST(32 + (strlen(text) // 32) % 32 AS INTEGER) AS height,
            CAST(3 AS INTEGER) AS channels,
            CAST(strlen(text) AS BIGINT) AS n_bytes
-         FROM documents ORDER BY id"""
+         FROM documents ORDER BY id""",
+    "mm_audio_meta" ->
+      """WITH d AS (SELECT doc_id, strlen(text) AS n FROM documents),
+         s AS (SELECT doc_id, n,
+                 8000 + (n % 8) * 1000 AS rate,
+                 1 + n % 2 AS ch
+               FROM d),
+         t AS (SELECT doc_id, n, rate, ch, n // (ch * 2) AS n_samples
+               FROM s)
+         SELECT doc_id AS id,
+                CAST(rate AS INTEGER) AS sample_rate,
+                CAST(ch AS INTEGER) AS channels,
+                CAST(16 AS INTEGER) AS bits_per_sample,
+                CAST(n_samples AS BIGINT) AS n_samples,
+                CAST((n_samples * 1000) // rate AS BIGINT) AS duration_ms,
+                CAST(n AS BIGINT) AS n_bytes
+         FROM t ORDER BY id"""
   )
 }

@@ -518,4 +518,60 @@ class PipelineSpec extends SparkSpec {
     val (sw, sh, sc) = Multimodal.decodeStub(text)
     assert(meta(3L) == ((sw, sh, sc, text.length.toLong)))
   }
+
+  /** Canonical 44-byte PCM WAV header + `dataBytes` of silence;
+    * `extraChunk` inserts a LIST chunk between fmt and data (chunk
+    * walking must skip unknown chunks, including odd-sized ones that
+    * carry a pad byte).
+    */
+  private def wavBytes(rate: Int, channels: Int, bits: Int, dataBytes: Int,
+      extraChunk: Int = 0): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(
+      44 + dataBytes + (if (extraChunk > 0) 8 + extraChunk + (extraChunk & 1) else 0))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val blockAlign = channels * bits / 8
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(bb.capacity - 8)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * blockAlign).putShort(blockAlign.toShort)
+      .putShort(bits.toShort)
+    if (extraChunk > 0)
+      bb.put("LIST".getBytes("US-ASCII")).putInt(extraChunk)
+        .put(new Array[Byte](extraChunk + (extraChunk & 1)))
+    bb.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+      .put(new Array[Byte](dataBytes))
+    bb.array()
+  }
+
+  test("real WAV header parse: exact rate/channels/bits, stub only for non-audio") {
+    assert(Multimodal.decodeWavHeader(wavBytes(44100, 2, 16, 400))
+      .contains((44100, 2, 16, 400L)))
+    assert(Multimodal.decodeWavHeader(wavBytes(8000, 1, 8, 33))
+      .contains((8000, 1, 8, 33L)))
+    // unknown chunks (odd-sized → padded) between fmt and data skip
+    assert(Multimodal.decodeWavHeader(wavBytes(16000, 1, 16, 64, extraChunk = 7))
+      .contains((16000, 1, 16, 64L)))
+    // malformed: truncated mid-fmt, wrong magic, zero channels — all
+    // None, never a throw
+    assert(Multimodal.decodeWavHeader(wavBytes(44100, 2, 16, 400).take(20)).isEmpty)
+    assert(Multimodal.decodeWavHeader("RIFFxxxxNOPE".getBytes("US-ASCII")).isEmpty)
+    val zeroCh = wavBytes(44100, 2, 16, 4)
+    zeroCh(22) = 0; zeroCh(23) = 0 // channels u16le := 0
+    assert(Multimodal.decodeWavHeader(zeroCh).isEmpty)
+    assert(Multimodal.decodeWavHeader("plain text".getBytes("UTF-8")).isEmpty)
+    // decodeAudioMeta routes per row and derives samples/duration
+    // with integer math: 400 bytes / (2ch × 2B) = 100 samples;
+    // 100 × 1000 / 44100 = 2 ms (integer division)
+    val text = "synthetic audio payload".getBytes("UTF-8")
+    val mixed = Seq((1L, wavBytes(44100, 2, 16, 400)), (2L, text))
+      .toDF("doc_id", "payload")
+    val meta = Multimodal.decodeAudioMeta(mixed, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(meta(1L) == ((44100, 2, 16, 100L, 2L)))
+    val (sr, sch, sb, sd) = Multimodal.decodeAudioStub(text)
+    val sSamples = sd / (sch * (sb / 8))
+    assert(meta(2L) == ((sr, sch, sb, sSamples, sSamples * 1000L / sr)))
+  }
 }
