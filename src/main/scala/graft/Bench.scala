@@ -195,7 +195,14 @@ object Bench {
     // median scheduler jitter from flagging: 11 ms → 60 ms is noise,
     // 11 ms → 360 ms — r6's worst — is contention). Triage rule for
     // the round record: env_flagged swings are environmental;
-    // UNflagged >1.5× swings vs the previous round are plan bugs.
+    // UNflagged swings vs the previous round that are BOTH >1.5× AND
+    // >0.3 s absolute are plan bugs. The absolute floor exists for
+    // the same reason as the 50 ms canary floor: a 0.2 s query's
+    // per-run spread is dominated by job-scheduling jitter that sits
+    // BELOW the canaries' granularity, so a ratio-only rule would
+    // demand root-causing noise (and the r5 variance study's "don't
+    // chase sub-1.5× deltas" guidance applies doubly to sub-second
+    // absolute ones).
     def envThresh(m: Double): Double = 5.0 * m + 0.05
     val envFlagged = results.indices.collect {
       case i if canaries.lift(2 * i).exists(_ > envThresh(canaryMed)) ||

@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
   * Metadata decoding is REAL for PNG, JPEG, and WAV payloads — a
   * pure-JVM header parse (`decodeHeader`: PNG IHDR, JPEG SOF marker
   * walk; `decodeWavHeader`: RIFF chunk walk — public format
-  * knowledge, no codec dependency, and all a metadata pass needs). Payloads that are not image streams fall back to
-  * `decodeStub`, a deterministic fake keyed on payload length, so the
-  * Spark-side contract (schema, binary handling, partition batching,
-  * null behavior) stays exercised by the synthetic test corpus. Full
+  * knowledge, no codec dependency, and all a metadata pass needs).
+  * Payloads that are not recognized media streams fall back to
+  * `decodeStub`/`decodeAudioStub`, deterministic fakes keyed on
+  * payload length, so the Spark-side contract (schema, binary
+  * handling, partition batching, null behavior) stays exercised by
+  * the synthetic test corpus. Full
   * pixel decode / resize / feature extraction remain stand-ins —
   * this container ships no codecs — with the batch-scoped setup
   * points a production codec would slot into.

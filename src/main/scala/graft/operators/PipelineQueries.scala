@@ -245,8 +245,7 @@ object PipelineQueries {
       // writeIvfIndex overwrites the tree, so repeat runs (bench
       // min-of-2 passes, verify, plan lint) rewrite in place instead
       // of leaking a full corpus copy into /tmp per invocation
-      val path = ivfIncDirs.computeIfAbsent(dir, _ =>
-        java.nio.file.Files.createTempDirectory("graft_ivf_inc").toString)
+      val path = scratchRoot(ivfIncDirs, "graft_ivf_inc", dir)
       Similarity.writeIvfIndex(emb.filter(col("vec_id") % 10 =!= 0), path)
       Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 10 === 0), path)
       val queries = emb.filter(col("vec_id") < 10)
@@ -281,14 +280,18 @@ object PipelineQueries {
     "ann_ivf_refresh" -> ((s, dir) => {
       import s.implicits._
       val emb = Tables.embeddings(s, dir)
-      val path = ivfRefreshDirs.computeIfAbsent(dir, _ =>
-        java.nio.file.Files.createTempDirectory("graft_ivf_rp").toString)
+      val path = scratchRoot(ivfRefreshDirs, "graft_ivf_rp", dir)
       Similarity.writeIvfIndex(emb.filter(col("vec_id") % 10 =!= 0), path)
       val before = Similarity.ivfStaleness(s, path,
         Some(emb.filter(col("vec_id") % 7 === 0)))
       val batch = emb.filter(col("vec_id") % 10 === 0)
       Similarity.appendToIvfIndex(batch, path)
-      val after = Similarity.ivfStaleness(s, path, growthFactor = 1.05)
+      // the post-append probe passes a REAL in-distribution batch so
+      // the drift check below is live (drifted can only fire when a
+      // batch is present), and imbalance is asserted explicitly —
+      // growth alone must be what trips shouldRetrain
+      val after = Similarity.ivfStaleness(s, path,
+        Some(emb.filter(col("vec_id") % 7 === 0)), growthFactor = 1.05)
       Seq(
         ("train_fit_must_be_recorded", before.trainedRows == 0L),
         ("in_dist_must_stay_quiet", before.shouldRetrain),
@@ -296,7 +299,8 @@ object PipelineQueries {
           after.totalRows != before.totalRows + batch.count()),
         ("growth_must_fire_past_factor", !after.grown),
         ("growth_must_trigger_retrain", !after.shouldRetrain),
-        ("drift_must_stay_silent_without_batch", after.drifted))
+        ("imbalance_must_stay_silent", after.imbalanced),
+        ("drift_must_stay_silent_in_dist", after.drifted))
         .filter(_._2).map(_._1).toDF("violation")
         .orderBy("violation")
     }),
@@ -499,9 +503,18 @@ object PipelineQueries {
     })
   )
 
-  /** Per-(JVM, sfDir) scratch roots for `ann_ivf_increment` — bounded
-    * at one index tree per dataset, overwritten in place on re-runs.
+  /** Per-(JVM, sfDir) scratch roots for the index-building queries —
+    * bounded at one index tree per (query, dataset): writeIvfIndex
+    * overwrites the tree, so repeat runs (bench min-of-2 passes,
+    * verify, plan lint) rewrite in place instead of leaking a full
+    * corpus copy into /tmp per invocation.
     */
+  private def scratchRoot(
+      cache: java.util.concurrent.ConcurrentHashMap[String, String],
+      prefix: String, dir: String): String =
+    cache.computeIfAbsent(dir, _ =>
+      java.nio.file.Files.createTempDirectory(prefix).toString)
+
   private val ivfIncDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
