@@ -280,6 +280,88 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: media header parsers never throw on arbitrary bytes") {
+    // the decode contract is None-not-throw for malformed streams; a
+    // partition must survive ANY byte garbage, including byte runs
+    // that start like valid magics
+    val gBytes = Gen.oneOf(
+      Gen.listOf(Gen.choose(0, 255)),
+      // adversarial prefixes: PNG signature, JPEG SOI, RIFF/WAVE
+      Gen.listOf(Gen.choose(0, 255)).map(t =>
+        List(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A) ++ t),
+      Gen.listOf(Gen.choose(0, 255)).map(t => List(0xFF, 0xD8) ++ t),
+      Gen.listOf(Gen.choose(0, 255)).map(t =>
+        "RIFF".getBytes("US-ASCII").map(_.toInt).toList ++
+          List(0x10, 0, 0, 0) ++ "WAVE".getBytes("US-ASCII").map(_.toInt).toList ++ t))
+    sample(gBytes, 400).foreach { ints =>
+      val p = ints.map(_.toByte).toArray
+      // must return (possibly None) without throwing
+      graft.multimodal.Multimodal.decodeHeader(p)
+      graft.multimodal.Multimodal.decodeWavHeader(p)
+    }
+  }
+
+  /** Render a random WHERE expression back to GQL text — the inverse
+    * of the parser's grammar for the Expr subset.
+    */
+  private def renderExpr(e: graft.gql.Ast.Expr): String = {
+    import graft.gql.Ast._
+    def v(x: GqlValue): String = x match {
+      case GqlString(s) => "\"" + s + "\""
+      case GqlInt(i) => i.toString
+      case GqlFloat(f) => f"$f%.2f"
+      case GqlBool(b) => b.toString
+      case GqlNull => "null"
+    }
+    e match {
+      case PropRef(a, p) => s"$a.$p"
+      case Literal(x) => v(x)
+      case Comparison(l, op, r) => s"${renderExpr(l)} $op ${renderExpr(r)}"
+      case And(l, r) => s"(${renderExpr(l)} AND ${renderExpr(r)})"
+      case Or(l, r) => s"(${renderExpr(l)} OR ${renderExpr(r)})"
+      case Not(x) => s"NOT ${renderExpr(x)}"
+      case In(l, vs) => s"${renderExpr(l)} IN [${vs.map(v).mkString(", ")}]"
+      case Contains(l, r) => s"${renderExpr(l)} CONTAINS ${renderExpr(r)}"
+    }
+  }
+
+  test("property: GQL parser round-trips random WHERE expressions") {
+    import graft.gql.Ast._
+    val gVal: Gen[GqlValue] = Gen.oneOf(
+      Gen.alphaStr.map(s => GqlString(s.take(8))),
+      Gen.choose(-1000L, 1000L).map(GqlInt.apply),
+      Gen.choose(-100, 100).map(i => GqlFloat(i / 4.0 + 0.25)),
+      Gen.oneOf(GqlBool(true), GqlBool(false)))
+    val gProp: Gen[Expr] =
+      Gen.zip(Gen.oneOf("v", "n"), Gen.oneOf("age", "name", "x"))
+        .map { case (a, b) => PropRef(a, b) }
+    val gLeaf: Gen[Expr] = Gen.oneOf(
+      gProp,
+      Gen.zip(gProp, Gen.oneOf("=", "!=", "<", "<=", ">", ">="), gVal)
+        .map { case (l, op, r) => Comparison(l, op, Literal(r)) },
+      Gen.zip(gProp, Gen.nonEmptyListOf(gVal).map(_.take(4)))
+        .map { case (l, vs) => In(l, vs) },
+      Gen.zip(gProp, gVal.map(Literal.apply))
+        .map { case (l, r) => Contains(l, r) })
+    def gExpr(depth: Int): Gen[Expr] =
+      if (depth == 0) gLeaf
+      else Gen.frequency(
+        3 -> gLeaf,
+        1 -> Gen.zip(gExpr(depth - 1), gExpr(depth - 1))
+          .map { case (a, b) => And(a, b) },
+        1 -> Gen.zip(gExpr(depth - 1), gExpr(depth - 1))
+          .map { case (a, b) => Or(a, b) },
+        1 -> gExpr(depth - 1).map(Not.apply))
+    sample(gExpr(3), 250).foreach { e =>
+      val q = s"MATCH (v:Person) WHERE ${renderExpr(e)} RETURN v.name"
+      graft.gql.GqlParser.parse(q) match {
+        case Right(MatchStatement(_, Some(parsed), _, _, _, _, _, _)) =>
+          assert(parsed == e, s"$q\nexpected $e\ngot      $parsed")
+        case other => fail(s"$q -> $other")
+      }
+    }
+  }
+
   test("property: normalizeDim clamps any long into [0, 2^bits), order-preserving") {
     val cases = sample(Gen.choose(-100000L, 100000L), 400).distinct.sorted
     val df = cases.toDF("v")
