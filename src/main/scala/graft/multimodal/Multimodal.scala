@@ -149,6 +149,14 @@ object Multimodal {
       val size = u32le(i.toInt + 4)
       if (id == "fmt ") {
         if (size < 16 || i + 8 + 16 > p.length) return None
+        // audioFormat must be 1 (integer PCM): the derived-field math
+        // below the parse (blockAlign = ch × bits/8, samples =
+        // bytes / blockAlign) is PCM arithmetic, and applying it to
+        // ADPCM (format 17, bits = 4 → blockAlign 0) or MP3-in-WAV
+        // (format 85) would report confidently wrong sample counts
+        // as "real" metadata. Non-PCM streams route to the stub like
+        // any other unrecognized payload.
+        if (u16le(i.toInt + 8) != 1) return None
         val channels = u16le(i.toInt + 10)
         val rate = u32le(i.toInt + 12)
         val bits = u16le(i.toInt + 22)

@@ -241,10 +241,6 @@ object PipelineQueries {
     // update); the floor keeps one hit of margin.
     "ann_ivf_increment" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      // one temp root per (JVM, sfDir), reused across invocations:
-      // writeIvfIndex overwrites the tree, so repeat runs (bench
-      // min-of-2 passes, verify, plan lint) rewrite in place instead
-      // of leaking a full corpus copy into /tmp per invocation
       val path = scratchRoot(ivfIncDirs, "graft_ivf_inc", dir)
       Similarity.writeIvfIndex(emb.filter(col("vec_id") % 10 =!= 0), path)
       Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 10 === 0), path)

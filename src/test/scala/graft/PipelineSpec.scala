@@ -552,6 +552,12 @@ class PipelineSpec extends SparkSpec {
     // unknown chunks (odd-sized → padded) between fmt and data skip
     assert(Multimodal.decodeWavHeader(wavBytes(16000, 1, 16, 64, extraChunk = 7))
       .contains((16000, 1, 16, 64L)))
+    // non-PCM formats route to the stub, never to PCM arithmetic:
+    // ADPCM's bits=4 would give blockAlign 0 and a confidently wrong
+    // n_samples=0 if the parse accepted it
+    val adpcm = wavBytes(44100, 2, 16, 400)
+    adpcm(20) = 17 // audioFormat u16le := IMA ADPCM
+    assert(Multimodal.decodeWavHeader(adpcm).isEmpty)
     // malformed: truncated mid-fmt, wrong magic, zero channels — all
     // None, never a throw
     assert(Multimodal.decodeWavHeader(wavBytes(44100, 2, 16, 400).take(20)).isEmpty)

@@ -309,7 +309,11 @@ class PropertySpec extends SparkSpec {
     def v(x: GqlValue): String = x match {
       case GqlString(s) => "\"" + s + "\""
       case GqlInt(i) => i.toString
-      case GqlFloat(f) => f"$f%.2f"
+      case GqlFloat(f) =>
+        // Locale.ROOT: the f-interpolator would render a decimal
+        // COMMA under e.g. de_DE defaults, which the grammar's
+        // number regex rightly rejects
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(f))
       case GqlBool(b) => b.toString
       case GqlNull => "null"
     }
