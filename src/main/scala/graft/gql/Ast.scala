@@ -66,6 +66,8 @@ object Ast {
   case class Not(e: Expr) extends Expr
   case class In(left: Expr, values: Seq[GqlValue]) extends Expr
   case class Contains(left: Expr, right: Expr) extends Expr
+  /** SQL-style pattern match (`%` any run, `_` one char). */
+  case class Like(left: Expr, pattern: String) extends Expr
 
   sealed trait ReturnItem
   case object ReturnAll extends ReturnItem

@@ -461,6 +461,9 @@ object GqlExecutor {
     // sides view as NULL → predicate false, mirroring cross-kind
     // comparisons
     case Contains(l, r) => containsStrView(l).contains(containsStrView(r))
+    // LIKE is the SQL pattern match (% any run, _ one char), string
+    // side only — a non-string left views as NULL → filtered
+    case Like(l, pattern) => containsStrView(l).like(pattern)
   }
 
   private def containsStrView(e: Expr): Column = e match {

@@ -87,6 +87,16 @@ object GraphQueries {
         str(col("c_mktsegment")).as("mktsegment")).orderBy("name")
     }),
 
+    // P3 extension: SQL-style LIKE (the last named miss in the
+    // reference's WHERE beside NOT/IN — lib.rs:238-251), pinned
+    // against DuckDB's own LIKE.
+    "gql_where_like" -> ((s, dir) => {
+      val r = GqlExecutor.run(g(s, dir),
+        """MATCH (c:Customer) WHERE c.name LIKE "%00001_" AND NOT c.mktsegment = "BUILDING" RETURN c.name, c.mktsegment""").df
+      r.select(str(col("c_name")).as("name"),
+        str(col("c_mktsegment")).as("mktsegment")).orderBy("name")
+    }),
+
     // J1: single-hop pattern expansion.
     "gql_j1_expand" -> ((s, dir) => {
       val r = GqlExecutor.run(g(s, dir),
@@ -344,6 +354,10 @@ object GraphQueries {
       """SELECT c_name AS name, c_mktsegment AS mktsegment FROM customer
          WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
            AND NOT (c_acctbal < 0.0) AND c_name LIKE '%0001%'
+         ORDER BY name""",
+    "gql_where_like" ->
+      """SELECT c_name AS name, c_mktsegment AS mktsegment FROM customer
+         WHERE c_name LIKE '%00001_' AND NOT (c_mktsegment = 'BUILDING')
          ORDER BY name""",
     "gql_j1_expand" ->
       """SELECT c_name AS name, ROUND(o_totalprice, 4) AS totalprice

@@ -213,14 +213,36 @@ class GqlSpec extends SparkSpec {
     assert(nonStr.count() == 0)
   }
 
-  test("parser rejects malformed NOT / IN / CONTAINS forms") {
+  test("WHERE LIKE: SQL pattern semantics; non-string left is false") {
+    val r = GqlExecutor.run(fixture,
+      """MATCH (v:Person) WHERE v.name LIKE "A%e" RETURN v.name""").df
+    assert(names(r, "v_name") == Set("Alice"))
+    // _ matches exactly one character
+    val one = GqlExecutor.run(fixture,
+      """MATCH (v:Person) WHERE v.name LIKE "B_b" RETURN v.name""").df
+    assert(names(one, "v_name") == Set("Bob"))
+    val none = GqlExecutor.run(fixture,
+      """MATCH (v:Person) WHERE v.name LIKE "B_" RETURN v.name""").df
+    assert(none.count() == 0)
+    // int prop → NULL string view → filtered, and NOT keeps 3VL
+    val nonStr = GqlExecutor.run(fixture,
+      """MATCH (v:Person) WHERE v.age LIKE "3%" RETURN v.name""").df
+    assert(nonStr.count() == 0)
+    val negated = GqlExecutor.run(fixture,
+      """MATCH (v:Person) WHERE NOT v.age LIKE "3%" RETURN v.name""").df
+    assert(negated.count() == 0)
+  }
+
+  test("parser rejects malformed NOT / IN / CONTAINS / LIKE forms") {
     val bad = Seq(
       "MATCH (v:Person) WHERE NOT RETURN v.name", // NOT with no operand
       "MATCH (v:Person) WHERE v.age IN [] RETURN v.name", // empty list
       "MATCH (v:Person) WHERE v.age IN [1, ] RETURN v.name", // trailing comma
       "MATCH (v:Person) WHERE v.age IN 5 RETURN v.name", // bare scalar
       "MATCH (v:Person) WHERE v.name CONTAINS RETURN v.name", // no rhs
-      "MATCH (v:Person) WHERE CONTAINS \"x\" RETURN v.name") // no lhs
+      "MATCH (v:Person) WHERE CONTAINS \"x\" RETURN v.name", // no lhs
+      "MATCH (v:Person) WHERE v.name LIKE 5 RETURN v.name", // non-string pattern
+      "MATCH (v:Person) WHERE v.name LIKE v.name RETURN v.name") // non-literal pattern
     bad.foreach { q =>
       assert(GqlParser.parse(q).isLeft, s"should reject: $q")
     }

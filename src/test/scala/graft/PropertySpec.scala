@@ -326,6 +326,7 @@ class PropertySpec extends SparkSpec {
       case Not(x) => s"NOT ${renderExpr(x)}"
       case In(l, vs) => s"${renderExpr(l)} IN [${vs.map(v).mkString(", ")}]"
       case Contains(l, r) => s"${renderExpr(l)} CONTAINS ${renderExpr(r)}"
+      case Like(l, pat) => s"""${renderExpr(l)} LIKE "$pat""""
     }
   }
 
@@ -346,7 +347,9 @@ class PropertySpec extends SparkSpec {
       Gen.zip(gProp, Gen.nonEmptyListOf(gVal).map(_.take(4)))
         .map { case (l, vs) => In(l, vs) },
       Gen.zip(gProp, gVal.map(Literal.apply))
-        .map { case (l, r) => Contains(l, r) })
+        .map { case (l, r) => Contains(l, r) },
+      Gen.zip(gProp, Gen.alphaStr.map(_.take(6)))
+        .map { case (l, s) => Like(l, s"%${s}_") })
     def gExpr(depth: Int): Gen[Expr] =
       if (depth == 0) gLeaf
       else Gen.frequency(
