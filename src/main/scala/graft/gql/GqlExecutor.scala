@@ -462,8 +462,13 @@ object GqlExecutor {
     // comparisons
     case Contains(l, r) => containsStrView(l).contains(containsStrView(r))
     // LIKE is the SQL pattern match (% any run, _ one char), string
-    // side only — a non-string left views as NULL → filtered
-    case Like(l, pattern) => containsStrView(l).like(pattern)
+    // side only — a non-string left views as NULL → filtered. GQL
+    // exposes no ESCAPE syntax, so a backslash is a literal character
+    // (ANSI/DuckDB no-ESCAPE semantics); Spark's `like` hardwires \
+    // as its escape, so double it or a trailing \ even throws at
+    // analysis and "\%" silently changes meaning vs the oracle.
+    case Like(l, pattern) =>
+      containsStrView(l).like(pattern.replace("\\", "\\\\"))
   }
 
   private def containsStrView(e: Expr): Column = e match {

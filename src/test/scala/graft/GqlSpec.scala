@@ -233,6 +233,29 @@ class GqlSpec extends SparkSpec {
     assert(negated.count() == 0)
   }
 
+  test("WHERE LIKE: backslash is a literal character, never an escape") {
+    // GQL has no ESCAPE syntax → ANSI/DuckDB no-ESCAPE semantics. A
+    // store with a backslash-bearing name pins that "\" matches
+    // itself and that Spark's built-in \-escape is neutralized (a
+    // trailing backslash would otherwise throw at analysis, and
+    // "\%" would silently match a literal percent).
+    val s = GraphStore.fromTuples(spark,
+      Seq((1L, "Doc", Seq("name" -> """C:\tmp""")),
+        (2L, "Doc", Seq("name" -> "C:tmp")),
+        (3L, "Doc", Seq("name" -> "100%")),
+        (4L, "Doc", Seq("name" -> "dir\\"))), Nil)
+    val bs = GqlExecutor.run(s,
+      """MATCH (v:Doc) WHERE v.name LIKE "C:\%" RETURN v.name""").df
+    assert(names(bs, "v_name") == Set("""C:\tmp"""))
+    val trail = GqlExecutor.run(s,
+      """MATCH (v:Doc) WHERE v.name LIKE "%\" RETURN v.name""").df
+    assert(names(trail, "v_name") == Set("dir\\"))
+    // % after a backslash is still a wildcard, not an escaped literal
+    val pct = GqlExecutor.run(s,
+      """MATCH (v:Doc) WHERE v.name LIKE "100%" RETURN v.name""").df
+    assert(names(pct, "v_name") == Set("100%"))
+  }
+
   test("parser rejects malformed NOT / IN / CONTAINS / LIKE forms") {
     val bad = Seq(
       "MATCH (v:Person) WHERE NOT RETURN v.name", // NOT with no operand

@@ -348,8 +348,10 @@ class PropertySpec extends SparkSpec {
         .map { case (l, vs) => In(l, vs) },
       Gen.zip(gProp, gVal.map(Literal.apply))
         .map { case (l, r) => Contains(l, r) },
-      Gen.zip(gProp, Gen.alphaStr.map(_.take(6)))
-        .map { case (l, s) => Like(l, s"%${s}_") })
+      Gen.zip(gProp, Gen.listOfN(6,
+        Gen.frequency(4 -> Gen.alphaChar, 1 -> Gen.const('%'),
+          1 -> Gen.const('_'), 1 -> Gen.const('\\'))).map(_.mkString))
+        .map { case (l, s) => Like(l, s) })
     def gExpr(depth: Int): Gen[Expr] =
       if (depth == 0) gLeaf
       else Gen.frequency(
