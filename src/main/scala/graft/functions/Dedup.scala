@@ -389,26 +389,66 @@ object Dedup {
       .select(col("ida"), col("idb"), col("jaccard"))
   }
 
+  /** Exact bench-hash broadcast ceiling for [[contamination]]:
+    * 4M distinct shingle hashes ≈ 32 MB of raw longs — comfortably
+    * broadcastable. Above it, an exact broadcast stops being free and
+    * the Bloom pre-filter path takes over (a 1%-FPR filter is ~1.2
+    * bytes/entry vs 8 for the hash itself).
+    */
+  val MaxBroadcastBenchShingles = 4000000L
+
   /** Benchmark decontamination (training-data hygiene): flag corpus
     * documents sharing any word k-gram with a benchmark/eval set.
     * Both sides explode to hashed shingle rows; contamination is an
-    * aggregated equi-join on the 64-bit shingle hash — one shuffle
-    * of (hash, id), never of text, and the benchmark side (eval sets
-    * are small by nature) broadcasts. Returns (id, n_hits) for
-    * contaminated docs only; k defaults to 5 — short enough to catch
-    * paraphrase-adjacent overlap, long enough that shared vocabulary
-    * alone doesn't fire.
+    * equi-join on the 64-bit shingle hash of corpus rows against the
+    * (distinct) bench hashes, then one count-distinct aggregate per
+    * doc. Returns (id, n_hits) for contaminated docs only; k
+    * defaults to 5 — short enough to catch paraphrase-adjacent
+    * overlap, long enough that shared vocabulary alone doesn't fire.
+    *
+    * Scale shape: NOTHING corpus-sized ever shuffles. The corpus
+    * side is explode → hash → map-side join; only bench-matching
+    * rows (contamination is rare by construction) reach the
+    * aggregate. Two regimes, selected by the bench's distinct
+    * shingle count (the count job runs on the SMALL side only):
+    *
+    *  - bench ≤ `maxBroadcastShingles`: broadcast the exact hash set
+    *    (an eval suite is a few thousand docs — the common case);
+    *  - larger bench (decontaminating against another corpus): build
+    *    a 1%-FPR Bloom filter over the bench hashes (one pass on the
+    *    bench side, `df.stat.bloomFilter`), prune corpus rows
+    *    map-side through the codegen'd `BloomFilterMightContain` —
+    *    the same predicate Spark's own runtime row-group filtering
+    *    injects — then verify the surviving ~1% exactly with a
+    *    shuffled hash join whose corpus side is FPR-bounded. The
+    *    filter ships in the plan (task binaries are torrent-broadcast
+    *    once per executor); past ~1 G bench shingles, feed it through
+    *    a scalar subquery instead of a literal.
     */
   def contamination(docs: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchIdCol: String, benchTextCol: String,
-      k: Int = 5): DataFrame = {
+      k: Int = 5,
+      maxBroadcastShingles: Long = MaxBroadcastBenchShingles): DataFrame = {
     val corpusEx = TextFunctions.shingleRows(docs, idCol, textCol, k)
-      .dropDuplicates("id", "s")
       .select(col("id"), xxhash64(col("s")).as("h"))
-    val benchEx = TextFunctions.shingleRows(bench, benchIdCol, benchTextCol, k)
-      .select(xxhash64(col("s")).as("h")).distinct()
-    corpusEx.join(broadcast(benchEx), "h")
-      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+    // The bench side is read up to three times (count, Bloom build,
+    // verify join) — persist the distinct hashes, not the text.
+    val benchEx = graft.TransientCache.persist(
+      TextFunctions.shingleRows(bench, benchIdCol, benchTextCol, k)
+        .select(xxhash64(col("s")).as("h")).distinct())
+    val nBench = benchEx.count()
+    val matched =
+      if (nBench <= maxBroadcastShingles) corpusEx.join(broadcast(benchEx), "h")
+      else {
+        val bloom = benchEx.stat.bloomFilter("h", math.max(nBench, 1L), 0.01)
+        val bytes = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(bytes)
+        val pruned = corpusEx.filter(VecExpressions.bloomMightContain(
+          docs.sparkSession, lit(bytes.toByteArray), col("h")))
+        // exact verify: false positives (≈1% of corpus rows) die here
+        pruned.join(benchEx.hint("SHUFFLE_HASH"), "h")
+      }
+    matched.groupBy("id").agg(count_distinct(col("h")).as("n_hits"))
   }
 
   /** Near-dup cluster resolution — the dedup SELECTION operator a

@@ -151,6 +151,10 @@ object VecExpressions {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "sorted_intersect",
         exprs => SortedLongIntersect(exprs(0), exprs(1)), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "bloom_might_contain",
+        exprs => org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
     }
 
   def sortedIntersect(spark: SparkSession, a: Column, b: Column): Column = {
@@ -166,5 +170,17 @@ object VecExpressions {
   def vecNorm(spark: SparkSession, a: Column): Column = {
     ensureRegistered(spark)
     org.apache.spark.sql.functions.sqrt(call_function("vec_dot", a, a))
+  }
+
+  /** Codegen'd Bloom-filter membership probe — Spark's own
+    * `BloomFilterMightContain` (the predicate its runtime row-group
+    * filtering injects), exposed for map-side pre-filters against a
+    * serialized `org.apache.spark.util.sketch.BloomFilter`. `filter`
+    * must be a foldable BINARY (e.g. `lit(bytes)`), `value` a LONG.
+    */
+  def bloomMightContain(spark: SparkSession, filter: Column,
+      value: Column): Column = {
+    ensureRegistered(spark)
+    call_function("bloom_might_contain", filter, value)
   }
 }

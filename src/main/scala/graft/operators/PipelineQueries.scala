@@ -143,6 +143,20 @@ object PipelineQueries {
         .orderBy("id")
     }),
 
+    // The same decontamination through the forced Bloom-pre-filter
+    // branch (maxBroadcastShingles = 0) — the regime where the bench
+    // side is another corpus, too big to broadcast exactly. The 1%-FPR
+    // pre-filter only prunes; the exact verify join restores exactness,
+    // so this carries the identical oracle as pipe_decontaminate.
+    "pipe_decontaminate_bloom" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.contamination(
+        d.filter(col("doc_id") >= 10), "doc_id", "text",
+        d.filter(col("doc_id") < 10), "doc_id", "text", k = 5,
+        maxBroadcastShingles = 0L)
+        .orderBy("id")
+    }),
+
     // Embedding near-dup pairs: exact cosine ≥ 0.4 (auto-selects the
     // broadcast nested-loop exact path at this corpus size; LSH
     // beyond maxExactRows).
@@ -628,6 +642,28 @@ object PipelineQueries {
         WHERE ROUND(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) >= $threshold
         ORDER BY ida, idb"""
 
+  /** Shared decontamination oracle: distinct 5-gram overlap counts of
+    * corpus docs (doc_id >= 10) against the bench slice (doc_id < 10).
+    * `list_distinct` + COUNT(*) counts DISTINCT matched grams per doc
+    * — the same contract as the Scala side's count_distinct on the
+    * gram hash. Both the exact-broadcast and the Bloom-pre-filtered
+    * branches must produce exactly this.
+    */
+  private val decontaminateSql: String =
+    s"""WITH t AS (
+          SELECT doc_id, list_distinct(
+            CASE WHEN len(w) >= 5
+              THEN list_transform(range(1, len(w) - 3),
+                i -> array_to_string(w[i:i+4], ' '))
+              ELSE [array_to_string(w, ' ')] END) AS gs
+          FROM (SELECT doc_id, string_split($normText, ' ') AS w FROM documents)),
+        ex AS (SELECT doc_id, unnest(gs) AS s FROM t),
+        bench AS (SELECT DISTINCT s FROM ex WHERE doc_id < 10)
+        SELECT ex.doc_id AS id, COUNT(*) AS n_hits
+        FROM ex JOIN bench ON ex.s = bench.s
+        WHERE ex.doc_id >= 10
+        GROUP BY 1 ORDER BY id"""
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       s"""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
@@ -676,20 +712,10 @@ object PipelineQueries {
                  COALESCE(c.canonical_id, d.doc_id) AS canonical_id
           FROM documents d LEFT JOIN canon c ON d.doc_id = c.id
           ORDER BY id""",
-    "pipe_decontaminate" ->
-      s"""WITH t AS (
-            SELECT doc_id, list_distinct(
-              CASE WHEN len(w) >= 5
-                THEN list_transform(range(1, len(w) - 3),
-                  i -> array_to_string(w[i:i+4], ' '))
-                ELSE [array_to_string(w, ' ')] END) AS gs
-            FROM (SELECT doc_id, string_split($normText, ' ') AS w FROM documents)),
-          ex AS (SELECT doc_id, unnest(gs) AS s FROM t),
-          bench AS (SELECT DISTINCT s FROM ex WHERE doc_id < 10)
-          SELECT ex.doc_id AS id, COUNT(*) AS n_hits
-          FROM ex JOIN bench ON ex.s = bench.s
-          WHERE ex.doc_id >= 10
-          GROUP BY 1 ORDER BY id""",
+    "pipe_decontaminate" -> decontaminateSql,
+    // identical result contract: the Bloom branch only pre-filters,
+    // the exact verify join restores set semantics
+    "pipe_decontaminate_bloom" -> decontaminateSql,
     "ann_lsh_recall" ->
       """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS found
          WHERE FALSE""",

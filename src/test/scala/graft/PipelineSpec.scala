@@ -348,6 +348,33 @@ class PipelineSpec extends SparkSpec {
     assert(hits == Map(4L -> 1L))
   }
 
+  test("contamination: bloom pre-filter branch is row-identical to exact") {
+    // bench = the fox sentence → every fox doc shares its 5-grams
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    def run(maxBroadcast: Long) =
+      Dedup.contamination(docs, "doc_id", "text", bench, "doc_id", "text",
+        k = 5, maxBroadcastShingles = maxBroadcast)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = run(Long.MaxValue) // forced broadcast branch
+    val bloom = run(0L)            // forced Bloom + verify branch
+    // 5 grams in a 9-word sentence, and every one covers word 5 —
+    // docs 1/2/5 match all 5; doc 3 ("leaps" at word 5) matches none
+    assert(exact == Map(1L -> 5L, 2L -> 5L, 5L -> 5L))
+    assert(bloom == exact)
+    // n_hits counts DISTINCT shared grams: a doc repeating a bench
+    // gram twice still counts it once
+    val rep = Seq((10L, "completely different content about spark " +
+      "and again completely different content about spark"))
+      .toDF("doc_id", "text")
+    val benchSpark = Seq((100L, "completely different content about spark"))
+      .toDF("doc_id", "text")
+    val repHits = Dedup.contamination(rep, "doc_id", "text",
+      benchSpark, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(repHits == Map(10L -> 1L))
+  }
+
   test("cluster resolution maps every doc to its component's min id") {
     val pairs = Seq((1L, 2L), (2L, 5L), (3L, 4L)).toDF("ida", "idb")
       .withColumn("jaccard", lit(1.0))
