@@ -945,4 +945,110 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("ida"), col("idb"), col("jaccard"))
   }
+
+  /** Persistable n-gram Jaccard INDEX — one row per document: the
+    * SORTED (hash asc) distinct shingle-hash set and its size,
+    * completing the index family (MinHash [[buildMinHashIndex]],
+    * SimHash signatures, IVF) with the exact-Jaccard member. Saved
+    * like any table; every future batch dedups against it via
+    * [[ngramJaccardIndexPairs]] WITHOUT touching corpus text again.
+    * A `maxDf` cap is applied at build time over THIS corpus and
+    * frozen into the stored sets (the frozen-statistics convention
+    * the IVF index uses for centroids) — the incremental default is
+    * no cap, which keeps batch results exactly equal to an uncapped
+    * recompute. Row cost ≈ 8 B/shingle, columnar in parquet.
+    */
+  def buildNgramIndex(docs: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, maxDf: Int = Int.MaxValue): DataFrame = {
+    val (keptP, _) = keptShingleRows(docs, textCol, idCol, shingleSize, maxDf)
+    keptP.groupBy("id")
+      .agg(sort_array(collect_list(col("s"))).as("set"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Shared cross-pair core over two set-index frames (each
+    * (id, set, n) as built by [[buildNgramIndex]]): candidates from a
+    * postings equi-join, exact verification with the codegen'd
+    * two-pointer `sorted_intersect` riding the candidate join.
+    *
+    * With `prefixFilter` on, each side explodes only its AllPairs
+    * PREFIX — the first n − ⌈t·n⌉ + 1 elements of the stored array
+    * (one `slice`, no window, no df join: the stored hash-asc order
+    * IS a global total order, and the prefix theorem holds under any
+    * common order; df-rarest ordering only improves selectivity, it
+    * is not needed for losslessness). Any pair with J ≥ t shares its
+    * order-minimum common element inside both prefixes, so the
+    * filter is exact. With it off, full postings explode — the brute
+    * comparator the violation spec pins the filtered path against.
+    *
+    * Self-pairs (same id on both sides — a re-ingested doc) are
+    * excluded, consistent with the SimHash index path.
+    */
+  private def ngramPairsFromSets(index: DataFrame, batch: DataFrame,
+      threshold: Double, prefixFilter: Boolean): DataFrame = {
+    val spark = index.sparkSession
+    def postings(ix: DataFrame, idAs: String) = {
+      val pLen =
+        if (prefixFilter)
+          (col("n") - ceil(col("n") * lit(threshold) - lit(1e-9)) + 1)
+            .cast("int")
+        else col("n").cast("int")
+      ix.select(col("id").as(idAs),
+        explode(slice(col("set"), lit(1), pLen)).as("s"))
+    }
+    // candidates shuffle ids only; the batch side is batch-sized, so
+    // the join scales with the batch, never the corpus
+    val cand = postings(index, "ida")
+      .join(postings(batch, "idb").withColumnRenamed("s", "s2"),
+        col("s") === col("s2") && col("ida") =!= col("idb"))
+      .select("ida", "idb").dropDuplicates("ida", "idb")
+    val inter = VecExpressions.sortedIntersect(spark, col("seta"), col("setb"))
+    cand
+      .join(index.select(col("id").as("ida"), col("set").as("seta"),
+        col("n").as("na")), "ida")
+      .join(batch.select(col("id").as("idb"), col("set").as("setb"),
+        col("n").as("nb")), "idb")
+      // size-ratio prefilter: J ≥ t ⟹ min(n)/max(n) ≥ t (1e-4 guard
+      // so float error can only widen, mirroring minHashIndexPairs)
+      .filter(least(col("na"), col("nb")).cast("double")
+        >= greatest(col("na"), col("nb")).cast("double") * lit(threshold - 1e-4))
+      .withColumn("jaccard",
+        round(inter.cast("double")
+          / (col("na") + col("nb") - inter).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("ida"), col("idb"), col("jaccard"))
+  }
+
+  /** Incremental exact n-gram Jaccard against a SAVED index (the
+    * exact-Jaccard member of the new-vs-index family): shingle the
+    * batch once, then AllPairs-prefix candidates + sorted-intersect
+    * verify against the at-rest sets. Output (ida = index id,
+    * idb = new id, jaccard ≥ threshold) — EXACT, not approximate:
+    * the prefix filter is lossless, so this equals the uncapped
+    * cross recompute row for row (driver query carries the real
+    * DuckDB cross-Jaccard oracle; PipelineSpec pins filtered ==
+    * brute and a parquet round-trip of the index).
+    */
+  def ngramJaccardIndexPairs(newDocs: DataFrame, index: DataFrame,
+      textCol: String, idCol: String, shingleSize: Int = 3,
+      threshold: Double = 0.8): DataFrame =
+    ngramJaccardIndexPairsFromSets(
+      graft.TransientCache.persist(
+        buildNgramIndex(newDocs, textCol, idCol, shingleSize)),
+      index, threshold)
+
+  /** The FromSets form: batch sets computed once, shared with other
+    * consumers (the FromSigs convention).
+    */
+  def ngramJaccardIndexPairsFromSets(newSets: DataFrame, index: DataFrame,
+      threshold: Double): DataFrame =
+    ngramPairsFromSets(index, newSets, threshold, prefixFilter = true)
+
+  /** Brute comparator for the violation oracle: full-postings
+    * candidates (no prefix filter), same verify — the ground truth
+    * the filtered path must match exactly.
+    */
+  def ngramJaccardCrossBruteForce(index: DataFrame, newSets: DataFrame,
+      threshold: Double): DataFrame =
+    ngramPairsFromSets(index, newSets, threshold, prefixFilter = false)
 }

@@ -99,6 +99,23 @@ object PipelineQueries {
         .orderBy("ida", "idb")
     }),
 
+    // Incremental EXACT n-gram Jaccard (new-vs-index) — the fourth
+    // index-family member, and the only exact one: batch trigram sets
+    // vs the at-rest sorted-set index, AllPairs prefix candidates
+    // (one slice of the stored array — the hash-asc order is a valid
+    // global order), sorted_intersect verify. Lossless, so the
+    // oracle is the REAL cross-boundary trigram Jaccard answer, not
+    // a violation check.
+    "dedup_ngram_increment" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val idx = graft.TransientCache.persist(Dedup.buildNgramIndex(
+        d.filter(col("doc_id") % 10 =!= 0), "text", "doc_id",
+        shingleSize = 3))
+      Dedup.ngramJaccardIndexPairs(d.filter(col("doc_id") % 10 === 0),
+        idx, "text", "doc_id", shingleSize = 3, threshold = 0.8)
+        .orderBy("ida", "idb")
+    }),
+
     // Exact bigram Jaccard pairs ≥ 0.3, through the threshold
     // selector (t = 0.3 < crossover 0.6 → the partial-aggregate
     // self-join formulation). maxDf caps shingle document frequency
@@ -684,6 +701,27 @@ object PipelineQueries {
       """SELECT CAST(NULL AS BIGINT) AS ida, CAST(NULL AS BIGINT) AS idb,
                 CAST(NULL AS INTEGER) AS hamming
          WHERE FALSE""",
+    // exact cross-boundary trigram Jaccard ≥ 0.8: index docs
+    // (doc_id % 10 <> 0) × batch docs (doc_id % 10 = 0)
+    "dedup_ngram_increment" ->
+      s"""WITH t AS (
+            SELECT doc_id, list_distinct(
+              CASE WHEN len(w) >= 3
+                THEN list_transform(range(1, len(w) - 1),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                ELSE [array_to_string(w, ' ')] END) AS gs
+            FROM (SELECT doc_id, string_split($normText, ' ') AS w FROM documents)),
+          ex AS (SELECT doc_id, unnest(gs) AS s FROM t),
+          sz AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY 1),
+          corp AS (SELECT * FROM ex WHERE doc_id % 10 <> 0),
+          nw AS (SELECT * FROM ex WHERE doc_id % 10 = 0),
+          j AS (SELECT c.doc_id AS ida, n2.doc_id AS idb, COUNT(*) AS inter
+                FROM corp c JOIN nw n2 ON c.s = n2.s GROUP BY 1, 2)
+          SELECT ida, idb,
+                 ROUND(CAST(inter AS DOUBLE) / (a.n + b.n - inter), 4) AS jaccard
+          FROM j JOIN sz a ON j.ida = a.doc_id JOIN sz b ON j.idb = b.doc_id
+          WHERE ROUND(CAST(inter AS DOUBLE) / (a.n + b.n - inter), 4) >= 0.8
+          ORDER BY ida, idb""",
     // Transitive closure of the exact j>=0.8 pair graph; component
     // label = min reachable id — the same clusters the CC computes.
     "dedup_cluster_resolve" ->

@@ -375,6 +375,47 @@ class PipelineSpec extends SparkSpec {
     assert(repHits == Map(10L -> 1L))
   }
 
+  test("ngram index: prefix path == brute == recompute; round-trip; no self-pairs") {
+    val d = graft.sources.Tables.documents(spark, sf)
+    val idx = graft.TransientCache.persist(Dedup.buildNgramIndex(
+      d.filter(col("doc_id") % 10 =!= 0), "text", "doc_id", shingleSize = 3))
+    val batchSets = graft.TransientCache.persist(Dedup.buildNgramIndex(
+      d.filter(col("doc_id") % 10 === 0), "text", "doc_id", shingleSize = 3))
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // prefix filtering is lossless on BOTH sides of its selectivity
+    // regimes: strong filter (t=0.8, prefix ≈ 20% of each doc) and
+    // weak filter (t=0.3, prefix ≈ whole doc)
+    for (t <- Seq(0.8, 0.3)) {
+      val filtered = toMap(Dedup.ngramJaccardIndexPairsFromSets(batchSets, idx, t))
+      val brute = toMap(Dedup.ngramJaccardCrossBruteForce(idx, batchSets, t))
+      assert(filtered == brute, s"t=$t")
+      if (t == 0.3) assert(filtered.nonEmpty)
+      // ties the index path to the oracle'd self-join path: cross-
+      // boundary pairs of the full-corpus recompute, id-order folded
+      val cross = Dedup.ngramJaccardPairs(d, "text", "doc_id",
+        shingleSize = 3, threshold = t, maxDf = Int.MaxValue)
+        .filter((col("ida") % 10 === 0) =!= (col("idb") % 10 === 0)).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(filtered.map { case ((a, b), j) =>
+        (math.min(a, b), math.max(a, b)) -> j } == cross, s"t=$t")
+    }
+    // the index survives a parquet round-trip bit-for-bit
+    val dir = java.nio.file.Files.createTempDirectory("ngramidx").toString
+    idx.write.mode("overwrite").parquet(dir)
+    val viaDisk = toMap(Dedup.ngramJaccardIndexPairsFromSets(
+      batchSets, spark.read.parquet(dir), 0.8))
+    assert(viaDisk == toMap(Dedup.ngramJaccardIndexPairsFromSets(batchSets, idx, 0.8)))
+    // re-ingested docs (same id in index and batch) never self-pair
+    val allIdx = Dedup.buildNgramIndex(docs, "text", "doc_id", shingleSize = 3)
+    val rePairs = toMap(Dedup.ngramJaccardIndexPairs(
+      docs.filter(col("doc_id") === 1), allIdx, "text", "doc_id",
+      shingleSize = 3, threshold = 0.8))
+    // doc 1 vs the full index: exact dups 2 and 5 at J=1.0; (1,1)
+    // excluded; doc 3 sits at trigram J=0.4
+    assert(rePairs == Map((2L, 1L) -> 1.0, (5L, 1L) -> 1.0))
+  }
+
   test("cluster resolution maps every doc to its component's min id") {
     val pairs = Seq((1L, 2L), (2L, 5L), (3L, 4L)).toDF("ida", "idb")
       .withColumn("jaccard", lit(1.0))
