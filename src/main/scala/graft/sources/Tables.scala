@@ -25,24 +25,33 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
-  /** The driver's events table stores TIMESTAMP(NANOS), which Spark
-    * only reads as LONG nanos (spark.sql.legacy.parquet.nanosAsLong —
-    * set in every session builder here). The data is µs-granular, so
-    * converting nanos→TimestampType is lossless.
+  /** Normalize an events frame's `ts` column to TimestampType,
+    * whatever physical type the driver generated this round:
+    * TIMESTAMP(NANOS) reads as LONG nanos (via
+    * spark.sql.legacy.parquet.nanosAsLong, set in every session
+    * builder here), TIMESTAMP(MICROS) without a timezone reads as
+    * TIMESTAMP_NTZ. Both are µs-granular, so the conversion is
+    * lossless; sessions run with session.timeZone=UTC so the
+    * NTZ→TZ cast is a pure reinterpretation. Works on batch AND
+    * streaming frames (schema dispatch only — no jobs), so the
+    * streaming specs share this exact logic instead of re-deriving
+    * the physical type.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def normalizeEventTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{LongType, TimestampType}
-    val raw = load(spark, dir, "events")
-    raw.schema("ts").dataType match {
+    df.schema("ts").dataType match {
       case LongType =>
         // integer `div`, NOT `/`: epoch nanos exceed 2^53, so the
         // double division `/` silently loses microseconds
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampType => raw
-      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast(TimestampType))
     }
   }
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeEventTs(load(spark, dir, "events"))
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

@@ -31,7 +31,7 @@ class StreamViewsSpec extends SparkSpec {
     val stream = spark.readStream
       .schema(Tables.load(spark, sf, "events").schema)
       .parquet(stageDir.toString)
-    val evS = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val evS = Tables.normalizeEventTs(stream)
     val q = Windows.tumbling(
       Windows.withEventTime(evS, "ts", "1 day"),
       "ts", "1 day", Seq("event_type"), Seq(count(lit(1)).as("cnt")))
@@ -454,8 +454,8 @@ class StreamViewsSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       stageDir.resolve("events.parquet"))
     val schema = Tables.load(spark, sf, "events").schema
-    val evS = spark.readStream.schema(schema).parquet(stageDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val evS = Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(stageDir.toString))
     val q = Windows.session(
       Windows.withEventTime(evS, "ts", "1 hour"),
       "ts", "8 hours", Seq("user_id"),
