@@ -1051,4 +1051,131 @@ object Dedup {
   def ngramJaccardCrossBruteForce(index: DataFrame, newSets: DataFrame,
       threshold: Double): DataFrame =
     ngramPairsFromSets(index, newSets, threshold, prefixFilter = false)
+
+  // ===== Exact substring (span-level) dedup =====
+
+  /** Maximal duplicated token spans per document — exact substring
+    * dedup, the span-level member of the exact-dedup family (after
+    * Lee et al. 2022's suffix-array ExactSubstr, re-expressed
+    * relationally; the reference only dedups whole documents,
+    * graph/views/src/stream_dedup.rs:24-41):
+    *
+    *  1. positional word k-grams — ONE explode, corpus-linear;
+    *  2. grams present in ≥ minDocs distinct docs — hash-groupBy on
+    *     the 64-bit gram hash with map-side combine (a hot gram
+    *     AGGREGATES, it never fans out);
+    *  3. per-doc interval union of the surviving grams'
+    *     [pos, pos+k−1] coverage — one gaps-and-islands window
+    *     partitioned by doc.
+    *
+    * Returns (id, span_start, span_end, span_tokens): 0-based
+    * INCLUSIVE token offsets into the normalized (lowercased,
+    * whitespace-collapsed) token sequence, spans maximal (two
+    * duplicated grams whose coverage touches or overlaps merge).
+    *
+    * Why this member exists at 100 TB: every near-dup op here is a
+    * candidate-PAIR join, quadratic on a pathological corpus and
+    * capped to stay safe; this one has no pairs at all — two
+    * equi-shuffles on the gram hash plus a per-doc window, linear in
+    * token count, the same reason the suffix-array formulation wins
+    * at scale. Joining on xxhash64(gram) shuffles 8 bytes per gram
+    * instead of a ~6k-char string (k·avg-word); a 2⁻⁶⁴ collision can
+    * only ADD a spurious span (never lose one).
+    */
+  def duplicatedSpans(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = graft.TransientCache.persist(
+      TextFunctions.shingleRowsWithPos(df, idCol, textCol, k)
+        .select(col("id"), col("pos"), xxhash64(col("s")).as("gh")))
+    val dup = grams.groupBy("gh")
+      .agg(count_distinct(col("id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("gh")
+    val hits = grams.join(dup, "gh").select("id", "pos")
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    // classic gaps-and-islands over the interval union: a row starts
+    // a new island when its interval [pos, pos+k-1] neither overlaps
+    // nor touches the furthest coverage end seen so far
+    val prevEnd = max(col("pos") + lit(k - 1))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    hits
+      .withColumn("brk",
+        when(col("pos") > coalesce(prevEnd, lit(-2)) + 1, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(byDoc))
+      .groupBy(col("id"), col("island"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") + lit(k - 1)).as("span_end"))
+      .withColumn("span_tokens", col("span_end") - col("span_start") + 1)
+      .select("id", "span_start", "span_end", "span_tokens")
+  }
+
+  /** Per-document duplicated-span statistics against the doc's own
+    * token count: (id, n_dup_spans, dup_tokens, dup_frac) — the
+    * RefinedWeb/FineWeb-style doc-level repetition budget (drop or
+    * downweight docs whose duplicated fraction exceeds a threshold).
+    * Docs with no duplicated span are absent (inner-join semantics);
+    * compose with a left join + coalesce(0) for the keep-all view.
+    */
+  def duplicatedSpanStats(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, minDocs: Int = 2): DataFrame = {
+    val spans = duplicatedSpans(df, textCol, idCol, k, minDocs)
+    val perDoc = spans.groupBy("id")
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum("span_tokens").as("dup_tokens"))
+    val nTok = df.select(col(idCol).as("id"),
+      size(split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " "))
+        .as("n_tokens"))
+    perDoc.join(nTok, "id")
+      .select(col("id"), col("n_dup_spans"), col("dup_tokens"),
+        round(col("dup_tokens").cast("double") / col("n_tokens"), 4)
+          .as("dup_frac"))
+  }
+
+  /** Cut duplicated spans out of every document EXCEPT one canonical
+    * occurrence per exact span text (min id, then min offset — the
+    * keep-one-copy side of ExactSubstr). Returns (id, text) with the
+    * NORMALIZED token stream re-joined by single spaces — span
+    * offsets index the normalized sequence, so the cut is defined on
+    * it.
+    *
+    * Scale: the keep-rank window partitions by the 64-bit span-text
+    * hash (dup spans are short relative to docs — the shuffle carries
+    * (hash, id, offsets), not documents); the cut itself is a per-doc
+    * anti-join of token positions against that doc's cut intervals
+    * (equi on id + range residual), then one per-doc rebuild. A hash
+    * collision here could merge two distinct span groups and drop a
+    * copy that should have survived — acceptable for a curation cut,
+    * noted for audit.
+    */
+  def stripDuplicatedSpans(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = duplicatedSpans(df, textCol, idCol, k, minDocs)
+    val words = split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
+    val withWords = df.select(col(idCol).as("id"), words.as("w"))
+    val spanText = spans.join(withWords, "id")
+      .withColumn("sh", xxhash64(concat_ws(" ",
+        slice(col("w"), col("span_start") + 1,
+          col("span_end") - col("span_start") + 1))))
+      .select("id", "span_start", "span_end", "sh")
+    val keepRank = row_number().over(
+      Window.partitionBy("sh").orderBy(col("id"), col("span_start")))
+    val cuts = spanText.withColumn("rk", keepRank)
+      .filter(col("rk") > 1)
+      .select(col("id"), col("span_start"), col("span_end"))
+    val toks = TextFunctions.shingleRowsWithPos(df, idCol, textCol, 1)
+    val kept = toks.join(cuts,
+      toks("id") === cuts("id") &&
+        toks("pos") >= cuts("span_start") && toks("pos") <= cuts("span_end"),
+      "left_anti")
+    val rebuilt = kept.groupBy("id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("s")))).as("ts"))
+      .select(col("id"),
+        array_join(transform(col("ts"), t => t.getField("s")), " ")
+          .as(textCol))
+    // a doc cut down to nothing must surface as empty text, not vanish
+    df.select(col(idCol).as("id")).join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col(textCol), lit("")).as(textCol))
+  }
 }

@@ -138,6 +138,31 @@ object TextFunctions {
     }
   }
 
+  /** Positional word-shingle rows (id, pos, s): `shingleRows` plus
+    * each gram's 0-based starting token offset. Documents shorter
+    * than k tokens produce NO rows — no whole-text fallback here,
+    * unlike `shingleRows`, because consumers index positions into
+    * the token sequence (and a duplicated span of length ≥ k cannot
+    * start in a shorter doc anyway). Same codegen-only construction
+    * (slice / arrays_zip / posexplode — no higher-order lambdas).
+    */
+  def shingleRowsWithPos(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val words = split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
+    if (k == 1)
+      df.select(col(idCol).as("id"), posexplode(words).as(Seq("pos", "s")))
+    else {
+      val nw = size(words)
+      val slices = (0 until k).map(i =>
+        slice(words, lit(i + 1), nw - (k - 1)).as(s"w$i"))
+      val zipped = arrays_zip(slices: _*)
+      df.filter(nw >= k)
+        .select(col(idCol).as("id"), posexplode(zipped).as(Seq("pos", "z")))
+        .select(col("id"), col("pos"),
+          concat_ws(" ", (0 until k).map(i => col(s"z.w$i")): _*).as("s"))
+    }
+  }
+
   /** Per-document repetition signals (Gopher-style quality filters):
     * a doc whose mass concentrates in repeated words/n-grams is
     * boilerplate or degenerate generation, whatever its other

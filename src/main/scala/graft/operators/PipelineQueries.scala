@@ -37,6 +37,20 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Exact substring dedup (span level, Lee et al. 2022 ExactSubstr
+    // re-expressed relationally): maximal duplicated word-5-gram
+    // coverage spans per doc, surfaced as the FineWeb-style
+    // doc-level repetition stats (span count, duplicated tokens,
+    // duplicated fraction). No pair join anywhere — linear in corpus
+    // token count; see Dedup.duplicatedSpans.
+    "dedup_span_exact" -> ((s, dir) => {
+      Dedup.duplicatedSpanStats(Tables.documents(s, dir), "text", "doc_id",
+        k = 5, minDocs = 2)
+        .select(col("id").as("doc_id"), col("n_dup_spans"),
+          col("dup_tokens"), col("dup_frac"))
+        .orderBy("doc_id")
+    }),
+
     // MinHash+LSH near-dups, exact-verified (the production shape):
     // banding on relationally-computed signatures generates
     // candidates; true bigram-set Jaccard ≥ 0.8 verifies. At 16
@@ -685,6 +699,35 @@ object PipelineQueries {
     "dedup_exact" ->
       s"""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
           FROM documents GROUP BY $normText ORDER BY doc_id""",
+    // exact substring dedup: the same grams → ≥2-doc filter →
+    // gaps-and-islands interval union, on gram STRINGS (the Scala
+    // side joins on xxhash64 of the same strings)
+    "dedup_span_exact" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normText, ' ') AS w
+                     FROM documents),
+          g AS (SELECT t.doc_id, r.i AS pos,
+                       array_to_string(w[r.i:r.i+4], ' ') AS s
+                FROM t, UNNEST(range(1, len(w) - 3)) AS r(i)
+                WHERE len(w) >= 5),
+          dup AS (SELECT s FROM g GROUP BY s
+                  HAVING COUNT(DISTINCT doc_id) >= 2),
+          h AS (SELECT doc_id, pos FROM g JOIN dup USING (s)),
+          isl AS (SELECT doc_id, pos,
+                   CASE WHEN pos > COALESCE(MAX(pos + 4) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     -2) + 1 THEN 1 ELSE 0 END AS brk FROM h),
+          sp AS (SELECT doc_id, pos, SUM(brk) OVER (
+                   PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+          agg AS (SELECT doc_id, island, MIN(pos) AS s0, MAX(pos) + 4 AS e0
+                  FROM sp GROUP BY 1, 2),
+          ntok AS (SELECT doc_id, len(w) AS n FROM t)
+          SELECT a.doc_id, COUNT(*) AS n_dup_spans,
+                 CAST(SUM(e0 - s0 + 1) AS BIGINT) AS dup_tokens,
+                 ROUND(CAST(SUM(e0 - s0 + 1) AS DOUBLE) / ANY_VALUE(n.n), 4)
+                   AS dup_frac
+          FROM agg a JOIN ntok n ON a.doc_id = n.doc_id
+          GROUP BY 1 ORDER BY 1""",
     "dedup_ngram_jaccard" -> bigramJaccardSql(0.3, 5000),
     "dedup_ngram_jaccard_prefix" -> bigramJaccardSql(0.8, 5000),
     // Exact-verified operators: LSH/simhash candidate generation has

@@ -648,4 +648,96 @@ class PipelineSpec extends SparkSpec {
     val sSamples = sd / (sch * (sb / 8))
     assert(meta(2L) == ((sr, sch, sb, sSamples, sSamples * 1000L / sr)))
   }
+
+  // ===== exact substring (span-level) dedup =====
+
+  lazy val spanDocs = Seq(
+    (1L, "a b c1 c2 c3 c4 c5 c6 c7 d x y z e"),
+    (2L, "c1 c2 c3 c4 c5 c6 c7 q r s"),
+    (3L, "k l x y z m"),
+    (4L, "unique words only here nothing shared at all"))
+    .toDF("doc_id", "text")
+
+  test("duplicated spans: maximal coverage islands at exact offsets") {
+    val got = Dedup.duplicatedSpans(spanDocs, "text", "doc_id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    // doc1: c1..c7 run covers grams at pos 2..6 → [2,8]; "x y z" at
+    // 10 → [10,12] (gap 9 keeps them separate). doc2: [0,6].
+    // doc3: [2,4]. doc4: nothing.
+    assert(got == Set((1L, 2, 8, 7), (1L, 10, 12, 3),
+      (2L, 0, 6, 7), (3L, 2, 4, 3)))
+  }
+
+  test("duplicated spans: touching coverage merges into one island") {
+    val d = Seq(
+      (5L, "m1 m2 m3 n1 n2 n3"),
+      (6L, "z1 m1 m2 m3 z2"),
+      (7L, "w1 n1 n2 n3 w2")).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(d, "text", "doc_id", k = 3)
+      .filter(col("id") === 5L)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    // [0,2] and [3,5] touch (3 ≤ 2+1) → single maximal span [0,5]
+    assert(got == Set((0, 5, 6)))
+  }
+
+  test("duplicated spans match a brute-force reference on random docs") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("ga", "gb", "gc", "gd", "ge", "gf", "gg", "gh")
+    val corpus = (1L to 30L).map { id =>
+      val n = 5 + rnd.nextInt(16)
+      id -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val k = 3
+    // plain-Scala reference: grams → ≥2-doc filter → interval union
+    val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }
+    val grams = toks.flatMap { case (id, w) =>
+      if (w.size >= k)
+        w.sliding(k).zipWithIndex.map { case (g, i) => (id, i, g.mkString(" ")) }
+      else Nil
+    }
+    val dupSet = grams.groupBy(_._3)
+      .filter(_._2.map(_._1).distinct.size >= 2).keySet
+    val want = grams.filter(g => dupSet(g._3)).groupBy(_._1).toSeq
+      .flatMap { case (id, gs) =>
+        val ps = gs.map(_._2).sorted
+        val islands = ps.foldLeft(List.empty[(Int, Int)]) {
+          case ((s0, e0) :: rest, p) if p <= e0 + 1 =>
+            (s0, math.max(e0, p + k - 1)) :: rest
+          case (acc, p) => (p, p + k - 1) :: acc
+        }
+        islands.map { case (s0, e0) => (id, s0, e0, e0 - s0 + 1) }
+      }.toSet
+    val got = Dedup.duplicatedSpans(corpus.toDF("doc_id", "text"),
+      "text", "doc_id", k = k)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("duplicated span stats: counts, tokens, fraction of doc length") {
+    val got = Dedup.duplicatedSpanStats(spanDocs, "text", "doc_id", k = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == Map(
+      1L -> ((2L, 10L, 0.7143)), // 10 of 14 tokens duplicated
+      2L -> ((1L, 7L, 0.7)),
+      3L -> ((1L, 3L, 0.5))))
+  }
+
+  test("strip duplicated spans keeps exactly one occurrence per span text") {
+    val d = spanDocs.union(Seq((8L, "c1 c2 c3 c4 c5 c6 c7")).toDF("doc_id", "text"))
+    val got = Dedup.stripDuplicatedSpans(d, "text", "doc_id", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // span-text groups keep the min-id occurrence: doc1 keeps both
+    // its spans; doc2/doc8 lose the c-run, doc3 loses "x y z"; a doc
+    // cut down to nothing surfaces as empty text, not a missing row
+    assert(got == Map(
+      1L -> "a b c1 c2 c3 c4 c5 c6 c7 d x y z e",
+      2L -> "q r s",
+      3L -> "k l m",
+      4L -> "unique words only here nothing shared at all",
+      8L -> ""))
+  }
 }
