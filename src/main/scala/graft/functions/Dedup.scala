@@ -1084,7 +1084,6 @@ object Dedup {
     */
   def duplicatedSpans(df: DataFrame, textCol: String, idCol: String,
       k: Int = 5, minDocs: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val grams = graft.TransientCache.persist(
       TextFunctions.shingleRowsWithPos(df, idCol, textCol, k)
         .select(col("id"), col("pos"), xxhash64(col("s")).as("gh")))
@@ -1092,11 +1091,18 @@ object Dedup {
       .agg(count_distinct(col("id")).as("nd"))
       .filter(col("nd") >= minDocs)
       .select("gh")
-    val hits = grams.join(dup, "gh").select("id", "pos")
+    coverageIslands(grams.join(dup, "gh").select("id", "pos"), k)
+  }
+
+  /** Interval-union (gaps-and-islands) of duplicated-gram hits into
+    * maximal spans: one window partitioned by doc. Input (id, pos);
+    * output (id, span_start, span_end, span_tokens). A row starts a
+    * new island when its interval [pos, pos+k−1] neither overlaps
+    * nor touches the furthest coverage end seen so far.
+    */
+  private def coverageIslands(hits: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy("id").orderBy("pos")
-    // classic gaps-and-islands over the interval union: a row starts
-    // a new island when its interval [pos, pos+k-1] neither overlaps
-    // nor touches the furthest coverage end seen so far
     val prevEnd = max(col("pos") + lit(k - 1))
       .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
     hits
@@ -1108,6 +1114,35 @@ object Dedup {
         (max("pos") + lit(k - 1)).as("span_end"))
       .withColumn("span_tokens", col("span_end") - col("span_start") + 1)
       .select("id", "span_start", "span_end", "span_tokens")
+  }
+
+  /** At-rest gram index for incremental span dedup: the DISTINCT
+    * 64-bit gram hashes of the corpus (k is the caller's contract,
+    * recorded by convention in the index path). Persist with
+    * `.write.parquet` next to the corpus; `duplicatedSpansVsIndex`
+    * probes it. Corpus-linear to build, and the smallest possible
+    * probe side — 8 bytes per distinct gram.
+    */
+  def buildSpanGramIndex(corpus: DataFrame, textCol: String, idCol: String,
+      k: Int = 5): DataFrame =
+    TextFunctions.shingleRowsWithPos(corpus, idCol, textCol, k)
+      .select(xxhash64(col("s")).as("gh")).distinct()
+
+  /** Incremental span dedup (new-vs-index, the fifth index-family
+    * member): maximal spans of each BATCH doc covered by grams the
+    * at-rest corpus has seen — candidates scale with the batch, never
+    * the corpus (the corpus contributes one build-time distinct-hash
+    * index; the probe is an ids-only semi-join against it). Batch-
+    * internal duplication deliberately does NOT count (cross-boundary
+    * only), matching the other new-vs-index members.
+    */
+  def duplicatedSpansVsIndex(batch: DataFrame, gramIndex: DataFrame,
+      textCol: String, idCol: String, k: Int = 5): DataFrame = {
+    val grams = TextFunctions.shingleRowsWithPos(batch, idCol, textCol, k)
+      .select(col("id"), col("pos"), xxhash64(col("s")).as("gh"))
+    coverageIslands(
+      grams.join(gramIndex.select("gh"), Seq("gh"), "left_semi")
+        .select("id", "pos"), k)
   }
 
   /** Per-document duplicated-span statistics against the doc's own

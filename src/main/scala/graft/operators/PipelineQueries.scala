@@ -51,6 +51,22 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Incremental span dedup (new-vs-index): batch docs
+    // (doc_id % 10 = 0) probed against the at-rest distinct-gram
+    // index of the rest of the corpus; output is the batch docs'
+    // maximal corpus-covered spans with exact offsets. Exact and
+    // cross-boundary-only, so the oracle is the real answer.
+    "dedup_span_increment" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val idx = graft.TransientCache.persist(Dedup.buildSpanGramIndex(
+        d.filter(col("doc_id") % 10 =!= 0), "text", "doc_id", k = 5))
+      Dedup.duplicatedSpansVsIndex(d.filter(col("doc_id") % 10 === 0),
+        idx, "text", "doc_id", k = 5)
+        .select(col("id").as("doc_id"), col("span_start"),
+          col("span_end"), col("span_tokens"))
+        .orderBy("doc_id", "span_start")
+    }),
+
     // MinHash+LSH near-dups, exact-verified (the production shape):
     // banding on relationally-computed signatures generates
     // candidates; true bigram-set Jaccard ≥ 0.8 verifies. At 16
@@ -699,6 +715,29 @@ object PipelineQueries {
     "dedup_exact" ->
       s"""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
           FROM documents GROUP BY $normText ORDER BY doc_id""",
+    // incremental span dedup: batch grams ∩ corpus gram set →
+    // islands, 0-based positions (r.i - 1) to match posexplode
+    "dedup_span_increment" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normText, ' ') AS w
+                     FROM documents),
+          g AS (SELECT t.doc_id, r.i - 1 AS pos,
+                       array_to_string(w[r.i:r.i+4], ' ') AS s
+                FROM t, UNNEST(range(1, len(w) - 3)) AS r(i)
+                WHERE len(w) >= 5),
+          idx AS (SELECT DISTINCT s FROM g WHERE doc_id % 10 <> 0),
+          h AS (SELECT doc_id, pos FROM g
+                WHERE doc_id % 10 = 0 AND s IN (SELECT s FROM idx)),
+          isl AS (SELECT doc_id, pos,
+                   CASE WHEN pos > COALESCE(MAX(pos + 4) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     -2) + 1 THEN 1 ELSE 0 END AS brk FROM h),
+          sp AS (SELECT doc_id, pos, SUM(brk) OVER (
+                   PARTITION BY doc_id ORDER BY pos) AS island FROM isl)
+          SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end,
+                 MAX(pos) + 4 - MIN(pos) + 1 AS span_tokens
+          FROM sp GROUP BY doc_id, island
+          ORDER BY doc_id, span_start""",
     // exact substring dedup: the same grams → ≥2-doc filter →
     // gaps-and-islands interval union, on gram STRINGS (the Scala
     // side joins on xxhash64 of the same strings)

@@ -726,6 +726,28 @@ class PipelineSpec extends SparkSpec {
       3L -> ((1L, 3L, 0.5))))
   }
 
+  test("span increment: cross-boundary only, index round-trips via parquet") {
+    val corpus = Seq(
+      (10L, "c1 c2 c3 c4 c5 c6 c7 idx tail"),
+      (11L, "p q x y z r")).toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, "a b c1 c2 c3 c4 c5 end"),
+      (21L, "x y z only"),
+      // 22/23 duplicate each other but share nothing with the
+      // corpus — batch-internal dups must NOT surface
+      (22L, "bb1 bb2 bb3 bb4 bb5"),
+      (23L, "bb1 bb2 bb3 bb4 bb5")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_spanidx")
+    Dedup.buildSpanGramIndex(corpus, "text", "doc_id", k = 3)
+      .write.mode("overwrite").parquet(dir.toString)
+    val idx = spark.read.parquet(dir.toString)
+    val got = Dedup.duplicatedSpansVsIndex(batch, idx, "text", "doc_id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    // doc20: grams c1c2c3..c3c4c5 at pos 2..4 → [2,6]; doc21: [0,2]
+    assert(got == Set((20L, 2, 6, 5), (21L, 0, 2, 3)))
+  }
+
   test("strip duplicated spans keeps exactly one occurrence per span text") {
     val d = spanDocs.union(Seq((8L, "c1 c2 c3 c4 c5 c6 c7")).toDF("doc_id", "text"))
     val got = Dedup.stripDuplicatedSpans(d, "text", "doc_id", k = 3)
