@@ -690,4 +690,183 @@ object Similarity {
         .select(col("ida"), col("idb"), col("cosine"))
     }
   }
+
+  // ===== Product quantization (the ANN memory-scale path) =====
+
+  /** Train per-subspace PQ codebooks (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search") over the corpus's
+    * UNIT vectors: the embedding splits into `m` contiguous
+    * subvectors of dim/m dims; each subspace gets its own `ksub`-
+    * centroid k-means. On unit vectors L2² = 2 − 2·cos, so ADC's
+    * additive L2 estimate ranks exactly like cosine — the same
+    * spherical trick the IVF quantizer uses.
+    *
+    * Deterministic like [[ivfCentroids]]: seeds are the subvectors of
+    * the `ksub` lowest-id vectors, argmin ties break to the lowest
+    * code, centroids round to 6 dp each update. The model is
+    * (sub, code, cvec) rows — m × ksub × (dim/m) floats, i.e. ONE
+    * full-dim vector per code: model state, never data.
+    *
+    * The k-means itself is relational: subvector rows explode once
+    * (corpus × m slim rows), assignment is a broadcast join against
+    * the codebook + min(struct) argmin, the update one posexplode
+    * HashAggregate over a (sub, code, dim) keyspace.
+    */
+  def trainPq(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
+      iters: Int = 5): Array[(Int, Int, Array[Float])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    def round6(x: Double): Float = (math.floor(x * 1e6 + 0.5) / 1e6).toFloat
+    // seed: subvectors of the ksub lowest-id vectors, unitized
+    val seedVecs = corpus.orderBy("vec_id").limit(ksub)
+      .select(col("embedding")).as[Array[Float]].collect()
+    var books: Array[(Int, Int, Array[Float])] =
+      (for {
+        sub <- 0 until m
+        (v, code) <- seedVecs.zipWithIndex
+      } yield {
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+        val n = math.sqrt(s)
+        (sub, code, v.slice(sub * dsub, (sub + 1) * dsub)
+          .map(x => round6(x / n)))
+      }).toArray
+    val rows = graft.TransientCache.persist(subvectorRows(corpus, m, dsub))
+    for (_ <- 0 until iters) {
+      val bookDF = books.toSeq.toDF("sub", "code", "cvec")
+      val assigned = pqAssign(rows, bookDF)
+      // update: mean of member UNIT subvectors per (sub, code, dim)
+      val means = rows.join(assigned, Seq("vec_id", "sub"))
+        .select(col("sub"), col("code"),
+          posexplode(col("svec")).as(Seq("i", "x")), col("nrm"))
+        .groupBy("sub", "code", "i").agg(avg(col("x") / col("nrm")).as("mu"))
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), (r.getInt(2), r.getDouble(3))))
+        .groupBy(_._1)
+      books = books.map { case (sub, code, old) =>
+        means.get((sub, code)) match {
+          case Some(rs) =>
+            val arr = new Array[Float](dsub)
+            rs.foreach { case (_, (i, mu)) => arr(i) = round6(mu) }
+            (sub, code, arr)
+          case None => (sub, code, old) // empty code keeps its centroid
+        }
+      }
+    }
+    books
+  }
+
+  /** Subvector rows (vec_id, sub, svec, nrm): the RAW slice plus the
+    * full-vector norm — unitization folds into the distance algebra
+    * (|u_sub − c|² ⇔ argmin of |c|² − 2⟨v_sub, c⟩/|v|), so no
+    * per-element array rewrite ever runs.
+    */
+  private def subvectorRows(vecs: DataFrame, m: Int, dsub: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    vecs.select(col("vec_id"),
+        VecExpressions.vecNorm(spark, col("embedding")).as("nrm"),
+        col("embedding"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(col("vec_id"), col("sub"), col("nrm"),
+        slice(col("embedding"), col("sub") * dsub + 1, lit(dsub)).as("svec"))
+  }
+
+  /** Argmin code per (vec_id, sub): broadcast codebook join, distance
+    * via the fold |c|² − 2⟨v_sub, c⟩/|v| (the dropped |u_sub|² terms
+    * are constant per vector and cancel in the argmin), min(struct)
+    * for a deterministic lowest-code tie-break.
+    */
+  private def pqAssign(rows: DataFrame, bookDF: DataFrame): DataFrame = {
+    val spark = rows.sparkSession
+    val withC = bookDF.withColumn("cn2",
+      round(VecExpressions.vecDot(spark, col("cvec"), col("cvec")), 6))
+    rows.join(broadcast(withC), "sub")
+      .withColumn("d", round(col("cn2")
+        - lit(2.0) * VecExpressions.vecDot(spark, col("svec"), col("cvec"))
+          / col("nrm"), 6))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("d"), col("code"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.code").as("code"))
+  }
+
+  /** Encode the corpus against a trained codebook: one code per
+    * (vector, subspace), packed into the sub-ordered code array.
+    * The at-rest representation is m small ints per vector instead
+    * of dim × 4 bytes (dim 64, m 8, ksub 16: 4-bit codes — a 32×
+    * compression) — WHY PQ is the memory-scale path: a 10⁹-vector
+    * corpus's codes fit where raw floats cannot. Corpus-linear:
+    * corpus × m slim assignment rows, broadcast codebook.
+    */
+  def encodePq(corpus: DataFrame, bookDF: DataFrame): DataFrame = {
+    val shape = bookDF.agg(max(col("sub")), max(size(col("cvec")))).head()
+    val m = shape.getInt(0) + 1
+    val dsub = shape.getInt(1)
+    pqAssign(subvectorRows(corpus, m, dsub), bookDF)
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        t => t.getField("code")).as("codes"))
+  }
+
+  /** ANN via PQ + ADC (asymmetric distance computation) with exact
+    * re-rank — the third approximate path beside LSH and IVF:
+    *
+    *  1. per query, a distance LUT to every (sub, code) centroid —
+    *     nQueries × m × ksub rows, broadcast (model-sized);
+    *  2. the encoded corpus explodes its codes once and equi-joins
+    *     the LUT on (sub, code): the scan touches CODES only, never
+    *     corpus floats — the sum of LUT hits is the ADC L2² estimate
+    *     (per-query constant terms dropped; rank-invariant);
+    *  3. top k × rerank candidates per query re-rank exactly through
+    *     the shared rerankTopK tail.
+    *
+    * Output (query_id, corpus_id, cosine, rank) like every ANN
+    * variant. At cluster scale stage 2 is the only corpus-sized job
+    * and it shuffles (query_id, corpus_id, partial sums) — compose
+    * with the IVF cell pruning (probe cells first, ADC within) for
+    * the full IVF-PQ design.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, ksub: Int = 16, rerank: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bookDF = trainPq(corpus, m, ksub).toSeq.toDF("sub", "code", "cvec")
+    pqTopKWithModel(corpus, encodePq(corpus, bookDF), queries, bookDF, k, rerank)
+  }
+
+  /** The from-parts form: a pre-trained codebook and pre-encoded
+    * corpus (the at-rest index); only the query-side LUT and the
+    * code scan run per batch.
+    */
+  def pqTopKWithModel(corpus: DataFrame, encoded: DataFrame,
+      queries: DataFrame, bookDF: DataFrame, k: Int,
+      rerank: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    val shape = bookDF.agg(max(col("sub")), max(size(col("cvec")))).head()
+    val m = shape.getInt(0) + 1
+    val dsub = shape.getInt(1)
+    val qrows = subvectorRows(
+      queries.select(col("vec_id"), col("embedding")), m, dsub)
+      .withColumnRenamed("vec_id", "query_id")
+    val withC = bookDF.withColumn("cn2",
+      round(VecExpressions.vecDot(spark, col("cvec"), col("cvec")), 6))
+    val lut = qrows.join(broadcast(withC), "sub")
+      .select(col("query_id"), col("sub"), col("code"),
+        round(col("cn2")
+          - lit(2.0) * VecExpressions.vecDot(spark, col("svec"), col("cvec"))
+            / col("nrm"), 6).as("d"))
+    val codeRows = encoded.select(col("vec_id").as("corpus_id"),
+      posexplode(col("codes")).as(Seq("sub", "code")))
+    val adc = codeRows.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .groupBy("query_id", "corpus_id")
+      .agg(round(sum("d"), 6).as("adc"))
+    val w = Window.partitionBy("query_id").orderBy(asc("adc"), asc("corpus_id"))
+    val cand = adc.withColumn("r", row_number().over(w))
+      .filter(col("r") <= k * rerank)
+      .select("query_id", "corpus_id")
+    rerankTopK(cand, corpus, queries, k)
+  }
 }

@@ -289,6 +289,31 @@ object PipelineQueries {
         .orderBy("query_id")
     }),
 
+    // ANN PQ recall floor: product quantization + ADC (8 subspaces ×
+    // 32 codes, exact rerank of the top 80) must recover ≥ 3 of each
+    // query's true top-10. Rows are violations, expected (and
+    // oracle'd) empty. Measured per-query hits: min 4 at
+    // sf0.001/sf0.1, min 7 at sf0.01 (deterministic — seeded from
+    // the lowest-id vectors, codebooks rounded each update). The
+    // code scan touches 8 small ints per corpus vector, not 64
+    // floats — the memory-scale path.
+    "ann_pq_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(emb, queries, 10)
+        .select("query_id", "corpus_id")
+      val approx = Similarity.pqTopK(emb, queries, 10,
+        m = 8, ksub = 32, rerank = 8)
+        .select("query_id", "corpus_id")
+      val hits = exact.join(approx, Seq("query_id", "corpus_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("found"))
+      queries.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("found"), lit(0L)).as("found"))
+        .filter(col("found") < 3)
+        .orderBy("query_id")
+    }),
+
     // Incremental IVF index maintenance: the at-rest index is built
     // on 90% of the corpus, the remaining 10% arrives as a batch
     // appended against the FROZEN centroid model (appendToIvfIndex —
@@ -837,6 +862,9 @@ object PipelineQueries {
     // the exact verify join restores set semantics
     "pipe_decontaminate_bloom" -> decontaminateSql,
     "ann_lsh_recall" ->
+      """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS found
+         WHERE FALSE""",
+    "ann_pq_recall" ->
       """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS found
          WHERE FALSE""",
     "dedup_embedding_lsh_recall" ->

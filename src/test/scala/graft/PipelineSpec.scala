@@ -74,6 +74,42 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.3, s"LSH recall too low: $recall")
   }
 
+  test("pq: n distinct vectors with ksub=n codes reproduce brute-force exactly") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 12L).map { id =>
+      id -> Array.fill(8)(rnd.nextFloat() * 2 - 1).toSeq
+    }.toDF("vec_id", "embedding")
+    // ksub = corpus size: seeds are ALL vectors, each becomes its own
+    // singleton centroid, so ADC distance is exact and the PQ ranking
+    // must equal brute force
+    val queries = vecs.filter(col("vec_id") < 3)
+    val exact = Similarity.bruteForceTopK(vecs, queries, 4).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val pq = Similarity.pqTopK(vecs, queries, 4, m = 2, ksub = 12, rerank = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(pq == exact)
+  }
+
+  test("pq training is deterministic; adc recall vs brute force holds a floor") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 5)
+    val b1 = Similarity.trainPq(emb, m = 8, ksub = 16, iters = 3)
+    val b2 = Similarity.trainPq(emb, m = 8, ksub = 16, iters = 3)
+    assert(b1.map { case (s, c, v) => (s, c, v.toSeq) }.toSeq ==
+      b2.map { case (s, c, v) => (s, c, v.toSeq) }.toSeq)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.pqTopK(emb, queries, 5, m = 8, ksub = 16,
+      rerank = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // Deterministic (seeded + rounded training): observed 0.4 at
+    // m=8 ksub=16 rerank=4 on this data; the driver query runs the
+    // stronger 8×32 rerank=8 config (per-query min 4-7 of top-10
+    // across sf0.001/0.01/0.1). The bound guards regressions.
+    assert(recall >= 0.3, s"PQ recall too low: $recall")
+  }
+
   test("shingleRows (codegen) produces exactly explode(shingles) for k=1,2,3") {
     val short = docs.unionByName(Seq((9L, "oneword"), (10L, "")).toDF("doc_id", "text"))
     for (k <- Seq(1, 2, 3)) {

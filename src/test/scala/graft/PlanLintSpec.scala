@@ -35,6 +35,7 @@ class PlanLintSpec extends SparkSpec {
     "ann_lsh_recall" -> "query batch + brute-force reference side",
     "ann_ivf_recall" -> "query batch, centroid model, brute-force reference side",
     "ann_ivf_increment" -> "query batch, centroid model, brute-force reference side",
+    "ann_pq_recall" -> "query batch, PQ codebook model, brute-force reference side",
     "stats_sketch_bounds" -> "single-row aggregate crossJoined to itself",
     "tfidf_top_terms" -> "single-row corpus count broadcast",
     "pipe_temperature_mix" -> "single-row weight-sum broadcast",
