@@ -842,6 +842,52 @@ object Similarity {
   def pqTopKWithModel(corpus: DataFrame, encoded: DataFrame,
       queries: DataFrame, bookDF: DataFrame, k: Int,
       rerank: Int = 4): DataFrame = {
+    val codeRows = encoded.select(col("vec_id").as("corpus_id"),
+      posexplode(col("codes")).as(Seq("sub", "code")))
+    adcRerank(codeRows, corpus, queries, bookDF, k, rerank,
+      lutKeys = Seq("sub", "code"))
+  }
+
+  /** The full IVF-PQ composition — coarse cells prune the scan, ADC
+    * ranks within the probed cells, exact rerank finishes: each
+    * query's code scan touches ≈ corpus × nprobe / nlist code rows
+    * instead of the whole corpus, and the scan still never reads a
+    * corpus float. The two models (centroids, codebooks) train
+    * independently on the same corpus; at rest the codes would live
+    * cid-partitioned next to the IVF cells so the probe prunes
+    * directories (writeIvfIndex's layout) — here the restriction is
+    * the equi-join on cid.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+      rerank: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = ivfCentroids(corpus, nlist).toSeq.toDF("cid", "cvec")
+    val assigned = ivfAssign(corpus, cents)
+      .withColumnRenamed("vec_id", "corpus_id")
+    val probed = ivfProbe(queries, cents, nprobe)
+    val bookDF = trainPq(corpus, m, ksub).toSeq.toDF("sub", "code", "cvec")
+    val codeRows = encodePq(corpus, bookDF)
+      .select(col("vec_id").as("corpus_id"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(assigned, "corpus_id")
+      .join(broadcast(probed), "cid")
+    // the cell join already pairs each code row with its queries, so
+    // the LUT joins per (query_id, sub, code) — no further fan-out
+    adcRerank(codeRows, corpus, queries, bookDF, k, rerank,
+      lutKeys = Seq("query_id", "sub", "code"))
+  }
+
+  /** Shared ADC tail: build the per-query (sub, code) distance LUT,
+    * join it against code rows on `lutKeys` (("sub","code") fans the
+    * unrestricted scan out over queries; prepending "query_id" keys
+    * an already query-paired restricted scan), sum to the ADC
+    * estimate, keep top k × rerank, exact-rerank to k.
+    */
+  private def adcRerank(codeRows: DataFrame, corpus: DataFrame,
+      queries: DataFrame, bookDF: DataFrame, k: Int, rerank: Int,
+      lutKeys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = corpus.sparkSession
     val shape = bookDF.agg(max(col("sub")), max(size(col("cvec")))).head()
@@ -857,9 +903,7 @@ object Similarity {
         round(col("cn2")
           - lit(2.0) * VecExpressions.vecDot(spark, col("svec"), col("cvec"))
             / col("nrm"), 6).as("d"))
-    val codeRows = encoded.select(col("vec_id").as("corpus_id"),
-      posexplode(col("codes")).as(Seq("sub", "code")))
-    val adc = codeRows.join(broadcast(lut), Seq("sub", "code"))
+    val adc = codeRows.join(broadcast(lut), lutKeys)
       .filter(col("corpus_id") =!= col("query_id"))
       .groupBy("query_id", "corpus_id")
       .agg(round(sum("d"), 6).as("adc"))
@@ -869,4 +913,27 @@ object Similarity {
       .select("query_id", "corpus_id")
     rerankTopK(cand, corpus, queries, k)
   }
+
+  /** Persist the PQ model + codes as the at-rest index
+    * (`path/codebook`, `path/codes`); [[pqTopKFromIndex]] probes it
+    * without retraining or re-encoding. The codebook is model-sized;
+    * codes are m small ints per vector.
+    */
+  def writePqIndex(corpus: DataFrame, path: String, m: Int = 8,
+      ksub: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bookDF = trainPq(corpus, m, ksub).toSeq.toDF("sub", "code", "cvec")
+    bookDF.write.mode("overwrite").parquet(s"$path/codebook")
+    encodePq(corpus, bookDF).write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Query a saved PQ index: only the LUT build and the code scan run
+    * per batch; `corpus` is the base table the exact rerank reads.
+    */
+  def pqTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, corpus: DataFrame, queries: DataFrame, k: Int,
+      rerank: Int = 4): DataFrame =
+    pqTopKWithModel(corpus, spark.read.parquet(s"$path/codes"), queries,
+      spark.read.parquet(s"$path/codebook"), k, rerank)
 }

@@ -110,6 +110,43 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.3, s"PQ recall too low: $recall")
   }
 
+  test("pq index round-trips via parquet; probing all ivf cells equals pure pq") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 24L).map { id =>
+      id -> Array.fill(8)(rnd.nextFloat() * 2 - 1).toSeq
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqidx").toString
+    Similarity.writePqIndex(vecs, dir, m = 2, ksub = 8)
+    val fromIdx = Similarity.pqTopKFromIndex(spark, dir, vecs, queries, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val inMem = Similarity.pqTopK(vecs, queries, 3, m = 2, ksub = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(fromIdx == inMem && fromIdx.nonEmpty)
+    // nprobe = nlist probes every cell → the cid restriction is a
+    // no-op and IVF-PQ must reproduce the pure-PQ answer exactly
+    val allCells = Similarity.ivfPqTopK(vecs, queries, 3,
+      nlist = 4, nprobe = 4, m = 2, ksub = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(allCells == inMem)
+  }
+
+  test("ivf-pq recall vs brute force holds a floor on real embeddings") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfPqTopK(emb, queries, 5,
+      nlist = 16, nprobe = 4, m = 8, ksub = 16, rerank = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // Deterministic; observed 0.52 at nlist 16 / nprobe 4 / 8×16
+    // rerank 4 on this data (the cell pruning costs recall vs pure
+    // PQ's 0.4-at-weaker-config by skipping 3/4 of the corpus —
+    // that's its job). The bound guards regressions.
+    assert(recall >= 0.3, s"IVF-PQ recall too low: $recall")
+  }
+
   test("shingleRows (codegen) produces exactly explode(shingles) for k=1,2,3") {
     val short = docs.unionByName(Seq((9L, "oneword"), (10L, "")).toDF("doc_id", "text"))
     for (k <- Seq(1, 2, 3)) {
