@@ -68,6 +68,11 @@ object Ast {
   case class Contains(left: Expr, right: Expr) extends Expr
   /** SQL-style pattern match (`%` any run, `_` one char). */
   case class Like(left: Expr, pattern: String) extends Expr
+  /** Cypher string predicates: literal prefix/suffix match (no
+    * wildcards — the pattern-free complements of LIKE).
+    */
+  case class StartsWith(left: Expr, right: Expr) extends Expr
+  case class EndsWith(left: Expr, right: Expr) extends Expr
 
   sealed trait ReturnItem
   case object ReturnAll extends ReturnItem

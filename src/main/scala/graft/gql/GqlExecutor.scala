@@ -461,6 +461,10 @@ object GqlExecutor {
     // sides view as NULL → predicate false, mirroring cross-kind
     // comparisons
     case Contains(l, r) => containsStrView(l).contains(containsStrView(r))
+    // STARTS WITH / ENDS WITH share CONTAINS's string-view 3VL:
+    // non-string sides view as NULL → predicate filters the row
+    case StartsWith(l, r) => containsStrView(l).startsWith(containsStrView(r))
+    case EndsWith(l, r) => containsStrView(l).endsWith(containsStrView(r))
     // LIKE is the SQL pattern match (% any run, _ one char), string
     // side only — a non-string left views as NULL → filtered. GQL
     // exposes no ESCAPE syntax, so a backslash is a literal character

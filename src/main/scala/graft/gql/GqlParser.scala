@@ -105,6 +105,8 @@ object GqlParser extends RegexParsers {
       cmpOp ~ operand ^^ { case op ~ r => (l: Expr) => Comparison(l, op, r) } |
         kw("in") ~> valueList ^^ { vs => (l: Expr) => In(l, vs) } |
         kw("contains") ~> operand ^^ { r => (l: Expr) => Contains(l, r) } |
+        kw("starts") ~ kw("with") ~> operand ^^ { r => (l: Expr) => StartsWith(l, r) } |
+        kw("ends") ~ kw("with") ~> operand ^^ { r => (l: Expr) => EndsWith(l, r) } |
         kw("like") ~> stringLit ^^ { pat => (l: Expr) => Like(l, pat) }) ^^ {
       case l ~ Some(mk) => mk(l)
       case l ~ None => l // bare var.prop truthiness (executor.rs:387-391)

@@ -97,6 +97,16 @@ object GraphQueries {
         str(col("c_mktsegment")).as("mktsegment")).orderBy("name")
     }),
 
+    // P3 extension: Cypher STARTS WITH / ENDS WITH (the pattern-free
+    // string predicates beside CONTAINS/LIKE), pinned against
+    // DuckDB prefix/suffix LIKE.
+    "gql_where_prefix" -> ((s, dir) => {
+      val r = GqlExecutor.run(g(s, dir),
+        """MATCH (c:Customer) WHERE c.name STARTS WITH "Customer#00000001" OR (c.name ENDS WITH "5" AND c.mktsegment = "AUTOMOBILE") RETURN c.name, c.mktsegment""").df
+      r.select(str(col("c_name")).as("name"),
+        str(col("c_mktsegment")).as("mktsegment")).orderBy("name")
+    }),
+
     // J1: single-hop pattern expansion.
     "gql_j1_expand" -> ((s, dir) => {
       val r = GqlExecutor.run(g(s, dir),
@@ -358,6 +368,11 @@ object GraphQueries {
     "gql_where_like" ->
       """SELECT c_name AS name, c_mktsegment AS mktsegment FROM customer
          WHERE c_name LIKE '%00001_' AND NOT (c_mktsegment = 'BUILDING')
+         ORDER BY name""",
+    "gql_where_prefix" ->
+      """SELECT c_name AS name, c_mktsegment AS mktsegment FROM customer
+         WHERE c_name LIKE 'Customer#00000001%'
+            OR (c_name LIKE '%5' AND c_mktsegment = 'AUTOMOBILE')
          ORDER BY name""",
     "gql_j1_expand" ->
       """SELECT c_name AS name, ROUND(o_totalprice, 4) AS totalprice

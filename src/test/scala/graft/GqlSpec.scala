@@ -213,6 +213,30 @@ class GqlSpec extends SparkSpec {
     assert(nonStr.count() == 0)
   }
 
+  test("WHERE STARTS WITH / ENDS WITH: literal affix match, CONTAINS 3VL") {
+    val pre = GqlExecutor.run(fixture,
+      """MATCH (v:Person) WHERE v.name STARTS WITH "Al" RETURN v.name""").df
+    assert(names(pre, "v_name") == Set("Alice"))
+    val suf = GqlExecutor.run(fixture,
+      """MATCH (v:Person) WHERE v.name ENDS WITH "e" RETURN v.name""").df
+    assert(names(suf, "v_name") == Set("Alice", "Charlie"))
+    // prop-vs-prop: every string is its own prefix
+    val pp = GqlExecutor.run(fixture,
+      """MATCH (v:Person) WHERE v.name STARTS WITH v.name RETURN v.name""").df
+    assert(names(pp, "v_name") == Set("Alice", "Bob", "Charlie", "Diana"))
+    // unlike LIKE, the affix is literal: % is just a character
+    val litPct = GqlExecutor.run(fixture,
+      """MATCH (v:Person) WHERE v.name STARTS WITH "%" RETURN v.name""").df
+    assert(litPct.count() == 0)
+    // int prop → NULL string view → filtered, and NOT keeps 3VL
+    val nonStr = GqlExecutor.run(fixture,
+      """MATCH (v:Person) WHERE v.age ENDS WITH "3" RETURN v.name""").df
+    assert(nonStr.count() == 0)
+    val negated = GqlExecutor.run(fixture,
+      """MATCH (v:Person) WHERE NOT v.age STARTS WITH "3" RETURN v.name""").df
+    assert(negated.count() == 0)
+  }
+
   test("WHERE LIKE: SQL pattern semantics; non-string left is false") {
     val r = GqlExecutor.run(fixture,
       """MATCH (v:Person) WHERE v.name LIKE "A%e" RETURN v.name""").df

@@ -326,6 +326,8 @@ class PropertySpec extends SparkSpec {
       case Not(x) => s"NOT ${renderExpr(x)}"
       case In(l, vs) => s"${renderExpr(l)} IN [${vs.map(v).mkString(", ")}]"
       case Contains(l, r) => s"${renderExpr(l)} CONTAINS ${renderExpr(r)}"
+      case StartsWith(l, r) => s"${renderExpr(l)} STARTS WITH ${renderExpr(r)}"
+      case EndsWith(l, r) => s"${renderExpr(l)} ENDS WITH ${renderExpr(r)}"
       case Like(l, pat) => s"""${renderExpr(l)} LIKE "$pat""""
     }
   }
@@ -348,6 +350,10 @@ class PropertySpec extends SparkSpec {
         .map { case (l, vs) => In(l, vs) },
       Gen.zip(gProp, gVal.map(Literal.apply))
         .map { case (l, r) => Contains(l, r) },
+      Gen.zip(gProp, gVal.map(Literal.apply))
+        .map { case (l, r) => StartsWith(l, r) },
+      Gen.zip(gProp, gVal.map(Literal.apply))
+        .map { case (l, r) => EndsWith(l, r) },
       Gen.zip(gProp, Gen.listOfN(6,
         Gen.frequency(4 -> Gen.alphaChar, 1 -> Gen.const('%'),
           1 -> Gen.const('_'), 1 -> Gen.const('\\'))).map(_.mkString))
