@@ -51,6 +51,18 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // The MUTATING side of exact substring dedup: every duplicated
+    // span is cut from every doc except the min-(id, offset)
+    // occurrence per exact span text; fully-cut docs surface as
+    // empty text. Full value oracle — DuckDB rebuilds the same
+    // normalized token streams.
+    "dedup_span_strip" -> ((s, dir) => {
+      Dedup.stripDuplicatedSpans(Tables.documents(s, dir), "text", "doc_id",
+        k = 5, minDocs = 2)
+        .select(col("id").as("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     // Incremental span dedup (new-vs-index): batch docs
     // (doc_id % 10 = 0) probed against the at-rest distinct-gram
     // index of the rest of the corpus; output is the batch docs'
@@ -740,6 +752,45 @@ object PipelineQueries {
     "dedup_exact" ->
       s"""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
           FROM documents GROUP BY $normText ORDER BY doc_id""",
+    // strip: spans → keep-rank per exact span text (DuckDB groups by
+    // the text itself; the Scala side by its xxhash64 — identical
+    // groups modulo 2⁻⁶⁴) → token anti-join → ordered rebuild
+    "dedup_span_strip" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normText, ' ') AS w
+                     FROM documents),
+          g AS (SELECT t.doc_id, r.i - 1 AS pos,
+                       array_to_string(w[r.i:r.i+4], ' ') AS s
+                FROM t, UNNEST(range(1, len(w) - 3)) AS r(i)
+                WHERE len(w) >= 5),
+          dup AS (SELECT s FROM g GROUP BY s
+                  HAVING COUNT(DISTINCT doc_id) >= 2),
+          h AS (SELECT doc_id, pos FROM g JOIN dup USING (s)),
+          isl AS (SELECT doc_id, pos,
+                   CASE WHEN pos > COALESCE(MAX(pos + 4) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     -2) + 1 THEN 1 ELSE 0 END AS brk FROM h),
+          sp AS (SELECT doc_id, pos, SUM(brk) OVER (
+                   PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+          spans AS (SELECT doc_id, MIN(pos) AS s0, MAX(pos) + 4 AS e0
+                    FROM sp GROUP BY doc_id, island),
+          sptext AS (SELECT sp2.doc_id, s0, e0,
+                       array_to_string(w[s0+1:e0+1], ' ') AS stext
+                     FROM spans sp2 JOIN t USING (doc_id)),
+          keep AS (SELECT doc_id, s0, e0, ROW_NUMBER() OVER (
+                     PARTITION BY stext ORDER BY doc_id, s0) AS rk
+                   FROM sptext),
+          cuts AS (SELECT doc_id, s0, e0 FROM keep WHERE rk > 1),
+          toks AS (SELECT t2.doc_id, r.i - 1 AS pos, w[r.i] AS tok
+                   FROM t t2, UNNEST(range(1, len(w) + 1)) AS r(i)),
+          keptToks AS (SELECT tk.doc_id, tk.pos, tk.tok FROM toks tk
+                       WHERE NOT EXISTS (SELECT 1 FROM cuts c
+                         WHERE c.doc_id = tk.doc_id
+                           AND tk.pos BETWEEN c.s0 AND c.e0)),
+          res AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+                  FROM keptToks GROUP BY doc_id)
+          SELECT t.doc_id, COALESCE(res.text, '') AS text
+          FROM t LEFT JOIN res USING (doc_id) ORDER BY t.doc_id""",
     // incremental span dedup: batch grams ∩ corpus gram set →
     // islands, 0-based positions (r.i - 1) to match posexplode
     "dedup_span_increment" ->
