@@ -265,7 +265,13 @@ object Bench {
       s""""env_flagged":[${envFlagged.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""sf":"$sfDir"}"""
     println(s"BENCH_DETAIL $detail")
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    // The committed record is the FULL-suite sf0.1 run only: a
+    // SPARK_GRAFT_ONLY-filtered run must never overwrite it (the
+    // round's env_flagged triage compares against this file), for the
+    // same reason sf0.001 smoke runs already write to the side path.
+    val defaultOut =
+      if (only.isDefined) "BENCH_LOCAL_partial.json" else "BENCH_LOCAL.json"
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (detail + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>

@@ -1159,7 +1159,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_dup_spans"),
         sum("span_tokens").as("dup_tokens"))
     val nTok = df.select(col(idCol).as("id"),
-      size(split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " "))
+      size(TextFunctions.normWords(col(textCol)))
         .as("n_tokens"))
     perDoc.join(nTok, "id")
       .select(col("id"), col("n_dup_spans"), col("dup_tokens"),
@@ -1168,11 +1168,20 @@ object Dedup {
   }
 
   /** Cut duplicated spans out of every document EXCEPT one canonical
-    * occurrence per exact span text (min id, then min offset — the
-    * keep-one-copy side of ExactSubstr). Returns (id, text) with the
-    * NORMALIZED token stream re-joined by single spaces — span
-    * offsets index the normalized sequence, so the cut is defined on
-    * it.
+    * occurrence per exact MAXIMAL-SPAN text (min id, then min
+    * offset). Returns (id, text) with the NORMALIZED token stream
+    * re-joined by single spaces — span offsets index the normalized
+    * sequence, so the cut is defined on it.
+    *
+    * SEMANTICS, precisely: the keep-one guarantee is per maximal-span
+    * text, which is WEAKER than ExactSubstr's per-duplicated-
+    * substring guarantee — a substring embedded in differently-sized
+    * islands survives once per distinct island text (docA span
+    * "a b c d" and docC span "b c d" are different groups, so
+    * "b c d" remains in both survivors). Exact parity with this
+    * definition is what the dedup_span_strip oracle pins; callers
+    * needing the stronger guarantee should iterate strip→respan to a
+    * fixpoint (each pass only removes text, so it terminates).
     *
     * Scale: the keep-rank window partitions by the 64-bit span-text
     * hash (dup spans are short relative to docs — the shuffle carries
@@ -1187,7 +1196,7 @@ object Dedup {
       k: Int = 5, minDocs: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spans = duplicatedSpans(df, textCol, idCol, k, minDocs)
-    val words = split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
+    val words = TextFunctions.normWords(col(textCol))
     val withWords = df.select(col(idCol).as("id"), words.as("w"))
     val spanText = spans.join(withWords, "id")
       .withColumn("sh", xxhash64(concat_ws(" ",

@@ -773,12 +773,16 @@ object Similarity {
         slice(col("embedding"), col("sub") * dsub + 1, lit(dsub)).as("svec"))
   }
 
-  /** Argmin code per (vec_id, sub): broadcast codebook join, distance
-    * via the fold |c|² − 2⟨v_sub, c⟩/|v| (the dropped |u_sub|² terms
-    * are constant per vector and cancel in the argmin), min(struct)
-    * for a deterministic lowest-code tie-break.
+  /** Codebook distance rows — THE shared PQ distance formula:
+    * subvector rows (any id column, plus sub/svec/nrm) × broadcast
+    * codebook → + (code, d) with
+    * d = round(|c|² − 2⟨svec, c⟩/|v|, 6) (the dropped |u_sub|² terms
+    * are per-vector constants that cancel in argmin and ranking).
+    * pqAssign's train/encode argmin and adcRerank's query LUT must
+    * stay numerically identical — both route through here, so the
+    * 6-dp rounding discipline cannot desynchronize them.
     */
-  private def pqAssign(rows: DataFrame, bookDF: DataFrame): DataFrame = {
+  private def pqDistances(rows: DataFrame, bookDF: DataFrame): DataFrame = {
     val spark = rows.sparkSession
     val withC = bookDF.withColumn("cn2",
       round(VecExpressions.vecDot(spark, col("cvec"), col("cvec")), 6))
@@ -786,10 +790,16 @@ object Similarity {
       .withColumn("d", round(col("cn2")
         - lit(2.0) * VecExpressions.vecDot(spark, col("svec"), col("cvec"))
           / col("nrm"), 6))
+  }
+
+  /** Argmin code per (vec_id, sub): shared distances, min(struct)
+    * for a deterministic lowest-code tie-break.
+    */
+  private def pqAssign(rows: DataFrame, bookDF: DataFrame): DataFrame =
+    pqDistances(rows, bookDF)
       .groupBy("vec_id", "sub")
       .agg(min(struct(col("d"), col("code"))).as("best"))
       .select(col("vec_id"), col("sub"), col("best.code").as("code"))
-  }
 
   /** Encode the corpus against a trained codebook: one code per
     * (vector, subspace), packed into the sub-ordered code array.
@@ -884,25 +894,27 @@ object Similarity {
     * unrestricted scan out over queries; prepending "query_id" keys
     * an already query-paired restricted scan), sum to the ADC
     * estimate, keep top k × rerank, exact-rerank to k.
+    *
+    * BOUND (the ivfTopKFromIndex collect discipline): the broadcast
+    * LUT is nQueries × m × ksub rows — BATCH-sized, not model-sized.
+    * At the defaults (8 × 32 = 256 rows/query) it stays broadcastable
+    * to ~100k queries; a larger batch should chunk its queries and
+    * union the results — never lift the broadcast hint, because a
+    * shuffled LUT join would re-shuffle the corpus-sized code rows
+    * per chunk instead.
     */
   private def adcRerank(codeRows: DataFrame, corpus: DataFrame,
       queries: DataFrame, bookDF: DataFrame, k: Int, rerank: Int,
       lutKeys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spark = corpus.sparkSession
     val shape = bookDF.agg(max(col("sub")), max(size(col("cvec")))).head()
     val m = shape.getInt(0) + 1
     val dsub = shape.getInt(1)
     val qrows = subvectorRows(
       queries.select(col("vec_id"), col("embedding")), m, dsub)
       .withColumnRenamed("vec_id", "query_id")
-    val withC = bookDF.withColumn("cn2",
-      round(VecExpressions.vecDot(spark, col("cvec"), col("cvec")), 6))
-    val lut = qrows.join(broadcast(withC), "sub")
-      .select(col("query_id"), col("sub"), col("code"),
-        round(col("cn2")
-          - lit(2.0) * VecExpressions.vecDot(spark, col("svec"), col("cvec"))
-            / col("nrm"), 6).as("d"))
+    val lut = pqDistances(qrows, bookDF)
+      .select(col("query_id"), col("sub"), col("code"), col("d"))
     val adc = codeRows.join(broadcast(lut), lutKeys)
       .filter(col("corpus_id") =!= col("query_id"))
       .groupBy("query_id", "corpus_id")

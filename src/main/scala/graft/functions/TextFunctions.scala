@@ -101,9 +101,18 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Normalized word array: lowercase, trim, collapse whitespace,
+    * split on single spaces — THE tokenization every gram/span/count
+    * path shares (the DuckDB oracles mirror it as `normText`).
+    * Change it here and nowhere else: span offsets, token counts,
+    * and gram strings must stay mutually consistent.
+    */
+  def normWords(text: Column): Column =
+    split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+
   /** Word shingles of size k as an array column. */
   def shingles(text: Column, k: Int): Column = {
-    val words = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+    val words = normWords(text)
     val n = size(words)
     when(n >= k,
       transform(sequence(lit(0), n - k),
@@ -121,7 +130,7 @@ object TextFunctions {
     * explode feeds every signature/Jaccard hot path.
     */
   def shingleRows(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val words = split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
+    val words = normWords(col(textCol))
     if (k == 1) df.select(col(idCol).as("id"), explode(words).as("s"))
     else {
       val nw = size(words)
@@ -148,7 +157,7 @@ object TextFunctions {
     */
   def shingleRowsWithPos(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
-    val words = split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
+    val words = normWords(col(textCol))
     if (k == 1)
       df.select(col(idCol).as("id"), posexplode(words).as(Seq("pos", "s")))
     else {

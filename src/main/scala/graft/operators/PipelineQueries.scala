@@ -816,11 +816,13 @@ object PipelineQueries {
           ORDER BY doc_id, span_start""",
     // exact substring dedup: the same grams → ≥2-doc filter →
     // gaps-and-islands interval union, on gram STRINGS (the Scala
-    // side joins on xxhash64 of the same strings)
+    // side joins on xxhash64 of the same strings); positions
+    // 0-based (r.i - 1) like every span oracle — the stats outputs
+    // are shift-invariant, but the convention must not fork
     "dedup_span_exact" ->
       s"""WITH t AS (SELECT doc_id, string_split($normText, ' ') AS w
                      FROM documents),
-          g AS (SELECT t.doc_id, r.i AS pos,
+          g AS (SELECT t.doc_id, r.i - 1 AS pos,
                        array_to_string(w[r.i:r.i+4], ' ') AS s
                 FROM t, UNNEST(range(1, len(w) - 3)) AS r(i)
                 WHERE len(w) >= 5),
