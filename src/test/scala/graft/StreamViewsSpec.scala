@@ -287,6 +287,38 @@ class StreamViewsSpec extends SparkSpec {
     assert(kept.toSeq === Seq(1L, 3L)) // 2 is a normalized dup of 1
   }
 
+  test("streaming span dedup per micro-batch equals the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (10L, "c1 c2 c3 c4 c5 c6 c7 idx tail"),
+      (11L, "p q x y z r")).toDF("doc_id", "text")
+    val idx = graft.TransientCache.persist(
+      graft.functions.Dedup.buildSpanGramIndex(corpus, "text", "doc_id", k = 3))
+    val arriving = Seq(
+      (20L, "a b c1 c2 c3 c4 c5 end"),
+      (21L, "x y z only"),
+      (22L, "nothing shared here at all"))
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val got = scala.collection.concurrent.TrieMap.empty[(Long, Int, Int), Int]
+    val q = graft.streaming.StreamDedup.spanDedupEachBatch(
+      stream, idx, "text", "doc_id", k = 3) { (spans, _) =>
+      spans.collect().foreach(r =>
+        got.put((r.getLong(0), r.getInt(1), r.getInt(2)), r.getInt(3)))
+    }.start()
+    // two micro-batches: the operator sees each batch independently
+    input.addData(arriving.take(2): _*)
+    q.processAllAvailable()
+    input.addData(arriving.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val batch = graft.functions.Dedup.duplicatedSpansVsIndex(
+      arriving.toDF("doc_id", "text"), idx, "text", "doc_id", k = 3)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getInt(2)) -> r.getInt(3)).toMap
+    assert(got.toMap == batch && got.nonEmpty)
+  }
+
   test("rate limiting: maxFilesPerTrigger bounds each micro-batch (T3/T4)") {
     // the Spark-native replacement for the reference's buffer
     // backpressure + flush thresholds (stream_processing.rs:118-129)
