@@ -1,10 +1,13 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Benchmark main (driver contract): runs every SparkEntry query on
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line with total + per-query
-  * seconds.
+  * seconds. The timed action is a full-column checksum (xxhash64 of
+  * every output column XOR-aggregated), NOT count() — see
+  * `materialize` below for why count() times collapsed plans.
   *
   * Round-5 methodology — making cross-environment variance VISIBLE
   * (round 4's driver total was 2.5× the builder-local measurement
@@ -146,9 +149,29 @@ object Bench {
       // (a fast-failing query would otherwise read as a phantom
       // speed-up in the machine line, with the error only on stderr
       // where the recording window never looks)
+      // Materialize EVERY output column, not count(): under count()
+      // Catalyst prunes all projections and can eliminate whole
+      // subtrees — a unique-key left join whose payload is unused
+      // drops entirely (measured: dedup_span_strip 0.18 s vs 2.7 s
+      // real, range_join 0.47 s vs 2.6 s — both timed collapsed
+      // plans). Hashing all columns into one aggregate forces the
+      // full output through the plan for sub-ms driver-side cost;
+      // map-typed columns cast to string (hash expressions reject
+      // raw maps).
+      def materialize(df: org.apache.spark.sql.DataFrame): Long = {
+        import org.apache.spark.sql.types.MapType
+        val cols = df.schema.fields.map { f =>
+          f.dataType match {
+            case _: MapType => col(f.name).cast("string")
+            case _ => col(f.name)
+          }
+        }
+        df.select(xxhash64(cols: _*).as("__h"))
+          .agg(count(lit(1)), expr("bit_xor(__h)")).head().getLong(0)
+      }
       def onePass(): (Double, Boolean) = {
         val t0 = System.nanoTime()
-        val n = try fn(spark, sfDir).count() catch {
+        val n = try materialize(fn(spark, sfDir)) catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             -1L
