@@ -662,4 +662,53 @@ object Algorithms {
     */
   def topN(scores: DataFrame, scoreCol: String, n: Int): DataFrame =
     scores.orderBy(desc(scoreCol), asc("id")).limit(n)
+
+  /** Deterministic SYNCHRONOUS label propagation (community
+    * detection beyond the reference's algorithm set): every vertex
+    * starts as its own label; each round every vertex adopts the
+    * most frequent label among its neighbors simultaneously, ties to
+    * the SMALLEST label, isolated/idle vertices keep their label.
+    * Classic async LPA is run-order dependent; the synchronous
+    * min-tie form is a pure function of (graph, numIter), which is
+    * what lets a fixed-rounds run carry a full cross-engine value
+    * oracle (the DuckDB side unrolls the same rounds as CTEs).
+    *
+    * Relational per round: messages = edges ⋈ labels on src (the
+    * Pregel shape — one shuffle on dst, vertex-sized), label counts
+    * = one HashAggregate with map-side combine (a hot (dst, label)
+    * combines, never fans out), argmax = min(struct(-cnt, label))
+    * in a second aggregate — no windows. Lineage cuts every 4th
+    * round keep the re-walked plan O(1) like the sibling loops;
+    * numIter is small by contract (communities stabilize in a few
+    * rounds; LPA has no fixpoint guarantee under oscillation, which
+    * synchronous update makes visible rather than hiding).
+    */
+  def labelPropagation(vertices: DataFrame, edges: DataFrame,
+      numIter: Int = 4, undirected: Boolean = true): DataFrame = {
+    import graft.Lineage.CutOps
+    val e0 = edges.select(col("src"), col("dst"))
+    // SIMPLE-graph semantics: distinct() so an input that lists an
+    // undirected edge in both orientations doesn't double its vote —
+    // votes count NEIGHBORS, not parallel edges. Query-lifetime
+    // persist (the harness releases after the action); a manual
+    // unpersist here would fire before the lazy plan runs.
+    val e = graft.TransientCache.persist(
+      (if (undirected) e0.union(edges.select(col("dst").as("src"),
+        col("src").as("dst"))) else e0).distinct())
+    var labels = vertices.select(col("id"), col("id").as("label"))
+    for (i <- 1 to numIter) {
+      val msgs = e.join(labels, e("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val best = msgs.groupBy("id", "label")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("id")
+        .agg(min(struct((-col("cnt")).as("nc"), col("label"))).as("b"))
+        .select(col("id"), col("b.label").as("newLabel"))
+      labels = labels.join(best, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("newLabel"), col("label")).as("label"))
+      if (i % 4 == 0 && i < numIter) labels = labels.cut(false)
+    }
+    labels.select(col("id"), col("label").as("community"))
+  }
 }

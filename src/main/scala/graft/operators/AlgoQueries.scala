@@ -202,11 +202,47 @@ object AlgoQueries {
         numIter = 20)
         .select(col("id").as("suppkey"), col("component"))
         .orderBy("suppkey")
+    }),
+
+    // +G: deterministic synchronous label propagation, fixed 4
+    // rounds — the sync min-tie form is a pure function of the
+    // graph, so an ITERATIVE community algorithm carries a full
+    // value oracle (DuckDB unrolls the same 4 rounds as CTEs).
+    "g15_label_propagation" -> ((s, dir) => {
+      val co = coOrder(s, dir)
+      Algorithms.labelPropagation(co.vertices,
+        co.edges.select("src", "dst"), numIter = 4, undirected = true)
+        .select(col("id").as("suppkey"), col("community"))
+        .orderBy("suppkey")
     })
   )
 
+  /** The LPA oracle unrolls each synchronous round as three CTEs:
+    * neighbor-label counts, per-vertex argmax (cnt DESC, label ASC —
+    * exactly the Scala side's min(struct(-cnt, label))), and the
+    * keep-if-idle left join.
+    */
+  private def lpaOracle(rounds: Int): String = {
+    val unrolled = (1 to rounds).map { i =>
+      s"""m$i AS (SELECT e.dst AS id, l.label, COUNT(*) AS cnt
+             FROM e JOIN l${i - 1} l ON e.src = l.id GROUP BY 1, 2),
+         b$i AS (SELECT id, label FROM (
+             SELECT id, label, ROW_NUMBER() OVER (
+               PARTITION BY id ORDER BY cnt DESC, label ASC) AS rk
+             FROM m$i) WHERE rk = 1),
+         l$i AS (SELECT l.id, COALESCE(b.label, l.label) AS label
+                 FROM l${i - 1} l LEFT JOIN b$i b USING (id))"""
+    }.mkString(",\n")
+    s"""WITH $coOrderCte,
+       l0 AS (SELECT id, id AS label FROM v),
+       $unrolled
+       SELECT id AS suppkey, label AS community
+       FROM l$rounds ORDER BY suppkey"""
+  }
+
   val oracles: Map[String, String] = Map(
     "g9_kcore" -> kCoreOracle(3, 12),
+    "g15_label_propagation" -> lpaOracle(4),
     "g1_pagerank" -> pageRankOracle,
     "g1_pagerank_topk" -> pageRankOracle
       .replace("SELECT id AS suppkey, ROUND(score, 6) AS score FROM pr10 ORDER BY suppkey",

@@ -129,6 +129,40 @@ class PropertySpec extends SparkSpec {
     comps.flatMap { c => val m = c.min; c.map(_ -> m) }.toMap
   }
 
+  test("property: label propagation equals a plain-Scala sync LPA on random graphs") {
+    // synchronous min-tie LPA is a pure function of (graph, rounds):
+    // the DataFrame loop must agree with a direct Scala simulation
+    // on random undirected graphs, every vertex, every seed
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val vN = 20
+      val vs = (1L to vN.toLong).toSeq
+      val es = Seq.fill(35)((1L + rnd.nextInt(vN), 1L + rnd.nextInt(vN)))
+        .filter { case (a, b) => a != b }.distinct
+      val rounds = 4
+      val und = (es ++ es.map(_.swap)).distinct
+      val adj = und.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      var ref = vs.map(v => v -> v).toMap
+      for (_ <- 1 to rounds) {
+        val next = vs.map { v =>
+          val nbrLabels = adj.getOrElse(v, Nil).map(ref)
+          if (nbrLabels.isEmpty) v -> ref(v)
+          else {
+            val counts = nbrLabels.groupBy(identity).view.mapValues(_.size)
+            v -> counts.toSeq.minBy { case (lbl, c) => (-c, lbl) }._1
+          }
+        }.toMap
+        ref = next
+      }
+      val got = graft.algorithms.Algorithms.labelPropagation(
+          vs.toDF("id"), es.toDF("src", "dst"),
+          numIter = rounds, undirected = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      graft.TransientCache.releaseAll()
+      assert(got == ref, s"seed=$seed")
+    }
+  }
+
   test("property: SCC equals Tarjan on random graphs") {
     // random directed graph with planted cycles: base edges plus the
     // reverse of every third one (guarantees non-trivial SCCs without
