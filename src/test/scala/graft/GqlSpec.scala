@@ -289,7 +289,11 @@ class GqlSpec extends SparkSpec {
       "MATCH (v:Person) WHERE v.name CONTAINS RETURN v.name", // no rhs
       "MATCH (v:Person) WHERE CONTAINS \"x\" RETURN v.name", // no lhs
       "MATCH (v:Person) WHERE v.name LIKE 5 RETURN v.name", // non-string pattern
-      "MATCH (v:Person) WHERE v.name LIKE v.name RETURN v.name") // non-literal pattern
+      "MATCH (v:Person) WHERE v.name LIKE v.name RETURN v.name", // non-literal pattern
+      "MATCH (v:Person) WHERE v.name STARTS \"A\" RETURN v.name", // STARTS sans WITH
+      "MATCH (v:Person) WHERE v.name ENDS RETURN v.name", // ENDS sans WITH + rhs
+      "MATCH (v:Person) WHERE v.name STARTS WITH RETURN v.name", // no rhs
+      "MATCH (v:Person) WHERE STARTS WITH \"x\" RETURN v.name") // no lhs
     bad.foreach { q =>
       assert(GqlParser.parse(q).isLeft, s"should reject: $q")
     }

@@ -26,6 +26,18 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("ReadSchema") && !plan.contains("p_retailprice"), plan)
   }
 
+  test("span dedup scan prunes documents to (doc_id, text); grams persist once") {
+    val df = graft.SparkEntry.queries("dedup_span_exact")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the documents scan must not drag lang/source/n_chars through
+    // the gram explode
+    assert(plan.contains("ReadSchema") && !plan.contains("n_chars"), plan)
+    // the positional gram frame is computed once and reused by the
+    // dup-gram aggregate AND the hits join (InMemoryRelation present)
+    assert(plan.contains("InMemoryRelation"), plan)
+    graft.TransientCache.releaseAll()
+  }
+
   test("join with tiny dimension broadcasts (no shuffle of nation)") {
     val plan = planOf("j1_join_agg")
     assert(plan.contains("BroadcastHashJoin"), plan)
