@@ -36,6 +36,24 @@ import org.apache.spark.sql.functions._
   * sample) is written to BENCH_LOCAL.json (override with
   * SPARK_GRAFT_BENCH_OUT) since the harness window only keeps the
   * final ~2000 chars of stdout.
+  *
+  * Round-8 addition — END-OF-RUN SELF-RE-MEASURE: the per-query
+  * env_flagged adjudication has false negatives under INTERMITTENT
+  * contention (three interleaved canary samples per query can all
+  * land in quiet moments while the query's own passes were squeezed —
+  * r7's driver run had g15_label_propagation at 11.3 s vs 4.1 s
+  * isolated and dedup_best_survivor at 16.0 s vs 4.8 s, neither
+  * flagged, and the judge had to re-run both by hand). So after the
+  * main loop, any query whose min exceeds BOTH 1.5× AND +0.3 s over
+  * the committed BENCH_LOCAL.json record (parsed at process start,
+  * before this run overwrites it) gets ONE more isolated pass, taken
+  * minutes later when a contention burst has typically passed, and
+  * the machine line carries `"remeasured":{name:sec,...}` beside the
+  * flag so a contended run adjudicates itself: a re-measure back near
+  * the record is environmental; a re-measure that reproduces the
+  * excess is a real change. Re-measure canary samples go to a
+  * SEPARATE buffer — appending to the main one would break the
+  * deterministic 2-per-query alignment env_flagged indexes by.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -136,6 +154,23 @@ object Bench {
       cpuCanaries += (System.nanoTime() - t0) / 1e9
     }
 
+    // Committed-record per-query minimums for the end-of-run
+    // self-re-measure. Parsed BEFORE the run: this same process
+    // overwrites BENCH_LOCAL.json on exit. The per-query entries are
+    // exactly `"name":[p1,p2,bool]` in a format this code itself
+    // writes, so a two-number-plus-flag regex is a complete parse;
+    // the canary arrays (many elements, no bool) can't match it.
+    val recordMins: Map[String, Double] = try {
+      val path = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_RECORD", "BENCH_LOCAL.json"))
+      if (java.nio.file.Files.exists(path)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+        val re = """"([A-Za-z0-9_]+)":\[([0-9.eE+-]+),([0-9.eE+-]+),(?:true|false)\]""".r
+        re.findAllMatchIn(txt).map(m =>
+          m.group(1) -> math.min(m.group(2).toDouble, m.group(3).toDouble)).toMap
+      } else Map.empty[String, Double]
+    } catch { case _: Throwable => Map.empty[String, Double] }
+
     // Optional comma-separated query filter for local iteration
     // (SPARK_GRAFT_ONLY=g1_pagerank,g11_scc); the driver never sets it.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -144,42 +179,44 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
       case None => SparkEntry.queries
     }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // (seconds, succeeded) — a failed pass must never win the min
-      // (a fast-failing query would otherwise read as a phantom
-      // speed-up in the machine line, with the error only on stderr
-      // where the recording window never looks)
-      // Materialize EVERY output column, not count(): under count()
-      // Catalyst prunes all projections and can eliminate whole
-      // subtrees — a unique-key left join whose payload is unused
-      // drops entirely (measured: dedup_span_strip 0.18 s vs 2.7 s
-      // real, range_join 0.47 s vs 2.6 s — both timed collapsed
-      // plans). Hashing all columns into one aggregate forces the
-      // full output through the plan for sub-ms driver-side cost;
-      // map-typed columns cast to string (hash expressions reject
-      // raw maps).
-      def materialize(df: org.apache.spark.sql.DataFrame): Long = {
-        import org.apache.spark.sql.types.MapType
-        val cols = df.schema.fields.map { f =>
-          f.dataType match {
-            case _: MapType => col(f.name).cast("string")
-            case _ => col(f.name)
-          }
+    // (seconds, succeeded) — a failed pass must never win the min
+    // (a fast-failing query would otherwise read as a phantom
+    // speed-up in the machine line, with the error only on stderr
+    // where the recording window never looks)
+    // Materialize EVERY output column, not count(): under count()
+    // Catalyst prunes all projections and can eliminate whole
+    // subtrees — a unique-key left join whose payload is unused
+    // drops entirely (measured: dedup_span_strip 0.18 s vs 2.7 s
+    // real, range_join 0.47 s vs 2.6 s — both timed collapsed
+    // plans). Hashing all columns into one aggregate forces the
+    // full output through the plan for sub-ms driver-side cost;
+    // map-typed columns cast to string (hash expressions reject
+    // raw maps).
+    def materialize(df: org.apache.spark.sql.DataFrame): Long = {
+      import org.apache.spark.sql.types.MapType
+      val cols = df.schema.fields.map { f =>
+        f.dataType match {
+          case _: MapType => col(f.name).cast("string")
+          case _ => col(f.name)
         }
-        df.select(xxhash64(cols: _*).as("__h"))
-          .agg(count(lit(1)), expr("bit_xor(__h)")).head().getLong(0)
       }
-      def onePass(): (Double, Boolean) = {
-        val t0 = System.nanoTime()
-        val n = try materialize(fn(spark, sfDir)) catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            -1L
-        } finally TransientCache.releaseAll()
-        ((System.nanoTime() - t0) / 1e9, n >= 0)
-      }
-      val (p1, ok1) = onePass(); canary()
-      val (p2, ok2) = onePass(); canary(); cpuCanary()
+      df.select(xxhash64(cols: _*).as("__h"))
+        .agg(count(lit(1)), expr("bit_xor(__h)")).head().getLong(0)
+    }
+    def timedPass(name: String,
+                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Boolean) = {
+      val t0 = System.nanoTime()
+      val n = try materialize(fn(spark, sfDir)) catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1L
+      } finally TransientCache.releaseAll()
+      ((System.nanoTime() - t0) / 1e9, n >= 0)
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (p1, ok1) = timedPass(name, fn); canary()
+      val (p2, ok2) = timedPass(name, fn); canary(); cpuCanary()
       // Untimed GC between queries: localCheckpoint blocks and shuffle
       // files are reclaimed by the ContextCleaner only after the JVM
       // collects the owning RDD reference — across ~190 passes the
@@ -234,6 +271,37 @@ object Bench {
         results(i)._1
     }
 
+    // END-OF-RUN SELF-RE-MEASURE (round 8, see header): one more
+    // isolated pass for every query whose min exceeds BOTH 1.5× AND
+    // +0.3 s over the committed record — the same triage thresholds
+    // the round docs already apply, so anything the triage would have
+    // to explain arrives pre-re-measured. Taken after the whole suite
+    // (minutes later than the original passes), behind a gc and a
+    // fresh canary sample, so an intermittent burst that squeezed the
+    // original passes has usually moved on. Capped at 16 queries by
+    // worst absolute excess — a machine contended enough to push more
+    // than 16 queries past 1.5× is adjudicated by env_flagged_n
+    // anyway, and an uncapped loop could double a bad run's length.
+    // Canary samples taken here go to a SEPARATE buffer: the main
+    // buffer's 2-per-query positional alignment is what env_flagged
+    // indexes by.
+    val remeasureCanaries = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val suspects = results.collect {
+      case (name, _, _, repr, ok) if ok &&
+        recordMins.get(name).exists(r => repr > 1.5 * r && repr - r > 0.3) =>
+        (name, repr - recordMins(name))
+    }.sortBy(-_._2)
+    val remeasureCap = 16
+    val remeasured: Seq[(String, Double)] =
+      suspects.take(remeasureCap).map { case (name, _) =>
+        System.gc()
+        val t0 = System.nanoTime()
+        canaryRdd.count()
+        remeasureCanaries += (System.nanoTime() - t0) / 1e9
+        name -> timedPass(name, selected(name))._1
+      }
+    val remeasureSkipped = suspects.size - remeasured.size
+
     // The harness that records this run keeps only the LAST ~2000
     // chars of output, so the machine-read line must be (a) the final
     // line printed and (b) short enough to fit that window whole.
@@ -267,12 +335,19 @@ object Bench {
           s""","env_flagged_n":${envFlagged.size}"""
         else envFlagged.map("\"" + _ + "\"")
           .mkString(""","env_flagged":[""", ",", "]")
+      // ≤16 entries by construction (remeasureCap), so the field can't
+      // outgrow the line the way an uncapped name list could
+      val remeasuredField =
+        if (remeasured.isEmpty) ""
+        else remeasured.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+          .mkString(""","remeasured":{""", ",", "}") +
+          (if (remeasureSkipped > 0) s""","remeasure_skipped":$remeasureSkipped""" else "")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
         s""","queries":$qs,"passes":2,"p1_total":${fmt(p1Total)}""" +
         s""","p2_total":${fmt(p2Total)},"canary_med":${fmt(canaryMed)}""" +
         s""","canary_max":${fmt(canaryMax)}""" +
         s""","cpu_canary_med":${fmt(cpuCanaryMed)}""" +
-        s""","cpu_canary_max":${fmt(cpuCanaryMax)}$envField""" +
+        s""","cpu_canary_max":${fmt(cpuCanaryMax)}$envField$remeasuredField""" +
         s"""$failedField,"sf":"$sfDir"}"""
     }
 
@@ -286,6 +361,8 @@ object Bench {
       s""""canary":[${canaries.map(raw).mkString(",")}],""" +
       s""""cpu_canary":[${cpuCanaries.map(raw).mkString(",")}],""" +
       s""""env_flagged":[${envFlagged.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""remeasured":{${remeasured.map { case (k, v) => "\"" + k + "\":" + raw(v) }.mkString(",")}},""" +
+      s""""remeasure_canary":[${remeasureCanaries.map(raw).mkString(",")}],""" +
       s""""sf":"$sfDir"}"""
     println(s"BENCH_DETAIL $detail")
     // The committed record is the FULL-suite sf0.1 run only: a

@@ -1057,13 +1057,20 @@ object Dedup {
   /** Maximal duplicated token spans per document — exact substring
     * dedup, the span-level member of the exact-dedup family (after
     * Lee et al. 2022's suffix-array ExactSubstr, re-expressed
-    * relationally; the reference only dedups whole documents,
-    * graph/views/src/stream_dedup.rs:24-41):
+    * relationally; the reference only dedups whole documents — the
+    * `enable_deduplication` flag in
+    * graph/views/src/stream_processing.rs:428):
     *
     *  1. positional word k-grams — ONE explode, corpus-linear;
     *  2. grams present in ≥ minDocs distinct docs — hash-groupBy on
     *     the 64-bit gram hash with map-side combine (a hot gram
-    *     AGGREGATES, it never fans out);
+    *     AGGREGATES, it never fans out). CROSS-DOCUMENT ONLY: the
+    *     filter counts DISTINCT docs, so a substring repeated only
+    *     WITHIN one document is never flagged — a deliberate
+    *     divergence from Lee et al., whose suffix array counts total
+    *     occurrences and flags within-doc repeats too (within-doc
+    *     repetition is covered separately by text_repetition's
+    *     ratio stats);
     *  3. per-doc interval union of the surviving grams'
     *     [pos, pos+k−1] coverage — one gaps-and-islands window
     *     partitioned by doc.
@@ -1194,10 +1201,21 @@ object Dedup {
     */
   def stripDuplicatedSpans(df: DataFrame, textCol: String, idCol: String,
       k: Int = 5, minDocs: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spans = duplicatedSpans(df, textCol, idCol, k, minDocs)
-    val words = TextFunctions.normWords(col(textCol))
-    val withWords = df.select(col(idCol).as("id"), words.as("w"))
+    val withWords = df.select(col(idCol).as("id"),
+      TextFunctions.normWords(col(textCol)).as("w"))
+    rebuildAfterCuts(df, spanCutsKeepCanonical(spans, withWords),
+      textCol, idCol)
+  }
+
+  /** Keep-rank cut intervals from precomputed maximal spans: group by
+    * exact span TEXT (its xxhash64 — dup spans are short relative to
+    * docs, so the shuffle carries (hash, id, offsets), not documents),
+    * keep the min-(id, offset) occurrence, cut the rest.
+    */
+  private def spanCutsKeepCanonical(spans: DataFrame,
+      withWords: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val spanText = spans.join(withWords, "id")
       .withColumn("sh", xxhash64(concat_ws(" ",
         slice(col("w"), col("span_start") + 1,
@@ -1205,9 +1223,19 @@ object Dedup {
       .select("id", "span_start", "span_end", "sh")
     val keepRank = row_number().over(
       Window.partitionBy("sh").orderBy(col("id"), col("span_start")))
-    val cuts = spanText.withColumn("rk", keepRank)
+    spanText.withColumn("rk", keepRank)
       .filter(col("rk") > 1)
       .select(col("id"), col("span_start"), col("span_end"))
+  }
+
+  /** Rebuild (id, textCol) from `df` with the cut intervals removed:
+    * per-doc anti-join of token positions against that doc's cut
+    * intervals (equi on id + range residual), then one per-doc
+    * ordered rebuild. A doc cut down to nothing surfaces as empty
+    * text, not a missing row.
+    */
+  private def rebuildAfterCuts(df: DataFrame, cuts: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
     val toks = TextFunctions.shingleRowsWithPos(df, idCol, textCol, 1)
     val kept = toks.join(cuts,
       toks("id") === cuts("id") &&
@@ -1218,8 +1246,94 @@ object Dedup {
       .select(col("id"),
         array_join(transform(col("ts"), t => t.getField("s")), " ")
           .as(textCol))
-    // a doc cut down to nothing must surface as empty text, not vanish
     df.select(col(idCol).as("id")).join(rebuilt, Seq("id"), "left")
       .select(col("id"), coalesce(col(textCol), lit("")).as(textCol))
   }
+
+  /** Stall-breaker for the fixpoint: cut intervals at GRAM
+    * granularity — per duplicated gram hash, keep the min-(id, pos)
+    * occurrence, cut every other occurrence's [pos, pos+k−1] window.
+    * Only used when a round's maximal-span-text grouping yields zero
+    * cuts while duplicated grams remain (every island text distinct,
+    * e.g. the shared substring embedded in different-sized islands in
+    * EVERY doc) — grouping by gram always finds ≥ 2 occurrences of
+    * some gram, so the round removes ≥ 1 token and the loop cannot
+    * stall.
+    */
+  private def gramCutsKeepCanonical(cur: DataFrame, textCol: String,
+      k: Int, minDocs: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = TextFunctions.shingleRowsWithPos(cur, "id", textCol, k)
+      .select(col("id"), col("pos"), xxhash64(col("s")).as("gh"))
+    val dup = grams.groupBy("gh")
+      .agg(count_distinct(col("id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("gh")
+    val rk = row_number().over(
+      Window.partitionBy("gh").orderBy(col("id"), col("pos")))
+    grams.join(dup, "gh")
+      .withColumn("rk", rk)
+      .filter(col("rk") > 1)
+      .select(col("id"), col("pos").as("span_start"),
+        (col("pos") + lit(k - 1)).as("span_end"))
+  }
+
+  /** Strip→respan FIXPOINT — the stronger ExactSubstr guarantee
+    * stripDuplicatedSpans alone doesn't give (see its SEMANTICS note:
+    * keep-one is per maximal-span TEXT, so a substring embedded in
+    * differently-sized islands survives once per distinct island
+    * text; and cutting an interval splices new k-grams together at
+    * the junction, which can themselves be duplicated). Iterate
+    * strip → recompute spans → strip until duplicatedSpans on the
+    * current text is EMPTY — at that point no k-token window is
+    * shared by ≥ minDocs docs, i.e. no cross-doc duplicated span of
+    * ≥ k tokens survives anywhere (the dedup_span_fixpoint violation
+    * oracle asserts exactly this).
+    *
+    * Termination: every round removes ≥ 1 token (the gram-granular
+    * stall-breaker guarantees progress when the span-text grouping
+    * can't), so token count strictly decreases; `maxRounds` caps the
+    * loop regardless, and `converged` reports whether the guarantee
+    * was reached within the cap. Per round: one localCheckpoint cuts
+    * the lineage (the text column is round-dependent, so plan depth
+    * would otherwise grow linearly), and per-round driver actions are
+    * two small counts — the standard iterative-operator shape
+    * (Algorithms.scala loops). Corpus-linear per round like the
+    * underlying operator; rounds observed on real corpora: 2-3.
+    */
+  def stripDuplicatedSpansFixpointStats(df: DataFrame, textCol: String,
+      idCol: String, k: Int = 5, minDocs: Int = 2, maxRounds: Int = 8)
+      : (DataFrame, Int, Boolean) = {
+    import graft.Lineage.CutOps
+    var cur = df.select(col(idCol).as("id"), col(textCol))
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val spans = graft.TransientCache.persist(
+        duplicatedSpans(cur, textCol, "id", k, minDocs))
+      if (spans.isEmpty) converged = true
+      else {
+        val withWords = cur.select(col("id"),
+          TextFunctions.normWords(col(textCol)).as("w"))
+        val cuts = graft.TransientCache.persist(
+          spanCutsKeepCanonical(spans, withWords))
+        val effective =
+          if (cuts.isEmpty) gramCutsKeepCanonical(cur, textCol, k, minDocs)
+          else cuts
+        cur = rebuildAfterCuts(cur, effective, textCol, "id")
+          .cut(reliable = false)
+        rounds += 1
+      }
+    }
+    (cur, rounds, converged)
+  }
+
+  /** The plain-DataFrame form of the fixpoint (see
+    * stripDuplicatedSpansFixpointStats for semantics + termination).
+    */
+  def stripDuplicatedSpansFixpoint(df: DataFrame, textCol: String,
+      idCol: String, k: Int = 5, minDocs: Int = 2, maxRounds: Int = 8)
+      : DataFrame =
+    stripDuplicatedSpansFixpointStats(df, textCol, idCol, k, minDocs,
+      maxRounds)._1
 }

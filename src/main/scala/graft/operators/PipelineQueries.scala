@@ -88,6 +88,23 @@ object PipelineQueries {
         .orderBy("doc_id", "span_start")
     }),
 
+    // Strip→respan FIXPOINT (the stronger Lee et al. guarantee —
+    // stripDuplicatedSpans alone keeps one copy per maximal-span
+    // TEXT, and cutting splices new k-grams at the junctions).
+    // VIOLATION query: after the fixpoint, NO 5-token window may be
+    // shared by ≥2 docs — the query returns duplicatedSpans of the
+    // fixpoint result, and the oracle types it empty. The fixpoint
+    // itself (strip → respan → strip, localCheckpoint per round) is
+    // forced through the bench action by the final span scan.
+    "dedup_span_fixpoint" -> ((s, dir) => {
+      val stripped = Dedup.stripDuplicatedSpansFixpoint(
+        Tables.documents(s, dir), "text", "doc_id", k = 5, minDocs = 2)
+      Dedup.duplicatedSpans(stripped, "text", "id", k = 5, minDocs = 2)
+        .select(col("id").as("doc_id"), col("span_start"),
+          col("span_end"), col("span_tokens"))
+        .orderBy("doc_id", "span_start")
+    }),
+
     // MinHash+LSH near-dups, exact-verified (the production shape):
     // banding on relationally-computed signatures generates
     // candidates; true bigram-set Jaccard ≥ 0.8 verifies. At 16
@@ -856,6 +873,17 @@ object PipelineQueries {
                    AS dup_frac
           FROM agg a JOIN ntok n ON a.doc_id = n.doc_id
           GROUP BY 1 ORDER BY 1""",
+    // fixpoint violation query: the stripped corpus must contain NO
+    // cross-doc duplicated 5-gram at all — typed-empty oracle, same
+    // house style as the recall floors. (A DuckDB value oracle would
+    // need the full strip SQL unrolled once per round; the property
+    // the fixpoint exists to guarantee IS this empty set.)
+    "dedup_span_fixpoint" ->
+      """SELECT CAST(NULL AS BIGINT) AS doc_id,
+                CAST(NULL AS BIGINT) AS span_start,
+                CAST(NULL AS BIGINT) AS span_end,
+                CAST(NULL AS BIGINT) AS span_tokens
+         WHERE FALSE""",
     "dedup_ngram_jaccard" -> bigramJaccardSql(0.3, 5000),
     "dedup_ngram_jaccard_prefix" -> bigramJaccardSql(0.8, 5000),
     // Exact-verified operators: LSH/simhash candidate generation has

@@ -835,4 +835,79 @@ class PipelineSpec extends SparkSpec {
       4L -> "unique words only here nothing shared at all",
       8L -> ""))
   }
+
+  test("fixpoint equals single strip when one round suffices") {
+    val d = spanDocs.union(Seq((8L, "c1 c2 c3 c4 c5 c6 c7")).toDF("doc_id", "text"))
+    val (res, rounds, converged) =
+      Dedup.stripDuplicatedSpansFixpointStats(d, "text", "doc_id", k = 3)
+    assert(converged && rounds == 1)
+    val got = res.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val single = Dedup.stripDuplicatedSpans(d, "text", "doc_id", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == single)
+  }
+
+  test("fixpoint round 2 cuts junction-spliced duplicates a single strip leaves") {
+    // cutting "c1 c2 c3" out of doc2 splices "j1 j2 j3 j4" together,
+    // which then exactly duplicates doc3 — a single strip ships TWO
+    // copies of that text; the fixpoint's respan catches it
+    val d = Seq(
+      (1L, "z c1 c2 c3 z2"),
+      (2L, "j1 j2 c1 c2 c3 j3 j4"),
+      (3L, "j1 j2 j3 j4")).toDF("doc_id", "text")
+    val single = Dedup.stripDuplicatedSpans(d, "text", "doc_id", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(single(2L) == "j1 j2 j3 j4" && single(3L) == "j1 j2 j3 j4")
+    val (res, rounds, converged) =
+      Dedup.stripDuplicatedSpansFixpointStats(d, "text", "doc_id", k = 3)
+    assert(converged && rounds == 2)
+    val got = res.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "z c1 c2 c3 z2", 2L -> "j1 j2 j3 j4", 3L -> ""))
+    assert(Dedup.duplicatedSpans(res, "text", "id", k = 3).isEmpty)
+  }
+
+  test("fixpoint stall-breaker: distinct island texts still converge via gram cuts") {
+    // every maximal-span text is distinct (doc1's two duplicated
+    // grams merge into one long island; doc2's stay separate), so
+    // the span-text keep-rank grouping yields ZERO cuts — the
+    // gram-granular stall-breaker must kick in and still converge
+    val d = Seq(
+      (1L, "m1 m2 m3 s1 s2 s3"),
+      (2L, "m1 m2 m3 zz s1 s2 s3")).toDF("doc_id", "text")
+    val (res, rounds, converged) =
+      Dedup.stripDuplicatedSpansFixpointStats(d, "text", "doc_id", k = 3)
+    assert(converged && rounds == 1)
+    val got = res.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "m1 m2 m3 s1 s2 s3", 2L -> "zz"))
+  }
+
+  test("fixpoint property: random corpora converge with no surviving cross-doc span") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("va", "vb", "vc", "vd", "ve")
+    val corpus = (1L to 25L).map { id =>
+      val n = 4 + rnd.nextInt(12)
+      id -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val d = corpus.toDF("doc_id", "text")
+    val (res, rounds, converged) =
+      Dedup.stripDuplicatedSpansFixpointStats(d, "text", "doc_id", k = 3,
+        minDocs = 2, maxRounds = 12)
+    assert(converged, s"did not converge in 12 rounds")
+    assert(rounds >= 1)
+    // the guarantee the operator exists for: NO 3-token window shared
+    // by >= 2 docs survives
+    assert(Dedup.duplicatedSpans(res, "text", "id", k = 3).isEmpty)
+    // strip only ever REMOVES tokens: every result token stream is a
+    // subsequence of the original normalized stream
+    def isSubseq(sub: Seq[String], full: Seq[String]): Boolean = {
+      var i = 0
+      full.foreach { t => if (i < sub.size && sub(i) == t) i += 1 }
+      i == sub.size
+    }
+    val gotMap = res.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    corpus.foreach { case (id, orig) =>
+      val sub = gotMap(id).split(" ").filter(_.nonEmpty).toSeq
+      assert(isSubseq(sub, orig.split(" ").toSeq), s"doc $id not a subsequence")
+    }
+  }
 }
