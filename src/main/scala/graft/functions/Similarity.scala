@@ -720,9 +720,18 @@ object Similarity {
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val dsub = dim / m
     def round6(x: Double): Float = (math.floor(x * 1e6 + 0.5) / 1e6).toFloat
-    // seed: subvectors of the ksub lowest-id vectors, unitized
+    // seed: subvectors of the ksub lowest-id vectors, unitized. A
+    // corpus with fewer than ksub vectors cannot seed ksub distinct
+    // codes — fail with the remedy named rather than silently train
+    // a smaller codebook whose codes callers would misread; a
+    // zero-norm embedding seeds a ZERO subvector centroid (the same
+    // `> 0` guard discipline as ivfAssignWithCos) instead of NaN
+    // poisoning every later distance.
     val seedVecs = corpus.orderBy("vec_id").limit(ksub)
       .select(col("embedding")).as[Array[Float]].collect()
+    require(seedVecs.length >= ksub,
+      s"corpus has ${seedVecs.length} vectors < ksub=$ksub codes; " +
+        "lower ksub or grow the corpus")
     var books: Array[(Int, Int, Array[Float])] =
       (for {
         sub <- 0 until m
@@ -732,7 +741,7 @@ object Similarity {
         while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
         val n = math.sqrt(s)
         (sub, code, v.slice(sub * dsub, (sub + 1) * dsub)
-          .map(x => round6(x / n)))
+          .map(x => if (n == 0) 0f else round6(x / n)))
       }).toArray
     val rows = graft.TransientCache.persist(subvectorRows(corpus, m, dsub))
     for (_ <- 0 until iters) {
@@ -742,7 +751,11 @@ object Similarity {
       val means = rows.join(assigned, Seq("vec_id", "sub"))
         .select(col("sub"), col("code"),
           posexplode(col("svec")).as(Seq("i", "x")), col("nrm"))
-        .groupBy("sub", "code", "i").agg(avg(col("x") / col("nrm")).as("mu"))
+        // zero-norm members contribute zero unit components (ANSI
+        // mode turns the bare x/0 into a task failure, not NaN)
+        .groupBy("sub", "code", "i")
+        .agg(avg(when(col("nrm") > 0, col("x") / col("nrm"))
+          .otherwise(lit(0.0))).as("mu"))
         .collect().map(r => ((r.getInt(0), r.getInt(1)), (r.getInt(2), r.getDouble(3))))
         .groupBy(_._1)
       books = books.map { case (sub, code, old) =>
@@ -787,9 +800,14 @@ object Similarity {
     val withC = bookDF.withColumn("cn2",
       round(VecExpressions.vecDot(spark, col("cvec"), col("cvec")), 6))
     rows.join(broadcast(withC), "sub")
+      // a zero-norm vector has no direction: its cross term is 0 and
+      // d degenerates to |c|² (same ranking for every code) — the
+      // `> 0` guard keeps ANSI mode from failing the task on /0
       .withColumn("d", round(col("cn2")
-        - lit(2.0) * VecExpressions.vecDot(spark, col("svec"), col("cvec"))
-          / col("nrm"), 6))
+        - when(col("nrm") > 0,
+            lit(2.0) * VecExpressions.vecDot(spark, col("svec"), col("cvec"))
+              / col("nrm"))
+          .otherwise(lit(0.0)), 6))
   }
 
   /** Argmin code per (vec_id, sub): shared distances, min(struct)
@@ -838,24 +856,59 @@ object Similarity {
     * the full IVF-PQ design.
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      m: Int = 8, ksub: Int = 16, rerank: Int = 4): DataFrame = {
+      m: Int = 8, ksub: Int = 16, rerank: Int = 4,
+      maxLutQueries: Int = 100000): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val bookDF = trainPq(corpus, m, ksub).toSeq.toDF("sub", "code", "cvec")
-    pqTopKWithModel(corpus, encodePq(corpus, bookDF), queries, bookDF, k, rerank)
+    pqTopKWithModel(corpus, encodePq(corpus, bookDF), queries, bookDF, k,
+      rerank, maxLutQueries)
   }
+
+  /** Run `f` over query-id slices and union — the enforcement of the
+    * adcRerank LUT bound: past `maxLutQueries` queries per slice the
+    * broadcast LUT would outgrow broadcastability, so the batch
+    * splits into pmod(query id, nChunks) buckets and each runs the
+    * UNCHANGED single-batch plan. Per-query top-k is independent of
+    * batch composition (every adcRerank/rerankTopK stage keys or
+    * windows by query_id), so the union is row-identical to the
+    * unchunked answer; below the bound nChunks == 1 and this is
+    * exactly the old plan, no extra nodes. The traded cost is one
+    * code scan per chunk — the documented alternative (lifting the
+    * broadcast hint) would shuffle the corpus-sized code rows
+    * instead, which loses at any corpus:batch ratio that makes PQ
+    * worth running. The batch-side count() is one job over the
+    * (small) query frame.
+    */
+  private[graft] def queryChunks(queries: DataFrame,
+      maxLutQueries: Int, idCol: String = "vec_id"): Seq[DataFrame] = {
+    require(maxLutQueries > 0, s"maxLutQueries must be positive")
+    val n = queries.count()
+    val nChunks = math.max(1L, (n + maxLutQueries - 1) / maxLutQueries).toInt
+    if (nChunks == 1) Seq(queries)
+    else (0 until nChunks).map(i =>
+      queries.filter(pmod(col(idCol), lit(nChunks)) === i))
+  }
+
+  private def chunkedByQueries(queries: DataFrame, maxLutQueries: Int,
+      idCol: String = "vec_id")(f: DataFrame => DataFrame): DataFrame =
+    queryChunks(queries, maxLutQueries, idCol).map(f).reduce(_.unionAll(_))
 
   /** The from-parts form: a pre-trained codebook and pre-encoded
     * corpus (the at-rest index); only the query-side LUT and the
-    * code scan run per batch.
+    * code scan run per batch. Batches past `maxLutQueries` run in
+    * query chunks (see [[chunkedByQueries]]) — same rows, bounded
+    * broadcast.
     */
   def pqTopKWithModel(corpus: DataFrame, encoded: DataFrame,
       queries: DataFrame, bookDF: DataFrame, k: Int,
-      rerank: Int = 4): DataFrame = {
+      rerank: Int = 4, maxLutQueries: Int = 100000): DataFrame = {
     val codeRows = encoded.select(col("vec_id").as("corpus_id"),
       posexplode(col("codes")).as(Seq("sub", "code")))
-    adcRerank(codeRows, corpus, queries, bookDF, k, rerank,
-      lutKeys = Seq("sub", "code"))
+    chunkedByQueries(queries, maxLutQueries) { qc =>
+      adcRerank(codeRows, corpus, qc, bookDF, k, rerank,
+        lutKeys = Seq("sub", "code"))
+    }
   }
 
   /** The full IVF-PQ composition — coarse cells prune the scan, ADC
@@ -870,23 +923,33 @@ object Similarity {
     */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
-      rerank: Int = 4): DataFrame = {
+      rerank: Int = 4, maxLutQueries: Int = 100000): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cents = ivfCentroids(corpus, nlist).toSeq.toDF("cid", "cvec")
     val assigned = ivfAssign(corpus, cents)
       .withColumnRenamed("vec_id", "corpus_id")
-    val probed = ivfProbe(queries, cents, nprobe)
     val bookDF = trainPq(corpus, m, ksub).toSeq.toDF("sub", "code", "cvec")
-    val codeRows = encodePq(corpus, bookDF)
+    val baseCodes = encodePq(corpus, bookDF)
       .select(col("vec_id").as("corpus_id"),
         posexplode(col("codes")).as(Seq("sub", "code")))
       .join(assigned, "corpus_id")
-      .join(broadcast(probed), "cid")
-    // the cell join already pairs each code row with its queries, so
-    // the LUT joins per (query_id, sub, code) — no further fan-out
-    adcRerank(codeRows, corpus, queries, bookDF, k, rerank,
-      lutKeys = Seq("query_id", "sub", "code"))
+    // chunking re-reads the corpus-side code rows once per chunk;
+    // persist them so a chunked batch pays the encode once, not
+    // nChunks times (single-chunk batches skip the persist — the
+    // plan is then exactly the unchunked one)
+    val chunks = queryChunks(queries, maxLutQueries)
+    val codes =
+      if (chunks.size > 1) graft.TransientCache.persist(baseCodes)
+      else baseCodes
+    chunks.map { qc =>
+      val probed = ivfProbe(qc, cents, nprobe)
+      val codeRows = codes.join(broadcast(probed), "cid")
+      // the cell join already pairs each code row with its queries, so
+      // the LUT joins per (query_id, sub, code) — no further fan-out
+      adcRerank(codeRows, corpus, qc, bookDF, k, rerank,
+        lutKeys = Seq("query_id", "sub", "code"))
+    }.reduce(_.unionAll(_))
   }
 
   /** Shared ADC tail: build the per-query (sub, code) distance LUT,
@@ -897,11 +960,13 @@ object Similarity {
     *
     * BOUND (the ivfTopKFromIndex collect discipline): the broadcast
     * LUT is nQueries × m × ksub rows — BATCH-sized, not model-sized.
-    * At the defaults (8 × 32 = 256 rows/query) it stays broadcastable
-    * to ~100k queries; a larger batch should chunk its queries and
-    * union the results — never lift the broadcast hint, because a
-    * shuffled LUT join would re-shuffle the corpus-sized code rows
-    * per chunk instead.
+    * At the m=8/ksub=16 defaults that is 128 rows/query (the
+    * ann_pq_recall driver query's 8 × 32 config is 256), broadcastable
+    * to ~100k queries. The public entry points ENFORCE the bound:
+    * past `maxLutQueries` they slice the batch via [[queryChunks]]
+    * and union the per-slice results — never lift the broadcast
+    * hint, because a shuffled LUT join would re-shuffle the
+    * corpus-sized code rows per chunk instead.
     */
   private def adcRerank(codeRows: DataFrame, corpus: DataFrame,
       queries: DataFrame, bookDF: DataFrame, k: Int, rerank: Int,
@@ -945,7 +1010,7 @@ object Similarity {
     */
   def pqTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, corpus: DataFrame, queries: DataFrame, k: Int,
-      rerank: Int = 4): DataFrame =
+      rerank: Int = 4, maxLutQueries: Int = 100000): DataFrame =
     pqTopKWithModel(corpus, spark.read.parquet(s"$path/codes"), queries,
-      spark.read.parquet(s"$path/codebook"), k, rerank)
+      spark.read.parquet(s"$path/codebook"), k, rerank, maxLutQueries)
 }

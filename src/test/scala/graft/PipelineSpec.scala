@@ -147,6 +147,52 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF-PQ recall too low: $recall")
   }
 
+  test("pq query chunking: past the LUT bound the batch slices; rows identical") {
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 30L).map { id =>
+      id -> Array.fill(8)(rnd.nextFloat() * 2 - 1).toSeq
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 10)
+    // a bound of 3 forces ceil(10/3) = 4 slices; the default bound is
+    // one slice — execution is pinned via queryChunks and the Union
+    // in the chunked plan, parity via exact row equality
+    assert(Similarity.queryChunks(queries, 3).size == 4)
+    assert(Similarity.queryChunks(queries, 100000).size == 1)
+    val unchunked = Similarity.pqTopK(vecs, queries, 4, m = 2, ksub = 8)
+    val chunked = Similarity.pqTopK(vecs, queries, 4, m = 2, ksub = 8,
+      maxLutQueries = 3)
+    assert(chunked.queryExecution.optimizedPlan.toString.contains("Union"))
+    assert(!unchunked.queryExecution.optimizedPlan.toString.contains("Union"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(rows(chunked) == rows(unchunked) && rows(unchunked).nonEmpty)
+    // same contract for the IVF-PQ composition (per-chunk probe +
+    // persisted code rows)
+    val ivfUn = Similarity.ivfPqTopK(vecs, queries, 3,
+      nlist = 4, nprobe = 2, m = 2, ksub = 8)
+    val ivfCh = Similarity.ivfPqTopK(vecs, queries, 3,
+      nlist = 4, nprobe = 2, m = 2, ksub = 8, maxLutQueries = 4)
+    assert(rows(ivfCh) == rows(ivfUn) && rows(ivfUn).nonEmpty)
+  }
+
+  test("trainPq guards: under-ksub corpus fails with remedy; zero-norm seeds no NaN") {
+    val rnd = new scala.util.Random(17)
+    val tiny = (0L until 5L).map { id =>
+      id -> Array.fill(8)(rnd.nextFloat()).toSeq
+    }.toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.trainPq(tiny, m = 2, ksub = 8)
+    }
+    assert(e.getMessage.contains("ksub"))
+    // a zero-norm embedding among the seeds must yield a zero
+    // centroid, never NaN (NaN would poison every ADC distance)
+    val withZero = (Seq(0L -> Seq.fill(8)(0f)) ++ (1L until 6L).map { id =>
+      id -> Array.fill(8)(rnd.nextFloat()).toSeq
+    }).toDF("vec_id", "embedding")
+    val books = Similarity.trainPq(withZero, m = 2, ksub = 6, iters = 1)
+    assert(books.forall { case (_, _, v) => v.forall(x => !x.isNaN) })
+  }
+
   test("shingleRows (codegen) produces exactly explode(shingles) for k=1,2,3") {
     val short = docs.unionByName(Seq((9L, "oneword"), (10L, "")).toDF("doc_id", "text"))
     for (k <- Seq(1, 2, 3)) {
