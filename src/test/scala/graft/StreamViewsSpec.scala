@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.Trigger
+import graft.functions.Similarity
 import graft.sources.Tables
 import graft.streaming.{CountWindow, Windows}
 import graft.views.Views
@@ -317,6 +318,55 @@ class StreamViewsSpec extends SparkSpec {
       .collect().map(r =>
         (r.getLong(0), r.getInt(1), r.getInt(2)) -> r.getInt(3)).toMap
     assert(got.toMap == batch && got.nonEmpty)
+  }
+
+  test("streaming ivf append: micro-batches equal batch append; drift fires on a drifted batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(23)
+    def near(base: Array[Float]): Seq[Float] =
+      base.map(x => x + (rnd.nextFloat() * 2 - 1) * 0.05f).toSeq
+    val a = Array.fill(8)(1f)
+    val b = Array(1f, 1f, 1f, 1f, -1f, -1f, -1f, -1f)
+    val ortho = Array(1f, -1f, 1f, -1f, 1f, -1f, 1f, -1f)
+    val train = ((0L until 4L).map(i => i -> near(a)) ++
+      (4L until 8L).map(i => i -> near(b))).toDF("vec_id", "embedding")
+    val dirA = java.nio.file.Files.createTempDirectory("graft_sivf_a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_sivf_b").toString
+    Similarity.writeIvfIndex(train, dirA, nlist = 2)
+    Similarity.writeIvfIndex(train, dirB, nlist = 2)
+    // batch 0 is in-distribution; batch 1 points nowhere near either
+    // trained centroid — the drift signal must fire on it
+    val batch0 = (10L until 13L).map(i => i -> near(a))
+    val batch1 = (20L until 23L).map(i => i -> near(ortho))
+    val verdicts = scala.collection.concurrent.TrieMap.empty[Long, (Boolean, Boolean)]
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.StreamIvf.ivfAppendEachBatch(
+      input.toDF().toDF("vec_id", "embedding"), dirA) { (st, id) =>
+      verdicts.put(id, (st.drifted, st.shouldRetrain))
+    }.start()
+    input.addData(batch0: _*)
+    q.processAllAvailable()
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    q.stop()
+    // parity: the streamed index holds exactly what one batch append
+    // of the union holds (same frozen model, same assignments)
+    Similarity.appendToIvfIndex(
+      (batch0 ++ batch1).toDF("vec_id", "embedding"), dirB)
+    def cells(dir: String) = graft.sources.Sinks
+      .readPartitioned(spark, s"$dir/corpus")
+      .select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(cells(dirA) == cells(dirB) && cells(dirA).size == 14)
+    // staleness side channel: quiet on the in-distribution batch,
+    // fired on the drifted one
+    assert(verdicts(0L) == ((false, false)))
+    assert(verdicts(1L)._1 && verdicts(1L)._2)
+    // re-delivery of a committed batchId is a no-op (high-water mark)
+    assert(graft.streaming.StreamIvf.lastAppliedBatch(spark, dirA) == 1L)
+    val applied = graft.streaming.StreamIvf.applyBatch(
+      batch1.toDF("vec_id", "embedding"), dirA, 1L)((_, _) => ())
+    assert(!applied && cells(dirA).size == 14)
   }
 
   test("rate limiting: maxFilesPerTrigger bounds each micro-batch (T3/T4)") {
