@@ -73,6 +73,14 @@ object Ast {
     */
   case class StartsWith(left: Expr, right: Expr) extends Expr
   case class EndsWith(left: Expr, right: Expr) extends Expr
+  /** Bare-name reference to a WITH alias (`WHERE cnt > 2` after
+    * `WITH c, count(o) AS cnt`) — a graft extension like WITH itself;
+    * reserved words are excluded at the parser so the pre-WITH
+    * rejection surface is unchanged. Aliases hold MATERIALIZED Spark
+    * values (counts, projected props), so comparisons use plain
+    * column semantics, not the PropValue variant coercion table.
+    */
+  case class VarRef(name: String) extends Expr
 
   sealed trait ReturnItem
   case object ReturnAll extends ReturnItem
@@ -90,6 +98,25 @@ object Ast {
   case class ReturnPathFunc(func: String, variable: String) extends ReturnItem
 
   case class OrderItem(ref: PropRef, ascending: Boolean)
+
+  /** One `WITH` projection item (graft extension, Cypher semantics):
+    * a pass-through variable (`a`, optionally `a AS b`), a property
+    * projection (`a.name AS n` — alias REQUIRED, as in Cypher), or an
+    * aggregate (`count(b) AS cnt` — alias required). Non-aggregate
+    * items become implicit grouping keys when any aggregate is
+    * present, exactly like RETURN.
+    */
+  case class WithItem(item: ReturnItem, alias: Option[String])
+
+  /** One `MATCH ... [WHERE ...] WITH ... [WHERE ...]` pipeline
+    * segment preceding the final MATCH (Cypher WITH composition).
+    * The post-WITH WHERE filters the PROJECTED frame (aggregate
+    * aliases in scope — SQL HAVING's role). Segments carry plain
+    * linear patterns: shortestPath, OPTIONAL MATCH, and path
+    * variables stay final-MATCH-only.
+    */
+  case class MatchSegment(pattern: GraphPattern, where: Option[Expr],
+      withItems: Seq[WithItem], withWhere: Option[Expr])
 
   sealed trait Statement
   /** ORDER BY / LIMIT are graft extensions — the reference grammar
@@ -113,7 +140,8 @@ object Ast {
       limit: Option[Long] = None,
       optional: Seq[GraphPattern] = Nil,
       distinct: Boolean = false,
-      pathVar: Option[String] = None) extends Statement
+      pathVar: Option[String] = None,
+      pre: Seq[MatchSegment] = Nil) extends Statement
   case class CreateStatement(pattern: GraphPattern) extends Statement
   /** DELETE var — with an optional MATCH pattern+WHERE scoping it
     * (executor.rs:569-615).

@@ -131,13 +131,43 @@ object GqlExecutor {
         s"$f($v) references an unbound path variable" +
           m.pathVar.fold("")(p => s" (bound: $p)"))
     }
-    val base = matchPattern(store, m.pattern, trackPath = m.pathVar.isDefined)
+    // WITH pipeline (extension): each pre-segment matches, filters,
+    // projects through its WITH (aggregating when asked), and the
+    // next segment's pattern INNER-joins the carried frame on shared
+    // variable identity — multi-MATCH composition.
+    // alias name → is the column a PropValue VARIANT (property
+    // projection) rather than a plain Spark value (aggregate)?
+    var carried: Option[DataFrame] = None
+    var aliases = Map.empty[String, Boolean]
+    def variants(a: Map[String, Boolean]) = a.filter(_._2).keySet
+    m.pre.zipWithIndex.foreach { case (seg, i) =>
+      val segDf = matchPattern(store, seg.pattern, prefix = s"__w${i}_")
+      val joined = carried.fold(segDf)(prev => composeJoin(prev, segDf))
+      seg.where.foreach(w => validateRefs(w, joined, aliases.keySet))
+      val filtered = seg.where.fold(joined)(w =>
+        joined.filter(whereCol(w, variants(aliases))))
+      val (projected, newAliases) = applyWith(filtered, seg.withItems, aliases)
+      seg.withWhere.foreach(w => validateRefs(w, projected, newAliases.keySet))
+      carried = Some(seg.withWhere.fold(projected)(w =>
+        projected.filter(whereCol(w, variants(newAliases)))))
+      aliases = newAliases
+    }
+    val base0 = matchPattern(store, m.pattern, trackPath = m.pathVar.isDefined)
+    val base = carried.fold(base0)(prev => composeJoin(prev, base0))
     val bindings = m.optional.zipWithIndex.foldLeft(base) {
       case (df, (p, i)) => optionalJoin(store, df, p, i)
     }
+    // RETURN * sees the final pattern's variables, each OPTIONAL
+    // chain's, and every node variable carried through WITH
+    val carriedNodes = carried.toSeq.flatMap(_.columns)
+      .filter(_.endsWith("__id")).map(_.stripSuffix("__id"))
+      .map(v => NodePattern(Some(v), None, Map.empty))
     val nodes = named(m.pattern)._1 ++
-      m.optional.zipWithIndex.flatMap { case (p, i) => named(p, s"__o${i}_")._1 }
-    val filtered = m.where.fold(bindings)(w => bindings.filter(whereCol(w)))
+      m.optional.zipWithIndex.flatMap { case (p, i) => named(p, s"__o${i}_")._1 } ++
+      carriedNodes
+    m.where.foreach(w => validateRefs(w, bindings, aliases.keySet))
+    val filtered = m.where.fold(bindings)(w =>
+      bindings.filter(whereCol(w, variants(aliases))))
     // ORDER BY (extension): sort on the variant's numeric view first,
     // string view second — numeric props order numerically, string
     // props lexicographically, deterministic across kinds.
@@ -150,8 +180,165 @@ object GqlExecutor {
       }: _*)
     val distinctNodes = nodes.foldLeft(Vector.empty[NodePattern])(
       (acc, n) => if (acc.exists(_.variable == n.variable)) acc else acc :+ n)
-    val projected = project(ordered, distinctNodes, m.ret, m.distinct)
+    val projected = project(ordered, distinctNodes, m.ret, m.distinct,
+      aliases.keySet)
     m.limit.fold(projected)(n => projected.limit(n.toInt))
+  }
+
+  /** Scalar column carrying a WITH alias's materialized value. */
+  private def aliasCol(name: String): Column = col(s"${name}__val")
+
+  /** Inner-join a new MATCH's bindings onto the carried WITH frame
+    * through the variables they share (vertex identity) — the
+    * multi-MATCH composition step. Shares optionalJoin's no-cartesian
+    * stance: at least one variable must be shared.
+    */
+  private def composeJoin(prev: DataFrame, sub: DataFrame): DataFrame = {
+    val shared = sub.columns.filter(_.endsWith("__id"))
+      .map(_.stripSuffix("__id"))
+      .filter(v => prev.columns.contains(vcol(v, "id")))
+    require(shared.nonEmpty,
+      "MATCH after WITH must share a variable with the carried bindings (carried: " +
+        prev.columns.filter(_.endsWith("__id")).map(_.stripSuffix("__id"))
+          .mkString(",") + ")")
+    val renamed = sub.columns.foldLeft(sub)(
+      (d, c) => d.withColumnRenamed(c, s"$c@m"))
+    val cond = shared.map(v =>
+      prev(vcol(v, "id")) === renamed(s"${vcol(v, "id")}@m")).reduce(_ && _)
+    val joined = prev.join(renamed, cond, "inner")
+    val dropShared = renamed.columns
+      .filter(c => shared.exists(v => c.startsWith(s"${v}__")))
+    val restored = joined.drop(dropShared: _*)
+    restored.columns.filter(_.endsWith("@m")).foldLeft(restored)(
+      (d, c) => d.withColumnRenamed(c, c.stripSuffix("@m")))
+  }
+
+  /** Apply one WITH projection: pass-through/renamed variables keep
+    * their binding triplets, property projections and aggregates
+    * become `<alias>__val` scalars. With any aggregate present the
+    * non-aggregate items group (Cypher), and the grouped triplets'
+    * label/props ride along as `first(...)` — functionally dependent
+    * on the grouped id, so deterministic. Returns the projected frame
+    * plus the alias names now in scope (pass-through of an earlier
+    * alias keeps it in scope).
+    */
+  private def applyWith(df: DataFrame, items: Seq[WithItem],
+      priorAliases: Map[String, Boolean]): (DataFrame, Map[String, Boolean]) = {
+    def hasTriplet(v: String) = df.columns.contains(vcol(v, "id"))
+    // (outName, sourceVar) for binding triplets carried through
+    val vars: Seq[(String, String)] = items.collect {
+      case WithItem(ReturnVariable(v), alias) if hasTriplet(v) =>
+        (alias.getOrElse(v), v)
+    }
+    // carried scalars: pass-through of an existing alias
+    val passScalars: Seq[(String, String)] = items.collect {
+      case WithItem(ReturnVariable(v), alias) if !hasTriplet(v) &&
+        priorAliases.contains(v) => (alias.getOrElse(v), v)
+    }
+    items.collect {
+      case WithItem(ReturnVariable(v), _)
+          if !hasTriplet(v) && !priorAliases.contains(v) => v
+    }.foreach(v => throw new IllegalArgumentException(
+      s"WITH references unbound variable '$v' (bound: " +
+        df.columns.filter(_.endsWith("__id")).map(_.stripSuffix("__id"))
+          .mkString(",") + ")"))
+    val propScalars: Seq[(String, Column)] = items.collect {
+      case WithItem(ReturnProperty(v, p), Some(a)) =>
+        a -> col(vcol(v, "props"))(p)
+    }
+    val aggs: Seq[(String, Column)] = items.collect {
+      case WithItem(ReturnAggregate("count", None, _), Some(a)) =>
+        a -> count(lit(1))
+      case WithItem(ReturnAggregate("count", Some(v), None), Some(a)) =>
+        a -> (if (hasTriplet(v)) count(col(vcol(v, "id")))
+              else count(aliasCol(v)))
+      case WithItem(ReturnAggregate("count", Some(v), Some(p)), Some(a)) =>
+        a -> count(col(vcol(v, "props"))(p))
+      case WithItem(ReturnAggregate(f @ ("sum" | "avg" | "min" | "max"),
+          Some(v), Some(p)), Some(a)) =>
+        val num = PropValue.asDouble(col(vcol(v, "props"))(p))
+        a -> (f match {
+          case "sum" => sum(num)
+          case "avg" => avg(num)
+          case "min" => min(num)
+          case "max" => max(num)
+        })
+      case WithItem(ReturnAggregate(f, v, None), _) if f != "count" =>
+        throw new IllegalArgumentException(
+          s"$f(${v.getOrElse("*")}) needs a property: $f(var.prop)")
+    }
+    // property projections stay VARIANT; aggregates are plain;
+    // pass-through keeps the source's kind
+    val outAliases: Map[String, Boolean] =
+      passScalars.map { case (out, v) => out -> priorAliases(v) }.toMap ++
+        propScalars.map(_._1 -> true).toMap ++
+        aggs.map(_._1 -> false).toMap
+    if (aggs.isEmpty) {
+      val cols = vars.flatMap { case (out, v) => Seq(
+        col(vcol(v, "id")).as(vcol(out, "id")),
+        col(vcol(v, "label")).as(vcol(out, "label")),
+        col(vcol(v, "props")).as(vcol(out, "props"))) } ++
+        passScalars.map { case (out, v) => aliasCol(v).as(s"${out}__val") } ++
+        propScalars.map { case (a, c) => c.as(s"${a}__val") }
+      (df.select(cols: _*), outAliases)
+    } else {
+      // group on identities + scalars; labels/props ride as first()
+      val keyed = propScalars.foldLeft(df) { case (d, (a, c)) =>
+        d.withColumn(s"${a}__val", c)
+      }
+      val keyCols = vars.map { case (_, v) => col(vcol(v, "id")) } ++
+        passScalars.map { case (_, v) => aliasCol(v) } ++
+        propScalars.map { case (a, _) => col(s"${a}__val") }
+      require(keyCols.nonEmpty,
+        "WITH with only aggregates needs at least one grouping item")
+      val aggCols = vars.flatMap { case (_, v) => Seq(
+        first(col(vcol(v, "label"))).as(s"__g_${v}_label"),
+        first(col(vcol(v, "props"))).as(s"__g_${v}_props")) } ++
+        aggs.map { case (a, c) => c.as(s"${a}__val") }
+      val grouped = keyed.groupBy(keyCols: _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+      val renamed = vars.foldLeft(grouped) { case (d, (out, v)) =>
+        d.withColumnRenamed(vcol(v, "id"), vcol(out, "id"))
+          .withColumnRenamed(s"__g_${v}_label", vcol(out, "label"))
+          .withColumnRenamed(s"__g_${v}_props", vcol(out, "props"))
+      }
+      val outScalars = passScalars.map { case (out, v) => (out, v) }
+        .foldLeft(renamed) { case (d, (out, v)) =>
+          if (out == v) d
+          else d.withColumnRenamed(s"${v}__val", s"${out}__val")
+        }
+      (outScalars, outAliases)
+    }
+  }
+
+  /** Pre-filter validation: every bare VarRef must be a live alias
+    * column and every PropRef a bound variable — a clear message
+    * instead of a Spark analysis stack.
+    */
+  private def validateRefs(e: Expr, df: DataFrame,
+      aliases: Set[String]): Unit = {
+    def walk(x: Expr): Unit = x match {
+      case VarRef(n) =>
+        require(aliases.contains(n) && df.columns.contains(s"${n}__val"),
+          s"unknown name '$n' (aliases in scope: " +
+            aliases.toSeq.sorted.mkString(",") + ")")
+      case PropRef(v, _) =>
+        require(df.columns.contains(vcol(v, "props")),
+          s"unbound variable '$v' (bound: " +
+            df.columns.filter(_.endsWith("__id")).map(_.stripSuffix("__id"))
+              .mkString(",") + ")")
+      case And(l, r) => walk(l); walk(r)
+      case Or(l, r) => walk(l); walk(r)
+      case Not(i) => walk(i)
+      case Comparison(l, _, r) => walk(l); walk(r)
+      case In(l, _) => walk(l)
+      case Contains(l, r) => walk(l); walk(r)
+      case StartsWith(l, r) => walk(l); walk(r)
+      case EndsWith(l, r) => walk(l); walk(r)
+      case Like(l, _) => walk(l)
+      case Literal(_) => ()
+    }
+    walk(e)
   }
 
   /** J1: iterated expand. Each step joins the current binding set to
@@ -420,8 +607,28 @@ object GqlExecutor {
   /** P3: WHERE → Column (executor.rs:382-464). Cross-kind comparisons
     * yield NULL → row filtered, identical to the reference's
     * None-means-false.
+    *
+    * `variantAliases` names the WITH aliases whose columns carry
+    * PropValue VARIANT structs (property projections) rather than
+    * plain Spark values (aggregates) — the two need different
+    * comparison paths, and only the executor knows which is which.
     */
-  def whereCol(e: Expr): Column = e match {
+  def whereCol(e: Expr): Column = whereColIn(e, Set.empty)
+
+  def whereCol(e: Expr, variantAliases: Set[String]): Column =
+    whereColIn(e, variantAliases)
+
+  private def whereColIn(e: Expr, variantAliases: Set[String]): Column = {
+    def whereCol(x: Expr): Column = whereColIn(x, variantAliases)
+    def isVariant(n: String): Boolean = variantAliases.contains(n)
+    def aliasCmp(n: String, v: GqlValue, op: String): Column =
+      if (isVariant(n)) PropValue.compare(aliasCol(n), litToValue(v), op)
+      else rawColCompare(aliasCol(n), lit(litToValue(v)), op)
+    def strView(x: Expr): Column = x match {
+      case VarRef(n) if isVariant(n) => PropValue.asString(aliasCol(n))
+      case other => containsStrView(other)
+    }
+    e match {
     case And(l, r) => whereCol(l) && whereCol(r)
     case Or(l, r) => whereCol(l) || whereCol(r)
     case PropRef(v, p) => PropValue.truthy(col(vcol(v, "props"))(p))
@@ -435,6 +642,25 @@ object GqlExecutor {
       variantCompare(col(vcol(v1, "props"))(p1), col(vcol(v2, "props"))(p2), op)
     case Comparison(Literal(a), op, Literal(b)) =>
       threeValued(cmpLiteralsOpt(a, op, b))
+    // WITH-alias references: an AGGREGATE alias is a plain Spark
+    // column (count → long), a PROPERTY-projection alias carries the
+    // PropValue variant — aliasCmp dispatches on variantAliases
+    case Comparison(VarRef(n), op, Literal(v)) => aliasCmp(n, v, op)
+    case Comparison(Literal(v), op, VarRef(n)) => aliasCmp(n, v, flip(op))
+    case Comparison(VarRef(a), op, VarRef(b))
+        if isVariant(a) && isVariant(b) =>
+      variantCompare(aliasCol(a), aliasCol(b), op)
+    case Comparison(VarRef(a), op, VarRef(b))
+        if !isVariant(a) && !isVariant(b) =>
+      rawColCompare(aliasCol(a), aliasCol(b), op)
+    case Comparison(l, op, r) =>
+      throw new IllegalArgumentException(
+        s"cannot compare $l $op $r: alias-vs-property comparison is " +
+          "not supported — project the property through WITH first")
+    case VarRef(n) =>
+      throw new IllegalArgumentException(
+        s"bare alias '$n' is not a predicate; compare it explicitly" +
+          s" (e.g. $n > 0)")
     // Extensions beyond the reference's WHERE (lib.rs:238-251), SQL
     // three-valued logic throughout:
     case Not(inner) => !whereCol(inner)
@@ -445,6 +671,8 @@ object GqlExecutor {
     case In(PropRef(v, p), vals) =>
       vals.map(x => PropValue.compare(col(vcol(v, "props"))(p), litToValue(x), "="))
         .reduce(_ || _)
+    case In(VarRef(n), vals) =>
+      vals.map(x => aliasCmp(n, x, "=")).reduce(_ || _)
     // literal-side folds mirror the prop-side OR-fold's 3VL exactly
     // (true > NULL > false), so `NOT (1 IN ["a"])` filters the same
     // rows as `NOT (v.p IN ["a"])` with v.p holding int 1 — both
@@ -460,11 +688,11 @@ object GqlExecutor {
     // CONTAINS is string containment (Cypher semantics): non-string
     // sides view as NULL → predicate false, mirroring cross-kind
     // comparisons
-    case Contains(l, r) => containsStrView(l).contains(containsStrView(r))
+    case Contains(l, r) => strView(l).contains(strView(r))
     // STARTS WITH / ENDS WITH share CONTAINS's string-view 3VL:
     // non-string sides view as NULL → predicate filters the row
-    case StartsWith(l, r) => containsStrView(l).startsWith(containsStrView(r))
-    case EndsWith(l, r) => containsStrView(l).endsWith(containsStrView(r))
+    case StartsWith(l, r) => strView(l).startsWith(strView(r))
+    case EndsWith(l, r) => strView(l).endsWith(strView(r))
     // LIKE is the SQL pattern match (% any run, _ one char), string
     // side only — a non-string left views as NULL → filtered. GQL
     // exposes no ESCAPE syntax, so a backslash is a literal character
@@ -472,14 +700,30 @@ object GqlExecutor {
     // as its escape, so double it or a trailing \ even throws at
     // analysis and "\%" silently changes meaning vs the oracle.
     case Like(l, pattern) =>
-      containsStrView(l).like(pattern.replace("\\", "\\\\"))
+      strView(l).like(pattern.replace("\\", "\\\\"))
+    }
   }
 
   private def containsStrView(e: Expr): Column = e match {
     case PropRef(v, p) => PropValue.asString(col(vcol(v, "props"))(p))
     case Literal(GqlString(s)) => lit(s)
+    // a plain (aggregate) alias casts to its string rendering; the
+    // VARIANT (property) alias path is strView in whereColIn, which
+    // owns the variantAliases context
+    case VarRef(n) => aliasCol(n).cast(org.apache.spark.sql.types.StringType)
     case _ => lit(null).cast(org.apache.spark.sql.types.StringType)
   }
+
+  /** Plain Spark comparison for materialized alias columns. */
+  private def rawColCompare(x: Column, y: Column, op: String): Column =
+    op match {
+      case "=" => x === y
+      case "!=" => x =!= y
+      case "<" => x < y
+      case "<=" => x <= y
+      case ">" => x > y
+      case ">=" => x >= y
+    }
 
   private def flip(op: String): String = op match {
     case "<" => ">" case ">" => "<" case "<=" => ">=" case ">=" => "<=" case x => x
@@ -552,11 +796,17 @@ object GqlExecutor {
     * on the numeric view of the property (int→float coerced).
     */
   private def project(df: DataFrame, nodes: Seq[NodePattern],
-      items: Seq[ReturnItem], distinct: Boolean = false): DataFrame = {
+      items: Seq[ReturnItem], distinct: Boolean = false,
+      aliases: Set[String] = Set.empty): DataFrame = {
     if (!items.exists(_.isInstanceOf[ReturnAggregate])) {
       val cols: Seq[Column] = items.flatMap {
         case ReturnAll =>
-          nodes.flatMap(n => tripletCols(n.variable.get))
+          nodes.flatMap(n => tripletCols(n.variable.get)) ++
+            aliases.toSeq.sorted
+              .filter(a => df.columns.contains(s"${a}__val"))
+              .map(a => aliasCol(a).as(a))
+        case ReturnVariable(v) if aliases.contains(v) =>
+          Seq(aliasCol(v).as(v))
         case ReturnVariable(v) =>
           // a key VOCABULARY (schema inference, same nature as
           // spark.read.json), never rows — but user-generated prop
@@ -582,6 +832,7 @@ object GqlExecutor {
     } else {
       val keys: Seq[(String, Column)] = items.collect {
         case ReturnProperty(v, p) => s"${v}_$p" -> col(vcol(v, "props"))(p)
+        case ReturnVariable(v) if aliases.contains(v) => v -> aliasCol(v)
         case ReturnVariable(v) => s"${v}_id" -> col(vcol(v, "id"))
         case ReturnPathFunc(f, v) => s"${f}_$v" -> pathFuncCol(f, v)
       }

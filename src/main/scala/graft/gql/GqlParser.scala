@@ -88,8 +88,24 @@ object GqlParser extends RegexParsers {
   private def propRef: Parser[PropRef] =
     ident ~ ("." ~> ident) ^^ { case v ~ p => PropRef(v, p) }
 
+  /** Words that may not be bare value references — keeps every
+    * pre-WITH rejection (`WHERE NOT RETURN ...`, `WHERE CONTAINS
+    * "x"`) rejecting exactly as before VarRef existed.
+    */
+  private val reserved = Set(
+    "return", "match", "where", "and", "or", "not", "with", "order",
+    "by", "limit", "delete", "create", "optional", "contains",
+    "starts", "ends", "like", "in", "as", "asc", "desc", "true",
+    "false", "null", "distinct", "count", "sum", "avg", "min", "max",
+    "length", "nodes", "shortestpath")
+
+  /** Bare alias reference (`cnt` after `WITH ... count(o) AS cnt`). */
+  private def bareRef: Parser[Expr] =
+    ident ^? ({ case s if !reserved(s.toLowerCase) => VarRef(s) },
+      s => s"reserved word '$s' cannot be a value reference")
+
   private def operand: Parser[Expr] =
-    propRef | value ^^ Literal.apply
+    propRef | value ^^ Literal.apply | bareRef
 
   private def cmpOp: Parser[String] = ">=" | "<=" | "!=" | "=" | ">" | "<"
 
@@ -163,17 +179,44 @@ object GqlParser extends RegexParsers {
   private def optionalMatch: Parser[GraphPattern] =
     kw("optional") ~> kw("match") ~> pattern
 
+  /** One WITH projection item. Aliases are REQUIRED for aggregates
+    * and property projections (Cypher's "expression in WITH must be
+    * aliased"), optional for variable pass-through (`a` or
+    * `a AS b`).
+    */
+  private def withItem: Parser[WithItem] =
+    returnAgg ~ (kw("as") ~> ident) ^^ {
+      case a ~ al => WithItem(a, Some(al)) } |
+      propRef ~ (kw("as") ~> ident) ^^ {
+        case p ~ al => WithItem(ReturnProperty(p.variable, p.prop), Some(al)) } |
+      ident ~ opt(kw("as") ~> ident) ^^ {
+        case v ~ al => WithItem(ReturnVariable(v), al) }
+
+  /** `MATCH <pattern> [WHERE e] WITH <items> [WHERE e]` — a pipeline
+    * segment (graft extension, Cypher WITH). A final MATCH without
+    * WITH fails this parser at `kw("with")` and backtracks into the
+    * tail rule, so plain single-MATCH queries parse exactly as
+    * before. Segment patterns are plain chains: shortestPath / path
+    * vars / OPTIONAL MATCH stay on the final MATCH only.
+    */
+  private def matchSegment: Parser[MatchSegment] =
+    kw("match") ~> pattern ~ opt(kw("where") ~> expr) ~
+      (kw("with") ~> rep1sep(withItem, ",")) ~ opt(kw("where") ~> expr) ^^ {
+      case p ~ w ~ items ~ hw => MatchSegment(p, w, items, hw)
+    }
+
   private def matchOrDelete: Parser[Statement] =
-    kw("match") ~> opt(ident <~ "=") ~ matchPat ~ rep(optionalMatch) ~
+    rep(matchSegment) ~ (kw("match") ~> opt(ident <~ "=") ~ matchPat ~ rep(optionalMatch) ~
       opt(kw("where") ~> expr) ~
       ((kw("return") ~> opt(kw("distinct")) ~ rep1sep(returnItem, ",") ~ orderLimit) ^^
         (x => Left((x._1._1.isDefined, x._1._2, x._2)): Either[(Boolean, Seq[ReturnItem], (Seq[OrderItem], Option[Long])), String]) |
         (kw("delete") ~> ident) ^^
-          (Right(_): Either[(Boolean, Seq[ReturnItem], (Seq[OrderItem], Option[Long])), String])) ^^ {
-      case pv ~ p ~ opts ~ w ~ Left((dist, items, (ob, lim))) =>
-        MatchStatement(p, w, items, ob, lim, opts, dist, pv)
-      case _ ~ p ~ _ ~ w ~ Right(v) => DeleteStatement(Some(p), w, v)
-    }
+          (Right(_): Either[(Boolean, Seq[ReturnItem], (Seq[OrderItem], Option[Long])), String]))) ^? ({
+      case segs ~ (pv ~ p ~ opts ~ w ~ Left((dist, items, (ob, lim)))) =>
+        MatchStatement(p, w, items, ob, lim, opts, dist, pv, segs)
+      case segs ~ (_ ~ p ~ _ ~ w ~ Right(v)) if segs.isEmpty =>
+        DeleteStatement(Some(p), w, v)
+    }, _ => "WITH segments cannot precede DELETE")
 
   private def createStmt: Parser[Statement] =
     kw("create") ~> pattern ^^ CreateStatement.apply

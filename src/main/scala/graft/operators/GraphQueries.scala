@@ -179,6 +179,20 @@ object GraphQueries {
         .orderBy("name")
     }),
 
+    // WITH / multi-MATCH composition (round 8, Cypher WITH): aggregate
+    // per customer, filter on the alias (SQL HAVING's role), then
+    // RE-match the survivors' nation — the executor carries the
+    // binding triplet + alias scalar through an inner join on vertex
+    // identity. Full DuckDB value oracle (CTE + HAVING + joins).
+    "gql_with_agg" -> ((s, dir) => {
+      val r = GqlExecutor.run(g(s, dir),
+        "MATCH (c:Customer)-[:placed]->(o:Order) WITH c, count(o) AS cnt " +
+          "WHERE cnt > 15 MATCH (c)-[:located_in]->(n:Nation) " +
+          "RETURN n.name, c.name, cnt").df
+      r.select(str(col("n_name")).as("nation"), str(col("c_name")).as("name"),
+        col("cnt")).orderBy("name")
+    }),
+
     // OPTIONAL MATCH extension (Cypher left-join semantics): nations
     // keep a row even with no supplier — most nations at this scale
     // have none, so the null-padding is load-bearing, not vacuous.
@@ -421,6 +435,13 @@ object GraphQueries {
                 ROUND(MAX(c_acctbal), 4) AS max_acctbal
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name ORDER BY name""",
+    "gql_with_agg" ->
+      """WITH co AS (SELECT o_custkey, COUNT(*) AS cnt FROM orders
+                     GROUP BY 1 HAVING COUNT(*) > 15)
+         SELECT n_name AS nation, c_name AS name, cnt
+         FROM co JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         ORDER BY name""",
     "gql_varlength" ->
       """SELECT c2.c_name AS name
          FROM customer c1 JOIN customer c2 ON c1.c_nationkey = c2.c_nationkey

