@@ -1228,15 +1228,35 @@ object Dedup {
       .select(col("id"), col("span_start"), col("span_end"))
   }
 
-  /** Rebuild (id, textCol) from `df` with the cut intervals removed:
-    * per-doc anti-join of token positions against that doc's cut
-    * intervals (equi on id + range residual), then one per-doc
-    * ordered rebuild. A doc cut down to nothing surfaces as empty
-    * text, not a missing row.
+  /** Rebuild (id, textCol) from `df` with the cut intervals removed.
+    * SELECTIVE: only docs that actually have a cut pay the
+    * explode → anti-join → collect_list rebuild; every other doc is
+    * a plain normalize projection (no explode, no aggregate) — after
+    * the first fixpoint round almost nothing is cut, so the rebuild
+    * cost tracks the CUT set, not the corpus. A doc cut down to
+    * nothing surfaces as empty text, not a missing row.
     */
   private def rebuildAfterCuts(df: DataFrame, cuts: DataFrame,
       textCol: String, idCol: String): DataFrame = {
-    val toks = TextFunctions.shingleRowsWithPos(df, idCol, textCol, 1)
+    val cutIds = cuts.select("id").distinct()
+    val untouched = df
+      .select(col(idCol).as("id"),
+        concat_ws(" ", TextFunctions.normWords(col(textCol))).as(textCol))
+      .join(cutIds, Seq("id"), "left_anti")
+    untouched.unionByName(rebuildCutDocs(
+      df.select(col(idCol).as("id"), col(textCol)), cuts, textCol))
+  }
+
+  /** The explode-side of the rebuild, restricted to docs WITH cuts:
+    * token positions anti-joined against their doc's cut intervals
+    * (equi on id + range residual), one per-doc ordered re-join.
+    * Input `df` must carry (id, textCol).
+    */
+  private def rebuildCutDocs(df: DataFrame, cuts: DataFrame,
+      textCol: String): DataFrame = {
+    val cutIds = cuts.select("id").distinct()
+    val toks = TextFunctions.shingleRowsWithPos(
+      df.join(cutIds, Seq("id"), "left_semi"), "id", textCol, 1)
     val kept = toks.join(cuts,
       toks("id") === cuts("id") &&
         toks("pos") >= cuts("span_start") && toks("pos") <= cuts("span_end"),
@@ -1246,7 +1266,7 @@ object Dedup {
       .select(col("id"),
         array_join(transform(col("ts"), t => t.getField("s")), " ")
           .as(textCol))
-    df.select(col(idCol).as("id")).join(rebuilt, Seq("id"), "left")
+    cutIds.join(rebuilt, Seq("id"), "left")
       .select(col("id"), coalesce(col(textCol), lit("")).as(textCol))
   }
 
@@ -1258,13 +1278,11 @@ object Dedup {
     * e.g. the shared substring embedded in different-sized islands in
     * EVERY doc) — grouping by gram always finds ≥ 2 occurrences of
     * some gram, so the round removes ≥ 1 token and the loop cannot
-    * stall.
+    * stall. Takes the maintained (id, pos, gh) gram rows directly.
     */
-  private def gramCutsKeepCanonical(cur: DataFrame, textCol: String,
+  private def gramCutsKeepCanonical(grams: DataFrame,
       k: Int, minDocs: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = TextFunctions.shingleRowsWithPos(cur, "id", textCol, k)
-      .select(col("id"), col("pos"), xxhash64(col("s")).as("gh"))
     val dup = grams.groupBy("gh")
       .agg(count_distinct(col("id")).as("nd"))
       .filter(col("nd") >= minDocs)
@@ -1305,12 +1323,31 @@ object Dedup {
       idCol: String, k: Int = 5, minDocs: Int = 2, maxRounds: Int = 8)
       : (DataFrame, Int, Boolean) = {
     import graft.Lineage.CutOps
-    var cur = df.select(col(idCol).as("id"), col(textCol))
+    // Normalize ONCE; every later round's rebuilt text is already in
+    // normalized form (single-spaced lowercase tokens), so per-round
+    // work never re-normalizes the corpus.
+    var cur = df.select(col(idCol).as("id"),
+      concat_ws(" ", TextFunctions.normWords(col(textCol))).as(textCol))
+      .cut(reliable = false)
+    // (id, pos, gh) gram rows maintained INCREMENTALLY: a round only
+    // re-tokenizes the docs it actually cut (their grams are replaced
+    // wholesale; everyone else's are untouched rows in the persisted
+    // frame) — so round N+1's gram-count aggregate reads a cached
+    // frame instead of re-exploding the corpus. This is what keeps
+    // the fixpoint's marginal round near-free once cuts get sparse.
+    def gramRows(d: DataFrame): DataFrame =
+      TextFunctions.shingleRowsWithPos(d, "id", textCol, k)
+        .select(col("id"), col("pos"), xxhash64(col("s")).as("gh"))
+    var grams = gramRows(cur).cut(reliable = false)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
+      val dup = grams.groupBy("gh")
+        .agg(count_distinct(col("id")).as("nd"))
+        .filter(col("nd") >= minDocs)
+        .select("gh")
       val spans = graft.TransientCache.persist(
-        duplicatedSpans(cur, textCol, "id", k, minDocs))
+        coverageIslands(grams.join(dup, "gh").select("id", "pos"), k))
       if (spans.isEmpty) converged = true
       else {
         val withWords = cur.select(col("id"),
@@ -1318,11 +1355,30 @@ object Dedup {
         val cuts = graft.TransientCache.persist(
           spanCutsKeepCanonical(spans, withWords))
         val effective =
-          if (cuts.isEmpty) gramCutsKeepCanonical(cur, textCol, k, minDocs)
+          if (cuts.isEmpty) graft.TransientCache.persist(
+            gramCutsKeepCanonical(grams, k, minDocs))
           else cuts
-        cur = rebuildAfterCuts(cur, effective, textCol, "id")
+        val cutIds = effective.select("id").distinct()
+        val rebuilt = rebuildCutDocs(cur, effective, textCol)
           .cut(reliable = false)
+        // MEMORY ROTATION: localCheckpoint is eager, so once the new
+        // cur/grams materialize, the previous round's blocks are
+        // unreferenced — but the ContextCleaner only reclaims them at
+        // a GC, and a many-round corpus can OOM on 2-3 live copies of
+        // the gram frame before one happens (observed at sf0.1). The
+        // loop keeps exactly two generations alive and nudges the
+        // collector each round.
+        cur = cur.join(cutIds, Seq("id"), "left_anti")
+          .unionByName(rebuilt)
+          .cut(reliable = false)
+        grams = grams.join(cutIds, Seq("id"), "left_anti")
+          .unionByName(gramRows(rebuilt))
+          .cut(reliable = false)
+        spans.unpersist(blocking = false)
+        cuts.unpersist(blocking = false)
+        System.gc()
         rounds += 1
+        System.err.println(s"[graft] span fixpoint round $rounds done")
       }
     }
     (cur, rounds, converged)
