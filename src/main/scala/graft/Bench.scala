@@ -31,7 +31,14 @@ import org.apache.spark.sql.functions._
   *    per-core compute speed, so a driver round can adjudicate a
   *    compute-bound swing (r5: dedup_embedding 4× driver-vs-local on
   *    identical code, flat scheduler canaries) without the builder's
-  *    local record.
+  *    local record;
+  *  - (round 8) a fixed I/O WRITE canary — ~1 MB fsync'd through the
+  *    same file path shuffle spills and parquet commits use — runs
+  *    once per query; `io_canary_med`/`io_canary_max` land in the
+  *    machine line. The round-8 root-cause of r7's unflagged
+  *    dedup_simhash band was an I/O-shaped episode BOTH existing
+  *    canaries are blind to (they never touch storage); this one
+  *    completes the triad: scheduler, CPU, storage.
   * Per-query pass detail (both passes, full precision, every canary
   * sample) is written to BENCH_LOCAL.json (override with
   * SPARK_GRAFT_BENCH_OUT) since the harness window only keeps the
@@ -154,6 +161,39 @@ object Bench {
       cpuCanaries += (System.nanoTime() - t0) / 1e9
     }
 
+    // I/O (WRITE) canary — round 8, closing the blind spot the
+    // round-8 root-cause found: BOTH prior canaries are CPU/scheduler
+    // probes, so an I/O-contended window (page-cache flush, a
+    // co-tenant writing) inflates parquet-scan/shuffle-heavy queries
+    // while every canary stays flat — exactly the shape of r7's
+    // unflagged dedup_simhash 12-s band. This job writes ~1 MB of
+    // fixed bytes through the same java.nio file path shuffle spills
+    // and parquet commits use (a READ canary would only measure the
+    // page cache). ~10-30 ms quiet; an I/O-squeezed machine shows it
+    // inflated next to inflated query times. One sample per query,
+    // same cadence as the cpu canary.
+    val ioCanaryDir = java.nio.file.Files.createTempDirectory("graft_iocanary")
+    val ioCanaryBytes = {
+      var s = 3L
+      Array.fill(1 << 20) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        (s >>> 56).toByte
+      }
+    }
+    val ioCanaries = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def ioCanary(): Unit = {
+      val p = ioCanaryDir.resolve("blob")
+      val t0 = System.nanoTime()
+      val ch = java.nio.channels.FileChannel.open(p,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+      try { ch.write(java.nio.ByteBuffer.wrap(ioCanaryBytes)); ch.force(false) }
+      finally ch.close()
+      ioCanaries += (System.nanoTime() - t0) / 1e9
+    }
+    ioCanary(); ioCanaries.clear() // untimed warmup (dir entry, JIT)
+
     // Committed-record per-query minimums for the end-of-run
     // self-re-measure. Parsed BEFORE the run: this same process
     // overwrites BENCH_LOCAL.json on exit. The per-query entries are
@@ -216,7 +256,7 @@ object Bench {
     }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (p1, ok1) = timedPass(name, fn); canary()
-      val (p2, ok2) = timedPass(name, fn); canary(); cpuCanary()
+      val (p2, ok2) = timedPass(name, fn); canary(); cpuCanary(); ioCanary()
       // Untimed GC between queries: localCheckpoint blocks and shuffle
       // files are reclaimed by the ContextCleaner only after the JVM
       // collects the owning RDD reference — across ~190 passes the
@@ -242,6 +282,8 @@ object Bench {
     val canaryMax = if (canaries.isEmpty) 0.0 else canaries.max
     val cpuCanaryMed = med(cpuCanaries.toSeq)
     val cpuCanaryMax = if (cpuCanaries.isEmpty) 0.0 else cpuCanaries.max
+    val ioCanaryMed = med(ioCanaries.toSeq)
+    val ioCanaryMax = if (ioCanaries.isEmpty) 0.0 else ioCanaries.max
 
     // Per-query environmental adjudication (round 7): round 6's driver
     // record needed the judge to hand-align the canary sample arrays to
@@ -267,7 +309,8 @@ object Bench {
     val envFlagged = results.indices.collect {
       case i if canaries.lift(2 * i).exists(_ > envThresh(canaryMed)) ||
         canaries.lift(2 * i + 1).exists(_ > envThresh(canaryMed)) ||
-        cpuCanaries.lift(i).exists(_ > envThresh(cpuCanaryMed)) =>
+        cpuCanaries.lift(i).exists(_ > envThresh(cpuCanaryMed)) ||
+        ioCanaries.lift(i).exists(_ > envThresh(ioCanaryMed)) =>
         results(i)._1
     }
 
@@ -347,7 +390,9 @@ object Bench {
         s""","p2_total":${fmt(p2Total)},"canary_med":${fmt(canaryMed)}""" +
         s""","canary_max":${fmt(canaryMax)}""" +
         s""","cpu_canary_med":${fmt(cpuCanaryMed)}""" +
-        s""","cpu_canary_max":${fmt(cpuCanaryMax)}$envField$remeasuredField""" +
+        s""","cpu_canary_max":${fmt(cpuCanaryMax)}""" +
+        s""","io_canary_med":${fmt(ioCanaryMed)}""" +
+        s""","io_canary_max":${fmt(ioCanaryMax)}$envField$remeasuredField""" +
         s"""$failedField,"sf":"$sfDir"}"""
     }
 
@@ -360,6 +405,7 @@ object Bench {
       s""""p2_total":${raw(p2Total)},"queries":$detailQs,""" +
       s""""canary":[${canaries.map(raw).mkString(",")}],""" +
       s""""cpu_canary":[${cpuCanaries.map(raw).mkString(",")}],""" +
+      s""""io_canary":[${ioCanaries.map(raw).mkString(",")}],""" +
       s""""env_flagged":[${envFlagged.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""remeasured":{${remeasured.map { case (k, v) => "\"" + k + "\":" + raw(v) }.mkString(",")}},""" +
       s""""remeasure_canary":[${remeasureCanaries.map(raw).mkString(",")}],""" +
@@ -390,6 +436,10 @@ object Bench {
       }) keepN -= 1
     }
     spark.stop()
+    try {
+      java.nio.file.Files.deleteIfExists(ioCanaryDir.resolve("blob"))
+      java.nio.file.Files.deleteIfExists(ioCanaryDir)
+    } catch { case _: Throwable => () }
     println(line)
     System.out.flush()
   }
