@@ -56,4 +56,59 @@ object StreamDedup {
       sink(graft.functions.Dedup.duplicatedSpansVsIndex(
         batch, gramIndex, textCol, idCol, k), batchId)
     }
+
+  /** Streaming NEAR-dup detection with a GROWING index — the ingest
+    * form of `minHashIndexPairs`, completing the index family's
+    * stream side (span dedup streams against a static index; the IVF
+    * index streams appends; this one does BOTH): each micro-batch's
+    * docs are checked against the at-rest signature index
+    * (`<path>/index`), the ≥ threshold pairs go to `sink`, and THEN
+    * the batch's own signatures append — so batch N+1 dedups against
+    * everything batch N ingested, exactly the arrive-once-dedup-
+    * forever contract a corpus ingest pipeline needs. Work per batch
+    * is batch-sized (new-vs-index banding; the index side is never
+    * recomputed). The batchId high-water mark in `<path>/stream_meta`
+    * makes re-delivered committed batches no-ops (StreamMeta
+    * contract); `sink` runs BEFORE the append and must materialize
+    * its frame inside the callback. An absent `<path>/index`
+    * bootstraps as empty (first batch reports no pairs and seeds the
+    * index). shingleSize/numHashes must match the index's build
+    * parameters — the caller's contract, as with every saved index.
+    */
+  def minHashDedupEachBatch(stream: DataFrame, path: String,
+      textCol: String, idCol: String, shingleSize: Int = 2,
+      threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 16)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      minHashApplyBatch(batch, path, batchId, textCol, idCol,
+        shingleSize, threshold, numHashes, bands)(sink)
+      ()
+    }
+
+  /** The per-batch body, directly callable (re-delivery tests, batch
+    * backfill through the identical code path). Returns whether the
+    * batch was applied.
+    */
+  def minHashApplyBatch(batch: DataFrame, path: String, batchId: Long,
+      textCol: String, idCol: String, shingleSize: Int = 2,
+      threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 16)(
+      sink: (DataFrame, Long) => Unit): Boolean = {
+    val spark = batch.sparkSession
+    val apply = batchId > StreamMeta.lastApplied(spark, path)
+    if (apply) {
+      import graft.functions.Dedup
+      val index =
+        try spark.read.parquet(s"$path/index")
+        catch { case scala.util.control.NonFatal(_) =>
+          Dedup.buildMinHashIndex(batch.limit(0), textCol, idCol,
+            shingleSize, numHashes)
+        }
+      sink(Dedup.minHashIndexPairs(batch, index, textCol, idCol,
+        shingleSize, threshold, numHashes, bands), batchId)
+      Dedup.buildMinHashIndex(batch, textCol, idCol, shingleSize, numHashes)
+        .write.mode("append").parquet(s"$path/index")
+      StreamMeta.writeLastApplied(spark, path, batchId)
+    }
+    apply
+  }
 }

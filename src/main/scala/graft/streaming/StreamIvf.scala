@@ -64,7 +64,7 @@ object StreamIvf {
     val apply = batchId > lastAppliedBatch(spark, path)
     if (apply) {
       Similarity.appendToIvfIndex(batch, path)
-      writeLastAppliedBatch(spark, path, batchId)
+      StreamMeta.writeLastApplied(spark, path, batchId)
       onStaleness(Similarity.ivfStaleness(spark, path, Some(batch)), batchId)
     }
     apply
@@ -74,13 +74,5 @@ object StreamIvf {
     * an index no stream has written yet.
     */
   def lastAppliedBatch(spark: SparkSession, path: String): Long =
-    try spark.read.parquet(s"$path/stream_meta").head().getLong(0)
-    catch { case scala.util.control.NonFatal(_) => -1L }
-
-  private def writeLastAppliedBatch(spark: SparkSession, path: String,
-      batchId: Long): Unit = {
-    import spark.implicits._
-    Seq(batchId).toDF("last_batch_id")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stream_meta")
-  }
+    StreamMeta.lastApplied(spark, path)
 }

@@ -369,6 +369,46 @@ class StreamViewsSpec extends SparkSpec {
     assert(!applied && cells(dirA).size == 14)
   }
 
+  test("streaming minhash dedup: growing index catches cross-batch near-dups") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_smh").toString
+    // seed corpus: A and B at rest
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    graft.functions.Dedup.buildMinHashIndex(corpus, "text", "doc_id")
+      .write.parquet(s"$dir/index")
+    // batch 0: C duplicates A (vs the seed index); D is new.
+    // batch 1: E duplicates D — findable ONLY because batch 0's
+    // signatures were appended (cross-BATCH pair).
+    val batch0 = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "red orange yellow green blue indigo violet pink"))
+    val batch1 = Seq(
+      (20L, "red orange yellow green blue indigo violet pink"))
+    val got = scala.collection.concurrent.TrieMap.empty[(Long, Long), Double]
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamDedup.minHashDedupEachBatch(
+      input.toDF().toDF("doc_id", "text"), dir, "text", "doc_id") { (pairs, _) =>
+      pairs.collect().foreach(r =>
+        got.put((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    }.start()
+    input.addData(batch0: _*)
+    q.processAllAvailable()
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    q.stop()
+    // (A,C) from the seed index; (D,E) across batches — both exact dups
+    assert(got.keySet == Set((1L, 10L), (11L, 20L)))
+    assert(got.values.forall(_ == 1.0))
+    // re-delivery of a committed batchId is a no-op
+    val applied = graft.streaming.StreamDedup.minHashApplyBatch(
+      batch1.toDF("doc_id", "text"), dir, 1L, "text", "doc_id")((_, _) => ())
+    assert(!applied)
+    // the index now holds corpus + both batches' signatures
+    assert(spark.read.parquet(s"$dir/index").count() == 5)
+  }
+
   test("rate limiting: maxFilesPerTrigger bounds each micro-batch (T3/T4)") {
     // the Spark-native replacement for the reference's buffer
     // backpressure + flush thresholds (stream_processing.rs:118-129)
