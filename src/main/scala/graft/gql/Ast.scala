@@ -108,15 +108,23 @@ object Ast {
     */
   case class WithItem(item: ReturnItem, alias: Option[String])
 
-  /** One `MATCH ... [WHERE ...] WITH ... [WHERE ...]` pipeline
-    * segment preceding the final MATCH (Cypher WITH composition).
-    * The post-WITH WHERE filters the PROJECTED frame (aggregate
-    * aliases in scope — SQL HAVING's role). Segments carry plain
-    * linear patterns: shortestPath, OPTIONAL MATCH, and path
-    * variables stay final-MATCH-only.
+  /** One `MATCH ... [WHERE ...] WITH [DISTINCT] items [ORDER BY ...
+    * LIMIT n] [WHERE ...]` pipeline segment preceding the final MATCH
+    * (Cypher WITH composition). The post-WITH WHERE filters the
+    * PROJECTED frame (aggregate aliases in scope — SQL HAVING's
+    * role), and per Cypher it applies AFTER ORDER BY/LIMIT. ORDER BY
+    * keys are `var.prop` or alias names; a mid-pipeline ORDER BY
+    * without LIMIT is REJECTED at execution — downstream joins don't
+    * preserve row order, so it could only mislead (with LIMIT it's
+    * the per-stage top-k, a TakeOrdered). Segments carry plain linear
+    * patterns: shortestPath, OPTIONAL MATCH, and path variables stay
+    * final-MATCH-only.
     */
   case class MatchSegment(pattern: GraphPattern, where: Option[Expr],
-      withItems: Seq[WithItem], withWhere: Option[Expr])
+      withItems: Seq[WithItem], withWhere: Option[Expr],
+      distinct: Boolean = false,
+      orderBy: Seq[(Expr, Boolean)] = Nil,
+      limit: Option[Long] = None)
 
   sealed trait Statement
   /** ORDER BY / LIMIT are graft extensions — the reference grammar

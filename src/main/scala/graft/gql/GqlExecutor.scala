@@ -147,9 +147,33 @@ object GqlExecutor {
       val filtered = seg.where.fold(joined)(w =>
         joined.filter(whereCol(w, variants(aliases))))
       val (projected, newAliases) = applyWith(filtered, seg.withItems, aliases)
-      seg.withWhere.foreach(w => validateRefs(w, projected, newAliases.keySet))
-      carried = Some(seg.withWhere.fold(projected)(w =>
-        projected.filter(whereCol(w, variants(newAliases)))))
+      // WITH DISTINCT dedups on binding IDENTITY — the var __id and
+      // alias __val columns (a plain distinct() would choke on the
+      // MAP-typed props columns, and label/props are functionally
+      // dependent on the id anyway). A no-op after an aggregate —
+      // grouped output is already distinct. Then ORDER BY + LIMIT =
+      // the per-stage top-k (Catalyst plans a TakeOrdered), and per
+      // Cypher the post-WITH WHERE filters the LIMITED rows. A
+      // mid-pipeline ORDER BY without LIMIT is rejected: downstream
+      // joins don't preserve order, so it could only mislead.
+      val distincted =
+        if (!seg.distinct) projected
+        else projected.dropDuplicates(projected.columns.filter(c =>
+          c.endsWith("__id") || c.endsWith("__val")).toIndexedSeq)
+      require(seg.orderBy.isEmpty || seg.limit.isDefined,
+        "ORDER BY in WITH requires LIMIT (row order does not survive " +
+          "the next MATCH's joins; with LIMIT it selects the top-k)")
+      seg.orderBy.foreach { case (e, _) =>
+        validateRefs(e, distincted, newAliases.keySet) }
+      val ordered =
+        if (seg.orderBy.isEmpty) distincted
+        else distincted.orderBy(seg.orderBy.flatMap { case (e, asc) =>
+          withOrderCols(e, newAliases).map(c => if (asc) c.asc else c.desc)
+        }: _*)
+      val limited = seg.limit.fold(ordered)(n => ordered.limit(n.toInt))
+      seg.withWhere.foreach(w => validateRefs(w, limited, newAliases.keySet))
+      carried = Some(seg.withWhere.fold(limited)(w =>
+        limited.filter(whereCol(w, variants(newAliases)))))
       aliases = newAliases
     }
     val base0 = matchPattern(store, m.pattern, trackPath = m.pathVar.isDefined)
@@ -187,6 +211,23 @@ object GqlExecutor {
 
   /** Scalar column carrying a WITH alias's materialized value. */
   private def aliasCol(name: String): Column = col(s"${name}__val")
+
+  /** Sort keys for a WITH ORDER BY item: plain alias columns sort
+    * natively; variant columns (property aliases and `var.prop`
+    * refs) sort on the numeric view first, string view second — the
+    * same cross-kind determinism as the main ORDER BY.
+    */
+  private def withOrderCols(e: Expr,
+      aliases: Map[String, Boolean]): Seq[Column] = e match {
+    case VarRef(n) if aliases.getOrElse(n, false) =>
+      Seq(PropValue.asDouble(aliasCol(n)), PropValue.asString(aliasCol(n)))
+    case VarRef(n) => Seq(aliasCol(n))
+    case PropRef(v, p) =>
+      val c = col(vcol(v, "props"))(p)
+      Seq(PropValue.asDouble(c), PropValue.asString(c))
+    case other => throw new IllegalArgumentException(
+      s"WITH ORDER BY key must be a property or alias: $other")
+  }
 
   /** Inner-join a new MATCH's bindings onto the carried WITH frame
     * through the variables they share (vertex identity) — the

@@ -199,10 +199,21 @@ object GqlParser extends RegexParsers {
     * before. Segment patterns are plain chains: shortestPath / path
     * vars / OPTIONAL MATCH stay on the final MATCH only.
     */
+  /** ORDER BY key inside WITH: a property ref or a bare alias. */
+  private def withOrderItem: Parser[(Expr, Boolean)] =
+    (propRef | bareRef) ~ opt(kw("asc") | kw("desc")) ^^ {
+      case r ~ d => (r, !d.exists(_.equalsIgnoreCase("desc")))
+    }
+
   private def matchSegment: Parser[MatchSegment] =
     kw("match") ~> pattern ~ opt(kw("where") ~> expr) ~
-      (kw("with") ~> rep1sep(withItem, ",")) ~ opt(kw("where") ~> expr) ^^ {
-      case p ~ w ~ items ~ hw => MatchSegment(p, w, items, hw)
+      (kw("with") ~> opt(kw("distinct")) ~ rep1sep(withItem, ",")) ~
+      opt(kw("order") ~> kw("by") ~> rep1sep(withOrderItem, ",")) ~
+      opt(kw("limit") ~> """\d+""".r) ~
+      opt(kw("where") ~> expr) ^^ {
+      case p ~ w ~ (dist ~ items) ~ ob ~ lim ~ hw =>
+        MatchSegment(p, w, items, hw, dist.isDefined,
+          ob.getOrElse(Nil), lim.map(_.toLong))
     }
 
   private def matchOrDelete: Parser[Statement] =

@@ -346,6 +346,39 @@ class GqlSpec extends SparkSpec {
     assert(got == Map("Alice" -> 2L, "Bob" -> 2L))
   }
 
+  test("WITH ORDER BY/LIMIT selects the per-stage top-k; DISTINCT dedups") {
+    // both Alice and Bob have out-degree 2; cnt DESC ties, a.name ASC
+    // breaks it → LIMIT 1 keeps Alice only
+    val top = GqlExecutor.run(fixture,
+      "MATCH (a:Person)-[]->(b) WITH a, count(b) AS cnt " +
+        "ORDER BY cnt DESC, a.name ASC LIMIT 1 " +
+        "MATCH (a)-[:friend]->(f) RETURN a.name, f.name, cnt").df
+    val gotTop = top.select(PropValue.asString(col("a_name")),
+      PropValue.asString(col("f_name")), col("cnt"))
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSet
+    assert(gotTop == Set(("Alice", "Bob", 2L)))
+    // WITH DISTINCT collapses the per-edge fan-out before re-matching
+    val d = GqlExecutor.run(fixture,
+      "MATCH (a:Person)-[]->(b) WITH DISTINCT a " +
+        "MATCH (a)-[:colleague]->(c) RETURN a.name, c.name").df
+    val gotD = d.select(PropValue.asString(col("a_name")),
+      PropValue.asString(col("c_name")))
+      .collect().map(x => (x.getString(0), x.getString(1)))
+    assert(gotD.toSet == Set(("Alice", "Charlie"), ("Bob", "Diana")))
+    assert(gotD.length == 2) // without DISTINCT the fan-out doubles rows
+    val nd = GqlExecutor.run(fixture,
+      "MATCH (a:Person)-[]->(b) WITH a " +
+        "MATCH (a)-[:colleague]->(c) RETURN a.name, c.name").df
+    assert(nd.count() == 4)
+    // mid-pipeline ORDER BY without LIMIT is rejected with the reason
+    val e = intercept[IllegalArgumentException] {
+      GqlExecutor.run(fixture,
+        "MATCH (a:Person)-[]->(b) WITH a, count(b) AS cnt ORDER BY cnt DESC " +
+          "MATCH (a)-[:friend]->(f) RETURN f.name")
+    }
+    assert(e.getMessage.contains("requires LIMIT"))
+  }
+
   test("WITH rejections: scope, composition, parse forms") {
     // unknown alias in post-WITH WHERE
     val e1 = intercept[IllegalArgumentException] {
