@@ -97,7 +97,10 @@ object Ast {
     */
   case class ReturnPathFunc(func: String, variable: String) extends ReturnItem
 
-  case class OrderItem(ref: PropRef, ascending: Boolean)
+  /** `ref` is a PropRef (`v.prop`) or — after a WITH pipeline — a
+    * VarRef alias name (`ORDER BY cnt DESC`).
+    */
+  case class OrderItem(ref: Expr, ascending: Boolean)
 
   /** One `WITH` projection item (graft extension, Cypher semantics):
     * a pass-through variable (`a`, optionally `a AS b`), a property
@@ -140,8 +143,13 @@ object Ast {
     * (simple paths — no vertex revisits) instead of per distinct
     * endpoint pair.
     */
+  /** `pattern = None` is the `MATCH ... WITH ... RETURN` form — the
+    * pipeline ends at a WITH projection with no re-match (Cypher's
+    * most common aggregate shape); the parser only produces it with
+    * `pre` nonempty, and optional/pathVar stay full-form-only.
+    */
   case class MatchStatement(
-      pattern: GraphPattern,
+      pattern: Option[GraphPattern],
       where: Option[Expr],
       ret: Seq[ReturnItem],
       orderBy: Seq[OrderItem] = Nil,

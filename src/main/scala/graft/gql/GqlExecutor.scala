@@ -176,8 +176,16 @@ object GqlExecutor {
         limited.filter(whereCol(w, variants(newAliases)))))
       aliases = newAliases
     }
-    val base0 = matchPattern(store, m.pattern, trackPath = m.pathVar.isDefined)
-    val base = carried.fold(base0)(prev => composeJoin(prev, base0))
+    // pattern = None is the `... WITH ... RETURN` form: the carried
+    // frame IS the final binding set (parser guarantees pre nonempty)
+    val base = (m.pattern, carried) match {
+      case (Some(p), c) =>
+        val b0 = matchPattern(store, p, trackPath = m.pathVar.isDefined)
+        c.fold(b0)(prev => composeJoin(prev, b0))
+      case (None, Some(prev)) => prev
+      case (None, None) => throw new IllegalArgumentException(
+        "RETURN requires a preceding MATCH")
+    }
     val bindings = m.optional.zipWithIndex.foldLeft(base) {
       case (df, (p, i)) => optionalJoin(store, df, p, i)
     }
@@ -186,21 +194,23 @@ object GqlExecutor {
     val carriedNodes = carried.toSeq.flatMap(_.columns)
       .filter(_.endsWith("__id")).map(_.stripSuffix("__id"))
       .map(v => NodePattern(Some(v), None, Map.empty))
-    val nodes = named(m.pattern)._1 ++
+    val nodes = m.pattern.toSeq.flatMap(p => named(p)._1) ++
       m.optional.zipWithIndex.flatMap { case (p, i) => named(p, s"__o${i}_")._1 } ++
       carriedNodes
     m.where.foreach(w => validateRefs(w, bindings, aliases.keySet))
     val filtered = m.where.fold(bindings)(w =>
       bindings.filter(whereCol(w, variants(aliases))))
-    // ORDER BY (extension): sort on the variant's numeric view first,
-    // string view second — numeric props order numerically, string
-    // props lexicographically, deterministic across kinds.
+    // ORDER BY (extension): property keys sort on the variant's
+    // numeric view first, string view second — numeric props order
+    // numerically, string props lexicographically, deterministic
+    // across kinds; alias keys (post-WITH) sort natively or through
+    // the same dual view when the alias carries a variant.
+    m.orderBy.foreach(oi => validateRefs(oi.ref, filtered, aliases.keySet))
     val ordered =
       if (m.orderBy.isEmpty) filtered
       else filtered.orderBy(m.orderBy.flatMap { oi =>
-        val v = col(vcol(oi.ref.variable, "props"))(oi.ref.prop)
-        val keys = Seq(PropValue.asDouble(v), PropValue.asString(v))
-        keys.map(k => if (oi.ascending) k.asc else k.desc)
+        withOrderCols(oi.ref, aliases)
+          .map(k => if (oi.ascending) k.asc else k.desc)
       }: _*)
     val distinctNodes = nodes.foldLeft(Vector.empty[NodePattern])(
       (acc, n) => if (acc.exists(_.variable == n.variable)) acc else acc :+ n)

@@ -166,7 +166,7 @@ object GqlParser extends RegexParsers {
       ident ^^ ReturnVariable.apply
 
   private def orderItem: Parser[OrderItem] =
-    propRef ~ opt(kw("asc") | kw("desc")) ^^ {
+    (propRef | bareRef) ~ opt(kw("asc") | kw("desc")) ^^ {
       case r ~ dir => OrderItem(r, !dir.exists(_.equalsIgnoreCase("desc")))
     }
 
@@ -216,18 +216,43 @@ object GqlParser extends RegexParsers {
           ob.getOrElse(Nil), lim.map(_.toLong))
     }
 
-  private def matchOrDelete: Parser[Statement] =
-    rep(matchSegment) ~ (kw("match") ~> opt(ident <~ "=") ~ matchPat ~ rep(optionalMatch) ~
+  private type RetClause = (Boolean, Seq[ReturnItem], (Seq[OrderItem], Option[Long]))
+
+  private def retClause: Parser[RetClause] =
+    kw("return") ~> opt(kw("distinct")) ~ rep1sep(returnItem, ",") ~ orderLimit ^^
+      (x => (x._1._1.isDefined, x._1._2, x._2))
+
+  private case class FullTail(pathVar: Option[String], pat: GraphPattern,
+      opts: Seq[GraphPattern], where: Option[Expr],
+      end: Either[RetClause, String])
+
+  private def fullTail: Parser[FullTail] =
+    kw("match") ~> opt(ident <~ "=") ~ matchPat ~ rep(optionalMatch) ~
       opt(kw("where") ~> expr) ~
-      ((kw("return") ~> opt(kw("distinct")) ~ rep1sep(returnItem, ",") ~ orderLimit) ^^
-        (x => Left((x._1._1.isDefined, x._1._2, x._2)): Either[(Boolean, Seq[ReturnItem], (Seq[OrderItem], Option[Long])), String]) |
-        (kw("delete") ~> ident) ^^
-          (Right(_): Either[(Boolean, Seq[ReturnItem], (Seq[OrderItem], Option[Long])), String]))) ^? ({
-      case segs ~ (pv ~ p ~ opts ~ w ~ Left((dist, items, (ob, lim)))) =>
-        MatchStatement(p, w, items, ob, lim, opts, dist, pv, segs)
-      case segs ~ (_ ~ p ~ _ ~ w ~ Right(v)) if segs.isEmpty =>
+      (retClause ^^ (Left(_): Either[RetClause, String]) |
+        (kw("delete") ~> ident) ^^ (Right(_): Either[RetClause, String])) ^^ {
+      case pv ~ p ~ opts ~ w ~ end => FullTail(pv, p, opts, w, end)
+    }
+
+  /** The statement tail is a full MATCH ... RETURN/DELETE, or — with
+    * at least one WITH segment carried — a bare RETURN (the
+    * `MATCH ... WITH ... RETURN` form, Cypher's most common
+    * aggregate shape).
+    */
+  private def matchOrDelete: Parser[Statement] =
+    rep(matchSegment) ~
+      (fullTail ^^ (Left(_): Either[FullTail, RetClause]) |
+        retClause ^^ (Right(_): Either[FullTail, RetClause])) ^? ({
+      case segs ~ Left(FullTail(pv, p, opts, w, Left((dist, items, (ob, lim))))) =>
+        MatchStatement(Some(p), w, items, ob, lim, opts, dist, pv, segs)
+      case segs ~ Left(FullTail(_, p, _, w, Right(v))) if segs.isEmpty =>
         DeleteStatement(Some(p), w, v)
-    }, _ => "WITH segments cannot precede DELETE")
+      case segs ~ Right((dist, items, (ob, lim))) if segs.nonEmpty =>
+        MatchStatement(None, None, items, ob, lim, Nil, dist, None, segs)
+    }, {
+      case _ ~ Right(_) => "RETURN requires a preceding MATCH"
+      case _ => "WITH segments cannot precede DELETE"
+    })
 
   private def createStmt: Parser[Statement] =
     kw("create") ~> pattern ^^ CreateStatement.apply

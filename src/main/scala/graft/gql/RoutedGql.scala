@@ -35,7 +35,8 @@ object RoutedGql {
       val agg = m.ret.collectFirst { case ReturnAggregate(f, _, _) => f }
       Some(agg match {
         case Some(f) => AggPattern(f)
-        case None if m.pattern.edges.nonEmpty || m.optional.nonEmpty =>
+        case None if m.pattern.exists(_.edges.nonEmpty) ||
+            m.optional.nonEmpty || m.pre.nonEmpty =>
           TraversalPattern("expand")
         case None => SqlPattern(raw)
       })

@@ -193,6 +193,18 @@ object GraphQueries {
         col("cnt")).orderBy("name")
     }),
 
+    // WITH ORDER BY/LIMIT + the direct WITH...RETURN form (round 8):
+    // per-customer order counts, top-5 by count (ties broken by
+    // name), no re-match — Cypher's most common aggregate shape. The
+    // ORDER BY/LIMIT inside WITH is the per-stage top-k (TakeOrdered
+    // in the plan, never a global sort of the full aggregate).
+    "gql_with_topk" -> ((s, dir) => {
+      val r = GqlExecutor.run(g(s, dir),
+        "MATCH (c:Customer)-[:placed]->(o:Order) WITH c, count(o) AS cnt " +
+          "ORDER BY cnt DESC, c.name ASC LIMIT 5 RETURN c.name, cnt").df
+      r.select(str(col("c_name")).as("name"), col("cnt")).orderBy("name")
+    }),
+
     // OPTIONAL MATCH extension (Cypher left-join semantics): nations
     // keep a row even with no supplier — most nations at this scale
     // have none, so the null-padding is load-bearing, not vacuous.
@@ -441,6 +453,12 @@ object GraphQueries {
          SELECT n_name AS nation, c_name AS name, cnt
          FROM co JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
+         ORDER BY name""",
+    "gql_with_topk" ->
+      """SELECT name, cnt FROM (
+           SELECT c_name AS name, COUNT(*) AS cnt
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY c_name ORDER BY cnt DESC, c_name ASC LIMIT 5)
          ORDER BY name""",
     "gql_varlength" ->
       """SELECT c2.c_name AS name

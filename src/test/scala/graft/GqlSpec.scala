@@ -379,6 +379,22 @@ class GqlSpec extends SparkSpec {
     assert(e.getMessage.contains("requires LIMIT"))
   }
 
+  test("WITH ... RETURN without a re-match; final ORDER BY on an alias") {
+    val r = GqlExecutor.run(fixture,
+      "MATCH (a:Person)-[]->(b) WITH a, count(b) AS cnt WHERE cnt > 1 " +
+        "RETURN a.name, cnt ORDER BY cnt DESC, a.name ASC").df
+    val got = r.select(PropValue.asString(col("a_name")), col("cnt"))
+      .collect().map(x => (x.getString(0), x.getLong(1))).toSeq
+    assert(got == Seq(("Alice", 2L), ("Bob", 2L)))
+    // DISTINCT pass-through + direct RETURN
+    val d = GqlExecutor.run(fixture,
+      "MATCH (a:Person)-[]->(b) WITH DISTINCT a RETURN a.name").df
+    assert(names(d, "a_name") == Set("Alice", "Bob") && d.count() == 2)
+    // a bare RETURN still requires a MATCH
+    assert(GqlParser.parse("RETURN a").isLeft)
+    assert(GqlParser.parse("RETURN 1").isLeft)
+  }
+
   test("WITH rejections: scope, composition, parse forms") {
     // unknown alias in post-WITH WHERE
     val e1 = intercept[IllegalArgumentException] {
