@@ -81,6 +81,16 @@ object Ast {
     * column semantics, not the PropValue variant coercion table.
     */
   case class VarRef(name: String) extends Expr
+  /** Pattern predicate (Cypher existential): `WHERE (a)-[:f]->(b)`
+    * keeps a binding row iff the pattern (sharing ≥1 variable with
+    * the bound set) has a match; `NOT (pattern)` keeps rows with no
+    * match. Executes as a SEMI/ANTI join, never a Column — so it must
+    * appear as a TOP-LEVEL conjunct of the WHERE (possibly under
+    * NOT); inside OR or comparisons it is rejected with the reason.
+    * The pattern needs ≥1 edge (a bare `(a)` is a parenthesized
+    * expression, not a predicate).
+    */
+  case class PatternPred(pattern: GraphPattern) extends Expr
 
   sealed trait ReturnItem
   case object ReturnAll extends ReturnItem

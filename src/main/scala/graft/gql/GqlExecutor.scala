@@ -140,12 +140,14 @@ object GqlExecutor {
     var carried: Option[DataFrame] = None
     var aliases = Map.empty[String, Boolean]
     def variants(a: Map[String, Boolean]) = a.filter(_._2).keySet
+    val predCtr = new java.util.concurrent.atomic.AtomicInteger(0)
+    def predPrefix(): String = s"__xp${predCtr.getAndIncrement()}_"
     m.pre.zipWithIndex.foreach { case (seg, i) =>
       val segDf = matchPattern(store, seg.pattern, prefix = s"__w${i}_")
       val joined = carried.fold(segDf)(prev => composeJoin(prev, segDf))
       seg.where.foreach(w => validateRefs(w, joined, aliases.keySet))
       val filtered = seg.where.fold(joined)(w =>
-        joined.filter(whereCol(w, variants(aliases))))
+        applyWhere(store, joined, w, variants(aliases), predPrefix _))
       val (projected, newAliases) = applyWith(filtered, seg.withItems, aliases)
       // WITH DISTINCT dedups on binding IDENTITY — the var __id and
       // alias __val columns (a plain distinct() would choke on the
@@ -173,7 +175,7 @@ object GqlExecutor {
       val limited = seg.limit.fold(ordered)(n => ordered.limit(n.toInt))
       seg.withWhere.foreach(w => validateRefs(w, limited, newAliases.keySet))
       carried = Some(seg.withWhere.fold(limited)(w =>
-        limited.filter(whereCol(w, variants(newAliases)))))
+        applyWhere(store, limited, w, variants(newAliases), predPrefix _)))
       aliases = newAliases
     }
     // pattern = None is the `... WITH ... RETURN` form: the carried
@@ -199,7 +201,7 @@ object GqlExecutor {
       carriedNodes
     m.where.foreach(w => validateRefs(w, bindings, aliases.keySet))
     val filtered = m.where.fold(bindings)(w =>
-      bindings.filter(whereCol(w, variants(aliases))))
+      applyWhere(store, bindings, w, variants(aliases), predPrefix _))
     // ORDER BY (extension): property keys sort on the variant's
     // numeric view first, string view second — numeric props order
     // numerically, string props lexicographically, deterministic
@@ -221,6 +223,67 @@ object GqlExecutor {
 
   /** Scalar column carrying a WITH alias's materialized value. */
   private def aliasCol(name: String): Column = col(s"${name}__val")
+
+  /** WHERE application that understands PATTERN PREDICATES (Cypher
+    * existentials): top-level AND conjuncts that are `(a)-[...]->(b)`
+    * (optionally under NOT, double negation normalized) become
+    * LEFT SEMI / LEFT ANTI joins of the binding frame against the
+    * predicate pattern's own match — the relational form of EXISTS,
+    * and the only correct one (a Column cannot express a join).
+    * Everything else filters through whereCol. A pattern predicate
+    * buried inside OR or a comparison is rejected with the reason —
+    * the disjunctive form would need a join-per-branch union that
+    * silently changes cost shape; project it through WITH instead.
+    */
+  private def applyWhere(store: GraphStore, df: DataFrame, e: Expr,
+      variantAliases: Set[String], prefix: () => String): DataFrame = e match {
+    case And(l, r) =>
+      applyWhere(store, applyWhere(store, df, l, variantAliases, prefix),
+        r, variantAliases, prefix)
+    case Not(Not(x)) => applyWhere(store, df, x, variantAliases, prefix)
+    case PatternPred(p) => patternPredJoin(store, df, p, prefix(), anti = false)
+    case Not(PatternPred(p)) => patternPredJoin(store, df, p, prefix(), anti = true)
+    case other =>
+      requireNoPatternPred(other)
+      df.filter(whereCol(other, variantAliases))
+  }
+
+  private def requireNoPatternPred(e: Expr): Unit = {
+    def walk(x: Expr): Unit = x match {
+      case PatternPred(_) => throw new IllegalArgumentException(
+        "pattern predicates must be top-level AND conjuncts of WHERE " +
+          "(optionally under NOT); inside OR/comparisons, restructure " +
+          "via WITH")
+      case And(l, r) => walk(l); walk(r)
+      case Or(l, r) => walk(l); walk(r)
+      case Not(i) => walk(i)
+      case Comparison(l, _, r) => walk(l); walk(r)
+      case _ => ()
+    }
+    walk(e)
+  }
+
+  /** EXISTS / NOT EXISTS as a semi/anti join: evaluate the predicate
+    * pattern, join the bindings through the shared variables (vertex
+    * identity — ≥1 required, the optionalJoin no-cartesian stance).
+    * Semi/anti joins add NO columns, so the predicate pattern's own
+    * variables never leak into the binding frame (Cypher scope).
+    */
+  private def patternPredJoin(store: GraphStore, df: DataFrame,
+      p: GraphPattern, prefix: String, anti: Boolean): DataFrame = {
+    val sub = matchPattern(store, p, prefix)
+    val shared = named(p, prefix)._1.flatMap(_.variable).distinct
+      .filter(v => df.columns.contains(vcol(v, "id")))
+    require(shared.nonEmpty,
+      "pattern predicate must share a variable with the bound pattern (bound: " +
+        df.columns.filter(_.endsWith("__id")).map(_.stripSuffix("__id"))
+          .mkString(",") + ")")
+    val renamed = sub.columns.foldLeft(sub)(
+      (d, c) => d.withColumnRenamed(c, s"$c@x"))
+    val cond = shared.map(v =>
+      df(vcol(v, "id")) === renamed(s"${vcol(v, "id")}@x")).reduce(_ && _)
+    df.join(renamed, cond, if (anti) "left_anti" else "left_semi")
+  }
 
   /** Sort keys for a WITH ORDER BY item: plain alias columns sort
     * natively; variant columns (property aliases and `var.prop`
@@ -388,6 +451,9 @@ object GqlExecutor {
       case EndsWith(l, r) => walk(l); walk(r)
       case Like(l, _) => walk(l)
       case Literal(_) => ()
+      // pattern-predicate variables are validated inside
+      // patternPredJoin (shared-variable requirement)
+      case PatternPred(_) => ()
     }
     walk(e)
   }
@@ -712,6 +778,11 @@ object GqlExecutor {
       throw new IllegalArgumentException(
         s"bare alias '$n' is not a predicate; compare it explicitly" +
           s" (e.g. $n > 0)")
+    case PatternPred(_) =>
+      // applyWhere extracts top-level pattern predicates before
+      // whereCol ever runs; reaching here means one was nested
+      throw new IllegalArgumentException(
+        "pattern predicates must be top-level AND conjuncts of WHERE")
     // Extensions beyond the reference's WHERE (lib.rs:238-251), SQL
     // three-valued logic throughout:
     case Not(inner) => !whereCol(inner)
@@ -971,7 +1042,10 @@ object GqlExecutor {
     val ids: DataFrame = d.pattern match {
       case Some(p) =>
         val bindings = matchPattern(store, p)
-        val filtered = d.where.fold(bindings)(w => bindings.filter(whereCol(w)))
+        val ctr = new java.util.concurrent.atomic.AtomicInteger(0)
+        val filtered = d.where.fold(bindings)(w =>
+          applyWhere(store, bindings, w, Set.empty,
+            () => s"__xp${ctr.getAndIncrement()}_"))
         filtered.select(col(vcol(d.variable, "id")).as("id")).distinct()
       case None =>
         // Bare `DELETE var` without MATCH has nothing bound — the

@@ -128,9 +128,19 @@ object GqlParser extends RegexParsers {
       case l ~ None => l // bare var.prop truthiness (executor.rs:387-391)
     }
 
+  /** Pattern predicate: a chain with at least one edge — `(a)-[:f]->
+    * (b)`. Tried before the parenthesized-expression alternative;
+    * a bare `(x)` fails the rep1 and backtracks into `( expr )`.
+    */
+  private def patternPred: Parser[Expr] =
+    node ~ rep1(edge ~ node) ^^ { case first ~ rest =>
+      PatternPred(GraphPattern(first +: rest.map(_._2), rest.map(_._1)))
+    }
+
   /** NOT binds tighter than AND/OR and nests (`NOT NOT x.p`). */
   private def primary: Parser[Expr] =
     kw("not") ~> primary ^^ Not.apply |
+      patternPred |
       "(" ~> expr <~ ")" | comparison
 
   private def andExpr: Parser[Expr] =

@@ -179,6 +179,20 @@ object GraphQueries {
         .orderBy("name")
     }),
 
+    // Pattern predicates (round 8, Cypher existentials): EXISTS and
+    // NOT EXISTS as LEFT SEMI / LEFT ANTI joins — rich customers with
+    // at least one order, excluding those located in FRANCE. Pinned
+    // against DuckDB's own EXISTS / NOT EXISTS.
+    "gql_exists" -> ((s, dir) => {
+      val r = GqlExecutor.run(g(s, dir),
+        "MATCH (c:Customer) WHERE c.acctbal > 9000.0 AND " +
+          "(c)-[:placed]->(o:Order) AND " +
+          "NOT (c)-[:located_in]->(:Nation {name: \"FRANCE\"}) " +
+          "RETURN c.name, c.acctbal").df
+      r.select(str(col("c_name")).as("name"),
+        round(dbl(col("c_acctbal")), 4).as("acctbal")).orderBy("name")
+    }),
+
     // WITH / multi-MATCH composition (round 8, Cypher WITH): aggregate
     // per customer, filter on the alias (SQL HAVING's role), then
     // RE-match the survivors' nation — the executor carries the
@@ -447,6 +461,14 @@ object GraphQueries {
                 ROUND(MAX(c_acctbal), 4) AS max_acctbal
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name ORDER BY name""",
+    "gql_exists" ->
+      """SELECT c_name AS name, ROUND(c_acctbal, 4) AS acctbal FROM customer
+         WHERE c_acctbal > 9000.0
+           AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           AND NOT EXISTS (SELECT 1 FROM nation
+                           WHERE n_nationkey = c_nationkey
+                             AND n_name = 'FRANCE')
+         ORDER BY name""",
     "gql_with_agg" ->
       """WITH co AS (SELECT o_custkey, COUNT(*) AS cnt FROM orders
                      GROUP BY 1 HAVING COUNT(*) > 15)

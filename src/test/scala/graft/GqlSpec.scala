@@ -395,6 +395,49 @@ class GqlSpec extends SparkSpec {
     assert(GqlParser.parse("RETURN 1").isLeft)
   }
 
+  test("pattern predicates: EXISTS/NOT EXISTS as semi/anti joins") {
+    // who has an outgoing friend edge? Alice, Bob
+    val ex = GqlExecutor.run(fixture,
+      "MATCH (a:Person) WHERE (a)-[:friend]->(b) RETURN a.name").df
+    assert(names(ex, "a_name") == Set("Alice", "Bob"))
+    // NOT: who has none? Charlie, Diana
+    val nex = GqlExecutor.run(fixture,
+      "MATCH (a:Person) WHERE NOT (a)-[:friend]->(b) RETURN a.name").df
+    assert(names(nex, "a_name") == Set("Charlie", "Diana"))
+    // edge props inside the predicate pattern + a scalar conjunct
+    val withProps = GqlExecutor.run(fixture,
+      "MATCH (a:Person) WHERE a.age > 25 AND (a)-[:friend {since: 2020}]->(b) RETURN a.name").df
+    assert(names(withProps, "a_name") == Set("Alice"))
+    // a predicate row never multiplies bindings (semi join, no fan-out)
+    val noFan = GqlExecutor.run(fixture,
+      "MATCH (a:Person) WHERE (a)-[]->(b) RETURN a.name").df
+    assert(noFan.count() == 2) // Alice, Bob once each despite 2 edges each
+    // incoming direction predicate
+    val incoming = GqlExecutor.run(fixture,
+      "MATCH (a:Person) WHERE (a)<-[:friend]-(b) RETURN a.name").df
+    assert(names(incoming, "a_name") == Set("Bob", "Charlie"))
+    // two-hop predicate pattern
+    val hop2 = GqlExecutor.run(fixture,
+      "MATCH (a:Person) WHERE (a)-[:friend]->(b)-[:friend]->(c) RETURN a.name").df
+    assert(names(hop2, "a_name") == Set("Alice"))
+    // rejection: inside OR
+    val e1 = intercept[IllegalArgumentException] {
+      GqlExecutor.run(fixture,
+        "MATCH (a:Person) WHERE (a)-[:friend]->(b) OR a.age > 30 RETURN a.name")
+    }
+    assert(e1.getMessage.contains("top-level AND conjuncts"))
+    // rejection: no shared variable
+    val e2 = intercept[IllegalArgumentException] {
+      GqlExecutor.run(fixture,
+        "MATCH (a:Person) WHERE (x)-[:friend]->(y) RETURN a.name")
+    }
+    assert(e2.getMessage.contains("share a variable"))
+    // double negation normalizes back to EXISTS
+    val nn = GqlExecutor.run(fixture,
+      "MATCH (a:Person) WHERE NOT NOT (a)-[:friend]->(b) RETURN a.name").df
+    assert(names(nn, "a_name") == Set("Alice", "Bob"))
+  }
+
   test("WITH rejections: scope, composition, parse forms") {
     // unknown alias in post-WITH WHERE
     val e1 = intercept[IllegalArgumentException] {
