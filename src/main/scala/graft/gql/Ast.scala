@@ -167,7 +167,9 @@ object Ast {
       optional: Seq[GraphPattern] = Nil,
       distinct: Boolean = false,
       pathVar: Option[String] = None,
-      pre: Seq[MatchSegment] = Nil) extends Statement
+      pre: Seq[MatchSegment] = Nil,
+      /** Cypher SKIP n — rows dropped AFTER ORDER BY, before LIMIT. */
+      skip: Option[Long] = None) extends Statement
   case class CreateStatement(pattern: GraphPattern) extends Statement
   /** DELETE var — with an optional MATCH pattern+WHERE scoping it
     * (executor.rs:569-615).

@@ -218,7 +218,10 @@ object GqlExecutor {
       (acc, n) => if (acc.exists(_.variable == n.variable)) acc else acc :+ n)
     val projected = project(ordered, distinctNodes, m.ret, m.distinct,
       aliases.keySet)
-    m.limit.fold(projected)(n => projected.limit(n.toInt))
+    // SKIP drops after ORDER BY (projection preserves order), LIMIT
+    // caps what remains — Dataset.offset + limit, Cypher pagination
+    val skipped = m.skip.fold(projected)(n => projected.offset(n.toInt))
+    m.limit.fold(skipped)(n => skipped.limit(n.toInt))
   }
 
   /** Scalar column carrying a WITH alias's materialized value. */

@@ -97,7 +97,7 @@ object GqlParser extends RegexParsers {
     "by", "limit", "delete", "create", "optional", "contains",
     "starts", "ends", "like", "in", "as", "asc", "desc", "true",
     "false", "null", "distinct", "count", "sum", "avg", "min", "max",
-    "length", "nodes", "shortestpath")
+    "length", "nodes", "shortestpath", "skip")
 
   /** Bare alias reference (`cnt` after `WITH ... count(o) AS cnt`). */
   private def bareRef: Parser[Expr] =
@@ -180,10 +180,13 @@ object GqlParser extends RegexParsers {
       case r ~ dir => OrderItem(r, !dir.exists(_.equalsIgnoreCase("desc")))
     }
 
-  private def orderLimit: Parser[(Seq[OrderItem], Option[Long])] =
+  /** `[ORDER BY ...] [SKIP n] [LIMIT n]` — Cypher subclause order. */
+  private def orderLimit: Parser[(Seq[OrderItem], Option[Long], Option[Long])] =
     opt(kw("order") ~> kw("by") ~> rep1sep(orderItem, ",")) ~
+      opt(kw("skip") ~> """\d+""".r) ~
       opt(kw("limit") ~> """\d+""".r) ^^ {
-      case ob ~ lim => (ob.getOrElse(Nil), lim.map(_.toLong))
+      case ob ~ sk ~ lim =>
+        (ob.getOrElse(Nil), sk.map(_.toLong), lim.map(_.toLong))
     }
 
   private def optionalMatch: Parser[GraphPattern] =
@@ -226,7 +229,8 @@ object GqlParser extends RegexParsers {
           ob.getOrElse(Nil), lim.map(_.toLong))
     }
 
-  private type RetClause = (Boolean, Seq[ReturnItem], (Seq[OrderItem], Option[Long]))
+  private type RetClause =
+    (Boolean, Seq[ReturnItem], (Seq[OrderItem], Option[Long], Option[Long]))
 
   private def retClause: Parser[RetClause] =
     kw("return") ~> opt(kw("distinct")) ~ rep1sep(returnItem, ",") ~ orderLimit ^^
@@ -253,12 +257,12 @@ object GqlParser extends RegexParsers {
     rep(matchSegment) ~
       (fullTail ^^ (Left(_): Either[FullTail, RetClause]) |
         retClause ^^ (Right(_): Either[FullTail, RetClause])) ^? ({
-      case segs ~ Left(FullTail(pv, p, opts, w, Left((dist, items, (ob, lim))))) =>
-        MatchStatement(Some(p), w, items, ob, lim, opts, dist, pv, segs)
+      case segs ~ Left(FullTail(pv, p, opts, w, Left((dist, items, (ob, sk, lim))))) =>
+        MatchStatement(Some(p), w, items, ob, lim, opts, dist, pv, segs, sk)
       case segs ~ Left(FullTail(_, p, _, w, Right(v))) if segs.isEmpty =>
         DeleteStatement(Some(p), w, v)
-      case segs ~ Right((dist, items, (ob, lim))) if segs.nonEmpty =>
-        MatchStatement(None, None, items, ob, lim, Nil, dist, None, segs)
+      case segs ~ Right((dist, items, (ob, sk, lim))) if segs.nonEmpty =>
+        MatchStatement(None, None, items, ob, lim, Nil, dist, None, segs, sk)
     }, {
       case _ ~ Right(_) => "RETURN requires a preceding MATCH"
       case _ => "WITH segments cannot precede DELETE"

@@ -395,6 +395,25 @@ class GqlSpec extends SparkSpec {
     assert(GqlParser.parse("RETURN 1").isLeft)
   }
 
+  test("SKIP paginates after ORDER BY, before LIMIT") {
+    val page = GqlExecutor.run(fixture,
+      "MATCH (v:Person) RETURN v.name ORDER BY v.name ASC SKIP 1 LIMIT 2").df
+    val got = page.select(PropValue.asString(col("v_name")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("Bob", "Charlie"))
+    // SKIP alone drops the first k ordered rows
+    val tail = GqlExecutor.run(fixture,
+      "MATCH (v:Person) RETURN v.name ORDER BY v.name ASC SKIP 3").df
+    assert(names(tail, "v_name") == Set("Diana"))
+    // SKIP past the end is empty, not an error
+    val empty = GqlExecutor.run(fixture,
+      "MATCH (v:Person) RETURN v.name SKIP 99").df
+    assert(empty.count() == 0)
+    // LIMIT before SKIP is a parse error (Cypher subclause order)
+    assert(GqlParser.parse(
+      "MATCH (v:Person) RETURN v.name LIMIT 2 SKIP 1").isLeft)
+  }
+
   test("pattern predicates: EXISTS/NOT EXISTS as semi/anti joins") {
     // who has an outgoing friend edge? Alice, Bob
     val ex = GqlExecutor.run(fixture,
