@@ -371,6 +371,13 @@ object GqlExecutor {
               else count(aliasCol(v)))
       case WithItem(ReturnAggregate("count", Some(v), Some(p)), Some(a)) =>
         a -> count(col(vcol(v, "props"))(p))
+      // collect() in WITH: sorted list alias (see project's note on
+      // the deterministic-order divergence from Cypher)
+      case WithItem(ReturnAggregate("collect", Some(v), Some(p)), Some(a)) =>
+        a -> sort_array(collect_list(col(vcol(v, "props"))(p)))
+      case WithItem(ReturnAggregate("collect", Some(v), None), Some(a)) =>
+        a -> (if (hasTriplet(v)) sort_array(collect_list(col(vcol(v, "id"))))
+              else sort_array(collect_list(aliasCol(v))))
       case WithItem(ReturnAggregate(f @ ("sum" | "avg" | "min" | "max"),
           Some(v), Some(p)), Some(a)) =>
         val num = PropValue.asDouble(col(vcol(v, "props"))(p))
@@ -380,7 +387,8 @@ object GqlExecutor {
           case "min" => min(num)
           case "max" => max(num)
         })
-      case WithItem(ReturnAggregate(f, v, None), _) if f != "count" =>
+      case WithItem(ReturnAggregate(f, v, None), _)
+          if f != "count" && f != "collect" =>
         throw new IllegalArgumentException(
           s"$f(${v.getOrElse("*")}) needs a property: $f(var.prop)")
     }
@@ -968,6 +976,19 @@ object GqlExecutor {
           count(col(vcol(v, "id"))).as(s"count_$v")
         case ReturnAggregate("count", Some(v), Some(p)) =>
           count(col(vcol(v, "props"))(p)).as(s"count_${v}_$p")
+        // Cypher collect(): the list aggregate. collect(v.prop)
+        // gathers the variant values (NULLs dropped, like Cypher
+        // skips missing properties); collect(v) gathers vertex ids.
+        // Cypher's list order is arbitrary — a distributed engine
+        // must pick something reproducible, so the array is SORTED
+        // (variant struct ordering = kind, then value; ids
+        // numerically), documented divergence shared with every
+        // deterministic Cypher implementation.
+        case ReturnAggregate("collect", Some(v), Some(p)) =>
+          sort_array(collect_list(col(vcol(v, "props"))(p)))
+            .as(s"collect_${v}_$p")
+        case ReturnAggregate("collect", Some(v), None) =>
+          sort_array(collect_list(col(vcol(v, "id")))).as(s"collect_$v")
         case ReturnAggregate(f @ ("sum" | "avg" | "min" | "max"), Some(v), Some(p)) =>
           val num = PropValue.asDouble(col(vcol(v, "props"))(p))
           val agg = f match {
@@ -977,7 +998,7 @@ object GqlExecutor {
             case "max" => max(num)
           }
           agg.as(s"${f}_${v}_$p")
-        case ReturnAggregate(f, v, None) if f != "count" =>
+        case ReturnAggregate(f, v, None) if f != "count" && f != "collect" =>
           throw new IllegalArgumentException(
             s"$f(${v.getOrElse("*")}) needs a property: $f(var.prop)")
       }

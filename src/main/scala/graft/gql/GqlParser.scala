@@ -97,7 +97,7 @@ object GqlParser extends RegexParsers {
     "by", "limit", "delete", "create", "optional", "contains",
     "starts", "ends", "like", "in", "as", "asc", "desc", "true",
     "false", "null", "distinct", "count", "sum", "avg", "min", "max",
-    "length", "nodes", "shortestpath", "skip")
+    "length", "nodes", "shortestpath", "skip", "collect")
 
   /** Bare alias reference (`cnt` after `WITH ... count(o) AS cnt`). */
   private def bareRef: Parser[Expr] =
@@ -154,7 +154,8 @@ object GqlParser extends RegexParsers {
     }
 
   private def aggFunc: Parser[String] =
-    kw("count") | kw("sum") | kw("avg") | kw("min") | kw("max")
+    kw("count") | kw("sum") | kw("avg") | kw("min") | kw("max") |
+      kw("collect")
 
   private def returnAgg: Parser[ReturnItem] =
     aggFunc ~ ("(" ~> ("*" ^^ (_ => (None, None)) |

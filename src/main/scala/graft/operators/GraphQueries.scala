@@ -179,6 +179,19 @@ object GraphQueries {
         .orderBy("name")
     }),
 
+    // collect() list aggregate (round 8): suppliers per nation as a
+    // SORTED name list (deterministic order — the documented
+    // divergence from Cypher's arbitrary order), flattened to a
+    // comma string for the oracle compare.
+    "gql_collect" -> ((s, dir) => {
+      val r = GqlExecutor.run(g(s, dir),
+        "MATCH (n:Nation)<-[:located_in]-(sp:Supplier) RETURN n.name, collect(sp.name)").df
+      r.select(str(col("n_name")).as("name"),
+        array_join(transform(col("collect_sp_name"),
+          e => graft.model.PropValue.asString(e)), ",").as("snames"))
+        .orderBy("name")
+    }),
+
     // Pattern predicates (round 8, Cypher existentials): EXISTS and
     // NOT EXISTS as LEFT SEMI / LEFT ANTI joins — rich customers with
     // at least one order, excluding those located in FRANCE. Pinned
@@ -460,6 +473,11 @@ object GraphQueries {
                 ROUND(MIN(c_acctbal), 4) AS min_acctbal,
                 ROUND(MAX(c_acctbal), 4) AS max_acctbal
          FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY name""",
+    "gql_collect" ->
+      """SELECT n_name AS name,
+                array_to_string(list_sort(list(s_name)), ',') AS snames
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
          GROUP BY n_name ORDER BY name""",
     "gql_exists" ->
       """SELECT c_name AS name, ROUND(c_acctbal, 4) AS acctbal FROM customer

@@ -395,6 +395,27 @@ class GqlSpec extends SparkSpec {
     assert(GqlParser.parse("RETURN 1").isLeft)
   }
 
+  test("collect() gathers sorted lists in RETURN and WITH") {
+    val r = GqlExecutor.run(fixture,
+      "MATCH (a:Person)-[]->(b) RETURN a.name, collect(b.name)").df
+    val got = r.select(PropValue.asString(col("a_name")),
+      array_join(transform(col("collect_b_name"),
+        e => PropValue.asString(e)), ","))
+      .collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(got == Map("Alice" -> "Bob,Charlie", "Bob" -> "Charlie,Diana"))
+    // WITH form: collect(v) gathers ids into an alias array
+    val w = GqlExecutor.run(fixture,
+      "MATCH (a:Person)-[]->(b) WITH a, collect(b) AS bs RETURN a.name, bs").df
+    val gotW = w.select(PropValue.asString(col("a_name")), col("bs"))
+      .collect().map(x => x.getString(0) -> x.getSeq[Long](1)).toMap
+    assert(gotW == Map("Alice" -> Seq(2L, 3L), "Bob" -> Seq(3L, 4L)))
+    // collect without an argument property or variable rejects
+    val e = intercept[IllegalArgumentException] {
+      GqlExecutor.run(fixture, "MATCH (a:Person) RETURN collect()")
+    }
+    assert(e != null)
+  }
+
   test("SKIP paginates after ORDER BY, before LIMIT") {
     val page = GqlExecutor.run(fixture,
       "MATCH (v:Person) RETURN v.name ORDER BY v.name ASC SKIP 1 LIMIT 2").df
