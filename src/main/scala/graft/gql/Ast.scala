@@ -101,7 +101,14 @@ object Ast {
     * become implicit grouping keys (Cypher-style).
     */
   case class ReturnAggregate(func: String, variable: Option[String],
-      prop: Option[String]) extends ReturnItem
+      prop: Option[String],
+      /** `count(DISTINCT x)` / `collect(DISTINCT x)` (Cypher): the
+        * aggregate sees each distinct value once. Parses only for
+        * count/collect — DISTINCT under sum/avg/min/max is rejected
+        * (min/max are no-ops, DISTINCT-sum/avg is a smell Cypher
+        * itself allows but nothing here needs).
+        */
+      distinct: Boolean = false) extends ReturnItem
   /** graft extension (Cypher path functions): `length(p)` /
     * `nodes(p)` over a bound path variable.
     */
@@ -121,6 +128,18 @@ object Ast {
     */
   case class WithItem(item: ReturnItem, alias: Option[String])
 
+  /** `UNWIND source AS alias` (graft extension, Cypher semantics):
+    * one output row per list element, the element bound to `alias`.
+    * `source` is a LITERAL list (`[1, 2, 3]` — may be empty, which
+    * yields zero rows like Cypher) or the NAME of a list-valued WITH
+    * alias (a `collect(...)` result). An empty or NULL list removes
+    * the row — Cypher's UNWIND-null contract, and exactly what
+    * `explode` does. Property values are scalars in this model, so
+    * `UNWIND v.prop` has nothing to unwind and does not parse.
+    */
+  case class UnwindItem(source: Either[Seq[GqlValue], String],
+      alias: String)
+
   /** One `MATCH ... [WHERE ...] WITH [DISTINCT] items [ORDER BY ...
     * LIMIT n] [WHERE ...]` pipeline segment preceding the final MATCH
     * (Cypher WITH composition). The post-WITH WHERE filters the
@@ -137,7 +156,11 @@ object Ast {
       withItems: Seq[WithItem], withWhere: Option[Expr],
       distinct: Boolean = false,
       orderBy: Seq[(Expr, Boolean)] = Nil,
-      limit: Option[Long] = None)
+      limit: Option[Long] = None,
+      /** UNWINDs applied AFTER this segment's WITH (and its WHERE) —
+        * `WITH n, collect(s.name) AS names UNWIND names AS nm`.
+        */
+      unwinds: Seq[UnwindItem] = Nil)
 
   sealed trait Statement
   /** ORDER BY / LIMIT are graft extensions — the reference grammar
@@ -169,7 +192,15 @@ object Ast {
       pathVar: Option[String] = None,
       pre: Seq[MatchSegment] = Nil,
       /** Cypher SKIP n — rows dropped AFTER ORDER BY, before LIMIT. */
-      skip: Option[Long] = None) extends Statement
+      skip: Option[Long] = None,
+      /** Leading `UNWIND [..] AS x` clauses BEFORE the first MATCH —
+        * literal lists only (no aliases are in scope yet); the
+        * following MATCH cross-composes each element against its
+        * matches (the one sanctioned cartesian: the list side is a
+        * tiny literal, broadcast by construction). A statement may
+        * also be just `UNWIND ... RETURN ...` with no MATCH at all.
+        */
+      leadingUnwinds: Seq[UnwindItem] = Nil) extends Statement
   case class CreateStatement(pattern: GraphPattern) extends Statement
   /** DELETE var — with an optional MATCH pattern+WHERE scoping it
     * (executor.rs:569-615).

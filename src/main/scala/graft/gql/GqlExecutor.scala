@@ -142,9 +142,20 @@ object GqlExecutor {
     def variants(a: Map[String, Boolean]) = a.filter(_._2).keySet
     val predCtr = new java.util.concurrent.atomic.AtomicInteger(0)
     def predPrefix(): String = s"__xp${predCtr.getAndIncrement()}_"
+    // Leading UNWINDs: build the literal-element frame first; the
+    // first MATCH then CROSS-composes against it (crossOk) — the one
+    // sanctioned cartesian, because the carried side is a tiny
+    // literal list with no binding triplets to share.
+    var crossOk = false
+    m.leadingUnwinds.foreach { u =>
+      val (df2, al2) = applyUnwind(store, carried, aliases, u)
+      carried = Some(df2); aliases = al2; crossOk = true
+    }
     m.pre.zipWithIndex.foreach { case (seg, i) =>
       val segDf = matchPattern(store, seg.pattern, prefix = s"__w${i}_")
-      val joined = carried.fold(segDf)(prev => composeJoin(prev, segDf))
+      val joined = carried.fold(segDf)(prev =>
+        composeJoin(prev, segDf, crossOk))
+      crossOk = false
       seg.where.foreach(w => validateRefs(w, joined, aliases.keySet))
       val filtered = seg.where.fold(joined)(w =>
         applyWhere(store, joined, w, variants(aliases), predPrefix _))
@@ -177,13 +188,17 @@ object GqlExecutor {
       carried = Some(seg.withWhere.fold(limited)(w =>
         applyWhere(store, limited, w, variants(newAliases), predPrefix _)))
       aliases = newAliases
+      seg.unwinds.foreach { u =>
+        val (df2, al2) = applyUnwind(store, carried, aliases, u)
+        carried = Some(df2); aliases = al2
+      }
     }
     // pattern = None is the `... WITH ... RETURN` form: the carried
     // frame IS the final binding set (parser guarantees pre nonempty)
     val base = (m.pattern, carried) match {
       case (Some(p), c) =>
         val b0 = matchPattern(store, p, trackPath = m.pathVar.isDefined)
-        c.fold(b0)(prev => composeJoin(prev, b0))
+        c.fold(b0)(prev => composeJoin(prev, b0, crossOk))
       case (None, Some(prev)) => prev
       case (None, None) => throw new IllegalArgumentException(
         "RETURN requires a preceding MATCH")
@@ -310,10 +325,18 @@ object GqlExecutor {
     * multi-MATCH composition step. Shares optionalJoin's no-cartesian
     * stance: at least one variable must be shared.
     */
-  private def composeJoin(prev: DataFrame, sub: DataFrame): DataFrame = {
+  private def composeJoin(prev: DataFrame, sub: DataFrame,
+      crossOk: Boolean = false): DataFrame = {
     val shared = sub.columns.filter(_.endsWith("__id"))
       .map(_.stripSuffix("__id"))
       .filter(v => prev.columns.contains(vcol(v, "id")))
+    // crossOk: the carried frame is a leading-UNWIND literal frame —
+    // no binding triplets exist to share, and the Cypher semantics IS
+    // each element against each match. The literal side is tiny by
+    // construction, so it broadcasts; every other compose keeps the
+    // no-cartesian requirement.
+    if (crossOk && shared.isEmpty)
+      return sub.crossJoin(broadcast(prev))
     require(shared.nonEmpty,
       "MATCH after WITH must share a variable with the carried bindings (carried: " +
         prev.columns.filter(_.endsWith("__id")).map(_.stripSuffix("__id"))
@@ -364,22 +387,28 @@ object GqlExecutor {
         a -> col(vcol(v, "props"))(p)
     }
     val aggs: Seq[(String, Column)] = items.collect {
-      case WithItem(ReturnAggregate("count", None, _), Some(a)) =>
+      case WithItem(ReturnAggregate("count", None, _, true), _) =>
+        throw new IllegalArgumentException(
+          "count(DISTINCT *) is not a thing — name a variable or property")
+      case WithItem(ReturnAggregate("count", None, _, _), Some(a)) =>
         a -> count(lit(1))
-      case WithItem(ReturnAggregate("count", Some(v), None), Some(a)) =>
-        a -> (if (hasTriplet(v)) count(col(vcol(v, "id")))
-              else count(aliasCol(v)))
-      case WithItem(ReturnAggregate("count", Some(v), Some(p)), Some(a)) =>
-        a -> count(col(vcol(v, "props"))(p))
+      case WithItem(ReturnAggregate("count", Some(v), None, dist), Some(a)) =>
+        val src = if (hasTriplet(v)) col(vcol(v, "id")) else aliasCol(v)
+        a -> (if (dist) count_distinct(src) else count(src))
+      case WithItem(ReturnAggregate("count", Some(v), Some(p), dist), Some(a)) =>
+        val src = col(vcol(v, "props"))(p)
+        a -> (if (dist) count_distinct(src) else count(src))
       // collect() in WITH: sorted list alias (see project's note on
-      // the deterministic-order divergence from Cypher)
-      case WithItem(ReturnAggregate("collect", Some(v), Some(p)), Some(a)) =>
-        a -> sort_array(collect_list(col(vcol(v, "props"))(p)))
-      case WithItem(ReturnAggregate("collect", Some(v), None), Some(a)) =>
-        a -> (if (hasTriplet(v)) sort_array(collect_list(col(vcol(v, "id"))))
-              else sort_array(collect_list(aliasCol(v))))
+      // the deterministic-order divergence from Cypher); DISTINCT
+      // swaps collect_list for collect_set, same sorted render
+      case WithItem(ReturnAggregate("collect", Some(v), Some(p), dist), Some(a)) =>
+        val src = col(vcol(v, "props"))(p)
+        a -> sort_array(if (dist) collect_set(src) else collect_list(src))
+      case WithItem(ReturnAggregate("collect", Some(v), None, dist), Some(a)) =>
+        val src = if (hasTriplet(v)) col(vcol(v, "id")) else aliasCol(v)
+        a -> sort_array(if (dist) collect_set(src) else collect_list(src))
       case WithItem(ReturnAggregate(f @ ("sum" | "avg" | "min" | "max"),
-          Some(v), Some(p)), Some(a)) =>
+          Some(v), Some(p), _), Some(a)) =>
         val num = PropValue.asDouble(col(vcol(v, "props"))(p))
         a -> (f match {
           case "sum" => sum(num)
@@ -387,7 +416,7 @@ object GqlExecutor {
           case "min" => min(num)
           case "max" => max(num)
         })
-      case WithItem(ReturnAggregate(f, v, None), _)
+      case WithItem(ReturnAggregate(f, v, None, _), _)
           if f != "count" && f != "collect" =>
         throw new IllegalArgumentException(
           s"$f(${v.getOrElse("*")}) needs a property: $f(var.prop)")
@@ -433,6 +462,68 @@ object GqlExecutor {
           else d.withColumnRenamed(s"${v}__val", s"${out}__val")
         }
       (outScalars, outAliases)
+    }
+  }
+
+  /** UNWIND (Cypher semantics via `explode`): one output row per list
+    * element, bound to a new alias. A LITERAL list builds a variant
+    * array in place (one `array(...)` of PropValue structs — empty
+    * list → zero rows, exactly Cypher's `UNWIND []`); an ALIAS source
+    * must name a list-valued column in scope (a `collect(...)`
+    * result), and the new alias's kind follows the element type —
+    * `collect(v.prop)` elements are variants, `collect(v)` elements
+    * are plain vertex ids. The source alias STAYS in scope (Cypher
+    * keeps the list bound). `explode` drops NULL/empty lists, which
+    * is Cypher's UNWIND-null row-removal contract for free.
+    */
+  private def applyUnwind(store: GraphStore, carried: Option[DataFrame],
+      aliases: Map[String, Boolean],
+      u: UnwindItem): (DataFrame, Map[String, Boolean]) = {
+    val outCol = s"${u.alias}__val"
+    carried.foreach { df =>
+      require(!df.columns.contains(outCol) &&
+        !df.columns.contains(vcol(u.alias, "id")),
+        s"UNWIND alias '${u.alias}' is already bound")
+    }
+    u.source match {
+      case Left(values) =>
+        val elems = values.map {
+          case GqlString(s) => PropValue.ofString(lit(s))
+          case GqlInt(i) => PropValue.ofInt(lit(i))
+          case GqlFloat(d) => PropValue.ofFloat(lit(d))
+          case GqlBool(b) => PropValue.ofBool(lit(b))
+          case GqlNull => PropValue.ofNull
+        }
+        val arrCol =
+          if (elems.isEmpty)
+            lit(null).cast(org.apache.spark.sql.types.ArrayType(PropValue.schema))
+          else array(elems: _*)
+        val out = carried match {
+          case None =>
+            store.spark.range(1).select(explode(arrCol).as(outCol))
+          case Some(df) => df.withColumn(outCol, explode(arrCol))
+        }
+        (out, aliases + (u.alias -> true))
+      case Right(ref) =>
+        val df = carried.getOrElse(throw new IllegalArgumentException(
+          s"UNWIND $ref: no aliases are in scope before the first " +
+            "MATCH — a leading UNWIND takes a literal list"))
+        require(aliases.contains(ref) && df.columns.contains(s"${ref}__val"),
+          s"unknown name '$ref' (aliases in scope: " +
+            aliases.keySet.toSeq.sorted.mkString(",") + ")")
+        df.schema(s"${ref}__val").dataType match {
+          case org.apache.spark.sql.types.ArrayType(et, _) =>
+            val isVariant = et match {
+              case st: org.apache.spark.sql.types.StructType =>
+                st.fieldNames.contains("kind")
+              case _ => false
+            }
+            (df.withColumn(outCol, explode(aliasCol(ref))),
+              aliases + (u.alias -> isVariant))
+          case other => throw new IllegalArgumentException(
+            s"UNWIND requires a list value; '$ref' is $other — " +
+              "collect(...) aliases and literal lists unwind")
+        }
     }
   }
 
@@ -781,10 +872,18 @@ object GqlExecutor {
     case Comparison(VarRef(a), op, VarRef(b))
         if !isVariant(a) && !isVariant(b) =>
       rawColCompare(aliasCol(a), aliasCol(b), op)
+    // a VARIANT alias (property projection / unwound element) carries
+    // the same struct as a property — the coercion table applies
+    // directly; only PLAIN (aggregate) aliases stay incomparable with
+    // properties (their Spark type has no kind tag to dispatch on)
+    case Comparison(PropRef(v, p), op, VarRef(n)) if isVariant(n) =>
+      variantCompare(col(vcol(v, "props"))(p), aliasCol(n), op)
+    case Comparison(VarRef(n), op, PropRef(v, p)) if isVariant(n) =>
+      variantCompare(aliasCol(n), col(vcol(v, "props"))(p), op)
     case Comparison(l, op, r) =>
       throw new IllegalArgumentException(
-        s"cannot compare $l $op $r: alias-vs-property comparison is " +
-          "not supported — project the property through WITH first")
+        s"cannot compare $l $op $r: plain-alias-vs-property comparison " +
+          "is not supported — project the property through WITH first")
     case VarRef(n) =>
       throw new IllegalArgumentException(
         s"bare alias '$n' is not a predicate; compare it explicitly" +
@@ -970,12 +1069,22 @@ object GqlExecutor {
         case ReturnPathFunc(f, v) => s"${f}_$v" -> pathFuncCol(f, v)
       }
       val aggs: Seq[Column] = items.collect {
-        case ReturnAggregate("count", None, _) =>
+        case ReturnAggregate("count", None, _, true) =>
+          throw new IllegalArgumentException(
+            "count(DISTINCT *) is not a thing — name a variable or property")
+        case ReturnAggregate("count", None, _, _) =>
           count(lit(1)).as("count_all")
-        case ReturnAggregate("count", Some(v), None) =>
-          count(col(vcol(v, "id"))).as(s"count_$v")
-        case ReturnAggregate("count", Some(v), Some(p)) =>
-          count(col(vcol(v, "props"))(p)).as(s"count_${v}_$p")
+        case ReturnAggregate("count", Some(v), None, dist) =>
+          val src =
+            if (aliases.contains(v) && !df.columns.contains(vcol(v, "id")))
+              aliasCol(v)
+            else col(vcol(v, "id"))
+          if (dist) count_distinct(src).as(s"count_distinct_$v")
+          else count(src).as(s"count_$v")
+        case ReturnAggregate("count", Some(v), Some(p), dist) =>
+          val src = col(vcol(v, "props"))(p)
+          if (dist) count_distinct(src).as(s"count_distinct_${v}_$p")
+          else count(src).as(s"count_${v}_$p")
         // Cypher collect(): the list aggregate. collect(v.prop)
         // gathers the variant values (NULLs dropped, like Cypher
         // skips missing properties); collect(v) gathers vertex ids.
@@ -983,13 +1092,20 @@ object GqlExecutor {
         // must pick something reproducible, so the array is SORTED
         // (variant struct ordering = kind, then value; ids
         // numerically), documented divergence shared with every
-        // deterministic Cypher implementation.
-        case ReturnAggregate("collect", Some(v), Some(p)) =>
-          sort_array(collect_list(col(vcol(v, "props"))(p)))
-            .as(s"collect_${v}_$p")
-        case ReturnAggregate("collect", Some(v), None) =>
-          sort_array(collect_list(col(vcol(v, "id")))).as(s"collect_$v")
-        case ReturnAggregate(f @ ("sum" | "avg" | "min" | "max"), Some(v), Some(p)) =>
+        // deterministic Cypher implementation. DISTINCT = collect_set
+        // under the same sorted render.
+        case ReturnAggregate("collect", Some(v), Some(p), dist) =>
+          val src = col(vcol(v, "props"))(p)
+          sort_array(if (dist) collect_set(src) else collect_list(src))
+            .as(if (dist) s"collect_distinct_${v}_$p" else s"collect_${v}_$p")
+        case ReturnAggregate("collect", Some(v), None, dist) =>
+          val src =
+            if (aliases.contains(v) && !df.columns.contains(vcol(v, "id")))
+              aliasCol(v)
+            else col(vcol(v, "id"))
+          sort_array(if (dist) collect_set(src) else collect_list(src))
+            .as(if (dist) s"collect_distinct_$v" else s"collect_$v")
+        case ReturnAggregate(f @ ("sum" | "avg" | "min" | "max"), Some(v), Some(p), _) =>
           val num = PropValue.asDouble(col(vcol(v, "props"))(p))
           val agg = f match {
             case "sum" => sum(num)
@@ -998,7 +1114,7 @@ object GqlExecutor {
             case "max" => max(num)
           }
           agg.as(s"${f}_${v}_$p")
-        case ReturnAggregate(f, v, None) if f != "count" && f != "collect" =>
+        case ReturnAggregate(f, v, None, _) if f != "count" && f != "collect" =>
           throw new IllegalArgumentException(
             s"$f(${v.getOrElse("*")}) needs a property: $f(var.prop)")
       }

@@ -97,7 +97,7 @@ object GqlParser extends RegexParsers {
     "by", "limit", "delete", "create", "optional", "contains",
     "starts", "ends", "like", "in", "as", "asc", "desc", "true",
     "false", "null", "distinct", "count", "sum", "avg", "min", "max",
-    "length", "nodes", "shortestpath", "skip", "collect")
+    "length", "nodes", "shortestpath", "skip", "collect", "unwind")
 
   /** Bare alias reference (`cnt` after `WITH ... count(o) AS cnt`). */
   private def bareRef: Parser[Expr] =
@@ -158,11 +158,16 @@ object GqlParser extends RegexParsers {
       kw("collect")
 
   private def returnAgg: Parser[ReturnItem] =
-    aggFunc ~ ("(" ~> ("*" ^^ (_ => (None, None)) |
+    aggFunc ~ ("(" ~> opt(kw("distinct")) ~ ("*" ^^ (_ => (None, None)) |
       propRef ^^ (p => (Some(p.variable), Some(p.prop))) |
-      ident ^^ (v => (Some(v), None))) <~ ")") ^^ {
-      case f ~ ((v, p)) => ReturnAggregate(f.toLowerCase, v, p)
-    }
+      ident ^^ (v => (Some(v), None))) <~ ")") ^? ({
+      case f ~ (d ~ ((v, p)))
+          if d.isEmpty || Set("count", "collect")(f.toLowerCase) =>
+        ReturnAggregate(f.toLowerCase, v, p, d.isDefined)
+    }, {
+      case f ~ _ => s"DISTINCT inside ${f.toLowerCase}(...) is only " +
+        "supported for count/collect"
+    })
 
   private def returnPathFunc: Parser[ReturnItem] =
     (kw("length") | kw("nodes")) ~ ("(" ~> ident <~ ")") ^^ {
@@ -192,6 +197,20 @@ object GqlParser extends RegexParsers {
 
   private def optionalMatch: Parser[GraphPattern] =
     kw("optional") ~> kw("match") ~> pattern
+
+  /** `UNWIND [v, ...] AS x` | `UNWIND alias AS x`. The literal list
+    * MAY be empty (`UNWIND [] AS x` = zero rows, Cypher) — unlike
+    * IN's valueList, whose empty form is rejected noise.
+    */
+  private def unwindClause: Parser[UnwindItem] =
+    kw("unwind") ~> (
+      ("[" ~> repsep(value, ",") <~ "]") ^^ (vs => Left(vs): Either[Seq[GqlValue], String]) |
+        bareRef ^^ { case VarRef(n) => Right(n): Either[Seq[GqlValue], String]
+                     case other => throw new MatchError(other) }) ~
+      (kw("as") ~> (ident ^? ({ case s if !reserved(s.toLowerCase) => s },
+        s => s"reserved word '$s' cannot be an UNWIND alias"))) ^^ {
+      case src ~ a => UnwindItem(src, a)
+    }
 
   /** One WITH projection item. Aliases are REQUIRED for aggregates
     * and property projections (Cypher's "expression in WITH must be
@@ -224,10 +243,11 @@ object GqlParser extends RegexParsers {
       (kw("with") ~> opt(kw("distinct")) ~ rep1sep(withItem, ",")) ~
       opt(kw("order") ~> kw("by") ~> rep1sep(withOrderItem, ",")) ~
       opt(kw("limit") ~> """\d+""".r) ~
-      opt(kw("where") ~> expr) ^^ {
-      case p ~ w ~ (dist ~ items) ~ ob ~ lim ~ hw =>
+      opt(kw("where") ~> expr) ~
+      rep(unwindClause) ^^ {
+      case p ~ w ~ (dist ~ items) ~ ob ~ lim ~ hw ~ uw =>
         MatchSegment(p, w, items, hw, dist.isDefined,
-          ob.getOrElse(Nil), lim.map(_.toLong))
+          ob.getOrElse(Nil), lim.map(_.toLong), uw)
     }
 
   private type RetClause =
@@ -255,18 +275,20 @@ object GqlParser extends RegexParsers {
     * aggregate shape).
     */
   private def matchOrDelete: Parser[Statement] =
-    rep(matchSegment) ~
+    rep(unwindClause) ~ rep(matchSegment) ~
       (fullTail ^^ (Left(_): Either[FullTail, RetClause]) |
         retClause ^^ (Right(_): Either[FullTail, RetClause])) ^? ({
-      case segs ~ Left(FullTail(pv, p, opts, w, Left((dist, items, (ob, sk, lim))))) =>
-        MatchStatement(Some(p), w, items, ob, lim, opts, dist, pv, segs, sk)
-      case segs ~ Left(FullTail(_, p, _, w, Right(v))) if segs.isEmpty =>
+      case uw ~ segs ~ Left(FullTail(pv, p, opts, w, Left((dist, items, (ob, sk, lim))))) =>
+        MatchStatement(Some(p), w, items, ob, lim, opts, dist, pv, segs, sk, uw)
+      case uw ~ segs ~ Left(FullTail(_, p, _, w, Right(v)))
+          if segs.isEmpty && uw.isEmpty =>
         DeleteStatement(Some(p), w, v)
-      case segs ~ Right((dist, items, (ob, sk, lim))) if segs.nonEmpty =>
-        MatchStatement(None, None, items, ob, lim, Nil, dist, None, segs, sk)
+      case uw ~ segs ~ Right((dist, items, (ob, sk, lim)))
+          if segs.nonEmpty || uw.nonEmpty =>
+        MatchStatement(None, None, items, ob, lim, Nil, dist, None, segs, sk, uw)
     }, {
-      case _ ~ Right(_) => "RETURN requires a preceding MATCH"
-      case _ => "WITH segments cannot precede DELETE"
+      case _ ~ _ ~ Right(_) => "RETURN requires a preceding MATCH or UNWIND"
+      case _ => "UNWIND/WITH clauses cannot precede DELETE"
     })
 
   private def createStmt: Parser[Statement] =

@@ -32,7 +32,7 @@ object RoutedGql {
     */
   def classify(stmt: Statement, raw: String): Option[QueryPattern] = stmt match {
     case m: MatchStatement =>
-      val agg = m.ret.collectFirst { case ReturnAggregate(f, _, _) => f }
+      val agg = m.ret.collectFirst { case ReturnAggregate(f, _, _, _) => f }
       Some(agg match {
         case Some(f) => AggPattern(f)
         case None if m.pattern.exists(_.edges.nonEmpty) ||

@@ -232,6 +232,40 @@ object GraphQueries {
       r.select(str(col("c_name")).as("name"), col("cnt")).orderBy("name")
     }),
 
+    // count(DISTINCT) (round 8, Cypher): distinct-value aggregation
+    // beside the plain count — Spark's count_distinct is the partial-
+    // aggregated two-phase form, never a pre-distinct shuffle.
+    "gql_count_distinct" -> ((s, dir) => {
+      val r = GqlExecutor.run(g(s, dir),
+        "MATCH (n:Nation)<-[:located_in]-(c:Customer) " +
+          "RETURN n.name, count(DISTINCT c.mktsegment), count(c)").df
+      r.select(str(col("n_name")).as("name"),
+        col("count_distinct_c_mktsegment").as("segs"),
+        col("count_c").as("cnt")).orderBy("name")
+    }),
+
+    // UNWIND (round 8, Cypher): a leading literal list cross-composes
+    // against the MATCH (broadcast by construction), the element
+    // alias drives WHERE (variant-vs-property compare) and grouping.
+    "gql_unwind" -> ((s, dir) => {
+      val r = GqlExecutor.run(g(s, dir),
+        "UNWIND [\"BUILDING\", \"MACHINERY\"] AS seg MATCH (c:Customer) " +
+          "WHERE c.mktsegment = seg RETURN seg, count(c)").df
+      r.select(str(col("seg")).as("seg"), col("count_c").as("cnt"))
+        .orderBy("seg")
+    }),
+
+    // UNWIND over a collect() alias: the round trip back to one row
+    // per element — pinned against the plain join it must equal.
+    "gql_unwind_collect" -> ((s, dir) => {
+      val r = GqlExecutor.run(g(s, dir),
+        "MATCH (n:Nation)<-[:located_in]-(sp:Supplier) " +
+          "WITH n, collect(sp.name) AS names UNWIND names AS nm " +
+          "RETURN n.name, nm").df
+      r.select(str(col("n_name")).as("name"), str(col("nm")).as("sname"))
+        .orderBy("name", "sname")
+    }),
+
     // OPTIONAL MATCH extension (Cypher left-join semantics): nations
     // keep a row even with no supplier — most nations at this scale
     // have none, so the null-padding is load-bearing, not vacuous.
@@ -500,6 +534,20 @@ object GraphQueries {
            FROM orders JOIN customer ON o_custkey = c_custkey
            GROUP BY c_name ORDER BY cnt DESC, c_name ASC LIMIT 5)
          ORDER BY name""",
+    "gql_count_distinct" ->
+      """SELECT n_name AS name, COUNT(DISTINCT c_mktsegment) AS segs,
+                COUNT(*) AS cnt
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY name""",
+    "gql_unwind" ->
+      """SELECT seg, COUNT(*) AS cnt
+         FROM (SELECT 'BUILDING' AS seg UNION ALL SELECT 'MACHINERY') t
+         JOIN customer ON c_mktsegment = seg
+         GROUP BY seg ORDER BY seg""",
+    "gql_unwind_collect" ->
+      """SELECT n_name AS name, s_name AS sname
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         ORDER BY name, sname""",
     "gql_varlength" ->
       """SELECT c2.c_name AS name
          FROM customer c1 JOIN customer c2 ON c1.c_nationkey = c2.c_nationkey

@@ -416,6 +416,113 @@ class GqlSpec extends SparkSpec {
     assert(e != null)
   }
 
+  test("count(DISTINCT) / collect(DISTINCT) see each value once") {
+    // Alice and Bob both point at Charlie: 4 edges, 3 distinct targets
+    val c = GqlExecutor.run(fixture,
+      "MATCH (a:Person)-[]->(b) RETURN count(DISTINCT b), count(b)").df
+    val row = c.select(col("count_distinct_b"), col("count_b")).collect().head
+    assert((row.getLong(0), row.getLong(1)) == ((3L, 4L)))
+    // property form: distinct departments across all persons' targets
+    val p = GqlExecutor.run(fixture,
+      "MATCH (a:Person)-[]->(b) RETURN count(DISTINCT b.department)").df
+    assert(p.collect().head.getLong(0) == 2L) // Marketing, Engineering
+    // collect(DISTINCT v.prop) drops the repeat, stays sorted
+    val cl = GqlExecutor.run(fixture,
+      "MATCH (a:Person)-[]->(b) RETURN collect(DISTINCT b.name)").df
+    val gotCl = cl.select(array_join(transform(
+      col("collect_distinct_b_name"), e => PropValue.asString(e)), ","))
+      .collect().head.getString(0)
+    assert(gotCl == "Bob,Charlie,Diana")
+    // WITH form groups per source and dedups
+    val w = GqlExecutor.run(fixture,
+      "MATCH (a:Person)-[]->(b) WITH a, count(DISTINCT b.department) AS d " +
+        "RETURN a.name, d").df
+    val gotW = w.select(PropValue.asString(col("a_name")), col("d"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    // Alice→{Bob(no dept),Charlie(Marketing)}=1; Bob→{Charlie,Diana}=2
+    assert(gotW == Map("Alice" -> 1L, "Bob" -> 2L))
+    // DISTINCT under sum/avg/min/max is a parse error
+    assert(GqlParser.parse(
+      "MATCH (v:Person) RETURN sum(DISTINCT v.age)").isLeft)
+    // count(DISTINCT *) rejects with a reason
+    val e = intercept[IllegalArgumentException] {
+      GqlExecutor.run(fixture, "MATCH (v:Person) RETURN count(DISTINCT *)")
+    }
+    assert(e.getMessage.contains("count(DISTINCT *)"))
+  }
+
+  test("UNWIND: literal lists, collect round-trip, Cypher null/empty") {
+    // bare UNWIND ... RETURN with no MATCH at all
+    val lit3 = GqlExecutor.run(fixture, "UNWIND [1, 2, 3] AS x RETURN x").df
+    val got3 = lit3.select(PropValue.asDouble(col("x")))
+      .collect().map(_.getDouble(0)).toSeq.sorted
+    assert(got3 == Seq(1.0, 2.0, 3.0))
+    // empty literal list → zero rows (Cypher UNWIND [])
+    assert(GqlExecutor.run(fixture,
+      "UNWIND [] AS x RETURN x").df.count() == 0)
+    // leading UNWIND cross-composes each element against the MATCH,
+    // and the element alias participates in WHERE and grouping
+    val seg = GqlExecutor.run(fixture,
+      "UNWIND [\"Engineering\", \"Marketing\"] AS d MATCH (v:Person) " +
+        "WHERE v.department = d RETURN d, count(v)").df
+    val gotSeg = seg.select(PropValue.asString(col("d")), col("count_v"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(gotSeg == Map("Engineering" -> 2L, "Marketing" -> 1L))
+    // collect → UNWIND round-trips to the join rows (variant elems)
+    val rt = GqlExecutor.run(fixture,
+      "MATCH (a:Person)-[]->(b) WITH a, collect(b.name) AS ns " +
+        "UNWIND ns AS n RETURN a.name, n").df
+    val gotRt = rt.select(PropValue.asString(col("a_name")),
+      PropValue.asString(col("n")))
+      .collect().map(x => (x.getString(0), x.getString(1))).toSet
+    assert(gotRt == Set("Alice" -> "Bob", "Alice" -> "Charlie",
+      "Bob" -> "Charlie", "Bob" -> "Diana"))
+    // collect(v) elements are plain ids → the unwound alias is plain
+    val ids = GqlExecutor.run(fixture,
+      "MATCH (a:Person)-[]->(b) WITH a, collect(b) AS bs " +
+        "UNWIND bs AS bid RETURN a.name, bid").df
+    val gotIds = ids.select(PropValue.asString(col("a_name")), col("bid"))
+      .collect().map(x => (x.getString(0), x.getLong(1))).toSet
+    assert(gotIds == Set("Alice" -> 2L, "Alice" -> 3L,
+      "Bob" -> 3L, "Bob" -> 4L))
+    // the source list STAYS in scope after UNWIND (Cypher)
+    val keep = GqlExecutor.run(fixture,
+      "MATCH (a:Person)-[]->(b) WITH a, collect(b) AS bs " +
+        "UNWIND bs AS bid RETURN a.name, bs, bid").df
+    assert(keep.columns.toSet == Set("a_name", "bs", "bid"))
+  }
+
+  test("UNWIND rejections: unknown name, non-list alias, rebind, scope") {
+    // unknown alias
+    val e1 = intercept[IllegalArgumentException] {
+      GqlExecutor.run(fixture,
+        "MATCH (a:Person) WITH a, count(a) AS c UNWIND zs AS z RETURN z")
+    }
+    assert(e1.getMessage.contains("unknown name 'zs'"))
+    // non-list alias (count is a scalar)
+    val e2 = intercept[IllegalArgumentException] {
+      GqlExecutor.run(fixture,
+        "MATCH (a:Person) WITH a, count(a) AS c UNWIND c AS z RETURN z")
+    }
+    assert(e2.getMessage.contains("UNWIND requires a list"))
+    // alias collision with a bound variable
+    val e3 = intercept[IllegalArgumentException] {
+      GqlExecutor.run(fixture,
+        "MATCH (a:Person)-[]->(b) WITH a, collect(b) AS bs " +
+          "UNWIND bs AS a RETURN a")
+    }
+    assert(e3.getMessage.contains("already bound"))
+    // a leading UNWIND cannot reference an alias (nothing in scope)
+    val e4 = intercept[IllegalArgumentException] {
+      GqlExecutor.run(fixture, "UNWIND zs AS z MATCH (a) RETURN z")
+    }
+    assert(e4.getMessage.contains("no aliases are in scope"))
+    // UNWIND cannot precede DELETE; reserved word can't be an alias
+    assert(GqlParser.parse(
+      "UNWIND [1] AS x MATCH (v:Person) DELETE v").isLeft)
+    assert(GqlParser.parse("UNWIND [1] AS match RETURN match").isLeft)
+  }
+
   test("SKIP paginates after ORDER BY, before LIMIT") {
     val page = GqlExecutor.run(fixture,
       "MATCH (v:Person) RETURN v.name ORDER BY v.name ASC SKIP 1 LIMIT 2").df

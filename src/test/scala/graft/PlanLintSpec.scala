@@ -40,7 +40,8 @@ class PlanLintSpec extends SparkSpec {
     "tfidf_top_terms" -> "single-row corpus count broadcast",
     "pipe_temperature_mix" -> "single-row weight-sum broadcast",
     "text_fingerprint" -> "single-row aggregate",
-    "emb_outliers" -> "per-label centroid model"
+    "emb_outliers" -> "per-label centroid model",
+    "gql_unwind" -> "leading-UNWIND literal list (2 rows, broadcast by construction) cross-composed against the MATCH"
   )
 
   /** Queries whose plans legitimately rank over an UNPARTITIONED

@@ -404,7 +404,7 @@ class PropertySpec extends SparkSpec {
     sample(gExpr(3), 250).foreach { e =>
       val q = s"MATCH (v:Person) WHERE ${renderExpr(e)} RETURN v.name"
       graft.gql.GqlParser.parse(q) match {
-        case Right(MatchStatement(_, Some(parsed), _, _, _, _, _, _, _, _)) =>
+        case Right(MatchStatement(_, Some(parsed), _, _, _, _, _, _, _, _, _)) =>
           assert(parsed == e, s"$q\nexpected $e\ngot      $parsed")
         case other => fail(s"$q -> $other")
       }
