@@ -711,4 +711,36 @@ object Algorithms {
     }
     labels.select(col("id"), col("label").as("community"))
   }
+
+  /** G16 (graft extension): Adamic-Adar link prediction over a
+    * bipartite incidence list `(node, hub)` — the reference exposes
+    * common-neighbor counting (storage lib.rs:896-929 two-hop sets);
+    * AA is the same sweep with the standard degree damping:
+    * score(a, b) = Σ over shared hubs h of 1 / ln(deg(h)), so a hub
+    * shared by few nodes certifies similarity more than a crowded
+    * one (Adamic & Adar 2003).
+    *
+    * Scale posture: the pair fanout is the only quadratic term and it
+    * is per-hub (Σ deg²). Degree-1 hubs produce no pairs and ln(1)=0
+    * would divide by zero, so the degree aggregate filters them
+    * BEFORE the fanout join — and `maxHubDegree` drops pathological
+    * crowd hubs (a hub shared by 100k nodes adds 5·10⁹ pairs of
+    * near-zero weight ≈ noise), the same df-cap discipline as the
+    * n-gram dedup candidates. Both joins key on `hub`, so the
+    * incidence shuffles ONCE and the weight join reuses the
+    * partitioning; the aggregate is a map-side-combined sum.
+    */
+  def adamicAdar(incidence: DataFrame,
+      maxHubDegree: Int = 100000): DataFrame = {
+    val e = graft.TransientCache.persist(
+      incidence.select(col("node"), col("hub")).distinct())
+    val w = e.groupBy("hub").agg(count(lit(1)).as("d"))
+      .filter(col("d") >= 2 && col("d") <= maxHubDegree)
+      .select(col("hub"), (lit(1.0) / log(col("d").cast("double"))).as("w"))
+    val a = e.select(col("hub"), col("node").as("n1"))
+    val b = e.select(col("hub").as("hub2"), col("node").as("n2"))
+    a.join(w, Seq("hub"))
+      .join(b, col("hub") === col("hub2") && col("n1") < col("n2"))
+      .groupBy("n1", "n2").agg(sum("w").as("aa"))
+  }
 }

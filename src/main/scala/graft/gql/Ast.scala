@@ -73,6 +73,22 @@ object Ast {
     */
   case class StartsWith(left: Expr, right: Expr) extends Expr
   case class EndsWith(left: Expr, right: Expr) extends Expr
+  /** Arithmetic over operands in WHERE (graft extension): `+ - * / %`
+    * with `* / %` binding tighter, both left-associative, NO
+    * parentheses (the paren token is taken by boolean grouping and
+    * pattern predicates — restructure via WITH when precedence isn't
+    * enough). Everything computes on the NUMERIC view (int→float
+    * coerced, like sum/avg); a non-numeric operand views as NULL and
+    * the enclosing comparison filters the row. Division/modulo by
+    * zero is NULL (not an ANSI failure), same filtered outcome.
+    */
+  case class Arith(left: Expr, op: String, right: Expr) extends Expr
+  /** `x IS [NOT] NULL` (graft extension, Cypher/SQL): a property is
+    * NULL when absent OR explicitly stored as null; after an OPTIONAL
+    * MATCH the statement-final WHERE sees unmatched rows' NULL
+    * bindings, so `sp.name IS NULL` is the Cypher anti-join idiom.
+    */
+  case class IsNull(e: Expr, negated: Boolean) extends Expr
   /** Bare-name reference to a WITH alias (`WHERE cnt > 2` after
     * `WITH c, count(o) AS cnt`) — a graft extension like WITH itself;
     * reserved words are excluded at the parser so the pre-WITH

@@ -552,6 +552,8 @@ object GqlExecutor {
       case StartsWith(l, r) => walk(l); walk(r)
       case EndsWith(l, r) => walk(l); walk(r)
       case Like(l, _) => walk(l)
+      case Arith(l, _, r) => walk(l); walk(r)
+      case IsNull(i, _) => walk(i)
       case Literal(_) => ()
       // pattern-predicate variables are validated inside
       // patternPredJoin (shared-variable requirement)
@@ -847,6 +849,31 @@ object GqlExecutor {
       case VarRef(n) if isVariant(n) => PropValue.asString(aliasCol(n))
       case other => containsStrView(other)
     }
+    // numeric view for arithmetic: non-numeric operands view as NULL
+    // (→ the enclosing comparison filters the row); `/` and `%` guard
+    // a zero denominator to NULL so ANSI mode never turns data into a
+    // task failure
+    def numView(x: Expr): Column = x match {
+      case PropRef(v, p) => PropValue.asDouble(col(vcol(v, "props"))(p))
+      case VarRef(n) if isVariant(n) => PropValue.asDouble(aliasCol(n))
+      case VarRef(n) =>
+        aliasCol(n).cast(org.apache.spark.sql.types.DoubleType)
+      case Literal(GqlInt(i)) => lit(i.toDouble)
+      case Literal(GqlFloat(d)) => lit(d)
+      case Literal(_) =>
+        lit(null).cast(org.apache.spark.sql.types.DoubleType)
+      case Arith(l, op, r) =>
+        val (lc, rc) = (numView(l), numView(r))
+        op match {
+          case "+" => lc + rc
+          case "-" => lc - rc
+          case "*" => lc * rc
+          case "/" => when(rc === 0.0, lit(null)).otherwise(lc / rc)
+          case "%" => when(rc === 0.0, lit(null)).otherwise(lc % rc)
+        }
+      case other => throw new IllegalArgumentException(
+        s"cannot use $other in arithmetic")
+    }
     e match {
     case And(l, r) => whereCol(l) && whereCol(r)
     case Or(l, r) => whereCol(l) || whereCol(r)
@@ -880,6 +907,32 @@ object GqlExecutor {
       variantCompare(col(vcol(v, "props"))(p), aliasCol(n), op)
     case Comparison(VarRef(n), op, PropRef(v, p)) if isVariant(n) =>
       variantCompare(aliasCol(n), col(vcol(v, "props"))(p), op)
+    // arithmetic on either side forces BOTH sides onto the numeric
+    // view — `a.x * 2 > b.y` compares doubles, non-numeric → NULL →
+    // filtered, exactly the cross-kind comparison posture
+    case Comparison(l, op, r)
+        if l.isInstanceOf[Arith] || r.isInstanceOf[Arith] =>
+      rawColCompare(numView(l), numView(r), op)
+    case a: Arith =>
+      throw new IllegalArgumentException(
+        s"bare arithmetic is not a predicate; compare it (e.g. ... > 0)")
+    // IS [NOT] NULL: a property is NULL when ABSENT or stored null
+    // (kind tag); after OPTIONAL MATCH the unmatched rows' NULL
+    // bindings make this the anti-join idiom. Plain aliases test the
+    // Spark column directly.
+    case IsNull(PropRef(v, p), neg) =>
+      val c = col(vcol(v, "props"))(p)
+      val n = c.isNull || c("kind") === PropValue.KNull
+      if (neg) !n else n
+    case IsNull(VarRef(x), neg) if isVariant(x) =>
+      val c = aliasCol(x)
+      val n = c.isNull || c("kind") === PropValue.KNull
+      if (neg) !n else n
+    case IsNull(VarRef(x), neg) =>
+      if (neg) aliasCol(x).isNotNull else aliasCol(x).isNull
+    case IsNull(other, _) =>
+      throw new IllegalArgumentException(
+        s"IS NULL takes a property or alias reference, not $other")
     case Comparison(l, op, r) =>
       throw new IllegalArgumentException(
         s"cannot compare $l $op $r: plain-alias-vs-property comparison " +

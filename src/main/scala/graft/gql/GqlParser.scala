@@ -97,7 +97,8 @@ object GqlParser extends RegexParsers {
     "by", "limit", "delete", "create", "optional", "contains",
     "starts", "ends", "like", "in", "as", "asc", "desc", "true",
     "false", "null", "distinct", "count", "sum", "avg", "min", "max",
-    "length", "nodes", "shortestpath", "skip", "collect", "unwind")
+    "length", "nodes", "shortestpath", "skip", "collect", "unwind",
+    "is")
 
   /** Bare alias reference (`cnt` after `WITH ... count(o) AS cnt`). */
   private def bareRef: Parser[Expr] =
@@ -109,6 +110,21 @@ object GqlParser extends RegexParsers {
 
   private def cmpOp: Parser[String] = ">=" | "<=" | "!=" | "=" | ">" | "<"
 
+  /** Arithmetic (extension): `* / %` over `+ -`, left-associative,
+    * parenthesis-free (the paren is boolean grouping / pattern
+    * predicates). `-` as a binary op never collides with negative
+    * literals: the literal only wins when it STARTS an operand.
+    */
+  private def arithTerm: Parser[Expr] =
+    operand ~ rep(("*" | "/" | "%") ~ operand) ^^ { case f ~ rest =>
+      rest.foldLeft(f) { case (l, op ~ r) => Arith(l, op, r) }
+    }
+
+  private def arith: Parser[Expr] =
+    arithTerm ~ rep(("+" | "-") ~ arithTerm) ^^ { case f ~ rest =>
+      rest.foldLeft(f) { case (l, op ~ r) => Arith(l, op, r) }
+    }
+
   /** Cypher-style literal list for IN: `[v, v, ...]`, at least one
     * element (`IN []` is always-false noise — rejected, like Cypher
     * rejects a bare `IN`).
@@ -117,8 +133,10 @@ object GqlParser extends RegexParsers {
     "[" ~> rep1sep(value, ",") <~ "]"
 
   private def comparison: Parser[Expr] =
-    operand ~ opt(
-      cmpOp ~ operand ^^ { case op ~ r => (l: Expr) => Comparison(l, op, r) } |
+    arith ~ opt(
+      cmpOp ~ arith ^^ { case op ~ r => (l: Expr) => Comparison(l, op, r) } |
+        kw("is") ~> opt(kw("not")) <~ kw("null") ^^ {
+          n => (l: Expr) => IsNull(l, n.isDefined) } |
         kw("in") ~> valueList ^^ { vs => (l: Expr) => In(l, vs) } |
         kw("contains") ~> operand ^^ { r => (l: Expr) => Contains(l, r) } |
         kw("starts") ~ kw("with") ~> operand ^^ { r => (l: Expr) => StartsWith(l, r) } |

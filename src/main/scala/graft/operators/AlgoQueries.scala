@@ -214,6 +214,21 @@ object AlgoQueries {
         co.edges.select("src", "dst"), numIter = 4, undirected = true)
         .select(col("id").as("suppkey"), col("community"))
         .orderBy("suppkey")
+    }),
+
+    // +G: Adamic-Adar link prediction on the raw order-supplier
+    // incidence (suppliers sharing rarer orders score higher) — the
+    // degree-damped refinement of g12's common-neighbor count, full
+    // value oracle.
+    "g16_adamic_adar" -> ((s, dir) => {
+      val inc = GraphStore.fromTpch(s, dir).edges
+        .filter(col("label") === "supplied_by")
+        .select((col("dst") - GraphStore.SupplierOff).as("node"),
+          col("src").as("hub"))
+      Algorithms.adamicAdar(inc)
+        .select(col("n1").as("suppkey1"), col("n2").as("suppkey2"),
+          round(col("aa"), 4).as("aa"))
+        .orderBy("suppkey1", "suppkey2")
     })
   )
 
@@ -241,6 +256,16 @@ object AlgoQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "g16_adamic_adar" ->
+      """WITH e AS (SELECT DISTINCT l_orderkey AS h, l_suppkey AS s
+                    FROM lineitem),
+            d AS (SELECT h, COUNT(*) AS deg FROM e
+                  GROUP BY h HAVING COUNT(*) >= 2)
+         SELECT a.s AS suppkey1, b.s AS suppkey2,
+                ROUND(SUM(1.0 / LN(d.deg)), 4) AS aa
+         FROM e a JOIN d ON a.h = d.h
+         JOIN e b ON a.h = b.h AND a.s < b.s
+         GROUP BY 1, 2 ORDER BY suppkey1, suppkey2""",
     "g9_kcore" -> kCoreOracle(3, 12),
     "g15_label_propagation" -> lpaOracle(4),
     "g1_pagerank" -> pageRankOracle,

@@ -232,6 +232,28 @@ object GraphQueries {
       r.select(str(col("c_name")).as("name"), col("cnt")).orderBy("name")
     }),
 
+    // WHERE arithmetic (round 8): * binds over -, both sides on the
+    // numeric view — the filter computes INSIDE the scan-side codegen
+    // stage, before the join and the aggregate.
+    "gql_arith" -> ((s, dir) => {
+      val r = GqlExecutor.run(g(s, dir),
+        "MATCH (c:Customer)-[:placed]->(o:Order) " +
+          "WHERE o.totalprice - c.acctbal * 10.0 > 400000.0 " +
+          "RETURN c.name, count(o)").df
+      r.select(str(col("c_name")).as("name"), col("count_o").as("cnt"))
+        .orderBy("name")
+    }),
+
+    // IS NULL after OPTIONAL MATCH (round 8): the Cypher anti-join
+    // idiom — nations with NO supplier survive the left join with a
+    // NULL binding and the final WHERE keeps exactly those.
+    "gql_is_null" -> ((s, dir) => {
+      val r = GqlExecutor.run(g(s, dir),
+        "MATCH (n:Nation) OPTIONAL MATCH (n)<-[:located_in]-(sp:Supplier) " +
+          "WHERE sp.name IS NULL RETURN n.name").df
+      r.select(str(col("n_name")).as("name")).orderBy("name")
+    }),
+
     // count(DISTINCT) (round 8, Cypher): distinct-value aggregation
     // beside the plain count — Spark's count_distinct is the partial-
     // aggregated two-phase form, never a pre-distinct shuffle.
@@ -533,6 +555,15 @@ object GraphQueries {
            SELECT c_name AS name, COUNT(*) AS cnt
            FROM orders JOIN customer ON o_custkey = c_custkey
            GROUP BY c_name ORDER BY cnt DESC, c_name ASC LIMIT 5)
+         ORDER BY name""",
+    "gql_arith" ->
+      """SELECT c_name AS name, COUNT(*) AS cnt
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_totalprice - c_acctbal * 10.0 > 400000.0
+         GROUP BY c_name ORDER BY name""",
+    "gql_is_null" ->
+      """SELECT n_name AS name FROM nation
+         WHERE n_nationkey NOT IN (SELECT s_nationkey FROM supplier)
          ORDER BY name""",
     "gql_count_distinct" ->
       """SELECT n_name AS name, COUNT(DISTINCT c_mktsegment) AS segs,

@@ -131,6 +131,31 @@ class AlgoSpec extends SparkSpec {
     assert(scc(1L) == scc(2L) && scc(3L) != scc(1L))
   }
 
+  test("adamic-adar: hand-computed weights; deg-1 and crowd hubs drop") {
+    // h1:{a,b} (deg 2), h2:{a,b,c} (deg 3), h3:{a} (deg 1 → no pairs)
+    val inc = Seq(("a", "h1"), ("b", "h1"), ("a", "h2"), ("b", "h2"),
+      ("c", "h2"), ("a", "h3")).toDF("node", "hub")
+    val got = Algorithms.adamicAdar(inc)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    val ln2 = math.log(2.0); val ln3 = math.log(3.0)
+    assert(got.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(math.abs(got(("a", "b")) - (1 / ln2 + 1 / ln3)) < 1e-12)
+    assert(math.abs(got(("a", "c")) - 1 / ln3) < 1e-12)
+    assert(math.abs(got(("b", "c")) - 1 / ln3) < 1e-12)
+    // duplicate incidence rows do not double-count (distinct inside)
+    val dup = Algorithms.adamicAdar(inc.union(inc))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(math.abs(dup(("a", "b")) - got(("a", "b"))) < 1e-12)
+    // the crowd-hub cap drops h2 entirely: only (a,b) via h1 remains
+    val capped = Algorithms.adamicAdar(inc, maxHubDegree = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(capped.keySet == Set(("a", "b")))
+    assert(math.abs(capped(("a", "b")) - 1 / ln2) < 1e-12)
+  }
+
   test("multi-source BFS: per-pair min hops, matches single-source sssp") {
     // diamond + detour: 1→{2,3}→4, 1→5→6→4
     val e = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L),

@@ -416,6 +416,61 @@ class GqlSpec extends SparkSpec {
     assert(e != null)
   }
 
+  test("WHERE arithmetic: precedence, associativity, null-safe division") {
+    // * binds tighter than -: age * 2 - 10 > 45 → age > 27.5
+    val r = GqlExecutor.run(fixture,
+      "MATCH (v:Person) WHERE v.age * 2 - 10 > 45 RETURN v.name").df
+    assert(names(r, "v_name") == Set("Alice", "Charlie", "Diana"))
+    // + before * would give (age+2)*3=36 → age 10 → nobody; correct
+    // precedence gives age + 6 = 36 → age 30 → Alice
+    val p = GqlExecutor.run(fixture,
+      "MATCH (v:Person) WHERE v.age + 2 * 3 = 36 RETURN v.name").df
+    assert(names(p, "v_name") == Set("Alice"))
+    // prop-vs-prop arithmetic across variables
+    val x = GqlExecutor.run(fixture,
+      "MATCH (a)-[:friend]->(b) WHERE b.age - a.age > 4 RETURN b.name").df
+    assert(names(x, "v_name".replace("v", "b")) == Set("Charlie"))
+    // division by zero is NULL → filtered, never an ANSI failure
+    assert(GqlExecutor.run(fixture,
+      "MATCH (v:Person) WHERE v.age / 0 > 1 RETURN v.name").df.count() == 0)
+    // modulo: even ages
+    val m = GqlExecutor.run(fixture,
+      "MATCH (v:Person) WHERE v.age % 2 = 0 RETURN v.name").df
+    assert(names(m, "v_name") == Set("Alice", "Diana"))
+    // non-numeric operand views NULL → filtered
+    assert(GqlExecutor.run(fixture,
+      "MATCH (v:Person) WHERE v.name + 1 > 0 RETURN v.name").df.count() == 0)
+    // post-WITH alias arithmetic (plain alias casts to double)
+    val w = GqlExecutor.run(fixture,
+      "MATCH (a:Person)-[]->(b) WITH a, count(b) AS c WHERE c * 10 >= 20 " +
+        "RETURN a.name, c").df
+    val gotW = w.select(PropValue.asString(col("a_name")), col("c"))
+      .collect().map(t => t.getString(0) -> t.getLong(1)).toMap
+    assert(gotW == Map("Alice" -> 2L, "Bob" -> 2L))
+    // bare arithmetic is not a predicate
+    val e = intercept[IllegalArgumentException] {
+      GqlExecutor.run(fixture, "MATCH (v:Person) WHERE v.age + 1 RETURN v")
+    }
+    assert(e.getMessage.contains("bare arithmetic"))
+  }
+
+  test("IS NULL / IS NOT NULL: absent props, OPTIONAL MATCH anti-join") {
+    val n = GqlExecutor.run(fixture,
+      "MATCH (v:Person) WHERE v.department IS NULL RETURN v.name").df
+    assert(names(n, "v_name") == Set("Bob"))
+    val nn = GqlExecutor.run(fixture,
+      "MATCH (v:Person) WHERE v.department IS NOT NULL RETURN v.name").df
+    assert(names(nn, "v_name") == Set("Alice", "Charlie", "Diana"))
+    // the OPTIONAL MATCH anti-join idiom: persons with NO out-friend
+    val anti = GqlExecutor.run(fixture,
+      "MATCH (a:Person) OPTIONAL MATCH (a)-[:friend]->(b) " +
+        "WHERE b.name IS NULL RETURN a.name").df
+    assert(names(anti, "a_name") == Set("Charlie", "Diana"))
+    // parse rejections: dangling IS, IS NULL without a left side
+    assert(GqlParser.parse("MATCH (v) WHERE v.age IS RETURN v").isLeft)
+    assert(GqlParser.parse("MATCH (v) WHERE IS NULL RETURN v").isLeft)
+  }
+
   test("count(DISTINCT) / collect(DISTINCT) see each value once") {
     // Alice and Bob both point at Charlie: 4 edges, 3 distinct targets
     val c = GqlExecutor.run(fixture,
