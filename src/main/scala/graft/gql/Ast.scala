@@ -218,6 +218,30 @@ object Ast {
         */
       leadingUnwinds: Seq[UnwindItem] = Nil) extends Statement
   case class CreateStatement(pattern: GraphPattern) extends Statement
+  /** One `SET v.prop = value` assignment (graft extension, Cypher
+    * semantics): value is a literal, a property of the SAME variable
+    * (`SET v.x = v.y` — variant copy, kind preserved), or arithmetic
+    * over them (numeric view). Restricting the value to the target's
+    * OWN properties keeps the per-vertex result row-independent —
+    * cross-variable reads (`SET a.x = b.y`) would make the outcome
+    * depend on which binding row wins, Cypher's documented
+    * last-write-wins nondeterminism, and are rejected with that
+    * reason. A NULL value (literal null / missing source prop /
+    * non-numeric arithmetic) REMOVES the property, as in Cypher.
+    */
+  case class SetItem(variable: String, prop: String, value: Expr)
+  /** `MATCH ... [WHERE ...] SET/REMOVE ...` (graft extension):
+    * updates the matched vertices' property maps through the store's
+    * update_vertex_props op (change-feed logged). Clauses apply in
+    * written order per vertex. Vertex variables only — edge identity
+    * is (src,dst,label), which the binding frame does not carry; a
+    * SET on an edge variable rejects with the updateEdgeProps remedy.
+    */
+  case class SetStatement(pattern: GraphPattern, where: Option[Expr],
+      /** Written-order SET (Left) / REMOVE (Right: var, prop) items —
+        * order matters when a prop is set then removed or vice versa.
+        */
+      ops: Seq[Either[SetItem, (String, String)]]) extends Statement
   /** DELETE var — with an optional MATCH pattern+WHERE scoping it
     * (executor.rs:569-615).
     */

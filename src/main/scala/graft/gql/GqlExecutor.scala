@@ -55,6 +55,9 @@ object GqlExecutor {
     case d: DeleteStatement =>
       val s2 = executeDelete(store, d)
       GqlResult(s2.vertices.limit(0), s2)
+    case s: SetStatement =>
+      val s2 = executeSet(store, s)
+      GqlResult(s2.vertices.limit(0), s2)
   }
 
   // ---- MATCH ------------------------------------------------------
@@ -1226,6 +1229,111 @@ object GqlExecutor {
     if (eRows.isEmpty) withV
     else withV.addEdges(GraphStore.fromTuples(spark,
       Seq((0L, "x", Nil)), eRows).edges)
+  }
+
+  /** MATCH-SET/REMOVE (extension): fold the written-order ops into
+    * ONE new props column per target variable, then a single
+    * updateVertexProps per variable (change-feed logged, REPLACE
+    * semantics — the fold starts from the current map so untouched
+    * keys survive). Sequential clause semantics: each op's reads see
+    * the prior ops' writes (`SET v.x = 2 SET v.y = v.x + 1` → y=3).
+    * Values may read only the TARGET's own properties — validated
+    * up front (see Ast.SetItem for the determinism rationale), which
+    * also makes the per-id rows identical across binding fan-out, so
+    * the dropDuplicates is deterministic. A NULL value removes the
+    * key, Cypher's `SET v.p = null`.
+    */
+  def executeSet(store: GraphStore, s: SetStatement): GraphStore = {
+    val bindings = matchPattern(store, s.pattern)
+    val ctr = new java.util.concurrent.atomic.AtomicInteger(0)
+    val filtered = s.where.fold(bindings)(w =>
+      applyWhere(store, bindings, w, Set.empty,
+        () => s"__xp${ctr.getAndIncrement()}_"))
+    val (nodes, edges) = named(s.pattern)
+    val edgeVars = edges.flatMap(_.variable).toSet
+    val nodeVars = nodes.flatMap(_.variable).toSet
+    val targets: Seq[String] = s.ops.map {
+      case Left(si) => si.variable
+      case Right((v, _)) => v
+    }
+    targets.foreach { v =>
+      if (edgeVars(v)) throw new IllegalArgumentException(
+        s"SET/REMOVE on edge variable '$v' is not supported in GQL — " +
+          "edge identity is (src, dst, label), which the binding frame " +
+          "does not carry; use GraphStore.updateEdgeProps")
+      require(nodeVars(v),
+        s"SET/REMOVE references unbound variable '$v' (bound: " +
+          nodeVars.toSeq.sorted.mkString(",") + ")")
+    }
+    s.ops.foreach {
+      case Left(SetItem(v, _, value)) =>
+        def walk(e: Expr): Unit = e match {
+          case PropRef(`v`, _) => ()
+          case PropRef(other, _) => throw new IllegalArgumentException(
+            s"SET value may only read '$v''s own properties — reading " +
+              s"'$other' would make the result depend on which binding " +
+              "row wins (Cypher's last-write-wins nondeterminism); " +
+              "precompute the value instead")
+          case Literal(_) => ()
+          case Arith(l, _, r) => walk(l); walk(r)
+          case other => throw new IllegalArgumentException(
+            s"SET value must be a literal, $v.<prop>, or arithmetic " +
+              s"over them: $other")
+        }
+        walk(value)
+      case Right(_) => ()
+    }
+    var st = store
+    targets.distinct.foreach { v =>
+      var props: Column = coalesce(col(vcol(v, "props")),
+        map().cast(PropValue.mapType))
+      def num(e: Expr): Column = e match {
+        case PropRef(_, p2) => PropValue.asDouble(props(p2))
+        case Literal(GqlInt(i)) => lit(i.toDouble)
+        case Literal(GqlFloat(d)) => lit(d)
+        case Literal(_) =>
+          lit(null).cast(org.apache.spark.sql.types.DoubleType)
+        case Arith(l, op, r) =>
+          val (lc, rc) = (num(l), num(r))
+          op match {
+            case "+" => lc + rc
+            case "-" => lc - rc
+            case "*" => lc * rc
+            case "/" => when(rc === 0.0, lit(null)).otherwise(lc / rc)
+            case "%" => when(rc === 0.0, lit(null)).otherwise(lc % rc)
+          }
+        case other => throw new IllegalArgumentException(
+          s"cannot use $other in a SET value")
+      }
+      s.ops.foreach {
+        case Left(SetItem(`v`, p, value)) =>
+          val valueCol: Column = value match {
+            case Literal(GqlNull) => lit(null).cast(PropValue.schema)
+            case Literal(GqlString(x)) => PropValue.ofString(lit(x))
+            case Literal(GqlInt(i)) => PropValue.ofInt(lit(i))
+            case Literal(GqlFloat(d)) => PropValue.ofFloat(lit(d))
+            case Literal(GqlBool(b)) => PropValue.ofBool(lit(b))
+            // variant copy (kind preserved; stored-null copies as-is)
+            case PropRef(_, src) => props(src)
+            case a: Arith =>
+              val n = num(a)
+              when(n.isNotNull, PropValue.ofFloat(n))
+            case other => throw new IllegalArgumentException(
+              s"unsupported SET value: $other")
+          }
+          val stripped = map_filter(props, (k, _) => k =!= p)
+          props = when(valueCol.isNull, stripped)
+            .otherwise(map_concat(stripped, map(lit(p), valueCol)))
+        case Right((`v`, p)) =>
+          props = map_filter(props, (k, _) => k =!= p)
+        case _ => ()
+      }
+      val rows = filtered
+        .select(col(vcol(v, "id")).as("id"), props.as("props"))
+        .dropDuplicates("id")
+      st = st.updateVertexProps(rows)
+    }
+    st
   }
 
   /** MATCH-DELETE: delete every vertex bound to `variable` in the

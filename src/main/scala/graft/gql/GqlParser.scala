@@ -98,7 +98,7 @@ object GqlParser extends RegexParsers {
     "starts", "ends", "like", "in", "as", "asc", "desc", "true",
     "false", "null", "distinct", "count", "sum", "avg", "min", "max",
     "length", "nodes", "shortestpath", "skip", "collect", "unwind",
-    "is")
+    "is", "set", "remove")
 
   /** Bare alias reference (`cnt` after `WITH ... count(o) AS cnt`). */
   private def bareRef: Parser[Expr] =
@@ -309,6 +309,23 @@ object GqlParser extends RegexParsers {
       case _ => "UNWIND/WITH clauses cannot precede DELETE"
     })
 
+  /** `MATCH p [WHERE e] (SET items | REMOVE items)+` — property
+    * mutation. Tried AFTER matchOrDelete, whose fullTail fails at the
+    * missing RETURN/DELETE and backtracks cleanly.
+    */
+  private def setItem: Parser[SetItem] =
+    propRef ~ ("=" ~> arith) ^^ { case p ~ v => SetItem(p.variable, p.prop, v) }
+
+  private def setClause: Parser[Seq[Either[SetItem, (String, String)]]] =
+    kw("set") ~> rep1sep(setItem, ",") ^^ (_.map(Left(_))) |
+      kw("remove") ~> rep1sep(propRef, ",") ^^
+        (_.map(p => Right((p.variable, p.prop))))
+
+  private def setStmt: Parser[Statement] =
+    kw("match") ~> pattern ~ opt(kw("where") ~> expr) ~ rep1(setClause) ^^ {
+      case p ~ w ~ clauses => SetStatement(p, w, clauses.flatten)
+    }
+
   private def createStmt: Parser[Statement] =
     kw("create") ~> pattern ^^ CreateStatement.apply
 
@@ -316,7 +333,7 @@ object GqlParser extends RegexParsers {
     kw("delete") ~> ident ^^ (v => DeleteStatement(None, None, v))
 
   private def statement: Parser[Statement] =
-    matchOrDelete | createStmt | deleteStmt
+    matchOrDelete | setStmt | createStmt | deleteStmt
 
   def parse(input: String): Either[String, Statement] =
     parseAll(statement, input) match {

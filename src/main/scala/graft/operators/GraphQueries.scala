@@ -378,6 +378,26 @@ object GraphQueries {
         .orderBy("kind")
     }),
 
+    // GQL SET/REMOVE (round 8): arithmetic raise on the matched
+    // segment, then a REMOVE keyed on the POST-SET value — the
+    // read-back regroups the mutated store, every step recomputable
+    // from raw TPC-H.
+    "gql_set" -> ((s, dir) => {
+      val base = GraphStore.fromTpch(s, dir)
+      val afterSet = GqlExecutor.run(base,
+        "MATCH (c:Customer) WHERE c.mktsegment = \"BUILDING\" " +
+          "SET c.acctbal = c.acctbal * 1.1").store
+      val afterRemove = GqlExecutor.run(afterSet,
+        "MATCH (c:Customer) WHERE c.acctbal < 0.0 REMOVE c.mktsegment").store
+      afterRemove.vertices.filter(col("label") === "Customer")
+        .select(
+          coalesce(str(col("props")("mktsegment")), lit("(none)")).as("seg"),
+          dbl(col("props")("acctbal")).as("bal"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("cnt"), round(sum("bal"), 4).as("bal"))
+        .orderBy("seg")
+    }),
+
     // X1: the full mutation-op surface (remove_edge +
     // update_vertex_props / update_edge_props, matching the
     // reference's GraphOperation enum, storage/src/lib.rs:49-72):
@@ -644,6 +664,17 @@ object GraphQueries {
                   s.s_name
            FROM c1 JOIN supplier s ON s.s_nationkey = c1.c_nationkey
          ) ORDER BY nodes_p""",
+    "gql_set" ->
+      """WITH c2 AS (
+           SELECT CASE WHEN c_mktsegment = 'BUILDING'
+                       THEN c_acctbal * 1.1 ELSE c_acctbal END AS bal,
+                  c_mktsegment AS seg0
+           FROM customer),
+         c3 AS (SELECT bal,
+                  CASE WHEN bal < 0.0 THEN '(none)' ELSE seg0 END AS seg
+                FROM c2)
+         SELECT seg, COUNT(*) AS cnt, ROUND(SUM(bal), 4) AS bal
+         FROM c3 GROUP BY seg ORDER BY seg""",
     "gql_mutation_counts" ->
       """WITH kept AS (SELECT c_custkey FROM customer WHERE NOT (c_acctbal < -900.0))
          SELECT kind, cnt FROM (

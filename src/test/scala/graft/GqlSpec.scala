@@ -704,6 +704,74 @@ class GqlSpec extends SparkSpec {
     assert(s3.edges.filter(col("label") === "related").count() == 1)
   }
 
+  test("SET / REMOVE: literals, self-arith, sequential order, null-removes") {
+    // literal set + arithmetic raise, only on the matched rows
+    val s1 = GqlExecutor.run(fixture,
+      "MATCH (v:Person) WHERE v.department = \"Engineering\" " +
+        "SET v.age = v.age + 1, v.senior = true").store
+    val got = s1.vertices
+      .select(PropValue.asString(col("props")("name")).as("n"),
+        PropValue.asDouble(col("props")("age")).as("a"),
+        PropValue.asBool(col("props")("senior")).as("s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), !r.isNullAt(2) && r.getBoolean(2))).toMap
+    assert(got("Alice") == ((31.0, true)))
+    assert(got("Diana") == ((29.0, true)))
+    assert(got("Bob") == ((25.0, false)))   // unmatched: untouched
+    assert(got("Charlie") == ((35.0, false)))
+    // untouched keys survive the fold (REPLACE starts from current)
+    assert(s1.vertices.filter(PropValue.compare(col("props")("name"), "Alice", "="))
+      .select(PropValue.asString(col("props")("department")))
+      .head().getString(0) == "Engineering")
+    // change feed logged the update ops
+    assert(s1.changes.filter(col("op") === "update_vertex_props").count() == 2)
+
+    // sequential clause semantics: later SET sees earlier write
+    val s2 = GqlExecutor.run(fixture,
+      "MATCH (v:Person) WHERE v.age = 25 SET v.age = 40 SET v.bonus = v.age * 2").store
+    val bob = s2.vertices.filter(PropValue.compare(col("props")("name"), "Bob", "="))
+      .select(PropValue.asDouble(col("props")("age")),
+        PropValue.asDouble(col("props")("bonus"))).head()
+    assert((bob.getDouble(0), bob.getDouble(1)) == ((40.0, 80.0)))
+
+    // REMOVE drops the key; SET ... = null does too
+    val s3 = GqlExecutor.run(fixture,
+      "MATCH (v:Person) WHERE v.name = \"Alice\" REMOVE v.department").store
+    assert(s3.vertices.filter(PropValue.compare(col("props")("name"), "Alice", "="))
+      .select(col("props")("department")).head().isNullAt(0))
+    val s4 = GqlExecutor.run(fixture,
+      "MATCH (v:Person) WHERE v.name = \"Alice\" SET v.department = null").store
+    assert(s4.vertices.filter(PropValue.compare(col("props")("name"), "Alice", "="))
+      .select(col("props")("department")).head().isNullAt(0))
+    // written order matters: set-then-remove ends absent
+    val s5 = GqlExecutor.run(fixture,
+      "MATCH (v:Person) WHERE v.name = \"Bob\" SET v.x = 1 REMOVE v.x").store
+    assert(s5.vertices.filter(PropValue.compare(col("props")("name"), "Bob", "="))
+      .select(col("props")("x")).head().isNullAt(0))
+  }
+
+  test("SET rejections: cross-variable reads, edge targets, unbound vars") {
+    val e1 = intercept[IllegalArgumentException] {
+      GqlExecutor.run(fixture,
+        "MATCH (a:Person)-[:friend]->(b) SET a.age = b.age")
+    }
+    assert(e1.getMessage.contains("own properties"))
+    val e2 = intercept[IllegalArgumentException] {
+      GqlExecutor.run(fixture,
+        "MATCH (a)-[e:friend]->(b) SET e.since = 2022")
+    }
+    assert(e2.getMessage.contains("edge variable"))
+    val e3 = intercept[IllegalArgumentException] {
+      GqlExecutor.run(fixture, "MATCH (a:Person) SET z.age = 1")
+    }
+    assert(e3.getMessage.contains("unbound variable 'z'"))
+    // bare SET without MATCH is a parse error
+    assert(GqlParser.parse("SET v.age = 1").isLeft)
+    // SET then RETURN is not a statement form (mutations return counts)
+    assert(GqlParser.parse(
+      "MATCH (v:Person) SET v.age = 1 RETURN v").isLeft)
+  }
+
   test("MATCH-DELETE removes matched vertices and cascades edges") {
     val s2 = GqlExecutor.run(fixture,
       """MATCH (v:Person) WHERE v.name = "Bob" DELETE v""").store
