@@ -129,6 +129,19 @@ object Ast {
     * `nodes(p)` over a bound path variable.
     */
   case class ReturnPathFunc(func: String, variable: String) extends ReturnItem
+  /** graft extension (Cypher `RETURN expr AS alias`): an arithmetic
+    * expression or literal return item — only ever constructed
+    * inside [[ReturnAliased]] (Cypher requires expressions to be
+    * aliased). Arithmetic reads properties and literals (the WHERE
+    * numeric-view rules); WITH-alias refs inside RETURN arithmetic
+    * are rejected — project the computation through WITH instead.
+    */
+  case class ReturnExpr(expr: Expr) extends ReturnItem
+  /** `item AS alias` — renames the output column; on a bare variable
+    * it renames the SCALAR alias only (a binding triplet has no
+    * single column to rename and rejects with that reason).
+    */
+  case class ReturnAliased(item: ReturnItem, alias: String) extends ReturnItem
 
   /** `ref` is a PropRef (`v.prop`) or — after a WITH pipeline — a
     * VarRef alias name (`ORDER BY cnt DESC`).

@@ -129,7 +129,10 @@ object GqlExecutor {
   }
 
   def executeMatch(store: GraphStore, m: MatchStatement): DataFrame = {
-    m.ret.collect { case ReturnPathFunc(f, v) => (f, v) }.foreach { case (f, v) =>
+    m.ret.collect {
+      case ReturnPathFunc(f, v) => (f, v)
+      case ReturnAliased(ReturnPathFunc(f, v), _) => (f, v)
+    }.foreach { case (f, v) =>
       require(m.pathVar.contains(v),
         s"$f($v) references an unbound path variable" +
           m.pathVar.fold("")(p => s" (bound: $p)"))
@@ -244,6 +247,38 @@ object GqlExecutor {
 
   /** Scalar column carrying a WITH alias's materialized value. */
   private def aliasCol(name: String): Column = col(s"${name}__val")
+
+  /** One arithmetic op on numeric-view columns — `/` and `%` guard a
+    * zero denominator to NULL so ANSI mode never fails on data.
+    * Shared by WHERE, SET values, and RETURN expressions.
+    */
+  private def arithCombine(op: String, lc: Column, rc: Column): Column =
+    op match {
+      case "+" => lc + rc
+      case "-" => lc - rc
+      case "*" => lc * rc
+      case "/" => when(rc === 0.0, lit(null)).otherwise(lc / rc)
+      case "%" => when(rc === 0.0, lit(null)).otherwise(lc % rc)
+    }
+
+  /** Numeric view of prop/literal arithmetic for RETURN expressions.
+    * WITH-alias refs are rejected here (RETURN arithmetic has no
+    * variant-kind context for them — compute in WITH instead); the
+    * WHERE path has its own alias-aware numView.
+    */
+  private def arithNumCol(e: Expr): Column = e match {
+    case PropRef(v, p) => PropValue.asDouble(col(vcol(v, "props"))(p))
+    case Literal(GqlInt(i)) => lit(i.toDouble)
+    case Literal(GqlFloat(d)) => lit(d)
+    case Literal(_) =>
+      lit(null).cast(org.apache.spark.sql.types.DoubleType)
+    case Arith(l, op, r) => arithCombine(op, arithNumCol(l), arithNumCol(r))
+    case VarRef(n) => throw new IllegalArgumentException(
+      s"'$n' cannot appear in RETURN arithmetic — compute the " +
+        "expression in WITH and return the alias instead")
+    case other => throw new IllegalArgumentException(
+      s"cannot use $other in arithmetic")
+  }
 
   /** WHERE application that understands PATTERN PREDICATES (Cypher
     * existentials): top-level AND conjuncts that are `(a)-[...]->(b)`
@@ -865,15 +900,7 @@ object GqlExecutor {
       case Literal(GqlFloat(d)) => lit(d)
       case Literal(_) =>
         lit(null).cast(org.apache.spark.sql.types.DoubleType)
-      case Arith(l, op, r) =>
-        val (lc, rc) = (numView(l), numView(r))
-        op match {
-          case "+" => lc + rc
-          case "-" => lc - rc
-          case "*" => lc * rc
-          case "/" => when(rc === 0.0, lit(null)).otherwise(lc / rc)
-          case "%" => when(rc === 0.0, lit(null)).otherwise(lc % rc)
-        }
+      case Arith(l, op, r) => arithCombine(op, numView(l), numView(r))
       case other => throw new IllegalArgumentException(
         s"cannot use $other in arithmetic")
     }
@@ -1086,7 +1113,20 @@ object GqlExecutor {
   private def project(df: DataFrame, nodes: Seq[NodePattern],
       items: Seq[ReturnItem], distinct: Boolean = false,
       aliases: Set[String] = Set.empty): DataFrame = {
-    if (!items.exists(_.isInstanceOf[ReturnAggregate])) {
+    def isAgg(i: ReturnItem): Boolean = i match {
+      case _: ReturnAggregate => true
+      case ReturnAliased(inner, _) => isAgg(inner)
+      case _ => false
+    }
+    // RETURN expression (always under AS): a literal keeps its plain
+    // Spark type; arithmetic is the numeric view
+    def exprCol(e: Expr): Column = e match {
+      case Literal(v) => lit(litToValue(v))
+      case a: Arith => arithNumCol(a)
+      case other => throw new IllegalArgumentException(
+        s"cannot RETURN $other")
+    }
+    if (!items.exists(isAgg)) {
       val cols: Seq[Column] = items.flatMap {
         case ReturnAll =>
           nodes.flatMap(n => tripletCols(n.variable.get)) ++
@@ -1113,6 +1153,21 @@ object GqlExecutor {
         case ReturnProperty(v, p) =>
           Seq(col(vcol(v, "props"))(p).as(s"${v}_$p"))
         case ReturnPathFunc(f, v) => Seq(pathFuncCol(f, v))
+        case ReturnAliased(ReturnProperty(v, p), a) =>
+          Seq(col(vcol(v, "props"))(p).as(a))
+        case ReturnAliased(ReturnVariable(v), a) if aliases.contains(v) =>
+          Seq(aliasCol(v).as(a))
+        case ReturnAliased(ReturnVariable(v), a) =>
+          throw new IllegalArgumentException(
+            s"cannot alias bare variable '$v' AS $a — a binding " +
+              "triplet has no single column; alias a property instead")
+        case ReturnAliased(ReturnPathFunc(f, v), a) =>
+          Seq(pathFuncCol(f, v).as(a))
+        case ReturnAliased(ReturnExpr(e), a) => Seq(exprCol(e).as(a))
+        case ReturnAliased(other, a) => throw new IllegalArgumentException(
+          s"cannot alias $other AS $a")
+        case _: ReturnExpr => throw new IllegalArgumentException(
+          "expressions in RETURN require AS <alias>")
         case _: ReturnAggregate => Nil
       }
       val projected = df.select(cols: _*)
@@ -1123,24 +1178,32 @@ object GqlExecutor {
         case ReturnVariable(v) if aliases.contains(v) => v -> aliasCol(v)
         case ReturnVariable(v) => s"${v}_id" -> col(vcol(v, "id"))
         case ReturnPathFunc(f, v) => s"${f}_$v" -> pathFuncCol(f, v)
+        case ReturnAliased(ReturnProperty(v, p), a) =>
+          a -> col(vcol(v, "props"))(p)
+        case ReturnAliased(ReturnVariable(v), a) if aliases.contains(v) =>
+          a -> aliasCol(v)
+        case ReturnAliased(ReturnVariable(v), a) =>
+          a -> col(vcol(v, "id"))
+        case ReturnAliased(ReturnPathFunc(f, v), a) => a -> pathFuncCol(f, v)
+        case ReturnAliased(ReturnExpr(e), a) => a -> exprCol(e)
       }
-      val aggs: Seq[Column] = items.collect {
+      def aggRaw(ag: ReturnAggregate): (String, Column) = ag match {
         case ReturnAggregate("count", None, _, true) =>
           throw new IllegalArgumentException(
             "count(DISTINCT *) is not a thing — name a variable or property")
         case ReturnAggregate("count", None, _, _) =>
-          count(lit(1)).as("count_all")
+          "count_all" -> count(lit(1))
         case ReturnAggregate("count", Some(v), None, dist) =>
           val src =
             if (aliases.contains(v) && !df.columns.contains(vcol(v, "id")))
               aliasCol(v)
             else col(vcol(v, "id"))
-          if (dist) count_distinct(src).as(s"count_distinct_$v")
-          else count(src).as(s"count_$v")
+          if (dist) s"count_distinct_$v" -> count_distinct(src)
+          else s"count_$v" -> count(src)
         case ReturnAggregate("count", Some(v), Some(p), dist) =>
           val src = col(vcol(v, "props"))(p)
-          if (dist) count_distinct(src).as(s"count_distinct_${v}_$p")
-          else count(src).as(s"count_${v}_$p")
+          if (dist) s"count_distinct_${v}_$p" -> count_distinct(src)
+          else s"count_${v}_$p" -> count(src)
         // Cypher collect(): the list aggregate. collect(v.prop)
         // gathers the variant values (NULLs dropped, like Cypher
         // skips missing properties); collect(v) gathers vertex ids.
@@ -1152,27 +1215,31 @@ object GqlExecutor {
         // under the same sorted render.
         case ReturnAggregate("collect", Some(v), Some(p), dist) =>
           val src = col(vcol(v, "props"))(p)
-          sort_array(if (dist) collect_set(src) else collect_list(src))
-            .as(if (dist) s"collect_distinct_${v}_$p" else s"collect_${v}_$p")
+          (if (dist) s"collect_distinct_${v}_$p" else s"collect_${v}_$p") ->
+            sort_array(if (dist) collect_set(src) else collect_list(src))
         case ReturnAggregate("collect", Some(v), None, dist) =>
           val src =
             if (aliases.contains(v) && !df.columns.contains(vcol(v, "id")))
               aliasCol(v)
             else col(vcol(v, "id"))
-          sort_array(if (dist) collect_set(src) else collect_list(src))
-            .as(if (dist) s"collect_distinct_$v" else s"collect_$v")
+          (if (dist) s"collect_distinct_$v" else s"collect_$v") ->
+            sort_array(if (dist) collect_set(src) else collect_list(src))
         case ReturnAggregate(f @ ("sum" | "avg" | "min" | "max"), Some(v), Some(p), _) =>
           val num = PropValue.asDouble(col(vcol(v, "props"))(p))
-          val agg = f match {
+          s"${f}_${v}_$p" -> (f match {
             case "sum" => sum(num)
             case "avg" => avg(num)
             case "min" => min(num)
             case "max" => max(num)
-          }
-          agg.as(s"${f}_${v}_$p")
-        case ReturnAggregate(f, v, None, _) if f != "count" && f != "collect" =>
+          })
+        case ReturnAggregate(f, v, _, _) =>
           throw new IllegalArgumentException(
             s"$f(${v.getOrElse("*")}) needs a property: $f(var.prop)")
+      }
+      val aggs: Seq[Column] = items.collect {
+        case ag: ReturnAggregate =>
+          val (n, c) = aggRaw(ag); c.as(n)
+        case ReturnAliased(ag: ReturnAggregate, a) => aggRaw(ag)._2.as(a)
       }
       val withKeys = keys.foldLeft(df) { case (d, (name, expr)) =>
         d.withColumn(name, expr)
@@ -1293,15 +1360,7 @@ object GqlExecutor {
         case Literal(GqlFloat(d)) => lit(d)
         case Literal(_) =>
           lit(null).cast(org.apache.spark.sql.types.DoubleType)
-        case Arith(l, op, r) =>
-          val (lc, rc) = (num(l), num(r))
-          op match {
-            case "+" => lc + rc
-            case "-" => lc - rc
-            case "*" => lc * rc
-            case "/" => when(rc === 0.0, lit(null)).otherwise(lc / rc)
-            case "%" => when(rc === 0.0, lit(null)).otherwise(lc % rc)
-          }
+        case Arith(l, op, r) => arithCombine(op, num(l), num(r))
         case other => throw new IllegalArgumentException(
           s"cannot use $other in a SET value")
       }

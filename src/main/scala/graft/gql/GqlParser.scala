@@ -192,11 +192,37 @@ object GqlParser extends RegexParsers {
       case f ~ v => ReturnPathFunc(f.toLowerCase, v)
     }
 
+  private def aliasIdent: Parser[String] =
+    ident ^? ({ case s if !reserved(s.toLowerCase) => s },
+      s => s"reserved word '$s' cannot be an alias")
+
+  /** `RETURN item [AS alias]` (AS is a graft extension): aggregates,
+    * path funcs, properties, and bare variables may alias; a genuine
+    * arithmetic expression or literal MUST alias (Cypher's
+    * "expression in RETURN must be aliased"). The trailing bare
+    * `ident` fallback keeps pre-extension queries parsing even where
+    * `arith` rejects (reserved-word variables never existed, but the
+    * alternative is free).
+    */
   private def returnItem: Parser[ReturnItem] =
     "*" ^^ (_ => ReturnAll) |
-      returnPathFunc |
-      returnAgg |
-      propRef ^^ (p => ReturnProperty(p.variable, p.prop)) |
+      (returnPathFunc | returnAgg) ~ opt(kw("as") ~> aliasIdent) ^^ {
+        case i ~ None => i
+        case i ~ Some(a) => ReturnAliased(i, a)
+      } |
+      arith ~ opt(kw("as") ~> aliasIdent) ^? ({
+        case (p: PropRef) ~ None => ReturnProperty(p.variable, p.prop)
+        case (p: PropRef) ~ Some(a) =>
+          ReturnAliased(ReturnProperty(p.variable, p.prop), a)
+        case VarRef(v) ~ None => ReturnVariable(v)
+        case VarRef(v) ~ Some(a) => ReturnAliased(ReturnVariable(v), a)
+        case (x: Arith) ~ Some(a) => ReturnAliased(ReturnExpr(x), a)
+        case Literal(v) ~ Some(a) => ReturnAliased(ReturnExpr(Literal(v)), a)
+      }, {
+        case (_: Arith) ~ None => "expressions in RETURN require AS <alias>"
+        case Literal(_) ~ None => "literals in RETURN require AS <alias>"
+        case other ~ _ => s"cannot RETURN $other"
+      }) |
       ident ^^ ReturnVariable.apply
 
   private def orderItem: Parser[OrderItem] =
@@ -225,10 +251,7 @@ object GqlParser extends RegexParsers {
       ("[" ~> repsep(value, ",") <~ "]") ^^ (vs => Left(vs): Either[Seq[GqlValue], String]) |
         bareRef ^^ { case VarRef(n) => Right(n): Either[Seq[GqlValue], String]
                      case other => throw new MatchError(other) }) ~
-      (kw("as") ~> (ident ^? ({ case s if !reserved(s.toLowerCase) => s },
-        s => s"reserved word '$s' cannot be an UNWIND alias"))) ^^ {
-      case src ~ a => UnwindItem(src, a)
-    }
+      (kw("as") ~> aliasIdent) ^^ { case src ~ a => UnwindItem(src, a) }
 
   /** One WITH projection item. Aliases are REQUIRED for aggregates
     * and property projections (Cypher's "expression in WITH must be

@@ -378,6 +378,18 @@ object GraphQueries {
         .orderBy("kind")
     }),
 
+    // RETURN AS + expression items (round 8, Cypher): aliased output
+    // columns and a computed projection — the expression evaluates
+    // inside the same codegen stage as the join output.
+    "gql_return_expr" -> ((s, dir) => {
+      val r = GqlExecutor.run(g(s, dir),
+        "MATCH (c:Customer)-[:placed]->(o:Order) WHERE c.acctbal > 9000.0 " +
+          "RETURN c.name AS name, o.totalprice * 0.9 AS discounted").df
+      r.select(str(col("name")).as("name"),
+        round(col("discounted"), 4).as("discounted"))
+        .orderBy("name", "discounted")
+    }),
+
     // GQL SET/REMOVE (round 8): arithmetic raise on the matched
     // segment, then a REMOVE keyed on the POST-SET value — the
     // read-back regroups the mutated store, every step recomputable
@@ -664,6 +676,10 @@ object GraphQueries {
                   s.s_name
            FROM c1 JOIN supplier s ON s.s_nationkey = c1.c_nationkey
          ) ORDER BY nodes_p""",
+    "gql_return_expr" ->
+      """SELECT c_name AS name, ROUND(o_totalprice * 0.9, 4) AS discounted
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE c_acctbal > 9000.0 ORDER BY name, discounted""",
     "gql_set" ->
       """WITH c2 AS (
            SELECT CASE WHEN c_mktsegment = 'BUILDING'

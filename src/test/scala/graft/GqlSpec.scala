@@ -704,6 +704,47 @@ class GqlSpec extends SparkSpec {
     assert(s3.edges.filter(col("label") === "related").count() == 1)
   }
 
+  test("RETURN AS aliases and expressions: props, aggs, keys, literals") {
+    // property + arithmetic expression, both aliased
+    val r = GqlExecutor.run(fixture,
+      "MATCH (v:Person) WHERE v.age > 26 RETURN v.name AS who, " +
+        "v.age * 2 AS doubled").df
+    assert(r.columns.toSeq == Seq("who", "doubled"))
+    val got = r.select(PropValue.asString(col("who")), col("doubled"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(got == Map("Alice" -> 60.0, "Charlie" -> 70.0, "Diana" -> 56.0))
+    // aliased aggregate + aliased grouping key
+    val a = GqlExecutor.run(fixture,
+      "MATCH (v:Person) WHERE v.department IS NOT NULL " +
+        "RETURN v.department AS dept, count(v) AS n").df
+    assert(a.columns.toSeq == Seq("dept", "n"))
+    val gotA = a.select(PropValue.asString(col("dept")), col("n"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(gotA == Map("Engineering" -> 2L, "Marketing" -> 1L))
+    // an EXPRESSION as the grouping key: age parity
+    val p = GqlExecutor.run(fixture,
+      "MATCH (v:Person) RETURN v.age % 2 AS parity, count(v) AS n").df
+    val gotP = p.collect().map(x => x.getDouble(0) -> x.getLong(1)).toMap
+    assert(gotP == Map(0.0 -> 2L, 1.0 -> 2L))
+    // literal under AS keeps its plain type
+    val l = GqlExecutor.run(fixture,
+      "MATCH (v:Person) WHERE v.age = 30 RETURN v.name AS n, \"x\" AS tag").df
+    assert(l.select(col("tag")).head().getString(0) == "x")
+    // expression without AS is a parse error
+    assert(GqlParser.parse(
+      "MATCH (v:Person) RETURN v.age * 2").isLeft)
+    // AS on a bare triplet variable rejects with a remedy
+    val e = intercept[IllegalArgumentException] {
+      GqlExecutor.run(fixture, "MATCH (v:Person) RETURN v AS person")
+    }
+    assert(e.getMessage.contains("alias a property instead"))
+    // aliased collect + aliased WITH pass-through still work together
+    val c = GqlExecutor.run(fixture,
+      "MATCH (a:Person)-[]->(b) RETURN a.name AS src, " +
+        "collect(b.name) AS targets").df
+    assert(c.columns.toSeq == Seq("src", "targets"))
+  }
+
   test("SET / REMOVE: literals, self-arith, sequential order, null-removes") {
     // literal set + arithmetic raise, only on the matched rows
     val s1 = GqlExecutor.run(fixture,

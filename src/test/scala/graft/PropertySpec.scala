@@ -363,6 +363,10 @@ class PropertySpec extends SparkSpec {
       case StartsWith(l, r) => s"${renderExpr(l)} STARTS WITH ${renderExpr(r)}"
       case EndsWith(l, r) => s"${renderExpr(l)} ENDS WITH ${renderExpr(r)}"
       case Like(l, pat) => s"""${renderExpr(l)} LIKE "$pat""""
+      case Arith(l, op, r) => s"${renderExpr(l)} $op ${renderExpr(r)}"
+      case IsNull(l, neg) =>
+        s"${renderExpr(l)} IS ${if (neg) "NOT " else ""}NULL"
+      case other => fail(s"renderExpr: generator never produces $other")
     }
   }
 
