@@ -712,6 +712,139 @@ object Algorithms {
     labels.select(col("id"), col("label").as("community"))
   }
 
+  /** G17 (graft extension): k-bounded harmonic centrality —
+    * H(v) = Σ over u reached within maxHops of 1 / d(v, u). The
+    * disconnection-robust closeness (unreached vertices contribute 0
+    * instead of poisoning a sum of distances), truncated at maxHops
+    * as large-graph practice does (Boldi & Vigna 2014 compute it
+    * bounded/approximate for exactly this reason).
+    *
+    * ONE [[multiSourceBfs]] pass serves EVERY source — the bulk
+    * frontier loop is O(maxHops) joins total, not per-source; the
+    * aggregate is a map-side-combined sum keyed by source. Vertices
+    * reaching nothing within the bound get no row (their H is the
+    * empty sum — callers wanting explicit zeros left-join vertices).
+    */
+  def harmonicCentrality(edges: DataFrame, vertices: DataFrame,
+      maxHops: Int, undirected: Boolean = false): DataFrame =
+    multiSourceBfs(edges, vertices, maxHops, undirected)
+      .filter(col("hops") > 0)
+      .groupBy(col("source").as("id"))
+      .agg(sum(lit(1.0) / col("hops")).as("harmonic"))
+
+  /** G18 (graft extension): k-bounded betweenness centrality — exact
+    * Brandes (2001) over ALL sources simultaneously, truncated at
+    * `maxHops` (Borgatti & Everett's k-betweenness: only pairs within
+    * distance k contribute — the standard large-graph bound, since
+    * exact betweenness is inherently O(V·E) data volume).
+    *
+    * Forward pass: one bulk BFS keyed by (source, id) where each
+    * frontier row carries σ (shortest-path counts); a level's σ is
+    * the map-side-combined SUM of its predecessors' σ — every source
+    * advances in the SAME O(diameter) join rounds, never per-source.
+    * Backward pass: one join round per level, descending — δ(v) =
+    * Σ_{w∈succ(v)} σ(v)/σ(w)·(1+δ(w)) — using the per-level frames
+    * the forward pass already materialized (no re-filtering of the
+    * cumulative state). BC(v) = Σ over sources of δ(v), halved when
+    * undirected (each unordered pair is seen from both endpoints).
+    *
+    * Scale posture: state volume is Σ levels = O(V · reach-within-k),
+    * the irreducible cost of exact betweenness — `maxHops` bounds it;
+    * for V beyond that, pass a SAMPLED `sources` frame (Brandes-Pich
+    * pivot estimation: result is the partial sum over the sample;
+    * callers scale by V/|S|). Frontiers and δ frames are
+    * lineage-cut every round and broadcast-hinted below
+    * `broadcastRows`, same economics as [[multiSourceBfs]]. Edges are
+    * de-duplicated up front: σ counts PATHS, so a parallel edge copy
+    * (or a pre-doubled undirected list fed with `undirected=true`)
+    * would silently double counts.
+    */
+  def betweennessCentrality(edges: DataFrame, vertices: DataFrame,
+      maxHops: Int, undirected: Boolean = false,
+      sources: Option[DataFrame] = None,
+      checkpointDir: Option[String] = None,
+      broadcastRows: Long = DefaultBroadcastRows): DataFrame = {
+    import graft.Lineage.CutOps
+    val rel = graft.Lineage.configure(edges, checkpointDir)
+    val eDir = edges.select(col("src"), col("dst"))
+    val e = (if (undirected)
+        eDir.unionByName(eDir.select(col("dst").as("src"), col("src").as("dst")))
+      else eDir).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val seed = sources.getOrElse(vertices).select(col("id")).distinct()
+      .select(col("id").as("source"), col("id"),
+        lit(1.0).as("sigma")).cut(rel)
+    // Per-level frames (already materialized by their cut) + exact
+    // counts — the backward pass replays them without re-filtering.
+    val levels = scala.collection.mutable.ArrayBuffer((seed, seed.count()))
+    try {
+      var visited = seed.select(col("source"), col("id"))
+      var visitedCount = levels(0)._2
+      var hop = 1
+      var done = levels(0)._2 == 0L
+      while (!done && hop <= maxHops) {
+        val (frontier, frontierCount) = levels.last
+        val fr = hintIfAtMost(frontier, frontierCount, broadcastRows)
+        val cand = fr.join(e, fr("id") === e("src"))
+          .select(fr("source"), e("dst").as("id"), fr("sigma"))
+          .groupBy("source", "id").agg(sum("sigma").as("sigma"))
+        val visSide = hintIfAtMost(
+          visited.select(col("source").as("__v_src"), col("id").as("__v_id")),
+          visitedCount, broadcastRows)
+        val next = cand.join(visSide,
+            col("source") === col("__v_src") && col("id") === col("__v_id"),
+            "left_anti")
+          .select(col("source"), col("id"), col("sigma")).cut(rel)
+        val cnt = next.count()
+        if (cnt == 0L) done = true
+        else {
+          visited = visited.unionByName(next.select(col("source"), col("id")))
+          visitedCount += cnt
+          levels += ((next, cnt))
+        }
+        hop += 1
+      }
+      // Backward sweep: δ flows one level down per round; a level's
+      // BC contribution is its δ (w ≠ source holds because only
+      // levels ≥ 1 contribute).
+      var delta: DataFrame = null
+      var bcParts = List.empty[DataFrame]
+      for (d <- (levels.size - 1) to 1 by -1) {
+        val (lvl, lvlCount) = levels(d)
+        val lvlD = (if (delta == null) lvl.withColumn("delta", lit(0.0))
+          else lvl.join(delta, Seq("source", "id"), "left")
+            .na.fill(0.0, Seq("delta")))
+          .select(col("source"), col("id").as("wid"),
+            col("sigma").as("wsigma"), col("delta"))
+        bcParts ::= lvlD.select(col("wid").as("id"), col("delta"))
+        val w = hintIfAtMost(lvlD, lvlCount, broadcastRows)
+        val viaEdge = w.join(e, w("wid") === e("dst"))
+          .select(w("source"), e("src").as("id"),
+            col("wsigma"), col("delta"))
+        val (prevLvl, prevCount) = levels(d - 1)
+        val prev = hintIfAtMost(
+          prevLvl.select(col("source"), col("id"),
+            col("sigma").as("vsigma")),
+          prevCount, broadcastRows)
+        delta = viaEdge.join(prev, Seq("source", "id"))
+          .groupBy("source", "id")
+          .agg(sum(col("vsigma") / col("wsigma") *
+            (lit(1.0) + col("delta"))).as("delta"))
+          .cut(rel)
+      }
+      if (bcParts.isEmpty)
+        seed.sparkSession.emptyDataFrame
+          .select(lit(0L).as("id"), lit(0.0).as("betweenness")).limit(0)
+      else {
+        val scale = if (undirected) 0.5 else 1.0
+        bcParts.reduce(_ unionByName _)
+          .groupBy("id")
+          .agg((sum("delta") * lit(scale)).as("betweenness"))
+      }
+    } finally {
+      e.unpersist(blocking = false)
+    }
+  }
+
   /** G16 (graft extension): Adamic-Adar link prediction over a
     * bipartite incidence list `(node, hub)` — the reference exposes
     * common-neighbor counting (storage lib.rs:896-929 two-hop sets);

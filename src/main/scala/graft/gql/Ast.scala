@@ -83,6 +83,17 @@ object Ast {
     * zero is NULL (not an ANSI failure), same filtered outcome.
     */
   case class Arith(left: Expr, op: String, right: Expr) extends Expr
+  /** Generic CASE (graft extension, Cypher): `CASE WHEN pred THEN
+    * value ... [ELSE value] END`, usable as a RETURN expression
+    * (under AS, including as an implicit grouping key). Predicates
+    * are WHERE-shaped over properties/literals (no WITH-alias refs,
+    * no pattern predicates — both reject with the reason); values
+    * are literals, properties, or arithmetic. The result is a
+    * PropValue VARIANT so heterogeneous THEN kinds unify; a missing
+    * ELSE yields NULL, as in Cypher.
+    */
+  case class CaseExpr(branches: Seq[(Expr, Expr)],
+      default: Option[Expr]) extends Expr
   /** `x IS [NOT] NULL` (graft extension, Cypher/SQL): a property is
     * NULL when absent OR explicitly stored as null; after an OPTIONAL
     * MATCH the statement-final WHERE sees unmatched rows' NULL

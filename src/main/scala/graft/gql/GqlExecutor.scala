@@ -1092,6 +1092,58 @@ object GqlExecutor {
     case None => lit(null).cast(org.apache.spark.sql.types.BooleanType)
   }
 
+  /** CASE → one `when` chain producing a VARIANT column, so
+    * heterogeneous THEN kinds unify under the PropValue struct (the
+    * same shape property reads surface). Predicates go through the
+    * WHERE translator with NO alias context — WITH-alias refs and
+    * pattern predicates are rejected up front with the remedy, and
+    * nested CASE is out of scope. Missing ELSE → NULL (Cypher).
+    */
+  private def caseCol(c: CaseExpr): Column = {
+    def validatePred(e: Expr): Unit = e match {
+      case VarRef(n) => throw new IllegalArgumentException(
+        s"'$n' cannot appear in a CASE predicate — compute the " +
+          "expression in WITH and branch on the alias instead")
+      case PatternPred(_) => throw new IllegalArgumentException(
+        "pattern predicates cannot appear inside CASE")
+      case CaseExpr(_, _) => throw new IllegalArgumentException(
+        "nested CASE is not supported")
+      case And(l, r) => validatePred(l); validatePred(r)
+      case Or(l, r) => validatePred(l); validatePred(r)
+      case Not(i) => validatePred(i)
+      case Comparison(l, _, r) => validatePred(l); validatePred(r)
+      case In(l, _) => validatePred(l)
+      case Contains(l, r) => validatePred(l); validatePred(r)
+      case StartsWith(l, r) => validatePred(l); validatePred(r)
+      case EndsWith(l, r) => validatePred(l); validatePred(r)
+      case Like(l, _) => validatePred(l)
+      case Arith(l, _, r) => validatePred(l); validatePred(r)
+      case IsNull(i, _) => validatePred(i)
+      case PropRef(_, _) | Literal(_) => ()
+    }
+    def variantOf(e: Expr): Column = e match {
+      case Literal(GqlNull) => lit(null).cast(PropValue.schema)
+      case Literal(GqlString(s)) => PropValue.ofString(lit(s))
+      case Literal(GqlInt(i)) => PropValue.ofInt(lit(i))
+      case Literal(GqlFloat(d)) => PropValue.ofFloat(lit(d))
+      case Literal(GqlBool(b)) => PropValue.ofBool(lit(b))
+      case PropRef(v, p) => col(vcol(v, "props"))(p)
+      case a: Arith =>
+        val n = arithNumCol(a)
+        when(n.isNotNull, PropValue.ofFloat(n))
+      case other => throw new IllegalArgumentException(
+        s"unsupported CASE value: $other")
+    }
+    c.branches.foreach { case (p, _) => validatePred(p) }
+    val head = when(whereCol(c.branches.head._1),
+      variantOf(c.branches.head._2))
+    val chain = c.branches.tail.foldLeft(head) { case (acc, (p, v)) =>
+      acc.when(whereCol(p), variantOf(v))
+    }
+    chain.otherwise(c.default.fold(
+      lit(null).cast(PropValue.schema))(variantOf))
+  }
+
   /** P4: RETURN projection (executor.rs:467-518). Bare `RETURN var`
     * explodes every property of the bound vertex into one `var.key`
     * column per key, exactly the reference's build_result rows
@@ -1123,6 +1175,7 @@ object GqlExecutor {
     def exprCol(e: Expr): Column = e match {
       case Literal(v) => lit(litToValue(v))
       case a: Arith => arithNumCol(a)
+      case c: CaseExpr => caseCol(c)
       case other => throw new IllegalArgumentException(
         s"cannot RETURN $other")
     }

@@ -98,7 +98,7 @@ object GqlParser extends RegexParsers {
     "starts", "ends", "like", "in", "as", "asc", "desc", "true",
     "false", "null", "distinct", "count", "sum", "avg", "min", "max",
     "length", "nodes", "shortestpath", "skip", "collect", "unwind",
-    "is", "set", "remove")
+    "is", "set", "remove", "case", "when", "then", "else", "end")
 
   /** Bare alias reference (`cnt` after `WITH ... count(o) AS cnt`). */
   private def bareRef: Parser[Expr] =
@@ -196,6 +196,18 @@ object GqlParser extends RegexParsers {
     ident ^? ({ case s if !reserved(s.toLowerCase) => s },
       s => s"reserved word '$s' cannot be an alias")
 
+  /** `CASE WHEN pred THEN value ... [ELSE value] END` — the generic
+    * Cypher form; predicates are full WHERE expressions, values are
+    * arithmetic-level (property / literal / arith).
+    */
+  private def caseExpr: Parser[Expr] =
+    kw("case") ~> rep1(
+      (kw("when") ~> expr) ~ (kw("then") ~> arith) ^^ {
+        case p ~ v => (p, v) }) ~
+      opt(kw("else") ~> arith) <~ kw("end") ^^ {
+      case bs ~ d => CaseExpr(bs, d)
+    }
+
   /** `RETURN item [AS alias]` (AS is a graft extension): aggregates,
     * path funcs, properties, and bare variables may alias; a genuine
     * arithmetic expression or literal MUST alias (Cypher's
@@ -209,6 +221,9 @@ object GqlParser extends RegexParsers {
       (returnPathFunc | returnAgg) ~ opt(kw("as") ~> aliasIdent) ^^ {
         case i ~ None => i
         case i ~ Some(a) => ReturnAliased(i, a)
+      } |
+      caseExpr ~ (kw("as") ~> aliasIdent) ^^ {
+        case c ~ a => ReturnAliased(ReturnExpr(c), a)
       } |
       arith ~ opt(kw("as") ~> aliasIdent) ^? ({
         case (p: PropRef) ~ None => ReturnProperty(p.variable, p.prop)

@@ -216,6 +216,31 @@ object AlgoQueries {
         .orderBy("suppkey")
     }),
 
+    // +G: 6-bounded harmonic centrality over the co-order graph —
+    // one bulk BFS serves every source; full value oracle via the
+    // same recursive-CTE BFS the g7 oracle uses.
+    "g17_harmonic" -> ((s, dir) => {
+      val co = coOrder(s, dir)
+      Algorithms.harmonicCentrality(co.edges.select("src", "dst"),
+        co.vertices, maxHops = 6, undirected = true)
+        .select(col("id").as("suppkey"),
+          round(col("harmonic"), 4).as("harmonic"))
+        .orderBy("suppkey")
+    }),
+
+    // +G: 4-bounded betweenness over the co-order graph — bulk
+    // Brandes, every source in the same O(diameter) join rounds.
+    // Oracle is the closed pair-dependency form over walk-counted
+    // sigmas (no backward recursion needed in SQL).
+    "g18_betweenness" -> ((s, dir) => {
+      val co = coOrder(s, dir)
+      Algorithms.betweennessCentrality(co.edges.select("src", "dst"),
+        co.vertices, maxHops = 4, undirected = true)
+        .select(col("id").as("suppkey"),
+          round(col("betweenness"), 4).as("betweenness"))
+        .orderBy("suppkey")
+    }),
+
     // +G: Adamic-Adar link prediction on the raw order-supplier
     // incidence (suppliers sharing rarer orders score higher) — the
     // degree-damped refinement of g12's common-neighbor count, full
@@ -256,6 +281,48 @@ object AlgoQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "g17_harmonic" ->
+      s"""WITH RECURSIVE $coOrderCte,
+         bfs(source, id, hops) AS (
+           SELECT id, id, 0 FROM v
+           UNION
+           SELECT b.source, e.dst, b.hops + 1 FROM bfs b
+           JOIN e ON b.id = e.src WHERE b.hops < 6),
+         d AS (SELECT source, id, MIN(hops) AS h FROM bfs
+               GROUP BY source, id)
+         SELECT source AS suppkey, ROUND(SUM(1.0 / h), 4) AS harmonic
+         FROM d WHERE h > 0 GROUP BY source ORDER BY suppkey""",
+    // σ(s,v) = COUNT of min-hop walks (a walk whose length equals the
+    // shortest distance IS a shortest path); BC via the closed form
+    // Σ σsv·σvt/σst over interior v (sv.h + vt.h = st.h), halved for
+    // the undirected double count. The outer left join reproduces the
+    // Spark side's explicit 0.0 rows for reached-but-never-interior
+    // vertices (every vertex at level ≥ 1 of some BFS tree).
+    "g18_betweenness" ->
+      s"""WITH RECURSIVE $coOrderCte,
+         walk(source, id, hops) AS (
+           SELECT id, id, 0 FROM v
+           UNION ALL
+           SELECT w.source, e.dst, w.hops + 1 FROM walk w
+           JOIN e ON w.id = e.src WHERE w.hops < 4),
+         d AS (SELECT source, id, MIN(hops) AS h FROM walk
+               GROUP BY source, id),
+         sig AS (SELECT w.source, w.id, d.h, COUNT(*) AS sigma
+                 FROM walk w JOIN d ON w.source = d.source
+                   AND w.id = d.id AND w.hops = d.h
+                 GROUP BY w.source, w.id, d.h),
+         bc AS (SELECT sv.id AS id,
+                       SUM(sv.sigma * vt.sigma * 1.0 / st.sigma) / 2 AS b
+                FROM sig sv
+                JOIN sig vt ON vt.source = sv.id
+                JOIN sig st ON st.source = sv.source AND st.id = vt.id
+                WHERE sv.source <> sv.id AND vt.id <> vt.source
+                  AND sv.source <> vt.id AND sv.h + vt.h = st.h
+                GROUP BY sv.id),
+         tgt AS (SELECT DISTINCT id FROM d WHERE h >= 1)
+         SELECT t.id AS suppkey,
+                ROUND(COALESCE(bc.b, 0), 4) AS betweenness
+         FROM tgt t LEFT JOIN bc ON bc.id = t.id ORDER BY suppkey""",
     "g16_adamic_adar" ->
       """WITH e AS (SELECT DISTINCT l_orderkey AS h, l_suppkey AS s
                     FROM lineitem),

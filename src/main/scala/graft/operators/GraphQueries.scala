@@ -378,6 +378,17 @@ object GraphQueries {
         .orderBy("kind")
     }),
 
+    // CASE in RETURN (round 8, Cypher): branch bucketing as an
+    // implicit grouping key — the whole when-chain evaluates inside
+    // the aggregate's input projection, one pass.
+    "gql_case" -> ((s, dir) => {
+      val r = GqlExecutor.run(g(s, dir),
+        "MATCH (c:Customer) RETURN CASE WHEN c.acctbal > 5000.0 THEN " +
+          "\"high\" WHEN c.acctbal > 0.0 THEN \"mid\" ELSE \"low\" END " +
+          "AS tier, count(c) AS cnt").df
+      r.select(str(col("tier")).as("tier"), col("cnt")).orderBy("tier")
+    }),
+
     // RETURN AS + expression items (round 8, Cypher): aliased output
     // columns and a computed projection — the expression evaluates
     // inside the same codegen stage as the join output.
@@ -676,6 +687,11 @@ object GraphQueries {
                   s.s_name
            FROM c1 JOIN supplier s ON s.s_nationkey = c1.c_nationkey
          ) ORDER BY nodes_p""",
+    "gql_case" ->
+      """SELECT CASE WHEN c_acctbal > 5000.0 THEN 'high'
+                     WHEN c_acctbal > 0.0 THEN 'mid'
+                     ELSE 'low' END AS tier, COUNT(*) AS cnt
+         FROM customer GROUP BY tier ORDER BY tier""",
     "gql_return_expr" ->
       """SELECT c_name AS name, ROUND(o_totalprice * 0.9, 4) AS discounted
          FROM orders JOIN customer ON o_custkey = c_custkey

@@ -131,6 +131,51 @@ class AlgoSpec extends SparkSpec {
     assert(scc(1L) == scc(2L) && scc(3L) != scc(1L))
   }
 
+  test("betweenness: path, star, triangle hand values (Brandes)") {
+    def btw(edges: Seq[(Long, Long)], ids: Seq[Long]): Map[Long, Double] = {
+      val e = edges.toDF("src", "dst")
+      val v = ids.toDF("id")
+      val out = Algorithms.betweennessCentrality(e, v, maxHops = 6,
+        undirected = true)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      ids.map(i => i -> out.getOrElse(i, 0.0)).toMap
+    }
+    // path 1-2-3: the middle vertex carries the single (1,3) pair
+    assert(btw(Seq((1L, 2L), (2L, 3L)), Seq(1L, 2L, 3L)) ==
+      Map(1L -> 0.0, 2L -> 1.0, 3L -> 0.0))
+    // star: center carries every leaf pair = C(3,2) = 3
+    assert(btw(Seq((0L, 1L), (0L, 2L), (0L, 3L)), Seq(0L, 1L, 2L, 3L)) ==
+      Map(0L -> 3.0, 1L -> 0.0, 2L -> 0.0, 3L -> 0.0))
+    // triangle: every pair is adjacent, nobody is between
+    assert(btw(Seq((1L, 2L), (2L, 3L), (1L, 3L)), Seq(1L, 2L, 3L)) ==
+      Map(1L -> 0.0, 2L -> 0.0, 3L -> 0.0))
+    // square 1-2-3-4-1: two shortest paths between opposite corners,
+    // each midpoint carries half of one pair → 0.5 each
+    assert(btw(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)),
+      Seq(1L, 2L, 3L, 4L)) ==
+      Map(1L -> 0.5, 2L -> 0.5, 3L -> 0.5, 4L -> 0.5))
+  }
+
+  test("harmonic centrality: path graph values; hop bound truncates") {
+    // path 1-2-3 undirected: H(1)=1+1/2, H(2)=2, H(3)=1+1/2
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val v = Seq(1L, 2L, 3L).toDF("id")
+    val h2 = Algorithms.harmonicCentrality(e, v, maxHops = 2,
+      undirected = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(h2 == Map(1L -> 1.5, 2L -> 2.0, 3L -> 1.5))
+    // bound 1 truncates the 2-hop term
+    val h1 = Algorithms.harmonicCentrality(e, v, maxHops = 1,
+      undirected = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(h1 == Map(1L -> 1.0, 2L -> 2.0, 3L -> 1.0))
+    // an isolated vertex yields no row (empty sum)
+    val vIso = Seq(1L, 2L, 3L, 9L).toDF("id")
+    val hIso = Algorithms.harmonicCentrality(e, vIso, maxHops = 2,
+      undirected = true)
+    assert(!hIso.collect().map(_.getLong(0)).contains(9L))
+  }
+
   test("adamic-adar: hand-computed weights; deg-1 and crowd hubs drop") {
     // h1:{a,b} (deg 2), h2:{a,b,c} (deg 3), h3:{a} (deg 1 → no pairs)
     val inc = Seq(("a", "h1"), ("b", "h1"), ("a", "h2"), ("b", "h2"),

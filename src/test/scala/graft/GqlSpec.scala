@@ -745,6 +745,43 @@ class GqlSpec extends SparkSpec {
     assert(c.columns.toSeq == Seq("src", "targets"))
   }
 
+  test("CASE in RETURN: branch order, ELSE default, variant output, keys") {
+    val r = GqlExecutor.run(fixture,
+      "MATCH (v:Person) RETURN v.name AS n, CASE WHEN v.age > 30 THEN " +
+        "\"senior\" WHEN v.age > 26 THEN \"mid\" ELSE \"junior\" END AS band").df
+    val got = r.select(PropValue.asString(col("n")),
+      PropValue.asString(col("band")))
+      .collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(got == Map("Alice" -> "mid", "Bob" -> "junior",
+      "Charlie" -> "senior", "Diana" -> "mid"))
+    // missing ELSE yields NULL; CASE works as a grouping key
+    val k = GqlExecutor.run(fixture,
+      "MATCH (v:Person) RETURN CASE WHEN v.department = \"Engineering\" " +
+        "THEN \"eng\" END AS kind, count(v) AS n").df
+    val gotK = k.select(PropValue.asString(col("kind")), col("n"))
+      .collect().map(x => (if (x.isNullAt(0)) "-" else x.getString(0)) ->
+        x.getLong(1)).toMap
+    assert(gotK == Map("eng" -> 2L, "-" -> 2L))
+    // THEN can be arithmetic over props; kinds may mix (variant)
+    val m = GqlExecutor.run(fixture,
+      "MATCH (v:Person) WHERE v.age < 29 RETURN v.name AS n, " +
+        "CASE WHEN v.age % 2 = 0 THEN v.age / 2 ELSE \"odd\" END AS h").df
+    val gotM = m.select(PropValue.asString(col("n")),
+      PropValue.asDouble(col("h")), PropValue.asString(col("h")))
+      .collect().map(x => x.getString(0) ->
+        (if (x.isNullAt(1)) x.getString(2) else x.getDouble(1).toString)).toMap
+    assert(gotM == Map("Bob" -> "odd", "Diana" -> "14.0"))
+    // CASE without AS is a parse error; alias refs in preds reject
+    assert(GqlParser.parse(
+      "MATCH (v) RETURN CASE WHEN v.age > 1 THEN 1 END").isLeft)
+    val e = intercept[IllegalArgumentException] {
+      GqlExecutor.run(fixture,
+        "MATCH (a:Person)-[]->(b) WITH a, count(b) AS c " +
+          "MATCH (a)-[]->(x) RETURN CASE WHEN c > 1 THEN 1 ELSE 0 END AS y")
+    }
+    assert(e.getMessage.contains("CASE predicate"))
+  }
+
   test("SET / REMOVE: literals, self-arith, sequential order, null-removes") {
     // literal set + arithmetic raise, only on the matched rows
     val s1 = GqlExecutor.run(fixture,

@@ -207,6 +207,63 @@ class PropertySpec extends SparkSpec {
     assert(full == tarjanScc(1L to 10L, chain))
   }
 
+  test("property: betweenness equals reference Brandes on random graphs") {
+    // textbook Brandes (2001): BFS forward pass accumulating sigma +
+    // stack-ordered backward dependency accumulation, halved for the
+    // undirected double count
+    def refBrandes(vs: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Double] = {
+      val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+        .withDefaultValue(Nil)
+      edges.foreach { case (a, b) => adj(a) ::= b; adj(b) ::= a }
+      val bc = scala.collection.mutable.Map(vs.map(_ -> 0.0): _*)
+      for (s <- vs) {
+        val stack = scala.collection.mutable.Stack.empty[Long]
+        val pred = scala.collection.mutable.Map.empty[Long, List[Long]]
+          .withDefaultValue(Nil)
+        val sigma = scala.collection.mutable.Map.empty[Long, Double]
+          .withDefaultValue(0.0)
+        val dist = scala.collection.mutable.Map.empty[Long, Int]
+        sigma(s) = 1.0; dist(s) = 0
+        val q = scala.collection.mutable.Queue(s)
+        while (q.nonEmpty) {
+          val v = q.dequeue(); stack.push(v)
+          for (w <- adj(v)) {
+            if (!dist.contains(w)) { dist(w) = dist(v) + 1; q.enqueue(w) }
+            if (dist(w) == dist(v) + 1) { sigma(w) += sigma(v); pred(w) ::= v }
+          }
+        }
+        val delta = scala.collection.mutable.Map.empty[Long, Double]
+          .withDefaultValue(0.0)
+        while (stack.nonEmpty) {
+          val w = stack.pop()
+          for (v <- pred(w)) delta(v) += sigma(v) / sigma(w) * (1 + delta(w))
+          if (w != s) bc(w) += delta(w)
+        }
+      }
+      bc.map { case (k, x) => k -> x / 2 }.toMap
+    }
+    for (seed <- Seq(42L, 43L, 44L)) {
+      val vN = 18
+      // canonical a<b pairs so the undirected adjacency has no
+      // parallel duplicates (sigma counts PATHS, not edge copies)
+      val es = Gen.listOfN(40,
+          Gen.zip(Gen.choose(1L, vN.toLong), Gen.choose(1L, vN.toLong)))
+        .pureApply(Gen.Parameters.default, Seed(seed))
+        .collect { case (a, b) if a != b =>
+          (math.min(a, b), math.max(a, b)) }.distinct
+      val vs = (1L to vN.toLong)
+      val expect = refBrandes(vs, es)
+      val got = graft.algorithms.Algorithms.betweennessCentrality(
+          es.toDF("src", "dst"), vs.toDF("id"), maxHops = 20,
+          undirected = true)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      vs.foreach { v =>
+        assert(math.abs(got.getOrElse(v, 0.0) - expect(v)) < 1e-9,
+          s"seed=$seed v=$v got=${got.getOrElse(v, 0.0)} want=${expect(v)}")
+      }
+    }
+  }
+
   test("property: weighted sssp equals a reference Dijkstra on random graphs") {
     // random weighted directed graph; the Pregel relaxation loop must
     // agree with a textbook driver-side Dijkstra on every distance
