@@ -412,11 +412,14 @@ object Bench {
       s""""sf":"$sfDir"}"""
     println(s"BENCH_DETAIL $detail")
     // The committed record is the FULL-suite sf0.1 run only: a
-    // SPARK_GRAFT_ONLY-filtered run must never overwrite it (the
-    // round's env_flagged triage compares against this file), for the
-    // same reason sf0.001 smoke runs already write to the side path.
+    // SPARK_GRAFT_ONLY-filtered run OR a non-sf0.1 smoke run must
+    // never overwrite it (the round's env_flagged triage compares
+    // against this file — an sf0.001 smoke total replacing the sf0.1
+    // record would flag every query of the next real run).
     val defaultOut =
-      if (only.isDefined) "BENCH_LOCAL_partial.json" else "BENCH_LOCAL.json"
+      if (only.isDefined || !sfDir.stripSuffix("/").endsWith("sf0.1"))
+        "BENCH_LOCAL_partial.json"
+      else "BENCH_LOCAL.json"
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (detail + "\n").getBytes("UTF-8"))

@@ -534,6 +534,40 @@ object Algorithms {
   def triangleCount(canonicalEdges: DataFrame): DataFrame =
     triangles(canonicalEdges).agg(count(lit(1)).as("triangles"))
 
+  /** G19 (graft extension): local clustering coefficient —
+    * lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), the fraction of a
+    * vertex's neighbor pairs that are themselves adjacent (Watts &
+    * Strogatz 1998). Input contract matches [[triangles]]: canonical
+    * (src<dst) distinct undirected edges.
+    *
+    * One [[triangles]] enumeration serves EVERY vertex: each triangle
+    * row fans into its three members and a map-side-combined count
+    * per id — no per-vertex neighborhood intersection. The edge set
+    * is transiently persisted because it is scanned five times
+    * (3 triangle legs + 2 degree legs); degree-1 vertices short to
+    * 0.0 (the 0/0 guard), vertices in no triangle COALESCE to 0.
+    * Scale posture: cost is the triangle join's Σ deg² fanout on the
+    * mid key — identical to g10, which the bench already carries;
+    * the canonical orientation halves candidate pairs up front.
+    */
+  def localClusteringCoefficient(canonicalEdges: DataFrame): DataFrame = {
+    val e = graft.TransientCache.persist(
+      canonicalEdges.select(col("src"), col("dst")))
+    val deg = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val tri = triangles(e)
+    val triPerVertex = tri.select(col("a").as("id"))
+      .unionAll(tri.select(col("b").as("id")))
+      .unionAll(tri.select(col("c").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("t"))
+    deg.join(triPerVertex, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        when(col("degree") < 2, lit(0.0))
+          .otherwise(coalesce(col("t"), lit(0L)) * lit(2.0) /
+            (col("degree") * (col("degree") - lit(1)))).as("lcc"))
+  }
+
   /** G11: strongly connected components — exact, DataFrame-native
     * forward-backward coloring (Slota/Madduri-style FB-trim without
     * the trim step; GraphX's `stronglyConnectedComponents` rebuilds

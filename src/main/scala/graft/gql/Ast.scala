@@ -83,6 +83,18 @@ object Ast {
     * zero is NULL (not an ANSI failure), same filtered outcome.
     */
   case class Arith(left: Expr, op: String, right: Expr) extends Expr
+  /** Scalar string function call (graft extension, Cypher):
+    * `toLower/toUpper/trim/replace/substring` yield STRINGS (usable
+    * wherever a string operand is — comparisons, CONTAINS/STARTS/
+    * ENDS WITH sides, RETURN under AS, nested in each other);
+    * `size` yields an INT (usable in arithmetic and numeric
+    * comparisons). A non-string input views as NULL, the same
+    * cross-kind 3VL every other string operator here applies.
+    * `substring` is 0-indexed with an optional length (Cypher), int
+    * literals only; `replace` is literal (non-regex) replacement.
+    */
+  case class StrFunc(name: String, args: Seq[Expr]) extends Expr
+
   /** Generic CASE (graft extension, Cypher): `CASE WHEN pred THEN
     * value ... [ELSE value] END`, usable as a RETURN expression
     * (under AS, including as an implicit grouping key). Predicates

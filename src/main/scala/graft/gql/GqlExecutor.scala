@@ -592,6 +592,9 @@ object GqlExecutor {
       case Like(l, _) => walk(l)
       case Arith(l, _, r) => walk(l); walk(r)
       case IsNull(i, _) => walk(i)
+      case StrFunc(_, args) => args.foreach(walk)
+      case CaseExpr(bs, d) =>
+        bs.foreach { case (p, v) => walk(p); walk(v) }; d.foreach(walk)
       case Literal(_) => ()
       // pattern-predicate variables are validated inside
       // patternPredJoin (shared-variable requirement)
@@ -885,6 +888,7 @@ object GqlExecutor {
       else rawColCompare(aliasCol(n), lit(litToValue(v)), op)
     def strView(x: Expr): Column = x match {
       case VarRef(n) if isVariant(n) => PropValue.asString(aliasCol(n))
+      case f: StrFunc => strFuncStrCol(f, strView)
       case other => containsStrView(other)
     }
     // numeric view for arithmetic: non-numeric operands view as NULL
@@ -901,6 +905,7 @@ object GqlExecutor {
       case Literal(_) =>
         lit(null).cast(org.apache.spark.sql.types.DoubleType)
       case Arith(l, op, r) => arithCombine(op, numView(l), numView(r))
+      case f: StrFunc => strFuncNumCol(f, strView)
       case other => throw new IllegalArgumentException(
         s"cannot use $other in arithmetic")
     }
@@ -943,6 +948,15 @@ object GqlExecutor {
     case Comparison(l, op, r)
         if l.isInstanceOf[Arith] || r.isInstanceOf[Arith] =>
       rawColCompare(numView(l), numView(r), op)
+    // a string-function side picks the comparison's view by its
+    // RESULT kind: size() compares numerically, the string functions
+    // compare as strings — the other side follows (cross-kind → NULL
+    // → filtered, as everywhere)
+    case Comparison(l, op, r) if Seq(l, r).exists {
+        case StrFunc("size", _) => true; case _ => false } =>
+      rawColCompare(numView(l), numView(r), op)
+    case Comparison(l, op, r) if Seq(l, r).exists(_.isInstanceOf[StrFunc]) =>
+      rawColCompare(strView(l), strView(r), op)
     case a: Arith =>
       throw new IllegalArgumentException(
         s"bare arithmetic is not a predicate; compare it (e.g. ... > 0)")
@@ -1022,12 +1036,50 @@ object GqlExecutor {
   private def containsStrView(e: Expr): Column = e match {
     case PropRef(v, p) => PropValue.asString(col(vcol(v, "props"))(p))
     case Literal(GqlString(s)) => lit(s)
+    case f: StrFunc => strFuncStrCol(f, containsStrView)
     // a plain (aggregate) alias casts to its string rendering; the
     // VARIANT (property) alias path is strView in whereColIn, which
     // owns the variantAliases context
     case VarRef(n) => aliasCol(n).cast(org.apache.spark.sql.types.StringType)
     case _ => lit(null).cast(org.apache.spark.sql.types.StringType)
   }
+
+  /** String-function call on the STRING view its caller supplies
+    * (the view owns variant-alias context, so nesting under WHERE vs
+    * RETURN resolves aliases correctly). `size` is numeric and has no
+    * string view — it surfaces NULL here, matching every other
+    * cross-kind operand. substring is 0-indexed (Cypher) on 1-indexed
+    * Spark `substr`; the parser pinned start/len to int literals.
+    */
+  private def strFuncStrCol(f: StrFunc, view: Expr => Column): Column =
+    f.name match {
+      case "tolower" => lower(view(f.args.head))
+      case "toupper" => upper(view(f.args.head))
+      case "trim" => trim(view(f.args.head))
+      case "replace" =>
+        replace(view(f.args.head), view(f.args(1)), view(f.args(2)))
+      case "substring" =>
+        val s = view(f.args.head)
+        val start = f.args(1) match { case Literal(GqlInt(i)) => i.toInt
+          case other => throw new IllegalArgumentException(
+            s"substring start must be an int literal: $other") }
+        f.args.lift(2) match {
+          case Some(Literal(GqlInt(len))) =>
+            s.substr(lit(start + 1), lit(len.toInt))
+          case _ => s.substr(lit(start + 1), length(s))
+        }
+      case "size" =>
+        lit(null).cast(org.apache.spark.sql.types.StringType)
+    }
+
+  /** Numeric view of `size(x)` over a caller-supplied string view;
+    * string-RETURNING functions have no numeric view (NULL → the
+    * enclosing comparison filters, the cross-kind posture).
+    */
+  private def strFuncNumCol(f: StrFunc, view: Expr => Column): Column =
+    if (f.name == "size")
+      length(view(f.args.head)).cast(org.apache.spark.sql.types.DoubleType)
+    else lit(null).cast(org.apache.spark.sql.types.DoubleType)
 
   /** Plain Spark comparison for materialized alias columns. */
   private def rawColCompare(x: Column, y: Column, op: String): Column =
@@ -1119,6 +1171,7 @@ object GqlExecutor {
       case Like(l, _) => validatePred(l)
       case Arith(l, _, r) => validatePred(l); validatePred(r)
       case IsNull(i, _) => validatePred(i)
+      case StrFunc(_, args) => args.foreach(validatePred)
       case PropRef(_, _) | Literal(_) => ()
     }
     def variantOf(e: Expr): Column = e match {
@@ -1176,6 +1229,13 @@ object GqlExecutor {
       case Literal(v) => lit(litToValue(v))
       case a: Arith => arithNumCol(a)
       case c: CaseExpr => caseCol(c)
+      // string funcs project as plain columns (string, or long for
+      // size) — alias-free nesting over props/literals only, same
+      // contract as RETURN arithmetic
+      case f @ StrFunc("size", _) =>
+        length(containsStrView(f.args.head)).cast(
+          org.apache.spark.sql.types.LongType)
+      case f: StrFunc => strFuncStrCol(f, containsStrView)
       case other => throw new IllegalArgumentException(
         s"cannot RETURN $other")
     }

@@ -105,8 +105,33 @@ object GqlParser extends RegexParsers {
     ident ^? ({ case s if !reserved(s.toLowerCase) => VarRef(s) },
       s => s"reserved word '$s' cannot be a value reference")
 
+  /** String-function call. Names are NOT reserved (Cypher lets them
+    * be identifiers); the parser commits only on `name(` and
+    * otherwise backtracks into propRef/bareRef. Arity is validated
+    * here so a wrong call fails the parse with the remedy, not an
+    * executor throw mid-plan.
+    */
+  private def strFunc: Parser[Expr] =
+    (kw("toLower") | kw("toUpper") | kw("trim") | kw("substring") |
+      kw("replace") | kw("size")) ~ ("(" ~> rep1sep(operand, ",") <~ ")") ^? ({
+      case f ~ args if strFuncArity(f.toLowerCase, args) =>
+        StrFunc(f.toLowerCase, args)
+    }, { case f ~ args =>
+      s"${f.toLowerCase} does not take ${args.length} argument(s) — " +
+        "toLower/toUpper/trim/size take 1, replace takes 3, " +
+        "substring takes a string plus 1-2 int literals"
+    })
+
+  private def strFuncArity(f: String, args: Seq[Expr]): Boolean = f match {
+    case "tolower" | "toupper" | "trim" | "size" => args.length == 1
+    case "replace" => args.length == 3
+    case "substring" =>
+      (args.length == 2 || args.length == 3) &&
+        args.tail.forall { case Literal(GqlInt(_)) => true; case _ => false }
+  }
+
   private def operand: Parser[Expr] =
-    propRef | value ^^ Literal.apply | bareRef
+    strFunc | propRef | value ^^ Literal.apply | bareRef
 
   private def cmpOp: Parser[String] = ">=" | "<=" | "!=" | "=" | ">" | "<"
 
@@ -232,9 +257,11 @@ object GqlParser extends RegexParsers {
         case VarRef(v) ~ None => ReturnVariable(v)
         case VarRef(v) ~ Some(a) => ReturnAliased(ReturnVariable(v), a)
         case (x: Arith) ~ Some(a) => ReturnAliased(ReturnExpr(x), a)
+        case (f: StrFunc) ~ Some(a) => ReturnAliased(ReturnExpr(f), a)
         case Literal(v) ~ Some(a) => ReturnAliased(ReturnExpr(Literal(v)), a)
       }, {
         case (_: Arith) ~ None => "expressions in RETURN require AS <alias>"
+        case (_: StrFunc) ~ None => "expressions in RETURN require AS <alias>"
         case Literal(_) ~ None => "literals in RETURN require AS <alias>"
         case other ~ _ => s"cannot RETURN $other"
       }) |

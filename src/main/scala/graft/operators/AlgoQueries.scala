@@ -192,6 +192,17 @@ object AlgoQueries {
       Algorithms.triangleCount(co.edges.select("src", "dst"))
     }),
 
+    // +G: local clustering coefficient — one triangle enumeration
+    // serves every vertex; full value oracle recomputes tri(v)/deg(v)
+    // from the same canonical edge set.
+    "g19_clustering" -> ((s, dir) => {
+      val co = coOrder(s, dir)
+      Algorithms.localClusteringCoefficient(co.edges.select("src", "dst"))
+        .select(col("id").as("suppkey"), col("degree"),
+          round(col("lcc"), 4).as("lcc"))
+        .orderBy("suppkey")
+    }),
+
     // G11: SCC — on the doubled undirected edge set SCC == CC, which
     // the oracle cross-checks (each undirected edge is a 2-cycle).
     "g11_scc" -> ((s, dir) => {
@@ -397,6 +408,20 @@ object AlgoQueries {
            UNION SELECT n_regionkey + 1000000000 FROM nation
                  WHERE n_nationkey IN (SELECT k FROM nk)
          ) ORDER BY id""",
+    "g19_clustering" ->
+      s"""WITH $coOrderCte,
+         tri AS (SELECT t1.a AS x, t1.b AS y, t2.b AS z
+                 FROM ce t1 JOIN ce t2 ON t1.b = t2.a
+                 JOIN ce t3 ON t3.a = t1.a AND t3.b = t2.b),
+         tpv AS (SELECT id, COUNT(*) AS t FROM (
+                   SELECT x AS id FROM tri UNION ALL
+                   SELECT y FROM tri UNION ALL
+                   SELECT z FROM tri) GROUP BY id)
+         SELECT d.src AS suppkey, d.d AS degree,
+                ROUND(CASE WHEN d.d < 2 THEN 0
+                      ELSE COALESCE(t.t, 0) * 2.0 / (d.d * (d.d - 1))
+                      END, 4) AS lcc
+         FROM deg d LEFT JOIN tpv t ON t.id = d.src ORDER BY suppkey""",
     "g10_triangle_count" ->
       s"""WITH $coOrderCte
          SELECT COUNT(*) AS triangles

@@ -389,6 +389,18 @@ object GraphQueries {
       r.select(str(col("tier")).as("tier"), col("cnt")).orderBy("tier")
     }),
 
+    // String functions (round 8, Cypher): toLower/substring as an
+    // implicit grouping key, size+replace in WHERE — the whole call
+    // tree evaluates inside the scan's codegen stage, no UDF.
+    "gql_strfuncs" -> ((s, dir) => {
+      val r = GqlExecutor.run(g(s, dir),
+        "MATCH (c:Customer) WHERE size(replace(c.name, \"Customer#\", " +
+          "\"\")) = 9 AND toUpper(c.mktsegment) != \"MACHINERY\" " +
+          "RETURN substring(toLower(c.mktsegment), 0, 4) AS pre, " +
+          "count(c) AS cnt").df
+      r.orderBy("pre")
+    }),
+
     // RETURN AS + expression items (round 8, Cypher): aliased output
     // columns and a computed projection — the expression evaluates
     // inside the same codegen stage as the join output.
@@ -692,6 +704,13 @@ object GraphQueries {
                      WHEN c_acctbal > 0.0 THEN 'mid'
                      ELSE 'low' END AS tier, COUNT(*) AS cnt
          FROM customer GROUP BY tier ORDER BY tier""",
+    "gql_strfuncs" ->
+      """SELECT substring(lower(c_mktsegment), 1, 4) AS pre,
+                COUNT(*) AS cnt
+         FROM customer
+         WHERE length(replace(c_name, 'Customer#', '')) = 9
+           AND upper(c_mktsegment) <> 'MACHINERY'
+         GROUP BY pre ORDER BY pre""",
     "gql_return_expr" ->
       """SELECT c_name AS name, ROUND(o_totalprice * 0.9, 4) AS discounted
          FROM orders JOIN customer ON o_custkey = c_custkey

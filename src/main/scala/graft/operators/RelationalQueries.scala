@@ -194,6 +194,42 @@ object RelationalQueries {
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     }),
 
+    // +A: exact percentiles (round 8) — Spark's `percentile` is the
+    // exact sort-based aggregate with the same linear interpolation
+    // at rank p·(n−1) as DuckDB's quantile_cont; at cluster scale the
+    // approximate sketch form (approx_percentile / t-digest) replaces
+    // it per column when the per-group sort no longer fits, same
+    // trade the reference's probe stage makes.
+    "a10_percentiles" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+        .orderBy("l_returnflag")
+    }),
+
+    // +A: PIVOT (round 8) — groupBy().pivot() with an EXPLICIT value
+    // list: Spark otherwise runs a distinct-collect job to discover
+    // columns (a full extra pass at 100 TB) and the output schema
+    // becomes data-dependent. Explicit values keep it one aggregate
+    // pass, map-side combined, schema fixed at plan time.
+    "a11_pivot" -> ((s, dir) => {
+      // pivot columns renamed to identifier-safe names: the raw
+      // values ("1-URGENT", "4-NOT SPECIFIED") contain dash/space,
+      // which downstream SQL-side consumers would have to quote
+      Tables.orders(s, dir)
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+          "4-NOT SPECIFIED", "5-LOW"))
+        .agg(round(sum("o_totalprice"), 2))
+        .withColumnsRenamed(Map("1-URGENT" -> "p_urgent",
+          "2-HIGH" -> "p_high", "3-MEDIUM" -> "p_medium",
+          "4-NOT SPECIFIED" -> "p_notspec", "5-LOW" -> "p_low"))
+        .orderBy("o_orderstatus")
+    }),
+
     // F6: JSON rendering of structured values (both engines emit the
     // same compact format for int/string fields).
     "f6_json" -> ((s, dir) => {
@@ -317,6 +353,25 @@ object RelationalQueries {
                 ROUND(SUM(l_quantity), 4) AS sum_qty
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "a10_percentiles" ->
+      """SELECT l_returnflag,
+                ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+                ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "a11_pivot" ->
+      """SELECT o_orderstatus,
+                ROUND(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN o_totalprice END), 2) AS p_urgent,
+                ROUND(SUM(CASE WHEN o_orderpriority = '2-HIGH'
+                          THEN o_totalprice END), 2) AS p_high,
+                ROUND(SUM(CASE WHEN o_orderpriority = '3-MEDIUM'
+                          THEN o_totalprice END), 2) AS p_medium,
+                ROUND(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+                          THEN o_totalprice END), 2) AS p_notspec,
+                ROUND(SUM(CASE WHEN o_orderpriority = '5-LOW'
+                          THEN o_totalprice END), 2) AS p_low
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "f6_json" ->
       """SELECT c_custkey,
                 to_json(struct_pack(c_custkey := c_custkey, c_name := c_name)) AS j

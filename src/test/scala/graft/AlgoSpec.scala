@@ -176,6 +176,24 @@ class AlgoSpec extends SparkSpec {
     assert(!hIso.collect().map(_.getLong(0)).contains(9L))
   }
 
+  test("clustering coefficient: triangle, path, star-plus-edge values") {
+    def lcc(edges: Seq[(Long, Long)]): Map[Long, (Long, Double)] =
+      Algorithms.localClusteringCoefficient(edges.toDF("src", "dst"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // triangle: every neighbor pair adjacent → 1.0 everywhere
+    assert(lcc(Seq((1L, 2L), (2L, 3L), (1L, 3L))) ==
+      Map(1L -> ((2L, 1.0)), 2L -> ((2L, 1.0)), 3L -> ((2L, 1.0))))
+    // path: no triangles; endpoints deg-1 short to 0.0
+    assert(lcc(Seq((1L, 2L), (2L, 3L))) ==
+      Map(1L -> ((1L, 0.0)), 2L -> ((2L, 0.0)), 3L -> ((1L, 0.0))))
+    // star 0-{1,2,3} plus edge 1-2: center has 1 of 3 pairs closed
+    val s = lcc(Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L)))
+    assert(s(0L)._1 == 3L && math.abs(s(0L)._2 - 1.0 / 3) < 1e-12)
+    assert(s(1L) == ((2L, 1.0)) && s(2L) == ((2L, 1.0)) &&
+      s(3L) == ((1L, 0.0)))
+  }
+
   test("adamic-adar: hand-computed weights; deg-1 and crowd hubs drop") {
     // h1:{a,b} (deg 2), h2:{a,b,c} (deg 3), h3:{a} (deg 1 → no pairs)
     val inc = Seq(("a", "h1"), ("b", "h1"), ("a", "h2"), ("b", "h2"),

@@ -782,6 +782,41 @@ class GqlSpec extends SparkSpec {
     assert(e.getMessage.contains("CASE predicate"))
   }
 
+  test("string functions: views, nesting, size arithmetic, 3VL, arity") {
+    // RETURN projection: toUpper, nested substring (0-indexed), size
+    val r = GqlExecutor.run(fixture,
+      "MATCH (v:Person) WHERE toLower(v.department) = \"engineering\" " +
+        "RETURN toUpper(substring(v.name, 0, 3)) AS pre, size(v.name) AS n").df
+    val got = r.collect().map(x => x.getString(0) -> x.getLong(1)).toSet
+    assert(got == Set("ALI" -> 5L, "DIA" -> 5L))
+    // size participates in WHERE arithmetic; replace + trim compose
+    val w = GqlExecutor.run(fixture,
+      "MATCH (v:Person) WHERE size(v.name) * 2 > 10 AND " +
+        "replace(trim(v.name), \"lie\", \"\") = \"Char\" RETURN v.name").df
+    assert(names(w, "v_name") == Set("Charlie"))
+    // substring without length runs to end; ENDS WITH takes a func side
+    val e = GqlExecutor.run(fixture,
+      "MATCH (v:Person) WHERE substring(v.name, 1) ENDS WITH \"ana\" " +
+        "RETURN v.name").df
+    assert(names(e, "v_name") == Set("Diana"))
+    // cross-kind: string func over an int prop views NULL → filtered
+    val x = GqlExecutor.run(fixture,
+      "MATCH (v:Person) WHERE toLower(v.age) = \"25\" RETURN v.name").df
+    assert(x.count() == 0L)
+    // string funcs group implicitly beside aggregates
+    val g = GqlExecutor.run(fixture,
+      "MATCH (v:Person) RETURN size(v.name) AS n, count(v) AS cnt").df
+    val gotG = g.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(gotG == Map(5L -> 2L, 3L -> 1L, 7L -> 1L))
+    // arity and literal-index validation happen at parse time
+    assert(GqlParser.parse("MATCH (v) WHERE substring(v.name) = \"x\" " +
+      "RETURN v.name").isLeft)
+    assert(GqlParser.parse("MATCH (v) WHERE substring(v.name, v.age) = " +
+      "\"x\" RETURN v.name").isLeft)
+    assert(GqlParser.parse(
+      "MATCH (v) RETURN toUpper(v.name)").isLeft) // AS required
+  }
+
   test("SET / REMOVE: literals, self-arith, sequential order, null-removes") {
     // literal set + arithmetic raise, only on the matched rows
     val s1 = GqlExecutor.run(fixture,

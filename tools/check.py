@@ -44,7 +44,8 @@ def main(sf_dir, out_dir):
         got_rel = con.sql(f"SELECT * FROM read_parquet('{d}/*.parquet')")
         got_cols = sorted(got_rel.columns)
         got = norm(con.sql(
-            f"SELECT {', '.join(got_cols)} FROM got_rel").fetchall())
+            "SELECT " + ", ".join(f'"{c}"' for c in got_cols)
+            + " FROM got_rel").fetchall())
         if name not in oracles:
             results[name] = f"ROWS_ONLY rows={len(got)}" + (" OK" if len(got) > 0 else " EMPTY!")
             continue
@@ -52,7 +53,8 @@ def main(sf_dir, out_dir):
             exp_rel = con.sql(oracles[name])
             exp_cols = sorted(exp_rel.columns)
             exp = norm(con.sql(
-                f"SELECT {', '.join(exp_cols)} FROM exp_rel").fetchall())
+                "SELECT " + ", ".join(f'"{c}"' for c in exp_cols)
+                + " FROM exp_rel").fetchall())
         except Exception as e:
             results[name] = f"ORACLE_ERROR {e}"
             continue
