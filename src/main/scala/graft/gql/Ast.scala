@@ -254,6 +254,18 @@ object Ast {
         */
       leadingUnwinds: Seq[UnwindItem] = Nil) extends Statement
   case class CreateStatement(pattern: GraphPattern) extends Statement
+  /** `MERGE (n:Label {props}) [ON CREATE SET ...] [ON MATCH SET ...]`
+    * (graft extension, Cypher): match-or-create for a SINGLE node
+    * pattern. If any vertex matches label+props, ON MATCH SET applies
+    * to every match (Cypher binds all rows); otherwise the node is
+    * created and ON CREATE SET applies to it alone. Multi-node /
+    * edge MERGE rejects with the remedy (its partial-match semantics
+    * — create the whole pattern when ANY part is unmatched — is a
+    * well-known Cypher footgun; compose MATCH + CREATE explicitly).
+    * SET items reuse SetItem validation (own-property reads only).
+    */
+  case class MergeStatement(node: NodePattern,
+      onCreate: Seq[SetItem], onMatch: Seq[SetItem]) extends Statement
   /** One `SET v.prop = value` assignment (graft extension, Cypher
     * semantics): value is a literal, a property of the SAME variable
     * (`SET v.x = v.y` — variant copy, kind preserved), or arithmetic

@@ -58,6 +58,9 @@ object GqlExecutor {
     case s: SetStatement =>
       val s2 = executeSet(store, s)
       GqlResult(s2.vertices.limit(0), s2)
+    case m: MergeStatement =>
+      val s2 = executeMerge(store, m)
+      GqlResult(s2.vertices.limit(0), s2)
   }
 
   // ---- MATCH ------------------------------------------------------
@@ -1385,6 +1388,41 @@ object GqlExecutor {
     * `related` (executor.rs:547-562). Node label is stored both as
     * the `label` column and the `type` prop (executor.rs:534-537).
     */
+  /** MERGE (Cypher match-or-create, single node): the existence
+    * probe is ONE limit(1) count on the label+props filter — the
+    * same pushed predicate a MATCH runs, stopping at the first hit.
+    * ON MATCH / ON CREATE delegate to [[executeSet]] with the merge
+    * pattern itself, so set semantics (change-feed logging, REPLACE
+    * folds, own-property reads only) are identical to MATCH-SET; on
+    * the create path only the just-created node can match (nothing
+    * matched a moment earlier, and creation is driver-sequential),
+    * so the delegation cannot over-apply.
+    */
+  def executeMerge(store: GraphStore, m: MergeStatement): GraphStore = {
+    val sets = m.onCreate ++ m.onMatch
+    val node = if (m.node.variable.isDefined) m.node
+      else m.node.copy(variable = Some("__merge"))
+    val v = node.variable.get
+    sets.foreach(si => require(si.variable == v,
+      s"ON CREATE/MATCH SET references '${si.variable}' — only the " +
+        s"merge variable '$v' is in scope"))
+    val pat = GraphPattern(Seq(node), Nil)
+    def applySets(st: GraphStore, items: Seq[SetItem]): GraphStore =
+      if (items.isEmpty) st
+      else executeSet(st, SetStatement(pat, None, items.map(Left(_))))
+    val exists = store.vertices.filter(nodeFilter(node)).limit(1).count() > 0
+    // truncate whenever this merge mutated: merges chain (bulk
+    // upsert loops), and each uncut layer re-executes under the next
+    // merge's probe
+    if (exists) {
+      if (m.onMatch.isEmpty) store
+      else applySets(store, m.onMatch).truncated()
+    } else {
+      applySets(executeCreate(store, CreateStatement(pat)), m.onCreate)
+        .truncated()
+    }
+  }
+
   def executeCreate(store: GraphStore, c: CreateStatement): GraphStore = {
     val spark = store.spark
     val maxId = store.maxVertexId()

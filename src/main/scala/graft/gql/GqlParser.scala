@@ -394,11 +394,39 @@ object GqlParser extends RegexParsers {
   private def createStmt: Parser[Statement] =
     kw("create") ~> pattern ^^ CreateStatement.apply
 
+  /** `MERGE (n...) [ON CREATE SET items] [ON MATCH SET items]` —
+    * clause order free, each at most once (Cypher). Single-node
+    * patterns only; an edge in the pattern fails the parse with the
+    * compose-explicitly remedy.
+    */
+  private def mergeStmt: Parser[Statement] = {
+    val onClause: Parser[(String, Seq[SetItem])] =
+      kw("on") ~> (kw("create") | kw("match")) ~
+        (kw("set") ~> rep1sep(setItem, ",")) ^^ {
+        case k ~ items => (k.toLowerCase, items)
+      }
+    kw("merge") ~> pattern ~ rep(onClause) ^? ({
+      case p ~ cs if p.edges.isEmpty && p.nodes.size == 1 &&
+          cs.map(_._1).distinct.size == cs.size =>
+        val m = cs.toMap
+        MergeStatement(p.nodes.head,
+          m.getOrElse("create", Nil), m.getOrElse("match", Nil))
+    }, {
+      case p ~ cs if p.edges.nonEmpty || p.nodes.size != 1 =>
+        "MERGE supports a single node pattern — merge edges by " +
+          "composing MATCH + CREATE explicitly (Cypher's partial-" +
+          "match pattern MERGE creates the WHOLE pattern when any " +
+          "part is unmatched, a semantics footgun)"
+      case _ ~ cs =>
+        "duplicate ON CREATE / ON MATCH clause"
+    })
+  }
+
   private def deleteStmt: Parser[Statement] =
     kw("delete") ~> ident ^^ (v => DeleteStatement(None, None, v))
 
   private def statement: Parser[Statement] =
-    matchOrDelete | setStmt | createStmt | deleteStmt
+    matchOrDelete | setStmt | mergeStmt | createStmt | deleteStmt
 
   def parse(input: String): Either[String, Statement] =
     parseAll(statement, input) match {

@@ -252,6 +252,30 @@ object AlgoQueries {
         .orderBy("suppkey")
     }),
 
+    // +G: Jaccard neighborhood similarity over the co-order graph —
+    // inclusion-exclusion denominator, one self-join, absent pairs
+    // mean empty intersection. Full value oracle.
+    "g20_jaccard" -> ((s, dir) => {
+      val co = coOrder(s, dir)
+      Algorithms.jaccardSimilarity(co.edges.select("src", "dst"))
+        .select(col("v1").as("suppkey1"), col("v2").as("suppkey2"),
+          col("common"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("suppkey1", "suppkey2")
+    }),
+
+    // +G: personalized PageRank seeded at suppliers {1, 2} — the
+    // proximity ranking form; oracle unrolls the identical seeded
+    // recurrence 10 iterations, like g1's.
+    "g21_ppr" -> ((s, dir) => {
+      val co = coOrder(s, dir)
+      Algorithms.personalizedPageRank(co.vertices,
+        co.edges.select("src", "dst"), seeds = Seq(1L, 2L),
+        undirected = true)
+        .select(col("id").as("suppkey"),
+          round(col("score"), 6).as("score"))
+        .orderBy("suppkey")
+    }),
+
     // +G: Adamic-Adar link prediction on the raw order-supplier
     // incidence (suppliers sharing rarer orders score higher) — the
     // degree-damped refinement of g12's common-neighbor count, full
@@ -291,7 +315,44 @@ object AlgoQueries {
        FROM l$rounds ORDER BY suppkey"""
   }
 
+  /** Unrolled 10-iteration seeded PageRank: identical recurrence to
+    * Algorithms.personalizedPageRank with seeds {1, 2} (restart mass
+    * 0.15 × ½ on each seed, zero elsewhere).
+    */
+  private def pprOracle: String = {
+    val stages = (1 to 10).map { i =>
+      s"""pr$i AS (
+           SELECT v.id,
+                  CASE WHEN v.id IN (1, 2) THEN 0.075 ELSE 0 END
+                    + 0.85 * COALESCE(m.s, 0) AS score
+           FROM v LEFT JOIN (
+             SELECT e.dst AS id, SUM(p.score / deg.d) AS s
+             FROM pr${i - 1} p JOIN deg ON p.id = deg.src JOIN e ON e.src = p.id
+             GROUP BY e.dst) m ON m.id = v.id)"""
+    }.mkString(",\n")
+    s"""WITH $coOrderCte,
+       pr0 AS (SELECT id, CASE WHEN id IN (1, 2) THEN 0.5 ELSE 0 END
+               AS score FROM v),
+       $stages
+       SELECT id AS suppkey, ROUND(score, 6) AS score FROM pr10
+       ORDER BY suppkey"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "g20_jaccard" ->
+      s"""WITH $coOrderCte,
+         common AS (SELECT a.src AS v1, b.src AS v2, COUNT(*) AS common
+                    FROM e a JOIN e b
+                      ON a.dst = b.dst AND a.src < b.src
+                    GROUP BY a.src, b.src)
+         SELECT c.v1 AS suppkey1, c.v2 AS suppkey2, c.common,
+                ROUND(c.common * 1.0 / (d1.d + d2.d - c.common), 4)
+                  AS jaccard
+         FROM common c
+         JOIN deg d1 ON d1.src = c.v1
+         JOIN deg d2 ON d2.src = c.v2
+         ORDER BY suppkey1, suppkey2""",
+    "g21_ppr" -> pprOracle,
     "g17_harmonic" ->
       s"""WITH RECURSIVE $coOrderCte,
          bfs(source, id, hops) AS (

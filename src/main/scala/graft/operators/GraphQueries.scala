@@ -389,6 +389,29 @@ object GraphQueries {
       r.select(str(col("tier")).as("tier"), col("cnt")).orderBy("tier")
     }),
 
+    // MERGE (round 8, Cypher match-or-create): a match-all merge
+    // applies ON MATCH to every nation; an unmatched merge creates
+    // with ON CREATE; the idempotent re-merge matches the created
+    // node (no duplicate) and leaves its create-time props intact.
+    "gql_merge" -> ((s, dir) => {
+      val base = GraphStore.fromTpch(s, dir)
+      val m1 = GqlExecutor.run(base,
+        "MERGE (n:Nation) ON MATCH SET n.audited = 1 " +
+          "ON CREATE SET n.audited = 0").store
+      val m2 = GqlExecutor.run(m1,
+        "MERGE (n:Nation {name: \"ATLANTIS\"}) ON MATCH SET n.seen = 1 " +
+          "ON CREATE SET n.audited = 0").store
+      val m3 = GqlExecutor.run(m2,
+        "MERGE (n:Nation {name: \"ATLANTIS\"}) ON MATCH SET n.seen = 1 " +
+          "ON CREATE SET n.audited = 9").store
+      m3.vertices.filter(col("label") === "Nation")
+        .select(str(col("props")("name")).as("name"),
+          PropValue.asLong(col("props")("audited")).as("audited"),
+          coalesce(PropValue.asLong(col("props")("seen")), lit(-1L))
+            .as("seen"))
+        .orderBy("name")
+    }),
+
     // String functions (round 8, Cypher): toLower/substring as an
     // implicit grouping key, size+replace in WHERE — the whole call
     // tree evaluates inside the scan's codegen stage, no UDF.
@@ -704,6 +727,12 @@ object GraphQueries {
                      WHEN c_acctbal > 0.0 THEN 'mid'
                      ELSE 'low' END AS tier, COUNT(*) AS cnt
          FROM customer GROUP BY tier ORDER BY tier""",
+    "gql_merge" ->
+      """SELECT n_name AS name, CAST(1 AS BIGINT) AS audited,
+                CAST(-1 AS BIGINT) AS seen FROM nation
+         UNION ALL
+         SELECT 'ATLANTIS', 0, 1
+         ORDER BY name""",
     "gql_strfuncs" ->
       """SELECT substring(lower(c_mktsegment), 1, 4) AS pre,
                 COUNT(*) AS cnt

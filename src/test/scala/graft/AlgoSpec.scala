@@ -194,6 +194,47 @@ class AlgoSpec extends SparkSpec {
       s(3L) == ((1L, 0.0)))
   }
 
+  test("jaccard similarity: square corners, disjoint pairs absent, cap") {
+    // square 1-2-3-4-1: opposite corners share BOTH neighbors (J=1);
+    // adjacent corners share none (absent)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val out = Algorithms.jaccardSimilarity(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map((1L, 3L) -> ((2L, 1.0)), (2L, 4L) -> ((2L, 1.0))))
+    // partial overlap: 1-2,1-3,4-2,4-3,4-5 → J(1,4)=2/3
+    val e2 = Seq((1L, 2L), (1L, 3L), (4L, 2L), (4L, 3L), (4L, 5L))
+      .toDF("src", "dst")
+    val out2 = Algorithms.jaccardSimilarity(e2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(math.abs(out2((1L, 4L)) - 2.0 / 3) < 1e-12)
+    // maxDegree drops the crowd hub's pairs: capping at 1 removes all
+    val capped = Algorithms.jaccardSimilarity(e2, maxDegree = 1)
+    assert(capped.count() == 0L)
+  }
+
+  test("ppr: hand-iterated path values; mass conserved; seeds required") {
+    // path 1-2-3 undirected, seed {1}: two hand-unrolled iterations
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val v = Seq(1L, 2L, 3L).toDF("id")
+    val pr = Algorithms.personalizedPageRank(v, e, Seq(1L),
+      numIter = 2, undirected = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr(1L) - 0.51125) < 1e-12)
+    assert(math.abs(pr(2L) - 0.1275) < 1e-12)
+    assert(math.abs(pr(3L) - 0.36125) < 1e-12)
+    // undirected connected graph: no dangling leak, Σ = 1
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9)
+    // proximity ordering at 10 iters: seed side outranks the far end
+    val pr10 = Algorithms.personalizedPageRank(v, e, Seq(1L),
+      undirected = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr10(1L) > pr10(2L) && pr10(2L) > pr10(3L))
+    intercept[IllegalArgumentException] {
+      Algorithms.personalizedPageRank(v, e, Nil)
+    }
+  }
+
   test("adamic-adar: hand-computed weights; deg-1 and crowd hubs drop") {
     // h1:{a,b} (deg 2), h2:{a,b,c} (deg 3), h3:{a} (deg 1 → no pairs)
     val inc = Seq(("a", "h1"), ("b", "h1"), ("a", "h2"), ("b", "h2"),

@@ -817,6 +817,41 @@ class GqlSpec extends SparkSpec {
       "MATCH (v) RETURN toUpper(v.name)").isLeft) // AS required
   }
 
+  test("MERGE: match-or-create, ON clauses, idempotent re-merge, scope") {
+    val n0 = fixture.vertices.count()
+    // existing node: ON MATCH fires, ON CREATE does not, no new vertex
+    val r1 = GqlExecutor.run(fixture,
+      "MERGE (p:Person {name: \"Alice\"}) ON MATCH SET p.seen = 1 " +
+        "ON CREATE SET p.fresh = 1")
+    assert(r1.store.vertices.count() == n0)
+    val alice = GqlExecutor.run(r1.store,
+      "MATCH (p:Person {name: \"Alice\"}) WHERE p.seen = 1 AND " +
+        "p.fresh IS NULL RETURN p.name").df
+    assert(alice.count() == 1L)
+    // unmatched: creates with pattern props, ON CREATE fires
+    val r2 = GqlExecutor.run(r1.store,
+      "MERGE (p:Person {name: \"Eve\", age: 22}) ON CREATE SET p.fresh = 1")
+    assert(r2.store.vertices.count() == n0 + 1)
+    val eve = GqlExecutor.run(r2.store,
+      "MATCH (p:Person) WHERE p.age = 22 AND p.fresh = 1 RETURN p.name").df
+    assert(names(eve, "p_name") == Set("Eve"))
+    // re-merge on a props SUBSET matches — no duplicate, ON CREATE quiet
+    val r3 = GqlExecutor.run(r2.store,
+      "MERGE (p:Person {name: \"Eve\"}) ON CREATE SET p.fresh = 99")
+    assert(r3.store.vertices.count() == n0 + 1)
+    assert(GqlExecutor.run(r3.store,
+      "MATCH (p:Person) WHERE p.fresh = 99 RETURN p.name").df.count() == 0L)
+    // edge / multi-node MERGE and foreign set variables reject
+    assert(GqlParser.parse("MERGE (a:X)-[:r]->(b:Y)").isLeft)
+    assert(GqlParser.parse("MERGE (a:X) ON CREATE SET a.x = 1 " +
+      "ON CREATE SET a.y = 2").isLeft)
+    val e = intercept[IllegalArgumentException] {
+      GqlExecutor.run(fixture,
+        "MERGE (p:Person {name: \"Zed\"}) ON CREATE SET q.x = 1")
+    }
+    assert(e.getMessage.contains("merge variable"))
+  }
+
   test("SET / REMOVE: literals, self-arith, sequential order, null-removes") {
     // literal set + arithmetic raise, only on the matched rows
     val s1 = GqlExecutor.run(fixture,
