@@ -858,6 +858,45 @@ object Algorithms {
     pr
   }
 
+  /** G22 (graft extension): Katz centrality — fixed-iteration power
+    * form of x = α·Aᵀx + β·1 (Katz 1953): unlike degree it credits
+    * walks of every length, α-damped; unlike PageRank there is no
+    * out-degree normalization, so prolific neighbors contribute
+    * fully. Recurrence per iteration (x₀ = β):
+    *   x_{t+1}(v) = β + α·Σ_{u→v} x_t(u).
+    * Convergence needs α < 1/λmax; the driver surface runs a FIXED
+    * iteration count with an identically-unrolled oracle, so parity
+    * is exact whether or not the series has converged.
+    *
+    * Same join economics as [[personalizedPageRank]] minus the weight
+    * join: one persisted edge projection, one keyed sum per round,
+    * rounds lineage-cut every third.
+    */
+  def katzCentrality(vertices: DataFrame, edges: DataFrame,
+      alpha: Double = 0.1, beta: Double = 1.0, numIter: Int = 8,
+      undirected: Boolean = false,
+      checkpointDir: Option[String] = None): DataFrame = {
+    import graft.Lineage.CutOps
+    val rel = graft.Lineage.configure(edges, checkpointDir)
+    val eDir = edges.select(col("src"), col("dst"))
+    val e = graft.TransientCache.persist(
+      if (undirected)
+        eDir.unionByName(eDir.select(col("dst").as("src"), col("src").as("dst")))
+      else eDir)
+    val v = graft.TransientCache.persist(vertices.select(col("id")))
+    var x = v.select(col("id"), lit(beta).as("score"))
+    for (i <- 1 to numIter) {
+      val msgs = e.join(x, e("src") === x("id"))
+        .groupBy(e("dst").as("id")).agg(sum(col("score")).as("m"))
+      val next = v.join(msgs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(beta) + lit(alpha) * coalesce(col("m"), lit(0.0)))
+            .as("score"))
+      x = if (i % 3 == 0 || i == numIter) next.cut(rel) else next
+    }
+    x
+  }
+
   /** G18 (graft extension): k-bounded betweenness centrality — exact
     * Brandes (2001) over ALL sources simultaneously, truncated at
     * `maxHops` (Borgatti & Everett's k-betweenness: only pairs within

@@ -132,9 +132,13 @@ object GqlExecutor {
   }
 
   def executeMatch(store: GraphStore, m: MatchStatement): DataFrame = {
+    // length/nodes need the path variable; id/labels take any bound
+    // NODE variable (checked by the projection against the binding
+    // frame itself)
     m.ret.collect {
-      case ReturnPathFunc(f, v) => (f, v)
-      case ReturnAliased(ReturnPathFunc(f, v), _) => (f, v)
+      case ReturnPathFunc(f, v) if f == "length" || f == "nodes" => (f, v)
+      case ReturnAliased(ReturnPathFunc(f, v), _)
+          if f == "length" || f == "nodes" => (f, v)
     }.foreach { case (f, v) =>
       require(m.pathVar.contains(v),
         s"$f($v) references an unbound path variable" +
@@ -1374,6 +1378,11 @@ object GqlExecutor {
     case "length" => (size(col("__path")) - 1).as(s"length_$v")
     case "nodes" =>
       concat_ws("->", col("__path").cast("array<string>")).as(s"nodes_$v")
+    // node functions: the binding triplet carries id and label
+    // directly — no props lookup (see GqlParser.returnPathFunc for
+    // the labels-as-string divergence note)
+    case "id" => col(vcol(v, "id")).as(s"id_$v")
+    case "labels" => col(vcol(v, "label")).as(s"labels_$v")
   }
 
   private def tripletCols(v: String): Seq[Column] = Seq(

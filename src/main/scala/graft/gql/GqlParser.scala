@@ -212,8 +212,15 @@ object GqlParser extends RegexParsers {
         "supported for count/collect"
     })
 
+  /** length/nodes take a PATH variable; id/labels take a node
+    * variable (graft extension, Cypher — `labels(n)` returns the
+    * single label as a STRING, not a 1-element list: the store is
+    * single-label, and the scalar form keeps it comparable/groupable
+    * without list machinery).
+    */
   private def returnPathFunc: Parser[ReturnItem] =
-    (kw("length") | kw("nodes")) ~ ("(" ~> ident <~ ")") ^^ {
+    (kw("length") | kw("nodes") | kw("id") | kw("labels")) ~
+      ("(" ~> ident <~ ")") ^^ {
       case f ~ v => ReturnPathFunc(f.toLowerCase, v)
     }
 

@@ -276,6 +276,18 @@ object AlgoQueries {
         .orderBy("suppkey")
     }),
 
+    // +G: Katz centrality (α=0.1, β=1, 8 fixed iterations) — walk
+    // counting without PageRank's degree normalization; oracle
+    // unrolls the identical recurrence.
+    "g22_katz" -> ((s, dir) => {
+      val co = coOrder(s, dir)
+      Algorithms.katzCentrality(co.vertices, co.edges.select("src", "dst"),
+        undirected = true)
+        .select(col("id").as("suppkey"),
+          round(col("score"), 6).as("score"))
+        .orderBy("suppkey")
+    }),
+
     // +G: Adamic-Adar link prediction on the raw order-supplier
     // incidence (suppliers sharing rarer orders score higher) — the
     // degree-damped refinement of g12's common-neighbor count, full
@@ -338,7 +350,27 @@ object AlgoQueries {
        ORDER BY suppkey"""
   }
 
+  /** Unrolled 8-iteration Katz (α=0.1, β=1, x₀=β) — identical
+    * recurrence to Algorithms.katzCentrality.
+    */
+  private def katzOracle: String = {
+    val stages = (1 to 8).map { i =>
+      s"""k$i AS (
+           SELECT v.id, 1.0 + 0.1 * COALESCE(m.s, 0) AS score
+           FROM v LEFT JOIN (
+             SELECT e.dst AS id, SUM(p.score) AS s
+             FROM k${i - 1} p JOIN e ON e.src = p.id
+             GROUP BY e.dst) m ON m.id = v.id)"""
+    }.mkString(",\n")
+    s"""WITH $coOrderCte,
+       k0 AS (SELECT id, 1.0 AS score FROM v),
+       $stages
+       SELECT id AS suppkey, ROUND(score, 6) AS score FROM k8
+       ORDER BY suppkey"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "g22_katz" -> katzOracle,
     "g20_jaccard" ->
       s"""WITH $coOrderCte,
          common AS (SELECT a.src AS v1, b.src AS v2, COUNT(*) AS common

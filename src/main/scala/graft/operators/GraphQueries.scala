@@ -389,6 +389,19 @@ object GraphQueries {
       r.select(str(col("tier")).as("tier"), col("cnt")).orderBy("tier")
     }),
 
+    // id()/labels() (round 8, Cypher): labels(v) as an implicit
+    // grouping key over an UNLABELED full scan (S1 through GQL), and
+    // id(v) pinning the library's documented offset id scheme.
+    "gql_labels" -> ((s, dir) => {
+      val r = GqlExecutor.run(g(s, dir),
+        "MATCH (v) RETURN labels(v) AS kind, count(v) AS cnt").df
+      val ids = GqlExecutor.run(g(s, dir),
+        "MATCH (n:Nation) RETURN id(n) AS vid").df
+        .agg(min(col("vid")).as("min_nation_id"),
+          count(lit(1)).as("nations"))
+      r.crossJoin(ids).orderBy("kind")
+    }),
+
     // MERGE (round 8, Cypher match-or-create): a match-all merge
     // applies ON MATCH to every nation; an unmatched merge creates
     // with ON CREATE; the idempotent re-merge matches the created
@@ -727,6 +740,19 @@ object GraphQueries {
                      WHEN c_acctbal > 0.0 THEN 'mid'
                      ELSE 'low' END AS tier, COUNT(*) AS cnt
          FROM customer GROUP BY tier ORDER BY tier""",
+    "gql_labels" ->
+      """WITH counts(kind, cnt) AS (
+           SELECT 'Customer', COUNT(*) FROM customer UNION ALL
+           SELECT 'Supplier', COUNT(*) FROM supplier UNION ALL
+           SELECT 'Part', COUNT(*) FROM part UNION ALL
+           SELECT 'Order', COUNT(*) FROM orders UNION ALL
+           SELECT 'Nation', COUNT(*) FROM nation UNION ALL
+           SELECT 'Region', COUNT(*) FROM region)
+         SELECT kind, cnt,
+                (SELECT MIN(n_nationkey) + 2000000000 FROM nation)
+                  AS min_nation_id,
+                (SELECT COUNT(*) FROM nation) AS nations
+         FROM counts ORDER BY kind""",
     "gql_merge" ->
       """SELECT n_name AS name, CAST(1 AS BIGINT) AS audited,
                 CAST(-1 AS BIGINT) AS seen FROM nation

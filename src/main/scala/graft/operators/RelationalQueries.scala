@@ -160,6 +160,22 @@ object RelationalQueries {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // +W: lead/lag/ntile (round 8) — offset windows for
+    // session-style deltas (gap to the previous/next order per
+    // customer) and equi-depth bucketing. Same single-shuffle
+    // window economics as w2/w5: one partitionBy(custkey) exchange
+    // serves all three functions.
+    "w6_lead_lag" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          coalesce(lag("o_orderkey", 1).over(w), lit(-1L)).as("prev_key"),
+          coalesce(lead("o_orderkey", 1).over(w), lit(-1L)).as("next_key"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // U1: distinct.
     "u1_distinct" -> ((s, dir) => {
       Tables.customer(s, dir).select("c_mktsegment").distinct().orderBy("c_mktsegment")
@@ -330,6 +346,15 @@ object RelationalQueries {
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
                   AS running_spend
          FROM orders ORDER BY o_custkey, o_orderkey""",
+    "w6_lead_lag" ->
+      """SELECT o_custkey, o_orderkey,
+                COALESCE(LAG(o_orderkey, 1) OVER w, -1) AS prev_key,
+                COALESCE(LEAD(o_orderkey, 1) OVER w, -1) AS next_key,
+                CAST(NTILE(4) OVER w AS INTEGER) AS quartile
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
     "u1_distinct" ->
       "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
     "u2_union" ->

@@ -235,6 +235,24 @@ class AlgoSpec extends SparkSpec {
     }
   }
 
+  test("katz: hand-unrolled path values; no degree normalization") {
+    // path 1-2-3 undirected, α=.5, β=1, 2 iters: x2 = (2, 2.5, 2)
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val v = Seq(1L, 2L, 3L).toDF("id")
+    val x = Algorithms.katzCentrality(v, e, alpha = 0.5, beta = 1.0,
+      numIter = 2, undirected = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(x(1L) - 2.0) < 1e-12)
+    assert(math.abs(x(2L) - 2.5) < 1e-12)
+    assert(math.abs(x(3L) - 2.0) < 1e-12)
+    // isolated vertex stays at the β floor
+    val vIso = Seq(1L, 2L, 3L, 9L).toDF("id")
+    val xi = Algorithms.katzCentrality(vIso, e, alpha = 0.5, beta = 1.0,
+      numIter = 2, undirected = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(xi(9L) == 1.0)
+  }
+
   test("adamic-adar: hand-computed weights; deg-1 and crowd hubs drop") {
     // h1:{a,b} (deg 2), h2:{a,b,c} (deg 3), h3:{a} (deg 1 → no pairs)
     val inc = Seq(("a", "h1"), ("b", "h1"), ("a", "h2"), ("b", "h2"),

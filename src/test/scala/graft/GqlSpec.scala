@@ -817,6 +817,20 @@ class GqlSpec extends SparkSpec {
       "MATCH (v) RETURN toUpper(v.name)").isLeft) // AS required
   }
 
+  test("id()/labels(): values, aliasing, grouping, unlabeled scan") {
+    val i = GqlExecutor.run(fixture,
+      "MATCH (v:Person) RETURN id(v) AS vid").df
+    assert(i.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    // labels as an implicit grouping key over an unlabeled match
+    val l = GqlExecutor.run(fixture,
+      "MATCH (v) RETURN labels(v) AS kind, count(v) AS cnt").df
+    assert(l.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("Person" -> 4L))
+    // unaliased form keeps the f_var column convention
+    val u = GqlExecutor.run(fixture, "MATCH (v:Person) RETURN labels(v)").df
+    assert(u.columns.toSeq == Seq("labels_v"))
+  }
+
   test("MERGE: match-or-create, ON clauses, idempotent re-merge, scope") {
     val n0 = fixture.vertices.count()
     // existing node: ON MATCH fires, ON CREATE does not, no new vertex
