@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Bounded-memory frequency sketches with EXACT verification — the
+  * sketch proposes, a cheap exact pass disposes, and the result
+  * certifies its own exactness (the same candidates-then-verify
+  * discipline the MinHash-LSH dedup path uses).
+  *
+  * Why not just groupBy().count(): partial aggregation holds one
+  * hash-map entry per DISTINCT key per task. At 100 TB a high-card
+  * column (URLs, user ids, raw tokens) makes those partial maps spill
+  * long before the shuffle even starts, and the shuffle itself
+  * carries the full distinct vocabulary. Misra-Gries holds a FIXED
+  * `capacity` counters per partition regardless of cardinality, and
+  * the verify pass shuffles only rows whose key survived — bounded by
+  * capacity × partitions candidates, not by |vocabulary|.
+  *
+  * Reference point (capability, not code): the reference's windowed
+  * top-k surfaces (graph/algorithms/src/basic.rs:25-31) are exact
+  * heap scans; this is the scale path it lacks.
+  */
+object Sketches {
+
+  /** Per-partition Misra-Gries summary keys (Misra & Gries 1982).
+    * The classic decrement-all step: a full table meeting a new key
+    * decrements every counter and evicts zeros, so any key occurring
+    * more than n_p / capacity times in a partition MUST survive that
+    * partition's table — by pigeonhole, any key with GLOBAL count
+    * > N / capacity survives in at least one partition. Runs in one
+    * `mapPartitions` with O(capacity) memory; emits candidate keys
+    * only (MG counts are lower bounds — the exact pass recounts).
+    */
+  def misraGriesCandidates(keys: Dataset[String],
+      capacity: Int): Dataset[String] = {
+    require(capacity > 0, "capacity must be positive")
+    import keys.sparkSession.implicits._
+    keys.mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      while (it.hasNext) {
+        val k = it.next()
+        counters.get(k) match {
+          case Some(c) => counters.update(k, c + 1)
+          case None =>
+            if (counters.size < capacity) counters.update(k, 1L)
+            else {
+              counters.mapValuesInPlace((_, c) => c - 1)
+              counters.filterInPlace((_, c) => c > 0)
+            }
+        }
+      }
+      counters.keysIterator
+    }
+  }
+
+  /** Exact-verified top-k by frequency. Phase 1 sketches candidates
+    * (fixed memory per partition); phase 2 recounts EXACTLY but only
+    * rows whose key is a candidate (broadcast semi-join — the shuffle
+    * carries candidate keys' partial counts, never the vocabulary).
+    *
+    * Self-certifying: the MG guarantee covers every key with count
+    * > N / capacity, so if the returned k-th count clears that bar,
+    * no missed key could displace the result and it IS the exact
+    * top-k (total order: count desc, key asc). If the bar is not
+    * cleared — capacity too small for this distribution — the
+    * operator falls back to the full exact aggregation rather than
+    * return silently-approximate rows (logged; at scale the caller
+    * raises capacity instead).
+    */
+  def heavyHitters(df: DataFrame, keyCol: String, k: Int,
+      capacity: Int = 4096): DataFrame = {
+    require(k > 0 && capacity >= k,
+      s"need capacity >= k > 0 (got k=$k capacity=$capacity)")
+    import df.sparkSession.implicits._
+    val keys = graft.TransientCache.persist(
+      df.select(col(keyCol).cast("string").as("key"))
+        .filter(col("key").isNotNull))
+    val n = keys.count()
+    val exactBar = n.toDouble / capacity
+    val cands = misraGriesCandidates(keys.as[String], capacity)
+      .toDF("key").distinct()
+    // k rows on the driver is the certification cost (top-k IS
+    // driver-sized by definition); everything heavy stayed distributed
+    val top = keys.join(broadcast(cands), Seq("key"), "left_semi")
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("key"))
+      .limit(k)
+      .collect()
+    val certified = top.length == k && top.last.getLong(1) > exactBar
+    val rows =
+      if (certified) top.toSeq
+      else {
+        // fall back to the unconditionally exact path (full partial
+        // aggregation) — correctness over cleverness when the sketch
+        // cannot certify this distribution at this capacity. Also the
+        // small-data path: fewer than k candidates proves nothing.
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"heavyHitters: cannot certify (k-th count vs N/capacity " +
+            s"= $exactBar); falling back to full exact aggregation")
+        keys.groupBy("key").agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), asc("key"))
+          .limit(k).collect().toSeq
+      }
+    import scala.jdk.CollectionConverters._
+    df.sparkSession.createDataFrame(rows.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("key",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("cnt",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+}

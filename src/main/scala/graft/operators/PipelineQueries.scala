@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{Dedup, Sampling, Similarity, TextFunctions}
+import graft.functions.{Dedup, Sampling, Similarity, Sketches, TextFunctions}
 import graft.multimodal.Multimodal
 import graft.sources.Tables
 
@@ -533,6 +533,19 @@ object PipelineQueries {
     // the first report of any corpus-analysis pass. Two chained
     // aggregates + TakeOrdered; at 100 TB the same plan holds
     // (top-k never materializes the full vocabulary on one node).
+    // Exact-verified heavy hitters (round 8): Misra-Gries candidates
+    // (fixed memory per partition, any cardinality) + an exact
+    // candidate-restricted recount that certifies its own top-k — or
+    // falls back to the full aggregation when it cannot. The oracle
+    // is the plain exact top-20, which the certified path must equal.
+    "hh_top_tokens" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextFunctions.normWords(col("text"))).as("tok"))
+      Sketches.heavyHitters(toks, "tok", k = 20, capacity = 2048)
+        .select(col("key").as("token"), col("cnt"))
+        .orderBy(desc("cnt"), asc("token"))
+    }),
+
     "text_top_ngrams" -> ((s, dir) => {
       val bi = TextFunctions.shingleRows(Tables.documents(s, dir),
         "doc_id", "text", 2)
@@ -1080,6 +1093,11 @@ object PipelineQueries {
                      ((doc_id % 1000000007) * 2654435761) % 10000 < $mixThresholdSql)
                    AS DOUBLE) / COUNT(*), 4) AS realized_rate
           FROM documents GROUP BY source ORDER BY source""",
+    "hh_top_tokens" ->
+      s"""WITH w AS (SELECT unnest(string_split($normText, ' ')) AS token
+                     FROM documents)
+          SELECT token, COUNT(*) AS cnt FROM w GROUP BY token
+          ORDER BY cnt DESC, token ASC LIMIT 20""",
     "text_top_ngrams" ->
       s"""WITH t AS (SELECT doc_id, string_split($normText, ' ') AS w
                      FROM documents),

@@ -956,4 +956,33 @@ class PipelineSpec extends SparkSpec {
       assert(isSubseq(sub, orig.split(" ").toSeq), s"doc $id not a subsequence")
     }
   }
+
+  test("misra-gries: heavy keys survive; heavyHitters certifies or falls back") {
+    import spark.implicits._
+    import graft.functions.Sketches
+    // skewed stream: "hot" 60×, "warm" 25×, 40 singletons — capacity 8
+    // guarantees every key with count > 125/8 ≈ 15.6 survives
+    val data = Seq.fill(60)("hot") ++ Seq.fill(25)("warm") ++
+      (1 to 40).map(i => s"cold$i")
+    val ds = spark.createDataset(scala.util.Random.shuffle(data))
+    val cands = Sketches.misraGriesCandidates(ds.repartition(4), 8)
+      .collect().toSet
+    assert(cands.contains("hot") && cands.contains("warm"))
+    // certified path equals the exact answer
+    val df = ds.toDF("k")
+    val hh = Sketches.heavyHitters(df, "k", k = 2, capacity = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(hh == Seq("hot" -> 60L, "warm" -> 25L))
+    // uncertifiable (k-th is a singleton): fallback still exact
+    val hh5 = Sketches.heavyHitters(df, "k", k = 5, capacity = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(hh5.take(2) == Seq("hot" -> 60L, "warm" -> 25L))
+    assert(hh5.drop(2).forall(_._2 == 1L))
+    assert(hh5.map(_._1).drop(2) == hh5.map(_._1).drop(2).sorted)
+    // degenerate: fewer distinct keys than k
+    val tiny = Seq("a", "a", "b").toDF("k")
+    val ht = Sketches.heavyHitters(tiny, "k", k = 5, capacity = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(ht == Seq("a" -> 2L, "b" -> 1L))
+  }
 }
