@@ -34,6 +34,17 @@ object Sketches {
     */
   def misraGriesCandidates(keys: Dataset[String],
       capacity: Int): Dataset[String] = {
+    import keys.sparkSession.implicits._
+    misraGriesSummary(keys, capacity).map(_._1)
+  }
+
+  /** Per-partition Misra-Gries summaries WITH their residual counts —
+    * the mergeable form (counts are lower bounds; StreamSketch merges
+    * partition/batch summaries with the counter-add + prune rule).
+    * Emits up to `capacity` (key, count) pairs per partition.
+    */
+  def misraGriesSummary(keys: Dataset[String],
+      capacity: Int): Dataset[(String, Long)] = {
     require(capacity > 0, "capacity must be positive")
     import keys.sparkSession.implicits._
     keys.mapPartitions { it =>
@@ -50,7 +61,7 @@ object Sketches {
             }
         }
       }
-      counters.keysIterator
+      counters.iterator
     }
   }
 

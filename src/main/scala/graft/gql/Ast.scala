@@ -254,6 +254,14 @@ object Ast {
         */
       leadingUnwinds: Seq[UnwindItem] = Nil) extends Statement
   case class CreateStatement(pattern: GraphPattern) extends Statement
+  /** `<match-query> UNION [ALL] <match-query> ...` (graft extension,
+    * Cypher): parts must project the SAME column names (alias with AS
+    * to align); UNION dedups rows, UNION ALL keeps bags, and mixing
+    * the two forms in one statement is rejected like Cypher does.
+    * Read-only parts — a DELETE/SET inside a union rejects.
+    */
+  case class UnionStatement(parts: Seq[MatchStatement],
+      distinct: Boolean) extends Statement
   /** `MERGE (n:Label {props}) [ON CREATE SET ...] [ON MATCH SET ...]`
     * (graft extension, Cypher): match-or-create for a SINGLE node
     * pattern. If any vertex matches label+props, ON MATCH SET applies

@@ -61,6 +61,16 @@ object GqlExecutor {
     case m: MergeStatement =>
       val s2 = executeMerge(store, m)
       GqlResult(s2.vertices.limit(0), s2)
+    case u: UnionStatement =>
+      val dfs = u.parts.map(p => executeMatch(store, p))
+      val cols = dfs.head.columns.toSeq
+      dfs.zip(u.parts).tail.foreach { case (d, _) =>
+        require(d.columns.toSeq == cols,
+          s"UNION parts must return the same columns (got $cols vs " +
+            s"${d.columns.toSeq}) — align them with AS aliases")
+      }
+      val combined = dfs.reduce(_ unionByName _)
+      GqlResult(if (u.distinct) combined.distinct() else combined, store)
   }
 
   // ---- MATCH ------------------------------------------------------

@@ -432,8 +432,26 @@ object GqlParser extends RegexParsers {
   private def deleteStmt: Parser[Statement] =
     kw("delete") ~> ident ^^ (v => DeleteStatement(None, None, v))
 
+  /** `<q> UNION [ALL] <q> ...` — read-only MATCH parts, one
+    * consistent UNION form per statement (Cypher).
+    */
+  private def unionStmt: Parser[Statement] =
+    matchOrDelete ~ rep1((kw("union") ~> opt(kw("all"))) ~ matchOrDelete) ^? ({
+      case (first: MatchStatement) ~ rest
+          if rest.forall(_._2.isInstanceOf[MatchStatement]) &&
+            rest.map(_._1.isDefined).distinct.size == 1 =>
+        UnionStatement(
+          first +: rest.map(_._2.asInstanceOf[MatchStatement]),
+          distinct = rest.head._1.isEmpty)
+    }, {
+      case _ ~ rest if rest.map(_._1.isDefined).distinct.size > 1 =>
+        "cannot mix UNION and UNION ALL in one statement (Cypher)"
+      case _ => "UNION combines read-only MATCH ... RETURN queries"
+    })
+
   private def statement: Parser[Statement] =
-    matchOrDelete | setStmt | mergeStmt | createStmt | deleteStmt
+    unionStmt | matchOrDelete | setStmt | mergeStmt | createStmt |
+      deleteStmt
 
   def parse(input: String): Either[String, Statement] =
     parseAll(statement, input) match {

@@ -389,6 +389,18 @@ object GraphQueries {
       r.select(str(col("tier")).as("tier"), col("cnt")).orderBy("tier")
     }),
 
+    // UNION (round 8, Cypher): two read queries aligned by AS
+    // aliases; the distinct form dedups across parts. Spark lowers
+    // it to a plain unionByName + HashAggregate — the parts' scans
+    // stay independently pushed/pruned.
+    "gql_union" -> ((s, dir) => {
+      val r = GqlExecutor.run(g(s, dir),
+        "MATCH (c:Customer) WHERE c.acctbal > 9900.0 RETURN c.name AS " +
+          "name UNION MATCH (p:Supplier) WHERE p.acctbal > 9900.0 " +
+          "RETURN p.name AS name").df
+      r.select(str(col("name")).as("name")).orderBy("name")
+    }),
+
     // id()/labels() (round 8, Cypher): labels(v) as an implicit
     // grouping key over an UNLABELED full scan (S1 through GQL), and
     // id(v) pinning the library's documented offset id scheme.
@@ -740,6 +752,11 @@ object GraphQueries {
                      WHEN c_acctbal > 0.0 THEN 'mid'
                      ELSE 'low' END AS tier, COUNT(*) AS cnt
          FROM customer GROUP BY tier ORDER BY tier""",
+    "gql_union" ->
+      """SELECT c_name AS name FROM customer WHERE c_acctbal > 9900.0
+         UNION
+         SELECT s_name FROM supplier WHERE s_acctbal > 9900.0
+         ORDER BY name""",
     "gql_labels" ->
       """WITH counts(kind, cnt) AS (
            SELECT 'Customer', COUNT(*) FROM customer UNION ALL

@@ -160,6 +160,16 @@ object RelationalQueries {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // A7 twin (round 8): CUBE — all 2ⁿ grouping sets in ONE pass
+    // (Spark expands to a single Expand + HashAggregate, no
+    // per-grouping rescans).
+    "a12_cube" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 4).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+
     // +W: lead/lag/ntile (round 8) — offset windows for
     // session-style deltas (gap to the previous/next order per
     // customer) and equi-depth bucketing. Same single-shuffle
@@ -346,6 +356,11 @@ object RelationalQueries {
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
                   AS running_spend
          FROM orders ORDER BY o_custkey, o_orderkey""",
+    "a12_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+                ROUND(SUM(l_quantity), 4) AS sum_qty
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "w6_lead_lag" ->
       """SELECT o_custkey, o_orderkey,
                 COALESCE(LAG(o_orderkey, 1) OVER w, -1) AS prev_key,

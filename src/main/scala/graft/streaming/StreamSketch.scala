@@ -1,0 +1,128 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.functions.Sketches
+
+/** Streaming Misra-Gries frequency summary — the ingest-side twin of
+  * `Sketches.heavyHitters`, same one-operator-for-ingest-and-backfill
+  * pattern as `StreamIvf` / `StreamDedup`: each micro-batch sketches
+  * itself (fixed memory per partition), merges into the persisted
+  * at-rest summary via the mergeable-summaries rule (Agarwal et al.
+  * 2012: add counters, subtract the (capacity+1)-th largest, keep
+  * positives), and writes the summary back versioned-in-place.
+  *
+  * The summary is SELF-DESCRIBING about accuracy: alongside the
+  * counters it persists `n` (rows absorbed) and `subtracted` (the
+  * cumulative decrement mass). Every estimate is a LOWER bound and
+  * `true ≤ est + subtracted`; any key whose true count exceeds
+  * `subtracted` is guaranteed present. A batch backfill through
+  * `Sketches.heavyHitters` can exact-verify candidates at rest; the
+  * stream cannot replay history, so it carries its error bound
+  * instead of pretending exactness.
+  */
+object StreamSketch {
+
+  /** Maintain the MG summary at `path` from a stream; `onBatch`
+    * receives (batchId, summary error bound after the batch).
+    */
+  def heavyHittersEachBatch(stream: DataFrame, keyCol: String,
+      path: String, capacity: Int)(
+      onBatch: (Long, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      applyBatch(batch, keyCol, path, capacity, batchId)(onBatch)
+      ()
+    }
+
+  /** Per-batch body, directly callable (re-delivery tests, batch
+    * backfill through the identical code path). Returns false when
+    * `batchId` is at or below the recorded high-water mark (the
+    * at-least-once re-delivery guard, see [[StreamMeta]]).
+    */
+  def applyBatch(batch: DataFrame, keyCol: String, path: String,
+      capacity: Int, batchId: Long)(
+      onBatch: (Long, Long) => Unit = (_, _) => ()): Boolean = {
+    require(capacity > 0, "capacity must be positive")
+    val spark = batch.sparkSession
+    val apply = batchId > StreamMeta.lastApplied(spark, path)
+    if (apply) {
+      import spark.implicits._
+      val keys = batch.select(col(keyCol).cast("string").as("key"))
+        .filter(col("key").isNotNull)
+      val batchN = keys.count()
+      // batch-local sketch: per-partition MG tables, then the same
+      // merge rule collapses them to ≤ capacity counters
+      val parts = Sketches.misraGriesSummary(keys.as[String], capacity)
+        .toDF("key", "cnt")
+      val (merged, sub1) = mergePrune(parts, capacity)
+      val (prevSummary, prevN, prevSub) = read(spark, path)
+      val (combined, sub2) =
+        mergePrune(prevSummary.unionByName(merged), capacity)
+      val bound = prevSub + sub1 + sub2
+      // materialize BEFORE the overwrite: the combined plan reads the
+      // very files the write replaces, and the summary is ≤ capacity
+      // rows by construction — driver-sized on purpose
+      val rows = combined.collect().map(r => (r.getString(0), r.getLong(1)))
+      write(spark, path, rows.toSeq, prevN + batchN, bound)
+      StreamMeta.writeLastApplied(spark, path, batchId)
+      onBatch(batchId, bound)
+    }
+    apply
+  }
+
+  /** Counter-add then MG prune: if more than `capacity` keys remain,
+    * subtract the (capacity+1)-th largest count from ALL and keep
+    * positives — at most `capacity` survive, and the subtracted mass
+    * is returned so the caller can extend the error bound. The frame
+    * is summary-sized (≤ partitions × capacity rows), so the sort is
+    * a few thousand rows, never data-sized.
+    */
+  private def mergePrune(summaries: DataFrame,
+      capacity: Int): (DataFrame, Long) = {
+    val summed = summaries.groupBy("key").agg(sum("cnt").as("cnt"))
+    val counts = summed.select("cnt").orderBy(desc("cnt"))
+      .limit(capacity + 1).collect().map(_.getLong(0))
+    if (counts.length <= capacity) (summed, 0L)
+    else {
+      val t = counts.last
+      (summed.select(col("key"), (col("cnt") - t).as("cnt"))
+        .filter(col("cnt") > 0), t)
+    }
+  }
+
+  /** The persisted summary: (key, est) plus (n, subtracted) meta;
+    * empty for a path no stream has written.
+    */
+  def read(spark: SparkSession,
+      path: String): (DataFrame, Long, Long) = {
+    import spark.implicits._
+    try {
+      val s = spark.read.parquet(s"$path/summary")
+      val m = spark.read.parquet(s"$path/sketch_meta").head()
+      (s, m.getLong(0), m.getLong(1))
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        (Seq.empty[(String, Long)].toDF("key", "cnt"), 0L, 0L)
+    }
+  }
+
+  /** Top-k of the at-rest summary with its error bound column —
+    * counts are lower bounds, `est + bound` the upper.
+    */
+  def topK(spark: SparkSession, path: String, k: Int): DataFrame = {
+    val (s, _, sub) = read(spark, path)
+    s.orderBy(desc("cnt"), asc("key")).limit(k)
+      .select(col("key"), col("cnt").as("est"), lit(sub).as("bound"))
+  }
+
+  private def write(spark: SparkSession, path: String,
+      summary: Seq[(String, Long)], n: Long, subtracted: Long): Unit = {
+    import spark.implicits._
+    summary.toDF("key", "cnt")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/summary")
+    Seq((n, subtracted)).toDF("n", "subtracted")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/sketch_meta")
+  }
+}

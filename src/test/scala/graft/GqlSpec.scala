@@ -817,6 +817,33 @@ class GqlSpec extends SparkSpec {
       "MATCH (v) RETURN toUpper(v.name)").isLeft) // AS required
   }
 
+  test("UNION: dedup vs ALL, column alignment, mixed-form rejection") {
+    // distinct form dedups the overlapping Engineering rows
+    val u = GqlExecutor.run(fixture,
+      "MATCH (v:Person) WHERE v.age > 27 RETURN v.name AS who UNION " +
+        "MATCH (v:Person) WHERE v.department = \"Engineering\" " +
+        "RETURN v.name AS who").df
+    assert(names(u, "who") == Set("Alice", "Charlie", "Diana"))
+    assert(u.count() == 3L) // Alice and Diana appear in BOTH parts once
+    // ALL keeps the bag
+    val ua = GqlExecutor.run(fixture,
+      "MATCH (v:Person) WHERE v.age > 27 RETURN v.name AS who UNION ALL " +
+        "MATCH (v:Person) WHERE v.department = \"Engineering\" " +
+        "RETURN v.name AS who").df
+    assert(ua.count() == 5L)
+    // misaligned columns reject with the AS remedy
+    val e = intercept[IllegalArgumentException] {
+      GqlExecutor.run(fixture,
+        "MATCH (v:Person) RETURN v.name UNION MATCH (v:Person) " +
+          "RETURN v.age")
+    }
+    assert(e.getMessage.contains("AS aliases"))
+    // mixing UNION and UNION ALL is a parse error
+    assert(GqlParser.parse(
+      "MATCH (a) RETURN a.x AS x UNION MATCH (b) RETURN b.x AS x " +
+        "UNION ALL MATCH (c) RETURN c.x AS x").isLeft)
+  }
+
   test("id()/labels(): values, aliasing, grouping, unlabeled scan") {
     val i = GqlExecutor.run(fixture,
       "MATCH (v:Person) RETURN id(v) AS vid").df

@@ -41,7 +41,8 @@ class PlanLintSpec extends SparkSpec {
     "pipe_temperature_mix" -> "single-row weight-sum broadcast",
     "text_fingerprint" -> "single-row aggregate",
     "emb_outliers" -> "per-label centroid model",
-    "gql_unwind" -> "leading-UNWIND literal list (2 rows, broadcast by construction) cross-composed against the MATCH"
+    "gql_unwind" -> "leading-UNWIND literal list (2 rows, broadcast by construction) cross-composed against the MATCH",
+    "gql_labels" -> "single-row nation id/count aggregate crossJoined onto the 6-row label counts"
   )
 
   /** Queries whose plans legitimately rank over an UNPARTITIONED

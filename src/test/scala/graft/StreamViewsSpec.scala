@@ -369,6 +369,47 @@ class StreamViewsSpec extends SparkSpec {
     assert(!applied && cells(dirA).size == 14)
   }
 
+  test("streaming MG summary: bounds hold, heavy keys survive, redelivery no-op") {
+    import spark.implicits._
+    import graft.streaming.StreamSketch
+    val dir = java.nio.file.Files.createTempDirectory("graft_smg").toString
+    val cap = 8
+    // two skewed batches with churn in the cold tail
+    val b1 = Seq.fill(50)("hot") ++ Seq.fill(20)("warm") ++
+      (1 to 30).map(i => s"c$i")
+    val b2 = Seq.fill(40)("hot") ++ Seq.fill(25)("tepid") ++
+      (31 to 60).map(i => s"c$i")
+    val bounds = scala.collection.mutable.Map.empty[Long, Long]
+    assert(StreamSketch.applyBatch(b1.toDF("k"), "k", dir, cap, 0L)(
+      (id, b) => bounds(id) = b))
+    assert(StreamSketch.applyBatch(b2.toDF("k"), "k", dir, cap, 1L)(
+      (id, b) => bounds(id) = b))
+    val (summary, n, sub) = StreamSketch.read(spark, dir)
+    assert(n == (b1.size + b2.size).toLong && sub == bounds(1L))
+    val est = summary.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.size <= cap)
+    val truth = (b1 ++ b2).groupBy(identity).view.mapValues(_.size.toLong)
+    // every estimate is a lower bound within the carried error
+    est.foreach { case (k, e) =>
+      assert(e <= truth(k) && truth(k) <= e + sub,
+        s"$k est=$e true=${truth(k)} bound=$sub")
+    }
+    // any key truly heavier than the bound must be present
+    truth.filter(_._2 > sub).keys.foreach(k =>
+      assert(est.contains(k), s"heavy key $k missing (bound $sub)"))
+    // topK carries the bound and ranks by estimate
+    val top = StreamSketch.topK(spark, dir, 2).collect()
+    assert(top.map(_.getString(0)).toSeq == Seq("hot", "tepid") ||
+      top.map(_.getString(0)).toSeq == Seq("hot", "warm"))
+    assert(top.forall(_.getLong(2) == sub))
+    assert(top.head.getString(0) == "hot")
+    // re-delivery of a committed batch is a no-op
+    assert(!StreamSketch.applyBatch(b2.toDF("k"), "k", dir, cap, 1L)())
+    val (s2, n2, sub2) = StreamSketch.read(spark, dir)
+    assert(n2 == n && sub2 == sub &&
+      s2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap == est)
+  }
+
   test("streaming minhash dedup: growing index catches cross-batch near-dups") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_smh").toString
