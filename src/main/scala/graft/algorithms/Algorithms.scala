@@ -766,6 +766,49 @@ object Algorithms {
       .groupBy(col("source").as("id"))
       .agg(sum(lit(1.0) / col("hops")).as("harmonic"))
 
+  /** G23 (graft extension): Newman modularity of a given partition —
+    * the community-quality metric the clustering family needs to be
+    * actionable (run LPA/CC, SCORE the result, compare parameter
+    * choices):
+    *   Q = Σ_c [ e_c/m − (Σdeg_c / 2m)² ]
+    * per community (e_c = intra-community edges, m = |edges|), with
+    * one row per community carrying its contribution. Input contract
+    * matches [[triangles]]: canonical (src<dst) distinct undirected
+    * edges; `communities` is an (id, community) assignment. Vertices
+    * without edges carry no degree and drop out (they contribute 0
+    * to Q by definition).
+    *
+    * Scale posture: two equi-joins of the edge list against the
+    * assignment (broadcastable when communities fit, AQE otherwise)
+    * + two map-side-combined aggregates — no per-community scans,
+    * no driver loops; the caller sums `q` for the scalar.
+    */
+  def modularity(canonicalEdges: DataFrame,
+      communities: DataFrame): DataFrame = {
+    val e = graft.TransientCache.persist(
+      canonicalEdges.select(col("src"), col("dst")))
+    val m = e.count().toDouble
+    require(m > 0, "modularity needs at least one edge")
+    val deg = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val c = communities.select(col("id"), col("community"))
+    val degC = deg.join(c, Seq("id"))
+      .groupBy("community").agg(sum("degree").as("deg_sum"))
+    val ca = c.select(col("id").as("src"), col("community").as("ca"))
+    val cb = c.select(col("id").as("dst"), col("community").as("cb"))
+    val intra = e.join(ca, Seq("src")).join(cb, Seq("dst"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("internal_edges"))
+    degC.join(intra, Seq("community"), "left")
+      .select(col("community"),
+        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+        col("deg_sum"),
+        (coalesce(col("internal_edges"), lit(0L)) / m -
+          pow(col("deg_sum") / (2 * m), 2)).as("q"))
+  }
+
   /** G20 (graft extension): Jaccard neighborhood similarity —
     * J(a,b) = |N(a)∩N(b)| / |N(a)∪N(b)| for every pair sharing at
     * least one neighbor (pairs with empty intersection score 0 and

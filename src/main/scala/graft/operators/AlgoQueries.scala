@@ -227,6 +227,19 @@ object AlgoQueries {
         .orderBy("suppkey")
     }),
 
+    // +G: modularity of the LPA partition — the scoring half of the
+    // clustering family; oracle recomputes both the partition (shared
+    // unrolled-LPA CTE) and the Q terms from raw tables.
+    "g23_modularity" -> ((s, dir) => {
+      val co = coOrder(s, dir)
+      val comm = Algorithms.labelPropagation(co.vertices,
+        co.edges.select("src", "dst"), numIter = 4, undirected = true)
+      Algorithms.modularity(co.edges.select("src", "dst"), comm)
+        .select(col("community"), col("internal_edges"), col("deg_sum"),
+          round(col("q"), 6).as("q"))
+        .orderBy("community")
+    }),
+
     // +G: 6-bounded harmonic centrality over the co-order graph —
     // one bulk BFS serves every source; full value oracle via the
     // same recursive-CTE BFS the g7 oracle uses.
@@ -309,7 +322,10 @@ object AlgoQueries {
     * exactly the Scala side's min(struct(-cnt, label))), and the
     * keep-if-idle left join.
     */
-  private def lpaOracle(rounds: Int): String = {
+  /** The unrolled-LPA CTE fragment (l0..l{rounds}) — shared by the
+    * g15 value oracle and g23's modularity-over-LPA oracle.
+    */
+  private def lpaCte(rounds: Int): String = {
     val unrolled = (1 to rounds).map { i =>
       s"""m$i AS (SELECT e.dst AS id, l.label, COUNT(*) AS cnt
              FROM e JOIN l${i - 1} l ON e.src = l.id GROUP BY 1, 2),
@@ -320,12 +336,42 @@ object AlgoQueries {
          l$i AS (SELECT l.id, COALESCE(b.label, l.label) AS label
                  FROM l${i - 1} l LEFT JOIN b$i b USING (id))"""
     }.mkString(",\n")
+    s"""l0 AS (SELECT id, id AS label FROM v),
+       $unrolled"""
+  }
+
+  private def lpaOracle(rounds: Int): String =
     s"""WITH $coOrderCte,
-       l0 AS (SELECT id, id AS label FROM v),
-       $unrolled
+       ${lpaCte(rounds)}
        SELECT id AS suppkey, label AS community
        FROM l$rounds ORDER BY suppkey"""
-  }
+
+  /** Newman modularity of the 4-round LPA partition, recomputed from
+    * scratch: intra-community edge counts over the canonical pairs,
+    * degree sums over the doubled list, Q contribution per community.
+    */
+  private def modularityOracle: String =
+    s"""WITH $coOrderCte,
+       ${lpaCte(4)},
+       comm AS (SELECT id, label AS community FROM l4),
+       mm AS (SELECT COUNT(*) AS m FROM ce),
+       degc AS (SELECT c.community, CAST(SUM(d.d) AS BIGINT) AS deg_sum
+                FROM deg d JOIN comm c ON c.id = d.src
+                GROUP BY c.community),
+       intra AS (SELECT c1.community, COUNT(*) AS internal_edges
+                 FROM ce JOIN comm c1 ON c1.id = ce.a
+                         JOIN comm c2 ON c2.id = ce.b
+                 WHERE c1.community = c2.community
+                 GROUP BY c1.community)
+       SELECT dc.community,
+              COALESCE(i.internal_edges, 0) AS internal_edges,
+              dc.deg_sum,
+              ROUND(COALESCE(i.internal_edges, 0) * 1.0
+                      / (SELECT m FROM mm)
+                    - POWER(dc.deg_sum * 1.0
+                      / (2 * (SELECT m FROM mm)), 2), 6) AS q
+       FROM degc dc LEFT JOIN intra i USING (community)
+       ORDER BY community"""
 
   /** Unrolled 10-iteration seeded PageRank: identical recurrence to
     * Algorithms.personalizedPageRank with seeds {1, 2} (restart mass
@@ -370,6 +416,7 @@ object AlgoQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "g23_modularity" -> modularityOracle,
     "g22_katz" -> katzOracle,
     "g20_jaccard" ->
       s"""WITH $coOrderCte,

@@ -253,6 +253,30 @@ class AlgoSpec extends SparkSpec {
     assert(xi(9L) == 1.0)
   }
 
+  test("modularity: barbell hand value; bad split scores lower; empty-edge guard") {
+    // two triangles {1,2,3} {4,5,6} bridged by 3-4: m=7, each
+    // community has e_c=3, deg_sum=7 → q_c = 3/7 − (7/14)² = 5/28
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    val good = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (5L, 1L),
+      (6L, 1L)).toDF("id", "community")
+    val q = Algorithms.modularity(e, good)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(q(0L)._1 == 3L && q(0L)._2 == 7L)
+    assert(math.abs(q(0L)._3 - 5.0 / 28) < 1e-12)
+    assert(math.abs(q.values.map(_._3).sum - 5.0 / 14) < 1e-12)
+    // a split cutting a triangle scores strictly lower in total
+    val bad = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L), (5L, 1L),
+      (6L, 1L)).toDF("id", "community")
+    val qBad = Algorithms.modularity(e, bad)
+      .collect().map(_.getDouble(3)).sum
+    assert(qBad < 5.0 / 14)
+    intercept[IllegalArgumentException] {
+      Algorithms.modularity(e.limit(0), good)
+    }
+  }
+
   test("adamic-adar: hand-computed weights; deg-1 and crowd hubs drop") {
     // h1:{a,b} (deg 2), h2:{a,b,c} (deg 3), h3:{a} (deg 1 → no pairs)
     val inc = Seq(("a", "h1"), ("b", "h1"), ("a", "h2"), ("b", "h2"),
