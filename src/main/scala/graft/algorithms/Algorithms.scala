@@ -833,7 +833,11 @@ object Algorithms {
         eDir.unionByName(eDir.select(col("dst").as("src"), col("src").as("dst")))
       else eDir).distinct())
     val deg = nb.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
-    val hubOk = nb.groupBy(col("dst").as("h")).agg(count(lit(1)).as("hd"))
+    // undirected nb is symmetric: the hub (dst-side) degree IS deg —
+    // reuse it instead of a second full aggregation over the doubled
+    // edge list; only the directed case needs its own dst-keyed count
+    val hubOk = (if (undirected) deg.select(col("v").as("h"), col("d").as("hd"))
+      else nb.groupBy(col("dst").as("h")).agg(count(lit(1)).as("hd")))
       .filter(col("hd") <= maxDegree).select(col("h"))
     val a = nb.select(col("dst").as("h"), col("src").as("v1"))
     val b = nb.select(col("dst").as("h2"), col("src").as("v2"))

@@ -42,13 +42,24 @@ object Sketches {
     * the mergeable form (counts are lower bounds; StreamSketch merges
     * partition/batch summaries with the counter-add + prune rule).
     * Emits up to `capacity` (key, count) pairs per partition.
+    *
+    * `lossAcc`, when supplied, accumulates the number of
+    * DECREMENT-ALL events across partitions: each event lowers every
+    * live counter (and the arriving key) by exactly 1, so a key's
+    * true partition count exceeds its emitted count by at most that
+    * partition's event tally — summing tallies over partitions gives
+    * a sound per-key error bound for the whole pass. Read it only
+    * AFTER the action that consumed this Dataset (task retries can
+    * over-add — the safe direction for an error BOUND).
     */
-  def misraGriesSummary(keys: Dataset[String],
-      capacity: Int): Dataset[(String, Long)] = {
+  def misraGriesSummary(keys: Dataset[String], capacity: Int,
+      lossAcc: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[(String, Long)] = {
     require(capacity > 0, "capacity must be positive")
     import keys.sparkSession.implicits._
     keys.mapPartitions { it =>
       val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      var decrements = 0L
       while (it.hasNext) {
         val k = it.next()
         counters.get(k) match {
@@ -56,11 +67,13 @@ object Sketches {
           case None =>
             if (counters.size < capacity) counters.update(k, 1L)
             else {
+              decrements += 1
               counters.mapValuesInPlace((_, c) => c - 1)
               counters.filterInPlace((_, c) => c > 0)
             }
         }
       }
+      lossAcc.foreach(_.add(decrements))
       counters.iterator
     }
   }

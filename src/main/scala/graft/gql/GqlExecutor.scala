@@ -64,13 +64,26 @@ object GqlExecutor {
     case u: UnionStatement =>
       val dfs = u.parts.map(p => executeMatch(store, p))
       val cols = dfs.head.columns.toSeq
-      dfs.zip(u.parts).tail.foreach { case (d, _) =>
+      dfs.tail.foreach { d =>
         require(d.columns.toSeq == cols,
           s"UNION parts must return the same columns (got $cols vs " +
             s"${d.columns.toSeq}) — align them with AS aliases")
       }
       val combined = dfs.reduce(_ unionByName _)
-      GqlResult(if (u.distinct) combined.distinct() else combined, store)
+      val deduped = if (!u.distinct) combined else {
+        // bare-RETURN parts carry MAP props columns, which Spark's
+        // set operations reject — dedup on the identity columns
+        // instead (the id/label columns determine the props within
+        // one store), the same identity-keyed discipline WITH
+        // DISTINCT applies
+        val mapCols = combined.schema.fields.filter(
+          _.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+          .map(_.name).toSet
+        if (mapCols.isEmpty) combined.distinct()
+        else combined.dropDuplicates(
+          combined.columns.filterNot(mapCols.contains).toIndexedSeq)
+      }
+      GqlResult(deduped, store)
   }
 
   // ---- MATCH ------------------------------------------------------
@@ -1240,6 +1253,19 @@ object GqlExecutor {
       case ReturnAliased(inner, _) => isAgg(inner)
       case _ => false
     }
+    // id()/labels() take a bound NODE variable — an unbound name (or
+    // a path variable, which binds __path, not a triplet) must fail
+    // here with the remedy, not in Spark analysis
+    items.collect {
+      case ReturnPathFunc(f, v) if f == "id" || f == "labels" => (f, v)
+      case ReturnAliased(ReturnPathFunc(f, v), _)
+          if f == "id" || f == "labels" => (f, v)
+    }.foreach { case (f, v) =>
+      require(df.columns.contains(vcol(v, "id")),
+        s"$f($v) references an unbound node variable (bound: " +
+          df.columns.filter(_.endsWith("__id"))
+            .map(_.stripSuffix("__id")).sorted.mkString(",") + ")")
+    }
     // RETURN expression (always under AS): a literal keeps its plain
     // Spark type; arithmetic is the numeric view
     def exprCol(e: Expr): Column = e match {
@@ -1419,6 +1445,16 @@ object GqlExecutor {
     */
   def executeMerge(store: GraphStore, m: MergeStatement): GraphStore = {
     val sets = m.onCreate ++ m.onMatch
+    // a null pattern property can never match (null equals nothing),
+    // so every run would take the create path and duplicate the node
+    // — Cypher rejects null MERGE properties for exactly this reason
+    m.node.props.foreach {
+      case (k, GqlNull) => throw new IllegalArgumentException(
+        s"MERGE cannot use null property '$k' — null never matches, " +
+          "so re-merges would create duplicates; omit the key or use " +
+          "CREATE explicitly")
+      case _ => ()
+    }
     val node = if (m.node.variable.isDefined) m.node
       else m.node.copy(variable = Some("__merge"))
     val v = node.variable.get

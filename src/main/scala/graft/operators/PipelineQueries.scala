@@ -528,11 +528,6 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
-    // Corpus vocabulary stats: global top-20 bigrams by occurrence
-    // (deterministic tiebreak on the gram), with document frequency —
-    // the first report of any corpus-analysis pass. Two chained
-    // aggregates + TakeOrdered; at 100 TB the same plan holds
-    // (top-k never materializes the full vocabulary on one node).
     // Exact-verified heavy hitters (round 8): Misra-Gries candidates
     // (fixed memory per partition, any cardinality) + an exact
     // candidate-restricted recount that certifies its own top-k — or
@@ -546,6 +541,11 @@ object PipelineQueries {
         .orderBy(desc("cnt"), asc("token"))
     }),
 
+    // Corpus vocabulary stats: global top-20 bigrams by occurrence
+    // (deterministic tiebreak on the gram), with document frequency —
+    // the first report of any corpus-analysis pass. Two chained
+    // aggregates + TakeOrdered; at 100 TB the same plan holds
+    // (top-k never materializes the full vocabulary on one node).
     "text_top_ngrams" -> ((s, dir) => {
       val bi = TextFunctions.shingleRows(Tables.documents(s, dir),
         "doc_id", "text", 2)

@@ -52,21 +52,33 @@ object StreamSketch {
       val keys = batch.select(col(keyCol).cast("string").as("key"))
         .filter(col("key").isNotNull)
       val batchN = keys.count()
-      // batch-local sketch: per-partition MG tables, then the same
-      // merge rule collapses them to ≤ capacity counters
-      val parts = Sketches.misraGriesSummary(keys.as[String], capacity)
-        .toDF("key", "cnt")
-      val (merged, sub1) = mergePrune(parts, capacity)
-      val (prevSummary, prevN, prevSub) = read(spark, path)
+      // batch-local sketch: per-partition MG tables, collected in the
+      // ONE action the loss accumulator is read after. Summaries are
+      // ≤ partitions × capacity rows by construction, so every merge
+      // below is driver-sized on purpose.
+      val acc = spark.sparkContext.longAccumulator("graft.mg.loss")
+      val parts = Sketches
+        .misraGriesSummary(keys.as[String], capacity, Some(acc))
+        .collect().toSeq
+      val batchLoss = acc.value.longValue()
+      val (batchSummary, sub1) = mergePrune(parts, capacity)
+      val (prevDf, prevN, prevSub) = read(spark, path)
+      val prevSummary =
+        prevDf.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       val (combined, sub2) =
-        mergePrune(prevSummary.unionByName(merged), capacity)
-      val bound = prevSub + sub1 + sub2
-      // materialize BEFORE the overwrite: the combined plan reads the
-      // very files the write replaces, and the summary is ≤ capacity
-      // rows by construction — driver-sized on purpose
-      val rows = combined.collect().map(r => (r.getString(0), r.getLong(1)))
-      write(spark, path, rows.toSeq, prevN + batchN, bound)
+        mergePrune(prevSummary ++ batchSummary, capacity)
+      // the bound carries EVERY source of undercount: prior rounds'
+      // mass, this batch's in-partition decrement events (each lowers
+      // any key's count by ≤ 1), and both merge prunes
+      val bound = prevSub + batchLoss + sub1 + sub2
+      // meta FIRST: a crash between the two writes then LOSES the
+      // batch (estimates stay true lower bounds, the primary
+      // contract) instead of double-counting it on re-delivery
+      // (which would break lower-bound-ness — counter merges are not
+      // idempotent, unlike StreamIvf's appends). The window itself is
+      // the standard non-transactional-sink caveat.
       StreamMeta.writeLastApplied(spark, path, batchId)
+      write(spark, path, combined, prevN + batchN, bound)
       onBatch(batchId, bound)
     }
     apply
@@ -75,20 +87,16 @@ object StreamSketch {
   /** Counter-add then MG prune: if more than `capacity` keys remain,
     * subtract the (capacity+1)-th largest count from ALL and keep
     * positives — at most `capacity` survive, and the subtracted mass
-    * is returned so the caller can extend the error bound. The frame
-    * is summary-sized (≤ partitions × capacity rows), so the sort is
-    * a few thousand rows, never data-sized.
+    * is returned so the caller extends the error bound.
     */
-  private def mergePrune(summaries: DataFrame,
-      capacity: Int): (DataFrame, Long) = {
-    val summed = summaries.groupBy("key").agg(sum("cnt").as("cnt"))
-    val counts = summed.select("cnt").orderBy(desc("cnt"))
-      .limit(capacity + 1).collect().map(_.getLong(0))
-    if (counts.length <= capacity) (summed, 0L)
+  private def mergePrune(pairs: Seq[(String, Long)],
+      capacity: Int): (Seq[(String, Long)], Long) = {
+    val summed = pairs.groupMapReduce(_._1)(_._2)(_ + _)
+    if (summed.size <= capacity) (summed.toSeq, 0L)
     else {
-      val t = counts.last
-      (summed.select(col("key"), (col("cnt") - t).as("cnt"))
-        .filter(col("cnt") > 0), t)
+      val t = summed.values.toSeq.sorted(Ordering[Long].reverse)(capacity)
+      (summed.iterator.map { case (k, c) => k -> (c - t) }
+        .filter(_._2 > 0).toSeq, t)
     }
   }
 

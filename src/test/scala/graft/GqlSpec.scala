@@ -842,6 +842,12 @@ class GqlSpec extends SparkSpec {
     assert(GqlParser.parse(
       "MATCH (a) RETURN a.x AS x UNION MATCH (b) RETURN b.x AS x " +
         "UNION ALL MATCH (c) RETURN c.x AS x").isLeft)
+    // RETURN * parts carry the MAP props column: the distinct form
+    // dedups on identity columns instead of choking on the map type
+    val b = GqlExecutor.run(fixture,
+      "MATCH (v:Person) WHERE v.age > 27 RETURN * UNION " +
+        "MATCH (v:Person) WHERE v.department = \"Engineering\" RETURN *").df
+    assert(b.count() == 3L)
   }
 
   test("id()/labels(): values, aliasing, grouping, unlabeled scan") {
@@ -856,6 +862,12 @@ class GqlSpec extends SparkSpec {
     // unaliased form keeps the f_var column convention
     val u = GqlExecutor.run(fixture, "MATCH (v:Person) RETURN labels(v)").df
     assert(u.columns.toSeq == Seq("labels_v"))
+    // unbound / path variables reject with the remedy, not a Spark
+    // analysis error
+    val e = intercept[IllegalArgumentException] {
+      GqlExecutor.run(fixture, "MATCH (a:Person) RETURN id(b)")
+    }
+    assert(e.getMessage.contains("unbound node variable"))
   }
 
   test("MERGE: match-or-create, ON clauses, idempotent re-merge, scope") {
@@ -891,6 +903,12 @@ class GqlSpec extends SparkSpec {
         "MERGE (p:Person {name: \"Zed\"}) ON CREATE SET q.x = 1")
     }
     assert(e.getMessage.contains("merge variable"))
+    // a null pattern prop would never match → every run would create
+    // a duplicate; rejected like Cypher rejects it
+    val en = intercept[IllegalArgumentException] {
+      GqlExecutor.run(fixture, "MERGE (p:Person {name: null})")
+    }
+    assert(en.getMessage.contains("null never matches"))
   }
 
   test("SET / REMOVE: literals, self-arith, sequential order, null-removes") {

@@ -408,6 +408,21 @@ class StreamViewsSpec extends SparkSpec {
     val (s2, n2, sub2) = StreamSketch.read(spark, dir)
     assert(n2 == n && sub2 == sub &&
       s2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap == est)
+    // adversarial uniform case: distinct keys exceed capacity in ONE
+    // partition — decrement-all evicts everything, and the carried
+    // bound must still cover the undercount (in-partition loss is
+    // part of the bound, not just merge prunes)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_smg2").toString
+    val uni = (1 to 9).map(i => s"u$i")
+    assert(StreamSketch.applyBatch(uni.toDF("k").coalesce(1), "k",
+      dir2, 8, 0L)())
+    val (s3, _, sub3) = StreamSketch.read(spark, dir2)
+    val est3 = s3.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sub3 >= 1L)
+    uni.foreach { k =>
+      val e = est3.getOrElse(k, 0L)
+      assert(e <= 1L && 1L <= e + sub3, s"$k est=$e bound=$sub3")
+    }
   }
 
   test("streaming minhash dedup: growing index catches cross-batch near-dups") {
