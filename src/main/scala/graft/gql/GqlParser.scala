@@ -240,6 +240,19 @@ object GqlParser extends RegexParsers {
       case bs ~ d => CaseExpr(bs, d)
     }
 
+  /** `coalesce(a, b, ...)` (graft extension, Cypher): first non-null
+    * argument. DESUGARED to the CASE machinery — `CASE WHEN a IS NOT
+    * NULL THEN a ... ELSE last END` — so it inherits CASE's variant
+    * output, grouping-key capability, and placement (RETURN under
+    * AS). Arguments are operand-level (properties / literals).
+    */
+  private def coalesceExpr: Parser[Expr] =
+    kw("coalesce") ~> ("(" ~> rep1sep(operand, ",") <~ ")") ^? ({
+      case args if args.length >= 2 =>
+        CaseExpr(args.init.map(a => (IsNull(a, true), a)),
+          Some(args.last))
+    }, _ => "coalesce takes at least two arguments")
+
   /** `RETURN item [AS alias]` (AS is a graft extension): aggregates,
     * path funcs, properties, and bare variables may alias; a genuine
     * arithmetic expression or literal MUST alias (Cypher's
@@ -254,7 +267,7 @@ object GqlParser extends RegexParsers {
         case i ~ None => i
         case i ~ Some(a) => ReturnAliased(i, a)
       } |
-      caseExpr ~ (kw("as") ~> aliasIdent) ^^ {
+      (caseExpr | coalesceExpr) ~ (kw("as") ~> aliasIdent) ^^ {
         case c ~ a => ReturnAliased(ReturnExpr(c), a)
       } |
       arith ~ opt(kw("as") ~> aliasIdent) ^? ({

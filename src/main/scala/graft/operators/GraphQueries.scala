@@ -389,6 +389,20 @@ object GraphQueries {
       r.select(str(col("tier")).as("tier"), col("cnt")).orderBy("tier")
     }),
 
+    // coalesce (round 8, Cypher): projection defaults over props
+    // REMOVEd by a prior mutation — desugars to the CASE machinery,
+    // so it groups beside aggregates like any expression key.
+    "gql_coalesce" -> ((s, dir) => {
+      val base = GraphStore.fromTpch(s, dir)
+      val removed = GqlExecutor.run(base,
+        "MATCH (c:Customer) WHERE c.acctbal < 0.0 " +
+          "REMOVE c.mktsegment").store
+      val r = GqlExecutor.run(removed,
+        "MATCH (c:Customer) RETURN coalesce(c.mktsegment, " +
+          "\"UNKNOWN\") AS seg, count(c) AS cnt").df
+      r.select(str(col("seg")).as("seg"), col("cnt")).orderBy("seg")
+    }),
+
     // UNION (round 8, Cypher): two read queries aligned by AS
     // aliases; the distinct form dedups across parts. Spark lowers
     // it to a plain unionByName + HashAggregate — the parts' scans
@@ -752,6 +766,10 @@ object GraphQueries {
                      WHEN c_acctbal > 0.0 THEN 'mid'
                      ELSE 'low' END AS tier, COUNT(*) AS cnt
          FROM customer GROUP BY tier ORDER BY tier""",
+    "gql_coalesce" ->
+      """SELECT CASE WHEN c_acctbal < 0.0 THEN 'UNKNOWN'
+                     ELSE c_mktsegment END AS seg, COUNT(*) AS cnt
+         FROM customer GROUP BY seg ORDER BY seg""",
     "gql_union" ->
       """SELECT c_name AS name FROM customer WHERE c_acctbal > 9900.0
          UNION

@@ -870,6 +870,27 @@ class GqlSpec extends SparkSpec {
     assert(e.getMessage.contains("unbound node variable"))
   }
 
+  test("coalesce: first non-null, default literal, arity guard") {
+    // Bob has no department → falls to the literal default
+    val r = GqlExecutor.run(fixture,
+      "MATCH (v:Person) RETURN v.name AS n, coalesce(v.department, " +
+        "\"none\") AS dept").df
+    val got = r.select(PropValue.asString(col("n")),
+      PropValue.asString(col("dept")))
+      .collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(got == Map("Alice" -> "Engineering", "Bob" -> "none",
+      "Charlie" -> "Marketing", "Diana" -> "Engineering"))
+    // three-arg chain picks the FIRST non-null
+    val c = GqlExecutor.run(fixture,
+      "MATCH (v:Person) WHERE v.name = \"Bob\" RETURN " +
+        "coalesce(v.department, v.name, \"x\") AS pick").df
+    assert(PropValue.asString(c.col("pick")) != null &&
+      c.select(PropValue.asString(col("pick"))).head().getString(0) == "Bob")
+    // single-arg coalesce is a parse error
+    assert(GqlParser.parse(
+      "MATCH (v) RETURN coalesce(v.name) AS x").isLeft)
+  }
+
   test("MERGE: match-or-create, ON clauses, idempotent re-merge, scope") {
     val n0 = fixture.vertices.count()
     // existing node: ON MATCH fires, ON CREATE does not, no new vertex
