@@ -792,7 +792,11 @@ object Algorithms {
     val deg = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id")))
       .groupBy("id").agg(count(lit(1)).as("degree"))
-    val c = communities.select(col("id"), col("community"))
+    // the assignment is scanned THREE times (degree join + both edge
+    // endpoints) — persist it, or an expensive upstream (an LPA run)
+    // re-executes per scan (measured 3× the whole propagation loop)
+    val c = graft.TransientCache.persist(
+      communities.select(col("id"), col("community")))
     val degC = deg.join(c, Seq("id"))
       .groupBy("community").agg(sum("degree").as("deg_sum"))
     val ca = c.select(col("id").as("src"), col("community").as("ca"))
