@@ -274,6 +274,27 @@ object Ast {
     */
   case class MergeStatement(node: NodePattern,
       onCreate: Seq[SetItem], onMatch: Seq[SetItem]) extends Statement
+  /** `MERGE (a...)-[e:label {props}]->(b...) [ON CREATE SET ...]
+    * [ON MATCH SET ...]` (graft extension, Cypher): match-or-create
+    * for a relationship between BOUND endpoints — the idempotent
+    * edge-ingest twin of CREATE's edge chaining. Both endpoint
+    * patterns must match at least one EXISTING vertex; an endpoint
+    * matching nothing REJECTS with the remedy instead of silently
+    * creating it (Cypher's whole-pattern-create-on-any-miss footgun).
+    * Per Cypher pair semantics, every (a, b) endpoint pair lacking an
+    * edge of the pattern's label gets one created; pairs that already
+    * have it take ON MATCH. Edge pattern props are parser-rejected
+    * (the store keys ONE edge per (src, dst, label), so props are not
+    * identity — a props-mismatch "create" would silently clobber the
+    * stored edge; set props via ON CREATE/ON MATCH instead). SET
+    * items target the edge variable only, reading only the edge's own
+    * props (the same determinism discipline as vertex SET).
+    * Undirected and variable-length edge patterns reject (ambiguous
+    * creation).
+    */
+  case class MergeRelStatement(src: NodePattern, edge: EdgePattern,
+      dst: NodePattern, onCreate: Seq[SetItem],
+      onMatch: Seq[SetItem]) extends Statement
   /** One `SET v.prop = value` assignment (graft extension, Cypher
     * semantics): value is a literal, a property of the SAME variable
     * (`SET v.x = v.y` — variant copy, kind preserved), or arithmetic

@@ -61,6 +61,9 @@ object GqlExecutor {
     case m: MergeStatement =>
       val s2 = executeMerge(store, m)
       GqlResult(s2.vertices.limit(0), s2)
+    case m: MergeRelStatement =>
+      val s2 = executeMergeRel(store, m)
+      GqlResult(s2.vertices.limit(0), s2)
     case u: UnionStatement =>
       val dfs = u.parts.map(p => executeMatch(store, p))
       val cols = dfs.head.columns.toSeq
@@ -308,6 +311,44 @@ object GqlExecutor {
         "expression in WITH and return the alias instead")
     case other => throw new IllegalArgumentException(
       s"cannot use $other in arithmetic")
+  }
+
+  /** Per-row all-int-operands test for an arithmetic tree: true when
+    * every leaf is an int literal or a prop whose STORED kind is int.
+    * `propKindInt` resolves a PropRef leaf's kind column in the
+    * caller's binding context (SET evolves its props map mid-chain,
+    * CASE reads the bound vertex directly). A missing prop yields
+    * NULL → coalesced to false downstream — its numeric view is NULL
+    * anyway.
+    */
+  private def arithAllInt(e: Expr,
+      propKindInt: (String, String) => Column): Column = e match {
+    case PropRef(v, p) => propKindInt(v, p)
+    case Literal(GqlInt(_)) => lit(true)
+    case Arith(l, _, r) =>
+      arithAllInt(l, propKindInt) && arithAllInt(r, propKindInt)
+    case _ => lit(false)
+  }
+
+  /** Numeric variant of a computed arithmetic value. Cypher keeps
+    * integer arithmetic in integers, so the INT kind is preserved
+    * when all operands are int AND the computed value is exactly
+    * integral (`SET v.x = v.x + 1` on an int x stays int instead of
+    * silently flipping to float). Documented deviation: `/` computes
+    * FLOAT division, so int `5 / 2` is 2.5 (float) here where Cypher
+    * integer-divides to 2; exactly-integral quotients (`6 / 2`) keep
+    * the int kind. The magnitude guard keeps the long cast inside
+    * ANSI range (beyond ±9e18 the value stays float — doubles have
+    * no integer precision there anyway).
+    */
+  private def numericVariant(n: Column, allInt: Column): Column = {
+    val longSafe = abs(n) < lit(9.0e18)
+    val i = n.cast(org.apache.spark.sql.types.LongType)
+    when(n.isNotNull,
+      when(coalesce(allInt, lit(false)) && longSafe &&
+          i.cast(org.apache.spark.sql.types.DoubleType) === n,
+        PropValue.ofInt(i))
+        .otherwise(PropValue.ofFloat(n)))
   }
 
   /** WHERE application that understands PATTERN PREDICATES (Cypher
@@ -1212,8 +1253,8 @@ object GqlExecutor {
       case Literal(GqlBool(b)) => PropValue.ofBool(lit(b))
       case PropRef(v, p) => col(vcol(v, "props"))(p)
       case a: Arith =>
-        val n = arithNumCol(a)
-        when(n.isNotNull, PropValue.ofFloat(n))
+        numericVariant(arithNumCol(a), arithAllInt(a,
+          (v, p) => col(vcol(v, "props"))(p)("kind") === PropValue.KInt))
       case other => throw new IllegalArgumentException(
         s"unsupported CASE value: $other")
     }
@@ -1314,9 +1355,11 @@ object GqlExecutor {
         case ReturnAliased(ReturnVariable(v), a) if aliases.contains(v) =>
           Seq(aliasCol(v).as(a))
         case ReturnAliased(ReturnVariable(v), a) =>
-          throw new IllegalArgumentException(
-            s"cannot alias bare variable '$v' AS $a — a binding " +
-              "triplet has no single column; alias a property instead")
+          // id-column semantics, identical to the aggregate path's
+          // grouping key for the same item (a binding triplet has no
+          // single column; Cypher would return the whole node —
+          // documented divergence, consistent across both paths)
+          Seq(col(vcol(v, "id")).as(a))
         case ReturnAliased(ReturnPathFunc(f, v), a) =>
           Seq(pathFuncCol(f, v).as(a))
         case ReturnAliased(ReturnExpr(e), a) => Seq(exprCol(e).as(a))
@@ -1339,6 +1382,7 @@ object GqlExecutor {
         case ReturnAliased(ReturnVariable(v), a) if aliases.contains(v) =>
           a -> aliasCol(v)
         case ReturnAliased(ReturnVariable(v), a) =>
+          // same id-column semantics as the non-aggregate path above
           a -> col(vcol(v, "id"))
         case ReturnAliased(ReturnPathFunc(f, v), a) => a -> pathFuncCol(f, v)
         case ReturnAliased(ReturnExpr(e), a) => a -> exprCol(e)
@@ -1478,6 +1522,83 @@ object GqlExecutor {
     }
   }
 
+  /** Relationship MERGE between BOUND endpoints (Cypher pair
+    * semantics — see Ast.MergeRelStatement). Endpoint sets come from
+    * the same pushed label+props filters a MATCH runs; every (a, b)
+    * pair lacking a matching edge (label + pattern props) gets one
+    * created in ONE bulk addEdges (pairs ⟕ edges anti-join — never a
+    * per-pair loop), and pre-existing pairs take ON MATCH via one
+    * bulk updateEdgeProps. Relational end to end, so a bulk
+    * idempotent edge-ingest merge costs two joins + two mutations
+    * regardless of pair count. Reference capability: CREATE chains
+    * edges (graph/query/src/executor.rs:547-562); this is its
+    * idempotent twin.
+    */
+  def executeMergeRel(store: GraphStore, m: MergeRelStatement): GraphStore = {
+    // a null pattern prop never matches — every re-merge would take
+    // the create path and duplicate, same hazard as node MERGE.
+    // (Edge pattern props are parser-rejected: the store keys one
+    // edge per (src, dst, label), so props are not identity.)
+    (m.src.props ++ m.dst.props).foreach {
+      case (k, GqlNull) => throw new IllegalArgumentException(
+        s"MERGE cannot use null property '$k' — null never matches, " +
+          "so re-merges would create duplicates; omit the key")
+      case _ => ()
+    }
+    val ev = m.edge.variable.getOrElse("__mergeE")
+    (m.onCreate ++ m.onMatch).foreach(si => require(si.variable == ev,
+      s"ON CREATE/MATCH SET references '${si.variable}' — only the " +
+        s"edge variable '$ev' is in scope for a relationship MERGE " +
+        "(update endpoints with a separate MATCH ... SET)"))
+    // (a)<-[:r]-(b) stores the edge b→a, mirroring executeCreate
+    val (sPat, dPat) =
+      if (m.edge.direction == Incoming) (m.dst, m.src) else (m.src, m.dst)
+    def endpoint(n: NodePattern, side: String): DataFrame = {
+      val ids = store.vertices.filter(nodeFilter(n))
+        .select(col("id").as(side))
+      require(ids.limit(1).count() > 0,
+        s"MERGE endpoint (${n.variable.getOrElse("")}" +
+          s"${n.label.fold("")(":" + _)}) matches no existing vertex " +
+          "— relationship MERGE never creates endpoints (Cypher's " +
+          "whole-pattern-create footgun); MERGE the node first")
+      ids
+    }
+    val label = m.edge.label.getOrElse("related")
+    // all endpoint pairs — Cypher's MATCH (a), (b) cross semantics;
+    // the typical unique-props merge makes this 1×1
+    val pairs = endpoint(sPat, "src").crossJoin(endpoint(dPat, "dst"))
+    // matched keys are evaluated against the PRE-merge edge set, so
+    // ON MATCH can never leak onto the edges created below
+    val matching = store.edges.filter(col("label") === label)
+      .select(col("src"), col("dst"))
+    val toCreate = pairs.join(matching, Seq("src", "dst"), "left_anti")
+    var st = store
+    if (toCreate.limit(1).count() > 0) {
+      val baseNew = toCreate.select(col("src"), col("dst"),
+        lit(label).as("label"),
+        lit(null).cast(PropValue.mapType).as("props"))
+      val newEdges =
+        if (m.onCreate.isEmpty) baseNew
+        else baseNew.select(col("src"), col("dst"), col("label"),
+          foldSetOps(col("props"), m.onCreate.map(Left(_))).as("props"))
+      // ON CREATE folds into the insert row itself — one mutation,
+      // one change-feed add_edge op carrying the final props
+      st = st.addEdges(newEdges).truncatedEdges()
+    }
+    if (m.onMatch.nonEmpty) {
+      val tgt = store.edges.filter(col("label") === label)
+        .join(pairs, Seq("src", "dst"), "left_semi")
+      // probe before mutating: an all-created merge skips the update
+      // (and its lineage cut) entirely
+      if (tgt.limit(1).count() > 0) {
+        val rows = tgt.select(col("src"), col("dst"), col("label"),
+          foldSetOps(col("props"), m.onMatch.map(Left(_))).as("props"))
+        st = st.updateEdgeProps(rows).truncatedEdges()
+      }
+    }
+    st
+  }
+
   def executeCreate(store: GraphStore, c: CreateStatement): GraphStore = {
     val spark = store.spark
     val maxId = store.maxVertexId()
@@ -1558,47 +1679,62 @@ object GqlExecutor {
     }
     var st = store
     targets.distinct.foreach { v =>
-      var props: Column = coalesce(col(vcol(v, "props")),
-        map().cast(PropValue.mapType))
-      def num(e: Expr): Column = e match {
-        case PropRef(_, p2) => PropValue.asDouble(props(p2))
-        case Literal(GqlInt(i)) => lit(i.toDouble)
-        case Literal(GqlFloat(d)) => lit(d)
-        case Literal(_) =>
-          lit(null).cast(org.apache.spark.sql.types.DoubleType)
-        case Arith(l, op, r) => arithCombine(op, num(l), num(r))
-        case other => throw new IllegalArgumentException(
-          s"cannot use $other in a SET value")
-      }
-      s.ops.foreach {
-        case Left(SetItem(`v`, p, value)) =>
-          val valueCol: Column = value match {
-            case Literal(GqlNull) => lit(null).cast(PropValue.schema)
-            case Literal(GqlString(x)) => PropValue.ofString(lit(x))
-            case Literal(GqlInt(i)) => PropValue.ofInt(lit(i))
-            case Literal(GqlFloat(d)) => PropValue.ofFloat(lit(d))
-            case Literal(GqlBool(b)) => PropValue.ofBool(lit(b))
-            // variant copy (kind preserved; stored-null copies as-is)
-            case PropRef(_, src) => props(src)
-            case a: Arith =>
-              val n = num(a)
-              when(n.isNotNull, PropValue.ofFloat(n))
-            case other => throw new IllegalArgumentException(
-              s"unsupported SET value: $other")
-          }
-          val stripped = map_filter(props, (k, _) => k =!= p)
-          props = when(valueCol.isNull, stripped)
-            .otherwise(map_concat(stripped, map(lit(p), valueCol)))
-        case Right((`v`, p)) =>
-          props = map_filter(props, (k, _) => k =!= p)
-        case _ => ()
-      }
+      val props = foldSetOps(col(vcol(v, "props")), s.ops.collect {
+        case Left(si @ SetItem(`v`, _, _)) => Left(si)
+        case Right((`v`, p)) => Right(p)
+      })
       val rows = filtered
         .select(col(vcol(v, "id")).as("id"), props.as("props"))
         .dropDuplicates("id")
       st = st.updateVertexProps(rows)
     }
     st
+  }
+
+  /** Fold written-order SET / REMOVE(Right prop name) ops into ONE
+    * new props-map column: REPLACE semantics starting from the
+    * current map, sequential reads (each op sees prior writes), NULL
+    * value removes the key. Value expressions read only the target's
+    * OWN properties (caller validates the variable). Shared by vertex
+    * MATCH-SET and relationship-MERGE ON CREATE/ON MATCH — edge props
+    * fold through the identical machinery.
+    */
+  private def foldSetOps(props0: Column,
+      ops: Seq[Either[SetItem, String]]): Column = {
+    var props: Column = coalesce(props0, map().cast(PropValue.mapType))
+    def num(e: Expr): Column = e match {
+      case PropRef(_, p2) => PropValue.asDouble(props(p2))
+      case Literal(GqlInt(i)) => lit(i.toDouble)
+      case Literal(GqlFloat(d)) => lit(d)
+      case Literal(_) =>
+        lit(null).cast(org.apache.spark.sql.types.DoubleType)
+      case Arith(l, op, r) => arithCombine(op, num(l), num(r))
+      case other => throw new IllegalArgumentException(
+        s"cannot use $other in a SET value")
+    }
+    ops.foreach {
+      case Left(SetItem(_, p, value)) =>
+        val valueCol: Column = value match {
+          case Literal(GqlNull) => lit(null).cast(PropValue.schema)
+          case Literal(GqlString(x)) => PropValue.ofString(lit(x))
+          case Literal(GqlInt(i)) => PropValue.ofInt(lit(i))
+          case Literal(GqlFloat(d)) => PropValue.ofFloat(lit(d))
+          case Literal(GqlBool(b)) => PropValue.ofBool(lit(b))
+          // variant copy (kind preserved; stored-null copies as-is)
+          case PropRef(_, src) => props(src)
+          case a: Arith =>
+            numericVariant(num(a), arithAllInt(a,
+              (_, p2) => props(p2)("kind") === PropValue.KInt))
+          case other => throw new IllegalArgumentException(
+            s"unsupported SET value: $other")
+        }
+        val stripped = map_filter(props, (k, _) => k =!= p)
+        props = when(valueCol.isNull, stripped)
+          .otherwise(map_concat(stripped, map(lit(p), valueCol)))
+      case Right(p) =>
+        props = map_filter(props, (k, _) => k =!= p)
+    }
+    props
   }
 
   /** MATCH-DELETE: delete every vertex bound to `variable` in the

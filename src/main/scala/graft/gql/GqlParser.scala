@@ -415,9 +415,11 @@ object GqlParser extends RegexParsers {
     kw("create") ~> pattern ^^ CreateStatement.apply
 
   /** `MERGE (n...) [ON CREATE SET items] [ON MATCH SET items]` —
-    * clause order free, each at most once (Cypher). Single-node
-    * patterns only; an edge in the pattern fails the parse with the
-    * compose-explicitly remedy.
+    * clause order free, each at most once (Cypher). Two forms:
+    * single-node match-or-create, and single-DIRECTED-edge
+    * match-or-create between bound endpoints (see
+    * Ast.MergeRelStatement). Longer chains, undirected edges, and
+    * variable-length edges fail the parse with the remedy.
     */
   private def mergeStmt: Parser[Statement] = {
     val onClause: Parser[(String, Seq[SetItem])] =
@@ -431,12 +433,29 @@ object GqlParser extends RegexParsers {
         val m = cs.toMap
         MergeStatement(p.nodes.head,
           m.getOrElse("create", Nil), m.getOrElse("match", Nil))
+      case p ~ cs if p.edges.size == 1 && p.nodes.size == 2 &&
+          p.edges.head.direction != Undirected &&
+          p.edges.head.range.isEmpty && p.edges.head.props.isEmpty &&
+          cs.map(_._1).distinct.size == cs.size =>
+        val m = cs.toMap
+        MergeRelStatement(p.nodes.head, p.edges.head, p.nodes(1),
+          m.getOrElse("create", Nil), m.getOrElse("match", Nil))
     }, {
-      case p ~ cs if p.edges.nonEmpty || p.nodes.size != 1 =>
-        "MERGE supports a single node pattern — merge edges by " +
-          "composing MATCH + CREATE explicitly (Cypher's partial-" +
-          "match pattern MERGE creates the WHOLE pattern when any " +
-          "part is unmatched, a semantics footgun)"
+      case p ~ _ if p.edges.size == 1 &&
+          p.edges.head.direction == Undirected =>
+        "MERGE of an undirected relationship is ambiguous (which way " +
+          "would the create point?) — write the direction explicitly"
+      case p ~ _ if p.edges.size == 1 && p.edges.head.range.isDefined =>
+        "cannot MERGE a variable-length pattern — merge one edge"
+      case p ~ _ if p.edges.size == 1 && p.edges.head.props.nonEmpty =>
+        "edge pattern props cannot participate in MERGE — the store " +
+          "keys one edge per (src, dst, label), so props are not " +
+          "identity; set them with ON CREATE SET / ON MATCH SET"
+      case p ~ cs if p.edges.size > 1 || p.nodes.size > 2 =>
+        "MERGE supports a single node or a single relationship — " +
+          "merge longer chains by composing MATCH + MERGE per hop " +
+          "(Cypher's partial-match pattern MERGE creates the WHOLE " +
+          "pattern when any part is unmatched, a semantics footgun)"
       case _ ~ cs =>
         "duplicate ON CREATE / ON MATCH clause"
     })

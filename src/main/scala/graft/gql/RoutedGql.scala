@@ -32,7 +32,12 @@ object RoutedGql {
     */
   def classify(stmt: Statement, raw: String): Option[QueryPattern] = stmt match {
     case m: MatchStatement =>
-      val agg = m.ret.collectFirst { case ReturnAggregate(f, _, _, _) => f }
+      // unwrap AS aliases: `RETURN count(c) AS cnt` must classify the
+      // same as `RETURN count(c)` or it routes past the agg views
+      val agg = m.ret.collectFirst {
+        case ReturnAggregate(f, _, _, _) => f
+        case ReturnAliased(ReturnAggregate(f, _, _, _), _) => f
+      }
       Some(agg match {
         case Some(f) => AggPattern(f)
         case None if m.pattern.exists(_.edges.nonEmpty) ||

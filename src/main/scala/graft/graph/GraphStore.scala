@@ -256,6 +256,16 @@ final class GraphStore(
     */
   def truncated(): GraphStore =
     new GraphStore(vertices.localCheckpoint(), edges, changes, version)
+
+  /** Edge-side lineage cut — the [[truncated]] twin for chains of
+    * EDGE mutations (relationship MERGE loops): each uncut layer
+    * would re-execute the prior anti-join/union under the next
+    * merge's probe. Vertices stay untouched (checkpointing them here
+    * would materialize the full vertex table for chains that never
+    * mutate it).
+    */
+  def truncatedEdges(): GraphStore =
+    new GraphStore(vertices, edges.localCheckpoint(), changes, version)
 }
 
 object GraphStore {

@@ -451,6 +451,38 @@ object GraphQueries {
         .orderBy("name")
     }),
 
+    // Relationship MERGE (round 9, Cypher match-or-create for an
+    // edge between BOUND endpoints — the idempotent edge-ingest
+    // form): merging Nation×{ASIA} in_region pairs applies ON MATCH
+    // to the nations already in ASIA and bulk-creates the missing
+    // edges with ON CREATE folded into the insert (one anti-join →
+    // one addEdges, no per-pair loop); the idempotent re-merge
+    // matches everything (no duplicate, ON CREATE quiet).
+    "gql_merge_rel" -> ((s, dir) => {
+      val base = GraphStore.fromTpch(s, dir)
+      val m1 = GqlExecutor.run(base,
+        "MERGE (n:Nation)-[e:in_region]->(r:Region {name: \"ASIA\"}) " +
+          "ON MATCH SET e.checked = 1 ON CREATE SET e.fresh = 1").store
+      val m2 = GqlExecutor.run(m1,
+        "MERGE (n:Nation)-[e:in_region]->(r:Region {name: \"ASIA\"}) " +
+          "ON MATCH SET e.seen = 1 ON CREATE SET e.fresh = 9").store
+      val nations = m2.vertices.filter(col("label") === "Nation")
+        .select(col("id").as("src"), str(col("props")("name")).as("name"))
+      val asia = m2.vertices.filter(col("label") === "Region")
+        .filter(PropValue.compare(col("props")("name"), "ASIA", "="))
+        .select(col("id").as("dst"))
+      m2.edges.filter(col("label") === "in_region")
+        .join(asia, Seq("dst"), "left_semi")
+        .join(nations, Seq("src"))
+        .select(col("name"),
+          coalesce(PropValue.asLong(col("props")("fresh")), lit(-1L))
+            .as("fresh"),
+          coalesce(PropValue.asLong(col("props")("checked")), lit(-1L))
+            .as("checked"),
+          PropValue.asLong(col("props")("seen")).as("seen"))
+        .orderBy("name")
+    }),
+
     // String functions (round 8, Cypher): toLower/substring as an
     // implicit grouping key, size+replace in WHERE — the whole call
     // tree evaluates inside the scan's codegen stage, no UDF.
@@ -793,6 +825,15 @@ object GraphQueries {
                 CAST(-1 AS BIGINT) AS seen FROM nation
          UNION ALL
          SELECT 'ATLANTIS', 0, 1
+         ORDER BY name""",
+    "gql_merge_rel" ->
+      """SELECT n_name AS name,
+                CASE WHEN r.r_name = 'ASIA' THEN CAST(-1 AS BIGINT)
+                     ELSE CAST(1 AS BIGINT) END AS fresh,
+                CASE WHEN r.r_name = 'ASIA' THEN CAST(1 AS BIGINT)
+                     ELSE CAST(-1 AS BIGINT) END AS checked,
+                CAST(1 AS BIGINT) AS seen
+         FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
          ORDER BY name""",
     "gql_strfuncs" ->
       """SELECT substring(lower(c_mktsegment), 1, 4) AS pre,

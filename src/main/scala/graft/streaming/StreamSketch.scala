@@ -101,18 +101,34 @@ object StreamSketch {
   }
 
   /** The persisted summary: (key, est) plus (n, subtracted) meta;
-    * empty for a path no stream has written.
+    * empty ONLY for a path no stream has written. A path that exists
+    * but fails to read (corrupt file, the documented crash window
+    * where sketch_meta landed but summary did not) RETHROWS instead of
+    * masquerading as a first run — silently resetting would overwrite
+    * history and zero the accumulated `subtracted` bound, breaking the
+    * `true ≤ est + subtracted` contract while the high-water mark
+    * still advances.
     */
   def read(spark: SparkSession,
       path: String): (DataFrame, Long, Long) = {
     import spark.implicits._
-    try {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val sumPath = new org.apache.hadoop.fs.Path(s"$path/summary")
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/sketch_meta")
+    val fs = sumPath.getFileSystem(conf)
+    val (haveSum, haveMeta) = (fs.exists(sumPath), fs.exists(metaPath))
+    if (!haveSum && !haveMeta)
+      (Seq.empty[(String, Long)].toDF("key", "cnt"), 0L, 0L)
+    else if (haveSum != haveMeta)
+      // half-written state IS the crash-window signature — name it
+      throw new IllegalStateException(
+        s"MG sketch at $path is half-written (summary=$haveSum, " +
+        s"sketch_meta=$haveMeta): refusing to reset the error bound; " +
+        "restore or delete BOTH parts to restart the sketch")
+    else {
       val s = spark.read.parquet(s"$path/summary")
       val m = spark.read.parquet(s"$path/sketch_meta").head()
       (s, m.getLong(0), m.getLong(1))
-    } catch {
-      case scala.util.control.NonFatal(_) =>
-        (Seq.empty[(String, Long)].toDF("key", "cnt"), 0L, 0L)
     }
   }
 

@@ -733,11 +733,12 @@ class GqlSpec extends SparkSpec {
     // expression without AS is a parse error
     assert(GqlParser.parse(
       "MATCH (v:Person) RETURN v.age * 2").isLeft)
-    // AS on a bare triplet variable rejects with a remedy
-    val e = intercept[IllegalArgumentException] {
-      GqlExecutor.run(fixture, "MATCH (v:Person) RETURN v AS person")
-    }
-    assert(e.getMessage.contains("alias a property instead"))
+    // AS on a bare triplet variable takes id-column semantics —
+    // identical to the aggregate path (see the dedicated test)
+    val e = GqlExecutor.run(fixture,
+      "MATCH (v:Person) RETURN v AS person").df
+    assert(e.columns.toSeq == Seq("person") &&
+      e.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
     // aliased collect + aliased WITH pass-through still work together
     val c = GqlExecutor.run(fixture,
       "MATCH (a:Person)-[]->(b) RETURN a.name AS src, " +
@@ -915,8 +916,9 @@ class GqlSpec extends SparkSpec {
     assert(r3.store.vertices.count() == n0 + 1)
     assert(GqlExecutor.run(r3.store,
       "MATCH (p:Person) WHERE p.fresh = 99 RETURN p.name").df.count() == 0L)
-    // edge / multi-node MERGE and foreign set variables reject
-    assert(GqlParser.parse("MERGE (a:X)-[:r]->(b:Y)").isLeft)
+    // multi-hop MERGE and foreign set variables reject (single-edge
+    // MERGE is its own statement — see the relationship MERGE test)
+    assert(GqlParser.parse("MERGE (a:X)-[:r]->(b:Y)-[:s]->(c:Z)").isLeft)
     assert(GqlParser.parse("MERGE (a:X) ON CREATE SET a.x = 1 " +
       "ON CREATE SET a.y = 2").isLeft)
     val e = intercept[IllegalArgumentException] {
@@ -976,6 +978,119 @@ class GqlSpec extends SparkSpec {
       "MATCH (v:Person) WHERE v.name = \"Bob\" SET v.x = 1 REMOVE v.x").store
     assert(s5.vertices.filter(PropValue.compare(col("props")("name"), "Bob", "="))
       .select(col("props")("x")).head().isNullAt(0))
+  }
+
+  test("relationship MERGE: match/create split, ON clauses, direction, rejections") {
+    val e0 = fixture.edges.count()
+    // existing edge 1-[friend]->2: ON MATCH fires, no new edge
+    val r1 = GqlExecutor.run(fixture,
+      "MERGE (a:Person {name: \"Alice\"})-[e:friend]->" +
+        "(b:Person {name: \"Bob\"}) " +
+        "ON MATCH SET e.close = true ON CREATE SET e.fresh = 1").store
+    assert(r1.edges.count() == e0)
+    val e12 = r1.edges.filter(col("src") === 1L && col("dst") === 2L &&
+      col("label") === "friend").head()
+    val p12 = e12.getAs[Map[String, org.apache.spark.sql.Row]]("props")
+    assert(p12("close").getBoolean(4) && !p12.contains("fresh"))
+    assert(p12("since").getLong(2) == 2020L) // pre-existing prop survives
+    assert(r1.changes.filter(col("op") === "update_edge_props").count() == 1)
+    // missing edge Alice->Diana: created, ON CREATE fires (folded
+    // into the insert row — ONE add_edge op), ON MATCH quiet
+    val r2 = GqlExecutor.run(r1,
+      "MERGE (a:Person {name: \"Alice\"})-[e:friend]->" +
+        "(b:Person {name: \"Diana\"}) " +
+        "ON CREATE SET e.fresh = 1 ON MATCH SET e.close = true").store
+    assert(r2.edges.count() == e0 + 1)
+    val e14 = r2.edges.filter(col("src") === 1L && col("dst") === 4L).head()
+    val p14 = e14.getAs[Map[String, org.apache.spark.sql.Row]]("props")
+    assert(p14("fresh").getLong(2) == 1L && !p14.contains("close"))
+    // idempotent re-merge: no duplicate, ON CREATE quiet, ON MATCH fires
+    val r3 = GqlExecutor.run(r2,
+      "MERGE (a:Person {name: \"Alice\"})-[e:friend]->" +
+        "(b:Person {name: \"Diana\"}) " +
+        "ON CREATE SET e.fresh = 99 ON MATCH SET e.seen = 1").store
+    assert(r3.edges.count() == e0 + 1)
+    val p14b = r3.edges.filter(col("src") === 1L && col("dst") === 4L)
+      .head().getAs[Map[String, org.apache.spark.sql.Row]]("props")
+    assert(p14b("fresh").getLong(2) == 1L && p14b("seen").getLong(2) == 1L)
+    // incoming direction stores the reversed edge (like CREATE)
+    val r4 = GqlExecutor.run(fixture,
+      "MERGE (a:Person {name: \"Bob\"})<-[:boss]-" +
+        "(b:Person {name: \"Charlie\"})").store
+    assert(r4.edges.filter(col("src") === 3L && col("dst") === 2L &&
+      col("label") === "boss").count() == 1)
+    // bulk pair semantics: label-only endpoints merge the full cross
+    // product minus existing edges, in one statement
+    val r5 = GqlExecutor.run(fixture,
+      "MERGE (a:Person {name: \"Alice\"})-[:knows]->(b:Person)").store
+    assert(r5.edges.filter(col("label") === "knows").count() == 4)
+    // unbound endpoint rejects with the remedy, creates nothing
+    val eu = intercept[IllegalArgumentException] {
+      GqlExecutor.run(fixture,
+        "MERGE (a:Person {name: \"Alice\"})-[:friend]->(b:Ghost)")
+    }
+    assert(eu.getMessage.contains("matches no existing vertex"))
+    // foreign SET variable rejects
+    val ef = intercept[IllegalArgumentException] {
+      GqlExecutor.run(fixture,
+        "MERGE (a:Person {name: \"Alice\"})-[e:friend]->" +
+          "(b:Person {name: \"Bob\"}) ON MATCH SET a.x = 1")
+    }
+    assert(ef.getMessage.contains("edge variable"))
+    // undirected / var-length / edge-prop patterns reject at parse
+    assert(GqlParser.parse("MERGE (a:X)-[:r]-(b:Y)").isLeft)
+    assert(GqlParser.parse("MERGE (a:X)-[:r*1..2]->(b:Y)").isLeft)
+    assert(GqlParser.parse("MERGE (a:X)-[:r {w: 1}]->(b:Y)").isLeft)
+  }
+
+  test("SET/CASE arithmetic preserves int kind; float taints; / stays exact-only") {
+    // int + int literal on an int prop keeps kind=int (Cypher integer
+    // arithmetic) — was silently flipping to float
+    val s1 = GqlExecutor.run(fixture,
+      "MATCH (v:Person) WHERE v.name = \"Bob\" SET v.age = v.age + 1").store
+    val bob = s1.vertices
+      .filter(PropValue.compare(col("props")("name"), "Bob", "="))
+      .select(col("props")("age")("kind"), col("props")("age")("i")).head()
+    assert(bob.getByte(0) == PropValue.KInt && bob.getLong(1) == 26L)
+    // a float literal anywhere taints the result to float
+    val s2 = GqlExecutor.run(fixture,
+      "MATCH (v:Person) WHERE v.name = \"Bob\" SET v.w = v.age * 1.5").store
+    val w = s2.vertices
+      .filter(PropValue.compare(col("props")("name"), "Bob", "="))
+      .select(col("props")("w")("kind"), col("props")("w")("d")).head()
+    assert(w.getByte(0) == PropValue.KFloat && w.getDouble(1) == 37.5)
+    // documented deviation: / computes float division, so a non-exact
+    // int quotient is float (Cypher would integer-divide); an exact
+    // quotient keeps int
+    val s3 = GqlExecutor.run(fixture,
+      "MATCH (v:Person) WHERE v.name = \"Bob\" " +
+        "SET v.h = v.age / 2, v.q = v.age / 5").store
+    val hq = s3.vertices
+      .filter(PropValue.compare(col("props")("name"), "Bob", "="))
+      .select(col("props")("h")("kind"), col("props")("h")("d"),
+        col("props")("q")("kind"), col("props")("q")("i")).head()
+    assert(hq.getByte(0) == PropValue.KFloat && hq.getDouble(1) == 12.5)
+    assert(hq.getByte(2) == PropValue.KInt && hq.getLong(3) == 5L)
+    // CASE THEN arithmetic gets the same treatment
+    val c = GqlExecutor.run(fixture,
+      "MATCH (v:Person) RETURN CASE WHEN v.age > 26 THEN v.age + 1 " +
+        "ELSE v.age - 1 END AS adj").df
+    val kinds = c.select(col("adj")("kind")).collect().map(_.getByte(0)).toSet
+    assert(kinds == Set(PropValue.KInt))
+    val adj = c.select(col("adj")("i")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(adj == Seq(24L, 29L, 31L, 36L))
+  }
+
+  test("RETURN v AS x: id semantics, identical in agg and non-agg paths") {
+    val plain = GqlExecutor.run(fixture,
+      "MATCH (v:Person) WHERE v.age > 26 RETURN v AS who").df
+    assert(plain.columns.toSeq == Seq("who"))
+    assert(plain.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 4L))
+    // the aggregate path groups by the same id column under the alias
+    val agg = GqlExecutor.run(fixture,
+      "MATCH (a:Person)-[:friend]->(b) RETURN a AS src, count(b) AS n").df
+    val m = agg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 1L, 2L -> 1L))
   }
 
   test("SET rejections: cross-variable reads, edge targets, unbound vars") {

@@ -187,6 +187,12 @@ class IntegrationSpec extends SparkSpec {
     // writes never route
     val w = RoutedGql.run(store, catalog, """CREATE (x:Person {name: "Carol"})""")
     assert(w.servedBy.isEmpty && w.store.vertices.count() == 3)
+    // an ALIASED aggregate classifies identically to the bare one —
+    // `RETURN count(p) AS cnt` must hit the same count view
+    val aliased = RoutedGql.run(store, catalog,
+      "MATCH (p:Person) RETURN count(p) AS cnt")
+    assert(aliased.servedBy.contains("person_count"))
+    assert(aliased.df.head.getLong(0) == 2L)
   }
 
   test("X1 parity: remove_edge + update props, replace-not-merge, feed rows") {

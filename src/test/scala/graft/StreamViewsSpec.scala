@@ -425,6 +425,33 @@ class StreamViewsSpec extends SparkSpec {
     }
   }
 
+  test("MG summary: half-written state throws instead of resetting the bound") {
+    import spark.implicits._
+    import graft.streaming.StreamSketch
+    val dir = java.nio.file.Files.createTempDirectory("graft_smg3").toString
+    assert(StreamSketch.applyBatch(
+      Seq.fill(5)("hot").toDF("k"), "k", dir, 4, 0L)())
+    // simulate the documented crash window: sketch_meta landed,
+    // summary did not — a read must refuse to masquerade as a first
+    // run (silently resetting would zero the accumulated bound while
+    // the high-water mark still advances)
+    val sumDir = java.nio.file.Paths.get(dir, "summary")
+    val tmp = java.nio.file.Paths.get(dir, "summary_hidden")
+    java.nio.file.Files.move(sumDir, tmp)
+    val ex = intercept[IllegalStateException] {
+      StreamSketch.read(spark, dir)
+    }
+    assert(ex.getMessage.contains("half-written"))
+    // the next batch must ALSO refuse (applyBatch reads prior state)
+    intercept[IllegalStateException] {
+      StreamSketch.applyBatch(Seq("x").toDF("k"), "k", dir, 4, 1L)()
+    }
+    // restoring both parts recovers cleanly
+    java.nio.file.Files.move(tmp, sumDir)
+    val (s, n, _) = StreamSketch.read(spark, dir)
+    assert(n == 5L && s.collect().map(_.getString(0)).toSet == Set("hot"))
+  }
+
   test("streaming minhash dedup: growing index catches cross-batch near-dups") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_smh").toString
