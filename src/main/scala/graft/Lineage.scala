@@ -70,4 +70,22 @@ object Lineage {
     def cut(reliable: Boolean): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
   }
+
+  /** Explicitly release the storage behind a cut frame (the
+    * checkpointed RDD a `cut` left persisted). Dropping the reference
+    * and waiting for the ContextCleaner works too, but only at a GC —
+    * an iterative operator holding many per-round frames (betweenness
+    * level frames: hops × Σ-reach rows) can OOM on the backlog first,
+    * the same hazard the span fixpoint's memory rotation closes.
+    * UNSAFE unless every plan that reads `df` has been materialized
+    * (cut/persisted downstream): a cut frame has no lineage to
+    * recompute from, so unpersisting under a live lazy reader loses
+    * the data, not just the cache.
+    */
+  def freeCut(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -1021,9 +1021,16 @@ object Algorithms {
       }
       // Backward sweep: δ flows one level down per round; a level's
       // BC contribution is its δ (w ≠ source holds because only
-      // levels ≥ 1 contribute).
+      // levels ≥ 1 contribute). The per-id BC sum accumulates
+      // INCREMENTALLY (V-sized running frame, cut each round) instead
+      // of a lazy union over every level — so once a round's δ and
+      // accumulator are materialized, that level's frame (the big
+      // Σ-reach state) has NO live reader and its blocks are freed
+      // immediately. Without the rotation the sweep holds hops ×
+      // frontier localCheckpoint blocks to the end — the same backlog
+      // OOM the span fixpoint's memory rotation closes.
       var delta: DataFrame = null
-      var bcParts = List.empty[DataFrame]
+      var bcAcc: DataFrame = null
       for (d <- (levels.size - 1) to 1 by -1) {
         val (lvl, lvlCount) = levels(d)
         val lvlD = (if (delta == null) lvl.withColumn("delta", lit(0.0))
@@ -1031,7 +1038,15 @@ object Algorithms {
             .na.fill(0.0, Seq("delta")))
           .select(col("source"), col("id").as("wid"),
             col("sigma").as("wsigma"), col("delta"))
-        bcParts ::= lvlD.select(col("wid").as("id"), col("delta"))
+        // fold this level's contribution (incl. explicit 0.0 rows for
+        // reached-but-never-interior vertices) into the running sum
+        val part = lvlD.groupBy(col("wid").as("id"))
+          .agg(sum(col("delta")).as("delta"))
+        val prevAcc = bcAcc
+        bcAcc = (if (bcAcc == null) part
+          else bcAcc.unionByName(part)
+            .groupBy("id").agg(sum(col("delta")).as("delta"))).cut(rel)
+        if (prevAcc != null) graft.Lineage.freeCut(prevAcc)
         val w = hintIfAtMost(lvlD, lvlCount, broadcastRows)
         val viaEdge = w.join(e, w("wid") === e("dst"))
           .select(w("source"), e("src").as("id"),
@@ -1041,20 +1056,27 @@ object Algorithms {
           prevLvl.select(col("source"), col("id"),
             col("sigma").as("vsigma")),
           prevCount, broadcastRows)
+        val consumedDelta = delta
         delta = viaEdge.join(prev, Seq("source", "id"))
           .groupBy("source", "id")
           .agg(sum(col("vsigma") / col("wsigma") *
             (lit(1.0) + col("delta"))).as("delta"))
           .cut(rel)
+        // both eager consumers of level d (bcAcc, new δ) are
+        // materialized; prev (level d-1) stays for the next round
+        graft.Lineage.freeCut(lvl)
+        if (consumedDelta != null) graft.Lineage.freeCut(consumedDelta)
+        levels(d) = (null, 0L)
       }
-      if (bcParts.isEmpty)
+      if (delta != null) graft.Lineage.freeCut(delta)
+      graft.Lineage.freeCut(levels(0)._1)
+      if (bcAcc == null)
         seed.sparkSession.emptyDataFrame
           .select(lit(0L).as("id"), lit(0.0).as("betweenness")).limit(0)
       else {
         val scale = if (undirected) 0.5 else 1.0
-        bcParts.reduce(_ unionByName _)
-          .groupBy("id")
-          .agg((sum("delta") * lit(scale)).as("betweenness"))
+        bcAcc.select(col("id"),
+          (col("delta") * lit(scale)).as("betweenness"))
       }
     } finally {
       e.unpersist(blocking = false)

@@ -265,6 +265,25 @@ object AlgoQueries {
         .orderBy("suppkey")
     }),
 
+    // +G: SAMPLED-sources betweenness (Brandes-Pich pivot estimation
+    // — the documented 100× path for g18: exact betweenness is
+    // inherently O(V·E), the estimator runs |S| ≪ V source trees and
+    // scales by V/|S|). The driver query pins the PARTIAL SUM over a
+    // deterministic 1-in-5 source sample EXACTLY (same closed-form
+    // walk-count oracle as g18 restricted to sampled sources) — the
+    // estimator's only approximation is which sources run, never the
+    // per-source math; AlgoSpec pins the scaled estimate's rank
+    // agreement vs exact.
+    "g18_betweenness_sampled" -> ((s, dir) => {
+      val co = coOrder(s, dir)
+      Algorithms.betweennessCentrality(co.edges.select("src", "dst"),
+        co.vertices, maxHops = 4, undirected = true,
+        sources = Some(co.vertices.filter(col("id") % 5 === 0)))
+        .select(col("id").as("suppkey"),
+          round(col("betweenness"), 4).as("betweenness"))
+        .orderBy("suppkey")
+    }),
+
     // +G: Jaccard neighborhood similarity over the co-order graph —
     // inclusion-exclusion denominator, one self-join, absent pairs
     // mean empty intersection. Full value oracle.
@@ -466,6 +485,46 @@ object AlgoQueries {
                        SUM(sv.sigma * vt.sigma * 1.0 / st.sigma) / 2 AS b
                 FROM sig sv
                 JOIN sig vt ON vt.source = sv.id
+                JOIN sig st ON st.source = sv.source AND st.id = vt.id
+                WHERE sv.source <> sv.id AND vt.id <> vt.source
+                  AND sv.source <> vt.id AND sv.h + vt.h = st.h
+                GROUP BY sv.id),
+         tgt AS (SELECT DISTINCT id FROM d WHERE h >= 1)
+         SELECT t.id AS suppkey,
+                ROUND(COALESCE(bc.b, 0), 4) AS betweenness
+         FROM tgt t LEFT JOIN bc ON bc.id = t.id ORDER BY suppkey""",
+    // same closed form restricted to the deterministic 1-in-5 source
+    // sample: Σ over s∈S of σsv·σvt/σst, halved for the undirected
+    // double count — exactly the partial sum the sampled run returns
+    // (targets are vertices reached at level ≥ 1 of a sampled tree)
+    "g18_betweenness_sampled" ->
+      s"""WITH RECURSIVE $coOrderCte,
+         walk(source, id, hops) AS (
+           SELECT id, id, 0 FROM v WHERE id % 5 = 0
+           UNION ALL
+           SELECT w.source, e.dst, w.hops + 1 FROM walk w
+           JOIN e ON w.id = e.src WHERE w.hops < 4),
+         d AS (SELECT source, id, MIN(hops) AS h FROM walk
+               GROUP BY source, id),
+         sig AS (SELECT w.source, w.id, d.h, COUNT(*) AS sigma
+                 FROM walk w JOIN d ON w.source = d.source
+                   AND w.id = d.id AND w.hops = d.h
+                 GROUP BY w.source, w.id, d.h),
+         fullwalk(source, id, hops) AS (
+           SELECT id, id, 0 FROM v
+           UNION ALL
+           SELECT w.source, e.dst, w.hops + 1 FROM fullwalk w
+           JOIN e ON w.id = e.src WHERE w.hops < 4),
+         fd AS (SELECT source, id, MIN(hops) AS h FROM fullwalk
+                GROUP BY source, id),
+         fsig AS (SELECT w.source, w.id, d.h, COUNT(*) AS sigma
+                  FROM fullwalk w JOIN fd d ON w.source = d.source
+                    AND w.id = d.id AND w.hops = d.h
+                  GROUP BY w.source, w.id, d.h),
+         bc AS (SELECT sv.id AS id,
+                       SUM(sv.sigma * vt.sigma * 1.0 / st.sigma) / 2 AS b
+                FROM sig sv
+                JOIN fsig vt ON vt.source = sv.id
                 JOIN sig st ON st.source = sv.source AND st.id = vt.id
                 WHERE sv.source <> sv.id AND vt.id <> vt.source
                   AND sv.source <> vt.id AND sv.h + vt.h = st.h

@@ -67,6 +67,56 @@ object StreamQueries {
     // bootstrap span) through the delta-merge path, exact min/max
     // recompute for touched groups included. The oracle recomputes
     // the same final state directly — incremental == batch.
+    // V5c: incremental maintenance of a registered GQL MATCH-pattern
+    // view — (Customer)-[:located_in]->(Nation) maintained through
+    // two mutation rounds (vertex removal with edge cascade, fresh
+    // vertex + edge, vertex re-add, explicit edge removal) purely
+    // from the change feed via the composed signed Δ(V⋈E⋈V) rule:
+    // the MATCH itself never re-runs, refresh cost scales with the
+    // change window. Oracle reproduces the end-state membership.
+    "v6_pattern_view" -> ((s, dir) => {
+      import graft.graph.GraphStore
+      import graft.model.PropValue
+      val base = GraphStore.fromTpch(s, dir)
+      val noProps = lit(null).cast(PropValue.mapType)
+      val newCust = GraphStore.CustomerOff + 900000L
+      // round 1: remove nations 0-4 (cascading their located_in
+      // edges), add a brand-new customer with an edge into nation 7
+      val m1 = base.removeVertices(
+          base.vertices.filter(col("label") === "Nation" &&
+            col("id") < GraphStore.NationOff + 5L).select("id"))
+        .addVertices(s.range(1).select(lit(newCust).as("id"),
+          lit("Customer").as("label"),
+          map(lit("name"), PropValue.ofString(lit("Graft Test"))).as("props")))
+        .addEdges(s.range(1).select(lit(newCust).as("src"),
+          lit(GraphStore.NationOff + 7L).as("dst"),
+          lit("located_in").as("label"), noProps.as("props")))
+        .truncated().truncatedEdges()
+      val cat = new Views.ViewCatalog(s,
+        java.nio.file.Files.createTempDirectory("graft_pv").toString)
+      Views.refreshPatternView(cat, "cust_nation", base, m1,
+        "Customer", "located_in", "Nation")
+      // round 2: resurrect nation 2 (its cascaded edges stay gone),
+      // wire customers 1-5 into it, drop customer 1's original edge
+      val m2 = m1.addVertices(s.range(1).select(
+          lit(GraphStore.NationOff + 2L).as("id"), lit("Nation").as("label"),
+          map(lit("name"), PropValue.ofString(lit("REBORN"))).as("props")))
+        .addEdges(s.range(1, 6).select(
+          (col("id") + GraphStore.CustomerOff).as("src"),
+          lit(GraphStore.NationOff + 2L).as("dst"),
+          lit("located_in").as("label"), noProps.as("props")))
+        .removeEdges(m1.edges.filter(
+          col("src") === GraphStore.CustomerOff + 1L &&
+            col("label") === "located_in")
+          .select("src", "dst", "label"))
+        .truncated().truncatedEdges()
+      Views.refreshPatternView(cat, "cust_nation", m1, m2,
+        "Customer", "located_in", "Nation")
+        .select((col("src") - GraphStore.CustomerOff).as("custkey"),
+          (col("dst") - GraphStore.NationOff).as("nationkey"))
+        .orderBy("custkey", "nationkey")
+    }),
+
     "v5_incremental_view" -> ((s, dir) => {
       val t1 = lit(java.sql.Timestamp.valueOf("2024-01-11 00:00:00"))
       val t2 = lit(java.sql.Timestamp.valueOf("2024-01-21 00:00:00"))
@@ -95,6 +145,27 @@ object StreamQueries {
        COUNT(DISTINCT user_id) AS distinct_users"""
 
   val oracles: Map[String, String] = Map(
+    // end-state membership of (Customer)-[:located_in]->(Nation):
+    // original pairs survive unless their nation was removed (nk 0-4;
+    // nation 2's re-add does NOT resurrect cascaded edges) or they
+    // belong to customer 1 (its original edge is removed in round 2);
+    // plus the fresh customer in nation 7 and customers 1-5 wired
+    // into the reborn nation 2
+    "v6_pattern_view" ->
+      """WITH orig AS (
+           SELECT CAST(c_custkey AS BIGINT) AS custkey,
+                  CAST(c_nationkey AS BIGINT) AS nationkey
+           FROM customer
+           WHERE c_nationkey >= 5 AND c_custkey <> 1),
+         extra AS (
+           SELECT CAST(900000 AS BIGINT) AS custkey,
+                  CAST(7 AS BIGINT) AS nationkey
+           UNION ALL
+           SELECT CAST(i AS BIGINT), CAST(2 AS BIGINT)
+           FROM range(1, 6) t(i))
+         SELECT custkey, nationkey FROM
+           (SELECT * FROM orig UNION ALL SELECT * FROM extra)
+         ORDER BY custkey, nationkey""",
     "t6_tumbling" ->
       s"""SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
                  $stdAggSql

@@ -156,6 +156,29 @@ class AlgoSpec extends SparkSpec {
       Map(1L -> 0.5, 2L -> 0.5, 3L -> 0.5, 4L -> 0.5))
   }
 
+  test("betweenness: backward sweep frees level-frame storage as it consumes it") {
+    // deep path graph → many level frames; the sweep must release
+    // each level's checkpoint blocks once its δ and BC contribution
+    // are materialized, leaving only the result's own frame persisted
+    // (the pre-rotation code held hops × frontier blocks to the end)
+    val n = 12L
+    val es = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    val vs = (1L to n).toDF("id")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = Algorithms.betweennessCentrality(es, vs, maxHops = 12,
+      undirected = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 1, // the returned frame's own blocks
+      s"betweenness leaked ${after - before} persisted frames")
+    // values unchanged by the rotation: path-graph betweenness is
+    // (i-1)(n-i) for vertex i
+    (1L to n).foreach { i =>
+      assert(out.getOrElse(i, 0.0) == ((i - 1) * (n - i)).toDouble,
+        s"v=$i")
+    }
+  }
+
   test("harmonic centrality: path graph values; hop bound truncates") {
     // path 1-2-3 undirected: H(1)=1+1/2, H(2)=2, H(3)=1+1/2
     val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")

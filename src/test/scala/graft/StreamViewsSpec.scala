@@ -766,6 +766,59 @@ class StreamViewsSpec extends SparkSpec {
     assert(reloaded.orderBy("id").collect().map(_.getString(1)).toSeq == Seq("x", "y"))
   }
 
+  test("pattern view: incremental refresh equals MATCH recompute across two mutation rounds") {
+    import spark.implicits._
+    import graft.graph.GraphStore
+    val base = GraphStore.fromTuples(spark,
+      Seq((1L, "User", Nil), (2L, "User", Nil), (3L, "User", Nil),
+        (10L, "Group", Nil), (11L, "Group", Nil)),
+      Seq((1L, 10L, "member", Nil), (2L, 10L, "member", Nil),
+        (2L, 11L, "member", Nil), (3L, 11L, "member", Nil),
+        (1L, 2L, "follows", Nil))) // off-pattern label must not leak
+    def recompute(st: GraphStore): Set[(Long, Long)] =
+      st.vertices.filter(col("label") === "User").select(col("id").as("src"))
+        .join(st.edges.filter(col("label") === "member")
+          .select("src", "dst"), "src")
+        .join(st.vertices.filter(col("label") === "Group")
+          .select(col("id").as("dst")), "dst")
+        .select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def viewRows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cat = new Views.ViewCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_pv_spec").toString)
+    // round 1: cascade-removing group 10, a fresh user with an edge,
+    // and a DUPLICATE add (3→11 exists: feed logs add_edge, the net
+    // delta must not double it)
+    val m1 = base.removeVertices(Seq(10L).toDF("id"))
+      .addVertices(Seq((4L, "User")).toDF("id", "label")
+        .withColumn("props", lit(null).cast(graft.model.PropValue.mapType)))
+      .addEdges(Seq((4L, 11L, "member"), (3L, 11L, "member"))
+        .toDF("src", "dst", "label")
+        .withColumn("props", lit(null).cast(graft.model.PropValue.mapType)))
+    val r1 = Views.refreshPatternView(cat, "membership", base, m1,
+      "User", "member", "Group")
+    assert(viewRows(r1) == recompute(m1))
+    assert(viewRows(r1) == Set((2L, 11L), (3L, 11L), (4L, 11L)))
+    // round 2: re-add group 10 (cascaded edges stay gone), wire 1→10,
+    // drop 2→11 explicitly, cascade-remove user 3
+    val m2 = m1.addVertices(Seq((10L, "Group")).toDF("id", "label")
+        .withColumn("props", lit(null).cast(graft.model.PropValue.mapType)))
+      .addEdges(Seq((1L, 10L, "member")).toDF("src", "dst", "label")
+        .withColumn("props", lit(null).cast(graft.model.PropValue.mapType)))
+      .removeEdges(Seq((2L, 11L, "member")).toDF("src", "dst", "label"))
+      .removeVertices(Seq(3L).toDF("id"))
+    val r2 = Views.refreshPatternView(cat, "membership", m1, m2,
+      "User", "member", "Group")
+    assert(viewRows(r2) == recompute(m2))
+    assert(viewRows(r2) == Set((1L, 10L), (4L, 11L)))
+    // multiset state stays exact: every surviving row at mult 1
+    val mults = cat.dataOf("membership").get
+      .select("__mult").collect().map(_.getLong(0)).toSet
+    assert(mults == Set(1L))
+  }
+
   test("refresh policies: needsRefresh semantics") {
     assert(FixedInterval(1000).needsRefresh(0, 1500, dirty = false))
     assert(!FixedInterval(1000).needsRefresh(1000, 1500, dirty = true))
