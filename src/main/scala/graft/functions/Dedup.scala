@@ -891,22 +891,81 @@ object Dedup {
     */
   val NgramJaccardCrossover = 0.6
 
-  /** Threshold-selected exact n-gram Jaccard pairs: one entry point
-    * that picks [[ngramJaccardPairs]] (in-stage partial-aggregate
-    * self-join) below [[NgramJaccardCrossover]] and
-    * [[ngramJaccardPairsPrefix]] (AllPairs/PPJoin prefix filtering)
-    * at or above it. The two are row-identical (PipelineSpec pins
-    * this on both sides of the crossover), so the choice is pure
-    * plan selection — callers should use this unless they are
-    * explicitly studying one formulation.
+  /** Calibrated per-candidate cost ratio of the prefix path (pair
+    * dedup + per-candidate set movement + sorted_intersect verify)
+    * relative to the plain self-join's in-stage partial aggregate.
+    * Measured on sf0.1 bigrams (NgramCrossoverProbe, min-noise runs,
+    * identical 256-row output at every point):
+    *
+    *   t     pVol/fullVol   plain    prefix
+    *   0.30     0.687       12.8 s   13.5 s   (plain wins)
+    *   0.45     0.536       11.4 s   11.3 s   (parity)
+    *   0.60     0.380       10.5 s   10.2 s   (prefix edges ahead)
+    *   0.80     0.192       10.6 s    6.0 s   (prefix wins)
+    *
+    * Wall parity lands at pVol/fullVol ≈ 0.54 ⇒ overhead = 1/0.54.
+    */
+  val NgramPrefixOverhead = 1.85
+
+  /** DATA-ADAPTIVE selection between the two exact-Jaccard
+    * formulations: picks [[ngramJaccardPairsPrefix]] when its
+    * estimated candidate volume (from the kept-shingle df histogram
+    * the plan computes anyway) beats [[ngramJaccardPairs]]' by the
+    * calibrated [[NgramPrefixOverhead]] factor; the threshold enters
+    * only through the prefix-mass estimate, so a corpus whose df
+    * tail thickens (candidate density is exactly what testdata
+    * regeneration moved 3×) shifts the decision without touching a
+    * constant. Volume model: the plain join generates Σ df²
+    * candidates over ALL kept shingles; the prefix join keeps each
+    * doc's (1−t)·n rarest shingles, which under the global
+    * rarest-first order is approximately the low-df shingles
+    * carrying a (1−t) fraction of total occurrences — so its volume
+    * is the Σ df² partial sum up to that occurrence quantile.
+    *
+    * The decision probe collects the df HISTOGRAM grouped by
+    * distinct df value — ≤ maxDf rows by construction under the
+    * finite default cap (model-bounded collect), and its aggregation
+    * materializes the kept-shingle frame the chosen branch then
+    * reuses from cache, so the probe's marginal cost is one
+    * vocabulary-sized aggregate. The unbounded-df opt-in
+    * (maxDf = Int.MaxValue) has no collect bound, so it keeps the
+    * static [[NgramJaccardCrossover]] rule. The two formulations are
+    * row-identical (PipelineSpec pins parity AND the branch choice
+    * on dense/sparse corpora), so the choice is pure plan selection.
     */
   def ngramJaccardPairsAuto(df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, threshold: Double = 0.3,
-      maxDf: Int = 5000): DataFrame =
-    if (threshold >= NgramJaccardCrossover)
+      maxDf: Int = 5000): DataFrame = {
+    val usePrefix =
+      if (maxDf == Int.MaxValue) threshold >= NgramJaccardCrossover
+      else {
+        val (_, keptDfs) =
+          keptShingleRows(df, textCol, idCol, shingleSize, maxDf)
+        val hist = keptDfs.groupBy("sdf").agg(count(lit(1)).as("k"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        val fullVol = hist.iterator
+          .map { case (d, k) => k.toDouble * d * d }.sum
+        val totOcc = hist.iterator.map { case (d, k) => k.toDouble * d }.sum
+        val mass = (1.0 - threshold) * totOcc
+        var acc = 0.0
+        var pVol = 0.0
+        hist.foreach { case (d, k) =>
+          val occ = k.toDouble * d
+          if (acc < mass) {
+            // the boundary df group enters FRACTIONALLY — the prefix
+            // keeps only as many of its shingle slots as fit in the
+            // remaining (1−t) occurrence mass
+            pVol += math.min(1.0, (mass - acc) / occ) * k * d * d
+            acc += occ
+          }
+        }
+        hist.nonEmpty && pVol * NgramPrefixOverhead < fullVol
+      }
+    if (usePrefix)
       ngramJaccardPairsPrefix(df, textCol, idCol, shingleSize, threshold, maxDf)
     else
       ngramJaccardPairs(df, textCol, idCol, shingleSize, threshold, maxDf)
+  }
 
   def ngramJaccardPairsPrefix(df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, threshold: Double = 0.3,

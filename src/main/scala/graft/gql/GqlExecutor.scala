@@ -21,7 +21,8 @@ import Ast._
   * variable — `<var>__id`, `<var>__label`, `<var>__props` — exactly
   * the reference's `Bindings = HashMap<var, (VertexId, Props)>`
   * (executor.rs:157) in columnar form. Edge variables bind
-  * `<var>__props` only (edge identity is (src,dst,label)).
+  * `<var>__props` and `<var>__label` (feeding `type(e)`); edge
+  * identity is (src,dst,label), so no id column exists for them.
   *
   * Vertex label semantics: a real `label` column here; the reference
   * stores it as the `type` property (executor.rs:534-537) — the
@@ -709,15 +710,22 @@ object GqlExecutor {
         d.filter(PropValue.compare(col("props")(k), litToValue(v), "="))
       }
       // Orient so the join is always bound-on-"from", new-on-"to".
+      // the edge binding carries props AND the stored label (the
+      // latter feeds `type(e)`; filtering on label above does not
+      // bind it — an unlabeled pattern edge still has a type)
       val oriented = e.direction match {
         case Outgoing => withLabelProps.select(
-          col("src").as("__from"), col("dst").as("__to"), col("props").as(vcol(eV, "props")))
+          col("src").as("__from"), col("dst").as("__to"),
+          col("props").as(vcol(eV, "props")), col("label").as(vcol(eV, "label")))
         case Incoming => withLabelProps.select(
-          col("dst").as("__from"), col("src").as("__to"), col("props").as(vcol(eV, "props")))
+          col("dst").as("__from"), col("src").as("__to"),
+          col("props").as(vcol(eV, "props")), col("label").as(vcol(eV, "label")))
         case Undirected => withLabelProps.select(
-          col("src").as("__from"), col("dst").as("__to"), col("props").as(vcol(eV, "props")))
+          col("src").as("__from"), col("dst").as("__to"),
+          col("props").as(vcol(eV, "props")), col("label").as(vcol(eV, "label")))
           .unionByName(withLabelProps.select(
-            col("dst").as("__from"), col("src").as("__to"), col("props").as(vcol(eV, "props"))))
+            col("dst").as("__from"), col("src").as("__to"),
+            col("props").as(vcol(eV, "props")), col("label").as(vcol(eV, "label"))))
       }
 
       // Variable-length extension: replace the single-hop pair set
@@ -746,6 +754,8 @@ object GqlExecutor {
           }
           acc.distinct()
             .withColumn(vcol(eV, "props"), lit(null).cast(PropValue.mapType))
+            .withColumn(vcol(eV, "label"),
+              lit(null).cast(org.apache.spark.sql.types.StringType))
         case Some((minHops, maxHops)) =>
           // Path-tracked var-length: enumerate SIMPLE paths (one row
           // per path, no vertex revisits) carrying the hop sequence
@@ -770,6 +780,8 @@ object GqlExecutor {
             k += 1
           }
           acc.withColumn(vcol(eV, "props"), lit(null).cast(PropValue.mapType))
+            .withColumn(vcol(eV, "label"),
+              lit(null).cast(org.apache.spark.sql.types.StringType))
       }
 
       // After the expansion join, extend __path: single hops append
@@ -1463,6 +1475,9 @@ object GqlExecutor {
     // the labels-as-string divergence note)
     case "id" => col(vcol(v, "id")).as(s"id_$v")
     case "labels" => col(vcol(v, "label")).as(s"labels_$v")
+    // edge variables bind the same label column shape, so type(e)
+    // reuses it (NULL over var-length segments — see the parser note)
+    case "type" => col(vcol(v, "label")).as(s"type_$v")
   }
 
   private def tripletCols(v: String): Seq[Column] = Seq(

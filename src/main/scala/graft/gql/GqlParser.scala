@@ -213,13 +213,16 @@ object GqlParser extends RegexParsers {
     })
 
   /** length/nodes take a PATH variable; id/labels take a node
-    * variable (graft extension, Cypher — `labels(n)` returns the
-    * single label as a STRING, not a 1-element list: the store is
-    * single-label, and the scalar form keeps it comparable/groupable
-    * without list machinery).
+    * variable; type takes an EDGE variable (graft extension, Cypher —
+    * `labels(n)` returns the single label as a STRING, not a
+    * 1-element list: the store is single-label, and the scalar form
+    * keeps it comparable/groupable without list machinery; `type(e)`
+    * is the stored edge label, NULL over a var-length segment, whose
+    * hops may mix labels).
     */
   private def returnPathFunc: Parser[ReturnItem] =
-    (kw("length") | kw("nodes") | kw("id") | kw("labels")) ~
+    (kw("length") | kw("nodes") | kw("id") | kw("labels") |
+      kw("type")) ~
       ("(" ~> ident <~ ")") ^^ {
       case f ~ v => ReturnPathFunc(f.toLowerCase, v)
     }

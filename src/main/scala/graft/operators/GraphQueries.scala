@@ -418,6 +418,16 @@ object GraphQueries {
     // id()/labels() (round 8, Cypher): labels(v) as an implicit
     // grouping key over an UNLABELED full scan (S1 through GQL), and
     // id(v) pinning the library's documented offset id scheme.
+    // type(e) (round 9, Cypher): the stored edge label off the edge
+    // binding — grouped as an implicit key like labels(v); Order
+    // out-edges split into contains (order→part) and supplied_by
+    // (order→supplier).
+    "gql_type" -> ((s, dir) => {
+      GqlExecutor.run(g(s, dir),
+        "MATCH (o:Order)-[e]->(x) RETURN type(e) AS rel, count(*) AS cnt").df
+        .orderBy("rel")
+    }),
+
     "gql_labels" -> ((s, dir) => {
       val r = GqlExecutor.run(g(s, dir),
         "MATCH (v) RETURN labels(v) AS kind, count(v) AS cnt").df
@@ -807,6 +817,13 @@ object GraphQueries {
          UNION
          SELECT s_name FROM supplier WHERE s_acctbal > 9900.0
          ORDER BY name""",
+    "gql_type" ->
+      """SELECT 'contains' AS rel, COUNT(*) AS cnt
+         FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+         UNION ALL
+         SELECT 'supplied_by' AS rel, COUNT(*) AS cnt
+         FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+         ORDER BY rel""",
     "gql_labels" ->
       """WITH counts(kind, cnt) AS (
            SELECT 'Customer', COUNT(*) FROM customer UNION ALL

@@ -331,20 +331,29 @@ object Views {
       newStore: graft.graph.GraphStore, srcLabel: String,
       edgeLabel: String, dstLabel: String): DataFrame = {
     val feed = newStore.changes.filter(col("version") > oldStore.version)
-    val touchedV = feed
+    // Every intermediate here is DELTA-sized, and each is read by
+    // several downstream joins/broadcasts; left lazy, the tree
+    // re-executes multiplicatively (d1 re-runs dE up to 3×, dE runs
+    // touchedE 2×, touchedE runs the incident scans 3× — measured
+    // 32 s for a 9-op window at sf0.1, ~3 s once cut). localCheckpoint
+    // is eager and lineage-free, so each level computes exactly once.
+    def cut(df: DataFrame): DataFrame = df.localCheckpoint()
+    val touchedV = cut(feed
       .filter(col("op").isin("add_vertex", "remove_vertex"))
-      .select(col("id")).distinct()
+      .select(col("id")).distinct())
     def members(store: graft.graph.GraphStore, label: String) =
       store.vertices.filter(col("label") === label)
         .join(broadcast(touchedV), Seq("id"), "left_semi").select("id")
     def vDelta(label: String, keyName: String): DataFrame = {
       val o = members(oldStore, label)
       val n = members(newStore, label)
-      n.join(o, Seq("id"), "left_anti")
+      cut(n.join(o, Seq("id"), "left_anti")
         .select(lit("add").as("op"), col("id").as(keyName))
         .unionByName(o.join(n, Seq("id"), "left_anti")
-          .select(lit("remove").as("op"), col("id").as(keyName)))
+          .select(lit("remove").as("op"), col("id").as(keyName))))
     }
+    val dA = vDelta(srcLabel, "src")
+    val dB = vDelta(dstLabel, "dst")
     // edge keys the window could have changed: explicit edge ops on
     // this label + every old/new edge of this label incident to a
     // touched vertex (cascades are not spelled out in the feed)
@@ -360,32 +369,31 @@ object Views {
             col("label"), col("props")))
         .select(col("src"), col("dst"))
     }
-    val touchedE = explicitE.unionByName(incident(oldStore))
-      .unionByName(incident(newStore)).distinct()
+    val touchedE = cut(explicitE.unionByName(incident(oldStore))
+      .unionByName(incident(newStore)).distinct())
     def eMembers(store: graft.graph.GraphStore) =
       store.edges.filter(col("label") === edgeLabel)
         .join(broadcast(touchedE), Seq("src", "dst"), "left_semi")
         .select("src", "dst")
     val eo = eMembers(oldStore)
     val en = eMembers(newStore)
-    val dE = en.join(eo, Seq("src", "dst"), "left_anti")
+    val dE = cut(en.join(eo, Seq("src", "dst"), "left_anti")
       .select(lit("add").as("op"), col("src"), col("dst"))
       .unionByName(eo.join(en, Seq("src", "dst"), "left_anti")
-        .select(lit("remove").as("op"), col("src"), col("dst")))
+        .select(lit("remove").as("op"), col("src"), col("dst"))))
     val aOld = oldStore.vertices.filter(col("label") === srcLabel)
       .select(col("id").as("src"))
     val bOld = oldStore.vertices.filter(col("label") === dstLabel)
       .select(col("id").as("dst"))
     val eOld = oldStore.edges.filter(col("label") === edgeLabel)
       .select("src", "dst")
-    val d1 = joinViewDelta(aOld, vDelta(srcLabel, "src"), eOld, dE, Seq("src"))
+    val d1 = joinViewDelta(aOld, dA, eOld, dE, Seq("src"))
     // re-expressed as op rows so the second level's sign validation
     // and broadcasts apply unchanged (each row is exactly ±1)
-    val d1op = d1.select(
+    val d1op = cut(d1.select(
       when(col("__sign") > 0, lit("add")).otherwise(lit("remove")).as("op"),
-      col("src"), col("dst"))
-    joinViewDelta(aOld.join(eOld, "src"), d1op,
-      bOld, vDelta(dstLabel, "dst"), Seq("dst"))
+      col("src"), col("dst")))
+    joinViewDelta(aOld.join(eOld, "src"), d1op, bOld, dB, Seq("dst"))
   }
 
   /** Bootstrap pattern-view state: the matched (src, dst) pairs with
@@ -416,7 +424,13 @@ object Views {
       initPatternState(oldStore, srcLabel, edgeLabel, dstLabel))
     val delta = patternViewDelta(oldStore, newStore,
       srcLabel, edgeLabel, dstLabel)
-    val state1 = mergeJoinDelta(state0, delta)
+    // a refresh MATERIALIZES its state (localCheckpoint — eager,
+    // lineage-cut): the state IS the view, and leaving it lazy makes
+    // refresh chains compose every prior round's delta plan into one
+    // nest the analyzer re-walks per action (measured 51 s → ~2 s for
+    // a two-round chain at sf0.1, almost all of it driver-side
+    // planning). Same discipline as GraphStore.truncated().
+    val state1 = mergeJoinDelta(state0, delta).localCheckpoint()
     catalog.put(name, state1)
     finalizeJoin(state1)
   }

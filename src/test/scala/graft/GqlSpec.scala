@@ -1093,6 +1093,28 @@ class GqlSpec extends SparkSpec {
     assert(m == Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("type(e): stored edge label, direction-stable, NULL over var-length") {
+    // grouped form, like labels(v)
+    val g = GqlExecutor.run(fixture,
+      "MATCH (a:Person)-[e]->(b) RETURN type(e) AS t, count(*) AS n").df
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(g == Map("friend" -> 2L, "colleague" -> 2L))
+    // plain (non-aggregate) projection works too
+    val p = GqlExecutor.run(fixture,
+      "MATCH (a:Person)-[e:friend]->(b) RETURN type(e) AS t").df
+      .collect().map(_.getString(0)).toSeq
+    assert(p == Seq("friend", "friend"))
+    // incoming direction binds the same stored label
+    val in = GqlExecutor.run(fixture,
+      "MATCH (b)<-[e:colleague]-(a) RETURN type(e) AS t").df
+      .collect().map(_.getString(0)).toSet
+    assert(in == Set("colleague"))
+    // a var-length segment has no single type → NULL
+    val vl = GqlExecutor.run(fixture,
+      "MATCH (a:Person)-[e:friend*1..2]->(b) RETURN type(e) AS t").df
+    assert(vl.count() > 0 && vl.filter(col("t").isNotNull).count() == 0)
+  }
+
   test("SET rejections: cross-variable reads, edge targets, unbound vars") {
     val e1 = intercept[IllegalArgumentException] {
       GqlExecutor.run(fixture,

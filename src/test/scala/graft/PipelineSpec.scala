@@ -378,13 +378,57 @@ class PipelineSpec extends SparkSpec {
       val autoRows = auto
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(autoRows == plain, s"t=$t selector output diverged")
-      // the selector must actually SWITCH formulations at the
-      // crossover: only the prefix plan carries the per-doc
-      // row_number window
-      val hasWindow = auto.queryExecution.optimizedPlan.toString
+    }
+    // the unbounded-df opt-in has no bounded histogram to probe, so
+    // it keeps the static threshold rule
+    for (t <- Seq(0.3, 0.8)) {
+      val unbounded = Dedup.ngramJaccardPairsAuto(sfDocs, "text", "doc_id",
+        shingleSize = 2, threshold = t, maxDf = Int.MaxValue)
+      val hasWindow = unbounded.queryExecution.optimizedPlan.toString
         .contains("row_number")
       assert(hasWindow == (t >= Dedup.NgramJaccardCrossover),
-        s"t=$t picked the wrong branch (window=$hasWindow)")
+        s"unbounded t=$t picked the wrong branch (window=$hasWindow)")
+    }
+  }
+
+  test("ngram selector is data-adaptive: dense df tail flips to prefix at low t") {
+    // branch detection: only the prefix plan carries the per-doc
+    // row_number window
+    def pickedPrefix(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains("row_number")
+    def docs(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    // SPARSE corpus: every shingle df=1 → prefix volume ≈ (1−t)·full;
+    // at t=0.3 that is 0.7·1.85 > 1 → plain; at t=0.8, 0.2·1.85 < 1
+    // → prefix (the static rule's shape emerges from flat data)
+    val sparse = docs((0L until 60L).map(i =>
+      i -> (0 until 45).map(j => s"w${i}_$j").mkString(" ")))
+    // DENSE corpus: same doc shape plus a small shared core whose
+    // df² dominates total volume while the unique shingles carry the
+    // occurrence mass — the rare mass fills the prefix, so the
+    // prefix path excludes the df² core even at t=0.3
+    val core = (0 until 5).map(j => s"common$j").mkString(" ")
+    val dense = docs((0L until 60L).map(i =>
+      i -> ((0 until 40).map(j => s"w${i}_$j").mkString(" ") + " " + core)))
+    val sparseLow = Dedup.ngramJaccardPairsAuto(sparse, "text", "doc_id",
+      shingleSize = 2, threshold = 0.3)
+    assert(!pickedPrefix(sparseLow), "sparse t=0.3 should pick plain")
+    val sparseHigh = Dedup.ngramJaccardPairsAuto(sparse, "text", "doc_id",
+      shingleSize = 2, threshold = 0.8)
+    assert(pickedPrefix(sparseHigh), "sparse t=0.8 should pick prefix")
+    val denseLow = Dedup.ngramJaccardPairsAuto(dense, "text", "doc_id",
+      shingleSize = 2, threshold = 0.3)
+    assert(pickedPrefix(denseLow),
+      "dense t=0.3 should flip to prefix (df² core excluded)")
+    // row identity holds on BOTH synthetic corpora regardless of the
+    // branch picked
+    for ((c, t) <- Seq((sparse, 0.3), (dense, 0.3))) {
+      val p = Dedup.ngramJaccardPairs(c, "text", "doc_id", 2, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val x = Dedup.ngramJaccardPairsPrefix(c, "text", "doc_id", 2, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val a = Dedup.ngramJaccardPairsAuto(c, "text", "doc_id", 2, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(p == x && a == p, s"t=$t parity broke")
     }
   }
 
