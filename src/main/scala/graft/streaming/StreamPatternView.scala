@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.graph.GraphStore
+import graft.views.Views
+
+/** Streaming maintenance of a registered MATCH-pattern view — the
+  * ingest-side twin of `Views.refreshPatternView`, completing the
+  * view family's stream side the way StreamIvf/StreamDedup complete
+  * the index family's: graph mutations arrive as micro-batches, each
+  * batch applies to the evolving store and the pattern view folds
+  * forward at CHANGE-WINDOW cost via the composed signed Δ(V⋈E⋈V)
+  * rule. The MATCH itself never re-runs; per-batch work scales with
+  * the batch, never with V or E. Reference capability: the views
+  * engine maintains registered views from its event stream
+  * (graph/views/src/incremental_engine.rs:449-648) but RECOMPUTES
+  * pattern views on refresh; this is the incremental form.
+  *
+  * Mutation-command schema per row:
+  * `(op, id, label, src, dst, props)` with op ∈ add_vertex |
+  * remove_vertex | add_edge | remove_edge — vertex ops read
+  * (id, label, props), edge ops read (src, dst, label, props), and
+  * each batch applies in that FIXED op order (adds before removals,
+  * vertices before edges on add, edges before vertices on removal
+  * is unnecessary — vertex removal cascades), so a batch mixing ops
+  * on one key resolves deterministically.
+  *
+  * Re-delivery: foreachBatch is at-least-once; a batchId at or below
+  * the `<metaPath>/stream_meta` high-water mark is a NO-OP for both
+  * the store and the view state (StreamMeta contract, shared with
+  * the index maintainers). The store reference evolves inside the
+  * closure; `current()` exposes it for end-of-stream reads.
+  */
+final class StreamPatternView(initial: GraphStore, metaPath: String,
+    catalog: Views.ViewCatalog, viewName: String,
+    srcLabel: String, edgeLabel: String, dstLabel: String) {
+
+  @volatile private var cur: GraphStore = initial
+
+  /** The store as of the last applied batch. */
+  def current(): GraphStore = cur
+
+  private def applyBatch(batch: DataFrame): GraphStore = {
+    val b = batch.localCheckpoint() // read 4×, one tiny frame
+    var st = cur
+    val va = b.filter(col("op") === "add_vertex")
+      .select(col("id"), col("label"), col("props"))
+    if (va.limit(1).count() > 0) st = st.addVertices(va)
+    val ea = b.filter(col("op") === "add_edge")
+      .select(col("src"), col("dst"), col("label"), col("props"))
+    if (ea.limit(1).count() > 0) st = st.addEdges(ea)
+    val er = b.filter(col("op") === "remove_edge")
+      .select(col("src"), col("dst"), col("label"))
+    if (er.limit(1).count() > 0) st = st.removeEdges(er)
+    val vr = b.filter(col("op") === "remove_vertex").select(col("id"))
+    if (vr.limit(1).count() > 0) st = st.removeVertices(vr)
+    st.truncated().truncatedEdges()
+  }
+
+  /** Apply one mutation micro-batch and fold the view forward.
+    * Returns the refreshed view rows, or None for a re-delivered
+    * (already applied) batchId — in which case neither the store nor
+    * the view state moves.
+    */
+  def applyAndRefresh(batch: DataFrame, batchId: Long): Option[DataFrame] = {
+    val spark = batch.sparkSession
+    if (batchId <= StreamMeta.lastApplied(spark, metaPath)) None
+    else {
+      val next = applyBatch(batch)
+      val view = Views.refreshPatternView(catalog, viewName, cur, next,
+        srcLabel, edgeLabel, dstLabel)
+      StreamMeta.writeLastApplied(spark, metaPath, batchId)
+      cur = next
+      Some(view)
+    }
+  }
+
+  /** foreachBatch writer: apply each mutation micro-batch and fold
+    * the view; `sink` receives the refreshed view rows (materialized
+    * view content) per applied batch.
+    */
+  def writer(stream: DataFrame)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      applyAndRefresh(batch, batchId).foreach(view => sink(view, batchId))
+    }
+}

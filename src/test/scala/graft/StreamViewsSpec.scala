@@ -819,6 +819,69 @@ class StreamViewsSpec extends SparkSpec {
     assert(mults == Set(1L))
   }
 
+  test("streaming pattern view: per-batch folds equal recompute; re-delivery no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.graph.GraphStore
+    import graft.streaming.StreamPatternView
+    val base = GraphStore.fromTuples(spark,
+      Seq((1L, "User", Nil), (2L, "User", Nil), (3L, "User", Nil),
+        (10L, "Group", Nil), (11L, "Group", Nil)),
+      Seq((1L, 10L, "member", Nil), (2L, 10L, "member", Nil),
+        (2L, 11L, "member", Nil), (3L, 11L, "member", Nil)))
+    def recompute(st: GraphStore): Set[(Long, Long)] =
+      st.vertices.filter(col("label") === "User").select(col("id").as("src"))
+        .join(st.edges.filter(col("label") === "member")
+          .select("src", "dst"), "src")
+        .join(st.vertices.filter(col("label") === "Group")
+          .select(col("id").as("dst")), "dst")
+        .select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cat = new Views.ViewCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_spv_cat").toString)
+    val meta = java.nio.file.Files.createTempDirectory("graft_spv").toString
+    val spv = new StreamPatternView(base, meta, cat, "membership",
+      "User", "member", "Group")
+    val perBatch = scala.collection.concurrent.TrieMap
+      .empty[Long, Set[(Long, Long)]]
+    // mutation-command rows: (op, id, label, src, dst)
+    val input = MemoryStream[(String, Long, String, Long, Long)]
+    val cmds = input.toDF()
+      .select(col("_1").as("op"), col("_2").as("id"), col("_3").as("label"),
+        col("_4").as("src"), col("_5").as("dst"),
+        lit(null).cast(graft.model.PropValue.mapType).as("props"))
+    val q = spv.writer(cmds) { (view, id) =>
+      perBatch.put(id, view.select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    }.start()
+    // batch 0: fresh user 4 with an edge, cascade-remove group 10
+    input.addData(
+      ("add_vertex", 4L, "User", 0L, 0L),
+      ("add_edge", 0L, "member", 4L, 11L),
+      ("remove_vertex", 10L, "", 0L, 0L))
+    q.processAllAvailable()
+    // batch 1: group 10 reborn (cascaded edges stay gone), wire 1→10,
+    // drop 2→11, cascade-remove user 3
+    input.addData(
+      ("add_vertex", 10L, "Group", 0L, 0L),
+      ("add_edge", 0L, "member", 1L, 10L),
+      ("remove_edge", 0L, "member", 2L, 11L),
+      ("remove_vertex", 3L, "", 0L, 0L))
+    q.processAllAvailable()
+    q.stop()
+    assert(perBatch(0L) == Set((2L, 11L), (3L, 11L), (4L, 11L)))
+    assert(perBatch(1L) == Set((1L, 10L), (4L, 11L)))
+    assert(perBatch(1L) == recompute(spv.current()))
+    // re-delivery of a committed batchId: store and view both no-op
+    val redo = spv.applyAndRefresh(
+      Seq(("add_vertex", 99L, "User", 0L, 0L)).toDF("_1", "_2", "_3", "_4", "_5")
+        .select(col("_1").as("op"), col("_2").as("id"),
+          col("_3").as("label"), col("_4").as("src"), col("_5").as("dst"),
+          lit(null).cast(graft.model.PropValue.mapType).as("props")), 1L)
+    assert(redo.isEmpty)
+    assert(recompute(spv.current()) == Set((1L, 10L), (4L, 11L)))
+  }
+
   test("refresh policies: needsRefresh semantics") {
     assert(FixedInterval(1000).needsRefresh(0, 1500, dirty = false))
     assert(!FixedInterval(1000).needsRefresh(1000, 1500, dirty = true))
