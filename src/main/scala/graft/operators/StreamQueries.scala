@@ -117,6 +117,48 @@ object StreamQueries {
         .orderBy("custkey", "nationkey")
     }),
 
+    // V5c, k-hop form: a registered TWO-hop chain view
+    // (Customer)-[:located_in]->(Nation)-[:in_region]->(Region)
+    // maintained through two windows — middle/tail-layer removals
+    // with cascades, a fresh tail vertex fanned in from five nations,
+    // then a head-adjacent edge sweep — by folding the signed delta
+    // rule once per hop. Oracle reproduces end-state membership.
+    "v6_pattern_view_2hop" -> ((s, dir) => {
+      import graft.graph.GraphStore
+      import graft.model.PropValue
+      val base = GraphStore.fromTpch(s, dir)
+      val noProps = lit(null).cast(PropValue.mapType)
+      val labels = Seq("Customer", "Nation", "Region")
+      val elabels = Seq("located_in", "in_region")
+      // round 1: remove regions 0-1 (cascading their in_region
+      // edges), add region 99 and wire nations 0-4 into it
+      val m1 = base.removeVertices(
+          base.vertices.filter(col("label") === "Region" &&
+            col("id") < GraphStore.RegionOff + 2L).select("id"))
+        .addVertices(s.range(1).select(
+          lit(GraphStore.RegionOff + 99L).as("id"), lit("Region").as("label"),
+          map(lit("name"), PropValue.ofString(lit("NEWWORLD"))).as("props")))
+        .addEdges(s.range(5).select(
+          (col("id") + GraphStore.NationOff).as("src"),
+          lit(GraphStore.RegionOff + 99L).as("dst"),
+          lit("in_region").as("label"), noProps.as("props")))
+        .truncated().truncatedEdges()
+      val cat = new Views.ViewCatalog(s,
+        java.nio.file.Files.createTempDirectory("graft_pv2").toString)
+      Views.refreshPatternChainView(cat, "cnr", base, m1, labels, elabels)
+      // round 2: sweep nation 0's region links (original + the new one)
+      val m2 = m1.removeEdges(m1.edges.filter(
+          col("src") === GraphStore.NationOff + 0L &&
+            col("label") === "in_region")
+          .select("src", "dst", "label"))
+        .truncatedEdges()
+      Views.refreshPatternChainView(cat, "cnr", m1, m2, labels, elabels)
+        .select((col("c0") - GraphStore.CustomerOff).as("custkey"),
+          (col("c1") - GraphStore.NationOff).as("nationkey"),
+          (col("c2") - GraphStore.RegionOff).as("regionkey"))
+        .orderBy("custkey", "nationkey", "regionkey")
+    }),
+
     "v5_incremental_view" -> ((s, dir) => {
       val t1 = lit(java.sql.Timestamp.valueOf("2024-01-11 00:00:00"))
       val t2 = lit(java.sql.Timestamp.valueOf("2024-01-21 00:00:00"))
@@ -151,6 +193,23 @@ object StreamQueries {
     // belong to customer 1 (its original edge is removed in round 2);
     // plus the fresh customer in nation 7 and customers 1-5 wired
     // into the reborn nation 2
+    // end-state membership of the two-hop chain: a nation keeps its
+    // original region link unless the region was removed (rk 0-1) or
+    // the nation is 0 (its links are swept in round 2); nations 1-4
+    // gain region 99; customers fan in via their nation
+    "v6_pattern_view_2hop" ->
+      """WITH nr AS (
+           SELECT CAST(n_nationkey AS BIGINT) AS nk,
+                  CAST(n_regionkey AS BIGINT) AS rk
+           FROM nation WHERE n_regionkey >= 2 AND n_nationkey <> 0
+           UNION ALL
+           SELECT CAST(i AS BIGINT), CAST(99 AS BIGINT)
+           FROM range(0, 5) t(i) WHERE i <> 0)
+         SELECT CAST(c_custkey AS BIGINT) AS custkey,
+                CAST(c_nationkey AS BIGINT) AS nationkey,
+                nr.rk AS regionkey
+         FROM customer JOIN nr ON c_nationkey = nr.nk
+         ORDER BY custkey, nationkey, regionkey""",
     "v6_pattern_view" ->
       """WITH orig AS (
            SELECT CAST(c_custkey AS BIGINT) AS custkey,

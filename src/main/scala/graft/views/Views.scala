@@ -329,14 +329,37 @@ object Views {
     */
   def patternViewDelta(oldStore: graft.graph.GraphStore,
       newStore: graft.graph.GraphStore, srcLabel: String,
-      edgeLabel: String, dstLabel: String): DataFrame = {
+      edgeLabel: String, dstLabel: String): DataFrame =
+    patternChainViewDelta(oldStore, newStore,
+      Seq(srcLabel, dstLabel), Seq(edgeLabel))
+      .withColumnRenamed("c0", "src").withColumnRenamed("c1", "dst")
+
+  /** K-HOP generalization: signed delta of the chain view
+    * `(c0:l0)-[:e1]->(c1:l1)-...-[:ek]->(ck:lk)` — column `ci` is the
+    * position-i vertex id. The two-level composition folds once per
+    * hop by induction: ΔP_i (as ±1 op rows) feeds the next hop's
+    * first level, so Δ(P_{i-1}⋈E_i⋈V_i) stays exact for arbitrary
+    * simultaneous vertex+edge windows at every depth; the old chain
+    * prefix P_{i-1} is a lazy join of label-filtered base scans that
+    * each delta term reads with the delta side broadcast (bases
+    * scanned, never shuffled — the joinViewDelta economics at every
+    * level). A registered multi-hop MATCH view therefore refreshes
+    * at change-window cost too, with per-hop constant work.
+    */
+  def patternChainViewDelta(oldStore: graft.graph.GraphStore,
+      newStore: graft.graph.GraphStore, vertexLabels: Seq[String],
+      edgeLabels: Seq[String]): DataFrame = {
+    require(vertexLabels.size == edgeLabels.size + 1 && edgeLabels.nonEmpty,
+      s"chain wants k+1 vertex labels for k>=1 edge labels, got " +
+        s"${vertexLabels.size}/${edgeLabels.size}")
     val feed = newStore.changes.filter(col("version") > oldStore.version)
     // Every intermediate here is DELTA-sized, and each is read by
     // several downstream joins/broadcasts; left lazy, the tree
-    // re-executes multiplicatively (d1 re-runs dE up to 3×, dE runs
-    // touchedE 2×, touchedE runs the incident scans 3× — measured
-    // 32 s for a 9-op window at sf0.1, ~3 s once cut). localCheckpoint
-    // is eager and lineage-free, so each level computes exactly once.
+    // re-executes multiplicatively (the level-1 delta re-runs the
+    // edge delta up to 3×, which runs touched-keys 2×, which runs
+    // the incident scans 3× — measured 32 s for a 9-op window at
+    // sf0.1, ~3 s once cut). localCheckpoint is eager and
+    // lineage-free, so each level computes exactly once.
     def cut(df: DataFrame): DataFrame = df.localCheckpoint()
     val touchedV = cut(feed
       .filter(col("op").isin("add_vertex", "remove_vertex"))
@@ -352,48 +375,68 @@ object Views {
         .unionByName(o.join(n, Seq("id"), "left_anti")
           .select(lit("remove").as("op"), col("id").as(keyName))))
     }
-    val dA = vDelta(srcLabel, "src")
-    val dB = vDelta(dstLabel, "dst")
     // edge keys the window could have changed: explicit edge ops on
     // this label + every old/new edge of this label incident to a
     // touched vertex (cascades are not spelled out in the feed)
-    val explicitE = feed.filter(col("op").isin("add_edge", "remove_edge")
-        && col("elabel") === edgeLabel)
-      .select(col("src"), col("dst")).distinct()
-    def incident(store: graft.graph.GraphStore) = {
-      val e = store.edges.filter(col("label") === edgeLabel)
-      e.join(broadcast(touchedV.select(col("id").as("src"))),
-          Seq("src"), "left_semi")
-        .unionByName(e.join(broadcast(touchedV.select(col("id").as("dst"))),
-          Seq("dst"), "left_semi").select(col("src"), col("dst"),
-            col("label"), col("props")))
-        .select(col("src"), col("dst"))
+    def eDelta(edgeLabel: String, srcName: String,
+        dstName: String): DataFrame = {
+      val explicitE = feed.filter(col("op").isin("add_edge", "remove_edge")
+          && col("elabel") === edgeLabel)
+        .select(col("src"), col("dst")).distinct()
+      def incident(store: graft.graph.GraphStore) = {
+        val e = store.edges.filter(col("label") === edgeLabel)
+        e.join(broadcast(touchedV.select(col("id").as("src"))),
+            Seq("src"), "left_semi")
+          .unionByName(e.join(broadcast(touchedV.select(col("id").as("dst"))),
+            Seq("dst"), "left_semi").select(col("src"), col("dst"),
+              col("label"), col("props")))
+          .select(col("src"), col("dst"))
+      }
+      val touchedE = cut(explicitE.unionByName(incident(oldStore))
+        .unionByName(incident(newStore)).distinct())
+      def eMembers(store: graft.graph.GraphStore) =
+        store.edges.filter(col("label") === edgeLabel)
+          .join(broadcast(touchedE), Seq("src", "dst"), "left_semi")
+          .select("src", "dst")
+      val eo = eMembers(oldStore)
+      val en = eMembers(newStore)
+      cut(en.join(eo, Seq("src", "dst"), "left_anti")
+        .select(lit("add").as("op"), col("src"), col("dst"))
+        .unionByName(eo.join(en, Seq("src", "dst"), "left_anti")
+          .select(lit("remove").as("op"), col("src"), col("dst"))))
+        .select(col("op"), col("src").as(srcName), col("dst").as(dstName))
     }
-    val touchedE = cut(explicitE.unionByName(incident(oldStore))
-      .unionByName(incident(newStore)).distinct())
-    def eMembers(store: graft.graph.GraphStore) =
-      store.edges.filter(col("label") === edgeLabel)
-        .join(broadcast(touchedE), Seq("src", "dst"), "left_semi")
-        .select("src", "dst")
-    val eo = eMembers(oldStore)
-    val en = eMembers(newStore)
-    val dE = cut(en.join(eo, Seq("src", "dst"), "left_anti")
-      .select(lit("add").as("op"), col("src"), col("dst"))
-      .unionByName(eo.join(en, Seq("src", "dst"), "left_anti")
-        .select(lit("remove").as("op"), col("src"), col("dst"))))
-    val aOld = oldStore.vertices.filter(col("label") === srcLabel)
-      .select(col("id").as("src"))
-    val bOld = oldStore.vertices.filter(col("label") === dstLabel)
-      .select(col("id").as("dst"))
-    val eOld = oldStore.edges.filter(col("label") === edgeLabel)
-      .select("src", "dst")
-    val d1 = joinViewDelta(aOld, dA, eOld, dE, Seq("src"))
-    // re-expressed as op rows so the second level's sign validation
-    // and broadcasts apply unchanged (each row is exactly ±1)
-    val d1op = cut(d1.select(
-      when(col("__sign") > 0, lit("add")).otherwise(lit("remove")).as("op"),
-      col("src"), col("dst")))
-    joinViewDelta(aOld.join(eOld, "src"), d1op, bOld, dB, Seq("dst"))
+    def vOld(label: String, name: String) =
+      oldStore.vertices.filter(col("label") === label)
+        .select(col("id").as(name))
+    def opify(signed: DataFrame): DataFrame =
+      cut(signed.withColumn("op",
+        when(col("__sign") > 0, lit("add")).otherwise(lit("remove")))
+        .drop("__sign"))
+    // fold the two-level rule across hops: chainOld/deltaOps always
+    // describe the prefix view P_{i-1} over columns c0..c_{i-1}
+    var chainOld = vOld(vertexLabels.head, "c0")
+    var deltaOps = vDelta(vertexLabels.head, "c0")
+    var signed: DataFrame = null
+    for (i <- 1 to edgeLabels.size) {
+      val s = s"c${i - 1}"
+      val d = s"c$i"
+      val e = oldStore.edges.filter(col("label") === edgeLabels(i - 1))
+        .select(col("src").as(s), col("dst").as(d))
+      val d1 = joinViewDelta(chainOld, deltaOps,
+        e, eDelta(edgeLabels(i - 1), s, d), Seq(s))
+      // re-expressed as op rows so the next level's sign validation
+      // and broadcasts apply unchanged (each row is exactly ±1)
+      val withE = chainOld.join(e, s)
+      val v = vOld(vertexLabels(i), d)
+      signed = joinViewDelta(withE, opify(d1),
+        v, vDelta(vertexLabels(i), d), Seq(d))
+      if (i < edgeLabels.size) {
+        chainOld = withE.join(v, d)
+        deltaOps = opify(signed)
+      }
+    }
+    signed
   }
 
   /** Bootstrap pattern-view state: the matched (src, dst) pairs with
@@ -403,14 +446,43 @@ object Views {
     */
   def initPatternState(store: graft.graph.GraphStore, srcLabel: String,
       edgeLabel: String, dstLabel: String): DataFrame =
-    initJoinState(
-      store.vertices.filter(col("label") === srcLabel)
-        .select(col("id").as("src"))
-        .join(store.edges.filter(col("label") === edgeLabel)
-          .select("src", "dst"), "src"),
-      store.vertices.filter(col("label") === dstLabel)
-        .select(col("id").as("dst")),
-      Seq("dst"))
+    initPatternChainState(store, Seq(srcLabel, dstLabel), Seq(edgeLabel))
+      .withColumnRenamed("c0", "src").withColumnRenamed("c1", "dst")
+
+  /** Chain-state bootstrap: the matched (c0..ck) tuples with
+    * multiplicity.
+    */
+  def initPatternChainState(store: graft.graph.GraphStore,
+      vertexLabels: Seq[String], edgeLabels: Seq[String]): DataFrame = {
+    def vF(label: String, name: String) =
+      store.vertices.filter(col("label") === label)
+        .select(col("id").as(name))
+    val joined = (1 to edgeLabels.size).foldLeft(
+      vF(vertexLabels.head, "c0")) { (acc, i) =>
+      acc.join(store.edges.filter(col("label") === edgeLabels(i - 1))
+          .select(col("src").as(s"c${i - 1}"), col("dst").as(s"c$i")),
+          s"c${i - 1}")
+        .join(vF(vertexLabels(i), s"c$i"), s"c$i")
+    }
+    joined.groupBy(joined.columns.map(col): _*)
+      .agg(count(lit(1)).as("__mult"))
+  }
+
+  /** Catalog-driven refresh of a registered k-hop chain view — the
+    * multi-hop form of [[refreshPatternView]], same materialize-state
+    * contract.
+    */
+  def refreshPatternChainView(catalog: ViewCatalog, name: String,
+      oldStore: graft.graph.GraphStore, newStore: graft.graph.GraphStore,
+      vertexLabels: Seq[String], edgeLabels: Seq[String]): DataFrame = {
+    val state0 = catalog.dataOf(name).getOrElse(
+      initPatternChainState(oldStore, vertexLabels, edgeLabels))
+    val delta = patternChainViewDelta(oldStore, newStore,
+      vertexLabels, edgeLabels)
+    val state1 = mergeJoinDelta(state0, delta).localCheckpoint()
+    catalog.put(name, state1)
+    finalizeJoin(state1)
+  }
 
   /** Catalog-driven refresh of a registered single-hop MATCH-pattern
     * view: first call bootstraps from `oldStore`, later calls fold

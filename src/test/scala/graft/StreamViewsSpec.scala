@@ -819,6 +819,70 @@ class StreamViewsSpec extends SparkSpec {
     assert(mults == Set(1L))
   }
 
+  test("two-hop chain view: incremental refresh equals recompute under mixed windows") {
+    import spark.implicits._
+    import graft.graph.GraphStore
+    val base = GraphStore.fromTuples(spark,
+      Seq((1L, "User", Nil), (2L, "User", Nil),
+        (10L, "Group", Nil), (11L, "Group", Nil),
+        (100L, "Org", Nil), (101L, "Org", Nil)),
+      Seq((1L, 10L, "member", Nil), (2L, 10L, "member", Nil),
+        (2L, 11L, "member", Nil),
+        (10L, 100L, "in", Nil), (11L, 100L, "in", Nil),
+        (11L, 101L, "in", Nil)))
+    val labels = Seq("User", "Group", "Org")
+    val elabels = Seq("member", "in")
+    def recompute(st: GraphStore): Set[(Long, Long, Long)] = {
+      val u = st.vertices.filter(col("label") === "User")
+        .select(col("id").as("c0"))
+      val g = st.vertices.filter(col("label") === "Group")
+        .select(col("id").as("c1"))
+      val o = st.vertices.filter(col("label") === "Org")
+        .select(col("id").as("c2"))
+      u.join(st.edges.filter(col("label") === "member")
+          .select(col("src").as("c0"), col("dst").as("c1")), "c0")
+        .join(g, "c1")
+        .join(st.edges.filter(col("label") === "in")
+          .select(col("src").as("c1"), col("dst").as("c2")), "c1")
+        .join(o, "c2")
+        .select("c0", "c1", "c2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val cat = new Views.ViewCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_pv2_cat").toString)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.select("c0", "c1", "c2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // round 1: MIDDLE-layer removal (group 10 cascades both its
+    // member and in edges — the case the ΔΔ cross terms exist for),
+    // plus a new org wired under group 11
+    val m1 = base.removeVertices(Seq(10L).toDF("id"))
+      .addVertices(Seq((102L, "Org")).toDF("id", "label")
+        .withColumn("props", lit(null).cast(graft.model.PropValue.mapType)))
+      .addEdges(Seq((11L, 102L, "in")).toDF("src", "dst", "label")
+        .withColumn("props", lit(null).cast(graft.model.PropValue.mapType)))
+    val r1 = Views.refreshPatternChainView(cat, "uo", base, m1,
+      labels, elabels)
+    assert(rows(r1) == recompute(m1))
+    assert(rows(r1) == Set((2L, 11L, 100L), (2L, 11L, 101L), (2L, 11L, 102L)))
+    // round 2: head-layer add (user 3 joins group 11), tail edge
+    // removal (11-in->101), middle re-add with NO resurrected edges
+    val m2 = m1.addVertices(Seq((3L, "User"), (10L, "Group"))
+        .toDF("id", "label")
+        .withColumn("props", lit(null).cast(graft.model.PropValue.mapType)))
+      .addEdges(Seq((3L, 11L, "member")).toDF("src", "dst", "label")
+        .withColumn("props", lit(null).cast(graft.model.PropValue.mapType)))
+      .removeEdges(Seq((11L, 101L, "in")).toDF("src", "dst", "label"))
+    val r2 = Views.refreshPatternChainView(cat, "uo", m1, m2,
+      labels, elabels)
+    assert(rows(r2) == recompute(m2))
+    assert(rows(r2) == Set((2L, 11L, 100L), (2L, 11L, 102L),
+      (3L, 11L, 100L), (3L, 11L, 102L)))
+    val mults = cat.dataOf("uo").get
+      .select("__mult").collect().map(_.getLong(0)).toSet
+    assert(mults == Set(1L))
+  }
+
   test("streaming pattern view: per-batch folds equal recompute; re-delivery no-op") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
