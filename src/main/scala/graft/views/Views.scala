@@ -475,24 +475,31 @@ object Views {
   def refreshPatternChainView(catalog: ViewCatalog, name: String,
       oldStore: graft.graph.GraphStore, newStore: graft.graph.GraphStore,
       vertexLabels: Seq[String], edgeLabels: Seq[String]): DataFrame = {
-    val state0 = catalog.dataOf(name).getOrElse(
+    val state0 = catalog.dataOf(s"$name!state").getOrElse(
       initPatternChainState(oldStore, vertexLabels, edgeLabels))
     val delta = patternChainViewDelta(oldStore, newStore,
       vertexLabels, edgeLabels)
     val state1 = mergeJoinDelta(state0, delta).localCheckpoint()
-    catalog.put(name, state1)
-    finalizeJoin(state1)
+    catalog.put(s"$name!state", state1)
+    val view = finalizeJoin(state1)
+    catalog.put(name, view)
+    view
   }
 
   /** Catalog-driven refresh of a registered single-hop MATCH-pattern
     * view: first call bootstraps from `oldStore`, later calls fold
     * the change feed's signed delta into the maintained state —
     * never re-running the MATCH. Returns the view as plain rows.
+    *
+    * The catalog holds TWO frames: the finalized row view under
+    * `name` (what the router SERVES — no `__mult` bookkeeping leaks
+    * to consumers) and the multiset state under `name!state` (what
+    * the next refresh folds into).
     */
   def refreshPatternView(catalog: ViewCatalog, name: String,
       oldStore: graft.graph.GraphStore, newStore: graft.graph.GraphStore,
       srcLabel: String, edgeLabel: String, dstLabel: String): DataFrame = {
-    val state0 = catalog.dataOf(name).getOrElse(
+    val state0 = catalog.dataOf(s"$name!state").getOrElse(
       initPatternState(oldStore, srcLabel, edgeLabel, dstLabel))
     val delta = patternViewDelta(oldStore, newStore,
       srcLabel, edgeLabel, dstLabel)
@@ -503,8 +510,10 @@ object Views {
     // a two-round chain at sf0.1, almost all of it driver-side
     // planning). Same discipline as GraphStore.truncated().
     val state1 = mergeJoinDelta(state0, delta).localCheckpoint()
-    catalog.put(name, state1)
-    finalizeJoin(state1)
+    catalog.put(s"$name!state", state1)
+    val view = finalizeJoin(state1)
+    catalog.put(name, view)
+    view
   }
 
   /** G2/V5 analytics refresh: maintain a PageRank view through the

@@ -193,6 +193,25 @@ class IntegrationSpec extends SparkSpec {
       "MATCH (p:Person) RETURN count(p) AS cnt")
     assert(aliased.servedBy.contains("person_count"))
     assert(aliased.df.head.getLong(0) == 2L)
+    // the full register → incrementally-refresh → route → serve loop
+    // for a PATTERN view: register it as a graph_traversal analytics
+    // product, refresh it through the change feed (r9 V5c — the
+    // MATCH never re-runs), and the same traversal that fell through
+    // above now serves from the maintained state
+    catalog.register(ViewDefn("friend_pairs",
+      Analytics("graph_traversal", Map("pattern" -> "Person-friend-Person")),
+      OnDemand(60000), Seq("vertices", "edges")))
+    val m1 = w.store.addEdges(Seq((2L, 3L, "friend"))
+      .toDF("src", "dst", "label")
+      .withColumn("props", lit(null).cast(graft.model.PropValue.mapType)))
+    Views.refreshPatternView(catalog, "friend_pairs", store, m1,
+      "Person", "friend", "Person")
+    val viaView = RoutedGql.run(m1, catalog,
+      "MATCH (a:Person)-[:friend]->(b) RETURN b.name")
+    assert(viaView.servedBy.contains("friend_pairs"))
+    assert(viaView.df.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L), (2L, 3L)))
   }
 
   test("X1 parity: remove_edge + update props, replace-not-merge, feed rows") {

@@ -814,7 +814,7 @@ class StreamViewsSpec extends SparkSpec {
     assert(viewRows(r2) == recompute(m2))
     assert(viewRows(r2) == Set((1L, 10L), (4L, 11L)))
     // multiset state stays exact: every surviving row at mult 1
-    val mults = cat.dataOf("membership").get
+    val mults = cat.dataOf("membership!state").get
       .select("__mult").collect().map(_.getLong(0)).toSet
     assert(mults == Set(1L))
   }
@@ -878,7 +878,7 @@ class StreamViewsSpec extends SparkSpec {
     assert(rows(r2) == recompute(m2))
     assert(rows(r2) == Set((2L, 11L, 100L), (2L, 11L, 102L),
       (3L, 11L, 100L), (3L, 11L, 102L)))
-    val mults = cat.dataOf("uo").get
+    val mults = cat.dataOf("uo!state").get
       .select("__mult").collect().map(_.getLong(0)).toSet
     assert(mults == Set(1L))
   }
