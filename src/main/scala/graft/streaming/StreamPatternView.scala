@@ -36,7 +36,14 @@ import graft.views.Views
   */
 final class StreamPatternView(initial: GraphStore, metaPath: String,
     catalog: Views.ViewCatalog, viewName: String,
-    srcLabel: String, edgeLabel: String, dstLabel: String) {
+    vertexLabels: Seq[String], edgeLabels: Seq[String]) {
+
+  /** Single-hop convenience form. */
+  def this(initial: GraphStore, metaPath: String,
+      catalog: Views.ViewCatalog, viewName: String,
+      srcLabel: String, edgeLabel: String, dstLabel: String) =
+    this(initial, metaPath, catalog, viewName,
+      Seq(srcLabel, dstLabel), Seq(edgeLabel))
 
   @volatile private var cur: GraphStore = initial
 
@@ -70,8 +77,14 @@ final class StreamPatternView(initial: GraphStore, metaPath: String,
     if (batchId <= StreamMeta.lastApplied(spark, metaPath)) None
     else {
       val next = applyBatch(batch)
-      val view = Views.refreshPatternView(catalog, viewName, cur, next,
-        srcLabel, edgeLabel, dstLabel)
+      // single-hop keeps the (src, dst) column contract; chains carry
+      // positional c0..ck
+      val view =
+        if (edgeLabels.size == 1)
+          Views.refreshPatternView(catalog, viewName, cur, next,
+            vertexLabels(0), edgeLabels(0), vertexLabels(1))
+        else Views.refreshPatternChainView(catalog, viewName, cur, next,
+          vertexLabels, edgeLabels)
       StreamMeta.writeLastApplied(spark, metaPath, batchId)
       cur = next
       Some(view)
