@@ -117,6 +117,43 @@ object StreamQueries {
         .orderBy("custkey", "nationkey")
     }),
 
+    // V5c, predicated form: the pattern carries a vertex PROPERTY
+    // predicate — (Customer {mktsegment: "BUILDING"})-[:located_in]->
+    // (Nation) — and pure prop updates flip membership in and out of
+    // the maintained view incrementally (no vertex/edge op at all in
+    // round 1; round 2's REPLACE update drops the key, so the
+    // predicate goes null → false and the row leaves).
+    "v6_pattern_view_pred" -> ((s, dir) => {
+      import graft.graph.GraphStore
+      import graft.model.PropValue
+      val base = GraphStore.fromTpch(s, dir)
+      val pred = Some(
+        PropValue.compare(col("props")("mktsegment"), "BUILDING", "="))
+      def seg(v: String) =
+        map(lit("mktsegment"), PropValue.ofString(lit(v)))
+      val m1 = base.updateVertexProps(
+        s.range(1, 6).select((col("id") + GraphStore.CustomerOff).as("id"),
+            seg("GRAFT").as("props"))
+          .unionByName(s.range(6, 11)
+            .select((col("id") + GraphStore.CustomerOff).as("id"),
+              seg("BUILDING").as("props"))))
+        .truncated()
+      val cat = new Views.ViewCatalog(s,
+        java.nio.file.Files.createTempDirectory("graft_pvs").toString)
+      Views.refreshPatternView(cat, "seg", base, m1,
+        "Customer", "located_in", "Nation", srcPred = pred)
+      val m2 = m1.updateVertexProps(s.range(6, 7)
+          .select((col("id") + GraphStore.CustomerOff).as("id"),
+            map(lit("note"), PropValue.ofString(lit("resegmenting")))
+              .as("props")))
+        .truncated()
+      Views.refreshPatternView(cat, "seg", m1, m2,
+        "Customer", "located_in", "Nation", srcPred = pred)
+        .select((col("src") - GraphStore.CustomerOff).as("custkey"),
+          (col("dst") - GraphStore.NationOff).as("nationkey"))
+        .orderBy("custkey", "nationkey")
+    }),
+
     // V5c, k-hop form: a registered TWO-hop chain view
     // (Customer)-[:located_in]->(Nation)-[:in_region]->(Region)
     // maintained through two windows — middle/tail-layer removals
@@ -193,6 +230,18 @@ object StreamQueries {
     // belong to customer 1 (its original edge is removed in round 2);
     // plus the fresh customer in nation 7 and customers 1-5 wired
     // into the reborn nation 2
+    // end-state BUILDING-segment membership: customers 7-10 were
+    // re-segmented in (6 entered then dropped the key in round 2,
+    // 1-5 left for GRAFT); everyone else is in iff originally
+    // BUILDING
+    "v6_pattern_view_pred" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS custkey,
+                CAST(c_nationkey AS BIGINT) AS nationkey
+         FROM customer
+         WHERE (c_custkey BETWEEN 7 AND 10)
+            OR (c_mktsegment = 'BUILDING'
+                AND c_custkey NOT BETWEEN 1 AND 10)
+         ORDER BY custkey, nationkey""",
     // end-state membership of the two-hop chain: a nation keeps its
     // original region link unless the region was removed (rk 0-1) or
     // the nation is 0 (its links are swept in round 2); nations 1-4

@@ -316,11 +316,14 @@ object Views {
     * Deltas are NET per key: membership of every feed-touched key is
     * compared between the two stores (add = gained, remove = lost),
     * so arbitrary chained windows (add then remove, cascaded edge
-    * removal the feed does not spell out, re-add of a removed id)
-    * resolve to their end state. Props-update ops cannot change
-    * label membership and are ignored — the pattern is label-only by
-    * contract (a props-predicated pattern view must recompute; the
-    * registrar enforces that split).
+    * removal the feed does not spell out, re-add of a removed id,
+    * a prop update that flips a predicate) resolve to their end
+    * state. Patterns may carry per-position VERTEX PREDICATES
+    * (deterministic Column filters over the vertex frame —
+    * `(a:Person {active: true})` shapes): update_vertex_props ops
+    * join the touched set, and the membership compare evaluates the
+    * predicate on both stores, so prop flips enter and leave the
+    * view incrementally like any other delta.
     *
     * Cost: base tables are SCANNED with broadcast semi-joins on the
     * feed-touched keys and never shuffled; every join in the
@@ -329,9 +332,11 @@ object Views {
     */
   def patternViewDelta(oldStore: graft.graph.GraphStore,
       newStore: graft.graph.GraphStore, srcLabel: String,
-      edgeLabel: String, dstLabel: String): DataFrame =
+      edgeLabel: String, dstLabel: String,
+      srcPred: Option[Column] = None,
+      dstPred: Option[Column] = None): DataFrame =
     patternChainViewDelta(oldStore, newStore,
-      Seq(srcLabel, dstLabel), Seq(edgeLabel))
+      Seq(srcLabel, dstLabel), Seq(edgeLabel), Seq(srcPred, dstPred))
       .withColumnRenamed("c0", "src").withColumnRenamed("c1", "dst")
 
   /** K-HOP generalization: signed delta of the chain view
@@ -348,10 +353,15 @@ object Views {
     */
   def patternChainViewDelta(oldStore: graft.graph.GraphStore,
       newStore: graft.graph.GraphStore, vertexLabels: Seq[String],
-      edgeLabels: Seq[String]): DataFrame = {
+      edgeLabels: Seq[String],
+      vertexPreds: Seq[Option[Column]] = Nil): DataFrame = {
     require(vertexLabels.size == edgeLabels.size + 1 && edgeLabels.nonEmpty,
       s"chain wants k+1 vertex labels for k>=1 edge labels, got " +
         s"${vertexLabels.size}/${edgeLabels.size}")
+    val preds = if (vertexPreds.isEmpty)
+      Seq.fill(vertexLabels.size)(None: Option[Column]) else vertexPreds
+    require(preds.size == vertexLabels.size,
+      s"vertexPreds wants one entry per vertex label")
     val feed = newStore.changes.filter(col("version") > oldStore.version)
     // Every intermediate here is DELTA-sized, and each is read by
     // several downstream joins/broadcasts; left lazy, the tree
@@ -361,15 +371,23 @@ object Views {
     // sf0.1, ~3 s once cut). localCheckpoint is eager and
     // lineage-free, so each level computes exactly once.
     def cut(df: DataFrame): DataFrame = df.localCheckpoint()
+    // update_vertex_props joins the touched set: for a predicated
+    // position the update can flip membership; for label-only
+    // positions the NET compare below yields no delta row, so the
+    // wider set costs nothing but a few extra broadcast probe keys
     val touchedV = cut(feed
-      .filter(col("op").isin("add_vertex", "remove_vertex"))
+      .filter(col("op").isin("add_vertex", "remove_vertex",
+        "update_vertex_props"))
       .select(col("id")).distinct())
-    def members(store: graft.graph.GraphStore, label: String) =
-      store.vertices.filter(col("label") === label)
+    def vFilter(label: String, pred: Option[Column]): Column =
+      pred.foldLeft(col("label") === label)(_ && _)
+    def members(store: graft.graph.GraphStore, label: String,
+        pred: Option[Column]) =
+      store.vertices.filter(vFilter(label, pred))
         .join(broadcast(touchedV), Seq("id"), "left_semi").select("id")
-    def vDelta(label: String, keyName: String): DataFrame = {
-      val o = members(oldStore, label)
-      val n = members(newStore, label)
+    def vDelta(pos: Int, keyName: String): DataFrame = {
+      val o = members(oldStore, vertexLabels(pos), preds(pos))
+      val n = members(newStore, vertexLabels(pos), preds(pos))
       cut(n.join(o, Seq("id"), "left_anti")
         .select(lit("add").as("op"), col("id").as(keyName))
         .unionByName(o.join(n, Seq("id"), "left_anti")
@@ -406,8 +424,8 @@ object Views {
           .select(lit("remove").as("op"), col("src"), col("dst"))))
         .select(col("op"), col("src").as(srcName), col("dst").as(dstName))
     }
-    def vOld(label: String, name: String) =
-      oldStore.vertices.filter(col("label") === label)
+    def vOld(pos: Int, name: String) =
+      oldStore.vertices.filter(vFilter(vertexLabels(pos), preds(pos)))
         .select(col("id").as(name))
     def opify(signed: DataFrame): DataFrame =
       cut(signed.withColumn("op",
@@ -415,8 +433,8 @@ object Views {
         .drop("__sign"))
     // fold the two-level rule across hops: chainOld/deltaOps always
     // describe the prefix view P_{i-1} over columns c0..c_{i-1}
-    var chainOld = vOld(vertexLabels.head, "c0")
-    var deltaOps = vDelta(vertexLabels.head, "c0")
+    var chainOld = vOld(0, "c0")
+    var deltaOps = vDelta(0, "c0")
     var signed: DataFrame = null
     for (i <- 1 to edgeLabels.size) {
       val s = s"c${i - 1}"
@@ -428,9 +446,9 @@ object Views {
       // re-expressed as op rows so the next level's sign validation
       // and broadcasts apply unchanged (each row is exactly ±1)
       val withE = chainOld.join(e, s)
-      val v = vOld(vertexLabels(i), d)
+      val v = vOld(i, d)
       signed = joinViewDelta(withE, opify(d1),
-        v, vDelta(vertexLabels(i), d), Seq(d))
+        v, vDelta(i, d), Seq(d))
       if (i < edgeLabels.size) {
         chainOld = withE.join(v, d)
         deltaOps = opify(signed)
@@ -445,24 +463,30 @@ object Views {
     * net-zero drop applies unchanged).
     */
   def initPatternState(store: graft.graph.GraphStore, srcLabel: String,
-      edgeLabel: String, dstLabel: String): DataFrame =
-    initPatternChainState(store, Seq(srcLabel, dstLabel), Seq(edgeLabel))
+      edgeLabel: String, dstLabel: String,
+      srcPred: Option[Column] = None,
+      dstPred: Option[Column] = None): DataFrame =
+    initPatternChainState(store, Seq(srcLabel, dstLabel), Seq(edgeLabel),
+      Seq(srcPred, dstPred))
       .withColumnRenamed("c0", "src").withColumnRenamed("c1", "dst")
 
   /** Chain-state bootstrap: the matched (c0..ck) tuples with
     * multiplicity.
     */
   def initPatternChainState(store: graft.graph.GraphStore,
-      vertexLabels: Seq[String], edgeLabels: Seq[String]): DataFrame = {
-    def vF(label: String, name: String) =
-      store.vertices.filter(col("label") === label)
+      vertexLabels: Seq[String], edgeLabels: Seq[String],
+      vertexPreds: Seq[Option[Column]] = Nil): DataFrame = {
+    val preds = if (vertexPreds.isEmpty)
+      Seq.fill(vertexLabels.size)(None: Option[Column]) else vertexPreds
+    def vF(pos: Int, name: String) =
+      store.vertices.filter(
+        preds(pos).foldLeft(col("label") === vertexLabels(pos))(_ && _))
         .select(col("id").as(name))
-    val joined = (1 to edgeLabels.size).foldLeft(
-      vF(vertexLabels.head, "c0")) { (acc, i) =>
+    val joined = (1 to edgeLabels.size).foldLeft(vF(0, "c0")) { (acc, i) =>
       acc.join(store.edges.filter(col("label") === edgeLabels(i - 1))
           .select(col("src").as(s"c${i - 1}"), col("dst").as(s"c$i")),
           s"c${i - 1}")
-        .join(vF(vertexLabels(i), s"c$i"), s"c$i")
+        .join(vF(i, s"c$i"), s"c$i")
     }
     joined.groupBy(joined.columns.map(col): _*)
       .agg(count(lit(1)).as("__mult"))
@@ -474,11 +498,12 @@ object Views {
     */
   def refreshPatternChainView(catalog: ViewCatalog, name: String,
       oldStore: graft.graph.GraphStore, newStore: graft.graph.GraphStore,
-      vertexLabels: Seq[String], edgeLabels: Seq[String]): DataFrame = {
+      vertexLabels: Seq[String], edgeLabels: Seq[String],
+      vertexPreds: Seq[Option[Column]] = Nil): DataFrame = {
     val state0 = catalog.dataOf(s"$name!state").getOrElse(
-      initPatternChainState(oldStore, vertexLabels, edgeLabels))
+      initPatternChainState(oldStore, vertexLabels, edgeLabels, vertexPreds))
     val delta = patternChainViewDelta(oldStore, newStore,
-      vertexLabels, edgeLabels)
+      vertexLabels, edgeLabels, vertexPreds)
     val state1 = mergeJoinDelta(state0, delta).localCheckpoint()
     catalog.put(s"$name!state", state1)
     val view = finalizeJoin(state1)
@@ -498,11 +523,14 @@ object Views {
     */
   def refreshPatternView(catalog: ViewCatalog, name: String,
       oldStore: graft.graph.GraphStore, newStore: graft.graph.GraphStore,
-      srcLabel: String, edgeLabel: String, dstLabel: String): DataFrame = {
+      srcLabel: String, edgeLabel: String, dstLabel: String,
+      srcPred: Option[Column] = None,
+      dstPred: Option[Column] = None): DataFrame = {
     val state0 = catalog.dataOf(s"$name!state").getOrElse(
-      initPatternState(oldStore, srcLabel, edgeLabel, dstLabel))
+      initPatternState(oldStore, srcLabel, edgeLabel, dstLabel,
+        srcPred, dstPred))
     val delta = patternViewDelta(oldStore, newStore,
-      srcLabel, edgeLabel, dstLabel)
+      srcLabel, edgeLabel, dstLabel, srcPred, dstPred)
     // a refresh MATERIALIZES its state (localCheckpoint — eager,
     // lineage-cut): the state IS the view, and leaving it lazy makes
     // refresh chains compose every prior round's delta plan into one

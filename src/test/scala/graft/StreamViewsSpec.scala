@@ -883,6 +883,57 @@ class StreamViewsSpec extends SparkSpec {
     assert(mults == Set(1L))
   }
 
+  test("predicated pattern view: prop updates flip membership incrementally") {
+    import spark.implicits._
+    import graft.graph.GraphStore
+    import graft.model.PropValue
+    val base = GraphStore.fromTuples(spark,
+      Seq((1L, "User", Seq("active" -> 1)), (2L, "User", Seq("active" -> 0)),
+        (3L, "User", Seq("active" -> 1)), (10L, "Group", Nil)),
+      Seq((1L, 10L, "member", Nil), (2L, 10L, "member", Nil),
+        (3L, 10L, "member", Nil)))
+    val pred = Some(PropValue.compare(col("props")("active"), 1, "="))
+    def recompute(st: GraphStore): Set[(Long, Long)] =
+      st.vertices.filter(col("label") === "User" &&
+          PropValue.compare(col("props")("active"), 1, "="))
+        .select(col("id").as("src"))
+        .join(st.edges.filter(col("label") === "member")
+          .select("src", "dst"), "src")
+        .join(st.vertices.filter(col("label") === "Group")
+          .select(col("id").as("dst")), "dst")
+        .select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cat = new Views.ViewCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_pvp_cat").toString)
+    def props(kv: (String, Int)*) =
+      map(kv.flatMap { case (k, v) =>
+        Seq(lit(k), PropValue.ofInt(lit(v.toLong))) }: _*)
+    // round 1: pure prop flips — user 1 deactivates (leaves the
+    // view), user 2 activates (enters) — no vertex or edge op at all
+    val m1 = base.updateVertexProps(
+      Seq(1L).toDF("id").select(col("id"), props("active" -> 0).as("props"))
+        .unionByName(Seq(2L).toDF("id")
+          .select(col("id"), props("active" -> 1).as("props"))))
+    val r1 = Views.refreshPatternView(cat, "pv", base, m1,
+      "User", "member", "Group", srcPred = pred)
+    assert(rows(r1) == recompute(m1))
+    assert(rows(r1) == Set((2L, 10L), (3L, 10L)))
+    // round 2: a REPLACE update that drops the key entirely (pred
+    // goes null → false → leaves), plus an ordinary edge add whose
+    // src fails the predicate (must NOT enter)
+    val m2 = m1.updateVertexProps(Seq(3L).toDF("id")
+        .select(col("id"), props("other" -> 5).as("props")))
+      .addEdges(Seq((1L, 10L, "member2")).toDF("src", "dst", "label")
+        .withColumn("props", lit(null).cast(PropValue.mapType)))
+    val r2 = Views.refreshPatternView(cat, "pv", m1, m2,
+      "User", "member", "Group", srcPred = pred)
+    assert(rows(r2) == recompute(m2))
+    assert(rows(r2) == Set((2L, 10L)))
+  }
+
   test("streaming pattern view: per-batch folds equal recompute; re-delivery no-op") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
