@@ -203,6 +203,118 @@ object Multimodal {
       }.toDF()
   }
 
+  case class VideoMeta(id: Long, brand: String, timescale: Long,
+    duration_ms: Long, traks: Int, n_bytes: Long)
+
+  /** Real MP4 / ISO-BMFF header parse, pure JVM — the video
+    * counterpart of `decodeHeader`/`decodeWavHeader`: (major brand,
+    * timescale, duration in timescale units, trak count) for payloads
+    * that ARE ISO base-media containers, None otherwise. Public
+    * format knowledge only (ISO/IEC 14496-12 box structure);
+    * malformed or truncated streams return None rather than throw.
+    *
+    * Layout walked: top-level boxes of `<u32be size> <4cc type>`
+    * (size 1 = 64-bit largesize follows; size 0 = to-end-of-file).
+    * The FIRST box must be `ftyp` (major brand at +8). The `moov`
+    * box's children are walked for `mvhd` — version 0 carries
+    * timescale u32/duration u32 at +12/+16, version 1 carries
+    * timescale u32/duration u64 at +20/+24 — and `trak` boxes are
+    * counted. A `moov` truncated mid-payload still parses the
+    * children that fit (an object-store range-read of the first KB),
+    * but a payload whose mvhd never appears is None.
+    */
+  def decodeMp4Header(p: Array[Byte]): Option[(String, Long, Long, Int)] = {
+    def u8(i: Int): Int = p(i) & 0xFF
+    def u32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def u64(i: Int): Long = (u32(i) << 32) | u32(i + 4)
+    def tag(i: Int): String =
+      if (i + 4 <= p.length) new String(p, i, 4, "US-ASCII") else ""
+    // (boxStart, payloadStart, boxEnd) or None on a malformed header
+    def box(i: Long, limit: Long): Option[(String, Long, Long)] = {
+      if (i + 8 > limit) return None
+      val size0 = u32(i.toInt)
+      val t = tag(i.toInt + 4)
+      val (start, end) =
+        if (size0 == 1L) {
+          if (i + 16 > limit) return None
+          val ls = u64(i.toInt + 8)
+          if (ls < 16) return None
+          (i + 16, i + ls)
+        }
+        else if (size0 == 0L) (i + 8, limit) // box extends to EOF
+        else if (size0 < 8) return None
+        else (i + 8, i + size0)
+      if (end <= i) None else Some((t, start, end))
+    }
+    if (p.length < 12) return None
+    val ftyp = box(0L, p.length.toLong) match {
+      case Some(("ftyp", start, _)) if start + 4 <= p.length =>
+        tag(start.toInt)
+      case _ => return None
+    }
+    // walk top-level boxes for moov
+    var i = box(0L, p.length.toLong).get._3
+    while (i + 8 <= p.length) {
+      box(i, p.length.toLong) match {
+        case Some(("moov", mStart, mEnd)) =>
+          val lim = math.min(mEnd, p.length.toLong)
+          var j = mStart
+          var mvhd: Option[(Long, Long)] = None
+          var traks = 0
+          while (j + 8 <= lim) {
+            box(j, lim) match {
+              case Some(("mvhd", s, e)) =>
+                val v = if (s.toInt < p.length) u8(s.toInt) else -1
+                if (v == 0 && s + 20 <= lim)
+                  mvhd = Some((u32(s.toInt + 12), u32(s.toInt + 16)))
+                else if (v == 1 && s + 32 <= lim)
+                  mvhd = Some((u32(s.toInt + 20), u64(s.toInt + 24)))
+                else return None
+                j = e
+              case Some(("trak", _, e)) => traks += 1; j = e
+              case Some((_, _, e)) => j = e
+              case None => j = lim // truncated child: stop the walk
+            }
+          }
+          return mvhd.collect { case (ts, dur) if ts > 0 =>
+            (ftyp, ts, dur, traks)
+          }
+        case Some((_, _, e)) => i = e
+        case None => return None
+      }
+    }
+    None
+  }
+
+  /** STUB video decoder for non-ISO-BMFF payloads, deterministic from
+    * the payload length (the video analogue of `decodeStub`).
+    */
+  def decodeVideoStub(payload: Array[Byte]): (String, Long, Long, Int) = {
+    val n = payload.length
+    ("stub", 600L + (n % 5) * 300L, n.toLong * 4L, 1 + n % 3)
+  }
+
+  /** Batched video-metadata decode: real ISO-BMFF headers parse
+    * exactly, everything else takes the deterministic stub; null
+    * payloads are dropped. duration_ms = duration × 1000 / timescale
+    * (integer arithmetic, exact, engine-portable).
+    */
+  def decodeVideoMeta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(binCol).as("payload"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.filter(_.payload != null).map { r =>
+          val (brand, ts, dur, traks) =
+            decodeMp4Header(r.payload).getOrElse(decodeVideoStub(r.payload))
+          VideoMeta(r.id, brand, ts, dur * 1000L / ts, traks,
+            r.payload.length.toLong)
+        }
+      }.toDF()
+  }
+
   case class Frame(id: Long, frame_idx: Int, frame_offset: Long, n_bytes: Int)
 
   /** Frame sampling (the video stand-in): the payload splits into

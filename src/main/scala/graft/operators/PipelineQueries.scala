@@ -617,6 +617,19 @@ object PipelineQueries {
     // the synthetic text payloads take the deterministic stub, whose
     // integer arithmetic the oracle mirrors — pinning the schema,
     // null handling, and derived-field math of the audio path.
+    // Video metadata over binary payloads — completes the
+    // image/audio/video triple: real ISO-BMFF (MP4) box-walk parse
+    // for container payloads (PipelineSpec pins ftyp/mvhd v0+v1/trak
+    // counting on hand-built boxes), deterministic stub for the
+    // synthetic text-bytes corpus here, oracle pins the stub
+    // arithmetic + the Spark-side plumbing.
+    "mm_video_meta" -> ((s, dir) => {
+      val withBin = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.decodeVideoMeta(withBin, "doc_id", "payload")
+        .orderBy("id")
+    }),
+
     "mm_audio_meta" -> ((s, dir) => {
       val withBin = Tables.documents(s, dir)
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
@@ -1140,6 +1153,15 @@ object PipelineQueries {
            CAST(3 AS INTEGER) AS channels,
            CAST(strlen(text) AS BIGINT) AS n_bytes
          FROM documents ORDER BY id""",
+    "mm_video_meta" ->
+      """WITH d AS (SELECT doc_id, strlen(text) AS n FROM documents),
+         s AS (SELECT doc_id, n, 600 + (n % 5) * 300 AS ts FROM d)
+         SELECT doc_id AS id, 'stub' AS brand,
+                CAST(ts AS BIGINT) AS timescale,
+                CAST((n * 4 * 1000) // ts AS BIGINT) AS duration_ms,
+                CAST(1 + n % 3 AS INTEGER) AS traks,
+                CAST(n AS BIGINT) AS n_bytes
+         FROM s ORDER BY id""",
     "mm_audio_meta" ->
       """WITH d AS (SELECT doc_id, strlen(text) AS n FROM documents),
          s AS (SELECT doc_id, n,

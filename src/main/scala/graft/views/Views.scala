@@ -334,9 +334,11 @@ object Views {
       newStore: graft.graph.GraphStore, srcLabel: String,
       edgeLabel: String, dstLabel: String,
       srcPred: Option[Column] = None,
-      dstPred: Option[Column] = None): DataFrame =
+      dstPred: Option[Column] = None,
+      edgePred: Option[Column] = None): DataFrame =
     patternChainViewDelta(oldStore, newStore,
-      Seq(srcLabel, dstLabel), Seq(edgeLabel), Seq(srcPred, dstPred))
+      Seq(srcLabel, dstLabel), Seq(edgeLabel), Seq(srcPred, dstPred),
+      Seq(edgePred))
       .withColumnRenamed("c0", "src").withColumnRenamed("c1", "dst")
 
   /** K-HOP generalization: signed delta of the chain view
@@ -354,7 +356,8 @@ object Views {
   def patternChainViewDelta(oldStore: graft.graph.GraphStore,
       newStore: graft.graph.GraphStore, vertexLabels: Seq[String],
       edgeLabels: Seq[String],
-      vertexPreds: Seq[Option[Column]] = Nil): DataFrame = {
+      vertexPreds: Seq[Option[Column]] = Nil,
+      edgePreds: Seq[Option[Column]] = Nil): DataFrame = {
     require(vertexLabels.size == edgeLabels.size + 1 && edgeLabels.nonEmpty,
       s"chain wants k+1 vertex labels for k>=1 edge labels, got " +
         s"${vertexLabels.size}/${edgeLabels.size}")
@@ -362,6 +365,10 @@ object Views {
       Seq.fill(vertexLabels.size)(None: Option[Column]) else vertexPreds
     require(preds.size == vertexLabels.size,
       s"vertexPreds wants one entry per vertex label")
+    val epreds = if (edgePreds.isEmpty)
+      Seq.fill(edgeLabels.size)(None: Option[Column]) else edgePreds
+    require(epreds.size == edgeLabels.size,
+      s"edgePreds wants one entry per edge label")
     val feed = newStore.changes.filter(col("version") > oldStore.version)
     // Every intermediate here is DELTA-sized, and each is read by
     // several downstream joins/broadcasts; left lazy, the tree
@@ -393,13 +400,16 @@ object Views {
         .unionByName(o.join(n, Seq("id"), "left_anti")
           .select(lit("remove").as("op"), col("id").as(keyName))))
     }
-    // edge keys the window could have changed: explicit edge ops on
-    // this label + every old/new edge of this label incident to a
-    // touched vertex (cascades are not spelled out in the feed)
-    def eDelta(edgeLabel: String, srcName: String,
+    // edge keys the window could have changed: explicit edge ops
+    // (incl. prop updates, which can flip a predicated edge's
+    // membership) on this label + every old/new edge of this label
+    // incident to a touched vertex (cascades are not spelled out in
+    // the feed)
+    def eDelta(edgeLabel: String, pred: Option[Column], srcName: String,
         dstName: String): DataFrame = {
-      val explicitE = feed.filter(col("op").isin("add_edge", "remove_edge")
-          && col("elabel") === edgeLabel)
+      val explicitE = feed.filter(
+          col("op").isin("add_edge", "remove_edge", "update_edge_props")
+            && col("elabel") === edgeLabel)
         .select(col("src"), col("dst")).distinct()
       def incident(store: graft.graph.GraphStore) = {
         val e = store.edges.filter(col("label") === edgeLabel)
@@ -413,7 +423,8 @@ object Views {
       val touchedE = cut(explicitE.unionByName(incident(oldStore))
         .unionByName(incident(newStore)).distinct())
       def eMembers(store: graft.graph.GraphStore) =
-        store.edges.filter(col("label") === edgeLabel)
+        store.edges.filter(
+            pred.foldLeft(col("label") === edgeLabel)(_ && _))
           .join(broadcast(touchedE), Seq("src", "dst"), "left_semi")
           .select("src", "dst")
       val eo = eMembers(oldStore)
@@ -439,10 +450,11 @@ object Views {
     for (i <- 1 to edgeLabels.size) {
       val s = s"c${i - 1}"
       val d = s"c$i"
-      val e = oldStore.edges.filter(col("label") === edgeLabels(i - 1))
+      val e = oldStore.edges.filter(
+          epreds(i - 1).foldLeft(col("label") === edgeLabels(i - 1))(_ && _))
         .select(col("src").as(s), col("dst").as(d))
       val d1 = joinViewDelta(chainOld, deltaOps,
-        e, eDelta(edgeLabels(i - 1), s, d), Seq(s))
+        e, eDelta(edgeLabels(i - 1), epreds(i - 1), s, d), Seq(s))
       // re-expressed as op rows so the next level's sign validation
       // and broadcasts apply unchanged (each row is exactly ±1)
       val withE = chainOld.join(e, s)
@@ -465,9 +477,10 @@ object Views {
   def initPatternState(store: graft.graph.GraphStore, srcLabel: String,
       edgeLabel: String, dstLabel: String,
       srcPred: Option[Column] = None,
-      dstPred: Option[Column] = None): DataFrame =
+      dstPred: Option[Column] = None,
+      edgePred: Option[Column] = None): DataFrame =
     initPatternChainState(store, Seq(srcLabel, dstLabel), Seq(edgeLabel),
-      Seq(srcPred, dstPred))
+      Seq(srcPred, dstPred), Seq(edgePred))
       .withColumnRenamed("c0", "src").withColumnRenamed("c1", "dst")
 
   /** Chain-state bootstrap: the matched (c0..ck) tuples with
@@ -475,15 +488,19 @@ object Views {
     */
   def initPatternChainState(store: graft.graph.GraphStore,
       vertexLabels: Seq[String], edgeLabels: Seq[String],
-      vertexPreds: Seq[Option[Column]] = Nil): DataFrame = {
+      vertexPreds: Seq[Option[Column]] = Nil,
+      edgePreds: Seq[Option[Column]] = Nil): DataFrame = {
     val preds = if (vertexPreds.isEmpty)
       Seq.fill(vertexLabels.size)(None: Option[Column]) else vertexPreds
+    val epreds = if (edgePreds.isEmpty)
+      Seq.fill(edgeLabels.size)(None: Option[Column]) else edgePreds
     def vF(pos: Int, name: String) =
       store.vertices.filter(
         preds(pos).foldLeft(col("label") === vertexLabels(pos))(_ && _))
         .select(col("id").as(name))
     val joined = (1 to edgeLabels.size).foldLeft(vF(0, "c0")) { (acc, i) =>
-      acc.join(store.edges.filter(col("label") === edgeLabels(i - 1))
+      acc.join(store.edges.filter(
+            epreds(i - 1).foldLeft(col("label") === edgeLabels(i - 1))(_ && _))
           .select(col("src").as(s"c${i - 1}"), col("dst").as(s"c$i")),
           s"c${i - 1}")
         .join(vF(i, s"c$i"), s"c$i")
@@ -499,11 +516,13 @@ object Views {
   def refreshPatternChainView(catalog: ViewCatalog, name: String,
       oldStore: graft.graph.GraphStore, newStore: graft.graph.GraphStore,
       vertexLabels: Seq[String], edgeLabels: Seq[String],
-      vertexPreds: Seq[Option[Column]] = Nil): DataFrame = {
+      vertexPreds: Seq[Option[Column]] = Nil,
+      edgePreds: Seq[Option[Column]] = Nil): DataFrame = {
     val state0 = catalog.dataOf(s"$name!state").getOrElse(
-      initPatternChainState(oldStore, vertexLabels, edgeLabels, vertexPreds))
+      initPatternChainState(oldStore, vertexLabels, edgeLabels,
+        vertexPreds, edgePreds))
     val delta = patternChainViewDelta(oldStore, newStore,
-      vertexLabels, edgeLabels, vertexPreds)
+      vertexLabels, edgeLabels, vertexPreds, edgePreds)
     val state1 = mergeJoinDelta(state0, delta).localCheckpoint()
     catalog.put(s"$name!state", state1)
     val view = finalizeJoin(state1)
@@ -525,12 +544,13 @@ object Views {
       oldStore: graft.graph.GraphStore, newStore: graft.graph.GraphStore,
       srcLabel: String, edgeLabel: String, dstLabel: String,
       srcPred: Option[Column] = None,
-      dstPred: Option[Column] = None): DataFrame = {
+      dstPred: Option[Column] = None,
+      edgePred: Option[Column] = None): DataFrame = {
     val state0 = catalog.dataOf(s"$name!state").getOrElse(
       initPatternState(oldStore, srcLabel, edgeLabel, dstLabel,
-        srcPred, dstPred))
+        srcPred, dstPred, edgePred))
     val delta = patternViewDelta(oldStore, newStore,
-      srcLabel, edgeLabel, dstLabel, srcPred, dstPred)
+      srcLabel, edgeLabel, dstLabel, srcPred, dstPred, edgePred)
     // a refresh MATERIALIZES its state (localCheckpoint — eager,
     // lineage-cut): the state IS the view, and leaving it lazy makes
     // refresh chains compose every prior round's delta plan into one

@@ -812,6 +812,62 @@ class PipelineSpec extends SparkSpec {
     assert(meta(2L) == ((sr, sch, sb, sSamples, sSamples * 1000L / sr)))
   }
 
+  /** Minimal ISO-BMFF container: ftyp(brand) then moov(mvhd + traks).
+    * mvhd version 0 or 1 per the spec's two layouts.
+    */
+  private def mp4Bytes(brand: String, timescale: Int, duration: Long,
+      traks: Int, mvhdV1: Boolean = false,
+      truncateMoov: Boolean = false): Array[Byte] = {
+    val mvhdPayload = if (mvhdV1) 32 else 20
+    val moovSize = 8 + (8 + mvhdPayload) + traks * 8
+    val bb = java.nio.ByteBuffer.allocate(16 + moovSize)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put(brand.getBytes("US-ASCII")).putInt(0)
+    bb.putInt(moovSize).put("moov".getBytes("US-ASCII"))
+    bb.putInt(8 + mvhdPayload).put("mvhd".getBytes("US-ASCII"))
+    if (mvhdV1)
+      bb.putInt(0x01000000).putLong(0L).putLong(0L)
+        .putInt(timescale).putLong(duration)
+    else
+      bb.putInt(0).putInt(0).putInt(0)
+        .putInt(timescale).putInt(duration.toInt)
+    (1 to traks).foreach(_ =>
+      bb.putInt(8).put("trak".getBytes("US-ASCII")))
+    val out = bb.array()
+    if (truncateMoov) out.take(out.length - traks * 8) else out
+  }
+
+  test("real MP4/ISO-BMFF parse: brand, mvhd v0+v1, trak count; stub otherwise") {
+    assert(Multimodal.decodeMp4Header(mp4Bytes("isom", 600, 1200L, 2))
+      .contains(("isom", 600L, 1200L, 2)))
+    // version-1 mvhd carries 64-bit duration
+    assert(Multimodal.decodeMp4Header(
+      mp4Bytes("mp42", 90000, 5000000000L, 1, mvhdV1 = true))
+      .contains(("mp42", 90000L, 5000000000L, 1)))
+    // truncated moov still yields mvhd (range-read of the head);
+    // the cut trak boxes simply don't count
+    assert(Multimodal.decodeMp4Header(
+      mp4Bytes("isom", 600, 1200L, 2, truncateMoov = true))
+      .contains(("isom", 600L, 1200L, 0)))
+    // malformed: no ftyp first, zero timescale, text — all None
+    assert(Multimodal.decodeMp4Header(
+      mp4Bytes("isom", 600, 1200L, 1).drop(16)).isEmpty)
+    assert(Multimodal.decodeMp4Header(mp4Bytes("isom", 0, 1200L, 1)).isEmpty)
+    assert(Multimodal.decodeMp4Header("plain text".getBytes("UTF-8")).isEmpty)
+    // decodeVideoMeta routes per row: real parse for the container,
+    // stub arithmetic for text; duration_ms = dur × 1000 / timescale
+    val text = "synthetic video payload".getBytes("UTF-8")
+    val mixed = Seq((1L, mp4Bytes("isom", 600, 1200L, 2)), (2L, text))
+      .toDF("doc_id", "payload")
+    val meta = Multimodal.decodeVideoMeta(mixed, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    assert(meta(1L) == (("isom", 600L, 2000L, 2)))
+    val (sb, sts, sdur, straks) = Multimodal.decodeVideoStub(text)
+    assert(meta(2L) == ((sb, sts, sdur * 1000L / sts, straks)))
+  }
+
   // ===== exact substring (span-level) dedup =====
 
   lazy val spanDocs = Seq(

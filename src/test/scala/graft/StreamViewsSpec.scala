@@ -934,6 +934,42 @@ class StreamViewsSpec extends SparkSpec {
     assert(rows(r2) == Set((2L, 10L)))
   }
 
+  test("edge-predicated pattern view: edge prop updates flip membership") {
+    import spark.implicits._
+    import graft.graph.GraphStore
+    import graft.model.PropValue
+    val base = GraphStore.fromTuples(spark,
+      Seq((1L, "User", Nil), (2L, "User", Nil), (10L, "Group", Nil)),
+      Seq((1L, 10L, "member", Seq("w" -> 1)),
+        (2L, 10L, "member", Seq("w" -> 0))))
+    val epred = Some(PropValue.compare(col("props")("w"), 1, "="))
+    def recompute(st: GraphStore): Set[(Long, Long)] =
+      st.vertices.filter(col("label") === "User").select(col("id").as("src"))
+        .join(st.edges.filter(col("label") === "member" &&
+          PropValue.compare(col("props")("w"), 1, "="))
+          .select("src", "dst"), "src")
+        .join(st.vertices.filter(col("label") === "Group")
+          .select(col("id").as("dst")), "dst")
+        .select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cat = new Views.ViewCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_epv_cat").toString)
+    def wProps(v: Int) = map(lit("w"), PropValue.ofInt(lit(v.toLong)))
+    // swap the weights: edge (1,10) leaves, (2,10) enters — a pure
+    // update_edge_props window, no add/remove op anywhere
+    val m1 = base.updateEdgeProps(
+      Seq((1L, 10L, "member")).toDF("src", "dst", "label")
+        .select(col("src"), col("dst"), col("label"), wProps(0).as("props"))
+        .unionByName(Seq((2L, 10L, "member")).toDF("src", "dst", "label")
+          .select(col("src"), col("dst"), col("label"),
+            wProps(1).as("props"))))
+    val r1 = Views.refreshPatternView(cat, "epv", base, m1,
+      "User", "member", "Group", edgePred = epred)
+    assert(r1.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((2L, 10L)))
+    assert(recompute(m1) == Set((2L, 10L)))
+  }
+
   test("streaming pattern view: per-batch folds equal recompute; re-delivery no-op") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
