@@ -1,0 +1,133 @@
+package graft.gql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.col
+
+import graft.graph.GraphStore
+import graft.model.PropValue
+import graft.views.Views
+import graft.views.Views.{Analytics, EventDriven, ViewCatalog, ViewDefn}
+import Ast._
+
+/** GQL front door for V5c pattern views — the reference registers
+  * views by QUERY (view_registry.rs register flows); here a MATCH
+  * chain string IS the view definition: labels become the chain's
+  * label filters, inline props blocks become the per-position
+  * equality predicates the incremental machinery maintains under
+  * prop updates, and the stored definition travels in the catalog's
+  * ViewDefn params — stateless, re-derived at each refresh, so saved
+  * catalogs round-trip.
+  *
+  * Accepted shape: a single linear chain of LABELED nodes and
+  * DIRECTED single-hop edges, e.g.
+  * `MATCH (a:Customer {mktsegment: "BUILDING"})-[:located_in {w: 1}]->(b:Nation)`
+  * with NO RETURN (the view's rows are the bound id tuple).
+  * WHERE clauses, OPTIONAL/WITH segments, var-length, undirected or
+  * incoming edges, unlabeled positions, and null prop values reject
+  * with remedies: each is either ambiguous as a maintained row set
+  * or outside the incremental contract (WHERE can reference
+  * cross-variable expressions the per-position predicate split
+  * cannot maintain).
+  */
+object GqlViews {
+
+  private[gql] case class PatternDef(vertexLabels: Seq[String],
+      edgeLabels: Seq[String], vertexPreds: Seq[Option[Column]],
+      edgePreds: Seq[Option[Column]])
+
+  private def propsPred(props: Map[String, GqlValue]): Option[Column] = {
+    props.foreach {
+      case (k, GqlNull) => throw new IllegalArgumentException(
+        s"pattern view cannot use null property '$k' — null never " +
+          "matches, so the view would be permanently empty; omit the key")
+      case _ => ()
+    }
+    if (props.isEmpty) None
+    else Some(props.map { case (k, v) =>
+      PropValue.compare(col("props")(k), v match {
+        case GqlString(s) => s
+        case GqlInt(i) => i
+        case GqlFloat(d) => d
+        case GqlBool(b) => b
+        case GqlNull => null // unreachable (rejected above)
+      }, "=")
+    }.reduce(_ && _))
+  }
+
+  private[gql] def parseDef(gql: String): PatternDef = {
+    // the pattern IS the whole definition — the maintained rows are
+    // the bound id tuple, so a projection would be dead syntax
+    require(!gql.toLowerCase.contains("return"),
+      "a pattern-view definition is a MATCH chain only (no RETURN — " +
+        "the view's rows are the chain's id tuple)")
+    GqlParser.parse(s"$gql RETURN count(*)") match {
+      case Left(err) => throw new IllegalArgumentException(err)
+      case Right(m: MatchStatement) =>
+        require(m.where.isEmpty,
+          "pattern views take inline props blocks, not WHERE — a WHERE " +
+            "may reference cross-variable expressions the per-position " +
+            "incremental predicates cannot maintain")
+        require(m.pre.isEmpty && m.optional.isEmpty &&
+            m.leadingUnwinds.isEmpty,
+          "pattern views are a single MATCH chain (no WITH/OPTIONAL/UNWIND)")
+        val p = m.pattern.getOrElse(throw new IllegalArgumentException(
+          "pattern views need a MATCH pattern"))
+        require(p.edges.nonEmpty,
+          "pattern views need at least one edge (register a Lookup view " +
+            "for a bare node set)")
+        require(!p.shortest, "shortestPath(...) is a query, not a view shape")
+        p.edges.foreach { e =>
+          require(e.direction == Outgoing,
+            "pattern-view edges must be directed -> (undirected and <- " +
+              "are ambiguous as maintained row sets; flip the chain)")
+          require(e.range.isEmpty,
+            "var-length segments cannot be maintained incrementally — " +
+              "register each hop length as its own view")
+          require(e.label.isDefined,
+            "pattern-view edges need a label (an unlabeled edge would " +
+              "mix every edge type into one maintained set)")
+        }
+        p.nodes.foreach(n => require(n.label.isDefined,
+          "every pattern-view node needs a label"))
+        PatternDef(p.nodes.map(_.label.get), p.edges.map(_.label.get),
+          p.nodes.map(n => propsPred(n.props)),
+          p.edges.map(e => propsPred(e.props)))
+      case Right(other) => throw new IllegalArgumentException(
+        s"pattern views are defined by a MATCH chain, not $other")
+    }
+  }
+
+  /** Validate `gql` and register the view (Analytics/graph_traversal,
+    * so TraversalPattern queries route to it). The definition string
+    * itself is the stored contract.
+    */
+  def register(catalog: ViewCatalog, name: String, gql: String): Unit = {
+    parseDef(gql) // validate eagerly — a bad definition fails HERE
+    catalog.register(ViewDefn(name,
+      Analytics("graph_traversal", Map("pattern" -> gql)),
+      EventDriven(0), Seq("vertices", "edges")))
+  }
+
+  /** Incrementally refresh a GQL-registered pattern view through the
+    * change feed between two store versions (first call bootstraps).
+    * Returns the view rows ((src, dst) for single-hop, c0..ck for
+    * chains — the same contract as the Views-level refreshers).
+    */
+  def refresh(catalog: ViewCatalog, name: String,
+      oldStore: GraphStore, newStore: GraphStore): DataFrame = {
+    val gql = catalog.get(name) match {
+      case Some(ViewDefn(_, Analytics("graph_traversal", params), _, _))
+          if params.contains("pattern") => params("pattern")
+      case _ => throw new IllegalArgumentException(
+        s"view '$name' is not a registered GQL pattern view")
+    }
+    val d = parseDef(gql)
+    if (d.edgeLabels.size == 1)
+      Views.refreshPatternView(catalog, name, oldStore, newStore,
+        d.vertexLabels(0), d.edgeLabels(0), d.vertexLabels(1),
+        d.vertexPreds(0), d.vertexPreds(1), d.edgePreds(0))
+    else
+      Views.refreshPatternChainView(catalog, name, oldStore, newStore,
+        d.vertexLabels, d.edgeLabels, d.vertexPreds, d.edgePreds)
+  }
+}

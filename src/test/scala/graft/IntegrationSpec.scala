@@ -214,6 +214,59 @@ class IntegrationSpec extends SparkSpec {
       Set((1L, 2L), (2L, 3L)))
   }
 
+  test("GQL-string pattern views: register, bootstrap, prop-flip refresh, executor parity") {
+    import graft.gql.{GqlExecutor, GqlViews}
+    import graft.model.PropValue
+    val base = GraphStore.fromTuples(spark,
+      Seq((1L, "Person", Seq("department" -> "Engineering")),
+        (2L, "Person", Seq("department" -> "Engineering")),
+        (3L, "Person", Seq("department" -> "Marketing"))),
+      Seq((1L, 2L, "friend", Nil), (2L, 3L, "friend", Nil)))
+    val cat = new ViewCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_gqlv").toString)
+    val defn = "MATCH (a:Person {department: \"Engineering\"})" +
+      "-[:friend]->(b:Person)"
+    GqlViews.register(cat, "eng_friends", defn)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // bootstrap refresh (empty window): the view equals the MATCH —
+    // b carries no predicate, so 2→3 qualifies (src 2 is Engineering)
+    val r0 = GqlViews.refresh(cat, "eng_friends", base, base)
+    assert(rows(r0) == Set((1L, 2L), (2L, 3L)))
+    // prop flips + a new edge: 1 leaves Engineering, 3 joins it
+    def dept(v: String) =
+      map(lit("department"), PropValue.ofString(lit(v)))
+    val m1 = base.updateVertexProps(
+        Seq(1L).toDF("id").select(col("id"), dept("Marketing").as("props"))
+          .unionByName(Seq(3L).toDF("id")
+            .select(col("id"), dept("Engineering").as("props"))))
+      .addEdges(Seq((3L, 1L, "friend")).toDF("src", "dst", "label")
+        .withColumn("props", lit(null).cast(PropValue.mapType)))
+    val r1 = GqlViews.refresh(cat, "eng_friends", base, m1)
+    assert(rows(r1) == Set((2L, 3L), (3L, 1L)))
+    // the incrementally maintained view IS the executor's answer
+    val direct = GqlExecutor.run(m1,
+      defn + " RETURN id(a) AS src, id(b) AS dst").df
+    assert(rows(r1) == rows(direct))
+    // and the router serves it for traversal queries
+    val served = graft.gql.RoutedGql.run(m1, cat,
+      "MATCH (a:Person)-[:friend]->(b) RETURN a.department")
+    assert(served.servedBy.contains("eng_friends"))
+    // definition validation: WHERE, undirected, unlabeled, var-length,
+    // null props all reject at REGISTRATION time
+    for (bad <- Seq(
+        "MATCH (a:Person)-[:friend]->(b:Person) WHERE a.age > 3",
+        "MATCH (a:Person)-[:friend]-(b:Person)",
+        "MATCH (a)-[:friend]->(b:Person)",
+        "MATCH (a:Person)-[:friend*1..2]->(b:Person)",
+        "MATCH (a:Person {department: null})-[:friend]->(b:Person)")) {
+      intercept[IllegalArgumentException] {
+        GqlViews.register(cat, "bad", bad)
+      }
+    }
+  }
+
   test("X1 parity: remove_edge + update props, replace-not-merge, feed rows") {
     val s0 = GraphStore.fromTuples(spark,
       Seq((1L, "P", Seq("name" -> "alice", "age" -> 30)),
