@@ -371,7 +371,11 @@ object GqlParser extends RegexParsers {
     kw("match") ~> opt(ident <~ "=") ~ matchPat ~ rep(optionalMatch) ~
       opt(kw("where") ~> expr) ~
       (retClause ^^ (Left(_): Either[RetClause, String]) |
-        (kw("delete") ~> ident) ^^ (Right(_): Either[RetClause, String])) ^^ {
+        // DETACH DELETE accepted as a synonym: this store's DELETE
+        // already cascades incident edges (the reference's semantics,
+        // executor.rs:569-615), which is exactly Cypher's DETACH
+        (opt(kw("detach")) ~> kw("delete") ~> ident)
+          ^^ (Right(_): Either[RetClause, String])) ^^ {
       case pv ~ p ~ opts ~ w ~ end => FullTail(pv, p, opts, w, end)
     }
 
@@ -465,7 +469,8 @@ object GqlParser extends RegexParsers {
   }
 
   private def deleteStmt: Parser[Statement] =
-    kw("delete") ~> ident ^^ (v => DeleteStatement(None, None, v))
+    opt(kw("detach")) ~> kw("delete") ~> ident ^^
+      (v => DeleteStatement(None, None, v))
 
   /** `<q> UNION [ALL] <q> ...` — read-only MATCH parts, one
     * consistent UNION form per statement (Cypher).

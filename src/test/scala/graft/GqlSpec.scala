@@ -1144,6 +1144,12 @@ class GqlSpec extends SparkSpec {
     // Bob's 3 incident edges (1→2, 2→3, 2→4) cascade away.
     assert(s2.edges.count() == 1)
     assert(s2.changes.filter(col("op") === "remove_vertex").count() == 1)
+    // DETACH DELETE is an accepted synonym (this store's DELETE
+    // already cascades — Cypher's DETACH semantics, and the
+    // reference's)
+    val s3 = GqlExecutor.run(fixture,
+      """MATCH (v:Person) WHERE v.name = "Bob" DETACH DELETE v""").store
+    assert(s3.vertices.count() == 3 && s3.edges.count() == 1)
   }
 
   test("RETURN aggregates: implicit grouping, count/sum/avg/min/max") {
