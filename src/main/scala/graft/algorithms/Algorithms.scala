@@ -909,6 +909,50 @@ object Algorithms {
     pr
   }
 
+  /** G24 (graft extension): WEIGHTED PageRank — transition
+    * probability proportional to edge weight (w / Σ_out w) instead of
+    * 1/outdeg, the standard weighted-graph form; with uniform
+    * weights it reduces exactly to [[pageRank]] (AlgoSpec pins the
+    * equivalence). Same recurrence shape and fixed iteration count
+    * as G1 so the unrolled-CTE oracle carries over with the
+    * weighted transition.
+    *
+    * Join economics: the (src, dst, p) transition frame is computed
+    * ONCE (one weight-sum aggregate + one join) and persisted; each
+    * round is then one keyed sum + one left join, lineage-cut every
+    * third round like [[personalizedPageRank]]/[[katzCentrality]].
+    */
+  def pageRankWeighted(vertices: DataFrame, edges: DataFrame,
+      damping: Double = 0.85, numIter: Int = 10,
+      undirected: Boolean = false,
+      checkpointDir: Option[String] = None): DataFrame = {
+    import graft.Lineage.CutOps
+    val rel = graft.Lineage.configure(edges, checkpointDir)
+    val eDir = edges.select(col("src"), col("dst"),
+      col("w").cast("double").as("w"))
+    val eAll = if (undirected)
+      eDir.unionByName(eDir.select(col("dst").as("src"),
+        col("src").as("dst"), col("w")))
+    else eDir
+    val tot = eAll.groupBy("src").agg(sum(col("w")).as("tw"))
+    val trans = graft.TransientCache.persist(eAll.join(tot, "src")
+      .select(col("src"), col("dst"), (col("w") / col("tw")).as("p")))
+    val v = graft.TransientCache.persist(vertices.select(col("id")))
+    val n = v.count().toDouble
+    var pr = v.select(col("id"), lit(1.0 / n).as("score"))
+    for (i <- 1 to numIter) {
+      val msgs = trans.join(pr, trans("src") === pr("id"))
+        .groupBy(trans("dst").as("id"))
+        .agg(sum(col("score") * col("p")).as("m"))
+      val next = v.join(msgs, Seq("id"), "left")
+        .select(col("id"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("m"), lit(0.0))).as("score"))
+      pr = if (i % 3 == 0 || i == numIter) next.cut(rel) else next
+    }
+    pr
+  }
+
   /** G22 (graft extension): Katz centrality — fixed-iteration power
     * form of x = α·Aᵀx + β·1 (Katz 1953): unlike degree it credits
     * walks of every length, α-damped; unlike PageRank there is no

@@ -80,6 +80,32 @@ object AlgoQueries {
        SELECT id AS suppkey, ROUND(score, 6) AS score FROM pr10 ORDER BY suppkey"""
   }
 
+  /** Unrolled 10-iteration WEIGHTED PageRank — g24's recurrence with
+    * weight-proportional transitions (w / Σ_out w); `we` rebuilds the
+    * doubled weighted edge list from `pairs`/`thr` (coOrderCte's `ce`
+    * drops the weight column).
+    */
+  private def pageRankWeightedOracle: String = {
+    val stages = (1 to 10).map { i =>
+      s"""wpr$i AS (
+           SELECT v.id, 0.15 / (SELECT c FROM n) + 0.85 * COALESCE(m.s, 0) AS score
+           FROM v LEFT JOIN (
+             SELECT we.dst AS id, SUM(p.score * we.w / tot.tw) AS s
+             FROM wpr${i - 1} p JOIN we ON we.src = p.id
+             JOIN tot ON tot.src = we.src
+             GROUP BY we.dst) m ON m.id = v.id)"""
+    }.mkString(",\n")
+    s"""WITH $coOrderCte,
+       cw AS (SELECT s1 AS a, s2 AS b, w FROM pairs, thr WHERE w >= t),
+       we AS (SELECT a AS src, b AS dst, w FROM cw
+              UNION ALL SELECT b, a, w FROM cw),
+       tot AS (SELECT src, SUM(w) AS tw FROM we GROUP BY src),
+       wpr0 AS (SELECT id, 1.0 / (SELECT c FROM n) AS score FROM v),
+       $stages
+       SELECT id AS suppkey, ROUND(score, 6) AS score FROM wpr10
+       ORDER BY suppkey"""
+  }
+
   /** Unrolled k-core prune rounds: e_{i+1} keeps edges whose both
     * endpoints have degree ≥ k in e_i. Idempotent after convergence,
     * so 12 rounds ≥ any fixpoint these graphs reach (≤3 observed).
@@ -303,6 +329,19 @@ object AlgoQueries {
       Algorithms.personalizedPageRank(co.vertices,
         co.edges.select("src", "dst"), seeds = Seq(1L, 2L),
         undirected = true)
+        .select(col("id").as("suppkey"),
+          round(col("score"), 6).as("score"))
+        .orderBy("suppkey")
+    }),
+
+    // +G: WEIGHTED PageRank over the co-order graph — transitions
+    // proportional to shared-order counts (w / Σw) instead of
+    // 1/outdeg; oracle unrolls the identical weighted recurrence 10
+    // iterations like g1's.
+    "g24_pagerank_weighted" -> ((s, dir) => {
+      val co = coOrder(s, dir)
+      Algorithms.pageRankWeighted(co.vertices,
+        co.edges.select("src", "dst", "w"), undirected = true)
         .select(col("id").as("suppkey"),
           round(col("score"), 6).as("score"))
         .orderBy("suppkey")
@@ -543,6 +582,7 @@ object AlgoQueries {
          FROM e a JOIN d ON a.h = d.h
          JOIN e b ON a.h = b.h AND a.s < b.s
          GROUP BY 1, 2 ORDER BY suppkey1, suppkey2""",
+    "g24_pagerank_weighted" -> pageRankWeightedOracle,
     "g9_kcore" -> kCoreOracle(3, 12),
     "g15_label_propagation" -> lpaOracle(4),
     "g1_pagerank" -> pageRankOracle,

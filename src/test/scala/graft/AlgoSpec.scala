@@ -179,6 +179,30 @@ class AlgoSpec extends SparkSpec {
     }
   }
 
+  test("weighted pagerank: uniform weights reduce to pagerank; weights steer mass") {
+    // uniform weights ⇒ w/Σw = 1/outdeg: must equal unweighted
+    // PageRank on every vertex
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val vs = Seq(1L, 2L, 3L).toDF("id")
+    val plain = Algorithms.pageRank(vs, es)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val uni = Algorithms.pageRankWeighted(vs,
+        es.withColumn("w", lit(1)))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    plain.foreach { case (id, s) =>
+      assert(math.abs(uni(id) - s) < 1e-9, s"id=$id $s vs ${uni(id)}")
+    }
+    // asymmetric weights steer the mass: 1 sends 3/4 of its rank to
+    // 2, 1/4 to 3 — exact one-hop check on a source-only graph
+    val wes = Seq((1L, 2L, 3), (1L, 3L, 1)).toDF("src", "dst", "w")
+    val w = Algorithms.pageRankWeighted(vs, wes, numIter = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val base = 0.15 / 3
+    assert(math.abs(w(1L) - base) < 1e-9)
+    assert(math.abs(w(2L) - (base + 0.85 * (1.0 / 3) * 0.75)) < 1e-9)
+    assert(math.abs(w(3L) - (base + 0.85 * (1.0 / 3) * 0.25)) < 1e-9)
+  }
+
   test("harmonic centrality: path graph values; hop bound truncates") {
     // path 1-2-3 undirected: H(1)=1+1/2, H(2)=2, H(3)=1+1/2
     val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
