@@ -21,12 +21,14 @@ import graft.views.Views
   *
   * Mutation-command schema per row:
   * `(op, id, label, src, dst, props)` with op ∈ add_vertex |
-  * remove_vertex | add_edge | remove_edge — vertex ops read
-  * (id, label, props), edge ops read (src, dst, label, props), and
-  * each batch applies in that FIXED op order (adds before removals,
-  * vertices before edges on add, edges before vertices on removal
-  * is unnecessary — vertex removal cascades), so a batch mixing ops
-  * on one key resolves deterministically.
+  * remove_vertex | update_vertex_props | add_edge | remove_edge |
+  * update_edge_props — vertex ops read (id[, label][, props]), edge
+  * ops read (src, dst, label[, props]), and each batch applies in
+  * that FIXED op order (adds, then prop updates, then removals), so
+  * a batch mixing ops on one key resolves deterministically. Prop
+  * updates are REPLACE semantics like the store API — and with a
+  * PREDICATED view definition (see [[StreamPatternView.fromGql]]) a
+  * pure prop-update batch flips rows in and out of the view.
   *
   * Re-delivery: foreachBatch is at-least-once; a batchId at or below
   * the `<metaPath>/stream_meta` high-water mark is a NO-OP for both
@@ -34,9 +36,23 @@ import graft.views.Views
   * the index maintainers). The store reference evolves inside the
   * closure; `current()` exposes it for end-of-stream reads.
   */
-final class StreamPatternView(initial: GraphStore, metaPath: String,
-    catalog: Views.ViewCatalog, viewName: String,
-    vertexLabels: Seq[String], edgeLabels: Seq[String]) {
+final class StreamPatternView private (initial: GraphStore,
+    metaPath: String,
+    refreshFn: (GraphStore, GraphStore) => DataFrame) {
+
+  /** K-hop label-chain form (label-only positions). */
+  def this(initial: GraphStore, metaPath: String,
+      catalog: Views.ViewCatalog, viewName: String,
+      vertexLabels: Seq[String], edgeLabels: Seq[String]) =
+    this(initial, metaPath,
+      (o: GraphStore, n: GraphStore) =>
+        // single-hop keeps the (src, dst) column contract; chains
+        // carry positional c0..ck
+        if (edgeLabels.size == 1)
+          Views.refreshPatternView(catalog, viewName, o, n,
+            vertexLabels(0), edgeLabels(0), vertexLabels(1))
+        else Views.refreshPatternChainView(catalog, viewName, o, n,
+          vertexLabels, edgeLabels))
 
   /** Single-hop convenience form. */
   def this(initial: GraphStore, metaPath: String,
@@ -51,7 +67,7 @@ final class StreamPatternView(initial: GraphStore, metaPath: String,
   def current(): GraphStore = cur
 
   private def applyBatch(batch: DataFrame): GraphStore = {
-    val b = batch.localCheckpoint() // read 4×, one tiny frame
+    val b = batch.localCheckpoint() // read 6×, one tiny frame
     var st = cur
     val va = b.filter(col("op") === "add_vertex")
       .select(col("id"), col("label"), col("props"))
@@ -59,6 +75,12 @@ final class StreamPatternView(initial: GraphStore, metaPath: String,
     val ea = b.filter(col("op") === "add_edge")
       .select(col("src"), col("dst"), col("label"), col("props"))
     if (ea.limit(1).count() > 0) st = st.addEdges(ea)
+    val vu = b.filter(col("op") === "update_vertex_props")
+      .select(col("id"), col("props"))
+    if (vu.limit(1).count() > 0) st = st.updateVertexProps(vu)
+    val eu = b.filter(col("op") === "update_edge_props")
+      .select(col("src"), col("dst"), col("label"), col("props"))
+    if (eu.limit(1).count() > 0) st = st.updateEdgeProps(eu)
     val er = b.filter(col("op") === "remove_edge")
       .select(col("src"), col("dst"), col("label"))
     if (er.limit(1).count() > 0) st = st.removeEdges(er)
@@ -77,14 +99,7 @@ final class StreamPatternView(initial: GraphStore, metaPath: String,
     if (batchId <= StreamMeta.lastApplied(spark, metaPath)) None
     else {
       val next = applyBatch(batch)
-      // single-hop keeps the (src, dst) column contract; chains carry
-      // positional c0..ck
-      val view =
-        if (edgeLabels.size == 1)
-          Views.refreshPatternView(catalog, viewName, cur, next,
-            vertexLabels(0), edgeLabels(0), vertexLabels(1))
-        else Views.refreshPatternChainView(catalog, viewName, cur, next,
-          vertexLabels, edgeLabels)
+      val view = refreshFn(cur, next)
       StreamMeta.writeLastApplied(spark, metaPath, batchId)
       cur = next
       Some(view)
@@ -100,4 +115,21 @@ final class StreamPatternView(initial: GraphStore, metaPath: String,
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       applyAndRefresh(batch, batchId).foreach(view => sink(view, batchId))
     }
+}
+
+object StreamPatternView {
+
+  /** Build a streaming maintainer from a GQL MATCH-chain definition
+    * (the [[graft.gql.GqlViews]] contract: labels + inline props
+    * blocks, which become the maintained predicates): registers the
+    * view in the catalog and refreshes through the stored string, so
+    * a predicated stream view flips rows on pure prop-update batches.
+    */
+  def fromGql(initial: GraphStore, metaPath: String,
+      catalog: Views.ViewCatalog, viewName: String,
+      gql: String): StreamPatternView = {
+    graft.gql.GqlViews.register(catalog, viewName, gql)
+    new StreamPatternView(initial, metaPath,
+      (o, n) => graft.gql.GqlViews.refresh(catalog, viewName, o, n))
+  }
 }

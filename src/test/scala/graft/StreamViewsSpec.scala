@@ -1033,6 +1033,40 @@ class StreamViewsSpec extends SparkSpec {
     assert(recompute(spv.current()) == Set((1L, 10L), (4L, 11L)))
   }
 
+  test("GQL-defined streaming pattern view: predicated prop flips per batch") {
+    import spark.implicits._
+    import graft.graph.GraphStore
+    import graft.model.PropValue
+    import graft.streaming.StreamPatternView
+    val base = GraphStore.fromTuples(spark,
+      Seq((1L, "User", Seq("active" -> 1)), (2L, "User", Seq("active" -> 0)),
+        (10L, "Group", Nil)),
+      Seq((1L, 10L, "member", Nil), (2L, 10L, "member", Nil)))
+    val cat = new Views.ViewCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_gspv_cat").toString)
+    val meta = java.nio.file.Files.createTempDirectory("graft_gspv").toString
+    val spv = StreamPatternView.fromGql(base, meta, cat, "active_members",
+      "MATCH (a:User {active: 1})-[:member]->(b:Group)")
+    // a PURE prop-update batch: user 1 deactivates, user 2 activates
+    def cmd(op: String, id: Long, active: Int) =
+      Seq((op, id)).toDF("op", "id")
+        .select(col("op"), col("id"),
+          lit(null).cast("string").as("label"),
+          lit(0L).as("src"), lit(0L).as("dst"),
+          map(lit("active"), PropValue.ofInt(lit(active.toLong))).as("props"))
+    val batch = cmd("update_vertex_props", 1L, 0)
+      .unionByName(cmd("update_vertex_props", 2L, 1))
+    val r = spv.applyAndRefresh(batch, 0L)
+    assert(r.isDefined)
+    assert(r.get.select("src", "dst").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet == Set((2L, 10L)))
+    // re-delivery: nothing moves
+    assert(spv.applyAndRefresh(batch, 0L).isEmpty)
+    assert(spv.current().vertices
+      .filter(PropValue.compare(col("props")("active"), 1, "="))
+      .select("id").collect().map(_.getLong(0)).toSet == Set(2L))
+  }
+
   test("refresh policies: needsRefresh semantics") {
     assert(FixedInterval(1000).needsRefresh(0, 1500, dirty = false))
     assert(!FixedInterval(1000).needsRefresh(1000, 1500, dirty = true))
