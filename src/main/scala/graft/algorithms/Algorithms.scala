@@ -2,7 +2,8 @@ package graft.algorithms
 
 import org.apache.spark.graphx.{Edge, EdgeDirection, Graph, Pregel, TripletFields, VertexId}
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -766,6 +767,35 @@ object Algorithms {
       .groupBy(col("source").as("id"))
       .agg(sum(lit(1.0) / col("hops")).as("harmonic"))
 
+  /** G25 (graft extension): k-bounded closeness centrality — the
+    * classic reciprocal-farness form over the ≤ maxHops reachable
+    * set, C(v) = r / Σ_{u reached} d(v,u) (r = reached count
+    * excluding v), plus the Wasserman–Faust component correction
+    * C_wf(v) = (r / (n−1)) · C(v) that makes scores comparable
+    * across components of different size (without it a vertex in a
+    * tiny component looks artificially central — the reason
+    * harmonic exists; closeness is still the form most toolkits
+    * report, so both ship). Same bulk-BFS economics as
+    * [[harmonicCentrality]]: one [[multiSourceBfs]] serves every
+    * source, the per-source (Σd, r) pair is one map-side-combined
+    * aggregate, and n is a single count on the (already persisted)
+    * vertex frame. Vertices reaching nothing within the bound get
+    * no row (empty farness sum — callers wanting zeros left-join).
+    */
+  def closenessCentrality(edges: DataFrame, vertices: DataFrame,
+      maxHops: Int, undirected: Boolean = false): DataFrame = {
+    val n = vertices.count()
+    require(n > 1, "closeness needs at least two vertices")
+    multiSourceBfs(edges, vertices, maxHops, undirected)
+      .filter(col("hops") > 0)
+      .groupBy(col("source").as("id"))
+      .agg(count(lit(1)).as("reached"), sum(col("hops")).as("farness"))
+      .select(col("id"), col("reached"),
+        (col("reached") / col("farness")).as("closeness"),
+        (col("reached") * col("reached") /
+          (col("farness") * (n - 1).toDouble)).as("closeness_wf"))
+  }
+
   /** G23 (graft extension): Newman modularity of a given partition —
     * the community-quality metric the clustering family needs to be
     * actionable (run LPA/CC, SCORE the result, compare parameter
@@ -990,6 +1020,112 @@ object Algorithms {
       x = if (i % 3 == 0 || i == numIter) next.cut(rel) else next
     }
     x
+  }
+
+  /** G26 (graft extension): HITS hubs & authorities (Kleinberg 1999)
+    * — fixed-iteration mutual recursion over a DIRECTED edge set:
+    * auth_i(v) = Σ_{u→v} hub_{i−1}(u), then hub_i(v) = Σ_{v→u}
+    * auth_i(u), from all-ones, with ONE L1 normalization at the end.
+    * Deferring normalization is exact, not an approximation: both
+    * updates are linear, so per-iteration scaling only changes the
+    * magnitude, never the direction — and it is what makes the
+    * cross-engine oracle a plain unrolled CTE (no per-round scalar
+    * joins). numIter stays small by contract so the unnormalized
+    * magnitudes (≤ (d_max²)^k) stay far inside double range.
+    *
+    * Relational per iteration: two Pregel-shaped message aggregates
+    * (edges ⋈ scores, map-side-combined SUM on the receiving key) —
+    * the same economics as [[katzCentrality]]; lineage cut every
+    * other round. Vertices with no in-edges carry authority 0, no
+    * out-edges hub 0 (explicit rows — the zero IS the answer here,
+    * unlike the reachability family where absence means absence).
+    */
+  def hits(vertices: DataFrame, edges: DataFrame, numIter: Int = 8,
+      checkpointDir: Option[String] = None): DataFrame = {
+    import graft.Lineage.CutOps
+    val rel = graft.Lineage.configure(edges, checkpointDir)
+    val e = graft.TransientCache.persist(
+      edges.select(col("src"), col("dst")))
+    val v = graft.TransientCache.persist(vertices.select(col("id")))
+    var hub = v.select(col("id"), lit(1.0).as("hub"))
+    var auth: DataFrame = v.select(col("id"), lit(1.0).as("authority"))
+    for (i <- 1 to numIter) {
+      val aMsgs = e.join(hub, e("src") === hub("id"))
+        .groupBy(e("dst").as("id")).agg(sum(col("hub")).as("m"))
+      auth = v.join(aMsgs, Seq("id"), "left")
+        .select(col("id"), coalesce(col("m"), lit(0.0)).as("authority"))
+      if (i % 2 == 0 || i == numIter) auth = auth.cut(rel)
+      val hMsgs = e.join(auth, e("dst") === auth("id"))
+        .groupBy(e("src").as("id")).agg(sum(col("authority")).as("m"))
+      hub = v.join(hMsgs, Seq("id"), "left")
+        .select(col("id"), coalesce(col("m"), lit(0.0)).as("hub"))
+      if (i % 2 == 0 || i == numIter) hub = hub.cut(rel)
+    }
+    // L1-normalize once; sums are > 0 whenever the graph has at
+    // least one edge (all-ones init propagates through it).
+    val hSum = hub.agg(sum("hub")).head().getDouble(0)
+    val aSum = auth.agg(sum("authority")).head().getDouble(0)
+    require(hSum > 0 && aSum > 0, "HITS needs at least one edge")
+    hub.join(auth, Seq("id"))
+      .select(col("id"), (col("hub") / hSum).as("hub"),
+        (col("authority") / aSum).as("authority"))
+  }
+
+  /** G27 (graft extension): DETERMINISTIC random walks — the
+    * node2vec/DeepWalk corpus generator (walks are the "sentences" a
+    * graph-embedding trainer consumes), made a pure function of
+    * (graph, walkLength, walksPerVertex) so it carries a full
+    * cross-engine value oracle: step t of walk w at vertex u moves to
+    * the out-neighbor whose dense rank (ordered by dst) equals an
+    * LCG-style mix of (w, t, u) mod outdeg. Real samplers draw the
+    * index from a seeded RNG; the mix IS that draw with a portable
+    * hash both engines can evaluate (inputs are pre-reduced mod 1e6-
+    * scale primes so every product stays far inside signed-64 range —
+    * DuckDB errors on BIGINT overflow rather than wrapping, so
+    * wrap-dependent mixes like xxhash64 are not portable).
+    *
+    * Relational: the ranked adjacency (rk = row_number−1, d = outdeg
+    * per src) is ONE window shuffle computed once and persisted;
+    * each step is one equi-join of the walker frontier on src with
+    * the rank equation as a residual filter — O(walkLength) joins
+    * total for ANY number of walks, the [[multiSourceBfs]] economics.
+    * Walkers at a sink (no out-neighbors) simply stop (their walk is
+    * shorter); every visited position is emitted as (walk, step, id).
+    */
+  def randomWalks(vertices: DataFrame, edges: DataFrame,
+      walkLength: Int, walksPerVertex: Int = 1,
+      undirected: Boolean = false): DataFrame = {
+    require(walksPerVertex >= 1 && walkLength >= 1,
+      "need at least one walk of at least one step")
+    val eDir = edges.select(col("src"), col("dst"))
+    val all = (if (undirected)
+        eDir.unionByName(eDir.select(col("dst").as("src"),
+          col("src").as("dst")))
+      else eDir).distinct()
+    val w = Window.partitionBy("src").orderBy("dst")
+    val nb = graft.TransientCache.persist(all.select(col("src"),
+      col("dst"), (row_number().over(w) - 1).cast("long").as("rk"),
+      count(lit(1)).over(Window.partitionBy("src")).as("d")))
+    def key(walk: Column, step: Int, cur: Column): Column =
+      (walk % 1000003L) * 1103515245L + lit(step.toLong) * 12345L +
+        (cur % 1000033L) * 2654435761L
+    var frontier = vertices.select(explode(sequence(lit(0),
+        lit(walksPerVertex - 1))).as("t"), col("id"))
+      .select((col("id") * walksPerVertex + col("t")).as("walk"),
+        col("id").as("cur"))
+    var out = frontier.select(col("walk"), lit(0).as("step"),
+      col("cur").as("id"))
+    for (s <- 1 to walkLength) {
+      // alias-qualify: round ≥ 2 joins an nb-derived frontier back
+      // against nb (a self-join by lineage)
+      frontier = frontier.alias("f").join(nb.alias("n"),
+          col("f.cur") === col("n.src") &&
+            col("n.rk") === key(col("f.walk"), s, col("f.cur")) % col("n.d"))
+        .select(col("f.walk").as("walk"), col("n.dst").as("cur"))
+      out = out.unionByName(frontier.select(col("walk"),
+        lit(s).as("step"), col("cur").as("id")))
+    }
+    out
   }
 
   /** G18 (graft extension): k-bounded betweenness centrality — exact

@@ -359,6 +359,47 @@ object AlgoQueries {
         .orderBy("suppkey")
     }),
 
+    // +G: 6-bounded closeness centrality over the co-order graph —
+    // classic reciprocal farness + the Wasserman-Faust component
+    // correction, same bulk-BFS pass as g17; full value oracle via
+    // the identical recursive-CTE BFS.
+    "g25_closeness" -> ((s, dir) => {
+      val co = coOrder(s, dir)
+      Algorithms.closenessCentrality(co.edges.select("src", "dst"),
+        co.vertices, maxHops = 6, undirected = true)
+        .select(col("id").as("suppkey"), col("reached"),
+          round(col("closeness"), 4).as("closeness"),
+          round(col("closeness_wf"), 4).as("closeness_wf"))
+        .orderBy("suppkey")
+    }),
+
+    // +G: HITS hubs & authorities over the DIRECTED canonical
+    // co-order pairs (s1 < s2 — a DAG, so hub and authority roles
+    // genuinely differ); 8 iterations, end L1-normalization. Oracle
+    // unrolls the identical mutual recursion.
+    "g26_hits" -> ((s, dir) => {
+      val co = coOrder(s, dir)
+      Algorithms.hits(co.vertices, co.edges.select("src", "dst"),
+        numIter = 8)
+        .select(col("id").as("suppkey"), round(col("hub"), 6).as("hub"),
+          round(col("authority"), 6).as("authority"))
+        .orderBy("suppkey")
+    }),
+
+    // +G: deterministic random walks (the node2vec/DeepWalk corpus
+    // generator) — 2 walks × 4 steps per supplier over the undirected
+    // co-order graph, next hop = portable LCG mix mod outdeg; the
+    // oracle recomputes every walk through a recursive CTE with the
+    // identical ranked adjacency and mix.
+    "g27_random_walks" -> ((s, dir) => {
+      val co = coOrder(s, dir)
+      Algorithms.randomWalks(co.vertices, co.edges.select("src", "dst"),
+        walkLength = 4, walksPerVertex = 2, undirected = true)
+        .select(col("walk"), col("step").cast("long").as("step"),
+          col("id").as("suppkey"))
+        .orderBy("walk", "step")
+    }),
+
     // +G: Adamic-Adar link prediction on the raw order-supplier
     // incidence (suppliers sharing rarer orders score higher) — the
     // degree-damped refinement of g12's common-neighbor count, full
@@ -473,8 +514,71 @@ object AlgoQueries {
        ORDER BY suppkey"""
   }
 
+  /** Unrolled 8-iteration HITS over the directed canonical pairs —
+    * identical mutual recursion to Algorithms.hits (auth from
+    * previous hub, hub from NEW auth), all-ones init, one L1
+    * normalization at the end.
+    */
+  private def hitsOracle: String = {
+    val stages = (1 to 8).map { i =>
+      s"""a$i AS (SELECT v.id, COALESCE(m.s, 0) AS authority
+           FROM v LEFT JOIN (
+             SELECT ed.dst AS id, SUM(h.hub) AS s
+             FROM h${i - 1} h JOIN ed ON ed.src = h.id
+             GROUP BY ed.dst) m ON m.id = v.id),
+         h$i AS (SELECT v.id, COALESCE(m.s, 0) AS hub
+           FROM v LEFT JOIN (
+             SELECT ed.src AS id, SUM(a.authority) AS s
+             FROM a$i a JOIN ed ON ed.dst = a.id
+             GROUP BY ed.src) m ON m.id = v.id)"""
+    }.mkString(",\n")
+    s"""WITH $coOrderCte,
+       ed AS (SELECT a AS src, b AS dst FROM ce),
+       h0 AS (SELECT id, 1.0 AS hub FROM v),
+       $stages
+       SELECT h.id AS suppkey,
+              ROUND(h.hub / (SELECT SUM(hub) FROM h8), 6) AS hub,
+              ROUND(a.authority / (SELECT SUM(authority) FROM a8), 6)
+                AS authority
+       FROM h8 h JOIN a8 a ON a.id = h.id ORDER BY suppkey"""
+  }
+
   val oracles: Map[String, String] = Map(
     "g23_modularity" -> modularityOracle,
+    "g26_hits" -> hitsOracle,
+    "g25_closeness" ->
+      s"""WITH RECURSIVE $coOrderCte,
+         bfs(source, id, hops) AS (
+           SELECT id, id, 0 FROM v
+           UNION
+           SELECT b.source, e.dst, b.hops + 1 FROM bfs b
+           JOIN e ON b.id = e.src WHERE b.hops < 6),
+         d AS (SELECT source, id, MIN(hops) AS h FROM bfs
+               GROUP BY source, id)
+         SELECT source AS suppkey, COUNT(*) AS reached,
+                ROUND(COUNT(*) * 1.0 / SUM(h), 4) AS closeness,
+                ROUND(COUNT(*) * COUNT(*) * 1.0
+                      / (SUM(h) * ((SELECT c FROM n) - 1)), 4)
+                  AS closeness_wf
+         FROM d WHERE h > 0 GROUP BY source ORDER BY suppkey""",
+    "g27_random_walks" ->
+      s"""WITH RECURSIVE $coOrderCte,
+         nb AS (SELECT src, dst,
+                  ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1
+                    AS rk,
+                  COUNT(*) OVER (PARTITION BY src) AS d FROM e),
+         walks(walk, step, id) AS (
+           SELECT id * 2 + t.t, CAST(0 AS BIGINT), id
+           FROM v, (VALUES (0), (1)) t(t)
+           UNION ALL
+           SELECT w.walk, w.step + 1, nb.dst
+           FROM walks w JOIN nb ON nb.src = w.id
+             AND nb.rk = ((w.walk % 1000003) * 1103515245
+                          + (w.step + 1) * 12345
+                          + (w.id % 1000033) * 2654435761) % nb.d
+           WHERE w.step < 4)
+         SELECT walk, step, id AS suppkey FROM walks
+         ORDER BY walk, step""",
     "g22_katz" -> katzOracle,
     "g20_jaccard" ->
       s"""WITH $coOrderCte,

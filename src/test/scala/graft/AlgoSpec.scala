@@ -434,4 +434,104 @@ class AlgoSpec extends SparkSpec {
       assert(!Algorithms.servedFromCache(cached.filter(col("src") > 1)))
     } finally cached.unpersist(blocking = true)
   }
+
+  test("closeness: path graph hand values; WF correction; isolated absent") {
+    // path 1-2-3 undirected, n=3: farness(1)=1+2=3, r=2 → C=2/3,
+    // WF = (2/2)·(2/3); farness(2)=2, r=2 → C=1, WF=1
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val v = Seq(1L, 2L, 3L).toDF("id")
+    val c = Algorithms.closenessCentrality(e, v, maxHops = 3,
+      undirected = true).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    assert(c(1L) == ((2L, 2.0 / 3, 2.0 / 3)))
+    assert(c(2L) == ((2L, 1.0, 1.0)))
+    assert(c(3L) == ((2L, 2.0 / 3, 2.0 / 3)))
+    // hop bound 1: endpoints reach only the middle → C=1 but WF
+    // scales by r/(n−1) = 1/2 — the component correction at work
+    val c1 = Algorithms.closenessCentrality(e, v, maxHops = 1,
+      undirected = true).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    assert(c1(1L) == ((1L, 1.0, 0.5)))
+    // isolated vertex: no row (empty farness sum)
+    val vIso = Seq(1L, 2L, 3L, 9L).toDF("id")
+    assert(!Algorithms.closenessCentrality(e, vIso, maxHops = 3,
+      undirected = true).collect().map(_.getLong(0)).contains(9L))
+  }
+
+  test("hits: bipartite hand values; pure hub/authority split; parity vs plain-Scala") {
+    // 1→3, 1→4, 2→3: vertex 1 links to both authorities → top hub;
+    // vertex 3 is cited by both hubs → top authority. Sources have
+    // authority 0, sinks hub 0 (explicit zeros).
+    val v = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val e = Seq((1L, 3L), (1L, 4L), (2L, 3L)).toDF("src", "dst")
+    val got = Algorithms.hits(v, e, numIter = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got(3L)._1 == 0.0 && got(4L)._1 == 0.0) // sinks: hub 0
+    assert(got(1L)._2 == 0.0 && got(2L)._2 == 0.0) // sources: auth 0
+    assert(got(1L)._1 > got(2L)._1 && got(3L)._2 > got(4L)._2)
+    // plain-Scala reference: same recursion, same end normalization
+    val ids = Seq(1L, 2L, 3L, 4L)
+    val es = Seq((1L, 3L), (1L, 4L), (2L, 3L))
+    var hub = ids.map(_ -> 1.0).toMap
+    var auth = ids.map(_ -> 1.0).toMap
+    for (_ <- 1 to 8) {
+      auth = ids.map(i => i -> es.filter(_._2 == i).map(x => hub(x._1)).sum).toMap
+      hub = ids.map(i => i -> es.filter(_._1 == i).map(x => auth(x._2)).sum).toMap
+    }
+    val hs = hub.values.sum; val as = auth.values.sum
+    ids.foreach { i =>
+      assert(math.abs(got(i)._1 - hub(i) / hs) < 1e-12)
+      assert(math.abs(got(i)._2 - auth(i) / as) < 1e-12)
+    }
+    // L1 norms: each side sums to 1
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-12)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-12)
+  }
+
+  test("random walks: parity vs plain-Scala sampler; sinks stop; determinism") {
+    // directed with a sink: 1→2, 1→3, 2→3 (3 is a sink)
+    val v = Seq(1L, 2L, 3L).toDF("id")
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val got = Algorithms.randomWalks(v, e, walkLength = 3,
+      walksPerVertex = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // plain-Scala reference with the identical mix
+    val adj = Map(1L -> Seq(2L, 3L), 2L -> Seq(3L), 3L -> Seq.empty[Long])
+    def mix(w: Long, s: Int, u: Long): Long =
+      (w % 1000003L) * 1103515245L + s.toLong * 12345L +
+        (u % 1000033L) * 2654435761L
+    val want = scala.collection.mutable.Set[(Long, Int, Long)]()
+    for (id <- Seq(1L, 2L, 3L); t <- 0 until 2) {
+      val w = id * 2 + t
+      var cur = id
+      want += ((w, 0, cur))
+      var s = 1
+      var alive = true
+      while (s <= 3 && alive) {
+        val ns = adj(cur)
+        if (ns.isEmpty) alive = false
+        else {
+          cur = ns.sorted.apply((mix(w, s, cur) % ns.size).toInt)
+          want += ((w, s, cur))
+          s += 1
+        }
+      }
+    }
+    assert(got == want.toSet)
+    // every emitted transition is a real edge
+    val byWalk = got.groupBy(_._1)
+    byWalk.values.foreach { rows =>
+      rows.toSeq.sortBy(_._2).sliding(2).foreach {
+        case Seq(a, b) => assert(adj(a._3).contains(b._3))
+        case _ =>
+      }
+    }
+    // pure function: a second run is bit-identical
+    val again = Algorithms.randomWalks(v, e, walkLength = 3,
+      walksPerVertex = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(again == got)
+  }
 }
