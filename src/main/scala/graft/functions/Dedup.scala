@@ -1451,4 +1451,55 @@ object Dedup {
       : DataFrame =
     stripDuplicatedSpansFixpointStats(df, textCol, idCol, k, minDocs,
       maxRounds)._1
+
+  /** Fuzzy record linkage: all (id, id) pairs whose string column is
+    * within levenshtein distance `maxDist` (∈ {1, 2}), via SymSpell
+    * delete-neighborhood candidates (Garbe's approach, public): each
+    * string's signature set is itself plus every way of deleting up
+    * to `maxDist` characters, and two strings within edit distance e
+    * share a ≤e-deletion signature (take an optimal alignment and
+    * delete each side's edited positions — what remains is a common
+    * string), so a hash JOIN on signatures is candidate-COMPLETE and
+    * an exact levenshtein verify on the candidates makes the result
+    * identical to the quadratic all-pairs scan the oracle runs.
+    *
+    * Scale posture: signatures per string are len+1 (maxDist 1) /
+    * O(len²) (maxDist 2) — linear in corpus size either way, vs the
+    * n² brute force; the join carries (sig-hash, id) only and strings
+    * rejoin AFTER pair-dedup, so signature buckets never fan document
+    * bodies out. Verify is codegen'd `levenshtein` (with its early-
+    * exit threshold form) on the deduped candidate pairs. Identical
+    * strings under different ids surface as dist-0 rows — record
+    * linkage wants exact matches too.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      "delete-neighborhood candidates are built for maxDist 1 or 2")
+    val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
+    def deletions(src: DataFrame): DataFrame =
+      // the length guard keeps sequence() ascending (Spark's
+      // sequence(1, 0) runs DESCENDING rather than empty)
+      src.filter(length(col("s")) >= 1)
+        .select(col("id"), explode(transform(
+          sequence(lit(1), length(col("s"))),
+          i => concat(col("s").substr(lit(1), i - 1),
+            col("s").substr(i + 1, length(col("s")))))).as("s"))
+    var sigs = base
+    for (_ <- 1 to maxDist)
+      sigs = sigs.unionByName(deletions(sigs)).distinct()
+    val keyed = sigs.select(xxhash64(col("s")).as("sig"), col("id"))
+    val cand = keyed.alias("a")
+      .join(keyed.alias("b"), col("a.sig") === col("b.sig") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    val s1 = base.select(col("id").as("id1"), col("s").as("s1"))
+    val s2 = base.select(col("id").as("id2"), col("s").as("s2"))
+    cand.join(s1, Seq("id1")).join(s2, Seq("id2"))
+      .withColumn("dist", levenshtein(col("s1"), col("s2")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id1"), col("id2"), col("s1"), col("s2"),
+        col("dist").cast("long").as("dist"))
+  }
 }

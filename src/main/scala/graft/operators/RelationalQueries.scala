@@ -128,6 +128,21 @@ object RelationalQueries {
         .orderBy("c_custkey")
     }),
 
+    // +J: fuzzy record linkage — supplier-name pairs within edit
+    // distance 1 via SymSpell delete-neighborhood signatures (linear
+    // signature volume + hash join + exact levenshtein verify); the
+    // oracle runs the quadratic all-pairs scan, so a green row PROVES
+    // the candidate generation lossless, the ExactSubstr discipline.
+    "j8_fuzzy_join" -> ((s, dir) => {
+      val sup = Tables.supplier(s, dir)
+        .select(col("s_suppkey").cast("long").as("k"),
+          lower(trim(col("s_name"))).as("name"))
+      graft.functions.Dedup.editDistancePairs(sup, "k", "name", maxDist = 1)
+        .select(col("id1").as("suppkey1"), col("id2").as("suppkey2"),
+          col("s1").as("name1"), col("s2").as("name2"), col("dist"))
+        .orderBy("suppkey1", "suppkey2")
+    }),
+
     // W1: top-k by score — orderBy+limit compiles to TakeOrderedAndProject
     // (per-partition heap, no global sort shuffle).
     "w1_topk" -> ((s, dir) => {
@@ -166,6 +181,21 @@ object RelationalQueries {
     "a12_cube" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 4).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+
+    // A13: arbitrary GROUPING SETS (Spark 4's Dataset.groupingSets)
+    // — the set list ((flag, status), (status)) is deliberately
+    // neither a rollup (that takes prefixes) nor a cube (missing
+    // (flag) and ()), so it exercises the general form; same
+    // single-shuffle Expand+HashAggregate plan as a7/a12.
+    "a13_grouping_sets" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 4).as("sum_qty"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     }),
@@ -341,6 +371,15 @@ object RelationalQueries {
          WHERE NOT EXISTS (SELECT 1 FROM orders
                            WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
          ORDER BY c_custkey""",
+    "j8_fuzzy_join" ->
+      """WITH s AS (SELECT CAST(s_suppkey AS BIGINT) AS k,
+                           lower(trim(s_name)) AS name FROM supplier)
+         SELECT a.k AS suppkey1, b.k AS suppkey2,
+                a.name AS name1, b.name AS name2,
+                CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+         FROM s a JOIN s b
+           ON a.k < b.k AND levenshtein(a.name, b.name) <= 1
+         ORDER BY suppkey1, suppkey2""",
     "w1_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
@@ -360,6 +399,13 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
                 ROUND(SUM(l_quantity), 4) AS sum_qty
          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "a13_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+                ROUND(SUM(l_quantity), 4) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                 (l_linestatus))
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "w6_lead_lag" ->
       """SELECT o_custkey, o_orderkey,

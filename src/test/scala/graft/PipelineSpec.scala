@@ -1085,4 +1085,42 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
     assert(ht == Seq("a" -> 2L, "b" -> 1L))
   }
+
+  test("edit-distance pairs: parity vs brute force at maxDist 1 and 2") {
+    import spark.implicits._
+    // covers every edit kind: substitution (cat/bat), deletion
+    // (cat/at), insertion (cat/cart), transposition = 2 substitutions
+    // (abcd/bacd), a dist-0 duplicate under two ids, a 1-char string,
+    // and far-apart strings that share NO ≤2-deletion signature
+    val rows = Seq(
+      (1L, "cat"), (2L, "bat"), (3L, "at"), (4L, "cart"),
+      (5L, "abcd"), (6L, "bacd"), (7L, "cat"), (8L, "x"),
+      (9L, "zzzzzz")).toDF("id", "s")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val data = rows.collect().map(r => r.getLong(0) -> r.getString(1))
+    for (k <- 1 to 2) {
+      val got = graft.functions.Dedup.editDistancePairs(rows, "id", "s", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+      val want = (for {
+        (i1, s1) <- data; (i2, s2) <- data
+        if i1 < i2 && lev(s1, s2) <= k
+      } yield (i1, i2, lev(s1, s2).toLong)).toSet
+      assert(got == want, s"maxDist=$k")
+    }
+    // maxDist 1 sanity on the fixture's own facts
+    val d1 = graft.functions.Dedup.editDistancePairs(rows, "id", "s", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(d1.contains((1L, 7L)) && d1.contains((1L, 2L))) // dup + sub
+    assert(!d1.contains((5L, 6L))) // transposition is distance 2
+    intercept[IllegalArgumentException] {
+      graft.functions.Dedup.editDistancePairs(rows, "id", "s", 3)
+    }
+  }
 }
