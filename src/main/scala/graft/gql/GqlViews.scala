@@ -18,22 +18,25 @@ import Ast._
   * ViewDefn params — stateless, re-derived at each refresh, so saved
   * catalogs round-trip.
   *
-  * Accepted shape: a single linear chain of LABELED nodes and
+  * Accepted shapes: a single linear chain of LABELED nodes and
   * DIRECTED single-hop edges, e.g.
-  * `MATCH (a:Customer {mktsegment: "BUILDING"})-[:located_in {w: 1}]->(b:Nation)`
-  * with NO RETURN (the view's rows are the bound id tuple).
-  * WHERE clauses, OPTIONAL/WITH segments, var-length, undirected or
-  * incoming edges, unlabeled positions, and null prop values reject
-  * with remedies: each is either ambiguous as a maintained row set
-  * or outside the incremental contract (WHERE can reference
-  * cross-variable expressions the per-position predicate split
-  * cannot maintain).
+  * `MATCH (a:Customer {mktsegment: "BUILDING"})-[:located_in {w: 1}]->(b:Nation)`,
+  * or a single BOUNDED var-length segment
+  * `MATCH (a:Nation)-[:feeds*2..3]->(b:Nation)` (maintained by walk
+  * counting — Views.refreshVarLengthPatternView), both with NO RETURN
+  * (the view's rows are the bound id tuple / the distinct endpoint
+  * pairs). WHERE clauses, OPTIONAL/WITH segments, var-length composed
+  * with further hops, undirected or incoming edges, unlabeled
+  * positions, and null prop values reject with remedies: each is
+  * either ambiguous as a maintained row set or outside the
+  * incremental contract (WHERE can reference cross-variable
+  * expressions the per-position predicate split cannot maintain).
   */
 object GqlViews {
 
   private[gql] case class PatternDef(vertexLabels: Seq[String],
       edgeLabels: Seq[String], vertexPreds: Seq[Option[Column]],
-      edgePreds: Seq[Option[Column]])
+      edgePreds: Seq[Option[Column]], range: Option[(Int, Int)] = None)
 
   private def propsPred(props: Map[String, GqlValue]): Option[Column] = {
     props.foreach {
@@ -80,18 +83,25 @@ object GqlViews {
           require(e.direction == Outgoing,
             "pattern-view edges must be directed -> (undirected and <- " +
               "are ambiguous as maintained row sets; flip the chain)")
-          require(e.range.isEmpty,
-            "var-length segments cannot be maintained incrementally — " +
-              "register each hop length as its own view")
+          require(e.range.isEmpty || p.edges.size == 1,
+            "a var-length segment must be the WHOLE pattern — " +
+              "`(a:L)-[:e*m..n]->(b:L)` maintains by walk counting, but " +
+              "composing it with further hops would need the interior " +
+              "endpoints bound; register the var-length pair view and " +
+              "join downstream")
           require(e.label.isDefined,
             "pattern-view edges need a label (an unlabeled edge would " +
               "mix every edge type into one maintained set)")
+          if (e.range.isDefined) require(e.props.isEmpty,
+            "edge props cannot predicate a var-length segment (each hop " +
+              "is unbound); use a single-hop view for edge predicates")
         }
         p.nodes.foreach(n => require(n.label.isDefined,
           "every pattern-view node needs a label"))
         PatternDef(p.nodes.map(_.label.get), p.edges.map(_.label.get),
           p.nodes.map(n => propsPred(n.props)),
-          p.edges.map(e => propsPred(e.props)))
+          p.edges.map(e => propsPred(e.props)),
+          p.edges.head.range)
       case Right(other) => throw new IllegalArgumentException(
         s"pattern views are defined by a MATCH chain, not $other")
     }
@@ -122,12 +132,18 @@ object GqlViews {
         s"view '$name' is not a registered GQL pattern view")
     }
     val d = parseDef(gql)
-    if (d.edgeLabels.size == 1)
-      Views.refreshPatternView(catalog, name, oldStore, newStore,
-        d.vertexLabels(0), d.edgeLabels(0), d.vertexLabels(1),
-        d.vertexPreds(0), d.vertexPreds(1), d.edgePreds(0))
-    else
-      Views.refreshPatternChainView(catalog, name, oldStore, newStore,
-        d.vertexLabels, d.edgeLabels, d.vertexPreds, d.edgePreds)
+    d.range match {
+      case Some((minHops, maxHops)) =>
+        Views.refreshVarLengthPatternView(catalog, name, oldStore, newStore,
+          d.vertexLabels(0), d.edgeLabels(0), d.vertexLabels(1),
+          minHops, maxHops, d.vertexPreds(0), d.vertexPreds(1))
+      case None if d.edgeLabels.size == 1 =>
+        Views.refreshPatternView(catalog, name, oldStore, newStore,
+          d.vertexLabels(0), d.edgeLabels(0), d.vertexLabels(1),
+          d.vertexPreds(0), d.vertexPreds(1), d.edgePreds(0))
+      case None =>
+        Views.refreshPatternChainView(catalog, name, oldStore, newStore,
+          d.vertexLabels, d.edgeLabels, d.vertexPreds, d.edgePreds)
+    }
   }
 }

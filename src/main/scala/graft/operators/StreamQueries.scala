@@ -196,6 +196,49 @@ object StreamQueries {
         .orderBy("custkey", "nationkey", "regionkey")
     }),
 
+    // V5d: var-length pattern view — a GQL-registered
+    // (a:Nation)-[:feeds*2..3]->(b:Nation) view maintained by walk
+    // COUNTING (per-length chain deltas summed into one multiset
+    // state; a pair leaves only when its LAST supporting walk dies).
+    // The feeds DAG (nation i → i+1, i+2) is built by mutation, so
+    // the view bootstraps EMPTY and every pair it ever serves arrived
+    // through the delta path; round 2 removes a mid-chain vertex
+    // (cascading its edges out of every walk through it) and one edge
+    // with alternate walks around it. Oracle recomputes the end-state
+    // reachable pairs by unrolled self-joins.
+    "v6_pattern_view_varlen" -> ((s, dir) => {
+      import graft.graph.GraphStore
+      import graft.model.PropValue
+      val base = GraphStore.fromTpch(s, dir)
+      val noProps = lit(null).cast(PropValue.mapType)
+      // TPC-H nation is fixed at 25 rows at every SF
+      val m1 = base.addEdges(s.range(0, 25)
+          .select(col("id"), explode(array(lit(1L), lit(2L))).as("step"))
+          .filter(col("id") + col("step") <= 24L)
+          .select((col("id") + GraphStore.NationOff).as("src"),
+            (col("id") + col("step") + GraphStore.NationOff).as("dst"),
+            lit("feeds").as("label"), noProps.as("props")))
+        .truncatedEdges()
+      val cat = new Views.ViewCatalog(s,
+        java.nio.file.Files.createTempDirectory("graft_pvv").toString)
+      graft.gql.GqlViews.register(cat, "nation_reach",
+        "MATCH (a:Nation)-[:feeds*2..3]->(b:Nation)")
+      graft.gql.GqlViews.refresh(cat, "nation_reach", base, m1)
+      // round 2: nation 10 leaves (cascade kills every walk through
+      // it); edge 5→6 removed (5 still reaches 6's successors via 7)
+      val m2 = m1.removeVertices(s.range(1)
+          .select(lit(GraphStore.NationOff + 10L).as("id")))
+        .removeEdges(s.range(1).select(
+          lit(GraphStore.NationOff + 5L).as("src"),
+          lit(GraphStore.NationOff + 6L).as("dst"),
+          lit("feeds").as("label")))
+        .truncated().truncatedEdges()
+      graft.gql.GqlViews.refresh(cat, "nation_reach", m1, m2)
+        .select((col("src") - GraphStore.NationOff).as("src_nation"),
+          (col("dst") - GraphStore.NationOff).as("dst_nation"))
+        .orderBy("src_nation", "dst_nation")
+    }),
+
     "v5_incremental_view" -> ((s, dir) => {
       val t1 = lit(java.sql.Timestamp.valueOf("2024-01-11 00:00:00"))
       val t2 = lit(java.sql.Timestamp.valueOf("2024-01-21 00:00:00"))
@@ -259,6 +302,22 @@ object StreamQueries {
                 nr.rk AS regionkey
          FROM customer JOIN nr ON c_nationkey = nr.nk
          ORDER BY custkey, nationkey, regionkey""",
+    // end-state reachable pairs of the feeds DAG within 2-3 hops:
+    // edges i→i+1/i+2 minus everything touching nation 10 and minus
+    // 5→6, composed by unrolled self-joins (exactly the walk
+    // semantics the counting state maintains)
+    "v6_pattern_view_varlen" ->
+      """WITH e AS (
+           SELECT CAST(i AS BIGINT) AS s, CAST(i + st AS BIGINT) AS d
+           FROM range(0, 25) t(i) CROSS JOIN (VALUES (1), (2)) v(st)
+           WHERE i + st <= 24
+             AND i <> 10 AND i + st <> 10
+             AND NOT (i = 5 AND st = 1)),
+         h2 AS (SELECT a.s, b.d FROM e a JOIN e b ON a.d = b.s),
+         h3 AS (SELECT a.s, b.d FROM h2 a JOIN e b ON a.d = b.s)
+         SELECT DISTINCT s AS src_nation, d AS dst_nation
+         FROM (SELECT * FROM h2 UNION ALL SELECT * FROM h3)
+         ORDER BY src_nation, dst_nation""",
     "v6_pattern_view" ->
       """WITH orig AS (
            SELECT CAST(c_custkey AS BIGINT) AS custkey,

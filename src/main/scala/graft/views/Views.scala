@@ -530,6 +530,194 @@ object Views {
     view
   }
 
+  // ---- V5d: var-length pattern views (counting maintenance) -------
+
+  private def requireHops(minHops: Int, maxHops: Int): Unit =
+    require(minHops >= 1 && minHops <= maxHops && maxHops <= 6,
+      s"var-length views maintain hop ranges within [1, 6], got " +
+        s"*$minHops..$maxHops — each refresh folds one delta level per " +
+        "length, so an unbounded range has unbounded refresh cost; for " +
+        "longer reaches use Algorithms.multiSourceBfs as a recomputed view")
+
+  /** Signed WALK-COUNT delta of the var-length pattern view
+    * `(a:srcLabel)-[:edgeLabel*min..max]->(b:dstLabel)` between two
+    * store versions. A bounded var-length segment is a NON-RECURSIVE
+    * union of fixed-length chains, so the classic counting algorithm
+    * applies and no DRed-style recursive re-derivation is ever
+    * needed — that class starts at UNbounded reachability, which
+    * [[requireHops]] rejects.
+    *
+    * The state the deltas fold into counts WALKS (per-length chain
+    * multiplicities summed over h): an endpoint pair is in the view
+    * iff its total walk count is positive, which matches the GQL
+    * executor's non-path-tracked var-length semantics exactly —
+    * including the interior treatment: like the executor's seeded
+    * expansion (which walks the EDGE frame and never joins interior
+    * vertices), interior positions are edge-implied, with cascades
+    * arriving through the edge delta's incident scan. Counting is
+    * what makes DELETION exact without recompute: removing one edge
+    * subtracts exactly the walks that crossed it, and the pair
+    * leaves the view only when its LAST supporting walk dies
+    * (mergeJoinDelta's net-zero drop) — a membership-only state
+    * could not tell "one of two paths died" from "the only path
+    * died".
+    *
+    * Cost: ONE shared-prefix fold, not one chain delta per length —
+    * every hop wears the same edge label, so the edge delta is
+    * computed once and reused at every level, and length h's prefix
+    * IS length h+1's (the per-length formulations only differ in
+    * where the dst-label restriction lands, applied here as one
+    * delta-sized join per emitted length). maxHops edge levels +
+    * (max−min+1) dst restrictions total, every join broadcasting a
+    * delta side, bases scanned never shuffled. Walk counts can grow
+    * like degree^max on dense graphs — a long holds degree^6 for any
+    * realistic degree, and the range cap also bounds the state
+    * multiplicities.
+    */
+  def varLengthViewDelta(oldStore: graft.graph.GraphStore,
+      newStore: graft.graph.GraphStore, srcLabel: String,
+      edgeLabel: String, dstLabel: String, minHops: Int, maxHops: Int,
+      srcPred: Option[Column] = None,
+      dstPred: Option[Column] = None): DataFrame = {
+    requireHops(minHops, maxHops)
+    val feed = newStore.changes.filter(col("version") > oldStore.version)
+    def cut(df: DataFrame): DataFrame = df.localCheckpoint()
+    val touchedV = cut(feed
+      .filter(col("op").isin("add_vertex", "remove_vertex",
+        "update_vertex_props"))
+      .select(col("id")).distinct())
+    def vFilter(label: String, pred: Option[Column]): Column =
+      pred.foldLeft(col("label") === label)(_ && _)
+    def members(store: graft.graph.GraphStore, label: String,
+        pred: Option[Column]) =
+      store.vertices.filter(vFilter(label, pred))
+        .join(broadcast(touchedV), Seq("id"), "left_semi").select("id")
+    def vDelta(label: String, pred: Option[Column],
+        keyName: String): DataFrame = {
+      val o = members(oldStore, label, pred)
+      val n = members(newStore, label, pred)
+      cut(n.join(o, Seq("id"), "left_anti")
+        .select(lit("add").as("op"), col("id").as(keyName))
+        .unionByName(o.join(n, Seq("id"), "left_anti")
+          .select(lit("remove").as("op"), col("id").as(keyName))))
+    }
+    // ONE edge delta serves every level (all hops share the label):
+    // explicit edge ops + old/new edges incident to touched vertices
+    // (cascades are not spelled out in the feed)
+    val explicitE = feed.filter(
+        col("op").isin("add_edge", "remove_edge", "update_edge_props")
+          && col("elabel") === edgeLabel)
+      .select(col("src"), col("dst")).distinct()
+    def incident(store: graft.graph.GraphStore) = {
+      val e = store.edges.filter(col("label") === edgeLabel)
+      e.join(broadcast(touchedV.select(col("id").as("src"))),
+          Seq("src"), "left_semi")
+        .unionByName(e.join(broadcast(touchedV.select(col("id").as("dst"))),
+          Seq("dst"), "left_semi").select(col("src"), col("dst"),
+            col("label"), col("props")))
+        .select(col("src"), col("dst"))
+    }
+    val touchedE = cut(explicitE.unionByName(incident(oldStore))
+      .unionByName(incident(newStore)).distinct())
+    def eMembers(store: graft.graph.GraphStore) =
+      store.edges.filter(col("label") === edgeLabel)
+        .join(broadcast(touchedE), Seq("src", "dst"), "left_semi")
+        .select("src", "dst")
+    val eo = eMembers(oldStore)
+    val en = eMembers(newStore)
+    val eDelta = cut(en.join(eo, Seq("src", "dst"), "left_anti")
+      .select(lit("add").as("op"), col("src"), col("dst"))
+      .unionByName(eo.join(en, Seq("src", "dst"), "left_anti")
+        .select(lit("remove").as("op"), col("src"), col("dst"))))
+    val eOld = oldStore.edges.filter(col("label") === edgeLabel)
+      .select("src", "dst")
+    def opify(signed: DataFrame): DataFrame =
+      cut(signed.withColumn("op",
+        when(col("__sign") > 0, lit("add")).otherwise(lit("remove")))
+        .drop("__sign"))
+    val dstOld = oldStore.vertices.filter(vFilter(dstLabel, dstPred))
+    val dstDelta = vDelta(dstLabel, dstPred, "__d")
+    // shared-prefix fold: W_i = (a:src-labeled) followed by i
+    // edge-implied hops; emit Δ(W_h ⋈ V_dst) at each h ∈ [min, max]
+    var chainOld = oldStore.vertices.filter(vFilter(srcLabel, srcPred))
+      .select(col("id").as("c0"))
+    var deltaOps = vDelta(srcLabel, srcPred, "c0")
+    val emitted = scala.collection.mutable.Buffer[DataFrame]()
+    for (i <- 1 to maxHops) {
+      val s = s"c${i - 1}"
+      val d = s"c$i"
+      val e = eOld.select(col("src").as(s), col("dst").as(d))
+      val dE = eDelta.select(col("op"), col("src").as(s), col("dst").as(d))
+      val dW = opify(joinViewDelta(chainOld, deltaOps, e, dE, Seq(s)))
+      val withE = chainOld.join(e, s)
+      if (i >= minHops)
+        emitted += joinViewDelta(withE, dW,
+          dstOld.select(col("id").as(d)),
+          dstDelta.select(col("op"), col("__d").as(d)), Seq(d))
+          .select(col("c0").as("src"), col(d).as("dst"), col("__sign"))
+      if (i < maxHops) { chainOld = withE; deltaOps = dW }
+    }
+    emitted.reduce(_ unionByName _)
+  }
+
+  /** Bootstrap var-length state: (src, dst, __mult = total walk count
+    * across lengths). The finalized view is the distinct pairs — but
+    * the state keeps the counts, because counts are what make the
+    * deltas compose (see [[varLengthViewDelta]]). Same shared-prefix
+    * shape as the delta: one walk frame extended per hop, dst
+    * restriction applied at each emitted length.
+    */
+  def initVarLengthState(store: graft.graph.GraphStore, srcLabel: String,
+      edgeLabel: String, dstLabel: String, minHops: Int, maxHops: Int,
+      srcPred: Option[Column] = None,
+      dstPred: Option[Column] = None): DataFrame = {
+    requireHops(minHops, maxHops)
+    val e = store.edges.filter(col("label") === edgeLabel)
+    val dstV = store.vertices.filter(
+      dstPred.foldLeft(col("label") === dstLabel)(_ && _))
+    var walk = store.vertices.filter(
+        srcPred.foldLeft(col("label") === srcLabel)(_ && _))
+      .select(col("id").as("c0"))
+    val emitted = scala.collection.mutable.Buffer[DataFrame]()
+    for (h <- 1 to maxHops) {
+      val s = s"c${h - 1}"
+      val d = s"c$h"
+      walk = walk.join(e.select(col("src").as(s), col("dst").as(d)), s)
+      if (h >= minHops)
+        emitted += walk.join(dstV.select(col("id").as(d)), d)
+          .select(col("c0").as("src"), col(d).as("dst"))
+    }
+    emitted.reduce(_ unionByName _)
+      .groupBy("src", "dst").agg(count(lit(1)).as("__mult"))
+  }
+
+  /** Catalog-driven refresh of a registered var-length pattern view —
+    * same two-frame contract as [[refreshPatternView]] (`name` serves
+    * rows, `name!state` folds), except the served rows are the
+    * DISTINCT endpoint pairs (state keys, multiplicity suppressed):
+    * that is the executor's var-length answer shape, and it is the
+    * counting state that keeps it maintainable.
+    */
+  def refreshVarLengthPatternView(catalog: ViewCatalog, name: String,
+      oldStore: graft.graph.GraphStore, newStore: graft.graph.GraphStore,
+      srcLabel: String, edgeLabel: String, dstLabel: String,
+      minHops: Int, maxHops: Int,
+      srcPred: Option[Column] = None,
+      dstPred: Option[Column] = None): DataFrame = {
+    val state0 = catalog.dataOf(s"$name!state").getOrElse(
+      initVarLengthState(oldStore, srcLabel, edgeLabel, dstLabel,
+        minHops, maxHops, srcPred, dstPred))
+    val delta = varLengthViewDelta(oldStore, newStore,
+      srcLabel, edgeLabel, dstLabel, minHops, maxHops, srcPred, dstPred)
+    val state1 = mergeJoinDelta(state0, delta).localCheckpoint()
+    catalog.put(s"$name!state", state1)
+    // state keys are unique by mergeJoinDelta's groupBy, all __mult>0:
+    // the distinct pairs are exactly the state's key columns
+    val view = state1.select("src", "dst")
+    catalog.put(name, view)
+    view
+  }
+
   /** Catalog-driven refresh of a registered single-hop MATCH-pattern
     * view: first call bootstraps from `oldStore`, later calls fold
     * the change feed's signed delta into the maintained state —

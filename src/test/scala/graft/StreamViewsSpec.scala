@@ -1067,6 +1067,105 @@ class StreamViewsSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet == Set(2L))
   }
 
+  test("var-length pattern view: walk counting keeps pairs alive until the last path dies") {
+    import spark.implicits._
+    import graft.graph.GraphStore
+    val noProps = lit(null).cast(graft.model.PropValue.mapType)
+    // diamond 1→{2,3}→4 plus tail 4→5, back edge 4→1 (cycles: walk
+    // semantics must include e.g. (1,1) via 1→2→4→1), and an
+    // off-label edge that must not leak into the view
+    val base = GraphStore.fromTuples(spark,
+      Seq((1L, "N", Nil), (2L, "N", Nil), (3L, "N", Nil),
+        (4L, "N", Nil), (5L, "N", Nil)),
+      Seq((1L, 2L, "link", Nil), (1L, 3L, "link", Nil),
+        (2L, 4L, "link", Nil), (3L, 4L, "link", Nil),
+        (4L, 5L, "link", Nil), (4L, 1L, "link", Nil),
+        (1L, 4L, "follows", Nil)))
+    // executor-shaped recompute: distinct pairs reachable in exactly
+    // h ∈ [2, 3] link-hops (walks — revisits allowed)
+    def recompute(st: GraphStore): Set[(Long, Long)] = {
+      val hop = st.edges.filter(col("label") === "link")
+        .select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ns = st.vertices.filter(col("label") === "N")
+        .select("id").collect().map(_.getLong(0)).toSet
+      val live = hop.filter(e => ns(e._1) && ns(e._2))
+      val h2 = for ((a, x) <- live; (y, b) <- live if x == y) yield (a, b)
+      val h3 = for ((a, x) <- h2; (y, b) <- live if x == y) yield (a, b)
+      h2 ++ h3
+    }
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cat = new Views.ViewCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_vlv_cat").toString)
+    // bootstrap sanity incl. the cycle pair (1,1) and (4,4)
+    val boot = Views.initVarLengthState(base, "N", "link", "N", 2, 3)
+    assert(boot.filter(col("src") === 1L && col("dst") === 4L)
+      .select("__mult").collect().map(_.getLong(0)).toSeq == Seq(2L),
+      "two 2-hop walks 1→2→4 and 1→3→4 must both count")
+    // round 1: remove ONE of the two 1→4 paths (edge 2→4); the pair
+    // must SURVIVE on the remaining walk — the membership-only
+    // counterexample counting exists for
+    val m1 = base.removeEdges(Seq((2L, 4L, "link")).toDF("src", "dst", "label"))
+    val r1 = Views.refreshVarLengthPatternView(cat, "reach", base, m1,
+      "N", "link", "N", 2, 3)
+    assert(rows(r1) == recompute(m1))
+    assert(rows(r1).contains((1L, 4L)), "alternate path 1→3→4 keeps (1,4)")
+    assert(rows(r1).contains((1L, 1L)), "cycle walk 1→3→4→1 keeps (1,1)")
+    // round 2: cascade-remove vertex 3 — the LAST 1→4 path dies and
+    // every walk THROUGH 3 dies with it; add 2→5 opening new walks
+    val m2 = m1.removeVertices(Seq(3L).toDF("id"))
+      .addEdges(Seq((2L, 5L, "link")).toDF("src", "dst", "label")
+        .withColumn("props", noProps))
+    val r2 = Views.refreshVarLengthPatternView(cat, "reach", m1, m2,
+      "N", "link", "N", 2, 3)
+    assert(rows(r2) == recompute(m2))
+    assert(!rows(r2).contains((1L, 4L)), "last supporting walk died")
+    assert(rows(r2).contains((1L, 5L)), "new walk 1→2→5")
+    // executor parity on the end state: the maintained view equals
+    // the var-length MATCH the executor runs (directed *2..3)
+    val exe = graft.gql.GqlExecutor.run(m2,
+      "MATCH (a:N)-[:link*2..3]->(b:N) RETURN id(a) AS s, id(b) AS d").df
+    assert(rows(r2) == exe.select("s", "d").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // state multiplicities are exact walk counts, all positive
+    assert(cat.dataOf("reach!state").get
+      .filter(col("__mult") <= 0).isEmpty)
+    // hop-range guard: unbounded-ish ranges reject with a remedy
+    intercept[IllegalArgumentException] {
+      Views.initVarLengthState(base, "N", "link", "N", 1, 7)
+    }
+  }
+
+  test("GQL-registered var-length view: refresh parity and rejections") {
+    import spark.implicits._
+    import graft.graph.GraphStore
+    import graft.gql.GqlViews
+    val base = GraphStore.fromTuples(spark,
+      Seq((1L, "N", Nil), (2L, "N", Nil), (3L, "N", Nil), (4L, "N", Nil)),
+      Seq((1L, 2L, "link", Nil), (2L, 3L, "link", Nil),
+        (3L, 4L, "link", Nil)))
+    val cat = new Views.ViewCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_gvlv_cat").toString)
+    GqlViews.register(cat, "reach23", "MATCH (a:N)-[:link*2..3]->(b:N)")
+    val m1 = base.removeEdges(Seq((2L, 3L, "link")).toDF("src", "dst", "label"))
+    val r1 = GqlViews.refresh(cat, "reach23", base, m1)
+    assert(r1.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set.empty,
+      "the only multi-hop chain ran through the removed edge")
+    // var-length composed with a further hop rejects
+    intercept[IllegalArgumentException] {
+      GqlViews.register(cat, "bad1",
+        "MATCH (a:N)-[:link*1..2]->(b:N)-[:link]->(c:N)")
+    }
+    // edge props on a var-length segment reject
+    intercept[IllegalArgumentException] {
+      GqlViews.register(cat, "bad2",
+        """MATCH (a:N)-[:link*1..2 {w: 1}]->(b:N)""")
+    }
+  }
+
   test("refresh policies: needsRefresh semantics") {
     assert(FixedInterval(1000).needsRefresh(0, 1500, dirty = false))
     assert(!FixedInterval(1000).needsRefresh(1000, 1500, dirty = true))
