@@ -1033,6 +1033,58 @@ class StreamViewsSpec extends SparkSpec {
     assert(recompute(spv.current()) == Set((1L, 10L), (4L, 11L)))
   }
 
+  test("streaming var-length view: per-batch walk-count folds equal recompute") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.graph.GraphStore
+    import graft.streaming.StreamPatternView
+    // diamond 1→{2,3}→4→5: two walks support (1,4); batches kill them
+    // one at a time, and a streaming fold must keep the pair alive
+    // until the LAST one dies — the counting case, per micro-batch
+    val base = GraphStore.fromTuples(spark,
+      Seq((1L, "N", Nil), (2L, "N", Nil), (3L, "N", Nil),
+        (4L, "N", Nil), (5L, "N", Nil)),
+      Seq((1L, 2L, "link", Nil), (1L, 3L, "link", Nil),
+        (2L, 4L, "link", Nil), (3L, 4L, "link", Nil),
+        (4L, 5L, "link", Nil)))
+    def recompute(st: GraphStore): Set[(Long, Long)] = {
+      val live = st.edges.filter(col("label") === "link")
+        .select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val h2 = for ((a, x) <- live; (y, b) <- live if x == y) yield (a, b)
+      val h3 = for ((a, x) <- h2; (y, b) <- live if x == y) yield (a, b)
+      h2 ++ h3
+    }
+    val cat = new Views.ViewCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_svlv_cat").toString)
+    val meta = java.nio.file.Files.createTempDirectory("graft_svlv").toString
+    val spv = StreamPatternView.fromGql(base, meta, cat, "reach",
+      "MATCH (a:N)-[:link*2..3]->(b:N)")
+    val perBatch = scala.collection.concurrent.TrieMap
+      .empty[Long, Set[(Long, Long)]]
+    val input = MemoryStream[(String, Long, String, Long, Long)]
+    val cmds = input.toDF()
+      .select(col("_1").as("op"), col("_2").as("id"), col("_3").as("label"),
+        col("_4").as("src"), col("_5").as("dst"),
+        lit(null).cast(graft.model.PropValue.mapType).as("props"))
+    val q = spv.writer(cmds) { (view, id) =>
+      perBatch.put(id, view.select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    }.start()
+    // batch 0: one of the two 1→4 walks dies — pair must survive
+    input.addData(("remove_edge", 0L, "link", 2L, 4L))
+    q.processAllAvailable()
+    // batch 1: mid-chain vertex cascade kills the last one
+    input.addData(("remove_vertex", 3L, "", 0L, 0L))
+    q.processAllAvailable()
+    q.stop()
+    assert(perBatch(0L).contains((1L, 4L)), "alternate walk keeps (1,4)")
+    assert(perBatch(0L) == recompute(
+      base.removeEdges(Seq((2L, 4L, "link")).toDF("src", "dst", "label"))))
+    assert(!perBatch(1L).contains((1L, 4L)), "last supporting walk died")
+    assert(perBatch(1L) == recompute(spv.current()))
+  }
+
   test("GQL-defined streaming pattern view: predicated prop flips per batch") {
     import spark.implicits._
     import graft.graph.GraphStore
