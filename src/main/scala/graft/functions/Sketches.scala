@@ -134,4 +134,45 @@ object Sketches {
         org.apache.spark.sql.types.StructField("cnt",
           org.apache.spark.sql.types.LongType, nullable = false))))
   }
+
+  // ---- HLL distinct-count sketch index ----------------------------
+
+  /** At-rest DISTINCT-COUNT sketch index: one Datasketches HLL
+    * sketch per fine-grained group (e.g. (day, event_type)), built in
+    * a single pass with Spark's codegen'd `hll_sketch_agg`. The index
+    * is tiny (≤ 2^lgK registers per group ≈ KBs) and is the 100 TB
+    * answer to "distinct users per X over an arbitrary time range":
+    * COUNT(DISTINCT) over a raw 100 TB table shuffles the full key
+    * universe per query, while this index is built ONCE and every
+    * later range/rollup query merges a handful of sketch rows —
+    * [[hllRollup]] never touches the base table again. The frequency
+    * twin is Misra-Gries above; HLL covers the cardinality question
+    * MG cannot (and vice versa).
+    */
+  def hllIndex(df: DataFrame, keyCol: String, groupCols: Seq[String],
+      lgK: Int = 12): DataFrame =
+    df.filter(col(keyCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col(keyCol), lgK).as("hll"),
+        count(lit(1)).as("rows"))
+
+  /** Serve approximate distinct counts at any COARSER grouping (or
+    * globally with `groupCols = Nil`) by merging index sketches —
+    * `hll_union_agg` max-merges registers/coupon sets, so the served
+    * estimate carries the SAME error envelope as a sketch built
+    * directly over the union of the underlying rows (the two are not
+    * always bit-identical — datasketches' sparse LIST/SET modes can
+    * promote differently under union than under single-pass building,
+    * measured a ~0.5% divergence at 1.5k distinct — but both sit
+    * inside the lgK envelope), and merging is IDEMPOTENT: re-merging
+    * data a sketch already absorbed changes nothing, register max and
+    * coupon-set union alike — which is what makes the streaming
+    * twin's re-delivery window benign (StreamHll).
+    */
+  def hllRollup(index: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val merged = hll_sketch_estimate(hll_union_agg(col("hll")))
+      .as("approx_distinct")
+    if (groupCols.isEmpty) index.agg(merged)
+    else index.groupBy(groupCols.map(col): _*).agg(merged)
+  }
 }

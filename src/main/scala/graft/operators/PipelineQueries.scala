@@ -541,6 +541,36 @@ object PipelineQueries {
         .orderBy(desc("cnt"), asc("token"))
     }),
 
+    // HLL distinct-count rollup (round 9): build the per-(day,
+    // event_type) sketch index ONCE, then serve per-event_type
+    // distinct users by MERGING sketches — the arbitrary-range
+    // distinct query a 100 TB events table cannot afford to answer
+    // with COUNT(DISTINCT) per ask (which shuffles the key universe
+    // every time; the index merge touches KBs). The query emits the
+    // EXACT counts (oracle-checkable) plus a within_bound flag that
+    // compares the sketch-served estimate against exact IN-PLAN: HLL
+    // is deterministic for fixed data, so a red flag is a real
+    // accuracy regression, not flake. lgK=12 ⇒ rsd ≈ 1.04/√4096 ≈
+    // 1.6%; the gate is 3·rsd ≈ 5% so a driver-side testdata
+    // regeneration (a different random draw, not a plan change)
+    // cannot flip it.
+    "sketch_distinct_rollup" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("day", to_date(col("ts")))
+      val idx = Sketches.hllIndex(ev, "user_id",
+        Seq("day", "event_type"), lgK = 12)
+      val served = Sketches.hllRollup(idx, Seq("event_type"))
+      val exact = ev.groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("distinct_users"))
+      exact.join(served, Seq("event_type"))
+        .select(col("event_type"), col("distinct_users"),
+          (abs(col("approx_distinct").cast("double") -
+              col("distinct_users").cast("double")) <=
+            col("distinct_users").cast("double") * 0.05)
+            .as("within_bound"))
+        .orderBy("event_type")
+    }),
+
     // Corpus vocabulary stats: global top-20 bigrams by occurrence
     // (deterministic tiebreak on the gram), with document frequency —
     // the first report of any corpus-analysis pass. Two chained
@@ -1111,6 +1141,14 @@ object PipelineQueries {
                      FROM documents)
           SELECT token, COUNT(*) AS cnt FROM w GROUP BY token
           ORDER BY cnt DESC, token ASC LIMIT 20""",
+    // exact distinct counts; TRUE asserts the Spark side's in-plan
+    // estimate-vs-exact 3·rsd gate held (HLL is deterministic, so a
+    // mismatch is a genuine accuracy regression)
+    "sketch_distinct_rollup" ->
+      """SELECT event_type,
+                COUNT(DISTINCT user_id) AS distinct_users,
+                TRUE AS within_bound
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "text_top_ngrams" ->
       s"""WITH t AS (SELECT doc_id, string_split($normText, ' ') AS w
                      FROM documents),
