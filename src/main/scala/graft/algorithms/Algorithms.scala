@@ -1294,4 +1294,65 @@ object Algorithms {
       .join(b, col("hub") === col("hub2") && col("n1") < col("n2"))
       .groupBy("n1", "n2").agg(sum("w").as("aa"))
   }
+
+  /** HyperANF neighborhood function (Boldi, Rosa & Vigna, WWW 2011 —
+    * public): N(h) = |{(u, v) : dist(u, v) ≤ h}|, the curve whose
+    * shape gives effective diameter, average distance, and the
+    * hop-plot — estimated by giving every vertex an HLL sketch of
+    * its reachable set ({itself} at h=0) and, each round, max-merging
+    * every out-neighbor's sketch into its own: after h rounds
+    * sketch(u) summarizes exactly the ≤h-hop reachable set, and
+    * N(h) is the sum of per-vertex estimates. Returns
+    * (h, estimated pairs) for h ∈ [0, maxHops] — maxHops+1 longs,
+    * the only driver-side data.
+    *
+    * Why this is THE 100 TB diameter algorithm: exact N(h) is
+    * all-pairs BFS — O(V) traversals, each O(V+E), with O(V²)
+    * visited state (the g17/g25 bulk form pays exactly that; fine at
+    * 10⁴ vertices, impossible at 10⁹). HyperANF replaces the
+    * per-(source, vertex) visited pair with 2^lgK registers per
+    * vertex: each round is ONE edge join + ONE groupBy-on-id
+    * (register max is associative, so the merge is a plain partial
+    * aggregate), state is V × ~KB regardless of reachability volume,
+    * and rounds stop at the (small-world) diameter. Per-vertex
+    * estimates are monotone under register max, errors are the HLL
+    * envelope (rsd 1.04/√2^lgK; the SUM's relative error is no
+    * worse — the shared hash function correlates per-vertex errors,
+    * so no √V cancellation is claimed).
+    *
+    * Round frames rotate through `Lineage.freeCut` (the betweenness
+    * level-rotation discipline): each round's state is cut once,
+    * read twice (join + total), and freed when the next round lands.
+    */
+  def neighborhoodFunction(edges: DataFrame, vertices: DataFrame,
+      maxHops: Int, undirected: Boolean = false,
+      lgK: Int = 12): Seq[(Int, Long)] = {
+    require(maxHops >= 0 && lgK >= 4 && lgK <= 21,
+      s"need maxHops >= 0 and lgK in [4, 21], got $maxHops/$lgK")
+    val e0 = edges.select(col("src"), col("dst"))
+    val eAll = if (undirected)
+      e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+    else e0
+    // h=0: singleton sketches (HLL is exact at cardinality 1, so the
+    // h=0 total is V exactly)
+    var state = vertices.select(col("id")).distinct()
+      .groupBy("id").agg(hll_sketch_agg(col("id"), lgK).as("sk"))
+      .localCheckpoint()
+    def total(st: DataFrame): Long =
+      st.agg(sum(hll_sketch_estimate(col("sk")))).head().getLong(0)
+    val out = scala.collection.mutable.Buffer((0, total(state)))
+    for (h <- 1 to maxHops) {
+      val contrib = eAll
+        .join(state.select(col("id").as("dst"), col("sk")), "dst")
+        .select(col("src").as("id"), col("sk"))
+      val next = state.unionByName(contrib)
+        .groupBy("id").agg(hll_union_agg(col("sk")).as("sk"))
+        .localCheckpoint()
+      graft.Lineage.freeCut(state)
+      state = next
+      out += ((h, total(state)))
+    }
+    graft.Lineage.freeCut(state)
+    out.toSeq
+  }
 }

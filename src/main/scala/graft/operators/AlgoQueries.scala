@@ -391,6 +391,34 @@ object AlgoQueries {
     // co-order graph, next hop = portable LCG mix mod outdeg; the
     // oracle recomputes every walk through a recursive CTE with the
     // identical ranked adjacency and mix.
+    // +G: HyperANF neighborhood function (Boldi-Rosa-Vigna) over the
+    // co-order graph — N(h) via per-vertex HLL sketches max-merged
+    // along edges, the 100 TB replacement for all-pairs BFS (state is
+    // V × KB registers, one edge join + one groupBy per round; the
+    // exact bulk-BFS form is O(V²) visited pairs). The query emits
+    // the EXACT cumulative pair counts (same bulk multiSourceBfs the
+    // g17/g25 oracles pin) plus an IN-PLAN estimate-vs-exact gate at
+    // 5% — HLL is deterministic for fixed data, so red = regression.
+    "g28_hyperanf" -> ((s, dir) => {
+      import s.implicits._
+      val co = coOrder(s, dir)
+      val est = Algorithms.neighborhoodFunction(
+        co.edges.select("src", "dst"), co.vertices,
+        maxHops = 6, undirected = true).toMap
+      val exactByHop = Algorithms.multiSourceBfs(
+          co.edges.select("src", "dst"), co.vertices,
+          maxHops = 6, undirected = true)
+        .groupBy(col("hops").cast("int").as("h"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      var cum = 0L
+      (0 to 6).map { h =>
+        cum += exactByHop.getOrElse(h, 0L)
+        (h.toLong, cum,
+          math.abs(est(h) - cum.toDouble) <= cum * 0.05)
+      }.toDF("h", "reachable_pairs", "within_bound").orderBy("h")
+    }),
+
     "g27_random_walks" -> ((s, dir) => {
       val co = coOrder(s, dir)
       Algorithms.randomWalks(co.vertices, co.edges.select("src", "dst"),
@@ -561,6 +589,22 @@ object AlgoQueries {
                       / (SUM(h) * ((SELECT c FROM n) - 1)), 4)
                   AS closeness_wf
          FROM d WHERE h > 0 GROUP BY source ORDER BY suppkey""",
+    // exact cumulative reachable pairs per hop bound; TRUE asserts
+    // the Spark side's in-plan HyperANF-vs-exact 5% gate held
+    "g28_hyperanf" ->
+      s"""WITH RECURSIVE $coOrderCte,
+         bfs(source, id, hops) AS (
+           SELECT id, id, 0 FROM v
+           UNION
+           SELECT b.source, e.dst, b.hops + 1 FROM bfs b
+           JOIN e ON b.id = e.src WHERE b.hops < 6),
+         d AS (SELECT source, id, MIN(hops) AS mh FROM bfs
+               GROUP BY source, id)
+         SELECT CAST(t.h AS BIGINT) AS h,
+                CAST(COUNT(*) AS BIGINT) AS reachable_pairs,
+                TRUE AS within_bound
+         FROM range(0, 7) t(h) JOIN d ON d.mh <= t.h
+         GROUP BY t.h ORDER BY h""",
     "g27_random_walks" ->
       s"""WITH RECURSIVE $coOrderCte,
          nb AS (SELECT src, dst,

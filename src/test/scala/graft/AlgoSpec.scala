@@ -534,4 +534,46 @@ class AlgoSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(again == got)
   }
+
+  test("hyperanf: closed-form path values; exact parity on random graphs (coupon regime)") {
+    import spark.implicits._
+    // HLL at cardinality ≤ a few hundred sits in the exact coupon
+    // regime, so at test sizes the "estimate" must EQUAL the true
+    // neighborhood function — these pins exercise the propagation,
+    // not the envelope (the driver query gates the envelope at 1000
+    // vertices against bulk BFS).
+    val vs = (1L to 5L).toSeq.toDF("id")
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    // directed path 1→2→3→4→5: N(h) = Σ_v (min(h, tail below v) + 1)
+    assert(Algorithms.neighborhoodFunction(es, vs, maxHops = 4) ==
+      Seq((0, 5L), (1, 9L), (2, 12L), (3, 14L), (4, 15L)))
+    // undirected: window of radius h around each vertex
+    assert(Algorithms.neighborhoodFunction(es, vs, maxHops = 4,
+      undirected = true) ==
+      Seq((0, 5L), (1, 13L), (2, 19L), (3, 23L), (4, 25L)))
+    // random directed graphs vs a plain-Scala BFS reachability count
+    for (seed <- Seq(1, 2)) {
+      val rnd = new scala.util.Random(seed)
+      val vN = 30
+      val vsr = (1L to vN.toLong).toSeq
+      val esr = Seq.fill(60)(
+        (1L + rnd.nextInt(vN), 1L + rnd.nextInt(vN)))
+        .filter { case (a, b) => a != b }.distinct
+      val adj = esr.groupBy(_._1).map { case (k, v2) => k -> v2.map(_._2) }
+      def exact(h: Int): Long = vsr.map { s =>
+        var seen = Set(s)
+        var frontier = Set(s)
+        for (_ <- 1 to h) {
+          frontier = frontier.flatMap(x => adj.getOrElse(x, Nil)) -- seen
+          seen ++= frontier
+        }
+        seen.size.toLong
+      }.sum
+      val nf = Algorithms.neighborhoodFunction(
+        esr.toDF("src", "dst"), vsr.toDF("id"), maxHops = 4)
+      for ((h, e2) <- nf) assert(e2 == exact(h), s"seed=$seed h=$h")
+      // N(h) is monotone by construction (register max never loses)
+      assert(nf.map(_._2) == nf.map(_._2).sorted)
+    }
+  }
 }
