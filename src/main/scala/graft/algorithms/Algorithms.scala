@@ -1355,4 +1355,28 @@ object Algorithms {
     graft.Lineage.freeCut(state)
     out.toSeq
   }
+
+  /** Effective diameter at quantile `q` (0.9 by convention) from a
+    * [[neighborhoodFunction]] curve: the interpolated hop count at
+    * which N reaches q of its final value — `(h-1) + (target -
+    * N(h-1)) / (N(h) - N(h-1))` for the first h with N(h) ≥ target,
+    * the standard HyperANF/hop-plot convention (interpolation makes
+    * the statistic move continuously as the graph evolves instead of
+    * jumping integer steps). Plain driver-side arithmetic over the
+    * maxHops+1 curve points.
+    */
+  def effectiveDiameter(nf: Seq[(Int, Long)], q: Double = 0.9): Double = {
+    require(nf.nonEmpty && q > 0 && q <= 1,
+      s"need a non-empty curve and q in (0, 1], got ${nf.size} points, q=$q")
+    val sorted = nf.sortBy(_._1)
+    val target = q * sorted.last._2
+    val i = sorted.indexWhere(_._2 >= target)
+    if (i <= 0) 0.0
+    else {
+      val (h0, n0) = sorted(i - 1)
+      val (h1, n1) = sorted(i)
+      // n0 < target ≤ n1 by choice of i, so the denominator is > 0
+      h0 + (h1 - h0) * (target - n0) / (n1 - n0).toDouble
+    }
+  }
 }

@@ -36,7 +36,8 @@ object GqlViews {
 
   private[gql] case class PatternDef(vertexLabels: Seq[String],
       edgeLabels: Seq[String], vertexPreds: Seq[Option[Column]],
-      edgePreds: Seq[Option[Column]], range: Option[(Int, Int)] = None)
+      edgePreds: Seq[Option[Column]], range: Option[(Int, Int)] = None,
+      undirected: Boolean = false)
 
   private def propsPred(props: Map[String, GqlValue]): Option[Column] = {
     props.foreach {
@@ -80,9 +81,16 @@ object GqlViews {
             "for a bare node set)")
         require(!p.shortest, "shortestPath(...) is a query, not a view shape")
         p.edges.foreach { e =>
-          require(e.direction == Outgoing,
+          // undirected is well-defined for a var-length segment (the
+          // executor's own gql_varlength shape — walks over E ∪ Eᵀ);
+          // single-hop/chain views keep the directed-only contract
+          require(e.direction == Outgoing ||
+              (e.direction == Undirected && e.range.isDefined &&
+                p.edges.size == 1),
             "pattern-view edges must be directed -> (undirected and <- " +
-              "are ambiguous as maintained row sets; flip the chain)")
+              "are ambiguous as maintained row sets; flip the chain — " +
+              "except a single var-length segment, where -[:e*m..n]- " +
+              "maintains the symmetrized walk relation)")
           require(e.range.isEmpty || p.edges.size == 1,
             "a var-length segment must be the WHOLE pattern — " +
               "`(a:L)-[:e*m..n]->(b:L)` maintains by walk counting, but " +
@@ -101,7 +109,8 @@ object GqlViews {
         PatternDef(p.nodes.map(_.label.get), p.edges.map(_.label.get),
           p.nodes.map(n => propsPred(n.props)),
           p.edges.map(e => propsPred(e.props)),
-          p.edges.head.range)
+          p.edges.head.range,
+          p.edges.head.direction == Undirected)
       case Right(other) => throw new IllegalArgumentException(
         s"pattern views are defined by a MATCH chain, not $other")
     }
@@ -136,7 +145,8 @@ object GqlViews {
       case Some((minHops, maxHops)) =>
         Views.refreshVarLengthPatternView(catalog, name, oldStore, newStore,
           d.vertexLabels(0), d.edgeLabels(0), d.vertexLabels(1),
-          minHops, maxHops, d.vertexPreds(0), d.vertexPreds(1))
+          minHops, maxHops, d.vertexPreds(0), d.vertexPreds(1),
+          d.undirected)
       case None if d.edgeLabels.size == 1 =>
         Views.refreshPatternView(catalog, name, oldStore, newStore,
           d.vertexLabels(0), d.edgeLabels(0), d.vertexLabels(1),

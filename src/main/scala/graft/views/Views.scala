@@ -573,12 +573,22 @@ object Views {
     * like degree^max on dense graphs — a long holds degree^6 for any
     * realistic degree, and the range cap also bounds the state
     * multiplicities.
+    *
+    * `undirected = true` maintains the UNDIRECTED form
+    * `(a)-[:e*m..n]-(b)` — the executor's own `gql_varlength` shape:
+    * walks run over the symmetrized relation E ∪ Eᵀ, realized by
+    * symmetrizing the edge base and the edge delta (each edge op
+    * contributes ±1 in BOTH orientations), which is exactly the hop
+    * set the executor's expansion unions. Walk counting stays exact —
+    * including back-and-forth walks like a–b–a, which the executor's
+    * revisit-allowing semantics include as (a, a).
     */
   def varLengthViewDelta(oldStore: graft.graph.GraphStore,
       newStore: graft.graph.GraphStore, srcLabel: String,
       edgeLabel: String, dstLabel: String, minHops: Int, maxHops: Int,
       srcPred: Option[Column] = None,
-      dstPred: Option[Column] = None): DataFrame = {
+      dstPred: Option[Column] = None,
+      undirected: Boolean = false): DataFrame = {
     requireHops(minHops, maxHops)
     val feed = newStore.changes.filter(col("version") > oldStore.version)
     def cut(df: DataFrame): DataFrame = df.localCheckpoint()
@@ -625,12 +635,19 @@ object Views {
         .select("src", "dst")
     val eo = eMembers(oldStore)
     val en = eMembers(newStore)
-    val eDelta = cut(en.join(eo, Seq("src", "dst"), "left_anti")
+    def sym(df: DataFrame): DataFrame =
+      if (!undirected) df
+      else df.unionByName(df.select(df.columns.map {
+        case "src" => col("dst").as("src")
+        case "dst" => col("src").as("dst")
+        case c => col(c)
+      }: _*))
+    val eDelta = cut(sym(en.join(eo, Seq("src", "dst"), "left_anti")
       .select(lit("add").as("op"), col("src"), col("dst"))
       .unionByName(eo.join(en, Seq("src", "dst"), "left_anti")
-        .select(lit("remove").as("op"), col("src"), col("dst"))))
-    val eOld = oldStore.edges.filter(col("label") === edgeLabel)
-      .select("src", "dst")
+        .select(lit("remove").as("op"), col("src"), col("dst")))))
+    val eOld = sym(oldStore.edges.filter(col("label") === edgeLabel)
+      .select("src", "dst"))
     def opify(signed: DataFrame): DataFrame =
       cut(signed.withColumn("op",
         when(col("__sign") > 0, lit("add")).otherwise(lit("remove")))
@@ -670,9 +687,13 @@ object Views {
   def initVarLengthState(store: graft.graph.GraphStore, srcLabel: String,
       edgeLabel: String, dstLabel: String, minHops: Int, maxHops: Int,
       srcPred: Option[Column] = None,
-      dstPred: Option[Column] = None): DataFrame = {
+      dstPred: Option[Column] = None,
+      undirected: Boolean = false): DataFrame = {
     requireHops(minHops, maxHops)
-    val e = store.edges.filter(col("label") === edgeLabel)
+    val e1 = store.edges.filter(col("label") === edgeLabel)
+      .select("src", "dst")
+    val e = if (!undirected) e1
+      else e1.unionByName(e1.select(col("dst").as("src"), col("src").as("dst")))
     val dstV = store.vertices.filter(
       dstPred.foldLeft(col("label") === dstLabel)(_ && _))
     var walk = store.vertices.filter(
@@ -703,12 +724,14 @@ object Views {
       srcLabel: String, edgeLabel: String, dstLabel: String,
       minHops: Int, maxHops: Int,
       srcPred: Option[Column] = None,
-      dstPred: Option[Column] = None): DataFrame = {
+      dstPred: Option[Column] = None,
+      undirected: Boolean = false): DataFrame = {
     val state0 = catalog.dataOf(s"$name!state").getOrElse(
       initVarLengthState(oldStore, srcLabel, edgeLabel, dstLabel,
-        minHops, maxHops, srcPred, dstPred))
+        minHops, maxHops, srcPred, dstPred, undirected))
     val delta = varLengthViewDelta(oldStore, newStore,
-      srcLabel, edgeLabel, dstLabel, minHops, maxHops, srcPred, dstPred)
+      srcLabel, edgeLabel, dstLabel, minHops, maxHops, srcPred, dstPred,
+      undirected)
     val state1 = mergeJoinDelta(state0, delta).localCheckpoint()
     catalog.put(s"$name!state", state1)
     // state keys are unique by mergeJoinDelta's groupBy, all __mult>0:

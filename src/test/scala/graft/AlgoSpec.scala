@@ -575,5 +575,13 @@ class AlgoSpec extends SparkSpec {
       // N(h) is monotone by construction (register max never loses)
       assert(nf.map(_._2) == nf.map(_._2).sorted)
     }
+    // effective diameter from the undirected path curve
+    // (5, 13, 19, 23, 25): target 22.5 falls between h=2 and h=3
+    val curve = Seq((0, 5L), (1, 13L), (2, 19L), (3, 23L), (4, 25L))
+    assert(math.abs(Algorithms.effectiveDiameter(curve) - 2.875) < 1e-12)
+    // q=1 recovers the exact diameter
+    assert(Algorithms.effectiveDiameter(curve, q = 1.0) == 4.0)
+    // a single-point curve (isolated vertices) is diameter 0
+    assert(Algorithms.effectiveDiameter(Seq((0, 7L))) == 0.0)
   }
 }

@@ -1224,6 +1224,47 @@ class StreamViewsSpec extends SparkSpec {
     }
   }
 
+  test("undirected var-length view: symmetrized walk counting, executor parity") {
+    import spark.implicits._
+    import graft.graph.GraphStore
+    import graft.gql.GqlViews
+    // path 1-2-3-4 with pendant 5 on 2: the gql_varlength shape —
+    // 2-hop undirected pairs including back-and-forth (a, a) walks
+    val base = GraphStore.fromTuples(spark,
+      Seq((1L, "N", Nil), (2L, "N", Nil), (3L, "N", Nil),
+        (4L, "N", Nil), (5L, "N", Nil)),
+      Seq((1L, 2L, "link", Nil), (2L, 3L, "link", Nil),
+        (3L, 4L, "link", Nil), (2L, 5L, "link", Nil)))
+    val cat = new Views.ViewCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_uvl_cat").toString)
+    GqlViews.register(cat, "u22", "MATCH (a:N)-[:link*2..2]-(b:N)")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def exe(st: GraphStore): Set[(Long, Long)] =
+      graft.gql.GqlExecutor.run(st,
+        "MATCH (a:N)-[:link*2..2]-(b:N) RETURN id(a) AS s, id(b) AS d").df
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // round 1: cut the 2-3 edge — the symmetrized delta must retract
+    // both orientations' walks
+    val m1 = base.removeEdges(Seq((2L, 3L, "link")).toDF("src", "dst", "label"))
+    val r1 = GqlViews.refresh(cat, "u22", base, m1)
+    assert(rows(r1) == exe(m1))
+    assert(rows(r1).contains((1L, 5L)) && rows(r1).contains((1L, 1L)),
+      "1-2-5 and the back-and-forth 1-2-1 survive")
+    assert(!rows(r1).contains((1L, 3L)), "1-2-3 died with the cut edge")
+    // round 2: bridge 4-5 — 3-4-5 walks appear
+    val m2 = m1.addEdges(Seq((4L, 5L, "link")).toDF("src", "dst", "label")
+      .withColumn("props", lit(null).cast(graft.model.PropValue.mapType)))
+    val r2 = GqlViews.refresh(cat, "u22", m1, m2)
+    assert(rows(r2) == exe(m2))
+    assert(rows(r2).contains((3L, 5L)))
+    // undirected single-hop (no range) still rejects
+    intercept[IllegalArgumentException] {
+      GqlViews.register(cat, "bad_u", "MATCH (a:N)-[:link]-(b:N)")
+    }
+  }
+
   test("GQL-registered var-length view: refresh parity and rejections") {
     import spark.implicits._
     import graft.graph.GraphStore
