@@ -408,8 +408,23 @@ object GqlParser extends RegexParsers {
   private def setItem: Parser[SetItem] =
     propRef ~ ("=" ~> arith) ^^ { case p ~ v => SetItem(p.variable, p.prop, v) }
 
+  /** `SET v += {a: 1, b: "x"}` (Cypher merge-props): pure sugar —
+    * expands at parse time to one per-key SetItem, so the executor's
+    * sequential fold applies unchanged (a null value removes the key,
+    * Cypher's += null-entry semantics). The whole-map REPLACE form
+    * `SET v = {…}` is deliberately NOT a query surface: it silently
+    * clears every unlisted key — the data-loss form belongs behind
+    * the store's explicit updateVertexProps REPLACE API, not a query.
+    */
+  private def setMerge: Parser[Seq[SetItem]] =
+    (ident <~ "+=") ~ propsBlock ^^ { case v ~ props =>
+      props.toSeq.map { case (k, value) =>
+        SetItem(v, k, Literal(value)) }
+    }
+
   private def setClause: Parser[Seq[Either[SetItem, (String, String)]]] =
-    kw("set") ~> rep1sep(setItem, ",") ^^ (_.map(Left(_))) |
+    kw("set") ~> rep1sep(
+      setMerge | setItem ^^ (Seq(_)), ",") ^^ (_.flatten.map(Left(_))) |
       kw("remove") ~> rep1sep(propRef, ",") ^^
         (_.map(p => Right((p.variable, p.prop))))
 

@@ -978,6 +978,25 @@ class GqlSpec extends SparkSpec {
       "MATCH (v:Person) WHERE v.name = \"Bob\" SET v.x = 1 REMOVE v.x").store
     assert(s5.vertices.filter(PropValue.compare(col("props")("name"), "Bob", "="))
       .select(col("props")("x")).head().isNullAt(0))
+
+    // += merge-props: listed keys land, unlisted keys SURVIVE
+    // (Cypher's += vs = distinction), null entry removes its key,
+    // and += composes with plain items in one comma list
+    val s6 = GqlExecutor.run(fixture,
+      """MATCH (v:Person) WHERE v.name = "Alice" """ +
+        """SET v += {age: 99, city: "Berlin", department: null}, v.senior = true""").store
+    val alice = s6.vertices
+      .filter(PropValue.compare(col("props")("name"), "Alice", "="))
+      .select(PropValue.asDouble(col("props")("age")),
+        PropValue.asString(col("props")("city")),
+        col("props")("department"),
+        PropValue.asBool(col("props")("senior")),
+        PropValue.asString(col("props")("name"))).head()
+    assert(alice.getDouble(0) == 99.0)
+    assert(alice.getString(1) == "Berlin")
+    assert(alice.isNullAt(2))            // null entry removed the key
+    assert(alice.getBoolean(3))          // trailing plain item applied
+    assert(alice.getString(4) == "Alice") // unlisted key survived
   }
 
   test("relationship MERGE: match/create split, ON clauses, direction, rejections") {
