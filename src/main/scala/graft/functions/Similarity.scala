@@ -1013,4 +1013,49 @@ object Similarity {
       rerank: Int = 4, maxLutQueries: Int = 100000): DataFrame =
     pqTopKWithModel(corpus, spark.read.parquet(s"$path/codes"), queries,
       spark.read.parquet(s"$path/codebook"), k, rerank, maxLutQueries)
+
+  /** SemDeDup (Abbas et al. 2023, public): semantic deduplication at
+    * corpus scale — k-means-cluster the embeddings (the deterministic
+    * [[ivfCentroids]] training this module already ships), find
+    * near-dup pairs only WITHIN each cluster (cosine ≥ `threshold`),
+    * and resolve survivors by connected components (min-id canonical,
+    * `Dedup.resolveDupClusters`). Returns (vec_id, canonical_id) for
+    * EVERY corpus vector — untouched vectors map to themselves.
+    *
+    * Why cluster first: exact embedding dedup is an n² pair scan;
+    * SemDeDup's observation is that semantic near-dups land in the
+    * same k-means cell, so the quadratic term shrinks to Σ over
+    * cells of |cell|² — at 100 TB pick nlist so cells fit a
+    * partition, and the pair scan is an equi-join on cid (one
+    * shuffle, codegen'd FloatVecDot verify, never a global
+    * cartesian). The price is RECALL at cell borders: a near pair
+    * split across cells is missed — that is the published method's
+    * documented trade (the multi-table LSH path in
+    * `embeddingDedupPairsLsh` is the recall-floor alternative at the
+    * same scale). Determinism: centroids are seeded from the first
+    * nlist vec_ids and rounded per iteration, so the whole pass is a
+    * pure function of (corpus, threshold, nlist, iters).
+    */
+  def semanticDedup(corpus: DataFrame, threshold: Double,
+      nlist: Int = 16, iters: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centDF = ivfCentroids(corpus, nlist, iters).toSeq.toDF("cid", "cvec")
+    val v = graft.TransientCache.persist(
+      corpus.join(ivfAssign(corpus, centDF), "vec_id")
+        .select(col("cid"), col("vec_id"), col("embedding"),
+          VecExpressions.vecNorm(spark, col("embedding")).as("nrm")))
+    val a = v.select(col("cid"), col("vec_id").as("ida"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = v.select(col("cid"), col("vec_id").as("idb"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val pairs = a.join(b.hint("SHUFFLE_HASH"), Seq("cid"))
+      .filter(col("ida") < col("idb") &&
+        VecExpressions.vecDot(spark, col("ea"), col("eb")) >=
+          lit(threshold) * col("na") * col("nb"))
+      .select(col("ida"), col("idb"))
+    graft.functions.Dedup.resolveDupClusters(
+        corpus.select(col("vec_id")), "vec_id", pairs)
+      .select(col("id").as("vec_id"), col("canonical_id"))
+  }
 }

@@ -250,6 +250,40 @@ object PipelineQueries {
         .orderBy("ida", "idb")
     }),
 
+    // SemDeDup (round 9, Abbas et al. 2023): semantic dedup via
+    // k-means cluster bucketing — the quadratic pair scan shrinks to
+    // Σ|cell|² within cells. k-means is not DuckDB-expressible, so
+    // this is a VIOLATION oracle (the span-fixpoint discipline): the
+    // query re-derives ground truth through the INDEPENDENT exact
+    // global n² pair scan and emits soundness violations, which must
+    // be zero — (a) a dropped vector with no exact near-dup anywhere
+    // (drops must be justified), (b) a semantic component that merges
+    // vectors from two different exact-pair-graph components (merges
+    // must be sound). Border-cell recall loss is the method's
+    // documented trade, deliberately NOT a violation.
+    "dedup_semantic" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val resolved = graft.TransientCache.persist(
+        Similarity.semanticDedup(emb, 0.4, nlist = 8))
+      val exactPairs = graft.TransientCache.persist(
+        Similarity.embeddingDedupPairs(emb, 0.4).select("ida", "idb"))
+      val dropped = resolved.filter(col("vec_id") =!= col("canonical_id"))
+        .select("vec_id")
+      val paired = exactPairs.select(col("ida").as("vec_id"))
+        .unionByName(exactPairs.select(col("idb").as("vec_id"))).distinct()
+      val v1 = dropped.join(paired, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), lit("dropped_without_neighbor").as("kind"))
+      val global = graft.functions.Dedup.resolveDupClusters(
+          emb.select(col("vec_id")), "vec_id", exactPairs)
+        .select(col("id").as("vec_id"), col("canonical_id").as("gcomp"))
+      val v2 = resolved.join(global, "vec_id")
+        .groupBy("canonical_id").agg(count_distinct(col("gcomp")).as("n"))
+        .filter(col("n") > 1)
+        .select(col("canonical_id").as("vec_id"),
+          lit("merged_across_exact_components").as("kind"))
+      v1.unionByName(v2).orderBy("vec_id", "kind")
+    }),
+
     // Embedding near-dup LSH-branch recall floor: force the LSH path
     // (the branch that activates beyond maxExactRows at real corpus
     // scale) and require it to recover ≥ 80% of the exact-branch
@@ -1011,6 +1045,11 @@ object PipelineQueries {
     "pipe_decontaminate_bloom" -> decontaminateSql,
     "ann_lsh_recall" ->
       """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS found
+         WHERE FALSE""",
+    // violation oracle: the Spark side emits soundness violations
+    // against the independent exact pair scan; green = zero
+    "dedup_semantic" ->
+      """SELECT CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS VARCHAR) AS kind
          WHERE FALSE""",
     "ann_pq_recall" ->
       """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS found

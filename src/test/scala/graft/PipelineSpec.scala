@@ -1086,6 +1086,37 @@ class PipelineSpec extends SparkSpec {
     assert(ht == Seq("a" -> 2L, "b" -> 1L))
   }
 
+  test("SemDeDup: nlist=1 equals global exact dedup; clustered merges stay sound") {
+    import spark.implicits._
+    import graft.functions.{Dedup, Similarity}
+    // two tight near-dup groups on different axes plus two loners
+    val rows = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0.99f, 0.1f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f)),
+      (4L, Array(0.1f, 0.99f, 0f, 0f)),
+      (5L, Array(0f, 0f, 1f, 0f)),
+      (6L, Array(0f, 0f, 0f, 1f))).toDF("vec_id", "embedding")
+    // nlist=1 is the degenerate single-cluster case: SemDeDup must
+    // equal the global exact pair scan + CC resolve bit for bit
+    val sem = Similarity.semanticDedup(rows, 0.9, nlist = 1, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = Dedup.resolveDupClusters(rows.select(col("vec_id")),
+        "vec_id",
+        Similarity.embeddingDedupPairs(rows, 0.9).select("ida", "idb"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sem == exact)
+    assert(sem(2L) == 1L && sem(4L) == 3L && sem(5L) == 5L && sem(6L) == 6L)
+    // clustered run: merges must be SOUND (only vectors the exact
+    // pair graph connects may share a survivor — border-cell recall
+    // loss is allowed, false merges are not), loners untouched
+    val sem4 = Similarity.semanticDedup(rows, 0.9, nlist = 4, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((v, c) <- sem4 if v != c)
+      assert(exact(v) == exact(c), s"unsound merge $v -> $c")
+    assert(sem4(5L) == 5L && sem4(6L) == 6L)
+  }
+
   test("HLL index: rollup-merge equals one-shot sketch; 2% envelope at 50k distinct") {
     import spark.implicits._
     import graft.functions.Sketches
