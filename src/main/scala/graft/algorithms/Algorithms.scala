@@ -1356,6 +1356,467 @@ object Algorithms {
     out.toSeq
   }
 
+  // ------------------------------------------------------------------
+  // G29: Louvain community detection (Blondel et al. 2008, public).
+  // ------------------------------------------------------------------
+
+  /** Canonicalize an edge frame for the Louvain family: (src, dst, w)
+    * with src <= dst, parallel rows summed, weights double-cast. A
+    * missing `w` column means the unweighted graph (w = 1). Self
+    * loops are allowed — condensed level graphs produce them.
+    */
+  private def louvainEdges(edges: DataFrame): DataFrame = {
+    val w = if (edges.columns.contains("w")) col("w").cast("double")
+      else lit(1.0)
+    edges.select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"), w.as("w"))
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+  }
+
+  /** Weighted degree k_v over canonical (src, dst, w) edges with
+    * self-loops: a non-self edge adds w to both endpoints, a self
+    * loop adds 2w to its vertex (the convention under which
+    * condensation preserves modularity — an intra-community edge
+    * carried two endpoint-degrees before it became a self loop).
+    */
+  private def louvainDegrees(e: DataFrame): DataFrame =
+    e.filter(col("src") =!= col("dst"))
+      .select(col("src").as("id"), col("w"))
+      .unionByName(e.filter(col("src") =!= col("dst"))
+        .select(col("dst").as("id"), col("w")))
+      .unionByName(e.filter(col("src") === col("dst"))
+        .select(col("src").as("id"), (col("w") * 2).as("w")))
+      .groupBy("id").agg(sum("w").as("kv"))
+
+  /** Weighted Newman modularity of an assignment over canonical
+    * self-loop-capable edges: Q = Σ_c [e_c/m − (D_c/(2m))²] with
+    * e_c = intra-community weight (self loops count once), D_c the
+    * community's weighted-degree sum, m the total edge weight. On an
+    * unweighted simple graph this is exactly [[modularity]]'s Q (the
+    * driver-facing per-community form); this scalar twin is the
+    * per-round improvement check of the Louvain loop, where levels
+    * are weighted and carry self loops.
+    */
+  def weightedModularity(edges: DataFrame, comm: DataFrame): Double = {
+    val e = louvainEdges(edges)
+    val m = e.agg(sum("w")).head().getDouble(0)
+    require(m > 0, "modularity needs at least one edge")
+    val state = comm.select(col("id"), col("comm"))
+      .join(louvainDegrees(e), Seq("id"))
+    val r = louvainQParts(e, state).head()
+    r.getDouble(0) / m - r.getDouble(1) / (4 * m * m)
+  }
+
+  /** The two Q ingredients — (intra, Σ D_c²) — as ONE single-row
+    * frame (two aggregates crossJoined), so a Q evaluation costs one
+    * Spark action, not two. `state` must carry (id, comm, kv); rows
+    * absent from it are degree-0 and contribute to neither term.
+    */
+  private def louvainQParts(e: DataFrame, state: DataFrame): DataFrame = {
+    val ca = state.select(col("id").as("src"), col("comm").as("ca"))
+    val cb = state.select(col("id").as("dst"), col("comm").as("cb"))
+    val intra = e.join(ca, Seq("src")).join(cb, Seq("dst"))
+      .filter(col("ca") === col("cb"))
+      .agg(coalesce(sum("w"), lit(0.0)).as("intra"))
+    val dcsq = state.groupBy("comm").agg(sum("kv").as("dc"))
+      .agg(coalesce(sum(col("dc") * col("dc")), lit(0.0)).as("dcsq"))
+    intra.crossJoin(dcsq)
+  }
+
+  /** Per-vertex best positive-gain move against frozen `state`
+    * (id, comm, kv): (id, comm, target, gain), one row per vertex
+    * with any strictly-positive move. The gain expression is the
+    * SAME formula [[modularityMoveViolations]] evaluates — the loop's
+    * fixpoint and the driver oracle's emptiness must agree bit for
+    * bit, so neither may refactor the arithmetic alone.
+    *
+    * Plan shape (the loop runs this every round, so stage count is
+    * the round's cost): three shuffles — the community-total
+    * aggregate, the neighbor-community aggregate (a zero own-row per
+    * vertex is unioned in BEFORE the aggregate so k_{v,a}/D_a resolve
+    * per-row via one window instead of a self-join), and the window —
+    * plus broadcast-sized joins of `state` and the community totals.
+    * The final per-vertex argmax groups on the window's partitioning
+    * and adds no exchange.
+    */
+  private def louvainBest(ee: DataFrame, state: DataFrame, m: Double,
+      eps: Double): DataFrame = {
+    val dtot = state.groupBy("comm").agg(sum("kv").as("dtot"))
+    val kvc = ee
+      .join(state.select(col("id").as("nbr"), col("comm").as("c")), Seq("nbr"))
+      .select(col("id"), col("c"), col("w"))
+      .unionByName(state.select(col("id"), col("comm").as("c"),
+        lit(0.0).as("w")))
+      .groupBy("id", "c").agg(sum("w").as("kvc"))
+    val win = Window.partitionBy("id")
+    kvc.join(state, Seq("id"))
+      .join(dtot.select(col("comm").as("c"), col("dtot").as("dc")), Seq("c"))
+      .withColumn("kva", max(when(col("c") === col("comm"),
+        col("kvc"))).over(win))
+      .withColumn("da", max(when(col("c") === col("comm"),
+        col("dc"))).over(win))
+      .filter(col("c") =!= col("comm"))
+      .select(col("id"), col("comm"), col("c"),
+        ((col("kvc") - col("kva")) / m -
+          col("kv") * (col("dc") - col("da") + col("kv")) /
+            (2 * m * m)).as("gain"))
+      .filter(col("gain") > eps)
+      .groupBy("id", "comm")
+      .agg(min(struct((-col("gain")).as("ng"), col("c"))).as("b"))
+      .select(col("id"), col("comm"),
+        col("b.c").as("target"), (-col("b.ng")).as("gain"))
+  }
+
+  /** One level of Louvain local moving. With `minMovers` = 1 the loop
+    * runs to a CERTIFIED fixpoint: an (id, comm) assignment under
+    * which NO vertex has a strictly-positive modularity gain moving
+    * to any neighboring community (the standard parallel-Louvain
+    * phase-1 contract — [[modularityMoveViolations]] re-derives the
+    * certificate independently). With `minMovers` > 1 it returns
+    * early once an accepted round moves fewer vertices than that —
+    * the long tail of tiny rounds is deferred to the caller's final
+    * polish pass, which runs at `minMovers` = 1 and restores the
+    * certificate.
+    *
+    * Synchronous parallel moving is order-free and deterministic but
+    * can interfere (simultaneous movers change each other's Σtot, and
+    * adjacent singletons can swap forever). Each round therefore
+    * executes the full positive-gain move set and ACCEPTS it only if
+    * Q measurably improved (interference is detected by measurement,
+    * never assumed away); a rejected round retries with only the
+    * parity-direction movers (odd rounds move to larger community
+    * ids, even to smaller — a swap cycle must mix directions, so the
+    * oscillating half is excluded), and if that too fails, executes
+    * only the globally best (gain, then smallest id) move, whose
+    * frozen-state gain is EXACT when nothing else moves — accepted
+    * progress is then ≥ eps and the loop terminates (Q is bounded
+    * above). Convergence is declared only when the UNRESTRICTED
+    * positive-gain candidate set is empty, so the fallback tiers
+    * never weaken the final certificate. Determinism note: on
+    * integer-valued weights (the unweighted graph and every condensed
+    * level of it) all gains are exact integer-ratio arithmetic — no
+    * float-summation order wobble — so the whole pass is a pure
+    * function of the graph.
+    *
+    * Cost discipline: a round is TWO Spark actions — the eager
+    * lineage cut of the tentative assignment (which materializes the
+    * whole [[louvainBest]] plan once, into the round's persisted
+    * candidate frame) and one single-row collect that crossJoins the
+    * candidate/direction counts with [[louvainQParts]] of the
+    * tentative state. Fallback tiers add two actions each and are
+    * rare. No windows over the full graph, no driver loops; state is
+    * cut every round and the previous round's frames are freed
+    * eagerly ([[graft.Lineage.freeCut]]).
+    *
+    * Returns (assignment over ALL of `vertices` — isolated vertices
+    * re-attached as their own singletons, seed Q, final Q).
+    */
+  private def louvainLocalMoves(vertices: DataFrame, e: DataFrame,
+      seed: DataFrame, eps: Double, maxRounds: Int,
+      minMovers: Long): (DataFrame, Double, Double) = {
+    import graft.Lineage.CutOps
+    val m = e.agg(sum("w")).head().getDouble(0)
+    require(m > 0, "louvain needs at least one edge")
+    val nonself = e.filter(col("src") =!= col("dst"))
+    val ee = graft.TransientCache.persist(
+      nonself.select(col("src").as("id"), col("dst").as("nbr"), col("w"))
+        .unionByName(nonself.select(col("dst").as("id"),
+          col("src").as("nbr"), col("w"))))
+    val deg = graft.TransientCache.persist(louvainDegrees(e))
+    var state = seed.select(col("id"), col("comm"))
+      .join(deg, Seq("id")).select(col("id"), col("comm"), col("kv"))
+      .cut(false)
+    def qOf(asg: DataFrame): Double = {
+      val r = louvainQParts(e, asg).head()
+      r.getDouble(0) / m - r.getDouble(1) / (4 * m * m)
+    }
+    val q0 = qOf(state)
+    var q = q0
+    var round = 0
+    var converged = false
+    var stop = false
+    while (!converged && !stop) {
+      round += 1
+      require(round <= maxRounds,
+        s"louvain local moving did not converge in $maxRounds rounds")
+      // per-round frame, rotated eagerly (plain persist + unpersist,
+      // not TransientCache — a loop must not grow the release queue)
+      val best = louvainBest(ee, state, m, eps).persist()
+      def tentativeOf(movers: DataFrame): DataFrame =
+        state.join(movers.select(col("id"), col("target")), Seq("id"), "left")
+          .select(col("id"), coalesce(col("target"), col("comm")).as("comm"),
+            col("kv"))
+          .cut(false)
+      val dirOdd = col("target") > col("comm")
+      val t1 = tentativeOf(best)
+      val r = best.agg(count(lit(1)).as("nb"),
+          count(when(dirOdd, 1)).as("nOdd"))
+        .crossJoin(louvainQParts(e, t1)).head()
+      val nb = r.getLong(0)
+      val nOdd = r.getLong(1)
+      val q1 = r.getDouble(2) / m - r.getDouble(3) / (4 * m * m)
+      var movers = nb
+      if (nb == 0) { graft.Lineage.freeCut(t1); converged = true }
+      else if (q1 > q + 1e-12) {
+        graft.Lineage.freeCut(state); state = t1; q = q1
+      } else {
+        // tier 2: parity-direction movers only
+        graft.Lineage.freeCut(t1)
+        val odd = round % 2 == 1
+        val dir = if (odd) dirOdd else !dirOdd
+        movers = if (odd) nOdd else nb - nOdd
+        val t2 = tentativeOf(best.filter(dir))
+        val q2 = qOf(t2)
+        if (movers > 0 && q2 > q + 1e-12) {
+          graft.Lineage.freeCut(state); state = t2; q = q2
+        } else {
+          // tier 3: the single globally best move — its frozen-state
+          // gain is exact, so the improvement is strict by
+          // construction (no acceptance test needed)
+          graft.Lineage.freeCut(t2)
+          val t3 = tentativeOf(
+            best.orderBy(col("gain").desc, col("id").asc).limit(1))
+          graft.Lineage.freeCut(state); state = t3
+          q = qOf(t3)
+          movers = 1
+        }
+      }
+      if (sys.props.contains("graft.louvain.trace"))
+        println(f"[louvain] round $round movers=$movers q=$q%.6f")
+      best.unpersist(blocking = false)
+      if (!converged && minMovers > 1 && movers < minMovers) stop = true
+    }
+    // vertices with no edges never message and never appear in e —
+    // re-attach them as the singletons they are; cut BEFORE freeing
+    // the loop state it reads
+    val out = vertices.select(col("id"))
+      .join(state.select(col("id"), col("comm")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comm"), col("id")).as("comm"))
+      .cut(false)
+    graft.Lineage.freeCut(state)
+    ee.unpersist(); deg.unpersist()
+    (out, q0, q)
+  }
+
+  /** Deterministic sequential multi-level Louvain on a COLLECTED
+    * level graph — the count-gated local finisher for condensed
+    * levels (see [[louvain]]): once condensation shrinks a level
+    * graph under the gate, finishing it on the driver replaces
+    * O(rounds) distributed fixed costs with microseconds, the same
+    * bounded-collect discipline as the ANN model collects. Sweeps
+    * vertices in ascending id order, moves each to its best
+    * positive-gain neighboring community (gain ties broken by
+    * smallest community id — the same (gain, id) order as the
+    * distributed tiers), repeats until a full sweep moves nothing,
+    * condenses, and recurses. Returns vertexId → community label,
+    * labels = smallest original member id (stable across runs).
+    */
+  private[graft] def louvainLocalSolve(vertIds: Array[Long],
+      edges: Array[(Long, Long, Double)], eps: Double): Map[Long, Long] = {
+    val vids = vertIds.distinct.sorted
+    val n = vids.length
+    if (n == 0) return Map.empty
+    val idx = vids.zipWithIndex.toMap
+    var topOf = Array.tabulate(n)(identity) // original idx -> level node
+    var curEdges = edges.map { case (s, d, w) => (idx(s), idx(d), w) }
+    var curN = n
+    var improvedLevel = true
+    var level = 0
+    while (improvedLevel && level < 64) {
+      level += 1
+      val adj = Array.fill(curN)(
+        scala.collection.mutable.ArrayBuffer.empty[(Int, Double)])
+      val kv = new Array[Double](curN)
+      var m = 0.0
+      for ((s, d, w) <- curEdges) {
+        m += w
+        if (s == d) kv(s) += 2 * w
+        else {
+          adj(s) += ((d, w)); adj(d) += ((s, w))
+          kv(s) += w; kv(d) += w
+        }
+      }
+      if (m <= 0) improvedLevel = false
+      else {
+        val comm = Array.tabulate(curN)(identity)
+        val ctot = kv.clone()
+        var movedAny = false
+        var sweepMoved = true
+        while (sweepMoved) {
+          sweepMoved = false
+          var v = 0
+          while (v < curN) {
+            val a = comm(v)
+            val kvcm = scala.collection.mutable.SortedMap.empty[Int, Double]
+            for ((u, w) <- adj(v))
+              kvcm(comm(u)) = kvcm.getOrElse(comm(u), 0.0) + w
+            val kva = kvcm.getOrElse(a, 0.0)
+            val daEx = ctot(a) - kv(v)
+            var bestC = a
+            var bestGain = eps
+            for ((c, kvcW) <- kvcm if c != a) {
+              val gain = (kvcW - kva) / m -
+                kv(v) * (ctot(c) - daEx) / (2 * m * m)
+              if (gain > bestGain) { bestGain = gain; bestC = c }
+            }
+            if (bestC != a) {
+              ctot(a) -= kv(v); ctot(bestC) += kv(v); comm(v) = bestC
+              sweepMoved = true; movedAny = true
+            }
+            v += 1
+          }
+        }
+        if (!movedAny) improvedLevel = false
+        else {
+          val labels = comm.distinct.sorted
+          val ren = labels.zipWithIndex.toMap
+          topOf = topOf.map(t => ren(comm(t)))
+          val em = scala.collection.mutable.HashMap.empty[(Int, Int), Double]
+          for ((s, d, w) <- curEdges) {
+            val a = ren(comm(s)); val b = ren(comm(d))
+            val k = if (a <= b) (a, b) else (b, a)
+            em(k) = em.getOrElse(k, 0.0) + w
+          }
+          curEdges = em.toArray.map { case ((a, b), w) => (a, b, w) }
+          curN = labels.length
+        }
+      }
+    }
+    val label = scala.collection.mutable.HashMap.empty[Int, Long]
+    for (i <- 0 until n) {
+      val c = topOf(i)
+      if (!label.contains(c) || label(c) > vids(i)) label(c) = vids(i)
+    }
+    (0 until n).map(i => vids(i) -> label(topOf(i))).toMap
+  }
+
+  /** G29 (graft extension): Louvain community detection — multi-level
+    * modularity maximization (Blondel et al. 2008). Level 1 runs
+    * [[louvainLocalMoves]] on the raw graph (with an early-stop once
+    * rounds move under ~1% of vertices — the tail is finished by the
+    * polish pass), condenses communities into super-vertices (intra
+    * weight becomes a self loop — Q-preserving by construction, so
+    * coarse improvements ARE fine improvements), and repeats on the
+    * weighted level graph; once a condensed level fits under
+    * `localGateEdges` it is COLLECTED and finished by the
+    * deterministic sequential solver ([[louvainLocalSolve]]) — a
+    * count-gated bounded collect, since condensation shrinks levels
+    * geometrically while each distributed round costs fixed scheduler
+    * overhead regardless of data size. A final vertex-level polish
+    * pass re-runs local moving to its certified fixpoint on the
+    * ORIGINAL graph seeded with the projected assignment, so the
+    * returned partition carries the vertex-level local-optimum
+    * certificate no matter what the coarse levels did. Returns
+    * (id, community) for every vertex; isolated vertices are their
+    * own singletons. Deterministic (see [[louvainLocalMoves]]).
+    *
+    * Scale posture: every distributed step is keyed joins +
+    * map-side-combined aggregates on vertex/community ids; the
+    * dominant cost is level 1 on the raw edge list — the same
+    * per-round economics as [[labelPropagation]], times a
+    * measured-small round count. At 100 TB the gate (default 2²⁰
+    * condensed edges ≈ 24 MB of triples) may not be reached for
+    * several levels — each extra level runs distributed, exactly as
+    * level 1 does; set `localGateEdges` = 0 to force every level
+    * distributed (the equivalence is pinned in AlgoSpec).
+    */
+  def louvain(vertices: DataFrame, edges: DataFrame,
+      eps: Double = 1e-9, maxLevels: Int = 4,
+      maxRounds: Int = 200, localGateEdges: Long = 1L << 20): DataFrame = {
+    val spark = vertices.sparkSession
+    val e0 = graft.TransientCache.persist(louvainEdges(edges))
+    val verts = vertices.select(col("id"))
+    var comm = verts.select(col("id"), col("id").as("comm"))
+    var level = 0
+    var el = e0
+    var levelVerts = verts
+    var improved = true
+    while (improved && level < maxLevels) {
+      level += 1
+      val nV = levelVerts.count()
+      val minMovers = if (nV > 500) math.max(4L, nV / 100) else 1L
+      val (lcomm, ql0, ql1) = louvainLocalMoves(levelVerts, el,
+        levelVerts.select(col("id"), col("id").as("comm")), eps, maxRounds,
+        minMovers)
+      improved = ql1 > ql0 + 1e-12
+      if (improved) {
+        comm = graft.TransientCache.persist(
+          comm.join(lcomm.select(col("id").as("comm"),
+              col("comm").as("nc")), Seq("comm"))
+            .select(col("id"), col("nc").as("comm")))
+        val lc = lcomm.select(col("id").as("v"), col("comm").as("c"))
+        el = graft.TransientCache.persist(
+          el.join(lc.select(col("v").as("src"), col("c").as("ca")), Seq("src"))
+            .join(lc.select(col("v").as("dst"), col("c").as("cb")), Seq("dst"))
+            .select(least(col("ca"), col("cb")).as("src"),
+              greatest(col("ca"), col("cb")).as("dst"), col("w"))
+            .groupBy("src", "dst").agg(sum("w").as("w")))
+        levelVerts = graft.TransientCache.persist(
+          lcomm.select(col("comm").as("id")).distinct())
+        if (el.count() <= localGateEdges) {
+          // count-gated local finish of the remaining (tiny) levels
+          val eRows = el.select("src", "dst", "w").collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          val vRows = levelVerts.collect().map(_.getLong(0))
+          val mapping = louvainLocalSolve(vRows, eRows, eps)
+          if (mapping.nonEmpty) {
+            val mapDf = spark.createDataFrame(mapping.toSeq)
+              .toDF("comm", "nc")
+            comm = graft.TransientCache.persist(
+              comm.join(mapDf, Seq("comm"))
+                .select(col("id"), col("nc").as("comm")))
+          }
+          improved = false
+        }
+      }
+    }
+    // vertex-level polish: re-establish the per-vertex certificate on
+    // the original graph (coarse levels move whole blocks, which can
+    // leave an individual vertex with a positive-gain move)
+    louvainLocalMoves(verts, e0, comm, eps, maxRounds, 1L)._1
+      .select(col("id"), col("comm").as("community"))
+  }
+
+  /** The Louvain certificate, re-derived independently of the loop:
+    * for assignment `comm` over `edges`, emit every (vertex,
+    * neighboring community) move whose exact modularity delta exceeds
+    * `eps` — empty iff the assignment is a per-vertex local optimum.
+    * The delta is the textbook single-move formula
+    * ΔQ = (k_{v,b} − k_{v,a})/m − k_v(D_b − D_a + k_v)/(2m²),
+    * which AlgoSpec pins against brute full-Q recomputation of
+    * mutated assignments, so a green emptiness check is not
+    * self-referential. Used as `g29_louvain`'s violation oracle.
+    */
+  def modularityMoveViolations(edges: DataFrame, comm: DataFrame,
+      eps: Double = 1e-9): DataFrame = {
+    val e = louvainEdges(edges)
+    val m = e.agg(sum("w")).head().getDouble(0)
+    require(m > 0, "modularity needs at least one edge")
+    val c = graft.TransientCache.persist(comm.select(col("id"), col("comm")))
+    val deg = louvainDegrees(e)
+    val dtot = deg.join(c, Seq("id")).groupBy("comm").agg(sum("kv").as("dtot"))
+    val nonself = e.filter(col("src") =!= col("dst"))
+    val ee = nonself.select(col("src").as("id"), col("dst").as("nbr"), col("w"))
+      .unionByName(nonself.select(col("dst").as("id"),
+        col("src").as("nbr"), col("w")))
+    val kvc = ee.join(c.select(col("id").as("nbr"), col("comm").as("c")),
+        Seq("nbr"))
+      .groupBy("id", "c").agg(sum("w").as("kvc"))
+      .join(c, Seq("id"))
+    val kva = kvc.filter(col("c") === col("comm"))
+      .select(col("id"), col("kvc").as("kva"))
+    kvc.filter(col("c") =!= col("comm"))
+      .join(kva, Seq("id"), "left").na.fill(0.0, Seq("kva"))
+      .join(dtot.select(col("comm").as("c"), col("dtot").as("db")), Seq("c"))
+      .join(dtot, Seq("comm"))
+      .join(deg, Seq("id"))
+      .select(col("id"), col("comm").as("cur_comm"), col("c").as("to_comm"),
+        ((col("kvc") - col("kva")) / m -
+          col("kv") * (col("db") - col("dtot") + col("kv")) /
+            (2 * m * m)).as("gain"))
+      .filter(col("gain") > eps)
+  }
+
   /** Effective diameter at quantile `q` (0.9 by convention) from a
     * [[neighborhoodFunction]] curve: the interpolated hop count at
     * which N reaches q of its final value — `(h-1) + (target -

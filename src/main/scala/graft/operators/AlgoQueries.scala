@@ -310,6 +310,28 @@ object AlgoQueries {
         .orderBy("suppkey")
     }),
 
+    // +G: Louvain community detection (g29, Blondel et al. 2008) over
+    // the co-order graph. Louvain is not DuckDB-expressible (greedy
+    // modularity ascent), so this is a VIOLATION oracle in the
+    // span-fixpoint/semantic-dedup style: the query emits every
+    // (vertex, neighboring community) move whose exact modularity
+    // delta is positive against the RETURNED assignment — the
+    // per-vertex local-optimum certificate Louvain's phase-1 fixpoint
+    // guarantees — and must be empty. The delta formula itself is
+    // pinned against brute full-Q recomputation in AlgoSpec, so green
+    // is not self-referential; partition values and multi-level
+    // behavior are pinned there on closed-form fixtures.
+    "g29_louvain" -> ((s, dir) => {
+      val co = coOrder(s, dir)
+      val comm = Algorithms.louvain(co.vertices,
+        co.edges.select("src", "dst"))
+      Algorithms.modularityMoveViolations(co.edges.select("src", "dst"),
+          comm.select(col("id"), col("community").as("comm")))
+        .select(col("id").as("suppkey"), col("cur_comm"), col("to_comm"),
+          round(col("gain"), 9).as("gain"))
+        .orderBy("suppkey", "to_comm")
+    }),
+
     // +G: Jaccard neighborhood similarity over the co-order graph —
     // inclusion-exclusion denominator, one self-join, absent pairs
     // mean empty intersection. Full value oracle.
@@ -573,6 +595,15 @@ object AlgoQueries {
 
   val oracles: Map[String, String] = Map(
     "g23_modularity" -> modularityOracle,
+    // violation oracle: the Spark side emits positive-gain moves
+    // against the returned Louvain assignment; green = zero rows
+    // (per-vertex local optimum certified)
+    "g29_louvain" ->
+      """SELECT CAST(NULL AS BIGINT) AS suppkey,
+                CAST(NULL AS BIGINT) AS cur_comm,
+                CAST(NULL AS BIGINT) AS to_comm,
+                CAST(NULL AS DOUBLE) AS gain
+         WHERE FALSE""",
     "g26_hits" -> hitsOracle,
     "g25_closeness" ->
       s"""WITH RECURSIVE $coOrderCte,

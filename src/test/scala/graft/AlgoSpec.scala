@@ -584,4 +584,127 @@ class AlgoSpec extends SparkSpec {
     // a single-point curve (isolated vertices) is diameter 0
     assert(Algorithms.effectiveDiameter(Seq((0, 7L))) == 0.0)
   }
+
+  test("louvain: two K4s with a bridge recover the cliques; certified; deterministic") {
+    // K4 {1..4} + K4 {5..8} + bridge (4,5): m=13, clique partition has
+    // e_c=6, D_c=13 each → Q = 2·(6/13 − (13/26)²) = 12/13 − 1/2
+    val vs = (1L to 8L).toDF("id")
+    val es = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (5L, 7L), (5L, 8L), (6L, 7L), (6L, 8L), (7L, 8L),
+      (4L, 5L))).toDF("src", "dst")
+    val comm = Algorithms.louvain(vs, es).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val groups = comm.groupBy(_._2).values.map(_.keys.toSet).toSet
+    assert(groups == Set(Set(1L, 2L, 3L, 4L), Set(5L, 6L, 7L, 8L)))
+    val asg = comm.toSeq.toDF("id", "comm")
+    assert(math.abs(Algorithms.weightedModularity(es, asg) -
+      (12.0 / 13 - 0.5)) < 1e-12)
+    // certified local optimum: no positive-gain neighbor move exists
+    assert(Algorithms.modularityMoveViolations(es, asg).isEmpty)
+    // pure function of the graph: a second run is identical
+    val again = Algorithms.louvain(vs, es).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == comm)
+  }
+
+  test("louvain: single-move gain formula matches brute full-Q recomputation") {
+    // the independence pin behind the g29 violation oracle: the
+    // textbook ΔQ formula must equal Q(moved) − Q(current) EXACTLY,
+    // for every candidate move of an arbitrary (non-optimal)
+    // assignment — positive and negative gains both
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (4L, 6L), (5L, 6L), (2L, 5L)).toDF("src", "dst")
+    val asg = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L), (5L, 30L),
+      (6L, 30L)).toDF("id", "comm")
+    val q0 = Algorithms.weightedModularity(es, asg)
+    val cands = Algorithms.modularityMoveViolations(es, asg, eps = -1e9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(cands.nonEmpty && cands.exists(_._4 > 0) &&
+      cands.exists(_._4 < 0))
+    for ((id, cur, to, gain) <- cands) {
+      val moved = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L),
+        (5L, 30L), (6L, 30L)).map { case (v, c) =>
+          (v, if (v == id) to else c) }.toDF("id", "comm")
+      val brute = Algorithms.weightedModularity(es, moved) - q0
+      assert(math.abs(gain - brute) < 1e-12, s"move $id: $cur -> $to")
+    }
+  }
+
+  test("louvain: violation oracle catches a planted bad partition") {
+    val es = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (5L, 7L), (5L, 8L), (6L, 7L), (6L, 8L), (7L, 8L),
+      (4L, 5L))).toDF("src", "dst")
+    val bad = Seq((1L, 0L), (2L, 0L), (5L, 0L), (6L, 0L), (3L, 1L),
+      (4L, 1L), (7L, 1L), (8L, 1L)).toDF("id", "comm")
+    assert(!Algorithms.modularityMoveViolations(es, bad).isEmpty)
+  }
+
+  test("louvain: ring of 6 triangles finds the triangles; isolated vertex stays singleton") {
+    // known closed form: m=24, triangle partition Q = 6·(3/24 − (8/48)²)
+    // = 7/12, which beats merging adjacent triangle pairs (13/24) —
+    // multi-level must NOT over-merge here
+    val vs = ((0L until 18L) :+ 99L).toDF("id")
+    val tri = (0 until 6).flatMap { i =>
+      val b = 3L * i
+      Seq((b, b + 1), (b, b + 2), (b + 1, b + 2))
+    }
+    val ring = (0 until 6).map { i =>
+      (3L * i + 2, 3L * ((i + 1) % 6)) }
+    val es = (tri ++ ring).toDF("src", "dst")
+    val comm = Algorithms.louvain(vs, es).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val groups = comm.groupBy(_._2).values.map(_.keys.toSet).toSet
+    assert(groups == (0 until 6).map { i =>
+      Set(3L * i, 3L * i + 1, 3L * i + 2) }.toSet + Set(99L))
+    val asg = comm.toSeq.filter(_._1 != 99L).toDF("id", "comm")
+    assert(math.abs(Algorithms.weightedModularity(es, asg) - 7.0 / 12)
+      < 1e-12)
+  }
+
+  test("louvain: count-gated local finisher agrees with all-distributed levels") {
+    // the default gate collects condensed levels; localGateEdges = 0
+    // keeps every level distributed — partitions must agree
+    val vs = (1L to 8L).toDF("id")
+    val es = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (5L, 7L), (5L, 8L), (6L, 7L), (6L, 8L), (7L, 8L),
+      (4L, 5L))).toDF("src", "dst")
+    def parts(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .groupBy(_._2).values.map(_.keys.toSet).toSet
+    assert(parts(Algorithms.louvain(vs, es, localGateEdges = 0L)) ==
+      parts(Algorithms.louvain(vs, es)))
+  }
+
+  test("louvainLocalSolve: sequential solver recovers cliques with min-id labels") {
+    val verts = (1L to 8L).toArray
+    val edges = Array((1L, 2L, 1.0), (1L, 3L, 1.0), (1L, 4L, 1.0),
+      (2L, 3L, 1.0), (2L, 4L, 1.0), (3L, 4L, 1.0),
+      (5L, 6L, 1.0), (5L, 7L, 1.0), (5L, 8L, 1.0),
+      (6L, 7L, 1.0), (6L, 8L, 1.0), (7L, 8L, 1.0), (4L, 5L, 1.0))
+    val map = Algorithms.louvainLocalSolve(verts, edges, 1e-9)
+    assert(map == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 5L))
+    // no-edge vertices stay their own singletons
+    assert(Algorithms.louvainLocalSolve(Array(3L, 9L), Array((3L, 3L, 1.0)),
+      1e-9) == Map(3L -> 3L, 9L -> 9L))
+  }
+
+  test("louvain: weighted self-loop modularity hand values") {
+    // (1,1,w=2) self + (1,2,w=3): m=5, k1 = 2·2+3 = 7, k2 = 3.
+    // together: e=5, D=10 → Q = 5/5 − (10/10)² = 0
+    // apart: Q = 2/5 − (7/10)² + 0 − (3/10)² = −0.18
+    val es = Seq((1L, 1L, 2.0), (1L, 2L, 3.0)).toDF("src", "dst", "w")
+    val together = Seq((1L, 0L), (2L, 0L)).toDF("id", "comm")
+    val apart = Seq((1L, 1L), (2L, 2L)).toDF("id", "comm")
+    assert(math.abs(Algorithms.weightedModularity(es, together)) < 1e-12)
+    assert(math.abs(Algorithms.weightedModularity(es, apart) + 0.18) < 1e-12)
+    // unweighted simple graph: scalar twin equals modularity()'s sum
+    val e2 = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val asg = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 4L)).toDF("id", "comm")
+    val perComm = Algorithms.modularity(e2,
+        asg.select(col("id"), col("comm").as("community")))
+      .collect().map(_.getDouble(3)).sum
+    assert(math.abs(Algorithms.weightedModularity(e2, asg) - perComm) < 1e-12)
+  }
 }
