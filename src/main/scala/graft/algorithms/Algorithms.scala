@@ -535,6 +535,68 @@ object Algorithms {
   def triangleCount(canonicalEdges: DataFrame): DataFrame =
     triangles(canonicalEdges).agg(count(lit(1)).as("triangles"))
 
+  /** Per-edge triangle support WITHIN the given edge set: for each
+    * canonical (src<dst) edge, the number of triangles of the set that
+    * contain it. One [[triangles]] enumeration serves every edge: each
+    * triangle row fans into its three member edges and a
+    * map-side-combined count; edges in no triangle COALESCE to 0 so
+    * the output covers the full input edge set.
+    */
+  def edgeSupport(canonicalEdges: DataFrame): DataFrame = {
+    val tri = triangles(canonicalEdges)
+    val legs = tri.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(tri.select(col("b").as("src"), col("c").as("dst")))
+      .unionAll(tri.select(col("a").as("src"), col("c").as("dst")))
+    val cnt = legs.groupBy("src", "dst").agg(count(lit(1)).as("support"))
+    canonicalEdges.select("src", "dst")
+      .join(cnt, Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
+  /** G30 (graft extension): k-truss (Cohen 2008) — the maximal
+    * subgraph in which every edge participates in at least k−2
+    * triangles OF THE SUBGRAPH. Computed by the standard distributed
+    * peeling: drop every edge whose within-set support falls below
+    * k−2, recompute support on the survivors (removals cascade —
+    * a triangle dies with any of its edges), repeat to fixpoint.
+    * The fixpoint is the unique maximal k-truss, so peeling order
+    * does not matter and whole-round peeling is exact.
+    *
+    * Input contract matches [[triangles]]: canonical (src<dst)
+    * distinct undirected edges. Each round is one triangle
+    * enumeration (two shuffled equi-joins, both prunable) plus an
+    * anti-join against the peeled set — the peeled set is counted
+    * anyway for the convergence probe, so the count licenses a
+    * broadcast hint and the anti-join streams the surviving edges.
+    * At 100 TB the round state is the edge set itself (cut each
+    * round, never collected); rounds are bounded by the support
+    * peel depth, in practice single digits.
+    */
+  def kTruss(canonicalEdges: DataFrame, k: Int, maxIter: Int = 100,
+      checkpointDir: Option[String] = None,
+      broadcastRows: Long = DefaultBroadcastRows): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    import graft.Lineage.CutOps
+    val rel = graft.Lineage.configure(canonicalEdges, checkpointDir)
+    var e = canonicalEdges.select("src", "dst").distinct().cut(rel)
+    var changed = true
+    var iter = 0
+    while (changed && iter < maxIter) {
+      val bad = edgeSupport(e).filter(col("support") < k - 2)
+        .select("src", "dst").cut(rel)
+      val badCnt = bad.count()
+      if (badCnt == 0L) changed = false
+      else {
+        val b = hintIfAtMost(bad, badCnt, broadcastRows)
+        e = e.join(b, Seq("src", "dst"), "left_anti")
+          .select("src", "dst").cut(rel)
+      }
+      iter += 1
+    }
+    e
+  }
+
   /** G19 (graft extension): local clustering coefficient —
     * lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), the fraction of a
     * vertex's neighbor pairs that are themselves adjacent (Watts &

@@ -59,6 +59,55 @@ object Curation {
       .filter(col("rank") <= k)
   }
 
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): rank
+    * every raw document by how target-like its hashed-n-gram profile
+    * is — log w(x) = log p̂_target(x) − log p̂_raw(x) under
+    * bag-of-hashed-bigrams categorical models — and keep the top k.
+    * This is the standard "select pretraining data that looks like a
+    * trusted corpus" pass.
+    *
+    * The 100 TB shape is what makes DSIR practical: features are
+    * HASHED into a fixed `buckets`-ary vocabulary (md5-based so the
+    * oracle can reproduce the bucketing — same rationale as the
+    * portable mix in randomWalks), so both fitted models and the
+    * per-bucket log-ratio table are ≤ `buckets` rows regardless of
+    * corpus size. Two map-side-combined aggregations fit the models,
+    * the ratio table BROADCASTS to the per-occurrence scoring join
+    * (never a shuffle of the corpus against the model), the per-doc
+    * reduce is one shuffle on doc id, and the selection is a
+    * TakeOrdered top-k, never a global sort. Laplace smoothing
+    * (`alpha`) keeps buckets unseen in the target finite; ties break
+    * by id so the selection is deterministic.
+    */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 4096, k: Int = 50,
+      alpha: Double = 1.0): DataFrame = {
+    def bucketRows(df: DataFrame): DataFrame =
+      TextFunctions.shingleRows(df, idCol, textCol, 2)
+        .select(col("id"),
+          (conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long")
+            % buckets).as("b"))
+    val rawB = bucketRows(raw)
+    val q = rawB.groupBy("b").agg(count(lit(1)).as("cq"))
+    val p = bucketRows(target).groupBy("b").agg(count(lit(1)).as("cp"))
+    val qt = q.agg(sum("cq").as("tq"))
+    val pt = p.agg(sum("cp").as("tp"))
+    // per-bucket log importance ratio; only buckets the raw corpus
+    // uses can ever be scored, so LEFT join from q suffices
+    val ratio = q.join(p, Seq("b"), "left")
+      .crossJoin(broadcast(qt)).crossJoin(broadcast(pt))
+      .select(col("b"),
+        (log((coalesce(col("cp"), lit(0L)).cast("double") + alpha) /
+             (coalesce(col("tp"), lit(0L)).cast("double") + alpha * buckets)) -
+         log((col("cq").cast("double") + alpha) /
+             (col("tq").cast("double") + alpha * buckets))).as("lr"))
+    rawB.join(broadcast(ratio), Seq("b"))
+      .groupBy("id").agg(sum("lr").as("logw"))
+      .orderBy(col("logw").desc, col("id").asc).limit(k)
+      .select(col("id"), round(col("logw"), 4).as("logw"))
+  }
+
   /** Multiplicative hash on a non-negative long id — the
     * deterministic, partitioning-independent pseudo-shuffle key (same
     * recipe as Sampling: Knuth multiplicative hashing, reproducible

@@ -36,6 +36,20 @@ object CurationQueries {
         .orderBy("source", "rank")
     }),
 
+    // DSIR importance resampling: keep the 50 docs whose
+    // hashed-bigram profile is most target-like, target = the
+    // English docs of sources src1-src5 (standing in for the
+    // trusted corpus). Full value oracle: md5 bucketing, Laplace
+    // smoothing and the log-ratio sum are all ANSI-expressible.
+    "pipe_dsir" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val target = d.filter(col("lang") === "en" &&
+        col("source").isin("src1", "src2", "src3", "src4", "src5"))
+      Curation.dsirSelect(d, target, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("logw"))
+        .orderBy(col("logw").desc, col("doc_id"))
+    }),
+
     // Per-doc top-3 TF-IDF terms.
     "tfidf_top_terms" -> ((s, dir) => {
       Curation.tfIdfTopTerms(Tables.documents(s, dir), "doc_id", "text", 3)
@@ -175,6 +189,38 @@ object CurationQueries {
     s"((((l_suppkey % 256) >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // DSIR mirror: identical bigram construction (bigramJaccardSql's,
+    // WITHOUT list_distinct — DSIR models occurrence counts), md5
+    // hex-prefix bucketing, Laplace-1 smoothing, per-doc log-ratio
+    // sum, top-50 with id tiebreak.
+    "pipe_dsir" ->
+      s"""WITH t AS (
+            SELECT doc_id, lang, source,
+              CASE WHEN len(w) >= 2
+                THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                ELSE [array_to_string(w, ' ')] END AS bg
+            FROM (SELECT doc_id, lang, source,
+                    string_split(${PipelineQueries.normText}, ' ') AS w
+                  FROM documents)),
+          fb AS (SELECT doc_id, lang, source,
+                   CAST(('0x' || substr(md5(s), 1, 8))::UBIGINT % 4096
+                        AS BIGINT) AS b
+                 FROM (SELECT doc_id, lang, source, unnest(bg) AS s FROM t)),
+          q AS (SELECT b, COUNT(*) AS cq FROM fb GROUP BY b),
+          p AS (SELECT b, COUNT(*) AS cp FROM fb
+                WHERE lang = 'en'
+                  AND source IN ('src1','src2','src3','src4','src5')
+                GROUP BY b),
+          tq AS (SELECT SUM(cq) AS t FROM q),
+          tp AS (SELECT COALESCE(SUM(cp), 0) AS t FROM p),
+          ratio AS (SELECT q.b,
+              ln((COALESCE(p.cp, 0) + 1.0) / ((SELECT t FROM tp) + 4096.0))
+            - ln((q.cq + 1.0) / ((SELECT t FROM tq) + 4096.0)) AS lr
+            FROM q LEFT JOIN p ON q.b = p.b),
+          wt AS (SELECT f.doc_id, SUM(r.lr) AS logw
+                 FROM fb f JOIN ratio r ON f.b = r.b GROUP BY f.doc_id)
+          SELECT doc_id, ROUND(logw, 4) AS logw FROM wt
+          ORDER BY logw DESC, doc_id LIMIT 50""",
     "dedup_best_survivor" ->
       s"""WITH RECURSIVE t AS (
             SELECT doc_id, list_distinct(

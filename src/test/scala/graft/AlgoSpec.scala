@@ -707,4 +707,73 @@ class AlgoSpec extends SparkSpec {
       .collect().map(_.getDouble(3)).sum
     assert(math.abs(Algorithms.weightedModularity(e2, asg) - perComm) < 1e-12)
   }
+
+  test("ktruss: two K4s sharing an edge survive k=4; lone triangle only k=3") {
+    // K4 {1..4} and K4 {3,4,5,6} share edge (3,4); triangle {7,8,9}
+    // hangs off vertex 7 via nothing (disconnected). Every K4 edge
+    // closes 2 triangles within its clique → 4-truss = both K4s; the
+    // lone triangle's edges close 1 each → peeled at k=4, kept at k=3.
+    val k4a = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val k4b = Seq((3L, 4L), (3L, 5L), (3L, 6L), (4L, 5L), (4L, 6L), (5L, 6L))
+    val tri = Seq((7L, 8L), (7L, 9L), (8L, 9L))
+    val es = (k4a ++ k4b ++ tri).distinct.toDF("src", "dst")
+    def edgeSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edgeSet(Algorithms.kTruss(es, k = 4)) == (k4a ++ k4b).toSet)
+    assert(edgeSet(Algorithms.kTruss(es, k = 3)) ==
+      (k4a ++ k4b ++ tri).toSet)
+    // k=5 kills everything: no edge closes 3 triangles here
+    assert(Algorithms.kTruss(es, k = 5).isEmpty)
+  }
+
+  test("ktruss: peeling cascades — pendant triangle on a K4 falls, K4 stays") {
+    // K4 {1..4} plus pendant path closing a triangle {4,5,6}: edge
+    // (4,5),(4,6),(5,6) each close 1 triangle → peeled at k=4; their
+    // removal must NOT take K4 edges with them (support recomputed
+    // within survivors stays 2).
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val es = (k4 ++ Seq((4L, 5L), (4L, 6L), (5L, 6L))).toDF("src", "dst")
+    val t = Algorithms.kTruss(es, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(t == k4.toSet)
+  }
+
+  test("ktruss: random-graph parity with plain-Scala brute peeling") {
+    for (seed <- Seq(7, 11)) {
+      val rnd = new scala.util.Random(seed)
+      val vN = 25
+      val esr = Seq.fill(140)({
+        val a = 1L + rnd.nextInt(vN); val b = 1L + rnd.nextInt(vN)
+        (math.min(a, b), math.max(a, b))
+      }).filter { case (a, b) => a != b }.distinct
+      def brute(edges: Set[(Long, Long)], k: Int): Set[(Long, Long)] = {
+        var e = edges
+        var done = false
+        while (!done) {
+          val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+            .withDefaultValue(Set.empty)
+          for ((a, b) <- e) { adj(a) += b; adj(b) += a }
+          val bad = e.filter { case (a, b) =>
+            (adj(a) & adj(b)).size < k - 2 }
+          if (bad.isEmpty) done = true else e = e -- bad
+        }
+        e
+      }
+      for (k <- Seq(3, 4, 5)) {
+        val got = Algorithms.kTruss(esr.toDF("src", "dst"), k).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == brute(esr.toSet, k), s"seed=$seed k=$k")
+      }
+    }
+  }
+
+  test("ktruss: edgeSupport hand values incl zero-support edges") {
+    // triangle {1,2,3} + pendant edge (3,4)
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val sup = Algorithms.edgeSupport(es).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(sup == Map((1L, 2L) -> 1L, (1L, 3L) -> 1L, (2L, 3L) -> 1L,
+      (3L, 4L) -> 0L))
+  }
 }

@@ -360,6 +360,47 @@ class CurationSpec extends SparkSpec {
     assert(out(3) == 255L) // beyond-max clamps
   }
 
+  // ---- DSIR importance resampling --------------------------------------
+
+  test("dsirSelect ranks target-like docs first and is deterministic") {
+    // two dialects: 'alpha beta' docs vs 'gamma delta' docs; target
+    // is the alpha dialect, so alpha docs must fill the selection
+    val alpha = (1L to 6L).map(i =>
+      (i, s"alpha beta alpha beta gamma", "en"))
+    val beta = (7L to 12L).map(i =>
+      (i, s"gamma delta gamma delta epsilon", "en"))
+    val raw = (alpha ++ beta).toDF("doc_id", "text", "lang")
+    val target = raw.filter(col("doc_id") <= 3)
+    val sel = Curation.dsirSelect(raw, target, "doc_id", "text", k = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(sel.map(_._1).toSet == (1L to 6L).toSet,
+      s"expected the alpha dialect, got ${sel.toSeq}")
+    // every target-dialect doc outranks every off-dialect doc (the
+    // absolute SIGN is not meaningful here: Laplace-1 over 4096
+    // buckets dwarfs these fixture counts and pulls both models
+    // toward uniform — ordering is the resampling contract)
+    val all = Curation.dsirSelect(raw, target, "doc_id", "text", k = 12)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert((1L to 6L).forall(i => (7L to 12L).forall(j => all(i) > all(j))))
+    // identical docs score identically; reruns are bit-stable
+    assert(all(1L) == all(2L))
+    val rerun = Curation.dsirSelect(raw, target, "doc_id", "text", k = 12)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rerun == all)
+  }
+
+  test("dsirSelect smoothing keeps unseen-in-target buckets finite") {
+    // the raw-only dialect shares no bigram with the target: its
+    // weight must be finite (Laplace floor), not -inf
+    val raw = Seq((1L, "zeta eta zeta"), (2L, "theta iota theta"))
+      .toDF("doc_id", "text")
+    val target = raw.filter(col("doc_id") === 1L)
+    val all = Curation.dsirSelect(raw, target, "doc_id", "text", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(all.size == 2 && all.values.forall(v => !v.isInfinite))
+    assert(all(1L) > all(2L))
+  }
+
   // ---- driver-contract wiring ------------------------------------------
 
   test("every SparkEntry query has exactly one oracle and vice versa") {
