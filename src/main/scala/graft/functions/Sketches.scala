@@ -175,4 +175,133 @@ object Sketches {
     if (groupCols.isEmpty) index.agg(merged)
     else index.groupBy(groupCols.map(col): _*).agg(merged)
   }
+
+  // ---- ε-approximate quantile coreset ------------------------------
+
+  /** Mergeable ε-approximate QUANTILE summary — the third leg of the
+    * sketch family (MG: frequency, HLL: cardinality, this:
+    * distribution). Built by per-partition sorted subsampling, the
+    * simplest of the classic mergeable quantile-summary
+    * constructions: each partition sorts locally (Tungsten spillable
+    * sort, NO shuffle) and one streaming pass keeps every t-th
+    * element with weight t, plus the partition's last element
+    * carrying the remainder so weights sum EXACTLY to N.
+    *
+    * Error contract, proven not assumed: for any value x, the merged
+    * coreset's cumulative weight obeys
+    * `cumw(x) <= count(<= x) <= cumw(x) + P·(t−1)` — each
+    * partition's kept points are at most t−1 elements stale. A
+    * value's rank is an INTERVAL under duplicates, so the quantile
+    * answer v* (smallest kept value with cumw >= target) certifies
+    * two-sided as: `count(<= v*) >= target` (immediate from the
+    * selection) and `count(< v*) <= target + 2·P·t` (the elements
+    * below v* are those at or below the previous kept value —
+    * < target + P(t−1) — plus the strictly-between stragglers, < t
+    * per partition). With t = floor(ε·N / (2·(P+1))) the whole
+    * envelope is ≤ ε·N. Coreset size ≤ N/t + P ≈ 2(P+1)/ε rows:
+    * PARTITION-count-bounded, never data-bounded — which is what
+    * licenses the driver-side quantile extraction, the same way
+    * MG's top-k collect is k-bounded. Returns (v, w) rows plus the
+    * scalars the bound needs.
+    */
+  def quantileCoreset(values: DataFrame, valueCol: String,
+      eps: Double = 0.01): (DataFrame, Long, Long, Int) = {
+    require(eps > 0 && eps < 1, s"eps in (0,1), got $eps")
+    import values.sparkSession.implicits._
+    val v = graft.TransientCache.persist(
+      values.select(col(valueCol).cast("double").as("v"))
+        .filter(col("v").isNotNull))
+    val n = v.count()
+    val p = math.max(1, v.rdd.getNumPartitions)
+    val t = math.max(1L, math.floor(eps * n / (2.0 * (p + 1))).toLong)
+    val coreset = v.sortWithinPartitions("v").as[Double]
+      .mapPartitions { it =>
+        // one streaming pass: every t-th element with weight t, then
+        // the partition's last element with the remainder weight so
+        // Σw = m_p exactly
+        new scala.collection.AbstractIterator[(Double, Long)] {
+          private var sinceEmit = 0L
+          private var last = 0.0
+          private var closed = false
+          private var pending: (Double, Long) = _
+          private def advance(): Unit = {
+            pending = null
+            while (pending == null && it.hasNext) {
+              val x = it.next(); last = x; sinceEmit += 1
+              if (sinceEmit == t) { pending = (x, t); sinceEmit = 0 }
+            }
+            if (pending == null && !closed) {
+              closed = true
+              if (sinceEmit > 0) pending = (last, sinceEmit)
+            }
+          }
+          advance()
+          override def hasNext: Boolean = pending != null
+          override def next(): (Double, Long) = {
+            val r = pending; advance(); r
+          }
+        }
+      }.toDF("v", "w")
+    (coreset, n, t, p)
+  }
+
+  /** Quantile answers from a collected coreset: for each q, the
+    * smallest coreset value whose cumulative weight reaches
+    * ceil(q·n). The collect is (P+1)/ε-bounded by construction (see
+    * [[quantileCoreset]]); extraction is a sort + prefix walk.
+    */
+  def coresetQuantiles(coreset: Array[(Double, Long)], n: Long,
+      qs: Seq[Double]): Seq[(Double, Double)] = {
+    require(qs.forall(q => q >= 0 && q <= 1), "quantiles in [0,1]")
+    val sorted = coreset.sortBy(_._1)
+    qs.map { q =>
+      val target = math.max(1L, math.ceil(q * n).toLong)
+      var cum = 0L
+      var i = 0
+      var ans = if (sorted.nonEmpty) sorted.last._1 else Double.NaN
+      var found = false
+      while (i < sorted.length && !found) {
+        cum += sorted(i)._2
+        if (cum >= target) { ans = sorted(i)._1; found = true }
+        i += 1
+      }
+      (q, ans)
+    }
+  }
+
+  /** Sketch-estimated quantiles WITH an in-plan exactness
+    * certificate: one distributed pass builds the coreset, the
+    * estimates come from the collected (bounded) coreset, and a
+    * single exact aggregation recounts every estimate's true rank
+    * INTERVAL (a value's rank is [count(<v), count(<=v)] under
+    * duplicates) — the certificate
+    * `count(<= est) >= target − B  AND  count(< est) <= target + B`
+    * with B = 2·(P+1)·t ≤ ε·n is the construction's proven
+    * envelope, so a false row is a bug, not noise (same
+    * sketch-proposes / exact-disposes discipline as
+    * [[heavyHitters]]). Returns (q, estimate, rank_le, n,
+    * certified).
+    */
+  def certifiedQuantiles(values: DataFrame, valueCol: String,
+      qs: Seq[Double], eps: Double = 0.01): DataFrame = {
+    import values.sparkSession.implicits._
+    val (coreset, n, t, p) = quantileCoreset(values, valueCol, eps)
+    val core = coreset.as[(Double, Long)].collect()
+    val ests = coresetQuantiles(core, n, qs)
+    val v = values.select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    // every estimate's exact rank interval in ONE aggregation pass
+    val rankCols = ests.zipWithIndex.flatMap { case ((_, est), i) =>
+      Seq(sum(when(col("v") <= est, 1L).otherwise(0L)).as(s"le$i"),
+        sum(when(col("v") < est, 1L).otherwise(0L)).as(s"lt$i"))
+    }
+    val ranks = v.agg(rankCols.head, rankCols.tail: _*).head()
+    val bound = 2L * (p + 1) * t
+    ests.zipWithIndex.map { case ((q, est), i) =>
+      val le = ranks.getLong(2 * i)
+      val lt = ranks.getLong(2 * i + 1)
+      val target = math.max(1L, math.ceil(q * n).toLong)
+      (q, est, le, n, le >= target - bound && lt <= target + bound)
+    }.toDF("q", "estimate", "rank_le", "n", "certified")
+  }
 }

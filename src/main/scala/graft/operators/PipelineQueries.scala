@@ -605,6 +605,32 @@ object PipelineQueries {
         .orderBy("event_type")
     }),
 
+    // ε-approximate quantile coreset (round 9): the third custom
+    // sketch leg (MG frequency / HLL cardinality / this
+    // distribution). Per-partition sorted subsampling — NO shuffle;
+    // the merged weighted coreset is (P+1)/ε-bounded and answers
+    // any rank within ε·N by a PROVEN envelope, so `certified` is a
+    // theorem check, not a tolerance: a false row is a bug. The
+    // oracle compares the exact interpolated percentiles (the
+    // cross-engine-computable half) and TRUE certificates.
+    "sketch_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir).select(col("l_extendedprice"))
+      val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+      val cert = Sketches.certifiedQuantiles(li, "l_extendedprice",
+        qs, eps = 0.01)
+      val exactCols = qs.zipWithIndex.map { case (q, i) =>
+        round(expr(s"percentile(l_extendedprice, $q)"), 4).as(s"e$i")
+      }
+      val ex = li.agg(exactCols.head, exactCols.tail: _*).head()
+      val exact = qs.zipWithIndex
+        .map { case (q, i) => (q, ex.getDouble(i)) }
+        .toDF("q", "exact_value")
+      cert.join(exact, Seq("q"))
+        .select(col("q"), col("exact_value"), col("certified"))
+        .orderBy("q")
+    }),
+
     // Corpus vocabulary stats: global top-20 bigrams by occurrence
     // (deterministic tiebreak on the gram), with document frequency —
     // the first report of any corpus-analysis pass. Two chained
@@ -1180,6 +1206,28 @@ object PipelineQueries {
                      FROM documents)
           SELECT token, COUNT(*) AS cnt FROM w GROUP BY token
           ORDER BY cnt DESC, token ASC LIMIT 20""",
+    // exact interpolated percentiles (quantile_cont ≡ Spark
+    // percentile, the a10 parity); TRUE asserts the coreset
+    // estimate's exact rank landed inside the proven (P+1)·t ≤ ε·N
+    // envelope — a theorem check, so red is a bug, never flake
+    "sketch_quantiles" ->
+      """WITH e AS (SELECT
+              quantile_cont(l_extendedprice, 0.10) AS q10,
+              quantile_cont(l_extendedprice, 0.25) AS q25,
+              quantile_cont(l_extendedprice, 0.50) AS q50,
+              quantile_cont(l_extendedprice, 0.75) AS q75,
+              quantile_cont(l_extendedprice, 0.90) AS q90
+            FROM lineitem)
+         SELECT 0.10 AS q, ROUND(q10, 4) AS exact_value, TRUE AS certified FROM e
+         UNION ALL
+         SELECT 0.25, ROUND(q25, 4), TRUE FROM e
+         UNION ALL
+         SELECT 0.50, ROUND(q50, 4), TRUE FROM e
+         UNION ALL
+         SELECT 0.75, ROUND(q75, 4), TRUE FROM e
+         UNION ALL
+         SELECT 0.90, ROUND(q90, 4), TRUE FROM e
+         ORDER BY q""",
     // exact distinct counts; TRUE asserts the Spark side's in-plan
     // estimate-vs-exact 3·rsd gate held (HLL is deterministic, so a
     // mismatch is a genuine accuracy regression)

@@ -1196,4 +1196,53 @@ class PipelineSpec extends SparkSpec {
       graft.functions.Dedup.editDistancePairs(rows, "id", "s", 3)
     }
   }
+
+  test("quantile coreset: weights sum to N; ranks inside the proven envelope") {
+    import graft.functions.Sketches
+    val rnd = new scala.util.Random(42)
+    // skewed data (heavy duplicates + a long tail), several partitions
+    val vals = (Seq.fill(3000)(7.0) ++ (1 to 2000).map(_ => rnd.nextDouble() * 100)
+      ++ Seq.fill(500)(99.5)).map(Tuple1(_))
+    val df = vals.toDF("x").repartition(7)
+    val (coreset, n, t, p) = Sketches.quantileCoreset(df, "x", eps = 0.02)
+    val core = coreset.as[(Double, Long)].collect()
+    assert(n == 5500L)
+    assert(core.map(_._2).sum == n, "coreset weights must sum to N")
+    assert(core.length <= n / t + p + 1, "coreset must stay (P+1)/eps-bounded")
+    val sorted = vals.map(_._1).sorted
+    // a value's rank is an interval under duplicates: certify
+    // count(<=est) >= target − B and count(<est) <= target + B
+    val bound = 2L * (p + 1) * t
+    for ((q, est) <- Sketches.coresetQuantiles(core, n,
+        Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0))) {
+      val le = sorted.count(_ <= est).toLong
+      val lt = sorted.count(_ < est).toLong
+      val target = math.max(1L, math.ceil(q * n).toLong)
+      assert(le >= target - bound && lt <= target + bound,
+        s"q=$q est=$est le=$le lt=$lt target=$target bound=$bound")
+    }
+  }
+
+  test("quantile coreset: t=1 degenerates to exact ranks per partition") {
+    import graft.functions.Sketches
+    val df = (1 to 40).map(i => Tuple1(i.toDouble)).toDF("x").repartition(4)
+    // eps tiny → t=1 → the coreset IS the data (weight 1 each)
+    val (coreset, n, t, _) = Sketches.quantileCoreset(df, "x", eps = 0.001)
+    assert(t == 1L)
+    val core = coreset.as[(Double, Long)].collect()
+    assert(core.length == 40 && core.map(_._2).forall(_ == 1L))
+    val qs = Sketches.coresetQuantiles(core, n, Seq(0.5, 1.0)).toMap
+    assert(qs(0.5) == 20.0 && qs(1.0) == 40.0)
+  }
+
+  test("certifiedQuantiles: certificates hold on lineitem-like skew") {
+    import graft.functions.Sketches
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 8000).map(_ => Tuple1(math.pow(rnd.nextDouble(), 3) * 1e5))
+      .toDF("price").repartition(8)
+    val rows = Sketches.certifiedQuantiles(df, "price",
+      Seq(0.1, 0.5, 0.9), eps = 0.01).collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getBoolean(4)), rows.mkString("; "))
+  }
 }

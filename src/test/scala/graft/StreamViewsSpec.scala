@@ -452,6 +452,71 @@ class StreamViewsSpec extends SparkSpec {
     assert(n == 5L && s.collect().map(_.getString(0)).toSet == Set("hot"))
   }
 
+  test("streaming quantile coreset: slack contract holds across batches and compaction") {
+    import spark.implicits._
+    import graft.streaming.StreamQuantile
+    val dir = java.nio.file.Files.createTempDirectory("graft_sq").toString
+    val rnd = new scala.util.Random(5)
+    // three skewed batches; small cap FORCES compaction on the way
+    val batches = Seq(
+      Seq.fill(800)(5.0) ++ (1 to 400).map(_ => rnd.nextDouble() * 10),
+      (1 to 1200).map(_ => 10 + rnd.nextDouble() * 90),
+      Seq.fill(600)(42.0) ++ (1 to 300).map(_ => rnd.nextDouble() * 100))
+    val slacks = scala.collection.mutable.Map.empty[Long, Long]
+    batches.zipWithIndex.foreach { case (b, i) =>
+      assert(StreamQuantile.applyBatch(
+        b.map(Tuple1(_)).toDF("x").repartition(5), "x", dir, i.toLong,
+        eps = 0.05, cap = 64)((id, s) => slacks(id) = s))
+    }
+    val all = batches.flatten.sorted
+    val (core, n, slack) = StreamQuantile.read(spark, dir)
+    assert(n == all.size.toLong && slack == slacks(2L))
+    assert(core.map(_._2).sum == n, "coreset weights must sum to N")
+    assert(core.size <= 64 + 30, "cap must bound the at-rest coreset")
+    // compaction must have fired at least once given cap=64 and 3
+    // batches of ~30+ coreset rows each — slack beyond the per-batch
+    // construction envelopes is its signature
+    val rows = StreamQuantile.quantiles(spark, dir,
+      Seq(0.1, 0.5, 0.9)).collect()
+    for (r <- rows) {
+      val (q, est, sl) = (r.getDouble(0), r.getDouble(1), r.getLong(2))
+      assert(sl == slack)
+      val le = all.count(_ <= est).toLong
+      val lt = all.count(_ < est).toLong
+      val target = math.max(1L, math.ceil(q * n).toLong)
+      assert(le >= target - sl && lt <= target + sl,
+        s"q=$q est=$est le=$le lt=$lt target=$target slack=$sl")
+    }
+    // re-delivery of a committed batch is a no-op
+    assert(!StreamQuantile.applyBatch(
+      batches(2).map(Tuple1(_)).toDF("x"), "x", dir, 2L)())
+    val (c2, n2, s2) = StreamQuantile.read(spark, dir)
+    assert(n2 == n && s2 == slack && c2 == core)
+    // half-written state throws instead of resetting the slack
+    val corePath = java.nio.file.Paths.get(dir, "coreset")
+    val hidden = java.nio.file.Paths.get(dir, "coreset_hidden")
+    java.nio.file.Files.move(corePath, hidden)
+    val ex = intercept[IllegalStateException] {
+      StreamQuantile.read(spark, dir)
+    }
+    assert(ex.getMessage.contains("half-written"))
+    java.nio.file.Files.move(hidden, corePath)
+    assert(StreamQuantile.read(spark, dir)._2 == n)
+  }
+
+  test("streaming quantile compact: weights preserved, measured staleness returned") {
+    import graft.streaming.StreamQuantile
+    val core = (1 to 20).map(i => (i.toDouble, 3L))
+    val (compacted, introduced) = StreamQuantile.compact(core, 7L)
+    assert(compacted.map(_._2).sum == 60L)
+    // groups of 3+3+3=9 ≥ 7 → emitted weight 9; measured max is 9
+    assert(introduced == 9L)
+    assert(compacted.forall(_._2 <= 9L))
+    // values stay sorted and are drawn from the input's kept points
+    assert(compacted.map(_._1) == compacted.map(_._1).sorted)
+    assert(compacted.map(_._1).toSet.subsetOf(core.map(_._1).toSet))
+  }
+
   test("streaming HLL index: per-batch merges equal batch build; re-delivery benign twice over") {
     import spark.implicits._
     import graft.functions.Sketches
