@@ -482,6 +482,52 @@ object Algorithms {
     }
   }
 
+  /** +G: landmark distance index (the ALT / landmark-embedding
+    * technique, Goldberg & Harrelson 2005): pick the L highest-degree
+    * vertices as landmarks (ties by min id — deterministic), run ONE
+    * bulk [[multiSourceBfs]], and keep the L·V hop table. Any
+    * pairwise distance query is then served from the index by the
+    * triangle inequality ([[landmarkBounds]]) without touching the
+    * edge set — the 100 TB answer to "how far apart are these two
+    * vertices" at query time: exact per-pair BFS costs an edge-set
+    * traversal per query, the index costs L rows per lookup. The
+    * landmark pick is a TakeOrdered over the degree aggregate
+    * (L-bounded, never a global sort).
+    */
+  def landmarkIndex(edges: DataFrame, numLandmarks: Int, maxHops: Int,
+      undirected: Boolean = true,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(numLandmarks > 0, "need at least one landmark")
+    val e = edges.select(col("src"), col("dst"))
+    val doubled =
+      if (undirected)
+        e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      else e
+    val lms = doubled.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("degree"))
+      .orderBy(col("degree").desc, col("id").asc)
+      .limit(numLandmarks).select("id")
+    multiSourceBfs(e, lms, maxHops, undirected, checkpointDir)
+  }
+
+  /** Triangle-inequality distance bounds from a landmark index (an
+    * undirected index): for each (u, v) pair,
+    * `max_l |d(u,l) − d(v,l)|  ≤  d(u,v)  ≤  min_l d(u,l) + d(v,l)`.
+    * Only landmarks that reach BOTH endpoints contribute (inner
+    * joins); pairs no landmark covers are absent. Two equi-joins on
+    * the landmark id + one aggregate — no BFS at query time.
+    */
+  def landmarkBounds(index: DataFrame, pairs: DataFrame): DataFrame = {
+    val du = index.select(col("source").as("l"), col("id").as("u"),
+      col("hops").as("du"))
+    val dv = index.select(col("source").as("l"), col("id").as("v"),
+      col("hops").as("dv"))
+    pairs.join(du, Seq("u")).join(dv, Seq("v", "l"))
+      .groupBy("u", "v")
+      .agg(max(abs(col("du") - col("dv"))).as("lb"),
+        min(col("du") + col("dv")).as("ub"))
+  }
+
   /** G9: k-core — iteratively drop vertices with (undirected) degree
     * < k and their incident edges until stable
     * (graph/algorithms/src/lib.rs:47-82). Returns surviving vertex

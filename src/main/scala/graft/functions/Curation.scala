@@ -108,6 +108,43 @@ object Curation {
       .select(col("id"), round(col("logw"), 4).as("logw"))
   }
 
+  /** Leakage-free train/val/test split. The naive per-doc hash split
+    * LEAKS: near-duplicates of an eval document land in train and
+    * the eval set measures memorization instead of generalization.
+    * This assigns each near-dup CLUSTER to one split — docs map to
+    * their cluster's canonical id ([[Dedup.resolveDupClusters]]
+    * min-id connected components over the verified dup pairs) and
+    * the split decision hashes the CANONICAL id (Knuth
+    * multiplicative form, oracle-reproducible — see
+    * [[Sampling.idHash]]) — so every member of a cluster, and
+    * therefore every near-dup pair, lands in the same split BY
+    * CONSTRUCTION, not by audit. `weights` are integer proportions
+    * (e.g. train 8 / val 1 / test 1 ⇒ cut points 8000/9000 of the
+    * 10000-wide hash space). At 100 TB this adds one CC resolve and
+    * one hash projection to the split the pipeline already does;
+    * the decision stays a pure function of (corpus, pairs), so
+    * re-runs and backfills agree row for row.
+    */
+  def leakFreeSplit(df: DataFrame, idCol: String, dupPairs: DataFrame,
+      weights: Seq[(String, Int)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be positive integer proportions")
+    val total = weights.map(_._2).sum
+    val cuts = weights.map(_._2).scanLeft(0L)(_ + _).tail
+      .map(c => c * 10000L / total)
+    val canon = Dedup.resolveDupClusters(df.select(col(idCol)), idCol,
+      dupPairs)
+    val h = Sampling.idHash(col("canonical_id"))
+    val named = weights.map(_._1).zip(cuts)
+    val splitCol =
+      if (named.size == 1) lit(named.head._1)
+      else named.init.tail.foldLeft(
+          when(h < named.head._2, named.head._1)) {
+          case (acc, (name, cut)) => acc.when(h < cut, name)
+        }.otherwise(named.last._1)
+    canon.select(col("id"), splitCol.as("split"), col("canonical_id"))
+  }
+
   /** Multiplicative hash on a non-negative long id — the
     * deterministic, partitioning-independent pseudo-shuffle key (same
     * recipe as Sampling: Knuth multiplicative hashing, reproducible

@@ -226,6 +226,25 @@ object AlgoQueries {
         .orderBy("source", "suppkey")
     }),
 
+    // +G: landmark distance index (g31, ALT — Goldberg & Harrelson
+    // 2005): 4 top-degree landmarks, ONE bulk BFS, then pairwise
+    // triangle-inequality bounds served from the L·V index with no
+    // BFS at query time. Full value oracle: landmark choice (degree
+    // desc, id asc), BFS and both bounds are all recomputable in
+    // SQL, so lb/ub are value-compared pair by pair.
+    "g31_landmarks" -> ((s, dir) => {
+      val co = coOrder(s, dir)
+      val idx = Algorithms.landmarkIndex(co.edges.select("src", "dst"),
+        numLandmarks = 4, maxHops = 6)
+      val vs = co.vertices.filter(col("id") <= 30)
+      val pairs = vs.select(col("id").as("u"))
+        .join(vs.select(col("id").as("v")), col("u") < col("v"))
+      Algorithms.landmarkBounds(idx, pairs)
+        .select(col("u").as("suppkey1"), col("v").as("suppkey2"),
+          col("lb"), col("ub"))
+        .orderBy("suppkey1", "suppkey2")
+    }),
+
     // G8: forward reachability over the directed TPC-H property graph
     // from customer 1 (frontier expansion to fixpoint).
     "g8_reachability" -> ((s, dir) => {
@@ -709,6 +728,29 @@ object AlgoQueries {
                 CAST(NULL AS DOUBLE) AS gain
          WHERE FALSE""",
     "g26_hits" -> hitsOracle,
+    // g31: identical landmark pick (degree desc, id asc from the
+    // doubled-edge degree CTE), 6-hop BFS, triangle-inequality
+    // bounds over the u<v pairs among suppliers 1-30
+    "g31_landmarks" ->
+      s"""WITH RECURSIVE $coOrderCte,
+         lm AS (SELECT src AS id FROM deg ORDER BY d DESC, src ASC LIMIT 4),
+         bfs(source, id, hops) AS (
+           SELECT id, id, 0 FROM lm
+           UNION
+           SELECT b.source, e.dst, b.hops + 1 FROM bfs b
+           JOIN e ON b.id = e.src WHERE b.hops < 6),
+         dist AS (SELECT source, id, MIN(hops) AS h FROM bfs
+                  GROUP BY source, id),
+         vs AS (SELECT id FROM v WHERE id <= 30),
+         pr AS (SELECT a.id AS u, b.id AS v FROM vs a
+                JOIN vs b ON a.id < b.id)
+         SELECT pr.u AS suppkey1, pr.v AS suppkey2,
+                CAST(MAX(ABS(du.h - dv.h)) AS INTEGER) AS lb,
+                CAST(MIN(du.h + dv.h) AS INTEGER) AS ub
+         FROM pr
+         JOIN dist du ON du.id = pr.u
+         JOIN dist dv ON dv.id = pr.v AND dv.source = du.source
+         GROUP BY pr.u, pr.v ORDER BY suppkey1, suppkey2""",
     "g25_closeness" ->
       s"""WITH RECURSIVE $coOrderCte,
          bfs(source, id, hops) AS (

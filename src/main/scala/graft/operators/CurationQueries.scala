@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{Curation, EmbeddingOps, TextFunctions}
+import graft.functions.{Curation, Dedup, EmbeddingOps, TextFunctions}
 import graft.sources.Tables
 
 /** Curation / embedding-maintenance query pack (round 4): per-domain
@@ -48,6 +48,22 @@ object CurationQueries {
       Curation.dsirSelect(d, target, "doc_id", "text")
         .select(col("id").as("doc_id"), col("logw"))
         .orderBy(col("logw").desc, col("doc_id"))
+    }),
+
+    // Leakage-free train/val/test split (8/1/1): near-dup CLUSTERS
+    // (exact-verified MinHash pairs → min-id CC) are the split unit,
+    // so near-duplicates of an eval doc can never sit in train. Full
+    // value oracle: the CC is recursive-CTE-expressible and the
+    // split hash is the Knuth multiplicative form both engines
+    // compute exactly.
+    "pipe_split_leakfree" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minHashDedupPairsExact(docs, "text", "doc_id",
+        shingleSize = 2, threshold = 0.8, numHashes = 32, bands = 16)
+      Curation.leakFreeSplit(docs, "doc_id", pairs,
+          Seq(("train", 8), ("val", 1), ("test", 1)))
+        .select(col("id").as("doc_id"), col("split"))
+        .orderBy("doc_id")
     }),
 
     // Per-doc top-3 TF-IDF terms.
@@ -189,6 +205,43 @@ object CurationQueries {
     s"((((l_suppkey % 256) >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // split mirror: dedup_cluster_resolve's recursive-CTE CC (the
+    // exact bigram-Jaccard pairs at 0.8 — minhash banding has full
+    // recall on this corpus, see the dedup oracles note) + the Knuth
+    // multiplicative hash of the canonical id, 8000/9000 cut points
+    "pipe_split_leakfree" ->
+      s"""WITH RECURSIVE t AS (
+            SELECT doc_id, list_distinct(
+              CASE WHEN len(w) >= 2
+                THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                ELSE [array_to_string(w, ' ')] END) AS bg
+            FROM (SELECT doc_id, string_split(${PipelineQueries.normText}, ' ')
+                    AS w FROM documents)),
+          ex AS (SELECT doc_id, len(bg) AS n, unnest(bg) AS s FROM t),
+          j AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS inter,
+                       FIRST(a.n) AS na, FIRST(b.n) AS nb
+                FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+          p AS (SELECT ida, idb FROM j
+                WHERE ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.8),
+          e AS (SELECT ida AS a, idb AS b FROM p
+                UNION SELECT idb, ida FROM p),
+          reach(a, b) AS (
+            SELECT a, b FROM e
+            UNION
+            SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+          canon AS (SELECT a AS id, LEAST(a, MIN(b)) AS canonical_id
+                    FROM reach GROUP BY a),
+          f AS (SELECT d.doc_id AS id,
+                       COALESCE(c.canonical_id, d.doc_id) AS cid
+                FROM documents d LEFT JOIN canon c ON d.doc_id = c.id)
+          SELECT id AS doc_id,
+                 CASE WHEN h < 8000 THEN 'train'
+                      WHEN h < 9000 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM (SELECT id,
+                  ((cid % 1000000007) * 2654435761) % 10000 AS h FROM f)
+          ORDER BY doc_id""",
     // DSIR mirror: identical bigram construction (bigramJaccardSql's,
     // WITHOUT list_distinct — DSIR models occurrence counts), md5
     // hex-prefix bucketing, Laplace-1 smoothing, per-doc log-ratio

@@ -768,6 +768,66 @@ class AlgoSpec extends SparkSpec {
     }
   }
 
+  test("landmarks: bounds bracket exact distances; star center is exact") {
+    // star: center 1, leaves 2..6 → landmark = 1 (highest degree);
+    // every leaf pair has d=2 and the center landmark makes ub exact
+    val star = (2L to 6L).map(i => (1L, i)).toDF("src", "dst")
+    val idx = Algorithms.landmarkIndex(star, numLandmarks = 1, maxHops = 4)
+    assert(idx.filter(col("source") =!= 1L).isEmpty,
+      "highest-degree landmark must be the center")
+    import spark.implicits._
+    val pairs = (for (u <- 2L to 6L; v <- (u + 1) to 6L) yield (u, v))
+      .toDF("u", "v")
+    val b = Algorithms.landmarkBounds(idx, pairs).collect()
+    assert(b.length == 10)
+    b.foreach { r =>
+      assert(r.getInt(2) == 0 && r.getInt(3) == 2, r.toString) // lb=|1-1|, ub=2 exact
+    }
+  }
+
+  test("landmarks: lb <= exact <= ub on random graphs vs plain-Scala BFS") {
+    for (seed <- Seq(3, 9)) {
+      val rnd = new scala.util.Random(seed)
+      val vN = 24
+      val esr = Seq.fill(50)({
+        val a = 1L + rnd.nextInt(vN); val b = 1L + rnd.nextInt(vN)
+        (math.min(a, b), math.max(a, b))
+      }).filter { case (a, b) => a != b }.distinct
+      val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+        .withDefaultValue(Set.empty)
+      for ((a, b) <- esr) { adj(a) += b; adj(b) += a }
+      def exact(s: Long, t: Long): Option[Int] = {
+        var seen = Map(s -> 0)
+        var frontier = Set(s)
+        var h = 0
+        while (frontier.nonEmpty && !seen.contains(t) && h < 10) {
+          h += 1
+          frontier = frontier.flatMap(adj).filterNot(seen.contains)
+          frontier.foreach(x => seen += x -> h)
+        }
+        seen.get(t)
+      }
+      val idx = Algorithms.landmarkIndex(esr.toDF("src", "dst"),
+        numLandmarks = 3, maxHops = 8)
+      val vids = esr.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val pairs = (for (u <- vids; v <- vids if u < v) yield (u, v))
+        .toDF("u", "v")
+      val got = Algorithms.landmarkBounds(idx, pairs).collect()
+      assert(got.nonEmpty)
+      got.foreach { r =>
+        val (u, v, lb, ub) =
+          (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))
+        exact(u, v) match {
+          case Some(d) => assert(lb <= d && d <= ub,
+            s"seed=$seed ($u,$v): lb=$lb d=$d ub=$ub")
+          case None => // pair disconnected: a landmark reaching both
+            // would prove connectivity — must not happen
+            fail(s"seed=$seed ($u,$v) has bounds but is disconnected")
+        }
+      }
+    }
+  }
+
   test("ktruss: edgeSupport hand values incl zero-support edges") {
     // triangle {1,2,3} + pendant edge (3,4)
     val es = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")

@@ -401,6 +401,44 @@ class CurationSpec extends SparkSpec {
     assert(all(1L) > all(2L))
   }
 
+  // ---- leakage-free split -----------------------------------------------
+
+  test("leakFreeSplit: near-dup clusters never straddle splits; naive split would leak") {
+    import graft.functions.{Curation, Sampling}
+    // clusters {1,5,12} (naive buckets train/val/test — the leaky
+    // fixture) and {19, 24} (test/val); 200 singletons for spread
+    val ids = (Seq(1L, 5L, 12L, 19L, 24L) ++ (100L to 299L)).map(Tuple1(_))
+    val docs = ids.toDF("doc_id")
+    val pairs = Seq((1L, 5L), (5L, 12L), (19L, 24L)).toDF("ida", "idb")
+    val out = Curation.leakFreeSplit(docs, "doc_id", pairs,
+      Seq(("train", 8), ("val", 1), ("test", 1)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == ids.size)
+    // cluster members share their split — every near-dup pair co-located
+    assert(out(1L) == out(5L) && out(5L) == out(12L))
+    assert(out(19L) == out(24L))
+    // the test is not vacuous: hashing MEMBER ids (the naive split)
+    // disagrees within at least one cluster, so cluster-hashing is
+    // load-bearing, not coincidence
+    def naive(id: Long): Long = ((id % 1000000007L) * 2654435761L) % 10000L
+    def bucket(h: Long): String =
+      if (h < 8000) "train" else if (h < 9000) "val" else "test"
+    val naiveLeaks = Seq(Seq(1L, 5L, 12L), Seq(19L, 24L))
+      .exists(c => c.map(id => bucket(naive(id))).distinct.size > 1)
+    assert(naiveLeaks, "fixture ids must demonstrate the naive-split leak")
+    // all three splits materialize on the singleton mass, and the
+    // split of a singleton is exactly the hash of its own id
+    assert(out.values.toSet == Set("train", "val", "test"))
+    (100L to 299L).foreach { id =>
+      assert(out(id) == bucket(naive(id)), s"singleton $id split drift")
+    }
+    // determinism
+    val rerun = Curation.leakFreeSplit(docs, "doc_id", pairs,
+      Seq(("train", 8), ("val", 1), ("test", 1)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rerun == out)
+  }
+
   // ---- driver-contract wiring ------------------------------------------
 
   test("every SparkEntry query has exactly one oracle and vice versa") {

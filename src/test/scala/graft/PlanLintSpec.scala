@@ -42,7 +42,10 @@ class PlanLintSpec extends SparkSpec {
     "text_fingerprint" -> "single-row aggregate",
     "emb_outliers" -> "per-label centroid model",
     "gql_unwind" -> "leading-UNWIND literal list (2 rows, broadcast by construction) cross-composed against the MATCH",
-    "gql_labels" -> "single-row nation id/count aggregate crossJoined onto the 6-row label counts"
+    "gql_labels" -> "single-row nation id/count aggregate crossJoined onto the 6-row label counts",
+    "dedup_semantic" -> "validation harness only: the INDEPENDENT exact global pair scan (embeddingDedupPairs under its maxExactRows bound) the violation oracle compares against — the production path is the cid-bucketed SHUFFLE_HASH equi-join",
+    "pipe_dsir" -> "two single-row model-total aggregates broadcast onto the <= buckets-row (4096) log-ratio table",
+    "g31_landmarks" -> "u<v pair enumeration over the 30-id bounded vertex slice (the bound readout set, never the corpus)"
   )
 
   /** Queries whose plans legitimately rank over an UNPARTITIONED
