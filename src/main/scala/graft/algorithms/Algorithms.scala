@@ -528,6 +528,59 @@ object Algorithms {
         min(col("du") + col("dv")).as("ub"))
   }
 
+  /** +G: earliest-arrival TEMPORAL reachability (Wu et al. 2014,
+    * "Path Problems in Temporal Graphs"): over edges stamped with a
+    * time, a path is valid only if its edge times never decrease —
+    * "u reached v" means a causally-consistent chain of interactions,
+    * which plain reachability overstates (it happily chains a 1998
+    * edge after a 2000 one). Computed as a min-date frontier
+    * relaxation: arrival(seed, v) starts at the sentinel for the
+    * seeds and each round relaxes along temporal edges whose stamp is
+    * ≥ the current arrival, keeping per-(seed, v) minima. Earliest
+    * arrival is monotone non-increasing, so the fixpoint exists and
+    * whole-round relaxation is exact; rounds are bounded by the
+    * longest improving chain. Each round is one equi-join on the
+    * frontier (count-licensed broadcast like [[multiSourceBfs]]) and
+    * one map-side-combined min — the state is O(seeds · V), never
+    * per-edge.
+    */
+  def temporalReachability(tedges: DataFrame, seeds: DataFrame,
+      sentinel: java.sql.Timestamp, maxRounds: Int = 60,
+      checkpointDir: Option[String] = None,
+      broadcastRows: Long = DefaultBroadcastRows): DataFrame = {
+    import graft.Lineage.CutOps
+    val rel = graft.Lineage.configure(tedges, checkpointDir)
+    val e = tedges.select(col("src"), col("dst"), col("d").as("ed"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var arrival = seeds.select(col("id").as("seed"), col("id"),
+        lit(sentinel).as("d")).cut(rel)
+      var frontier = arrival
+      var frontierCnt = frontier.count()
+      var rounds = 0
+      while (frontierCnt > 0 && rounds < maxRounds) {
+        val fr = hintIfAtMost(frontier, frontierCnt, broadcastRows)
+        val candidates = fr.join(e,
+            fr("id") === e("src") && e("ed") >= fr("d"))
+          .select(col("seed"), col("dst").as("id"), col("ed").as("d"))
+          .groupBy("seed", "id").agg(min(col("d")).as("d"))
+        val improved = candidates
+          .join(arrival.select(col("seed"), col("id"),
+            col("d").as("old")), Seq("seed", "id"), "left")
+          .filter(col("old").isNull || col("d") < col("old"))
+          .select("seed", "id", "d").cut(rel)
+        frontierCnt = improved.count()
+        if (frontierCnt > 0) {
+          arrival = arrival.unionByName(improved)
+            .groupBy("seed", "id").agg(min(col("d")).as("d")).cut(rel)
+          frontier = improved
+        }
+        rounds += 1
+      }
+      arrival
+    } finally e.unpersist(blocking = false)
+  }
+
   /** G9: k-core — iteratively drop vertices with (undirected) degree
     * < k and their incident edges until stable
     * (graph/algorithms/src/lib.rs:47-82). Returns surviving vertex

@@ -245,6 +245,34 @@ object AlgoQueries {
         .orderBy("suppkey1", "suppkey2")
     }),
 
+    // +G: earliest-arrival TEMPORAL reachability (g32, Wu et al.
+    // 2014) — time-respecting paths over co-order interactions
+    // stamped with their order date: u reaches v only through a
+    // chain whose dates never decrease (plain reachability happily
+    // chains a 1998 edge after a 2000 one — causally wrong for
+    // influence/contact analyses). Full value oracle: recursive CTE
+    // carrying the arrival date, MIN per (seed, vertex).
+    "g32_temporal_reach" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"),
+          col("l_suppkey").cast("long").as("sk"))
+        .distinct()
+      val b = li.select(col("o").as("o2"), col("sk").as("sk2"))
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("o"), col("o_orderdate").as("d"))
+      val te = li.join(b, col("o") === col("o2") && col("sk") =!= col("sk2"))
+        .join(ord, Seq("o"))
+        .select(col("sk").as("src"), col("sk2").as("dst"), col("d"))
+      val seeds = Tables.supplier(s, dir)
+        .select(col("s_suppkey").cast("long").as("id"))
+        .filter(col("id") <= 3)
+      Algorithms.temporalReachability(te, seeds,
+          java.sql.Timestamp.valueOf("1990-01-01 00:00:00"))
+        .select(col("seed"), col("id").as("suppkey"),
+          col("d").as("earliest"))
+        .orderBy("seed", "suppkey")
+    }),
+
     // G8: forward reachability over the directed TPC-H property graph
     // from customer 1 (frontier expansion to fixpoint).
     "g8_reachability" -> ((s, dir) => {
@@ -728,6 +756,27 @@ object AlgoQueries {
                 CAST(NULL AS DOUBLE) AS gain
          WHERE FALSE""",
     "g26_hits" -> hitsOracle,
+    // g32: identical temporal edge derivation (per-order supplier
+    // pairs stamped with o_orderdate, both directions), recursive
+    // walk constrained to non-decreasing dates, earliest arrival per
+    // (seed, vertex); the sentinel start makes seed self-rows match
+    "g32_temporal_reach" ->
+      """WITH RECURSIVE li AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem),
+         te AS MATERIALIZED (
+           SELECT CAST(a.sk AS BIGINT) AS src, CAST(b.sk AS BIGINT) AS dst,
+                  o.o_orderdate AS d
+           FROM li a JOIN li b ON a.o = b.o AND a.sk <> b.sk
+           JOIN orders o ON o.o_orderkey = a.o),
+         seeds AS (SELECT CAST(s_suppkey AS BIGINT) AS id FROM supplier
+                   WHERE s_suppkey <= 3),
+         walk(seed, id, d) AS (
+           SELECT id, id, TIMESTAMP '1990-01-01 00:00:00' FROM seeds
+           UNION
+           SELECT w.seed, te.dst, te.d FROM walk w JOIN te ON te.src = w.id
+           WHERE te.d >= w.d)
+         SELECT seed, id AS suppkey, MIN(d) AS earliest FROM walk
+         GROUP BY seed, id ORDER BY seed, suppkey""",
     // g31: identical landmark pick (degree desc, id asc from the
     // doubled-edge degree CTE), 6-hop BFS, triangle-inequality
     // bounds over the u<v pairs among suppliers 1-30

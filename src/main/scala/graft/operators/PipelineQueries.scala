@@ -619,10 +619,16 @@ object PipelineQueries {
       val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
       val cert = Sketches.certifiedQuantiles(li, "l_extendedprice",
         qs, eps = 0.01)
-      val exactCols = qs.zipWithIndex.map { case (q, i) =>
-        round(expr(s"percentile(l_extendedprice, $q)"), 4).as(s"e$i")
-      }
-      val ex = li.agg(exactCols.head, exactCols.tail: _*).head()
+      // ONE percentile aggregate with the array form: separate
+      // percentile(x, q) expressions each build their own
+      // per-partition value map (measured 10.0 s vs 2.5 s for the
+      // array form at sf0.1 — QuantileProbe)
+      val qsLit = qs.map(q => s"${q}D").mkString("array(", ", ", ")")
+      val ex = li
+        .agg(expr(s"percentile(l_extendedprice, $qsLit)").as("ps"))
+        .select(qs.indices.map(i =>
+          round(col("ps").getItem(i), 4).as(s"e$i")): _*)
+        .head()
       val exact = qs.zipWithIndex
         .map { case (q, i) => (q, ex.getDouble(i)) }
         .toDF("q", "exact_value")

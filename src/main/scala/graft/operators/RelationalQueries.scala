@@ -257,12 +257,17 @@ object RelationalQueries {
     // it per column when the per-group sort no longer fits, same
     // trade the reference's probe stage makes.
     "a10_percentiles" -> ((s, dir) => {
+      // ONE array-form percentile per group: separate percentile
+      // expressions each build their own per-partition value map —
+      // measured 4x at sf0.1 (QuantileProbe, sketch_quantiles note)
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+        .agg(expr("percentile(l_extendedprice, array(0.5D, 0.25D, 0.9D))")
+          .as("ps"))
+        .select(col("l_returnflag"),
+          round(col("ps").getItem(0), 4).as("p50"),
+          round(col("ps").getItem(1), 4).as("p25"),
+          round(col("ps").getItem(2), 4).as("p90"))
         .orderBy("l_returnflag")
     }),
 

@@ -828,6 +828,79 @@ class AlgoSpec extends SparkSpec {
     }
   }
 
+  test("temporal reachability: time-respecting paths only; earliest arrival exact") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val sentinel = ts("1990-01-01")
+    // 1→2 @ 2000; 2→3 @ 1998 (BEFORE arrival at 2 — not traversable);
+    // 2→3 @ 2001 (traversable); 3→4 @ 2000 (before arrival 2001 at 3
+    // — not traversable, so 4 is temporally unreachable from 1)
+    val te = Seq(
+      (1L, 2L, ts("2000-01-01")),
+      (2L, 3L, ts("1998-01-01")),
+      (2L, 3L, ts("2001-06-01")),
+      (3L, 4L, ts("2000-01-01"))).toDF("src", "dst", "d")
+    val seeds = Seq(1L).toDF("id")
+    val got = Algorithms.temporalReachability(te, seeds, sentinel)
+      .collect().map(r => (r.getLong(1), r.getTimestamp(2))).toMap
+    assert(got == Map(
+      1L -> sentinel,
+      2L -> ts("2000-01-01"),
+      3L -> ts("2001-06-01")))
+    // plain reachability WOULD claim 4 (1→2→3→4 ignoring time):
+    // the temporal answer must not
+    assert(!got.contains(4L))
+    // equal timestamps chain (>= not >): 5→6 and 6→7 at the same date
+    val te2 = Seq((5L, 6L, ts("1999-01-01")), (6L, 7L, ts("1999-01-01")))
+      .toDF("src", "dst", "d")
+    val got2 = Algorithms.temporalReachability(te2,
+        Seq(5L).toDF("id"), sentinel)
+      .collect().map(r => (r.getLong(1), r.getTimestamp(2))).toMap
+    assert(got2(7L) == ts("1999-01-01"))
+    // earliest-arrival minimality: a later parallel edge must not
+    // displace the earlier arrival
+    val te3 = Seq((1L, 2L, ts("1995-01-01")), (1L, 2L, ts("1996-01-01")))
+      .toDF("src", "dst", "d")
+    val got3 = Algorithms.temporalReachability(te3,
+        Seq(1L).toDF("id"), sentinel)
+      .collect().map(r => (r.getLong(1), r.getTimestamp(2))).toMap
+    assert(got3(2L) == ts("1995-01-01"))
+  }
+
+  test("temporal reachability: random temporal graphs vs plain-Scala relaxation") {
+    import java.sql.Timestamp
+    val sentinel = Timestamp.valueOf("1990-01-01 00:00:00")
+    for (seed <- Seq(13, 21)) {
+      val rnd = new scala.util.Random(seed)
+      val vN = 15
+      val esr = Seq.fill(60)({
+        (1L + rnd.nextInt(vN), 1L + rnd.nextInt(vN),
+          Timestamp.valueOf(s"${1995 + rnd.nextInt(6)}-0${1 + rnd.nextInt(9)}-01 00:00:00"))
+      }).filter(e => e._1 != e._2)
+      def brute(s0: Long): Map[Long, Timestamp] = {
+        var arrival = Map(s0 -> sentinel)
+        var changed = true
+        while (changed) {
+          changed = false
+          for ((u, v, d) <- esr) arrival.get(u) match {
+            case Some(au) if !d.before(au) &&
+                arrival.get(v).forall(d.before) =>
+              arrival += v -> d; changed = true
+            case _ =>
+          }
+        }
+        arrival
+      }
+      val got = Algorithms.temporalReachability(
+          esr.toDF("src", "dst", "d"), Seq(1L, 2L).toDF("id"), sentinel)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getTimestamp(2)).toMap
+      val want = Seq(1L, 2L).flatMap(s0 =>
+        brute(s0).map { case (v, d) => (s0, v) -> d }).toMap
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
   test("ktruss: edgeSupport hand values incl zero-support edges") {
     // triangle {1,2,3} + pendant edge (3,4)
     val es = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
