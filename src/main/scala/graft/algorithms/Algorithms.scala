@@ -1289,6 +1289,97 @@ object Algorithms {
     out
   }
 
+  /** +G: node2vec-style SECOND-ORDER biased walks (Grover & Leskovec
+    * 2016) — the walk corpus whose hop distribution depends on the
+    * PREVIOUS vertex: a candidate next-hop is weighted `wReturn` if
+    * it returns to the previous vertex, `wCommon` if it is also a
+    * neighbor of the previous vertex (BFS-ish move), `wFar`
+    * otherwise (DFS-ish move) — integer weights standing in for the
+    * paper's 1/p, 1, 1/q. Deterministic like [[randomWalks]]: the
+    * hop is picked by the portable (walk, step, cur) mix reduced mod
+    * the candidates' total weight, landing in a cumulative-weight
+    * range — every transition a pure function of the graph, so the
+    * oracle can replay it.
+    *
+    * The biased adjacency (prev, cur, dst, weight range) is
+    * PRECOMPUTED once — the node2vec paper's own preprocessing trade
+    * (alias tables per directed edge): O(Σ_{(u,v)∈E} deg(v)) rows,
+    * one window shuffle keyed by (prev, cur). Steps are then one
+    * equi-join each on (prev, cur) — O(walkLength) joins for ANY
+    * number of walks. Step 1 has no previous vertex and uses the
+    * first-order ranked adjacency, exactly like [[randomWalks]].
+    * A walker stops when no positively-weighted candidate exists
+    * (sink, or all candidates in zero-weight classes).
+    */
+  def node2vecWalks(vertices: DataFrame, edges: DataFrame,
+      walkLength: Int, wReturn: Int = 1, wCommon: Int = 4,
+      wFar: Int = 2, walksPerVertex: Int = 1,
+      undirected: Boolean = false): DataFrame = {
+    require(walksPerVertex >= 1 && walkLength >= 1,
+      "need at least one walk of at least one step")
+    require(wReturn >= 0 && wCommon >= 0 && wFar >= 0 &&
+      (wReturn max wCommon max wFar) >= 1,
+      "class weights must be non-negative with at least one positive")
+    val eDir = edges.select(col("src"), col("dst"))
+    val all = graft.TransientCache.persist((if (undirected)
+        eDir.unionByName(eDir.select(col("dst").as("src"),
+          col("src").as("dst")))
+      else eDir).distinct())
+    // first-order ranked adjacency for step 1 (randomWalks's shape)
+    val w1 = Window.partitionBy("src").orderBy("dst")
+    val nb = graft.TransientCache.persist(all.select(col("src"),
+      col("dst"), (row_number().over(w1) - 1).cast("long").as("rk"),
+      count(lit(1)).over(Window.partitionBy("src")).as("d")))
+    // biased adjacency: candidates of cur given prev, with the
+    // common-neighbor flag from one left-semi-style join
+    val cand = all.select(col("src").as("prev"), col("dst").as("cur"))
+      .join(all.select(col("src").as("cur"), col("dst")), Seq("cur"))
+    val prevEdge = all.select(col("src").as("prev"),
+      col("dst").as("dst"), lit(1).as("is_common"))
+    val weighted = cand.join(prevEdge, Seq("prev", "dst"), "left")
+      .select(col("prev"), col("cur"), col("dst"),
+        when(col("dst") === col("prev"), lit(wReturn.toLong))
+          .when(col("is_common").isNotNull, lit(wCommon.toLong))
+          .otherwise(lit(wFar.toLong)).as("wt"))
+      .filter(col("wt") > 0)
+    val w2 = Window.partitionBy("prev", "cur").orderBy("dst")
+    val badj = graft.TransientCache.persist(weighted.select(
+      col("prev"), col("cur"), col("dst"),
+      (sum(col("wt")).over(w2) - col("wt")).as("lo"),
+      sum(col("wt")).over(w2).as("hi"),
+      sum(col("wt")).over(Window.partitionBy("prev", "cur")).as("tot")))
+    def key(walk: Column, step: Int, cur: Column): Column =
+      (walk % 1000003L) * 1103515245L + lit(step.toLong) * 12345L +
+        (cur % 1000033L) * 2654435761L
+    val starts = vertices.select(explode(sequence(lit(0),
+        lit(walksPerVertex - 1))).as("t"), col("id"))
+      .select((col("id") * walksPerVertex + col("t")).as("walk"),
+        col("id").as("cur"))
+    var out = starts.select(col("walk"), lit(0).as("step"),
+      col("cur").as("id"))
+    // step 1: first-order pick; frontier then carries (walk, prev, cur)
+    var frontier = starts.alias("f").join(nb.alias("n"),
+        col("f.cur") === col("n.src") &&
+          col("n.rk") === key(col("f.walk"), 1, col("f.cur")) % col("n.d"))
+      .select(col("f.walk").as("walk"), col("f.cur").as("prev"),
+        col("n.dst").as("cur"))
+    out = out.unionByName(frontier.select(col("walk"),
+      lit(1).as("step"), col("cur").as("id")))
+    for (s <- 2 to walkLength) {
+      val r = key(col("f.walk"), s, col("f.cur"))
+      frontier = frontier.alias("f").join(badj.alias("b"),
+          col("f.prev") === col("b.prev") &&
+            col("f.cur") === col("b.cur") &&
+            pmod(r, col("b.tot")) >= col("b.lo") &&
+            pmod(r, col("b.tot")) < col("b.hi"))
+        .select(col("f.walk").as("walk"), col("f.cur").as("prev"),
+          col("b.dst").as("cur"))
+      out = out.unionByName(frontier.select(col("walk"),
+        lit(s).as("step"), col("cur").as("id")))
+    }
+    out
+  }
+
   /** G18 (graft extension): k-bounded betweenness centrality — exact
     * Brandes (2001) over ALL sources simultaneously, truncated at
     * `maxHops` (Borgatti & Everett's k-betweenness: only pairs within

@@ -545,6 +545,22 @@ object AlgoQueries {
         .orderBy("walk", "step")
     }),
 
+    // +G: node2vec second-order biased walks (g33, Grover & Leskovec
+    // 2016) — deterministic like g27 but the hop distribution
+    // depends on the PREVIOUS vertex (return/common/far class
+    // weights 1/4/2 ≈ p=4, q=2: homophily-leaning). Full value
+    // oracle replays every transition through the same biased
+    // adjacency with cumulative-weight ranges.
+    "g33_node2vec" -> ((s, dir) => {
+      val co = coOrder(s, dir)
+      Algorithms.node2vecWalks(co.vertices,
+          co.edges.select("src", "dst"), walkLength = 4,
+          wReturn = 1, wCommon = 4, wFar = 2, undirected = true)
+        .select(col("walk"), col("step").cast("long").as("step"),
+          col("id").as("suppkey"))
+        .orderBy("walk", "step")
+    }),
+
     // +G: Adamic-Adar link prediction on the raw order-supplier
     // incidence (suppliers sharing rarer orders score higher) — the
     // degree-damped refinement of g12's common-neighbor count, full
@@ -850,6 +866,46 @@ object AlgoQueries {
          SELECT walk, step, id AS suppkey FROM walks
          ORDER BY walk, step""",
     "g22_katz" -> katzOracle,
+    // g33: step 1 = g27's first-order ranked pick; steps 2+ pick a
+    // cumulative-weight range in the (prev, cur) biased adjacency
+    // (return=1 / common=4 / far=2), same portable mix mod total
+    "g33_node2vec" ->
+      s"""WITH RECURSIVE $coOrderCte,
+         nb AS (SELECT src, dst,
+                  ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1
+                    AS rk,
+                  COUNT(*) OVER (PARTITION BY src) AS d FROM e),
+         cand AS (SELECT p.src AS prev, p.dst AS cur, c.dst AS dst
+                  FROM e p JOIN e c ON c.src = p.dst),
+         wtab AS (SELECT cd.prev, cd.cur, cd.dst,
+                    CASE WHEN cd.dst = cd.prev THEN 1
+                         WHEN pe.src IS NOT NULL THEN 4
+                         ELSE 2 END AS wt
+                  FROM cand cd LEFT JOIN e pe
+                    ON pe.src = cd.prev AND pe.dst = cd.dst),
+         badj AS MATERIALIZED (
+           SELECT prev, cur, dst,
+             SUM(wt) OVER (PARTITION BY prev, cur ORDER BY dst) - wt AS lo,
+             SUM(wt) OVER (PARTITION BY prev, cur ORDER BY dst) AS hi,
+             SUM(wt) OVER (PARTITION BY prev, cur) AS tot
+           FROM wtab WHERE wt > 0),
+         walks(walk, step, prev, id) AS (
+           SELECT v.id, CAST(1 AS BIGINT), v.id, nb.dst
+           FROM v JOIN nb ON nb.src = v.id
+             AND nb.rk = ((v.id % 1000003) * 1103515245 + 12345
+                          + (v.id % 1000033) * 2654435761) % nb.d
+           UNION ALL
+           SELECT w.walk, w.step + 1, w.id, b.dst
+           FROM walks w JOIN badj b ON b.prev = w.prev AND b.cur = w.id
+             AND ((w.walk % 1000003) * 1103515245 + (w.step + 1) * 12345
+                  + (w.id % 1000033) * 2654435761) % b.tot >= b.lo
+             AND ((w.walk % 1000003) * 1103515245 + (w.step + 1) * 12345
+                  + (w.id % 1000033) * 2654435761) % b.tot < b.hi
+           WHERE w.step < 4)
+         SELECT walk, step, id AS suppkey FROM (
+           SELECT id AS walk, CAST(0 AS BIGINT) AS step, id FROM v
+           UNION ALL SELECT walk, step, id FROM walks)
+         ORDER BY walk, step""",
     "g20_jaccard" ->
       s"""WITH $coOrderCte,
          common AS (SELECT a.src AS v1, b.src AS v2, COUNT(*) AS common

@@ -901,6 +901,81 @@ class AlgoSpec extends SparkSpec {
     }
   }
 
+  test("node2vec: plain-Scala simulator parity; transitions valid; deterministic") {
+    for (seedv <- Seq(4, 8)) {
+      val rnd = new scala.util.Random(seedv)
+      val vN = 12
+      val esr = Seq.fill(30)({
+        val a = 1L + rnd.nextInt(vN); val b = 1L + rnd.nextInt(vN)
+        (math.min(a, b), math.max(a, b))
+      }).filter(e => e._1 != e._2).distinct
+      val (wr, wc, wf) = (1L, 4L, 2L)
+      val doubled = (esr ++ esr.map(e => (e._2, e._1))).distinct
+      val adj = doubled.groupBy(_._1).view
+        .mapValues(_.map(_._2).sorted).toMap
+      val eset = doubled.toSet
+      def key(walk: Long, step: Long, cur: Long): Long =
+        (walk % 1000003L) * 1103515245L + step * 12345L +
+          (cur % 1000033L) * 2654435761L
+      def simulate(start: Long, len: Int): Seq[(Long, Long)] = {
+        var out = Seq((0L, start))
+        // step 1: first-order ranked pick
+        var prev = start
+        var cur = adj.get(start) match {
+          case Some(ns) => ns((key(start, 1, start) % ns.size).toInt)
+          case None => return out
+        }
+        out :+= (1L, cur)
+        var s = 2
+        var stopped = false
+        while (s <= len && !stopped) {
+          val cands = adj.getOrElse(cur, Seq.empty).map { d =>
+            val w = if (d == prev) wr
+              else if (eset.contains((prev, d))) wc else wf
+            (d, w)
+          }.filter(_._2 > 0)
+          if (cands.isEmpty) stopped = true
+          else {
+            val tot = cands.map(_._2).sum
+            val r = key(start, s, cur) % tot
+            var acc = 0L
+            var pick = -1L
+            for ((d, w) <- cands if pick < 0) {
+              acc += w; if (r < acc) pick = d
+            }
+            out :+= (s.toLong, pick)
+            prev = cur; cur = pick; s += 1
+          }
+        }
+        out
+      }
+      val vids = doubled.map(_._1).distinct.sorted
+      val got = Algorithms.node2vecWalks(vids.toDF("id"),
+          esr.toDF("src", "dst"), walkLength = 4, undirected = true)
+        .collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.sortBy(_.getInt(1))
+          .map(r => (r.getInt(1).toLong, r.getLong(2))).toSeq).toMap
+      for (v <- vids)
+        assert(got(v) == simulate(v, 4), s"seed=$seedv start=$v")
+    }
+  }
+
+  test("node2vec: class weights steer — wFar=0 confines the walk to the triangle") {
+    // triangle {1,2,3} with tail 3-4: from inside the triangle every
+    // move is return (1↔) or common (within-triangle); the tail hop
+    // 3→4 is 'far' (4 is no neighbor of the previous vertex), so
+    // wFar=0 forbids it and walks never leave {1,2,3} after entering
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val vs = Seq(1L, 2L, 3L).toDF("id")
+    val walks = Algorithms.node2vecWalks(vs, es, walkLength = 6,
+      wReturn = 1, wCommon = 4, wFar = 0, undirected = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // steps >= 2 never visit vertex 4 (step-1 is first-order and MAY
+    // hop 3→4; from there every candidate is far → the walker stops)
+    assert(walks.filter(_._2 >= 2).forall(_._3 != 4L), walks.mkString(","))
+  }
+
   test("ktruss: edgeSupport hand values incl zero-support edges") {
     // triangle {1,2,3} + pendant edge (3,4)
     val es = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
