@@ -618,6 +618,52 @@ object Algorithms {
       .groupBy("id").agg(count(lit(1)).as("degree"))
   }
 
+  /** +G: full core decomposition — the CORENESS of every vertex (the
+    * largest k whose k-core contains it), not just one k-core's
+    * membership. Computed by the h-index iteration (Lü et al. 2016,
+    * "The H-index of a network node and its relation to degree and
+    * coreness"): c(v) starts at degree and each round becomes the
+    * h-index of its neighbors' current values (the largest h such
+    * that h neighbors hold value ≥ h); the sequence is monotone
+    * non-increasing and its fixpoint IS the coreness. Each round is
+    * one join (neighbor values) + one per-vertex window h-index
+    * (`max(least(rank, value))` over values sorted descending — tie
+    * order is irrelevant, the h-index is a multiset function), so
+    * the whole decomposition is O(rounds) shuffles with V-sized
+    * state — no sequential peeling order to respect, which is what
+    * makes this the distributed-friendly form of coreness (the
+    * textbook peel is inherently ordered).
+    */
+  def coreness(edges: DataFrame, maxIter: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    import graft.Lineage.CutOps
+    val rel = graft.Lineage.configure(edges, checkpointDir)
+    val e = edges.select(col("src"), col("dst"))
+    val adj = graft.TransientCache.persist(
+      e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+    var c = adj.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("c")).cut(rel)
+    var changed = true
+    var iter = 0
+    while (changed && iter < maxIter) {
+      val nv = adj.join(c.select(col("id").as("dst"), col("c").as("nc")),
+        Seq("dst"))
+      val w = Window.partitionBy("src").orderBy(col("nc").desc)
+      val next = nv
+        .select(col("src"),
+          least(row_number().over(w).cast("long"), col("nc")).as("m"))
+        .groupBy(col("src").as("id")).agg(max(col("m")).as("c"))
+        .cut(rel)
+      val diff = next.alias("n")
+        .join(c.alias("o"), col("n.id") === col("o.id"))
+        .filter(col("n.c") =!= col("o.c")).count()
+      if (diff == 0L) changed = false else c = next
+      iter += 1
+    }
+    c
+  }
+
   /** G10: triangle enumeration over a canonical (a<b) undirected edge
     * set: e(a,b) ⋈ e(b,c) ⋈ e(a,c) with a<b<c — two shuffled joins,
     * each prunable by Catalyst.

@@ -545,6 +545,19 @@ object AlgoQueries {
         .orderBy("walk", "step")
     }),
 
+    // +G: full core decomposition (g34) — per-vertex CORENESS via
+    // the h-index iteration (Lü et al. 2016): monotone from degree
+    // down to the fixpoint, which provably equals coreness; the
+    // distributed-friendly form (no sequential peel order). Full
+    // value oracle: 12 unrolled h-index rounds (idempotent once
+    // converged; sf0.01 converges in ≤ 5).
+    "g34_coreness" -> ((s, dir) => {
+      val co = coOrder(s, dir)
+      Algorithms.coreness(co.edges.select("src", "dst"))
+        .select(col("id").as("suppkey"), col("c").as("coreness"))
+        .orderBy("suppkey")
+    }),
+
     // +G: node2vec second-order biased walks (g33, Grover & Leskovec
     // 2016) — deterministic like g27 but the hop distribution
     // depends on the PREVIOUS vertex (return/common/far class
@@ -759,9 +772,32 @@ object AlgoQueries {
        ORDER BY suppkey1, suppkey2"""
   }
 
+  /** g34: h-index rounds unrolled — round i recomputes every
+    * vertex's h-index of its neighbors' round-(i−1) values via a
+    * descending window (`MAX(LEAST(rank, value))`). MATERIALIZED:
+    * each round reads the previous twice (join + idempotence).
+    */
+  private def corenessOracle: String = {
+    val rounds = (1 to 12).map { i =>
+      s"""c$i AS MATERIALIZED (
+           SELECT src AS id, MAX(LEAST(rn, nc)) AS c FROM (
+             SELECT e.src, o.c AS nc,
+                    ROW_NUMBER() OVER (PARTITION BY e.src
+                                       ORDER BY o.c DESC) AS rn
+             FROM e JOIN c${i - 1} o ON o.id = e.dst)
+           GROUP BY src)"""
+    }.mkString(",\n")
+    s"""WITH $coOrderCte,
+       c0 AS MATERIALIZED (SELECT src AS id, COUNT(*) AS c
+                           FROM e GROUP BY src),
+       $rounds
+       SELECT id AS suppkey, c AS coreness FROM c12 ORDER BY suppkey"""
+  }
+
   val oracles: Map[String, String] = Map(
     "g23_modularity" -> modularityOracle,
     "g30_ktruss" -> kTrussOracle,
+    "g34_coreness" -> corenessOracle,
     // violation oracle: the Spark side emits positive-gain moves
     // against the returned Louvain assignment; green = zero rows
     // (per-vertex local optimum certified)

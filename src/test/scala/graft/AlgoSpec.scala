@@ -976,6 +976,55 @@ class AlgoSpec extends SparkSpec {
     assert(walks.filter(_._2 >= 2).forall(_._3 != 4L), walks.mkString(","))
   }
 
+  test("coreness: h-index fixpoint equals brute peel coreness") {
+    // K4 {1..4} (coreness 3) + bridge 4-5-6 + triangle {6,7,8}: the
+    // bridge vertex 5 has degree 2 with both neighbors kept, so the
+    // WHOLE graph has min degree 2 → 5's coreness is 2 (the easy
+    // wrong guess is 1 — coreness needs min degree within the
+    // subgraph, not a cycle); a pendant 8-9 edge IS coreness 1
+    val es = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), (6L, 8L), (7L, 8L),
+      (8L, 9L))
+    val got = Algorithms.coreness(es.toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 2L, 6L -> 2L, 7L -> 2L, 8L -> 2L, 9L -> 1L))
+    // random graphs vs brute peeling coreness
+    for (seed <- Seq(6, 10)) {
+      val rnd = new scala.util.Random(seed)
+      val vN = 22
+      val esr = Seq.fill(90)({
+        val a = 1L + rnd.nextInt(vN); val b = 1L + rnd.nextInt(vN)
+        (math.min(a, b), math.max(a, b))
+      }).filter(e => e._1 != e._2).distinct
+      def peelCoreness(edges: Set[(Long, Long)]): Map[Long, Long] = {
+        var core = Map.empty[Long, Long]
+        var k = 1L
+        var e = edges
+        while (e.nonEmpty) {
+          // peel to the k-core; everything dropped on the way has
+          // coreness k-1... record survivors as >= k
+          var stable = false
+          while (!stable) {
+            val deg = scala.collection.mutable.Map[Long, Int]()
+              .withDefaultValue(0)
+            for ((a, b) <- e) { deg(a) += 1; deg(b) += 1 }
+            val bad = e.filter { case (a, b) =>
+              deg(a) < k || deg(b) < k }
+            if (bad.isEmpty) stable = true else e = e -- bad
+          }
+          e.flatMap(x => Seq(x._1, x._2)).foreach(v => core += v -> k)
+          k += 1
+        }
+        core
+      }
+      val want = peelCoreness(esr.toSet)
+      val got2 = Algorithms.coreness(esr.toDF("src", "dst")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got2 == want, s"seed=$seed")
+    }
+  }
+
   test("ktruss: edgeSupport hand values incl zero-support edges") {
     // triangle {1,2,3} + pendant edge (3,4)
     val es = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
