@@ -482,6 +482,33 @@ object Algorithms {
     }
   }
 
+  /** +G: sampled triangle counting (DOULION, Tsourakakis et al.
+    * 2009): count triangles on a 1/k edge sample and scale by k³ —
+    * the triangle enumeration's two shuffled joins then touch ~1/k
+    * of the edges and ~1/k³ of the triangle work, the standard
+    * 100 TB estimate when the exact count is too expensive. The
+    * sample is DETERMINISTIC (md5 of the canonical edge key mod k —
+    * the portable-hash rationale of randomWalks/pipe_dsir: an
+    * ANSI oracle can recompute the estimate exactly, where xxhash
+    * could not), so the estimate is a pure function of
+    * (graph, k) — reproducible, value-checkable, and at scale the
+    * variance argument is the paper's. Returns one row
+    * (sampled_edges, est_triangles).
+    */
+  def triangleCountSampled(canonicalEdges: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "sampling modulus must be >= 1")
+    val keyed = canonicalEdges.select(col("src"), col("dst"))
+      .filter(conv(substring(md5(concat_ws("_", col("src"), col("dst"))),
+        1, 8), 16, 10).cast("long") % k === 0)
+    triangles(keyed)
+      .agg(count(lit(1)).as("sampled_triangles"))
+      .select(
+        (col("sampled_triangles") * lit(k.toLong) * lit(k.toLong) *
+          lit(k.toLong)).as("est_triangles"))
+      .crossJoin(keyed.agg(count(lit(1)).as("sampled_edges")))
+      .select(col("sampled_edges"), col("est_triangles"))
+  }
+
   /** +G: landmark distance index (the ALT / landmark-embedding
     * technique, Goldberg & Harrelson 2005): pick the L highest-degree
     * vertices as landmarks (ties by min id — deterministic), run ONE

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Bounded-memory frequency sketches with EXACT verification — the
@@ -267,6 +268,115 @@ object Sketches {
       }
       (q, ans)
     }
+  }
+
+  /** GROUPED ε-quantile coresets — per-key distribution summaries in
+    * one pass (per-domain length percentiles, per-tenant latency
+    * bands …). Each key is hash-repartitioned to ONE partition and
+    * its sorted run subsampled at a fixed stride `t`: the per-key
+    * staleness is then < t (single partition — no P factor), so any
+    * per-key rank answered from the coreset is within ±2t under the
+    * duplicates interval. The stride is ABSOLUTE (rank error ≤ 2t
+    * rows per key) rather than relative: per-key relative ε needs
+    * per-key counts before sampling — a second pass the absolute
+    * contract avoids, and at 100 TB "percentiles within ±1000 rows"
+    * is the natural per-group promise anyway. Output (k, v, w) rows,
+    * ≤ m_key/t + 1 per key; the partition sort is Tungsten spillable
+    * and the shuffle is the one hash exchange on the key.
+    */
+  def groupedQuantileCoreset(df: DataFrame, keyCol: String,
+      valueCol: String, t: Long): DataFrame = {
+    require(t >= 1, s"stride t must be >= 1, got $t")
+    import df.sparkSession.implicits._
+    df.select(col(keyCol).cast("string").as("k"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("k").isNotNull && col("v").isNotNull)
+      .repartition(col("k"))
+      .sortWithinPartitions("k", "v")
+      .as[(String, Double)]
+      .mapPartitions { it =>
+        new scala.collection.AbstractIterator[(String, Double, Long)] {
+          private var curKey: String = null
+          private var sinceEmit = 0L
+          private var last = 0.0
+          private var pending: (String, Double, Long) = _
+          private var carry: (String, Double) = _
+          private def advance(): Unit = {
+            pending = null
+            while (pending == null) {
+              val elem: (String, Double) =
+                if (carry != null) { val c = carry; carry = null; c }
+                else if (it.hasNext) it.next()
+                else {
+                  // input exhausted: close the final run's remainder
+                  if (curKey != null && sinceEmit > 0) {
+                    pending = (curKey, last, sinceEmit)
+                    sinceEmit = 0L
+                  }
+                  curKey = null
+                  return
+                }
+              val (k, x) = elem
+              if (curKey == null) curKey = k
+              if (k != curKey) {
+                // key change: close the previous run's remainder (if
+                // any) and re-deliver this element on the next call
+                if (sinceEmit > 0) pending = (curKey, last, sinceEmit)
+                curKey = k; sinceEmit = 0L; carry = (k, x)
+              } else {
+                last = x; sinceEmit += 1
+                if (sinceEmit == t) { pending = (k, x, t); sinceEmit = 0L }
+              }
+            }
+          }
+          advance()
+          override def hasNext: Boolean = pending != null
+          override def next(): (String, Double, Long) = {
+            val r = pending; advance(); r
+          }
+        }
+      }.toDF("k", "v", "w")
+  }
+
+  /** Per-key quantile answers from a grouped coreset with in-plan
+    * certification: for each key and each q, the smallest coreset
+    * value whose within-key cumulative weight reaches ceil(q·m_key),
+    * then ONE exact recount of every estimate's rank interval —
+    * `count(<=est) >= target − 2t AND count(<est) <= target + 2t`
+    * is the single-partition-per-key envelope. The estimates frame
+    * is (keys × qs)-sized — the answer's own size — and broadcasts
+    * to the recount join. Returns (k, q, estimate, m, certified).
+    */
+  def groupedCertifiedQuantiles(df: DataFrame, keyCol: String,
+      valueCol: String, qs: Seq[Double], t: Long): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1),
+      "quantiles in [0,1]")
+    import df.sparkSession.implicits._
+    val core = groupedQuantileCoreset(df, keyCol, valueCol, t)
+    val w = Window.partitionBy("k").orderBy("v")
+    val cum = core.select(col("k"), col("v"),
+      sum(col("w")).over(w).as("cum"),
+      sum(col("w")).over(Window.partitionBy("k")).as("m"))
+    val ests = qs.map { q =>
+      cum.filter(col("cum") >=
+          greatest(lit(1L), ceil(col("m") * q).cast("long")))
+        .groupBy("k").agg(min(col("v")).as("estimate"),
+          first(col("m")).as("m"))
+        .select(col("k"), lit(q).as("q"), col("estimate"), col("m"))
+    }.reduce(_ unionByName _)
+    val v = df.select(col(keyCol).cast("string").as("k"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("k").isNotNull && col("v").isNotNull)
+    v.join(broadcast(ests), Seq("k"))
+      .groupBy("k", "q", "estimate", "m")
+      .agg(sum(when(col("v") <= col("estimate"), 1L).otherwise(0L)).as("le"),
+        sum(when(col("v") < col("estimate"), 1L).otherwise(0L)).as("lt"))
+      .select(col("k"), col("q"), col("estimate"), col("m"),
+        (col("le") >= greatest(lit(1L),
+            ceil(col("m") * col("q")).cast("long")) - lit(2L * t) &&
+          col("lt") <= greatest(lit(1L),
+            ceil(col("m") * col("q")).cast("long")) + lit(2L * t))
+          .as("certified"))
   }
 
   /** Sketch-estimated quantiles WITH an in-plan exactness

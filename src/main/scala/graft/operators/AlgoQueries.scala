@@ -427,6 +427,16 @@ object AlgoQueries {
         .orderBy("suppkey1", "suppkey2")
     }),
 
+    // +G: sampled triangle counting (g35, DOULION — Tsourakakis et
+    // al. 2009) on the top-5% co-order graph: deterministic md5 edge
+    // sample mod k=2, count triangles on the sample, scale by k³ —
+    // the 100 TB estimate plan (1/k of edges through the two joins,
+    // 1/k³ of the triangle work). The sample hash is ANSI-portable,
+    // so the oracle recomputes the ESTIMATE exactly — full value
+    // parity, not a tolerance gate.
+    "g35_triangle_sketch" -> ((s, dir) =>
+      Algorithms.triangleCountSampled(coOrderTruss(s, dir), k = 2)),
+
     // +G: Jaccard neighborhood similarity over the co-order graph —
     // inclusion-exclusion denominator, one self-join, absent pairs
     // mean empty intersection. Full value oracle.
@@ -798,6 +808,32 @@ object AlgoQueries {
     "g23_modularity" -> modularityOracle,
     "g30_ktruss" -> kTrussOracle,
     "g34_coreness" -> corenessOracle,
+    // g35: identical rank-cutoff graph + identical md5-mod-2 edge
+    // sample; the estimate is deterministic so it value-compares
+    "g35_triangle_sketch" ->
+      """WITH pairs AS MATERIALIZED (
+           SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, COUNT(*) AS w
+           FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
+           JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
+             ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+           GROUP BY 1, 2),
+         np AS (SELECT COUNT(*) AS c FROM pairs),
+         ranked AS (SELECT w, ROW_NUMBER() OVER (ORDER BY w DESC) AS r
+                    FROM pairs),
+         cut AS (SELECT w AS cw FROM ranked, np
+                 WHERE r = GREATEST(1, CAST(CEIL(0.05 * c) AS BIGINT))),
+         t0 AS (SELECT CAST(s1 AS BIGINT) AS a, CAST(s2 AS BIGINT) AS b
+                FROM pairs, cut WHERE w >= cw),
+         se AS MATERIALIZED (
+           SELECT a, b FROM t0
+           WHERE ('0x' || substr(md5(a || '_' || b), 1, 8))::UBIGINT
+                 % 2 = 0),
+         tri AS (SELECT COUNT(*) AS c
+                 FROM se e1
+                 JOIN se e2 ON e1.b = e2.a
+                 JOIN se e3 ON e3.a = e1.a AND e3.b = e2.b)
+         SELECT (SELECT COUNT(*) FROM se) AS sampled_edges,
+                (SELECT c * 8 FROM tri) AS est_triangles""",
     // violation oracle: the Spark side emits positive-gain moves
     // against the returned Louvain assignment; green = zero rows
     // (per-vertex local optimum certified)

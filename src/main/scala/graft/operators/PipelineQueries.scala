@@ -637,6 +637,22 @@ object PipelineQueries {
         .orderBy("q")
     }),
 
+    // GROUPED quantile coresets (round 9): per-key distribution
+    // summaries in one pass — each key hash-repartitions to one
+    // partition, its sorted run subsamples at stride t, so per-key
+    // ranks answer within ±2t rows. Unlike the global sketch, the
+    // per-key estimate IS deterministic (one partition per key, the
+    // kept positions are order statistics), so the oracle
+    // value-compares the ESTIMATES too, not just the certificates.
+    "sketch_quantiles_grouped" -> ((s, dir) => {
+      Sketches.groupedCertifiedQuantiles(
+          Tables.lineitem(s, dir), "l_returnflag", "l_extendedprice",
+          qs = Seq(0.25, 0.5, 0.75), t = 500L)
+        .select(col("k").as("l_returnflag"), col("q"),
+          col("estimate"), col("certified"))
+        .orderBy("l_returnflag", "q")
+    }),
+
     // Corpus vocabulary stats: global top-20 bigrams by occurrence
     // (deterministic tiebreak on the gram), with document frequency —
     // the first report of any corpus-analysis pass. Two chained
@@ -1234,6 +1250,31 @@ object PipelineQueries {
          UNION ALL
          SELECT 0.90, ROUND(q90, 4), TRUE FROM e
          ORDER BY q""",
+    // grouped coreset mirror: the per-key estimate is the order
+    // statistic at the target rank rounded UP to the stride (or the
+    // run's last position) — kept coreset positions are t, 2t, …, m,
+    // so "smallest kept value with cumulative weight >= target" is
+    // exactly the value at position min(ceil(target/t)*t, m)
+    "sketch_quantiles_grouped" ->
+      """WITH vr AS (SELECT l_returnflag AS k,
+                CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem),
+          r AS (SELECT k, v,
+                  ROW_NUMBER() OVER (PARTITION BY k ORDER BY v) AS rn,
+                  COUNT(*) OVER (PARTITION BY k) AS m FROM vr),
+          km AS (SELECT DISTINCT k, m FROM r),
+          qs(q) AS (VALUES (0.25), (0.5), (0.75)),
+          tgt AS (SELECT km.k, km.m, qs.q,
+                    GREATEST(1, CAST(CEIL(km.m * qs.q) AS BIGINT))
+                      AS target
+                  FROM km, qs),
+          pick AS (SELECT k, q,
+                     LEAST(CAST(CEIL(target * 1.0 / 500) * 500 AS BIGINT),
+                           m) AS pos
+                   FROM tgt)
+          SELECT p.k AS l_returnflag, p.q, r.v AS estimate,
+                 TRUE AS certified
+          FROM pick p JOIN r ON r.k = p.k AND r.rn = p.pos
+          ORDER BY l_returnflag, q""",
     // exact distinct counts; TRUE asserts the Spark side's in-plan
     // estimate-vs-exact 3·rsd gate held (HLL is deterministic, so a
     // mismatch is a genuine accuracy regression)

@@ -1025,6 +1025,39 @@ class AlgoSpec extends SparkSpec {
     }
   }
 
+  test("triangle sketch: k=1 is exact; sample deterministic and md5-consistent") {
+    val rnd = new scala.util.Random(17)
+    val esr = Seq.fill(80)({
+      val a = 1L + rnd.nextInt(18); val b = 1L + rnd.nextInt(18)
+      (math.min(a, b), math.max(a, b))
+    }).filter(e => e._1 != e._2).distinct
+    val df = esr.toDF("src", "dst")
+    val exact = Algorithms.triangleCount(df).head().getLong(0)
+    val k1 = Algorithms.triangleCountSampled(df, k = 1).head()
+    assert(k1.getLong(0) == esr.size.toLong &&
+      k1.getLong(1) == exact)
+    // k=2: the sample is the md5-hash-selected half — recompute it
+    // in plain Scala (hex prefix of md5("src_dst") mod 2) and pin
+    // both the edge count and the scaled estimate
+    def md5mod2(a: Long, b: Long): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${a}_$b".getBytes("UTF-8"))
+      val hex = d.take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 2 == 0
+    }
+    val sampled = esr.filter(e => md5mod2(e._1, e._2))
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    for ((a, b) <- sampled) { adj(a) += b; adj(b) += a }
+    val triSample = sampled.map { case (a, b) =>
+      (adj(a) & adj(b)).count(c => c > b) }.sum
+    val k2 = Algorithms.triangleCountSampled(df, k = 2).head()
+    assert(k2.getLong(0) == sampled.size.toLong)
+    assert(k2.getLong(1) == triSample.toLong * 8)
+    // determinism
+    assert(Algorithms.triangleCountSampled(df, k = 2).head() == k2)
+  }
+
   test("ktruss: edgeSupport hand values incl zero-support edges") {
     // triangle {1,2,3} + pendant edge (3,4)
     val es = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")

@@ -1235,6 +1235,46 @@ class PipelineSpec extends SparkSpec {
     assert(qs(0.5) == 20.0 && qs(1.0) == 40.0)
   }
 
+  test("grouped quantile coreset: per-key weights sum, run boundaries, rank envelope") {
+    import graft.functions.Sketches
+    val rnd = new scala.util.Random(23)
+    // three keys with different sizes incl one smaller than t
+    val rows = (1 to 700).map(_ => ("a", rnd.nextDouble() * 100)) ++
+      (1 to 350).map(_ => ("b", 50.0)) ++ // all-duplicates key
+      (1 to 4).map(i => ("c", i.toDouble)) // tiny key (< t)
+    val df = rows.toDF("k", "x")
+    val t = 9L
+    val core = Sketches.groupedQuantileCoreset(df, "k", "x", t)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val byKey = core.groupBy(_._1)
+    assert(byKey("a").map(_._3).sum == 700L)
+    assert(byKey("b").map(_._3).sum == 350L)
+    assert(byKey("c").map(_._3).sum == 4L && byKey("c").length == 1)
+    assert(core.forall(_._3 <= t))
+    // certified per-key quantiles: envelope holds, incl the
+    // all-duplicates key and the tiny key
+    val cert = Sketches.groupedCertifiedQuantiles(df, "k", "x",
+      Seq(0.25, 0.5, 0.75), t).collect()
+    assert(cert.length == 9)
+    assert(cert.forall(_.getBoolean(4)), cert.mkString("; "))
+    // brute re-check of the envelope for key a
+    val aSorted = rows.filter(_._1 == "a").map(_._2).sorted
+    cert.filter(_.getString(0) == "a").foreach { r =>
+      val (q, est) = (r.getDouble(1), r.getDouble(2))
+      val target = math.max(1L, math.ceil(q * 700).toLong)
+      val le = aSorted.count(_ <= est).toLong
+      val lt = aSorted.count(_ < est).toLong
+      assert(le >= target - 2 * t && lt <= target + 2 * t,
+        s"q=$q est=$est le=$le lt=$lt target=$target")
+    }
+    // determinism: per-key runs are single-partition, so the whole
+    // output is a pure function of (data, t)
+    val rerun = Sketches.groupedQuantileCoreset(df, "k", "x", t)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(rerun.sortBy(x => (x._1, x._2, x._3)).toSeq ==
+      core.sortBy(x => (x._1, x._2, x._3)).toSeq)
+  }
+
   test("certifiedQuantiles: certificates hold on lineitem-like skew") {
     import graft.functions.Sketches
     val rnd = new scala.util.Random(7)

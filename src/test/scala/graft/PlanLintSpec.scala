@@ -45,7 +45,8 @@ class PlanLintSpec extends SparkSpec {
     "gql_labels" -> "single-row nation id/count aggregate crossJoined onto the 6-row label counts",
     "dedup_semantic" -> "validation harness only: the INDEPENDENT exact global pair scan (embeddingDedupPairs under its maxExactRows bound) the violation oracle compares against — the production path is the cid-bucketed SHUFFLE_HASH equi-join",
     "pipe_dsir" -> "two single-row model-total aggregates broadcast onto the <= buckets-row (4096) log-ratio table",
-    "g31_landmarks" -> "u<v pair enumeration over the 30-id bounded vertex slice (the bound readout set, never the corpus)"
+    "g31_landmarks" -> "u<v pair enumeration over the 30-id bounded vertex slice (the bound readout set, never the corpus)",
+    "g35_triangle_sketch" -> "two single-row aggregates (sampled triangle count x sampled edge count) crossJoined into the one-row readout"
   )
 
   /** Queries whose plans legitimately rank over an UNPARTITIONED
