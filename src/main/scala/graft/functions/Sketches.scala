@@ -354,16 +354,20 @@ object Sketches {
     import df.sparkSession.implicits._
     val core = groupedQuantileCoreset(df, keyCol, valueCol, t)
     val w = Window.partitionBy("k").orderBy("v")
+    // ONE coreset pass for every q: explode the quantile literal
+    // onto the cum frame (a per-q union would re-run the whole
+    // repartition+sort+window lineage per quantile — observed as
+    // three parallel scan chains in the plan before this)
     val cum = core.select(col("k"), col("v"),
-      sum(col("w")).over(w).as("cum"),
-      sum(col("w")).over(Window.partitionBy("k")).as("m"))
-    val ests = qs.map { q =>
-      cum.filter(col("cum") >=
-          greatest(lit(1L), ceil(col("m") * q).cast("long")))
-        .groupBy("k").agg(min(col("v")).as("estimate"),
-          first(col("m")).as("m"))
-        .select(col("k"), lit(q).as("q"), col("estimate"), col("m"))
-    }.reduce(_ unionByName _)
+        sum(col("w")).over(w).as("cum"),
+        sum(col("w")).over(Window.partitionBy("k")).as("m"))
+      .select(col("k"), col("v"), col("cum"), col("m"),
+        explode(lit(qs.toArray)).as("q"))
+    val ests = cum.filter(col("cum") >=
+        greatest(lit(1L), ceil(col("m") * col("q")).cast("long")))
+      .groupBy("k", "q").agg(min(col("v")).as("estimate"),
+        first(col("m")).as("m"))
+      .select(col("k"), col("q"), col("estimate"), col("m"))
     val v = df.select(col(keyCol).cast("string").as("k"),
         col(valueCol).cast("double").as("v"))
       .filter(col("k").isNotNull && col("v").isNotNull)
