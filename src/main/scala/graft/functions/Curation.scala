@@ -88,9 +88,16 @@ object Curation {
         .select(col("id"),
           (conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long")
             % buckets).as("b"))
-    val rawB = bucketRows(raw)
-    val q = rawB.groupBy("b").agg(count(lit(1)).as("cq"))
-    val p = bucketRows(target).groupBy("b").agg(count(lit(1)).as("cp"))
+    // persist the shared intermediates: rawB feeds BOTH the model
+    // aggregate and the scoring join, and each model frame is read
+    // by its total and by the ratio — unpersisted, every consumer
+    // re-runs the shingle explode (observed: 10 corpus scans in the
+    // plan; 2 after)
+    val rawB = graft.TransientCache.persist(bucketRows(raw))
+    val q = graft.TransientCache.persist(
+      rawB.groupBy("b").agg(count(lit(1)).as("cq")))
+    val p = graft.TransientCache.persist(
+      bucketRows(target).groupBy("b").agg(count(lit(1)).as("cp")))
     val qt = q.agg(sum("cq").as("tq"))
     val pt = p.agg(sum("cp").as("tp"))
     // per-bucket log importance ratio; only buckets the raw corpus
