@@ -604,6 +604,12 @@ object Algorithms {
         }
         rounds += 1
       }
+      // a budget cut is indistinguishable from a fixpoint to the
+      // caller — fail loudly like louvainLocalMoves instead of
+      // returning silently-unconverged arrivals
+      require(frontierCnt == 0L,
+        s"temporalReachability did not converge in $maxRounds rounds " +
+          s"($frontierCnt arrivals still improving); raise maxRounds")
       arrival
     } finally e.unpersist(blocking = false)
   }
@@ -641,6 +647,9 @@ object Algorithms {
       }
       iter += 1
     }
+    require(!changed,
+      s"kCore did not converge in $maxIter rounds (vertices still " +
+        "peeling); raise maxIter — a truncated peel is NOT the k-core")
     e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id")))
       .groupBy("id").agg(count(lit(1)).as("degree"))
   }
@@ -674,12 +683,28 @@ object Algorithms {
     var changed = true
     var iter = 0
     while (changed && iter < maxIter) {
-      val nv = adj.join(c.select(col("id").as("dst"), col("c").as("nc")),
-        Seq("dst"))
-      val w = Window.partitionBy("src").orderBy(col("nc").desc)
-      val next = nv
+      // Hub-skew-proof h-index round. The naive form (sort each
+      // vertex's FULL neighbor-value list in one window partition)
+      // makes a 10M-degree hub's partition the straggler at 100×.
+      // Instead: since h_next(v) <= c(v) (Lü et al.'s monotonicity),
+      // capping every neighbor value at c(v) changes no h-index, and
+      // counting per (v, capped value) is a map-side-combinable hash
+      // aggregate that leaves <= c(v)+1 rows per vertex for the
+      // window. Over the descending-cumulative counts C(val) the
+      // identity h = max over distinct vals of min(val, C(val))
+      // recovers the exact h-index. (A value FILTER `nc >= c(v)`
+      // would NOT be sound: c=5 with neighbor values [4,4,4,4] has
+      // h=4 but the filter leaves nothing.)
+      val nv = adj
+        .join(c.select(col("id").as("dst"), col("c").as("nc")), Seq("dst"))
+        .join(c.select(col("id").as("src"), col("c").as("cs")), Seq("src"))
+      val capped = nv
+        .groupBy(col("src"), least(col("nc"), col("cs")).as("cv"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("src").orderBy(col("cv").desc)
+      val next = capped
         .select(col("src"),
-          least(row_number().over(w).cast("long"), col("nc")).as("m"))
+          least(col("cv"), sum(col("cnt")).over(w)).as("m"))
         .groupBy(col("src").as("id")).agg(max(col("m")).as("c"))
         .cut(rel)
       val diff = next.alias("n")
@@ -688,6 +713,9 @@ object Algorithms {
       if (diff == 0L) changed = false else c = next
       iter += 1
     }
+    require(!changed,
+      s"coreness h-index iteration did not converge in $maxIter " +
+        "rounds; raise maxIter")
     c
   }
 
@@ -766,6 +794,9 @@ object Algorithms {
       }
       iter += 1
     }
+    require(!changed,
+      s"kTruss did not converge in $maxIter rounds (edges still " +
+        "peeling); raise maxIter — a truncated peel is NOT a k-truss")
     e
   }
 

@@ -400,6 +400,13 @@ object Sketches {
       qs: Seq[Double], eps: Double = 0.01): DataFrame = {
     import values.sparkSession.implicits._
     val (coreset, n, t, p) = quantileCoreset(values, valueCol, eps)
+    // n == 0 (empty or all-null input): the exact-rank aggregation
+    // below would return null sums (getLong NPE) after the coreset
+    // walk already produced NaN estimates — answer uncertified rows
+    // directly instead of running a pass that cannot certify anything
+    if (n == 0L)
+      return qs.map(q => (q, Double.NaN, 0L, 0L, false))
+        .toDF("q", "estimate", "rank_le", "n", "certified")
     val core = coreset.as[(Double, Long)].collect()
     val ests = coresetQuantiles(core, n, qs)
     val v = values.select(col(valueCol).cast("double").as("v"))

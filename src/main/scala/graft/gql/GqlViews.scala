@@ -60,10 +60,18 @@ object GqlViews {
 
   private[gql] def parseDef(gql: String): PatternDef = {
     // the pattern IS the whole definition — the maintained rows are
-    // the bound id tuple, so a projection would be dead syntax
-    require(!gql.toLowerCase.contains("return"),
-      "a pattern-view definition is a MATCH chain only (no RETURN — " +
-        "the view's rows are the chain's id tuple)")
+    // the bound id tuple, so a projection would be dead syntax.
+    // Detected by AST, not substring: a raw-text 'return' scan would
+    // falsely reject labels like (a:ReturnItem) or prop values like
+    // {note: "no returns"}. A definition carrying its own RETURN
+    // parses standalone as a MATCH with return items — reject THAT.
+    GqlParser.parse(gql) match {
+      case Right(m: MatchStatement) if m.ret.nonEmpty =>
+        throw new IllegalArgumentException(
+          "a pattern-view definition is a MATCH chain only (no RETURN " +
+            "— the view's rows are the chain's id tuple)")
+      case _ => () // no trailing RETURN: fall through to the real parse
+    }
     GqlParser.parse(s"$gql RETURN count(*)") match {
       case Left(err) => throw new IllegalArgumentException(err)
       case Right(m: MatchStatement) =>

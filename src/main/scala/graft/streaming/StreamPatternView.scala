@@ -33,8 +33,11 @@ import graft.views.Views
   * Re-delivery: foreachBatch is at-least-once; a batchId at or below
   * the `<metaPath>/stream_meta` high-water mark is a NO-OP for both
   * the store and the view state (StreamMeta contract, shared with
-  * the index maintainers). The store reference evolves inside the
-  * closure; `current()` exposes it for end-of-stream reads.
+  * the index maintainers). The mark is written BEFORE the fold, so a
+  * failure mid-batch loses that batch (store and view stay mutually
+  * consistent at the pre-batch state) rather than double-folding the
+  * delta on retry. The store reference evolves inside the closure;
+  * `current()` exposes it for end-of-stream reads.
   */
 final class StreamPatternView private (initial: GraphStore,
     metaPath: String,
@@ -98,9 +101,18 @@ final class StreamPatternView private (initial: GraphStore,
     val spark = batch.sparkSession
     if (batchId <= StreamMeta.lastApplied(spark, metaPath)) None
     else {
+      // HWM FIRST: refreshFn folds the delta into catalog view state,
+      // which this class cannot snapshot-restore (it only holds the
+      // opaque refresh closure). Advancing the mark BEFORE the fold
+      // means a failure between the two LOSES the batch — store and
+      // view both stay at the pre-batch state, consistent with each
+      // other — instead of double-folding the same delta into
+      // already-updated state on an in-JVM retry (__mult would drift
+      // 2×). Same documented lose-the-batch trade as StreamQuantile
+      // and StreamSketch's meta-first ordering.
+      StreamMeta.writeLastApplied(spark, metaPath, batchId)
       val next = applyBatch(batch)
       val view = refreshFn(cur, next)
-      StreamMeta.writeLastApplied(spark, metaPath, batchId)
       cur = next
       Some(view)
     }

@@ -127,6 +127,20 @@ object StreamQuantile {
       val c = spark.read.parquet(s"$path/coreset").as[(Double, Long)]
         .collect().toSeq
       val m = spark.read.parquet(s"$path/qmeta").head()
+      // TORN-write guard: write() overwrites coreset then qmeta; a
+      // crash between the two leaves a NEW coreset under a STALE
+      // (n, slack) — both parts exist, so the half-written check
+      // above cannot see it. Σw == n is a construction invariant
+      // (quantileCoreset's remainder points + compact's exact
+      // weight preservation), so a mismatch IS the crash-window
+      // signature and the carried ±slack contract would be silently
+      // wrong — refuse like the half-written case.
+      val sumW = c.map(_._2).sum
+      if (sumW != m.getLong(0))
+        throw new IllegalStateException(
+          s"quantile coreset at $path is torn (coreset Σw=$sumW != " +
+          s"recorded n=${m.getLong(0)}): crash between coreset and " +
+          "qmeta writes; restore or delete BOTH parts to restart")
       (c, m.getLong(0), m.getLong(1))
     }
   }

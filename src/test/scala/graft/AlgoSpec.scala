@@ -1025,6 +1025,24 @@ class AlgoSpec extends SparkSpec {
     }
   }
 
+  test("coreness: hub fixture — capped-count h-index handles a skewed " +
+    "high-degree vertex exactly") {
+    // one 203-degree hub (200 pendant leaves + membership in a K4):
+    // the capped-count round must produce hub coreness 3 (the K4),
+    // leaves 1 — the case where the naive value-filter `nc >= c(v)`
+    // fails (the hub's first-round c is 203 but all its pendant
+    // neighbors hold value 1)
+    val hub = 100L
+    val k4 = Seq((hub, 1L), (hub, 2L), (hub, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L))
+    val leaves = (101L to 300L).map(l => (hub, l))
+    val got = Algorithms.coreness((k4 ++ leaves).toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(hub) == 3L && got(1L) == 3L && got(2L) == 3L &&
+      got(3L) == 3L)
+    assert((101L to 300L).forall(got(_) == 1L))
+  }
+
   test("triangle sketch: k=1 is exact; sample deterministic and md5-consistent") {
     val rnd = new scala.util.Random(17)
     val esr = Seq.fill(80)({

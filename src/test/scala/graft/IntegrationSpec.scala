@@ -267,6 +267,19 @@ class IntegrationSpec extends SparkSpec {
         GqlViews.register(cat, "bad", bad)
       }
     }
+    // the no-RETURN rule is an AST check, not a substring scan: a
+    // label or prop VALUE containing 'return' must register fine...
+    GqlViews.register(cat, "ret_label",
+      "MATCH (a:ReturnItem)-[:friend]->(b:Person)")
+    GqlViews.register(cat, "ret_prop",
+      "MATCH (a:Person {note: \"no returns\"})-[:friend]->(b:Person)")
+    // ...while an actual RETURN clause still rejects with the clear
+    // dead-syntax message (not a confusing double-RETURN parse error)
+    val retErr = intercept[IllegalArgumentException] {
+      GqlViews.register(cat, "bad_ret",
+        "MATCH (a:Person)-[:friend]->(b:Person) RETURN a")
+    }
+    assert(retErr.getMessage.contains("no RETURN"))
   }
 
   test("X1 parity: remove_edge + update props, replace-not-merge, feed rows") {

@@ -282,6 +282,25 @@ class PipelineSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("simhash brute form: refuses above maxBruteDocs with the remedy " +
+    "named, passes just below") {
+    val sfDocs = graft.sources.Tables.documents(spark, sf)
+    val n = sfDocs.count()
+    // just below the cap: runs (and still finds the corpus near-dups)
+    val ok = Dedup.simHashDedupPairsExact(sfDocs, "text", "doc_id",
+      maxBruteDocs = n)
+    assert(ok.count() > 0)
+    // one over: the measured-quadratic guard refuses LOUDLY and the
+    // message names both the bound and the in-family alternatives
+    val err = intercept[IllegalArgumentException] {
+      Dedup.simHashDedupPairsExact(sfDocs, "text", "doc_id",
+        maxBruteDocs = n - 1)
+    }
+    assert(err.getMessage.contains("O(n²)") &&
+      err.getMessage.contains("simHashDedupPairs") &&
+      err.getMessage.contains("ngramJaccardPairsAuto"), err.getMessage)
+  }
+
   test("simhash incremental index: new-vs-index pairs equal brute cross scan") {
     val sfDocs = graft.sources.Tables.documents(spark, sf)
     val corpus = sfDocs.filter(col("doc_id") % 10 =!= 0)
@@ -1284,5 +1303,19 @@ class PipelineSpec extends SparkSpec {
       Seq(0.1, 0.5, 0.9), eps = 0.01).collect()
     assert(rows.length == 3)
     assert(rows.forall(_.getBoolean(4)), rows.mkString("; "))
+  }
+
+  test("certifiedQuantiles: empty and all-null inputs answer uncertified " +
+    "rows instead of NPEing") {
+    import graft.functions.Sketches
+    val empty = Seq.empty[Tuple1[Double]].toDF("price")
+    val e = Sketches.certifiedQuantiles(empty, "price", Seq(0.5, 0.9))
+      .collect()
+    assert(e.length == 2 && e.forall(r =>
+      !r.getBoolean(4) && r.getLong(3) == 0L && r.getDouble(1).isNaN))
+    val allNull = Seq[Option[Double]](None, None).toDF("price")
+    val a = Sketches.certifiedQuantiles(allNull, "price", Seq(0.5))
+      .collect()
+    assert(a.length == 1 && !a.head.getBoolean(4))
   }
 }

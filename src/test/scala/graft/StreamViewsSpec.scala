@@ -502,6 +502,19 @@ class StreamViewsSpec extends SparkSpec {
     assert(ex.getMessage.contains("half-written"))
     java.nio.file.Files.move(hidden, corePath)
     assert(StreamQuantile.read(spark, dir)._2 == n)
+    // TORN state (crash between the coreset and qmeta overwrites):
+    // both parts exist but Σw != recorded n — read must refuse, not
+    // serve quantiles under a silently-wrong ±slack contract
+    Seq((n + 5L, slack)).toDF("n", "slack")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/qmeta")
+    val torn = intercept[IllegalStateException] {
+      StreamQuantile.read(spark, dir)
+    }
+    assert(torn.getMessage.contains("torn"))
+    // restoring the consistent meta heals the read
+    Seq((n, slack)).toDF("n", "slack")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/qmeta")
+    assert(StreamQuantile.read(spark, dir)._2 == n)
   }
 
   test("streaming quantile compact: weights preserved, measured staleness returned") {
