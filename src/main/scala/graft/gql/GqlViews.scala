@@ -19,25 +19,28 @@ import Ast._
   * catalogs round-trip.
   *
   * Accepted shapes: a single linear chain of LABELED nodes and
-  * DIRECTED single-hop edges, e.g.
+  * single-hop edges — outgoing `->` or undirected `-` per position
+  * (undirected maintains the symmetrized bag E ∪ Eᵀ, the executor's
+  * own orientation-union semantics), e.g.
   * `MATCH (a:Customer {mktsegment: "BUILDING"})-[:located_in {w: 1}]->(b:Nation)`,
   * or a single BOUNDED var-length segment
   * `MATCH (a:Nation)-[:feeds*2..3]->(b:Nation)` (maintained by walk
   * counting — Views.refreshVarLengthPatternView), both with NO RETURN
   * (the view's rows are the bound id tuple / the distinct endpoint
   * pairs). WHERE clauses, OPTIONAL/WITH segments, var-length composed
-  * with further hops, undirected or incoming edges, unlabeled
+  * with further hops, incoming `<-` edges (flip the chain), unlabeled
   * positions, and null prop values reject with remedies: each is
-  * either ambiguous as a maintained row set or outside the
-  * incremental contract (WHERE can reference cross-variable
-  * expressions the per-position predicate split cannot maintain).
+  * either ambiguous as a maintained row set, has an exact rewrite, or
+  * is outside the incremental contract (WHERE can reference
+  * cross-variable expressions the per-position predicate split cannot
+  * maintain).
   */
 object GqlViews {
 
   private[gql] case class PatternDef(vertexLabels: Seq[String],
       edgeLabels: Seq[String], vertexPreds: Seq[Option[Column]],
       edgePreds: Seq[Option[Column]], range: Option[(Int, Int)] = None,
-      undirected: Boolean = false)
+      undirectedHops: Seq[Boolean] = Nil)
 
   private def propsPred(props: Map[String, GqlValue]): Option[Column] = {
     props.foreach {
@@ -89,16 +92,16 @@ object GqlViews {
             "for a bare node set)")
         require(!p.shortest, "shortestPath(...) is a query, not a view shape")
         p.edges.foreach { e =>
-          // undirected is well-defined for a var-length segment (the
-          // executor's own gql_varlength shape — walks over E ∪ Eᵀ);
-          // single-hop/chain views keep the directed-only contract
-          require(e.direction == Outgoing ||
-              (e.direction == Undirected && e.range.isDefined &&
-                p.edges.size == 1),
-            "pattern-view edges must be directed -> (undirected and <- " +
-              "are ambiguous as maintained row sets; flip the chain — " +
-              "except a single var-length segment, where -[:e*m..n]- " +
-              "maintains the symmetrized walk relation)")
+          // undirected hops maintain the symmetrized bag E ∪ Eᵀ at
+          // every position (single-hop, chain, and var-length alike —
+          // the executor's own Undirected orientation-union
+          // semantics); INCOMING stays rejected because `<-` has an
+          // exact zero-cost rewrite (flip the chain), so maintaining
+          // a second orientation convention would only fork the
+          // state contract
+          require(e.direction != Incoming,
+            "pattern-view edges cannot point <- ; flip the chain " +
+              "(the reversed -> definition maintains the same rows)")
           require(e.range.isEmpty || p.edges.size == 1,
             "a var-length segment must be the WHOLE pattern — " +
               "`(a:L)-[:e*m..n]->(b:L)` maintains by walk counting, but " +
@@ -118,7 +121,7 @@ object GqlViews {
           p.nodes.map(n => propsPred(n.props)),
           p.edges.map(e => propsPred(e.props)),
           p.edges.head.range,
-          p.edges.head.direction == Undirected)
+          p.edges.map(_.direction == Undirected))
       case Right(other) => throw new IllegalArgumentException(
         s"pattern views are defined by a MATCH chain, not $other")
     }
@@ -154,14 +157,16 @@ object GqlViews {
         Views.refreshVarLengthPatternView(catalog, name, oldStore, newStore,
           d.vertexLabels(0), d.edgeLabels(0), d.vertexLabels(1),
           minHops, maxHops, d.vertexPreds(0), d.vertexPreds(1),
-          d.undirected)
+          d.undirectedHops.head)
       case None if d.edgeLabels.size == 1 =>
         Views.refreshPatternView(catalog, name, oldStore, newStore,
           d.vertexLabels(0), d.edgeLabels(0), d.vertexLabels(1),
-          d.vertexPreds(0), d.vertexPreds(1), d.edgePreds(0))
+          d.vertexPreds(0), d.vertexPreds(1), d.edgePreds(0),
+          d.undirectedHops.head)
       case None =>
         Views.refreshPatternChainView(catalog, name, oldStore, newStore,
-          d.vertexLabels, d.edgeLabels, d.vertexPreds, d.edgePreds)
+          d.vertexLabels, d.edgeLabels, d.vertexPreds, d.edgePreds,
+          d.undirectedHops)
     }
   }
 }

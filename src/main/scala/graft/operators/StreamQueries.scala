@@ -239,6 +239,59 @@ object StreamQueries {
         .orderBy("src_nation", "dst_nation")
     }),
 
+    // V5c, UNDIRECTED form: (a:Nation)-[:peer]-(b:Nation) maintained
+    // as the symmetrized BAG E ∪ Eᵀ (the executor's orientation-union
+    // semantics: a reciprocal pair counts twice, a self-loop matches
+    // (v, v) twice). The peer graph is built by mutation so the view
+    // bootstraps EMPTY and every row arrived through the symmetrized
+    // delta path; round 2 removes ONE orientation of the reciprocal
+    // pair (the pair must survive at multiplicity 1 per direction),
+    // cascade-removes a vertex, and adds a second self-loop. Oracle
+    // reproduces the end-state bag by unioning both orientations.
+    "v6_pattern_view_undirected" -> ((s, dir) => {
+      import graft.graph.GraphStore
+      import graft.model.PropValue
+      val base = GraphStore.fromTpch(s, dir)
+      val noProps = lit(null).cast(PropValue.mapType)
+      val cat = new Views.ViewCatalog(s,
+        java.nio.file.Files.createTempDirectory("graft_pvu").toString)
+      graft.gql.GqlViews.register(cat, "nation_peer",
+        "MATCH (a:Nation)-[:peer]-(b:Nation)")
+      // round 1: chain i→i+1, a reciprocal 4→3 (making 3⇄4), and a
+      // self-loop 20→20 — all arriving through the delta fold
+      val m1 = base.addEdges(s.range(0, 24)
+          .select((col("id") + GraphStore.NationOff).as("src"),
+            (col("id") + 1L + GraphStore.NationOff).as("dst"),
+            lit("peer").as("label"), noProps.as("props"))
+          .unionByName(s.range(1).select(
+            lit(GraphStore.NationOff + 4L).as("src"),
+            lit(GraphStore.NationOff + 3L).as("dst"),
+            lit("peer").as("label"), noProps.as("props")))
+          .unionByName(s.range(1).select(
+            lit(GraphStore.NationOff + 20L).as("src"),
+            lit(GraphStore.NationOff + 20L).as("dst"),
+            lit("peer").as("label"), noProps.as("props"))))
+        .truncatedEdges()
+      graft.gql.GqlViews.refresh(cat, "nation_peer", base, m1)
+      // round 2: retract ONE orientation of the reciprocal pair,
+      // cascade-remove nation 10, add a second self-loop 22→22
+      val m2 = m1.removeEdges(s.range(1).select(
+          lit(GraphStore.NationOff + 4L).as("src"),
+          lit(GraphStore.NationOff + 3L).as("dst"),
+          lit("peer").as("label")))
+        .removeVertices(s.range(1)
+          .select(lit(GraphStore.NationOff + 10L).as("id")))
+        .addEdges(s.range(1).select(
+          lit(GraphStore.NationOff + 22L).as("src"),
+          lit(GraphStore.NationOff + 22L).as("dst"),
+          lit("peer").as("label"), noProps.as("props")))
+        .truncated().truncatedEdges()
+      graft.gql.GqlViews.refresh(cat, "nation_peer", m1, m2)
+        .select((col("src") - GraphStore.NationOff).as("src_nation"),
+          (col("dst") - GraphStore.NationOff).as("dst_nation"))
+        .orderBy("src_nation", "dst_nation")
+    }),
+
     "v5_incremental_view" -> ((s, dir) => {
       val t1 = lit(java.sql.Timestamp.valueOf("2024-01-11 00:00:00"))
       val t2 = lit(java.sql.Timestamp.valueOf("2024-01-21 00:00:00"))
@@ -317,6 +370,23 @@ object StreamQueries {
          h3 AS (SELECT a.s, b.d FROM h2 a JOIN e b ON a.d = b.s)
          SELECT DISTINCT s AS src_nation, d AS dst_nation
          FROM (SELECT * FROM h2 UNION ALL SELECT * FROM h3)
+         ORDER BY src_nation, dst_nation""",
+    // end-state BAG of the undirected peer view: stored edges are the
+    // chain minus everything touching nation 10 (9→10 and 10→11 died
+    // in the cascade) plus the two self-loops (the reciprocal 4→3 was
+    // retracted); the undirected view is each stored edge in BOTH
+    // orientations — self-loops therefore appear twice, exactly the
+    // executor's orientation-union multiplicity
+    "v6_pattern_view_undirected" ->
+      """WITH e AS (
+           SELECT CAST(i AS BIGINT) AS s, CAST(i + 1 AS BIGINT) AS d
+           FROM range(0, 24) t(i) WHERE i <> 10 AND i + 1 <> 10
+           UNION ALL SELECT 20, 20
+           UNION ALL SELECT 22, 22)
+         SELECT src_nation, dst_nation FROM
+           (SELECT s AS src_nation, d AS dst_nation FROM e
+            UNION ALL
+            SELECT d AS src_nation, s AS dst_nation FROM e)
          ORDER BY src_nation, dst_nation""",
     "v6_pattern_view" ->
       """WITH orig AS (

@@ -329,16 +329,23 @@ object Views {
     * feed-touched keys and never shuffled; every join in the
     * composed rule broadcasts a delta side ([[joinViewDelta]]), so
     * refresh cost scales with the change window, not V or E.
+    *
+    * `undirected = true` maintains `(a:L1)-[:e]-(b:L2)` — the hop
+    * relation is the BAG E ∪ Eᵀ exactly like the executor's
+    * Undirected orientation union (GqlExecutor.matchPattern), so a
+    * reciprocal pair contributes multiplicity 2 and a self-loop
+    * matches (v, v) twice; the multiset state absorbs both.
     */
   def patternViewDelta(oldStore: graft.graph.GraphStore,
       newStore: graft.graph.GraphStore, srcLabel: String,
       edgeLabel: String, dstLabel: String,
       srcPred: Option[Column] = None,
       dstPred: Option[Column] = None,
-      edgePred: Option[Column] = None): DataFrame =
+      edgePred: Option[Column] = None,
+      undirected: Boolean = false): DataFrame =
     patternChainViewDelta(oldStore, newStore,
       Seq(srcLabel, dstLabel), Seq(edgeLabel), Seq(srcPred, dstPred),
-      Seq(edgePred))
+      Seq(edgePred), Seq(undirected))
       .withColumnRenamed("c0", "src").withColumnRenamed("c1", "dst")
 
   /** K-HOP generalization: signed delta of the chain view
@@ -352,12 +359,19 @@ object Views {
     * scanned, never shuffled — the joinViewDelta economics at every
     * level). A registered multi-hop MATCH view therefore refreshes
     * at change-window cost too, with per-hop constant work.
+    *
+    * `undirectedHops(i)` makes hop i+1 undirected: that hop's edge
+    * base AND edge delta are symmetrized to the bag E ∪ Eᵀ (each
+    * edge op contributes ±1 in both orientations), which is exactly
+    * the executor's Undirected orientation union — per-hop, so
+    * chains may mix `->` and `-` positions.
     */
   def patternChainViewDelta(oldStore: graft.graph.GraphStore,
       newStore: graft.graph.GraphStore, vertexLabels: Seq[String],
       edgeLabels: Seq[String],
       vertexPreds: Seq[Option[Column]] = Nil,
-      edgePreds: Seq[Option[Column]] = Nil): DataFrame = {
+      edgePreds: Seq[Option[Column]] = Nil,
+      undirectedHops: Seq[Boolean] = Nil): DataFrame = {
     require(vertexLabels.size == edgeLabels.size + 1 && edgeLabels.nonEmpty,
       s"chain wants k+1 vertex labels for k>=1 edge labels, got " +
         s"${vertexLabels.size}/${edgeLabels.size}")
@@ -369,6 +383,10 @@ object Views {
       Seq.fill(edgeLabels.size)(None: Option[Column]) else edgePreds
     require(epreds.size == edgeLabels.size,
       s"edgePreds wants one entry per edge label")
+    val undir = if (undirectedHops.isEmpty)
+      Seq.fill(edgeLabels.size)(false) else undirectedHops
+    require(undir.size == edgeLabels.size,
+      s"undirectedHops wants one entry per edge label")
     val feed = newStore.changes.filter(col("version") > oldStore.version)
     // Every intermediate here is DELTA-sized, and each is read by
     // several downstream joins/broadcasts; left lazy, the tree
@@ -406,7 +424,7 @@ object Views {
     // incident to a touched vertex (cascades are not spelled out in
     // the feed)
     def eDelta(edgeLabel: String, pred: Option[Column], srcName: String,
-        dstName: String): DataFrame = {
+        dstName: String, sym: Boolean): DataFrame = {
       val explicitE = feed.filter(
           col("op").isin("add_edge", "remove_edge", "update_edge_props")
             && col("elabel") === edgeLabel)
@@ -429,10 +447,17 @@ object Views {
           .select("src", "dst")
       val eo = eMembers(oldStore)
       val en = eMembers(newStore)
-      cut(en.join(eo, Seq("src", "dst"), "left_anti")
+      // membership nets on the STORED orientation; symmetrization
+      // happens after, so an undirected hop's op contributes ±1 in
+      // both orientations (bag semantics — reciprocal edges and
+      // self-loops keep their multiplicities)
+      val net = en.join(eo, Seq("src", "dst"), "left_anti")
         .select(lit("add").as("op"), col("src"), col("dst"))
         .unionByName(eo.join(en, Seq("src", "dst"), "left_anti")
-          .select(lit("remove").as("op"), col("src"), col("dst"))))
+          .select(lit("remove").as("op"), col("src"), col("dst")))
+      val netSym = if (!sym) net else net.unionByName(
+        net.select(col("op"), col("dst").as("src"), col("src").as("dst")))
+      cut(netSym)
         .select(col("op"), col("src").as(srcName), col("dst").as(dstName))
     }
     def vOld(pos: Int, name: String) =
@@ -450,11 +475,16 @@ object Views {
     for (i <- 1 to edgeLabels.size) {
       val s = s"c${i - 1}"
       val d = s"c$i"
-      val e = oldStore.edges.filter(
+      val eBase = oldStore.edges.filter(
           epreds(i - 1).foldLeft(col("label") === edgeLabels(i - 1))(_ && _))
+        .select(col("src"), col("dst"))
+      val e = (if (!undir(i - 1)) eBase
+        else eBase.unionByName(
+          eBase.select(col("dst").as("src"), col("src").as("dst"))))
         .select(col("src").as(s), col("dst").as(d))
       val d1 = joinViewDelta(chainOld, deltaOps,
-        e, eDelta(edgeLabels(i - 1), epreds(i - 1), s, d), Seq(s))
+        e, eDelta(edgeLabels(i - 1), epreds(i - 1), s, d, undir(i - 1)),
+        Seq(s))
       // re-expressed as op rows so the next level's sign validation
       // and broadcasts apply unchanged (each row is exactly ±1)
       val withE = chainOld.join(e, s)
@@ -478,9 +508,10 @@ object Views {
       edgeLabel: String, dstLabel: String,
       srcPred: Option[Column] = None,
       dstPred: Option[Column] = None,
-      edgePred: Option[Column] = None): DataFrame =
+      edgePred: Option[Column] = None,
+      undirected: Boolean = false): DataFrame =
     initPatternChainState(store, Seq(srcLabel, dstLabel), Seq(edgeLabel),
-      Seq(srcPred, dstPred), Seq(edgePred))
+      Seq(srcPred, dstPred), Seq(edgePred), Seq(undirected))
       .withColumnRenamed("c0", "src").withColumnRenamed("c1", "dst")
 
   /** Chain-state bootstrap: the matched (c0..ck) tuples with
@@ -489,19 +520,26 @@ object Views {
   def initPatternChainState(store: graft.graph.GraphStore,
       vertexLabels: Seq[String], edgeLabels: Seq[String],
       vertexPreds: Seq[Option[Column]] = Nil,
-      edgePreds: Seq[Option[Column]] = Nil): DataFrame = {
+      edgePreds: Seq[Option[Column]] = Nil,
+      undirectedHops: Seq[Boolean] = Nil): DataFrame = {
     val preds = if (vertexPreds.isEmpty)
       Seq.fill(vertexLabels.size)(None: Option[Column]) else vertexPreds
     val epreds = if (edgePreds.isEmpty)
       Seq.fill(edgeLabels.size)(None: Option[Column]) else edgePreds
+    val undir = if (undirectedHops.isEmpty)
+      Seq.fill(edgeLabels.size)(false) else undirectedHops
     def vF(pos: Int, name: String) =
       store.vertices.filter(
         preds(pos).foldLeft(col("label") === vertexLabels(pos))(_ && _))
         .select(col("id").as(name))
     val joined = (1 to edgeLabels.size).foldLeft(vF(0, "c0")) { (acc, i) =>
-      acc.join(store.edges.filter(
-            epreds(i - 1).foldLeft(col("label") === edgeLabels(i - 1))(_ && _))
-          .select(col("src").as(s"c${i - 1}"), col("dst").as(s"c$i")),
+      val eBase = store.edges.filter(
+          epreds(i - 1).foldLeft(col("label") === edgeLabels(i - 1))(_ && _))
+        .select(col("src"), col("dst"))
+      val e = if (!undir(i - 1)) eBase
+        else eBase.unionByName(
+          eBase.select(col("dst").as("src"), col("src").as("dst")))
+      acc.join(e.select(col("src").as(s"c${i - 1}"), col("dst").as(s"c$i")),
           s"c${i - 1}")
         .join(vF(i, s"c$i"), s"c$i")
     }
@@ -517,12 +555,13 @@ object Views {
       oldStore: graft.graph.GraphStore, newStore: graft.graph.GraphStore,
       vertexLabels: Seq[String], edgeLabels: Seq[String],
       vertexPreds: Seq[Option[Column]] = Nil,
-      edgePreds: Seq[Option[Column]] = Nil): DataFrame = {
+      edgePreds: Seq[Option[Column]] = Nil,
+      undirectedHops: Seq[Boolean] = Nil): DataFrame = {
     val state0 = catalog.dataOf(s"$name!state").getOrElse(
       initPatternChainState(oldStore, vertexLabels, edgeLabels,
-        vertexPreds, edgePreds))
+        vertexPreds, edgePreds, undirectedHops))
     val delta = patternChainViewDelta(oldStore, newStore,
-      vertexLabels, edgeLabels, vertexPreds, edgePreds)
+      vertexLabels, edgeLabels, vertexPreds, edgePreds, undirectedHops)
     val state1 = mergeJoinDelta(state0, delta).localCheckpoint()
     catalog.put(s"$name!state", state1)
     val view = finalizeJoin(state1)
@@ -756,12 +795,14 @@ object Views {
       srcLabel: String, edgeLabel: String, dstLabel: String,
       srcPred: Option[Column] = None,
       dstPred: Option[Column] = None,
-      edgePred: Option[Column] = None): DataFrame = {
+      edgePred: Option[Column] = None,
+      undirected: Boolean = false): DataFrame = {
     val state0 = catalog.dataOf(s"$name!state").getOrElse(
       initPatternState(oldStore, srcLabel, edgeLabel, dstLabel,
-        srcPred, dstPred, edgePred))
+        srcPred, dstPred, edgePred, undirected))
     val delta = patternViewDelta(oldStore, newStore,
-      srcLabel, edgeLabel, dstLabel, srcPred, dstPred, edgePred)
+      srcLabel, edgeLabel, dstLabel, srcPred, dstPred, edgePred,
+      undirected)
     // a refresh MATERIALIZES its state (localCheckpoint — eager,
     // lineage-cut): the state IS the view, and leaving it lazy makes
     // refresh chains compose every prior round's delta plan into one

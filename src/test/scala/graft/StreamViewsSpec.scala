@@ -1337,10 +1337,79 @@ class StreamViewsSpec extends SparkSpec {
     val r2 = GqlViews.refresh(cat, "u22", m1, m2)
     assert(rows(r2) == exe(m2))
     assert(rows(r2).contains((3L, 5L)))
-    // undirected single-hop (no range) still rejects
+    // incoming still rejects (flip-the-chain remedy)
     intercept[IllegalArgumentException] {
-      GqlViews.register(cat, "bad_u", "MATCH (a:N)-[:link]-(b:N)")
+      GqlViews.register(cat, "bad_in", "MATCH (a:N)<-[:link]-(b:N)")
     }
+  }
+
+  test("undirected single-hop and chain views: symmetrized bag deltas, " +
+    "executor parity, self-pair window") {
+    import spark.implicits._
+    import graft.graph.GraphStore
+    import graft.gql.GqlViews
+    // reciprocal pair 1⇄2 and self-loop 3→3 pin the BAG semantics:
+    // the executor's orientation union matches a reciprocal pair
+    // twice and a self-loop twice
+    val base = GraphStore.fromTuples(spark,
+      Seq((1L, "N", Nil), (2L, "N", Nil), (3L, "N", Nil),
+        (4L, "N", Nil), (5L, "N", Nil)),
+      Seq((1L, 2L, "link", Nil), (2L, 1L, "link", Nil),
+        (3L, 3L, "link", Nil), (2L, 3L, "link", Nil),
+        (4L, 5L, "link", Nil)))
+    val cat = new Views.ViewCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_uh_cat").toString)
+    GqlViews.register(cat, "uh", "MATCH (a:N)-[:link]-(b:N)")
+    def bag(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    def exeBag(st: GraphStore): Seq[(Long, Long)] =
+      graft.gql.GqlExecutor.run(st,
+        "MATCH (a:N)-[:link]-(b:N) RETURN id(a) AS s, id(b) AS d").df
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    // bootstrap: multiplicities match the executor bag exactly —
+    // (1,2) and (2,1) each twice (reciprocal), (3,3) twice (loop)
+    val r0 = GqlViews.refresh(cat, "uh", base, base)
+    assert(bag(r0) == exeBag(base))
+    assert(bag(r0).count(_ == (1L, 2L)) == 2 &&
+      bag(r0).count(_ == (3L, 3L)) == 2)
+    // window 1: drop ONE orientation of the reciprocal pair — (1,2)
+    // must survive at multiplicity 1, not vanish
+    val m1 = base.removeEdges(Seq((2L, 1L, "link")).toDF("src", "dst", "label"))
+    val r1 = GqlViews.refresh(cat, "uh", base, m1)
+    assert(bag(r1) == exeBag(m1))
+    assert(bag(r1).count(_ == (1L, 2L)) == 1)
+    // window 2 — the (v,v) SELF-PAIR window: add a self-loop 5→5 and
+    // cascade-remove vertex 3 (kills its self-loop AND 2-3)
+    val m2 = m1.addEdges(Seq((5L, 5L, "link")).toDF("src", "dst", "label")
+        .withColumn("props", lit(null).cast(graft.model.PropValue.mapType)))
+      .removeVertices(Seq(3L).toDF("id"))
+    val r2 = GqlViews.refresh(cat, "uh", m1, m2)
+    assert(bag(r2) == exeBag(m2))
+    assert(bag(r2).count(_ == (5L, 5L)) == 2, "self-loop matches twice")
+    assert(!bag(r2).exists(p => p._1 == 3L || p._2 == 3L))
+    // mixed-direction CHAIN view: (a)-[:link]-(b)-[:link]->(c)
+    GqlViews.register(cat, "uchain",
+      "MATCH (a:N)-[:link]-(b:N)-[:link]->(c:N)")
+    def bag3(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.select("c0", "c1", "c2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    def exeBag3(st: GraphStore): Seq[(Long, Long, Long)] =
+      graft.gql.GqlExecutor.run(st,
+        "MATCH (a:N)-[:link]-(b:N)-[:link]->(c:N) " +
+          "RETURN id(a) AS x, id(b) AS y, id(c) AS z").df
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted
+    val c0 = GqlViews.refresh(cat, "uchain", m2, m2)
+    assert(bag3(c0) == exeBag3(m2))
+    // window: re-bridge 2-4 (undirected first hop must see BOTH
+    // orientations of the new edge feeding the directed second hop)
+    val m3 = m2.addEdges(Seq((4L, 2L, "link")).toDF("src", "dst", "label")
+      .withColumn("props", lit(null).cast(graft.model.PropValue.mapType)))
+    val c1 = GqlViews.refresh(cat, "uchain", m2, m3)
+    assert(bag3(c1) == exeBag3(m3))
+    assert(bag3(c1).contains((2L, 4L, 5L)),
+      "new walk 2-4→5 via the undirected first hop's reverse orientation")
   }
 
   test("GQL-registered var-length view: refresh parity and rejections") {
