@@ -30,6 +30,14 @@ import Ast._
   */
 object GqlExecutor {
 
+  /** Expansion cap for open-ended var-length ranges (`*`, `*1..`):
+    * the parser carries Int.MaxValue so view registration can tell a
+    * true `*1..` apart, and the executor's seeded expansion caps here
+    * (10 hops — the long-standing grammar contract). A maintained
+    * UNBOUNDED answer is the reachability view (GqlViews/`*1..`).
+    */
+  val VarLenCap: Int = 10
+
   /** Broadcast-hint row ceiling for FAT frames (props maps, path
     * arrays) — see the rationale at the `stSmall` use site; slim
     * frames use [[graft.algorithms.Algorithms.DefaultBroadcastRows]].
@@ -737,7 +745,8 @@ object GqlExecutor {
       // selective the preceding pattern is.
       val orientedPairs = e.range match {
         case None => oriented
-        case Some((minHops, maxHops)) if !trackPath =>
+        case Some((minHops, rawMaxHops)) if !trackPath =>
+          val maxHops = if (rawMaxHops == Int.MaxValue) VarLenCap else rawMaxHops
           val hop = oriented.select(col("__from"), col("__to")).distinct()
           val hop2 = hop.select(col("__from").as("__f2"), col("__to").as("__t2"))
           val seeds = df.select(df(vcol(fromV, "id")).as("__seed")).distinct()
@@ -756,7 +765,8 @@ object GqlExecutor {
             .withColumn(vcol(eV, "props"), lit(null).cast(PropValue.mapType))
             .withColumn(vcol(eV, "label"),
               lit(null).cast(org.apache.spark.sql.types.StringType))
-        case Some((minHops, maxHops)) =>
+        case Some((minHops, rawMaxHops)) =>
+          val maxHops = if (rawMaxHops == Int.MaxValue) VarLenCap else rawMaxHops
           // Path-tracked var-length: enumerate SIMPLE paths (one row
           // per path, no vertex revisits) carrying the hop sequence
           // in __seg — the per-path cardinality a bound path variable
@@ -848,7 +858,8 @@ object GqlExecutor {
     // a non-var-length edge keeps the grammar's single-hop meaning
     // (shortestPath then just asserts direct adjacency); only an
     // explicit * range widens the search
-    val (minHops, maxHops) = e.range.getOrElse((1, 1))
+    val (minHops, rawMaxHops) = e.range.getOrElse((1, 1))
+    val maxHops = if (rawMaxHops == Int.MaxValue) VarLenCap else rawMaxHops
     val aV = aN.variable.get
     val bV = bN.variable.get
     require(aV != bV,

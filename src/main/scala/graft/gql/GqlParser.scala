@@ -45,15 +45,21 @@ object GqlParser extends RegexParsers {
       case v ~ l ~ p => NodePattern(v, l, p.getOrElse(Map.empty))
     }
 
-  /** `*1..3` | `*..3` | `*2..` | `*` (unbounded caps at 10 hops). */
+  /** `*1..3` | `*..3` | `*2..` | `*`. Open-ended ranges carry
+    * Int.MaxValue so downstream consumers can tell `*1..` from
+    * `*1..10`: the EXECUTOR caps expansion at
+    * [[GqlExecutor.VarLenCap]] (10 hops, the pre-r10 behavior), while
+    * pattern-view registration routes a true `*1..` to the maintained
+    * reachability view.
+    */
   private def lengthRange: Parser[(Int, Int)] =
     "*" ~> opt("""\d+""".r) ~ opt(".." ~> opt("""\d+""".r)) ^^ {
       case lo ~ hi =>
         val min = lo.map(_.toInt).getOrElse(1)
         val max = hi match {
           case Some(Some(h)) => h.toInt
-          case Some(None) => 10
-          case None => lo.map(_.toInt).getOrElse(10)
+          case Some(None) => Int.MaxValue
+          case None => lo.map(_.toInt).getOrElse(Int.MaxValue)
         }
         (min, max)
     }

@@ -23,9 +23,12 @@ import Ast._
   * (undirected maintains the symmetrized bag E ∪ Eᵀ, the executor's
   * own orientation-union semantics), e.g.
   * `MATCH (a:Customer {mktsegment: "BUILDING"})-[:located_in {w: 1}]->(b:Nation)`,
-  * or a single BOUNDED var-length segment
+  * a single BOUNDED var-length segment
   * `MATCH (a:Nation)-[:feeds*2..3]->(b:Nation)` (maintained by walk
-  * counting — Views.refreshVarLengthPatternView), both with NO RETURN
+  * counting — Views.refreshVarLengthPatternView), or a single
+  * UNBOUNDED segment `MATCH (a:N)-[:dep*1..]->(b:N)` (maintained as a
+  * transitive-closure reachability view, semi-naive insertion + DRed
+  * deletion — Views.refreshReachabilityView), all with NO RETURN
   * (the view's rows are the bound id tuple / the distinct endpoint
   * pairs). WHERE clauses, OPTIONAL/WITH segments, var-length composed
   * with further hops, incoming `<-` edges (flip the chain), unlabeled
@@ -114,6 +117,20 @@ object GqlViews {
           if (e.range.isDefined) require(e.props.isEmpty,
             "edge props cannot predicate a var-length segment (each hop " +
               "is unbound); use a single-hop view for edge predicates")
+          // UNBOUNDED ranges (`*1..`, parser-carried as Int.MaxValue)
+          // route to the reachability maintainer (semi-naive + DRed);
+          // the two shapes it cannot serve reject with remedies
+          if (e.range.exists(_._2 == Int.MaxValue)) {
+            require(e.range.get._1 == 1,
+              "unbounded reach views maintain *1.. only — a *m.. lower " +
+                "bound would need per-length counting the closure " +
+                "cannot carry; register *1.. and filter m-1 bounded " +
+                "hops downstream")
+            require(e.direction == Outgoing,
+              "undirected unbounded reachability is connected-component " +
+                "membership, not a pattern view — use " +
+                "Algorithms.connectedComponents as a recomputed view")
+          }
         }
         p.nodes.foreach(n => require(n.label.isDefined,
           "every pattern-view node needs a label"))
@@ -153,6 +170,10 @@ object GqlViews {
     }
     val d = parseDef(gql)
     d.range match {
+      case Some((1, Int.MaxValue)) =>
+        Views.refreshReachabilityView(catalog, name, oldStore, newStore,
+          d.vertexLabels(0), d.edgeLabels(0), d.vertexLabels(1),
+          d.vertexPreds(0), d.vertexPreds(1))
       case Some((minHops, maxHops)) =>
         Views.refreshVarLengthPatternView(catalog, name, oldStore, newStore,
           d.vertexLabels(0), d.edgeLabels(0), d.vertexLabels(1),

@@ -292,6 +292,48 @@ object StreamQueries {
         .orderBy("src_nation", "dst_nation")
     }),
 
+    // V5e: UNBOUNDED reachability view — (a:Nation)-[:flows*1..]->
+    // (b:Nation) maintained as a transitive closure: semi-naive
+    // insertion (window 1 builds chains, a branch, and a 2-cycle from
+    // nothing), then a window mixing a bypass INSERT with a DELETE
+    // whose straddling pairs must re-derive through DRed (the bypass
+    // keeps them alive) and a vertex cascade that truly kills others.
+    // Oracle recomputes the end-state closure with WITH RECURSIVE.
+    "v6_pattern_view_unbounded" -> ((s, dir) => {
+      import graft.graph.GraphStore
+      import graft.model.PropValue
+      val base = GraphStore.fromTpch(s, dir)
+      val noProps = lit(null).cast(PropValue.mapType)
+      val off = GraphStore.NationOff
+      def edgeFrame(es: Seq[(Long, Long)]) = {
+        import s.implicits._
+        es.map { case (a, b) => (a + off, b + off, "flows") }
+          .toDF("src", "dst", "label").withColumn("props", noProps)
+      }
+      val cat = new Views.ViewCatalog(s,
+        java.nio.file.Files.createTempDirectory("graft_pvtc").toString)
+      graft.gql.GqlViews.register(cat, "nation_flows",
+        "MATCH (a:Nation)-[:flows*1..]->(b:Nation)")
+      // window 1: chain 0→1→…→15, branch 3→20→21, cycle 22⇄23 fed
+      // from 5 — all via the insertion closure (bootstrap is empty)
+      val m1 = base.addEdges(edgeFrame(
+          (0L to 14L).map(i => (i, i + 1)) ++
+            Seq((3L, 20L), (20L, 21L), (5L, 22L), (22L, 23L), (23L, 22L))))
+        .truncatedEdges()
+      graft.gql.GqlViews.refresh(cat, "nation_flows", base, m1)
+      // window 2: bypass 2→4 added, then vertex 3 removed (cascading
+      // 2→3, 3→4, 3→20) and edge 7→8 removed — pairs through the
+      // bypass re-derive, pairs through 7→8 or into 20/21 die
+      val m2 = m1.addEdges(edgeFrame(Seq((2L, 4L))))
+        .removeVertices(s.range(1).select(lit(off + 3L).as("id")))
+        .removeEdges(edgeFrame(Seq((7L, 8L))).select("src", "dst", "label"))
+        .truncated().truncatedEdges()
+      graft.gql.GqlViews.refresh(cat, "nation_flows", m1, m2)
+        .select((col("src") - off).as("src_nation"),
+          (col("dst") - off).as("dst_nation"))
+        .orderBy("src_nation", "dst_nation")
+    }),
+
     "v5_incremental_view" -> ((s, dir) => {
       val t1 = lit(java.sql.Timestamp.valueOf("2024-01-11 00:00:00"))
       val t2 = lit(java.sql.Timestamp.valueOf("2024-01-21 00:00:00"))
@@ -387,6 +429,27 @@ object StreamQueries {
            (SELECT s AS src_nation, d AS dst_nation FROM e
             UNION ALL
             SELECT d AS src_nation, s AS dst_nation FROM e)
+         ORDER BY src_nation, dst_nation""",
+    // end-state closure of the flows graph: chain edges minus the
+    // vertex-3 cascade (2→3, 3→4) and the removed 7→8, plus the 2→4
+    // bypass, the 20→21 remnant (3→20 died with vertex 3), and the
+    // 22⇄23 cycle fed from 5 — closed by a recursive CTE (UNION
+    // dedup terminates the cycle; (22,22)/(23,23) self-pairs stay)
+    "v6_pattern_view_unbounded" ->
+      """WITH RECURSIVE
+           e AS (
+             SELECT CAST(i AS BIGINT) AS s, CAST(i + 1 AS BIGINT) AS d
+             FROM range(0, 15) t(i) WHERE i NOT IN (2, 3, 7)
+             UNION ALL SELECT 2, 4
+             UNION ALL SELECT 20, 21
+             UNION ALL SELECT 5, 22
+             UNION ALL SELECT 22, 23
+             UNION ALL SELECT 23, 22),
+           r(s, d) AS (
+             SELECT s, d FROM e
+             UNION
+             SELECT r.s, e.d FROM r JOIN e ON r.d = e.s)
+         SELECT s AS src_nation, d AS dst_nation FROM r
          ORDER BY src_nation, dst_nation""",
     "v6_pattern_view" ->
       """WITH orig AS (

@@ -575,8 +575,10 @@ object Views {
     require(minHops >= 1 && minHops <= maxHops && maxHops <= 6,
       s"var-length views maintain hop ranges within [1, 6], got " +
         s"*$minHops..$maxHops — each refresh folds one delta level per " +
-        "length, so an unbounded range has unbounded refresh cost; for " +
-        "longer reaches use Algorithms.multiSourceBfs as a recomputed view")
+        "length, so a wide bounded range has per-length refresh cost; " +
+        "for UNBOUNDED reach register `*1..` (maintained as a " +
+        "reachability view — refreshReachabilityView), or use " +
+        "Algorithms.multiSourceBfs as a recomputed view")
 
   /** Signed WALK-COUNT delta of the var-length pattern view
     * `(a:srcLabel)-[:edgeLabel*min..max]->(b:dstLabel)` between two
@@ -778,6 +780,231 @@ object Views {
     val view = state1.select("src", "dst")
     catalog.put(name, view)
     view
+  }
+
+  // ---- V5e: UNBOUNDED reachability views (semi-naive + DRed) ------
+
+  /** Transitive closure of the `edgeLabel` subgraph as membership
+    * pairs (src, dst) — semi-naive: the frontier (pairs first derived
+    * last round) composes with the edge set once per round, so rounds
+    * are bounded by the subgraph diameter and every join's delta side
+    * is the frontier. Cycle vertices yield their (v, v) self-pairs
+    * like any fixpoint closure. Scale posture: the closure IS the
+    * view's answer, so O(|TC|) state is intrinsic to this view class
+    * — it is meant for sparse, DAG-ish labeled subgraphs
+    * (hierarchies, dependency/feeds graphs), not the social graph.
+    */
+  def initReachState(store: graft.graph.GraphStore, edgeLabel: String,
+      maxRounds: Int = 60): DataFrame = {
+    def cut(df: DataFrame): DataFrame = df.localCheckpoint()
+    val e = cut(store.edges.filter(col("label") === edgeLabel)
+      .select("src", "dst"))
+    var r = e
+    var frontier = e
+    var cnt = frontier.count()
+    var rounds = 0
+    while (cnt > 0 && rounds < maxRounds) {
+      // renamed-column joins throughout this family: alias-qualified
+      // self-join branches UNIONED together trip Catalyst's
+      // union-constraint rewrite (AttributeMap key-not-found)
+      val next = cut(frontier
+        .select(col("src").as("__a"), col("dst").as("__m"))
+        .join(e.select(col("src").as("__m"), col("dst").as("__b")), "__m")
+        .select(col("__a").as("src"), col("__b").as("dst")).distinct()
+        .join(r, Seq("src", "dst"), "left_anti"))
+      cnt = next.count()
+      if (cnt > 0) { r = cut(r.unionByName(next)); frontier = next }
+      rounds += 1
+    }
+    require(cnt == 0L,
+      s"reachability closure did not converge in $maxRounds rounds; " +
+        "raise maxRounds")
+    r
+  }
+
+  /** Netted (adds, removes) of the `edgeLabel` edge set between two
+    * store versions, cascades included — the same
+    * feed-touched-incident-membership compare the pattern-view deltas
+    * use, shared here by the reachability refresher.
+    */
+  private def reachEdgeDelta(oldStore: graft.graph.GraphStore,
+      newStore: graft.graph.GraphStore,
+      edgeLabel: String): (DataFrame, DataFrame) = {
+    def cut(df: DataFrame): DataFrame = df.localCheckpoint()
+    val feed = newStore.changes.filter(col("version") > oldStore.version)
+    val touchedV = cut(feed
+      .filter(col("op").isin("add_vertex", "remove_vertex",
+        "update_vertex_props"))
+      .select(col("id")).distinct())
+    val explicitE = feed.filter(
+        col("op").isin("add_edge", "remove_edge", "update_edge_props")
+          && col("elabel") === edgeLabel)
+      .select(col("src"), col("dst")).distinct()
+    def incident(store: graft.graph.GraphStore) = {
+      val e = store.edges.filter(col("label") === edgeLabel)
+      e.join(broadcast(touchedV.select(col("id").as("src"))),
+          Seq("src"), "left_semi")
+        .unionByName(e.join(broadcast(touchedV.select(col("id").as("dst"))),
+          Seq("dst"), "left_semi").select(col("src"), col("dst"),
+            col("label"), col("props")))
+        .select(col("src"), col("dst"))
+    }
+    val touchedE = cut(explicitE.unionByName(incident(oldStore))
+      .unionByName(incident(newStore)).distinct())
+    def eMembers(store: graft.graph.GraphStore) =
+      store.edges.filter(col("label") === edgeLabel)
+        .join(broadcast(touchedE), Seq("src", "dst"), "left_semi")
+        .select("src", "dst")
+    val eo = eMembers(oldStore)
+    val en = eMembers(newStore)
+    (cut(en.join(eo, Seq("src", "dst"), "left_anti")),
+      cut(eo.join(en, Seq("src", "dst"), "left_anti")))
+  }
+
+  private def serveReach(store: graft.graph.GraphStore, state: DataFrame,
+      srcLabel: String, dstLabel: String, srcPred: Option[Column],
+      dstPred: Option[Column]): DataFrame = {
+    def vSet(label: String, pred: Option[Column], as: String) =
+      store.vertices.filter(pred.foldLeft(col("label") === label)(_ && _))
+        .select(col("id").as(as))
+    state.join(vSet(srcLabel, srcPred, "src"), Seq("src"), "left_semi")
+      .join(vSet(dstLabel, dstPred, "dst"), Seq("dst"), "left_semi")
+      .select("src", "dst")
+  }
+
+  /** Catalog-driven refresh of an UNBOUNDED reachability view
+    * `(a:srcLabel)-[:edgeLabel*1..]->(b:dstLabel)` — the one view
+    * class walk counting cannot maintain (cycle walk counts are
+    * infinite), handled by the classic recursive-view pair:
+    *
+    *  - INSERTION: semi-naive — the new pairs seeded from the added
+    *    edges compose with the (already-closed) state on both sides
+    *    until no new pair appears; rounds grow with the log-ish chain
+    *    depth THROUGH new edges, every join's delta side is the
+    *    frontier.
+    *  - DELETION: DRed (Gupta/Mumick/Subrahmanian 1993) — over-delete
+    *    every member pair with a removed-edge straddle witness
+    *    (a ⇒ u, v ⇒ b in the OLD closure, endpoint coincidences
+    *    included), then re-derive from the certainly-kept pairs and
+    *    the surviving edges, restricted to the over-deleted
+    *    candidates; pairs that never re-derive are truly gone.
+    *  - FALLBACK: when the deletion wavefront (`|candidates|`)
+    *    exceeds `rederiveCap`, re-derivation would churn most of the
+    *    state and a fresh semi-naive closure of the NEW edge set is
+    *    strictly cheaper — recompute, fold, and record the same
+    *    contract (end state identical by construction).
+    *
+    * State under `name!state` is the label-free closure; endpoint
+    * labels/predicates are SERVE-time semi-joins against the current
+    * store (so a vertex prop flip re-serves without touching the
+    * closure). Served rows under `name`: distinct (src, dst).
+    */
+  def refreshReachabilityView(catalog: ViewCatalog, name: String,
+      oldStore: graft.graph.GraphStore, newStore: graft.graph.GraphStore,
+      srcLabel: String, edgeLabel: String, dstLabel: String,
+      srcPred: Option[Column] = None, dstPred: Option[Column] = None,
+      rederiveCap: Long = 1L << 20, maxRounds: Int = 60): DataFrame = {
+    def cut(df: DataFrame): DataFrame = df.localCheckpoint()
+    def hinted(df: DataFrame, cnt: Long): DataFrame =
+      if (cnt <= rederiveCap) broadcast(df) else df
+    def finish(state: DataFrame): DataFrame = {
+      catalog.put(s"$name!state", state)
+      val view = serveReach(newStore, state, srcLabel, dstLabel,
+        srcPred, dstPred)
+      catalog.put(name, view)
+      view
+    }
+    var r = catalog.dataOf(s"$name!state").getOrElse(
+      initReachState(oldStore, edgeLabel, maxRounds))
+    val (eAdd, eRem) = reachEdgeDelta(oldStore, newStore, edgeLabel)
+    val remCnt = eRem.count()
+    if (remCnt > 0) {
+      // over-delete candidates: the removed pair itself and every
+      // member pair reaching AROUND it (a ⇒ u and/or v ⇒ b, with
+      // a = u / b = v coincidences as their own shapes)
+      val remUV = hinted(
+        eRem.select(col("src").as("__u"), col("dst").as("__v")), remCnt)
+      val rToU = r.select(col("src").as("__a"), col("dst").as("__u"))
+      val rFromV = r.select(col("src").as("__v"), col("dst").as("__b"))
+      val shape2 = rToU.join(remUV, "__u")
+        .select(col("__a").as("src"), col("__v").as("dst"))
+      val shape3 = remUV.join(rFromV, "__v")
+        .select(col("__u").as("src"), col("__b").as("dst"))
+      val shape4 = rToU.join(remUV, "__u").join(rFromV, "__v")
+        .select(col("__a").as("src"), col("__b").as("dst"))
+      val cands = cut(eRem.unionByName(shape2).unionByName(shape3)
+        .unionByName(shape4).distinct()
+        .join(r, Seq("src", "dst"), "left_semi"))
+      val aCnt = cands.count()
+      if (aCnt > rederiveCap)
+        // deletion wavefront exceeds the re-derivation budget:
+        // recompute the closure over the new edge set (additions
+        // folded in for free) — strictly cheaper than churning
+        // most of the state through DRed rounds
+        return finish(cut(initReachState(newStore, edgeLabel, maxRounds)))
+      val eMid = cut(oldStore.edges.filter(col("label") === edgeLabel)
+        .select("src", "dst")
+        .join(hinted(eRem, remCnt), Seq("src", "dst"), "left_anti"))
+      var kept = cut(r.join(hinted(cands, aCnt), Seq("src", "dst"),
+        "left_anti"))
+      var pending = cands
+      var pendCnt = aCnt
+      var rounds = 0
+      var derivedCnt = -1L
+      while (pendCnt > 0 && derivedCnt != 0 && rounds < maxRounds) {
+        val p = hinted(pending, pendCnt)
+        // R(a,b) ← E(a,b) | E(a,x) ∧ R(x,b), restricted to candidates
+        val direct = p.join(eMid, Seq("src", "dst"), "left_semi")
+        val step = p
+          .join(eMid.select(col("src"), col("dst").as("__x")), "src")
+          .join(kept.select(col("src").as("__x"), col("dst")),
+            Seq("__x", "dst"), "left_semi")
+          .select("src", "dst")
+        val derived = cut(direct.unionByName(step).distinct())
+        derivedCnt = derived.count()
+        if (derivedCnt > 0) {
+          kept = cut(kept.unionByName(derived))
+          pending = cut(pending.join(hinted(derived, derivedCnt),
+            Seq("src", "dst"), "left_anti"))
+          pendCnt -= derivedCnt
+        }
+        rounds += 1
+      }
+      // a round that derives nothing proves the remaining candidates
+      // are truly underivable — anything else is a budget cut
+      require(derivedCnt == 0L || pendCnt == 0L,
+        s"DRed re-derivation did not converge in $maxRounds rounds " +
+          s"($pendCnt candidates still open); raise maxRounds")
+      r = kept
+    }
+    val addCnt0 = eAdd.count()
+    if (addCnt0 > 0) {
+      var delta = cut(eAdd.join(r, Seq("src", "dst"), "left_anti"))
+      var dCnt = delta.count()
+      var rounds = 0
+      while (dCnt > 0 && rounds < maxRounds) {
+        r = cut(r.unionByName(delta))
+        val dL = hinted(
+          delta.select(col("src").as("__a"), col("dst").as("__m")), dCnt)
+        val dR = hinted(
+          delta.select(col("src").as("__m"), col("dst").as("__b")), dCnt)
+        val left = dL
+          .join(r.select(col("src").as("__m"), col("dst").as("__b")), "__m")
+          .select(col("__a").as("src"), col("__b").as("dst"))
+        val right = r
+          .select(col("src").as("__a"), col("dst").as("__m"))
+          .join(dR, "__m")
+          .select(col("__a").as("src"), col("__b").as("dst"))
+        delta = cut(left.unionByName(right).distinct()
+          .join(r, Seq("src", "dst"), "left_anti"))
+        dCnt = delta.count()
+        rounds += 1
+      }
+      require(dCnt == 0L,
+        s"insertion closure did not converge in $maxRounds rounds; " +
+          "raise maxRounds")
+    }
+    finish(r)
   }
 
   /** Catalog-driven refresh of a registered single-hop MATCH-pattern

@@ -1412,6 +1412,86 @@ class StreamViewsSpec extends SparkSpec {
       "new walk 2-4→5 via the undirected first hop's reverse orientation")
   }
 
+  test("unbounded reachability view: semi-naive insertion, DRed deletion, " +
+    "recompute-fallback parity, executor parity") {
+    import spark.implicits._
+    import graft.graph.GraphStore
+    import graft.gql.GqlViews
+    def tc(edges: Set[(Long, Long)]): Set[(Long, Long)] = {
+      var r = edges
+      var changed = true
+      while (changed) {
+        val next = for ((a, x) <- r; (y, b) <- r if x == y) yield (a, b)
+        val r2 = r ++ next
+        changed = r2.size != r.size
+        r = r2
+      }
+      r
+    }
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val noProps = lit(null).cast(graft.model.PropValue.mapType)
+    def addE(st: GraphStore, es: Seq[(Long, Long)]) =
+      st.addEdges(es.map { case (a, b) => (a, b, "dep") }
+        .toDF("src", "dst", "label").withColumn("props", noProps))
+    val base = GraphStore.fromTuples(spark,
+      (0L to 9L).map(i => (i, "N", Seq.empty[(String, Any)])), Nil)
+    val cat = new Views.ViewCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_tc_cat").toString)
+    GqlViews.register(cat, "tc", "MATCH (a:N)-[:dep*1..]->(b:N)")
+    // window 1 — INSERTIONS: a chain, a branch, and a 2-cycle; the
+    // view bootstraps empty so every pair arrives via the semi-naive
+    // insertion loop
+    val e1 = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (6L, 7L), (7L, 6L))
+    val m1 = addE(base, e1)
+    val r1 = GqlViews.refresh(cat, "tc", base, m1)
+    assert(rows(r1) == tc(e1.toSet))
+    assert(rows(r1).contains((0L, 5L)), "5-hop chain pair")
+    assert(rows(r1).contains((6L, 6L)) && rows(r1).contains((7L, 7L)),
+      "cycle self-pairs")
+    // window 2 — DELETION with an alternate path: add the 1→3 bypass
+    // and remove 2→3; (0,3)..(0,5) must SURVIVE via the bypass while
+    // (2,3)..(2,5) die — membership DRed re-derivation, not recompute
+    val m2 = addE(m1, Seq((1L, 3L)))
+      .removeEdges(Seq((2L, 3L, "dep")).toDF("src", "dst", "label"))
+    val e2 = e1.toSet - ((2L, 3L)) + ((1L, 3L))
+    val r2 = GqlViews.refresh(cat, "tc", m1, m2)
+    assert(rows(r2) == tc(e2))
+    assert(rows(r2).contains((0L, 5L)) && !rows(r2).contains((2L, 4L)))
+    // window 3 — VERTEX CASCADE: node 4 leaves (cascading 3→4, 4→5)
+    val m3 = m2.removeVertices(Seq(4L).toDF("id"))
+    val e3 = e2.filter(p => p._1 != 4L && p._2 != 4L)
+    val r3 = GqlViews.refresh(cat, "tc", m2, m3)
+    assert(rows(r3) == tc(e3))
+    assert(!rows(r3).contains((0L, 5L)), "last path to 5 ran through 4")
+    // recompute FALLBACK parity: rederiveCap = 0 forces the fallback
+    // on the same two mutation windows — end state identical
+    val cat2 = new Views.ViewCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_tc2_cat").toString)
+    Views.refreshReachabilityView(cat2, "tc2", base, m1, "N", "dep", "N")
+    Views.refreshReachabilityView(cat2, "tc2", m1, m2, "N", "dep", "N",
+      rederiveCap = 0L)
+    val rf = Views.refreshReachabilityView(cat2, "tc2", m2, m3,
+      "N", "dep", "N", rederiveCap = 0L)
+    assert(rows(rf) == tc(e3))
+    // executor parity: `*1..` caps at VarLenCap=10 hops in the
+    // EXECUTOR — this fixture's diameter is under the cap, so the
+    // maintained unbounded answer and the capped expansion agree
+    val exe = graft.gql.GqlExecutor.run(m3,
+      "MATCH (a:N)-[:dep*1..]->(b:N) RETURN id(a) AS s, id(b) AS d").df
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(r3) == exe)
+    // rejections with remedies: *2.. lower bound, undirected unbounded
+    intercept[IllegalArgumentException] {
+      GqlViews.register(cat, "bad_m", "MATCH (a:N)-[:dep*2..]->(b:N)")
+    }
+    intercept[IllegalArgumentException] {
+      GqlViews.register(cat, "bad_ud", "MATCH (a:N)-[:dep*1..]-(b:N)")
+    }
+  }
+
   test("GQL-registered var-length view: refresh parity and rejections") {
     import spark.implicits._
     import graft.graph.GraphStore
