@@ -653,6 +653,53 @@ object PipelineQueries {
         .orderBy("l_returnflag", "q")
     }),
 
+    // STREAMING quantile twin (round 10): the exact micro-batch fold
+    // the foreachBatch writer runs, driven through four deterministic
+    // batches with a cap small enough to FORCE compaction — the
+    // family's distinctive contract is the CARRIED ±slack (per-batch
+    // construction envelopes + each compaction's measured max merged
+    // weight), because a stream cannot replay history to certify at
+    // ingest. This query replays it: one exact pass re-counts every
+    // served estimate's true rank interval in-plan. `within_slack` is
+    // a theorem check (the envelopes compose additively), so a false
+    // row is a bug, never flake; the exact percentiles give the
+    // oracle its cross-engine half.
+    "sketch_quantiles_stream" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.StreamQuantile
+      val li = graft.TransientCache.persist(Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice")))
+      val path = java.nio.file.Files.createTempDirectory("graft_sqs")
+        .toString
+      (0 until 4).foreach { b =>
+        StreamQuantile.applyBatch(
+          li.filter(pmod(col("l_orderkey"), lit(4)) === b)
+            .select("l_extendedprice"),
+          "l_extendedprice", path, b.toLong, eps = 0.02, cap = 256)()
+      }
+      val (core, n, slack) = StreamQuantile.read(s, path)
+      val qs = Seq(0.1, 0.5, 0.9)
+      val ests = Sketches.coresetQuantiles(core.toArray, n, qs)
+      val v = li.select(col("l_extendedprice").cast("double").as("v"))
+      val qsLit = qs.map(q => s"${q}D").mkString("array(", ", ", ")")
+      val aggCols = ests.zipWithIndex.flatMap { case ((_, est), i) =>
+        Seq(sum(when(col("v") <= est, 1L).otherwise(0L)).as(s"le$i"),
+          sum(when(col("v") < est, 1L).otherwise(0L)).as(s"lt$i"))
+      } :+ expr(s"percentile(v, $qsLit)").as("ps")
+      val row = v.agg(aggCols.head, aggCols.tail: _*).head()
+      val ps = row.getAs[scala.collection.Seq[Double]]("ps")
+      ests.zipWithIndex.map { case ((q, _), i) =>
+        val le = row.getLong(2 * i)
+        val lt = row.getLong(2 * i + 1)
+        val target = math.max(1L, math.ceil(q * n).toLong)
+        (q, ps(i), n,
+          le >= target - slack && lt <= target + slack)
+      }.toDF("q", "exact_value", "n", "within_slack")
+        .select(col("q"), round(col("exact_value"), 4).as("exact_value"),
+          col("n"), col("within_slack"))
+        .orderBy("q")
+    }),
+
     // Corpus vocabulary stats: global top-20 bigrams by occurrence
     // (deterministic tiebreak on the gram), with document frequency —
     // the first report of any corpus-analysis pass. Two chained
@@ -1249,6 +1296,22 @@ object PipelineQueries {
          SELECT 0.75, ROUND(q75, 4), TRUE FROM e
          UNION ALL
          SELECT 0.90, ROUND(q90, 4), TRUE FROM e
+         ORDER BY q""",
+    // streaming twin mirror: exact percentiles + n; TRUE asserts the
+    // carried slack bound held against the exact in-plan recount
+    "sketch_quantiles_stream" ->
+      """WITH e AS (SELECT
+              quantile_cont(l_extendedprice, 0.10) AS q10,
+              quantile_cont(l_extendedprice, 0.50) AS q50,
+              quantile_cont(l_extendedprice, 0.90) AS q90,
+              COUNT(*) AS n
+            FROM lineitem)
+         SELECT 0.10 AS q, ROUND(q10, 4) AS exact_value, n,
+                TRUE AS within_slack FROM e
+         UNION ALL
+         SELECT 0.50, ROUND(q50, 4), n, TRUE FROM e
+         UNION ALL
+         SELECT 0.90, ROUND(q90, 4), n, TRUE FROM e
          ORDER BY q""",
     // grouped coreset mirror: the per-key estimate is the order
     // statistic at the target rank rounded UP to the stride (or the
