@@ -1136,6 +1136,34 @@ class PipelineSpec extends SparkSpec {
     assert(sem4(5L) == 5L && sem4(6L) == 6L)
   }
 
+  test("SemDeDup: nlist scaled with the corpus (64 cells) stays sound " +
+    "under the driver query's violation oracle") {
+    // the production contract is nlist ∝ corpus so cells stay
+    // partition-sized; this pins its SOUNDNESS half — a high nlist
+    // can only lose border-pair recall (allowed), never drop a
+    // vector without an exact neighbor or merge across exact
+    // components. The probe tool (SemDedupScaleProbe) measures the
+    // cost half on the 10x corpus.
+    import graft.functions.{Dedup, Similarity}
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val resolved = Similarity.semanticDedup(emb, 0.4, nlist = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exactPairs = Similarity.embeddingDedupPairs(emb, 0.4)
+      .select("ida", "idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val paired = exactPairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val gcomp = Dedup.resolveDupClusters(emb.select(col("vec_id")),
+        "vec_id", exactPairs.toSeq.toDF("ida", "idb"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((v, c) <- resolved if v != c) {
+      assert(paired.contains(v), s"dropped $v without an exact neighbor")
+      assert(gcomp(v) == gcomp(c), s"merged $v -> $c across components")
+    }
+    // the fixture must actually exercise merges at this nlist, or the
+    // pin is vacuous
+    assert(resolved.exists { case (v, c) => v != c })
+  }
+
   test("HLL index: rollup-merge equals one-shot sketch; 2% envelope at 50k distinct") {
     import spark.implicits._
     import graft.functions.Sketches
