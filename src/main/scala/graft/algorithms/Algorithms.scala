@@ -565,51 +565,107 @@ object Algorithms {
     * seeds and each round relaxes along temporal edges whose stamp is
     * ≥ the current arrival, keeping per-(seed, v) minima. Earliest
     * arrival is monotone non-increasing, so the fixpoint exists and
-    * whole-round relaxation is exact; rounds are bounded by the
-    * longest improving chain. Each round is one equi-join on the
-    * frontier (count-licensed broadcast like [[multiSourceBfs]]) and
-    * one map-side-combined min — the state is O(seeds · V), never
-    * per-edge.
+    * whole-round relaxation is exact. Each round is one equi-join on
+    * the frontier (count-licensed broadcast like [[multiSourceBfs]])
+    * and one map-side-combined min — the state is O(seeds · V),
+    * never per-edge.
+    *
+    * TWO-LEVEL OPTION (r10, probed both ways): `dateBuckets` > 1
+    * processes edges in ASCENDING equal-width date buckets, each run
+    * to its own mini-fixpoint — Dijkstra-in-bulk. Correct because a
+    * bucket-b edge only produces arrivals in bucket b and only
+    * consumes arrivals ≤ ed, all settled by buckets ≤ b; parity with
+    * the flat form probe-verified. The trade is measured, not
+    * guessed (TemporalReachProbe, sf0.1, 2.39M temporal edges):
+    * without broadcast hints the bucketed form wins (15.9 → 13.1 s —
+    * each phase's join is bucket-sliced where the flat form's
+    * frontier matches nearly every LATER edge of its vertex, and
+    * cross-bucket churn vanishes, 3.63 → 3.00); WITH the
+    * count-licensed broadcasts the flat form wins at this scale
+    * (8-10 s vs 14.7 s — rounds rose 14 → 20 plus 8 slice
+    * materializations, and round overhead dominates once every join
+    * broadcasts). Default therefore stays FLAT (dateBuckets = 1);
+    * raise it on a cluster where frontiers exceed the broadcast
+    * threshold and per-round join volume, not round count, is the
+    * bottleneck — that is exactly the 100 TB regime the bucketed
+    * path exists for.
     */
   def temporalReachability(tedges: DataFrame, seeds: DataFrame,
       sentinel: java.sql.Timestamp, maxRounds: Int = 60,
       checkpointDir: Option[String] = None,
-      broadcastRows: Long = DefaultBroadcastRows): DataFrame = {
+      broadcastRows: Long = DefaultBroadcastRows,
+      dateBuckets: Int = 1): DataFrame = {
     import graft.Lineage.CutOps
+    require(dateBuckets >= 1, s"dateBuckets must be >= 1, got $dateBuckets")
     val rel = graft.Lineage.configure(tedges, checkpointDir)
     val e = tedges.select(col("src"), col("dst"), col("d").as("ed"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var arrival = seeds.select(col("id").as("seed"), col("id"),
         lit(sentinel).as("d")).cut(rel)
-      var frontier = arrival
-      var frontierCnt = frontier.count()
-      var rounds = 0
-      while (frontierCnt > 0 && rounds < maxRounds) {
-        val fr = hintIfAtMost(frontier, frontierCnt, broadcastRows)
-        val candidates = fr.join(e,
-            fr("id") === e("src") && e("ed") >= fr("d"))
-          .select(col("seed"), col("dst").as("id"), col("ed").as("d"))
-          .groupBy("seed", "id").agg(min(col("d")).as("d"))
-        val improved = candidates
-          .join(arrival.select(col("seed"), col("id"),
-            col("d").as("old")), Seq("seed", "id"), "left")
-          .filter(col("old").isNull || col("d") < col("old"))
-          .select("seed", "id", "d").cut(rel)
-        frontierCnt = improved.count()
-        if (frontierCnt > 0) {
-          arrival = arrival.unionByName(improved)
-            .groupBy("seed", "id").agg(min(col("d")).as("d")).cut(rel)
-          frontier = improved
+      // equal-width bucket bounds over the edge-stamp span (one agg;
+      // any boundary choice is CORRECT, this one is deterministic).
+      // dateBuckets = 1 (the default) skips the span agg, the slice
+      // materialization, and the per-bucket arrival filter entirely —
+      // the flat form pays nothing for the option's existence.
+      val bounds: Seq[Option[Long]] =
+        if (dateBuckets == 1) Seq(None)
+        else {
+          val span = e.agg(
+            min(col("ed").cast("timestamp").cast("long")),
+            max(col("ed").cast("timestamp").cast("long"))).head()
+          if (span.isNullAt(0)) return arrival // no edges: seeds only
+          val (lo0, hi0) = (span.getLong(0), span.getLong(1))
+          val width = math.max(1L, (hi0 - lo0) / dateBuckets + 1)
+          (1 to dateBuckets).map(i =>
+            math.min(hi0, lo0 - 1 + i * width)).distinct.map(Some(_))
         }
-        rounds += 1
+      var rounds = 0
+      var loSec = Long.MinValue
+      for (hiOpt <- bounds) {
+        val eb = hiOpt match {
+          case None => e
+          case Some(hiSec) => e.filter(
+              col("ed").cast("timestamp").cast("long") > loSec &&
+                col("ed").cast("timestamp").cast("long") <= hiSec)
+            .cut(rel)
+        }
+        var frontier = hiOpt match {
+          case None => arrival
+          case Some(hiSec) => arrival.filter(
+            col("d") <= lit(new java.sql.Timestamp(hiSec * 1000L)))
+        }
+        var frontierCnt = frontier.count()
+        var improvedCnt = -1L
+        while (frontierCnt > 0 && improvedCnt != 0 && rounds < maxRounds) {
+          val fr = hintIfAtMost(frontier, frontierCnt, broadcastRows)
+          val candidates = fr.join(eb,
+              fr("id") === eb("src") && eb("ed") >= fr("d"))
+            .select(col("seed"), col("dst").as("id"), col("ed").as("d"))
+            .groupBy("seed", "id").agg(min(col("d")).as("d"))
+          val improved = candidates
+            .join(arrival.select(col("seed"), col("id"),
+              col("d").as("old")), Seq("seed", "id"), "left")
+            .filter(col("old").isNull || col("d") < col("old"))
+            .select("seed", "id", "d").cut(rel)
+          improvedCnt = improved.count()
+          if (improvedCnt > 0) {
+            arrival = arrival.unionByName(improved)
+              .groupBy("seed", "id").agg(min(col("d")).as("d")).cut(rel)
+            frontier = improved
+            frontierCnt = improvedCnt
+          }
+          rounds += 1
+        }
+        // a budget cut is indistinguishable from a fixpoint to the
+        // caller — fail loudly like louvainLocalMoves instead of
+        // returning silently-unconverged arrivals
+        require(improvedCnt <= 0L,
+          s"temporalReachability did not converge in $maxRounds rounds " +
+            s"(bucket ${hiOpt.fold("<all>")(h => s"<= $h")} still " +
+            "improving); raise maxRounds")
+        hiOpt.foreach(loSec = _)
       }
-      // a budget cut is indistinguishable from a fixpoint to the
-      // caller — fail loudly like louvainLocalMoves instead of
-      // returning silently-unconverged arrivals
-      require(frontierCnt == 0L,
-        s"temporalReachability did not converge in $maxRounds rounds " +
-          s"($frontierCnt arrivals still improving); raise maxRounds")
       arrival
     } finally e.unpersist(blocking = false)
   }

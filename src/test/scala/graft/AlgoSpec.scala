@@ -898,6 +898,14 @@ class AlgoSpec extends SparkSpec {
       val want = Seq(1L, 2L).flatMap(s0 =>
         brute(s0).map { case (v, d) => (s0, v) -> d }).toMap
       assert(got == want, s"seed=$seed")
+      // the ascending date-bucket option (the 100 TB fanout-capped
+      // path) is answer-identical to the flat default by construction
+      val bucketed = Algorithms.temporalReachability(
+          esr.toDF("src", "dst", "d"), Seq(1L, 2L).toDF("id"), sentinel,
+          dateBuckets = 3)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getTimestamp(2)).toMap
+      assert(bucketed == want, s"seed=$seed (dateBuckets=3)")
     }
   }
 
