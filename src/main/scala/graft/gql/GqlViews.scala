@@ -30,11 +30,15 @@ import Ast._
   * transitive-closure reachability view, semi-naive insertion + DRed
   * deletion — Views.refreshReachabilityView), all with NO RETURN
   * (the view's rows are the bound id tuple / the distinct endpoint
-  * pairs). WHERE clauses, OPTIONAL/WITH segments, var-length composed
-  * with further hops, incoming `<-` edges (flip the chain), unlabeled
-  * positions, and null prop values reject with remedies: each is
-  * either ambiguous as a maintained row set, has an exact rewrite, or
-  * is outside the incremental contract (WHERE can reference
+  * pairs). BOUNDED var-length segments may also COMPOSE with further
+  * hops (`(a:N)-[:link*1..2]->(b:N)-[:owns]->(c:M)` — r10,
+  * Views.refreshComposedChainView: per-segment counting sub-states
+  * whose membership deltas fold through the chain). WHERE clauses,
+  * OPTIONAL/WITH segments, unbounded segments composed with further
+  * hops, incoming `<-` edges (flip the chain), unlabeled positions,
+  * and null prop values reject with remedies: each is either
+  * ambiguous as a maintained row set, has an exact rewrite, or is
+  * outside the incremental contract (WHERE can reference
   * cross-variable expressions the per-position predicate split cannot
   * maintain).
   */
@@ -42,7 +46,8 @@ object GqlViews {
 
   private[gql] case class PatternDef(vertexLabels: Seq[String],
       edgeLabels: Seq[String], vertexPreds: Seq[Option[Column]],
-      edgePreds: Seq[Option[Column]], range: Option[(Int, Int)] = None,
+      edgePreds: Seq[Option[Column]],
+      ranges: Seq[Option[(Int, Int)]] = Nil,
       undirectedHops: Seq[Boolean] = Nil)
 
   private def propsPred(props: Map[String, GqlValue]): Option[Column] = {
@@ -105,12 +110,15 @@ object GqlViews {
           require(e.direction != Incoming,
             "pattern-view edges cannot point <- ; flip the chain " +
               "(the reversed -> definition maintains the same rows)")
-          require(e.range.isEmpty || p.edges.size == 1,
-            "a var-length segment must be the WHOLE pattern — " +
-              "`(a:L)-[:e*m..n]->(b:L)` maintains by walk counting, but " +
-              "composing it with further hops would need the interior " +
-              "endpoints bound; register the var-length pair view and " +
-              "join downstream")
+          // BOUNDED var-length segments compose with further hops
+          // (r10 — refreshComposedChainView maintains each segment's
+          // counting sub-state and folds its membership delta through
+          // the chain); only the UNBOUNDED form must stand alone
+          require(!e.range.exists(_._2 == Int.MaxValue) ||
+              p.edges.size == 1,
+            "an unbounded *1.. segment cannot compose with further " +
+              "hops — its membership is a transitive closure; register " +
+              "the *1.. reachability view and join downstream")
           require(e.label.isDefined,
             "pattern-view edges need a label (an unlabeled edge would " +
               "mix every edge type into one maintained set)")
@@ -137,7 +145,7 @@ object GqlViews {
         PatternDef(p.nodes.map(_.label.get), p.edges.map(_.label.get),
           p.nodes.map(n => propsPred(n.props)),
           p.edges.map(e => propsPred(e.props)),
-          p.edges.head.range,
+          p.edges.map(_.range),
           p.edges.map(_.direction == Undirected))
       case Right(other) => throw new IllegalArgumentException(
         s"pattern views are defined by a MATCH chain, not $other")
@@ -169,7 +177,7 @@ object GqlViews {
         s"view '$name' is not a registered GQL pattern view")
     }
     val d = parseDef(gql)
-    d.range match {
+    if (d.edgeLabels.size == 1) d.ranges.head match {
       case Some((1, Int.MaxValue)) =>
         Views.refreshReachabilityView(catalog, name, oldStore, newStore,
           d.vertexLabels(0), d.edgeLabels(0), d.vertexLabels(1),
@@ -179,15 +187,19 @@ object GqlViews {
           d.vertexLabels(0), d.edgeLabels(0), d.vertexLabels(1),
           minHops, maxHops, d.vertexPreds(0), d.vertexPreds(1),
           d.undirectedHops.head)
-      case None if d.edgeLabels.size == 1 =>
+      case None =>
         Views.refreshPatternView(catalog, name, oldStore, newStore,
           d.vertexLabels(0), d.edgeLabels(0), d.vertexLabels(1),
           d.vertexPreds(0), d.vertexPreds(1), d.edgePreds(0),
           d.undirectedHops.head)
-      case None =>
-        Views.refreshPatternChainView(catalog, name, oldStore, newStore,
-          d.vertexLabels, d.edgeLabels, d.vertexPreds, d.edgePreds,
-          d.undirectedHops)
     }
+    else if (d.ranges.exists(_.isDefined))
+      Views.refreshComposedChainView(catalog, name, oldStore, newStore,
+        d.vertexLabels, d.edgeLabels, d.ranges, d.vertexPreds,
+        d.edgePreds, d.undirectedHops)
+    else
+      Views.refreshPatternChainView(catalog, name, oldStore, newStore,
+        d.vertexLabels, d.edgeLabels, d.vertexPreds, d.edgePreds,
+        d.undirectedHops)
   }
 }

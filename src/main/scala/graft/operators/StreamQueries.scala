@@ -292,6 +292,48 @@ object StreamQueries {
         .orderBy("src_nation", "dst_nation")
     }),
 
+    // V5f: COMPOSED chain view — a bounded var-length segment folded
+    // through a further hop: (a:Nation)-[:feeds*1..2]->(b:Nation)
+    // -[:in_region]->(c:Region). The feeds DAG arrives by mutation
+    // (bootstrap is empty: every row came through the sub-state +
+    // chain delta path); round 2 mixes a VL cascade (vertex 10 dies,
+    // killing walks AND its own in_region tail edge — the ΔΔ cross
+    // term), a VL edge removal with alternate walks, and tail-hop
+    // churn (nation 3 loses its region link). Oracle recomputes the
+    // end state by unrolled self-joins + the region join.
+    "v6_pattern_view_composed" -> ((s, dir) => {
+      import graft.graph.GraphStore
+      import graft.model.PropValue
+      val base = GraphStore.fromTpch(s, dir)
+      val noProps = lit(null).cast(PropValue.mapType)
+      val nOff = GraphStore.NationOff
+      val cat = new Views.ViewCatalog(s,
+        java.nio.file.Files.createTempDirectory("graft_pvc").toString)
+      graft.gql.GqlViews.register(cat, "feeds_region",
+        "MATCH (a:Nation)-[:feeds*1..2]->(b:Nation)-[:in_region]->(c:Region)")
+      val m1 = base.addEdges(s.range(0, 25)
+          .select(col("id"), explode(array(lit(1L), lit(2L))).as("step"))
+          .filter(col("id") + col("step") <= 24L)
+          .select((col("id") + nOff).as("src"),
+            (col("id") + col("step") + nOff).as("dst"),
+            lit("feeds").as("label"), noProps.as("props")))
+        .truncatedEdges()
+      graft.gql.GqlViews.refresh(cat, "feeds_region", base, m1)
+      val m2 = m1.removeVertices(s.range(1)
+          .select(lit(nOff + 10L).as("id")))
+        .removeEdges(s.range(1).select(lit(nOff + 5L).as("src"),
+          lit(nOff + 6L).as("dst"), lit("feeds").as("label")))
+        .removeEdges(m1.edges.filter(col("src") === nOff + 3L &&
+            col("label") === "in_region")
+          .select("src", "dst", "label"))
+        .truncated().truncatedEdges()
+      graft.gql.GqlViews.refresh(cat, "feeds_region", m1, m2)
+        .select((col("c0") - nOff).as("src_nation"),
+          (col("c1") - nOff).as("mid_nation"),
+          (col("c2") - GraphStore.RegionOff).as("regionkey"))
+        .orderBy("src_nation", "mid_nation", "regionkey")
+    }),
+
     // V5e: UNBOUNDED reachability view — (a:Nation)-[:flows*1..]->
     // (b:Nation) maintained as a transitive closure: semi-naive
     // insertion (window 1 builds chains, a branch, and a 2-cycle from
@@ -430,6 +472,26 @@ object StreamQueries {
             UNION ALL
             SELECT d AS src_nation, s AS dst_nation FROM e)
          ORDER BY src_nation, dst_nation""",
+    // end-state of the composed view: distinct 1-2-hop feeds pairs
+    // (edges minus everything touching nation 10 and minus 5→6)
+    // joined to each mid-nation's surviving region link (10's died
+    // with the vertex, 3's was removed explicitly)
+    "v6_pattern_view_composed" ->
+      """WITH e AS (
+           SELECT CAST(i AS BIGINT) AS s, CAST(i + st AS BIGINT) AS d
+           FROM range(0, 25) t(i) CROSS JOIN (VALUES (1), (2)) v(st)
+           WHERE i + st <= 24
+             AND i <> 10 AND i + st <> 10
+             AND NOT (i = 5 AND st = 1)),
+         w AS (SELECT s, d FROM e
+               UNION
+               SELECT a.s, b.d FROM e a JOIN e b ON a.d = b.s),
+         nr AS (SELECT CAST(n_nationkey AS BIGINT) AS nk,
+                       CAST(n_regionkey AS BIGINT) AS rk
+                FROM nation WHERE n_nationkey NOT IN (3, 10))
+         SELECT w.s AS src_nation, w.d AS mid_nation, nr.rk AS regionkey
+         FROM w JOIN nr ON w.d = nr.nk
+         ORDER BY src_nation, mid_nation, regionkey""",
     // end-state closure of the flows graph: chain edges minus the
     // vertex-3 cascade (2→3, 3→4) and the removed 7→8, plus the 2→4
     // bypass, the 20→21 remnant (3→20 died with vertex 3), and the

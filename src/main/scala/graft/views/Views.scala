@@ -365,13 +365,23 @@ object Views {
     * edge op contributes ±1 in both orientations), which is exactly
     * the executor's Undirected orientation union — per-hop, so
     * chains may mix `->` and `-` positions.
+    *
+    * `hopOverrides(i)` substitutes hop i+1's relation entirely: the
+    * provider receives the hop's (srcCol, dstCol) names and returns
+    * (oldRelation, ±1 op rows) — the composed var-length machinery
+    * ([[refreshComposedChainView]]) injects a counting sub-state's
+    * DISTINCT-pair membership this way, and the algebra is
+    * indifferent to where a hop relation comes from as long as
+    * old + ops = new.
     */
   def patternChainViewDelta(oldStore: graft.graph.GraphStore,
       newStore: graft.graph.GraphStore, vertexLabels: Seq[String],
       edgeLabels: Seq[String],
       vertexPreds: Seq[Option[Column]] = Nil,
       edgePreds: Seq[Option[Column]] = Nil,
-      undirectedHops: Seq[Boolean] = Nil): DataFrame = {
+      undirectedHops: Seq[Boolean] = Nil,
+      hopOverrides: Map[Int, (String, String) => (DataFrame, DataFrame)] =
+        Map.empty): DataFrame = {
     require(vertexLabels.size == edgeLabels.size + 1 && edgeLabels.nonEmpty,
       s"chain wants k+1 vertex labels for k>=1 edge labels, got " +
         s"${vertexLabels.size}/${edgeLabels.size}")
@@ -475,16 +485,19 @@ object Views {
     for (i <- 1 to edgeLabels.size) {
       val s = s"c${i - 1}"
       val d = s"c$i"
-      val eBase = oldStore.edges.filter(
-          epreds(i - 1).foldLeft(col("label") === edgeLabels(i - 1))(_ && _))
-        .select(col("src"), col("dst"))
-      val e = (if (!undir(i - 1)) eBase
-        else eBase.unionByName(
-          eBase.select(col("dst").as("src"), col("src").as("dst"))))
-        .select(col("src").as(s), col("dst").as(d))
-      val d1 = joinViewDelta(chainOld, deltaOps,
-        e, eDelta(edgeLabels(i - 1), epreds(i - 1), s, d, undir(i - 1)),
-        Seq(s))
+      val (e, eOps) = hopOverrides.get(i - 1) match {
+        case Some(provider) => provider(s, d)
+        case None =>
+          val eBase = oldStore.edges.filter(
+              epreds(i - 1).foldLeft(col("label") === edgeLabels(i - 1))(_ && _))
+            .select(col("src"), col("dst"))
+          val sym = (if (!undir(i - 1)) eBase
+            else eBase.unionByName(
+              eBase.select(col("dst").as("src"), col("src").as("dst"))))
+            .select(col("src").as(s), col("dst").as(d))
+          (sym, eDelta(edgeLabels(i - 1), epreds(i - 1), s, d, undir(i - 1)))
+      }
+      val d1 = joinViewDelta(chainOld, deltaOps, e, eOps, Seq(s))
       // re-expressed as op rows so the next level's sign validation
       // and broadcasts apply unchanged (each row is exactly ±1)
       val withE = chainOld.join(e, s)
@@ -521,7 +534,9 @@ object Views {
       vertexLabels: Seq[String], edgeLabels: Seq[String],
       vertexPreds: Seq[Option[Column]] = Nil,
       edgePreds: Seq[Option[Column]] = Nil,
-      undirectedHops: Seq[Boolean] = Nil): DataFrame = {
+      undirectedHops: Seq[Boolean] = Nil,
+      hopOverrides: Map[Int, (String, String) => DataFrame] =
+        Map.empty): DataFrame = {
     val preds = if (vertexPreds.isEmpty)
       Seq.fill(vertexLabels.size)(None: Option[Column]) else vertexPreds
     val epreds = if (edgePreds.isEmpty)
@@ -533,15 +548,18 @@ object Views {
         preds(pos).foldLeft(col("label") === vertexLabels(pos))(_ && _))
         .select(col("id").as(name))
     val joined = (1 to edgeLabels.size).foldLeft(vF(0, "c0")) { (acc, i) =>
-      val eBase = store.edges.filter(
-          epreds(i - 1).foldLeft(col("label") === edgeLabels(i - 1))(_ && _))
-        .select(col("src"), col("dst"))
-      val e = if (!undir(i - 1)) eBase
-        else eBase.unionByName(
-          eBase.select(col("dst").as("src"), col("src").as("dst")))
-      acc.join(e.select(col("src").as(s"c${i - 1}"), col("dst").as(s"c$i")),
-          s"c${i - 1}")
-        .join(vF(i, s"c$i"), s"c$i")
+      val hop = hopOverrides.get(i - 1) match {
+        case Some(provider) => provider(s"c${i - 1}", s"c$i")
+        case None =>
+          val eBase = store.edges.filter(
+              epreds(i - 1).foldLeft(col("label") === edgeLabels(i - 1))(_ && _))
+            .select(col("src"), col("dst"))
+          val e = if (!undir(i - 1)) eBase
+            else eBase.unionByName(
+              eBase.select(col("dst").as("src"), col("src").as("dst")))
+          e.select(col("src").as(s"c${i - 1}"), col("dst").as(s"c$i"))
+      }
+      acc.join(hop, s"c${i - 1}").join(vF(i, s"c$i"), s"c$i")
     }
     joined.groupBy(joined.columns.map(col): _*)
       .agg(count(lit(1)).as("__mult"))
@@ -778,6 +796,102 @@ object Views {
     // state keys are unique by mergeJoinDelta's groupBy, all __mult>0:
     // the distinct pairs are exactly the state's key columns
     val view = state1.select("src", "dst")
+    catalog.put(name, view)
+    view
+  }
+
+  /** Catalog-driven refresh of a COMPOSED chain view — a MATCH chain
+    * in which any hop may be a BOUNDED var-length segment, e.g.
+    * `(a:N)-[:link*1..2]->(b:N)-[:owns]->(c:M)` (the shape r9's
+    * ledger left open: "var-length composed with further hops").
+    *
+    * How it maintains: each var-length hop keeps its own COUNTING
+    * sub-state under `name!vl<i>` (walk counts — exactly
+    * [[refreshVarLengthPatternView]]'s state, folded by the same
+    * [[varLengthViewDelta]]), and the hop's relation in the chain is
+    * that sub-state's DISTINCT-pair MEMBERSHIP — the executor's own
+    * mid-chain var-length semantics (seeded expansion distincts its
+    * (from, to) pairs before the next join). Membership deltas fall
+    * out of the sub-state fold as key anti-joins old↔new (a pair
+    * enters when its first walk appears, leaves when its last walk
+    * dies), and the top-level chain folds them through the SAME
+    * signed two-level rule as any edge delta — the algebra is
+    * indifferent to where a hop relation comes from as long as
+    * old + ops = new ([[patternChainViewDelta]]'s hopOverrides).
+    * Endpoint labels/preds are applied both inside the sub-state and
+    * by the chain's vertex joins; double-filtering is algebraically
+    * idempotent (each factor relation stays accurate).
+    *
+    * Cost: one counting-sub-state fold per var-length hop (bounded
+    * [1, 6] like the standalone form) + the chain fold — all deltas
+    * broadcast, bases scanned never shuffled. UNBOUNDED segments
+    * cannot compose (their membership is the reachability view's
+    * closure; register `*1..` standalone and join downstream).
+    */
+  def refreshComposedChainView(catalog: ViewCatalog, name: String,
+      oldStore: graft.graph.GraphStore, newStore: graft.graph.GraphStore,
+      vertexLabels: Seq[String], edgeLabels: Seq[String],
+      ranges: Seq[Option[(Int, Int)]],
+      vertexPreds: Seq[Option[Column]] = Nil,
+      edgePreds: Seq[Option[Column]] = Nil,
+      undirectedHops: Seq[Boolean] = Nil): DataFrame = {
+    require(ranges.size == edgeLabels.size,
+      "ranges wants one entry per edge label")
+    require(ranges.exists(_.isDefined) && edgeLabels.size >= 2,
+      "composed chains need >= 2 hops with >= 1 var-length segment — " +
+        "use refreshPatternChainView / refreshVarLengthPatternView for " +
+        "the simple shapes")
+    require(ranges.forall(_.forall(_._2 != Int.MaxValue)),
+      "an UNBOUNDED segment cannot compose — its membership is a " +
+        "transitive closure; register the *1.. reachability view and " +
+        "join downstream")
+    def cut(df: DataFrame): DataFrame = df.localCheckpoint()
+    val preds = if (vertexPreds.isEmpty)
+      Seq.fill(vertexLabels.size)(None: Option[Column]) else vertexPreds
+    val epreds = if (edgePreds.isEmpty)
+      Seq.fill(edgeLabels.size)(None: Option[Column]) else edgePreds
+    val undir = if (undirectedHops.isEmpty)
+      Seq.fill(edgeLabels.size)(false) else undirectedHops
+    ranges.zipWithIndex.foreach { case (r, j) =>
+      require(r.isEmpty || epreds(j).isEmpty,
+        "edge props cannot predicate a var-length segment")
+    }
+    // fold every var-length hop's counting sub-state FIRST; its
+    // membership delta feeds the chain fold below
+    val overrides = ranges.zipWithIndex.collect {
+      case (Some((mn, mx)), j) =>
+        val sub = s"$name!vl$j"
+        val s0 = catalog.dataOf(sub).getOrElse(cut(
+          initVarLengthState(oldStore, vertexLabels(j), edgeLabels(j),
+            vertexLabels(j + 1), mn, mx, preds(j), preds(j + 1),
+            undir(j))))
+        val d = varLengthViewDelta(oldStore, newStore, vertexLabels(j),
+          edgeLabels(j), vertexLabels(j + 1), mn, mx, preds(j),
+          preds(j + 1), undir(j))
+        val s1 = mergeJoinDelta(s0, d).localCheckpoint()
+        catalog.put(sub, s1)
+        val k0 = s0.select("src", "dst")
+        val k1 = s1.select("src", "dst")
+        val ops = cut(
+          k1.join(k0, Seq("src", "dst"), "left_anti")
+            .withColumn("op", lit("add"))
+          .unionByName(k0.join(k1, Seq("src", "dst"), "left_anti")
+            .withColumn("op", lit("remove"))))
+        j -> ((s: String, dn: String) => (
+          k0.select(col("src").as(s), col("dst").as(dn)),
+          ops.select(col("op"), col("src").as(s), col("dst").as(dn))))
+    }.toMap
+    val bootOverrides = overrides.map { case (j, provider) =>
+      j -> ((s: String, dn: String) => provider(s, dn)._1)
+    }
+    val state0 = catalog.dataOf(s"$name!state").getOrElse(
+      initPatternChainState(oldStore, vertexLabels, edgeLabels,
+        preds, epreds, undir, bootOverrides))
+    val delta = patternChainViewDelta(oldStore, newStore, vertexLabels,
+      edgeLabels, preds, epreds, undir, overrides)
+    val state1 = mergeJoinDelta(state0, delta).localCheckpoint()
+    catalog.put(s"$name!state", state1)
+    val view = finalizeJoin(state1)
     catalog.put(name, view)
     view
   }

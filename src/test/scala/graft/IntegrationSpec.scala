@@ -253,15 +253,16 @@ class IntegrationSpec extends SparkSpec {
     val served = graft.gql.RoutedGql.run(m1, cat,
       "MATCH (a:Person)-[:friend]->(b) RETURN a.department")
     assert(served.servedBy.contains("eng_friends"))
-    // definition validation: WHERE, incoming, unlabeled, var-length
-    // COMPOSED with further hops (the single-segment form is
-    // maintained since r9, undirected single-hop/chain since r10 —
-    // see StreamViewsSpec), null props all reject at REGISTRATION time
+    // definition validation: WHERE, incoming, unlabeled, UNBOUNDED
+    // var-length composed with further hops (bounded composition is
+    // maintained since r10; single-segment since r9; undirected
+    // single-hop/chain since r10 — see StreamViewsSpec), null props
+    // all reject at REGISTRATION time
     for (bad <- Seq(
         "MATCH (a:Person)-[:friend]->(b:Person) WHERE a.age > 3",
         "MATCH (a:Person)<-[:friend]-(b:Person)",
         "MATCH (a)-[:friend]->(b:Person)",
-        "MATCH (a:Person)-[:friend*1..2]->(b:Person)-[:friend]->(c:Person)",
+        "MATCH (a:Person)-[:friend*1..]->(b:Person)-[:friend]->(c:Person)",
         "MATCH (a:Person {department: null})-[:friend]->(b:Person)")) {
       intercept[IllegalArgumentException] {
         GqlViews.register(cat, "bad", bad)

@@ -1508,16 +1508,72 @@ class StreamViewsSpec extends SparkSpec {
     assert(r1.select("src", "dst").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet == Set.empty,
       "the only multi-hop chain ran through the removed edge")
-    // var-length composed with a further hop rejects
-    intercept[IllegalArgumentException] {
-      GqlViews.register(cat, "bad1",
-        "MATCH (a:N)-[:link*1..2]->(b:N)-[:link]->(c:N)")
-    }
     // edge props on a var-length segment reject
     intercept[IllegalArgumentException] {
       GqlViews.register(cat, "bad2",
         """MATCH (a:N)-[:link*1..2 {w: 1}]->(b:N)""")
     }
+    // an UNBOUNDED segment composed with a further hop rejects (the
+    // bounded composition is maintained — see the composed-chain test)
+    intercept[IllegalArgumentException] {
+      GqlViews.register(cat, "bad3",
+        "MATCH (a:N)-[:link*1..]->(b:N)-[:link]->(c:N)")
+    }
+  }
+
+  test("composed chain views: bounded var-length segments fold through " +
+    "the chain; executor parity across mutation windows") {
+    import spark.implicits._
+    import graft.graph.GraphStore
+    import graft.gql.GqlViews
+    val noProps = lit(null).cast(graft.model.PropValue.mapType)
+    // N-layer: path 1→2→3→4 plus bypass 1→3; M-layer: owns edges
+    val base = GraphStore.fromTuples(spark,
+      Seq((1L, "N", Nil), (2L, "N", Nil), (3L, "N", Nil), (4L, "N", Nil),
+        (10L, "M", Nil), (11L, "M", Nil)),
+      Seq((1L, 2L, "link", Nil), (2L, 3L, "link", Nil),
+        (3L, 4L, "link", Nil), (1L, 3L, "link", Nil),
+        (3L, 10L, "owns", Nil), (4L, 11L, "owns", Nil)))
+    val cat = new Views.ViewCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_cc_cat").toString)
+    val defn = "MATCH (a:N)-[:link*1..2]->(b:N)-[:owns]->(c:M)"
+    GqlViews.register(cat, "vl_owns", defn)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.select("c0", "c1", "c2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    def exe(st: GraphStore): Seq[(Long, Long, Long)] =
+      graft.gql.GqlExecutor.run(st,
+        defn + " RETURN id(a) AS x, id(b) AS y, id(c) AS z").df
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted
+    // bootstrap parity (multiset compare — distinct VL pairs × owns)
+    val r0 = GqlViews.refresh(cat, "vl_owns", base, base)
+    assert(rows(r0) == exe(base))
+    assert(rows(r0).contains((1L, 3L, 10L)) && rows(r0).contains((2L, 4L, 11L)))
+    // window 1: remove ONE of the two 1⇒3 walks (edge 1→3); the
+    // (1,3,10) row must SURVIVE on the remaining 1→2→3 walk — the
+    // membership-vs-counting distinction the sub-state exists for
+    val m1 = base.removeEdges(Seq((1L, 3L, "link")).toDF("src", "dst", "label"))
+    val r1 = GqlViews.refresh(cat, "vl_owns", base, m1)
+    assert(rows(r1) == exe(m1))
+    assert(rows(r1).contains((1L, 3L, 10L)), "alternate walk keeps the row")
+    // window 2: tail-hop churn + VL cascade in ONE window — drop the
+    // owns edge 3→10, add owns 2→10, remove vertex 2 (killing the
+    // last 1⇒3 walk AND the just-added owns edge — the ΔΔ cross term)
+    val m2 = m1.addEdges(Seq((2L, 10L, "owns")).toDF("src", "dst", "label")
+        .withColumn("props", noProps))
+      .removeEdges(Seq((3L, 10L, "owns")).toDF("src", "dst", "label"))
+      .removeVertices(Seq(2L).toDF("id"))
+    val r2 = GqlViews.refresh(cat, "vl_owns", m1, m2)
+    assert(rows(r2) == exe(m2))
+    assert(!rows(r2).exists(t => t._1 == 2L || t._2 == 2L))
+    // window 3: rebuild a walk into 4 (3→4 exists; add 1→3 back) —
+    // new rows appear through BOTH the sub-state and the tail hop
+    val m3 = m2.addEdges(Seq((1L, 3L, "link")).toDF("src", "dst", "label")
+      .withColumn("props", noProps))
+    val r3 = GqlViews.refresh(cat, "vl_owns", m2, m3)
+    assert(rows(r3) == exe(m3))
+    assert(rows(r3).contains((1L, 4L, 11L)), "1→3→4 walk reaches owns 4→11")
   }
 
   test("refresh policies: needsRefresh semantics") {
