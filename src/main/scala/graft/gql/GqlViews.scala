@@ -33,14 +33,16 @@ import Ast._
   * pairs). BOUNDED var-length segments may also COMPOSE with further
   * hops (`(a:N)-[:link*1..2]->(b:N)-[:owns]->(c:M)` — r10,
   * Views.refreshComposedChainView: per-segment counting sub-states
-  * whose membership deltas fold through the chain). WHERE clauses,
+  * whose membership deltas fold through the chain). Single-hop views
+  * may carry a cross-variable WHERE
+  * (`... WHERE a.score > b.score` — r10,
+  * Views.refreshWherePatternView: tuple-level net compare over the
+  * touched-edge set, prop-flip windows included). WHERE on chains,
   * OPTIONAL/WITH segments, unbounded segments composed with further
   * hops, incoming `<-` edges (flip the chain), unlabeled positions,
   * and null prop values reject with remedies: each is either
   * ambiguous as a maintained row set, has an exact rewrite, or is
-  * outside the incremental contract (WHERE can reference
-  * cross-variable expressions the per-position predicate split cannot
-  * maintain).
+  * outside the incremental contract.
   */
 object GqlViews {
 
@@ -48,7 +50,10 @@ object GqlViews {
       edgeLabels: Seq[String], vertexPreds: Seq[Option[Column]],
       edgePreds: Seq[Option[Column]],
       ranges: Seq[Option[(Int, Int)]] = Nil,
-      undirectedHops: Seq[Boolean] = Nil)
+      undirectedHops: Seq[Boolean] = Nil,
+      where: Option[Expr] = None,
+      nodeVars: Seq[Option[String]] = Nil,
+      edgeVars: Seq[Option[String]] = Nil)
 
   private def propsPred(props: Map[String, GqlValue]): Option[Column] = {
     props.foreach {
@@ -86,10 +91,6 @@ object GqlViews {
     GqlParser.parse(s"$gql RETURN count(*)") match {
       case Left(err) => throw new IllegalArgumentException(err)
       case Right(m: MatchStatement) =>
-        require(m.where.isEmpty,
-          "pattern views take inline props blocks, not WHERE — a WHERE " +
-            "may reference cross-variable expressions the per-position " +
-            "incremental predicates cannot maintain")
         require(m.pre.isEmpty && m.optional.isEmpty &&
             m.leadingUnwinds.isEmpty,
           "pattern views are a single MATCH chain (no WITH/OPTIONAL/UNWIND)")
@@ -142,11 +143,52 @@ object GqlViews {
         }
         p.nodes.foreach(n => require(n.label.isDefined,
           "every pattern-view node needs a label"))
+        // cross-variable WHERE (r10): maintained for SINGLE-HOP views
+        // by tuple-level net compare (refreshWherePatternView) — any
+        // deterministic per-row expression over the bound variables'
+        // properties. Chains stay out of contract (each extra hop
+        // multiplies the touched-tuple frontier); remedy in message.
+        m.where.foreach { w =>
+          require(p.edges.size == 1 && p.edges.head.range.isEmpty &&
+              p.edges.head.direction == Outgoing,
+            "WHERE is maintained for directed single-hop views only — " +
+              "split the chain into single-hop views and join " +
+              "downstream, or move per-position equality tests into " +
+              "inline props blocks")
+          val vars = (p.nodes.flatMap(_.variable) ++
+            p.edges.flatMap(_.variable)).toSet
+          def walkW(x: Expr): Unit = x match {
+            case PropRef(v, _) => require(vars.contains(v),
+              s"WHERE references undeclared variable '$v'")
+            case Literal(_) => ()
+            case Comparison(l, _, r) => walkW(l); walkW(r)
+            case And(l, r) => walkW(l); walkW(r)
+            case Or(l, r) => walkW(l); walkW(r)
+            case Not(e) => walkW(e)
+            case In(l, _) => walkW(l)
+            case Contains(l, r) => walkW(l); walkW(r)
+            case Like(l, _) => walkW(l)
+            case StartsWith(l, r) => walkW(l); walkW(r)
+            case EndsWith(l, r) => walkW(l); walkW(r)
+            case Arith(l, _, r) => walkW(l); walkW(r)
+            case StrFunc(_, args) => args.foreach(walkW)
+            case IsNull(e, _) => walkW(e)
+            case other => throw new IllegalArgumentException(
+              s"pattern-view WHERE cannot use $other — only " +
+                "deterministic per-row expressions over the bound " +
+                "variables' properties are maintainable (no pattern " +
+                "predicates, no alias references)")
+          }
+          walkW(w)
+        }
         PatternDef(p.nodes.map(_.label.get), p.edges.map(_.label.get),
           p.nodes.map(n => propsPred(n.props)),
           p.edges.map(e => propsPred(e.props)),
           p.edges.map(_.range),
-          p.edges.map(_.direction == Undirected))
+          p.edges.map(_.direction == Undirected),
+          m.where,
+          p.nodes.map(_.variable),
+          p.edges.map(_.variable))
       case Right(other) => throw new IllegalArgumentException(
         s"pattern views are defined by a MATCH chain, not $other")
     }
@@ -177,6 +219,19 @@ object GqlViews {
         s"view '$name' is not a registered GQL pattern view")
     }
     val d = parseDef(gql)
+    if (d.where.isDefined) {
+      // column-name contract with GqlExecutor.whereCol: a PropRef
+      // over variable v compiles to column `v__props`
+      def pcol(v: Option[String], anon: String) =
+        s"${v.getOrElse(anon)}__props"
+      return Views.refreshWherePatternView(catalog, name,
+        oldStore, newStore,
+        d.vertexLabels(0), d.edgeLabels(0), d.vertexLabels(1),
+        pcol(d.nodeVars(0), "__anon_a"), pcol(d.edgeVars(0), "__anon_e"),
+        pcol(d.nodeVars(1), "__anon_b"),
+        GqlExecutor.whereCol(d.where.get),
+        d.vertexPreds(0), d.vertexPreds(1), d.edgePreds(0))
+    }
     if (d.edgeLabels.size == 1) d.ranges.head match {
       case Some((1, Int.MaxValue)) =>
         Views.refreshReachabilityView(catalog, name, oldStore, newStore,

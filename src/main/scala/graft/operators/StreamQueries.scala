@@ -292,6 +292,50 @@ object StreamQueries {
         .orderBy("src_nation", "dst_nation")
     }),
 
+    // V5g: CROSS-VARIABLE WHERE view — (c:Customer)-[:placed]->
+    // (o:Order) WHERE o.totalprice > c.acctbal * 40.0, the predicate
+    // class per-position props blocks cannot carry, maintained by
+    // tuple-level net compare over the touched-edge set. Window 1 is
+    // PURE prop flips (no membership op at all — repriced customers
+    // swing whole order books in and out); window 2 cascades a
+    // customer out and wires a fresh order in. Oracle recomputes the
+    // end state with the same double arithmetic.
+    "v6_pattern_view_where" -> ((s, dir) => {
+      import graft.graph.GraphStore
+      import graft.model.PropValue
+      val base = GraphStore.fromTpch(s, dir)
+      val cOff = GraphStore.CustomerOff
+      val oOff = GraphStore.OrderOff
+      val cat = new Views.ViewCatalog(s,
+        java.nio.file.Files.createTempDirectory("graft_pvw").toString)
+      graft.gql.GqlViews.register(cat, "big_orders",
+        "MATCH (c:Customer)-[:placed]->(o:Order) " +
+          "WHERE o.totalprice > c.acctbal * 40.0")
+      def bal(v: Double) =
+        map(lit("acctbal"), PropValue.ofFloat(lit(v)))
+      val m1 = base.updateVertexProps(
+          s.range(1, 4).select((col("id") + cOff).as("id"),
+            bal(100000.0).as("props"))
+          .unionByName(s.range(4, 7).select((col("id") + cOff).as("id"),
+            bal(-100.0).as("props"))))
+        .truncated()
+      graft.gql.GqlViews.refresh(cat, "big_orders", base, m1)
+      val m2 = m1.removeVertices(s.range(1)
+          .select(lit(cOff + 7L).as("id")))
+        .addVertices(s.range(1).select(lit(oOff + 900001L).as("id"),
+          lit("Order").as("label"),
+          map(lit("totalprice"), PropValue.ofFloat(lit(999999.0)))
+            .as("props")))
+        .addEdges(s.range(1).select(lit(cOff + 8L).as("src"),
+          lit(oOff + 900001L).as("dst"), lit("placed").as("label"),
+          lit(null).cast(PropValue.mapType).as("props")))
+        .truncated().truncatedEdges()
+      graft.gql.GqlViews.refresh(cat, "big_orders", m1, m2)
+        .select((col("src") - cOff).as("custkey"),
+          (col("dst") - oOff).as("orderkey"))
+        .orderBy("custkey", "orderkey")
+    }),
+
     // V5f: COMPOSED chain view — a bounded var-length segment folded
     // through a further hop: (a:Nation)-[:feeds*1..2]->(b:Nation)
     // -[:in_region]->(c:Region). The feeds DAG arrives by mutation
@@ -472,6 +516,24 @@ object StreamQueries {
             UNION ALL
             SELECT d AS src_nation, s AS dst_nation FROM e)
          ORDER BY src_nation, dst_nation""",
+    // end state of the WHERE view: repriced balances for customers
+    // 1-6, customer 7 gone (cascade), the fresh 999999.0 order on 8;
+    // both sides compare in IEEE doubles so the strict > agrees
+    "v6_pattern_view_where" ->
+      """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS ck,
+               CASE WHEN c_custkey BETWEEN 1 AND 3 THEN 100000.0
+                    WHEN c_custkey BETWEEN 4 AND 6 THEN -100.0
+                    ELSE CAST(c_acctbal AS DOUBLE) END AS bal
+             FROM customer WHERE c_custkey <> 7),
+           o AS (SELECT CAST(o_custkey AS BIGINT) AS ck,
+                        CAST(o_orderkey AS BIGINT) AS ok,
+                        CAST(o_totalprice AS DOUBLE) AS tp
+                 FROM orders
+                 UNION ALL SELECT 8, 900001, 999999.0)
+         SELECT o.ck AS custkey, o.ok AS orderkey
+         FROM o JOIN c ON o.ck = c.ck
+         WHERE o.tp > c.bal * 40.0
+         ORDER BY custkey, orderkey""",
     // end-state of the composed view: distinct 1-2-hop feeds pairs
     // (edges minus everything touching nation 10 and minus 5→6)
     // joined to each mid-nation's surviving region link (10's died

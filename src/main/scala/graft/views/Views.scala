@@ -800,6 +800,93 @@ object Views {
     view
   }
 
+  /** Catalog-driven refresh of a CROSS-VARIABLE-predicated single-hop
+    * view `(a)-[e]->(b) WHERE P(a.props, e.props, b.props)` — the
+    * WHERE class the per-position predicate split cannot carry
+    * (r9's ledger: "cross-variable WHERE in view definitions").
+    *
+    * Maintained by TUPLE-level net compare instead of the composed
+    * per-position rule: a tuple's membership depends only on its
+    * edge's existence, both endpoints' label/props, and the edge's
+    * props — so every tuple the window could have flipped has its
+    * edge in the touched-edge set (explicit edge ops + old/new edges
+    * incident to feed-touched vertices, the same incident scan the
+    * chain deltas use), and comparing the predicated MATCH membership
+    * between the two stores restricted to that set yields the exact
+    * signed delta, prop-flip windows included. Bases are scanned with
+    * the touched set broadcast — never shuffled; the MATCH itself
+    * runs only at bootstrap.
+    *
+    * `tuplePred` evaluates against the tuple frame, whose props
+    * columns are named `srcPropsCol` / `edgePropsCol` / `dstPropsCol`
+    * (the GQL front door passes `<var>__props` names so
+    * GqlExecutor.whereCol-compiled expressions bind directly).
+    * Chains are out of contract (each extra hop multiplies the
+    * touched-tuple frontier): split into single-hop views and join
+    * downstream.
+    */
+  def refreshWherePatternView(catalog: ViewCatalog, name: String,
+      oldStore: graft.graph.GraphStore, newStore: graft.graph.GraphStore,
+      srcLabel: String, edgeLabel: String, dstLabel: String,
+      srcPropsCol: String, edgePropsCol: String, dstPropsCol: String,
+      tuplePred: Column,
+      srcPred: Option[Column] = None,
+      dstPred: Option[Column] = None,
+      edgePred: Option[Column] = None): DataFrame = {
+    def cut(df: DataFrame): DataFrame = df.localCheckpoint()
+    def members(store: graft.graph.GraphStore): DataFrame =
+      store.vertices.filter(
+          srcPred.foldLeft(col("label") === srcLabel)(_ && _))
+        .select(col("id").as("src"), col("props").as(srcPropsCol))
+        .join(store.edges.filter(
+            edgePred.foldLeft(col("label") === edgeLabel)(_ && _))
+          .select(col("src"), col("dst"), col("props").as(edgePropsCol)),
+          "src")
+        .join(store.vertices.filter(
+            dstPred.foldLeft(col("label") === dstLabel)(_ && _))
+          .select(col("id").as("dst"), col("props").as(dstPropsCol)),
+          "dst")
+        .filter(tuplePred)
+        .select("src", "dst")
+    val state0 = catalog.dataOf(s"$name!state").getOrElse(
+      members(oldStore).groupBy("src", "dst")
+        .agg(count(lit(1)).as("__mult")))
+    val feed = newStore.changes.filter(col("version") > oldStore.version)
+    val touchedV = cut(feed
+      .filter(col("op").isin("add_vertex", "remove_vertex",
+        "update_vertex_props"))
+      .select(col("id")).distinct())
+    val explicitE = feed.filter(
+        col("op").isin("add_edge", "remove_edge", "update_edge_props")
+          && col("elabel") === edgeLabel)
+      .select(col("src"), col("dst")).distinct()
+    def incident(store: graft.graph.GraphStore) = {
+      val e = store.edges.filter(col("label") === edgeLabel)
+      e.join(broadcast(touchedV.select(col("id").as("src"))),
+          Seq("src"), "left_semi")
+        .unionByName(e.join(broadcast(touchedV.select(col("id").as("dst"))),
+          Seq("dst"), "left_semi").select(col("src"), col("dst"),
+            col("label"), col("props")))
+        .select(col("src"), col("dst"))
+    }
+    val touchedE = cut(explicitE.unionByName(incident(oldStore))
+      .unionByName(incident(newStore)).distinct())
+    def touchedMembers(store: graft.graph.GraphStore) =
+      members(store).join(broadcast(touchedE), Seq("src", "dst"),
+        "left_semi")
+    val o = touchedMembers(oldStore)
+    val n = touchedMembers(newStore)
+    val delta = cut(n.join(o, Seq("src", "dst"), "left_anti")
+      .select(col("src"), col("dst"), lit(1L).as("__sign"))
+      .unionByName(o.join(n, Seq("src", "dst"), "left_anti")
+        .select(col("src"), col("dst"), lit(-1L).as("__sign"))))
+    val state1 = mergeJoinDelta(state0, delta).localCheckpoint()
+    catalog.put(s"$name!state", state1)
+    val view = finalizeJoin(state1)
+    catalog.put(name, view)
+    view
+  }
+
   /** Catalog-driven refresh of a COMPOSED chain view — a MATCH chain
     * in which any hop may be a BOUNDED var-length segment, e.g.
     * `(a:N)-[:link*1..2]->(b:N)-[:owns]->(c:M)` (the shape r9's

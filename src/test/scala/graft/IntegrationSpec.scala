@@ -259,7 +259,8 @@ class IntegrationSpec extends SparkSpec {
     // single-hop/chain since r10 — see StreamViewsSpec), null props
     // all reject at REGISTRATION time
     for (bad <- Seq(
-        "MATCH (a:Person)-[:friend]->(b:Person) WHERE a.age > 3",
+        "MATCH (a:Person)-[:friend]->(b:Person)-[:friend]->(c:Person)" +
+          " WHERE a.age > 3",
         "MATCH (a:Person)<-[:friend]-(b:Person)",
         "MATCH (a)-[:friend]->(b:Person)",
         "MATCH (a:Person)-[:friend*1..]->(b:Person)-[:friend]->(c:Person)",

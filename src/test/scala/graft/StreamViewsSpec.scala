@@ -1521,6 +1521,71 @@ class StreamViewsSpec extends SparkSpec {
     }
   }
 
+  test("cross-variable WHERE views: tuple-level maintenance under prop " +
+    "flips, edge churn, and cascades; executor parity") {
+    import spark.implicits._
+    import graft.graph.GraphStore
+    import graft.gql.GqlViews
+    import graft.model.PropValue
+    val base = GraphStore.fromTuples(spark,
+      Seq((1L, "P", Seq("score" -> 5.0)), (2L, "P", Seq("score" -> 3.0)),
+        (3L, "P", Seq("score" -> 7.0)), (4L, "P", Seq("score" -> 1.0))),
+      Seq((1L, 2L, "beats", Seq("margin" -> 1.0)),
+        (2L, 3L, "beats", Seq("margin" -> 5.0)),
+        (3L, 4L, "beats", Seq("margin" -> 2.0)),
+        (4L, 1L, "beats", Seq("margin" -> 9.0))))
+    val cat = new Views.ViewCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_wh_cat").toString)
+    // cross-variable + edge-prop arithmetic: exactly the class the
+    // per-position props-block split cannot carry
+    val defn = "MATCH (a:P)-[e:beats]->(b:P) " +
+      "WHERE a.score > b.score AND e.margin < 6"
+    GqlViews.register(cat, "upsets", defn)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def exe(st: GraphStore): Set[(Long, Long)] =
+      graft.gql.GqlExecutor.run(st,
+        defn + " RETURN id(a) AS s, id(b) AS d").df
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r0 = GqlViews.refresh(cat, "upsets", base, base)
+    assert(rows(r0) == exe(base) && rows(r0) == Set((1L, 2L), (3L, 4L)))
+    // window 1 — PURE PROP FLIPS, no edge/vertex membership op at
+    // all: 2 rises to 6.0 (1→2 leaves: 5 < 6), 4 rises to 9.0 ((3,4)
+    // leaves: 7 < 9; (4,1) would enter on score except its margin 9
+    // fails the edge half) — the view empties entirely
+    val m1 = base.updateVertexProps(
+      Seq((2L, 6.0), (4L, 9.0)).toDF("id", "s")
+        .select(col("id"),
+          map(lit("score"), PropValue.ofFloat(col("s"))).as("props")))
+    val r1 = GqlViews.refresh(cat, "upsets", base, m1)
+    assert(rows(r1) == exe(m1))
+    assert(rows(r1).isEmpty)
+    // window 2 — edge churn + cascade: new edge 2→4 (2's 6.0 < 4's
+    // 9.0 → out; margin small), update edge 4→1's margin to 3 (now
+    // 9.0 > 5.0 AND margin 3 < 6 → enters), remove vertex 3
+    val m2 = m1.addEdges(Seq((2L, 4L, "beats")).toDF("src", "dst", "label")
+        .withColumn("props",
+          map(lit("margin"), PropValue.ofFloat(lit(1.0)))))
+      .updateEdgeProps(Seq((4L, 1L, "beats")).toDF("src", "dst", "label")
+        .withColumn("props",
+          map(lit("margin"), PropValue.ofFloat(lit(3.0)))))
+      .removeVertices(Seq(3L).toDF("id"))
+    val r2 = GqlViews.refresh(cat, "upsets", m1, m2)
+    assert(rows(r2) == exe(m2))
+    assert(rows(r2).contains((4L, 1L)), "edge-prop update flipped it in")
+    assert(!rows(r2).exists(p => p._1 == 3L || p._2 == 3L))
+    // WHERE validation: chain WHERE and alias refs still reject
+    intercept[IllegalArgumentException] {
+      GqlViews.register(cat, "bad_w",
+        "MATCH (a:P)-[:beats]->(b:P)-[:beats]->(c:P) WHERE a.score > 1")
+    }
+    intercept[IllegalArgumentException] {
+      GqlViews.register(cat, "bad_w2",
+        "MATCH (a:P)-[:beats]->(b:P) WHERE missing.score > 1")
+    }
+  }
+
   test("composed chain views: bounded var-length segments fold through " +
     "the chain; executor parity across mutation windows") {
     import spark.implicits._
