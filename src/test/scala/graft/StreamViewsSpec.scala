@@ -1231,6 +1231,59 @@ class StreamViewsSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet == Set(2L))
   }
 
+  test("streaming maintainers for the r10 view classes: unbounded reach " +
+    "and cross-variable WHERE fold per micro-batch") {
+    import spark.implicits._
+    import graft.graph.GraphStore
+    import graft.model.PropValue
+    import graft.streaming.StreamPatternView
+    val noProps = lit(null).cast(PropValue.mapType)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // UNBOUNDED reach through the stream front door: the closure
+    // state folds per micro-batch (insertion closure, then DRed)
+    val b1 = GraphStore.fromTuples(spark,
+      (1L to 6L).map(i => (i, "N", Seq.empty[(String, Any)])),
+      Seq((1L, 2L, "dep", Nil), (2L, 3L, "dep", Nil), (4L, 5L, "dep", Nil)))
+    val cat1 = new Views.ViewCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_stc_cat").toString)
+    val meta1 = java.nio.file.Files.createTempDirectory("graft_stc").toString
+    val spv1 = StreamPatternView.fromGql(b1, meta1, cat1, "stc",
+      "MATCH (a:N)-[:dep*1..]->(b:N)")
+    def edgeCmd(op: String, s: Long, d: Long) =
+      Seq((op, 0L, "dep", s, d)).toDF("op", "id", "label", "src", "dst")
+        .withColumn("props", noProps)
+    // batch 0: bridge 3→4 — (1,5), (2,5), (3,5) appear via closure
+    val r0 = spv1.applyAndRefresh(edgeCmd("add_edge", 3L, 4L), 0L)
+    assert(r0.isDefined && rows(r0.get) == Set(
+      (1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (2L, 3L), (2L, 4L),
+      (2L, 5L), (3L, 4L), (3L, 5L), (4L, 5L)))
+    // batch 1: cut 2→3 — everything crossing it DReds away
+    val r1 = spv1.applyAndRefresh(edgeCmd("remove_edge", 2L, 3L), 1L)
+    assert(r1.isDefined && rows(r1.get) == Set(
+      (1L, 2L), (3L, 4L), (3L, 5L), (4L, 5L)))
+    // re-delivery: high-water mark makes it a no-op
+    assert(spv1.applyAndRefresh(edgeCmd("remove_edge", 2L, 3L), 1L).isEmpty)
+    // CROSS-VARIABLE WHERE through the stream front door: a pure
+    // prop-flip batch swings tuples with no membership op at all
+    val b2 = GraphStore.fromTuples(spark,
+      Seq((1L, "P", Seq("score" -> 5.0)), (2L, "P", Seq("score" -> 3.0))),
+      Seq((1L, 2L, "beats", Nil), (2L, 1L, "beats", Nil)))
+    val cat2 = new Views.ViewCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_swh_cat").toString)
+    val meta2 = java.nio.file.Files.createTempDirectory("graft_swh").toString
+    val spv2 = StreamPatternView.fromGql(b2, meta2, cat2, "supsets",
+      "MATCH (a:P)-[:beats]->(b:P) WHERE a.score > b.score")
+    val flip = Seq(("update_vertex_props", 2L)).toDF("op", "id")
+      .select(col("op"), col("id"), lit(null).cast("string").as("label"),
+        lit(0L).as("src"), lit(0L).as("dst"),
+        map(lit("score"), PropValue.ofFloat(lit(9.0))).as("props"))
+    val w0 = spv2.applyAndRefresh(flip, 0L)
+    assert(w0.isDefined && rows(w0.get) == Set((2L, 1L)),
+      "the prop flip reverses which direction qualifies")
+  }
+
   test("var-length pattern view: walk counting keeps pairs alive until the last path dies") {
     import spark.implicits._
     import graft.graph.GraphStore
