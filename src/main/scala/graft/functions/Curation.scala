@@ -30,6 +30,59 @@ object Curation {
       .filter(col("rank") <= k)
   }
 
+  /** CCNet-style LANGUAGE-MODEL quality filter (Wenzek et al. 2020,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web
+    * Crawl Data" — public): train an n-gram LM on a trusted REFERENCE
+    * slice and score every document's fluency under it; low-ppl docs
+    * read like the reference, high-ppl docs are boilerplate/noise.
+    * CCNet uses KenLM; this is the Spark-native count form: an
+    * add-α-smoothed BIGRAM model
+    * `P(w₂|w₁) = (c₂(w₁w₂) + α) / (c₁(w₁) + α·V)` with c₁ the
+    * bigram-context total and V the reference unigram vocabulary + 1
+    * (the unseen class). Deterministic end to end — a pure function
+    * of (docs, reference, α) — so the whole score is value-oracle
+    * checkable, which KenLM's quantized trie never is.
+    *
+    * Returns (id, n_bigrams, bits_per_bigram): the score is the
+    * CROSS-ENTROPY in bits (−avg log₂ P, rounded 4dp — ppl = 2^bits
+    * is monotone in it, and bits at ~10¹ magnitude absorb cross-
+    * engine libm ULP noise that exp'd perplexities at ~10⁴ would
+    * amplify). Docs under 2 words score as one unseen "bigram" (the
+    * shingle fallback) — the OOV floor.
+    *
+    * Scale: the model is two DISTRIBUTED count tables (bigram and
+    * context) joined at score time — vocab-bounded but never
+    * collected (a web-scale reference's bigram vocabulary does not
+    * fit a driver); V rides in as one count scalar. Scoring is one
+    * explode + two equi-joins (AQE broadcasts the model when small)
+    * + a map-side-combined per-doc average.
+    */
+  def lmPerplexity(docs: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refTextCol: String,
+      alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0, s"additive smoothing needs alpha > 0, got $alpha")
+    val ref = graft.TransientCache.persist(
+      reference.select(col(refTextCol).as("text"))
+        .withColumn("__rid", monotonically_increasing_id()))
+    val refBig = graft.TransientCache.persist(
+      TextFunctions.shingleRows(ref, "__rid", "text", 2))
+    val c2 = refBig.groupBy(col("s").as("g")).agg(count(lit(1)).as("c2"))
+    val c1 = refBig.groupBy(split(col("s"), " ").getItem(0).as("w"))
+      .agg(count(lit(1)).as("c1"))
+    val v = TextFunctions.shingleRows(ref, "__rid", "text", 1)
+      .select("s").distinct().count() + 1L
+    val db = TextFunctions.shingleRows(docs, idCol, textCol, 2)
+    db.join(c2, db("s") === c2("g"), "left")
+      .withColumn("w", split(col("s"), " ").getItem(0))
+      .join(c1, Seq("w"), "left")
+      .select(col("id"),
+        log2((coalesce(col("c2"), lit(0L)) + lit(alpha)) /
+          (coalesce(col("c1"), lit(0L)) + lit(alpha * v))).as("lp"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-avg(col("lp")), 4).as("bits_per_bigram"))
+  }
+
   /** Per-document top-k terms by TF-IDF (natural-log IDF, no
     * smoothing): tf(d,t) · ln(N / df(t)).
     *

@@ -66,6 +66,20 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // CCNet-style LM quality filter (r10): add-α bigram model trained
+    // on the English slice, every doc scored in bits-per-bigram —
+    // the count-based, fully-deterministic form of the KenLM
+    // perplexity cut, so the WHOLE score (smoothing, OOV floor,
+    // cross-entropy) is value-oracle checked.
+    "pipe_lm_perplexity" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Curation.lmPerplexity(d, "doc_id", "text",
+          d.filter(col("lang") === "en"), "text")
+        .select(col("id").as("doc_id"), col("n_bigrams"),
+          col("bits_per_bigram"))
+        .orderBy("doc_id")
+    }),
+
     // Per-doc top-3 TF-IDF terms.
     "tfidf_top_terms" -> ((s, dir) => {
       Curation.tfIdfTopTerms(Tables.documents(s, dir), "doc_id", "text", 3)
@@ -242,6 +256,37 @@ object CurationQueries {
           FROM (SELECT id,
                   ((cid % 1000000007) * 2654435761) % 10000 AS h FROM f)
           ORDER BY doc_id""",
+    // LM mirror: identical bigram construction (incl. the <2-word
+    // whole-text fallback), add-0.4 smoothing over the English
+    // reference's bigram/context counts, V = ref unigram vocab + 1,
+    // cross-entropy in bits — log2 ULP noise sits ~10 orders below
+    // the 4dp rounding.
+    "pipe_lm_perplexity" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+              string_split(${PipelineQueries.normText}, ' ') AS w
+            FROM documents),
+          bg AS (SELECT doc_id, lang,
+              CASE WHEN len(w) >= 2
+                THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                ELSE [array_to_string(w, ' ')] END AS b
+            FROM t),
+          sc AS (SELECT doc_id, unnest(b) AS g FROM bg),
+          rbg AS (SELECT unnest(b) AS g FROM bg WHERE lang = 'en'),
+          c2 AS (SELECT g, COUNT(*) AS c2 FROM rbg GROUP BY g),
+          c1 AS (SELECT string_split(g, ' ')[1] AS w, COUNT(*) AS c1
+                 FROM rbg GROUP BY 1),
+          v AS (SELECT COUNT(DISTINCT u) + 1 AS v
+                FROM (SELECT unnest(w) AS u FROM t WHERE lang = 'en')),
+          j AS (SELECT sc.doc_id,
+                  log2((COALESCE(c2.c2, 0) + 0.4) /
+                       (COALESCE(c1.c1, 0) + 0.4 * v.v)) AS lp
+                FROM sc
+                LEFT JOIN c2 USING (g)
+                LEFT JOIN c1 ON string_split(sc.g, ' ')[1] = c1.w
+                CROSS JOIN v)
+          SELECT doc_id, COUNT(*) AS n_bigrams,
+                 ROUND(-AVG(lp), 4) AS bits_per_bigram
+          FROM j GROUP BY doc_id ORDER BY doc_id""",
     // DSIR mirror: identical bigram construction (bigramJaccardSql's,
     // WITHOUT list_distinct — DSIR models occurrence counts), md5
     // hex-prefix bucketing, Laplace-1 smoothing, per-doc log-ratio

@@ -31,6 +31,39 @@ class CurationSpec extends SparkSpec {
     assert(out == Set(("a", 1, 1L), ("a", 2, 2L), ("b", 1, 4L)))
   }
 
+  // ---- lmPerplexity --------------------------------------------------
+
+  test("lmPerplexity: hand-computed add-alpha bits; fluency orders " +
+    "reference-like above scrambled; OOV floor exact") {
+    // reference "the cat sat": c2 = {the cat: 1, cat sat: 1},
+    // c1 = {the: 1, cat: 1}, V = 3 distinct unigrams + 1 = 4
+    val ref = Seq(Tuple1("the cat sat")).toDF("text")
+    val docs = Seq(
+      (1L, "the cat"),      // seen bigram: (1+.4)/(1+.4*4) = 1.4/2.6
+      (2L, "dog runs"),     // fully OOV:   (0+.4)/(0+.4*4) = 0.25
+      (3L, "the cat sat"),  // two seen bigrams — most reference-like
+      (4L, "sat cat the")   // scrambled: all three-word bigrams unseen
+    ).toDF("doc_id", "text")
+    val out = Curation.lmPerplexity(docs, "doc_id", "text", ref, "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val bits1 = BigDecimal(-math.log(1.4 / 2.6) / math.log(2))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == (1L, bits1))
+    assert(out(2L) == (1L, 2.0), "fully-OOV bigram is exactly 2 bits " +
+      "under alpha=0.4, V=4: -log2(0.25)")
+    // the exact reference sentence is all-seen bigrams — same
+    // per-bigram bits as doc 1 (n=2 though); the scrambled version
+    // of the SAME words scores strictly higher
+    assert(out(3L) == (2L, bits1))
+    assert(out(4L)._2 > out(3L)._2 && out(4L)._2 > out(1L)._2)
+    // <2-word docs take the whole-text-shingle OOV floor, n=1
+    val tiny = Curation.lmPerplexity(
+      Seq((9L, "word")).toDF("doc_id", "text"), "doc_id", "text",
+      ref, "text").collect()
+    assert(tiny.head.getLong(1) == 1L)
+  }
+
   // ---- tfIdfTopTerms ------------------------------------------------
 
   test("tfIdfTopTerms scores rare repeated terms above ubiquitous ones") {
