@@ -168,6 +168,56 @@ object Curation {
       .select(col("id"), round(col("logw"), 4).as("logw"))
   }
 
+  /** Corpus DRIFT between two snapshots — the monitoring pass a
+    * continuously-crawled pretraining pipeline runs before mixing a
+    * new snapshot in: Jensen-Shannon divergence between the two
+    * corpora's hashed-bigram profiles (the same md5-bucket profile
+    * DSIR models — lexical distribution compressed into a FIXED
+    * `buckets`-row table at any corpus size, so drift over 100 TB
+    * snapshots costs two bigram scans and a 4096-row join).
+    * Laplace-α smoothing keeps empty buckets finite; JS (in bits,
+    * base-2) is symmetric and bounded [0, 1] — 0 means identical
+    * profiles, 1 means disjoint. Deterministic (md5 buckets), so the
+    * whole scalar is value-oracle checkable.
+    *
+    * Returns one row: (n_a, n_b, js_bits) — bigram totals and the
+    * divergence rounded 6dp (JS sums ~`buckets` log terms; libm ULP
+    * noise sits orders below the rounding).
+    */
+  def corpusDrift(a: DataFrame, b: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 4096,
+      alpha: Double = 1.0): DataFrame = {
+    def profile(df: DataFrame, cname: String): DataFrame =
+      TextFunctions.shingleRows(df, idCol, textCol, 2)
+        .select((conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long")
+          % buckets).as("bk"))
+        .groupBy("bk").agg(count(lit(1)).as(cname))
+    val pa = graft.TransientCache.persist(profile(a, "ca"))
+    val pb = graft.TransientCache.persist(profile(b, "cb"))
+    val na = pa.agg(sum("ca").as("na"))
+    val nb = pb.agg(sum("cb").as("nb"))
+    // full outer: a bucket empty on one side still carries its
+    // smoothed mass; the frame is buckets-bounded either way
+    val terms = pa.join(pb, Seq("bk"), "full_outer")
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(
+        ((coalesce(col("ca"), lit(0L)).cast("double") + alpha) /
+          (col("na").cast("double") + alpha * buckets)).as("p"),
+        ((coalesce(col("cb"), lit(0L)).cast("double") + alpha) /
+          (col("nb").cast("double") + alpha * buckets)).as("q"))
+      .select(col("p"), col("q"), ((col("p") + col("q")) / 2).as("m"))
+      .select(
+        (col("p") * log2(col("p") / col("m")) / 2 +
+          col("q") * log2(col("q") / col("m")) / 2).as("js"))
+      .agg(sum("js").as("js"))
+    // note: buckets NEITHER side touched contribute p = q = smoothed
+    // floor → js term 0, so restricting to the union of touched
+    // buckets is exact, not an approximation
+    na.crossJoin(nb).crossJoin(terms)
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        round(col("js"), 6).as("js_bits"))
+  }
+
   /** Leakage-free train/val/test split. The naive per-doc hash split
     * LEAKS: near-duplicates of an eval document land in train and
     * the eval set measures memorization instead of generalization.

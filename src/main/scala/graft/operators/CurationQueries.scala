@@ -80,6 +80,20 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // Corpus drift between snapshots (r10): JS divergence between
+    // the hashed-bigram profiles of two deterministic corpus halves
+    // (sources src0-9 vs src10-19 standing in for consecutive crawl
+    // snapshots). The profile is buckets-bounded at ANY corpus size;
+    // md5 bucketing makes the whole scalar cross-engine exact.
+    "pipe_corpus_drift" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val oldSnap = d.filter(
+        regexp_extract(col("source"), "src(\\d+)", 1).cast("int") < 10)
+      val newSnap = d.filter(
+        regexp_extract(col("source"), "src(\\d+)", 1).cast("int") >= 10)
+      Curation.corpusDrift(oldSnap, newSnap, "doc_id", "text")
+    }),
+
     // Per-doc top-3 TF-IDF terms.
     "tfidf_top_terms" -> ((s, dir) => {
       Curation.tfIdfTopTerms(Tables.documents(s, dir), "doc_id", "text", 3)
@@ -256,6 +270,36 @@ object CurationQueries {
           FROM (SELECT id,
                   ((cid % 1000000007) * 2654435761) % 10000 AS h FROM f)
           ORDER BY doc_id""",
+    // drift mirror: same bigram construction + md5 bucketing as the
+    // DSIR oracle, Laplace-1 over 4096 buckets, JS in bits via log2;
+    // full-outer over touched buckets (untouched buckets contribute
+    // exactly 0 to JS — p = q = the smoothed floor)
+    "pipe_corpus_drift" ->
+      s"""WITH t AS (SELECT doc_id,
+              CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) AS sn,
+              CASE WHEN len(w) >= 2
+                THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                ELSE [array_to_string(w, ' ')] END AS b
+            FROM (SELECT doc_id, source,
+                    string_split(${PipelineQueries.normText}, ' ') AS w
+                  FROM documents)),
+          g AS (SELECT sn, CAST(('0x' || substr(md5(s), 1, 8))::UBIGINT
+                  % 4096 AS BIGINT) AS bk
+                FROM (SELECT sn, unnest(b) AS s FROM t)),
+          pa AS (SELECT bk, COUNT(*) AS ca FROM g WHERE sn < 10 GROUP BY bk),
+          pb AS (SELECT bk, COUNT(*) AS cb FROM g WHERE sn >= 10 GROUP BY bk),
+          ta AS (SELECT SUM(ca) AS na FROM pa),
+          tb AS (SELECT SUM(cb) AS nb FROM pb),
+          terms AS (
+            SELECT (COALESCE(ca, 0) + 1.0) / (na + 4096.0) AS p,
+                   (COALESCE(cb, 0) + 1.0) / (nb + 4096.0) AS q
+            FROM pa FULL OUTER JOIN pb USING (bk)
+            CROSS JOIN ta CROSS JOIN tb)
+          SELECT ta.na AS n_a, tb.nb AS n_b,
+                 ROUND(SUM(p * log2(p / ((p + q) / 2)) / 2 +
+                           q * log2(q / ((p + q) / 2)) / 2), 6) AS js_bits
+          FROM terms CROSS JOIN ta CROSS JOIN tb
+          GROUP BY ta.na, tb.nb""",
     // LM mirror: identical bigram construction (incl. the <2-word
     // whole-text fallback), add-0.4 smoothing over the English
     // reference's bigram/context counts, V = ref unigram vocab + 1,

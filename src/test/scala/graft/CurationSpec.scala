@@ -31,6 +31,25 @@ class CurationSpec extends SparkSpec {
     assert(out == Set(("a", 1, 1L), ("a", 2, 2L), ("b", 1, 4L)))
   }
 
+  // ---- corpusDrift ----------------------------------------------------
+
+  test("corpusDrift: identical snapshots read exactly 0; disjoint vocab " +
+    "reads high; symmetric") {
+    val a = Seq((1L, "alpha beta gamma delta"), (2L, "beta gamma epsilon"))
+      .toDF("doc_id", "text")
+    val same = Curation.corpusDrift(a, a, "doc_id", "text",
+      buckets = 16, alpha = 0.01).head()
+    assert(same.getDouble(2) == 0.0)
+    val b = Seq((3L, "zeta eta theta iota"), (4L, "eta theta kappa"))
+      .toDF("doc_id", "text")
+    val diff = Curation.corpusDrift(a, b, "doc_id", "text",
+      buckets = 16, alpha = 0.01).head()
+    assert(diff.getDouble(2) > 0.5, s"disjoint vocab: ${diff.getDouble(2)}")
+    val rev = Curation.corpusDrift(b, a, "doc_id", "text",
+      buckets = 16, alpha = 0.01).head()
+    assert(rev.getDouble(2) == diff.getDouble(2), "JS is symmetric")
+  }
+
   // ---- lmPerplexity --------------------------------------------------
 
   test("lmPerplexity: hand-computed add-alpha bits; fluency orders " +
