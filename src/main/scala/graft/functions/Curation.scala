@@ -67,17 +67,31 @@ object Curation {
     val refBig = graft.TransientCache.persist(
       TextFunctions.shingleRows(ref, "__rid", "text", 2))
     val c2 = refBig.groupBy(col("s").as("g")).agg(count(lit(1)).as("c2"))
-    val c1 = refBig.groupBy(split(col("s"), " ").getItem(0).as("w"))
-      .agg(count(lit(1)).as("c1"))
     val v = TextFunctions.shingleRows(ref, "__rid", "text", 1)
       .select("s").distinct().count() + 1L
+    lmScoreBits(docs, idCol, textCol, c2, v, alpha)
+  }
+
+  /** Scoring half of [[lmPerplexity]], shared with the streaming
+    * model maintainer (graft.streaming.StreamLm): bits-per-bigram of
+    * `docs` under a bigram-count model `(g, c2)` — the context
+    * totals c₁(w) derive from c₂ by one vocab-bounded aggregate, so
+    * the at-rest model is a SINGLE count table.
+    */
+  def lmScoreBits(docs: DataFrame, idCol: String, textCol: String,
+      c2: DataFrame, vocabPlusOne: Long, alpha: Double): DataFrame = {
+    require(alpha > 0, s"additive smoothing needs alpha > 0, got $alpha")
+    val c2p = graft.TransientCache.persist(c2)
+    val c1 = c2p.groupBy(split(col("g"), " ").getItem(0).as("w"))
+      .agg(sum(col("c2")).as("c1"))
     val db = TextFunctions.shingleRows(docs, idCol, textCol, 2)
-    db.join(c2, db("s") === c2("g"), "left")
+    db.join(c2p, db("s") === c2p("g"), "left")
       .withColumn("w", split(col("s"), " ").getItem(0))
       .join(c1, Seq("w"), "left")
       .select(col("id"),
         log2((coalesce(col("c2"), lit(0L)) + lit(alpha)) /
-          (coalesce(col("c1"), lit(0L)) + lit(alpha * v))).as("lp"))
+          (coalesce(col("c1"), lit(0L)) + lit(alpha * vocabPlusOne)))
+          .as("lp"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_bigrams"),
         round(-avg(col("lp")), 4).as("bits_per_bigram"))

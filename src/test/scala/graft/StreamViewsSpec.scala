@@ -530,6 +530,51 @@ class StreamViewsSpec extends SparkSpec {
     assert(compacted.map(_._1).toSet.subsetOf(core.map(_._1).toSet))
   }
 
+  test("streaming LM model: per-batch count folds score identically to " +
+    "batch training; re-delivery no-op; torn model refuses") {
+    import spark.implicits._
+    import graft.functions.Curation
+    import graft.streaming.StreamLm
+    val path = java.nio.file.Files.createTempDirectory("graft_slm").toString
+    val refBatches = Seq(
+      Seq("the cat sat on the mat", "the dog sat"),
+      Seq("a cat ran", "the cat sat on a dog"),
+      Seq("dogs and cats sat"))
+    refBatches.zipWithIndex.foreach { case (texts, i) =>
+      assert(StreamLm.applyBatch(
+        texts.map(Tuple1(_)).toDF("text"), "text", path, i.toLong)())
+    }
+    val docs = Seq((1L, "the cat sat"), (2L, "quantum flux capacitor"),
+      (3L, "a dog sat on the mat")).toDF("doc_id", "text")
+    val streamed = StreamLm.score(spark, path, docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val batchTrained = Curation.lmPerplexity(docs, "doc_id", "text",
+        refBatches.flatten.map(Tuple1(_)).toDF("text"), "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(streamed == batchTrained,
+      "stream-folded counts must score bit-identically to batch training")
+    assert(streamed(1L)._2 < streamed(2L)._2,
+      "reference-like text scores fewer bits than OOV gibberish")
+    // re-delivery: the high-water mark makes it a no-op
+    assert(!StreamLm.applyBatch(
+      refBatches(2).map(Tuple1(_)).toDF("text"), "text", path, 2L)())
+    assert(StreamLm.score(spark, path, docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap ==
+      streamed.map { case (k, v) => k -> v._2 })
+    // torn model (crash between the c2 and vocab overwrites): a c2
+    // word the vocab lacks is the signature — read refuses
+    val (c2, _) = StreamLm.read(spark, path)
+    c2.unionByName(Seq(("zzz unknown", 1L)).toDF("g", "c2"))
+      .localCheckpoint()
+      .write.mode("overwrite").parquet(s"$path/c2")
+    val torn = intercept[IllegalStateException] {
+      StreamLm.read(spark, path)
+    }
+    assert(torn.getMessage.contains("torn"))
+  }
+
   test("streaming HLL index: per-batch merges equal batch build; re-delivery benign twice over") {
     import spark.implicits._
     import graft.functions.Sketches
