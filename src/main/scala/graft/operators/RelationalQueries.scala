@@ -291,6 +291,24 @@ object RelationalQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // +A: UNPIVOT/melt (round 10) — pivot's inverse completes the
+    // reshape pair: a wide per-flag aggregate melts into
+    // (key, metric, value) rows. Spark's native unpivot is a
+    // zero-shuffle Expand over the aggregate (3 rows per input row,
+    // no join, no union-of-scans — the UNION ALL formulation would
+    // re-read the aggregate per metric); values pre-cast to one type
+    // because melt requires a common value column.
+    "a14_unpivot" -> ((s, dir) => {
+      val wide = Tables.lineitem(s, dir).groupBy("l_returnflag")
+        .agg(round(sum("l_quantity"), 4).cast("double").as("sum_qty"),
+          round(sum("l_extendedprice"), 4).cast("double").as("sum_price"),
+          count(lit(1)).cast("double").as("cnt"))
+      wide.unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("cnt")),
+          "metric", "value")
+        .orderBy("l_returnflag", "metric")
+    }),
+
     // F6: JSON rendering of structured values (both engines emit the
     // same compact format for int/string fields).
     "f6_json" -> ((s, dir) => {
@@ -463,6 +481,19 @@ object RelationalQueries {
                 ROUND(SUM(CASE WHEN o_orderpriority = '5-LOW'
                           THEN o_totalprice END), 2) AS p_low
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "a14_unpivot" ->
+      """WITH w AS (SELECT l_returnflag,
+               CAST(ROUND(SUM(l_quantity), 4) AS DOUBLE) AS sum_qty,
+               CAST(ROUND(SUM(l_extendedprice), 4) AS DOUBLE) AS sum_price,
+               CAST(COUNT(*) AS DOUBLE) AS cnt
+             FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, metric, value FROM (
+           SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+           UNION ALL
+           SELECT l_returnflag, 'sum_price', sum_price FROM w
+           UNION ALL
+           SELECT l_returnflag, 'cnt', cnt FROM w)
+         ORDER BY l_returnflag, metric""",
     "f6_json" ->
       """SELECT c_custkey,
                 to_json(struct_pack(c_custkey := c_custkey, c_name := c_name)) AS j
