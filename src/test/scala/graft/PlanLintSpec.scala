@@ -38,6 +38,8 @@ class PlanLintSpec extends SparkSpec {
     "ann_pq_recall" -> "query batch, PQ codebook model, brute-force reference side",
     "stats_sketch_bounds" -> "single-row aggregate crossJoined to itself",
     "tfidf_top_terms" -> "single-row corpus count broadcast",
+    "pipe_corpus_drift" -> ("single-row bigram-total aggregates (n_a, " +
+      "n_b, js sum) crossJoined into the one-row result"),
     "pipe_temperature_mix" -> "single-row weight-sum broadcast",
     "text_fingerprint" -> "single-row aggregate",
     "emb_outliers" -> "per-label centroid model",
