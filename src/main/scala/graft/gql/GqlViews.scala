@@ -155,8 +155,13 @@ object GqlViews {
               "split the chain into single-hop views and join " +
               "downstream, or move per-position equality tests into " +
               "inline props blocks")
-          val vars = (p.nodes.flatMap(_.variable) ++
-            p.edges.flatMap(_.variable)).toSet
+          val declared = p.nodes.flatMap(_.variable) ++
+            p.edges.flatMap(_.variable)
+          require(declared.size == declared.toSet.size,
+            "pattern-view WHERE needs distinct variable names — a " +
+              "repeated variable would make the props columns " +
+              "ambiguous; rename one binding")
+          val vars = declared.toSet
           def walkW(x: Expr): Unit = x match {
             case PropRef(v, _) => require(vars.contains(v),
               s"WHERE references undeclared variable '$v'")

@@ -1682,6 +1682,12 @@ class StreamViewsSpec extends SparkSpec {
       GqlViews.register(cat, "bad_w2",
         "MATCH (a:P)-[:beats]->(b:P) WHERE missing.score > 1")
     }
+    // repeated variable names reject at REGISTRATION (the props
+    // columns would be ambiguous at refresh)
+    intercept[IllegalArgumentException] {
+      GqlViews.register(cat, "bad_w3",
+        "MATCH (a:P)-[:beats]->(a:P) WHERE a.score > 1")
+    }
   }
 
   test("composed chain views: bounded var-length segments fold through " +
