@@ -1133,9 +1133,12 @@ object Views {
         .select(col("__u").as("src"), col("__b").as("dst"))
       val shape4 = rToU.join(remUV, "__u").join(rFromV, "__v")
         .select(col("__a").as("src"), col("__b").as("dst"))
+      // every shape row is in R BY CONSTRUCTION — each composes
+      // R-paths with an E_old edge (a⇒u, u→v ∈ E_old, v⇒b gives
+      // a⇒b in TC(E_old)) — so no membership semi-join against the
+      // (closure-sized) R is needed; distinct() is the only dedup
       val cands = cut(eRem.unionByName(shape2).unionByName(shape3)
-        .unionByName(shape4).distinct()
-        .join(r, Seq("src", "dst"), "left_semi"))
+        .unionByName(shape4).distinct())
       val aCnt = cands.count()
       if (aCnt > rederiveCap)
         // deletion wavefront exceeds the re-derivation budget:
