@@ -620,9 +620,15 @@ object Algorithms {
           (1 to dateBuckets).map(i =>
             math.min(hi0, lo0 - 1 + i * width)).distinct.map(Some(_))
         }
-      var rounds = 0
       var loSec = Long.MinValue
       for (hiOpt <- bounds) {
+        // the round budget is PER BUCKET (r11, advisor-flagged): a
+        // shared budget exhausted by early buckets would leave a
+        // later bucket's while loop unentered with improvedCnt = -1,
+        // which the convergence require below reads as success —
+        // silently unrelaxed edges. Total work bound is therefore
+        // maxRounds * dateBuckets.
+        var rounds = 0
         val eb = hiOpt match {
           case None => e
           case Some(hiSec) => e.filter(
@@ -659,8 +665,11 @@ object Algorithms {
         }
         // a budget cut is indistinguishable from a fixpoint to the
         // caller — fail loudly like louvainLocalMoves instead of
-        // returning silently-unconverged arrivals
-        require(improvedCnt <= 0L,
+        // returning silently-unconverged arrivals. The loop may stop
+        // ONLY at a proven fixpoint (improvedCnt == 0) or an empty
+        // frontier; any other exit (budget, including a maxRounds = 0
+        // degenerate that never enters) must fail.
+        require(improvedCnt == 0L || frontierCnt == 0L,
           s"temporalReachability did not converge in $maxRounds rounds " +
             s"(bucket ${hiOpt.fold("<all>")(h => s"<= $h")} still " +
             "improving); raise maxRounds")

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -195,8 +195,28 @@ object Curation {
     * whole scalar is value-oracle checkable.
     *
     * Returns one row: (n_a, n_b, js_bits) — bigram totals and the
-    * divergence rounded 6dp (JS sums ~`buckets` log terms; libm ULP
-    * noise sits orders below the rounding).
+    * divergence rounded 6dp.
+    *
+    * CROSS-ENGINE DETERMINISM (the r10 driver run caught a 6dp hash
+    * flip between Spark and DuckDB): every per-bucket JS term is
+    * quantized to an integer count of 1e-9-bit units —
+    * `floor(term·1e9 + 0.5)` as a long — BEFORE summation, so the
+    * reduction is exact integer arithmetic in any order on any
+    * engine, and the final 6dp rounding is integer division of the
+    * unit count. The only float sensitivity left is a single libm
+    * `log2` per bucket landing within ~1 ULP (≈1e-16, ≈1e-7 units)
+    * of a unit midpoint — ~1e-7 knife-edge probability per bucket
+    * vs the unquantized form's unbounded order-of-summation drift.
+    * Quantization bias is ≤ 0.5e-9/bucket (≤ 2.05e-6 worst case at
+    * 4096 buckets, ~2e-8 expected) — the quantized sum IS the
+    * defined value, identically on both engines.
+    *
+    * UNTOUCHED buckets (neither snapshot hashed into them) carry
+    * p = α/(n_a+αB) vs q = α/(n_b+αB) — equal ONLY when n_a = n_b.
+    * When totals differ each untouched bucket contributes one
+    * identical positive closed-form term, added here as
+    * (B − touched) · quantize(term₀) from the same aggregates
+    * (one scalar — the full-B sum without materializing B rows).
     */
   def corpusDrift(a: DataFrame, b: DataFrame, idCol: String,
       textCol: String, buckets: Int = 4096,
@@ -206,30 +226,38 @@ object Curation {
         .select((conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long")
           % buckets).as("bk"))
         .groupBy("bk").agg(count(lit(1)).as(cname))
+    // per-bucket JS contribution (bits) quantized to 1e-9-bit units;
+    // pointwise ≥ 0 (two-point KL), so the unit count is ≥ 0
+    def termUnits(p: Column, q: Column): Column = {
+      val m = (p + q) / 2
+      floor((p * log2(p / m) / 2 + q * log2(q / m) / 2) * 1e9 + 0.5)
+        .cast("long")
+    }
     val pa = graft.TransientCache.persist(profile(a, "ca"))
     val pb = graft.TransientCache.persist(profile(b, "cb"))
     val na = pa.agg(sum("ca").as("na"))
     val nb = pb.agg(sum("cb").as("nb"))
     // full outer: a bucket empty on one side still carries its
     // smoothed mass; the frame is buckets-bounded either way
-    val terms = pa.join(pb, Seq("bk"), "full_outer")
+    val touched = pa.join(pb, Seq("bk"), "full_outer")
       .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
-      .select(
-        ((coalesce(col("ca"), lit(0L)).cast("double") + alpha) /
-          (col("na").cast("double") + alpha * buckets)).as("p"),
-        ((coalesce(col("cb"), lit(0L)).cast("double") + alpha) /
-          (col("nb").cast("double") + alpha * buckets)).as("q"))
-      .select(col("p"), col("q"), ((col("p") + col("q")) / 2).as("m"))
-      .select(
-        (col("p") * log2(col("p") / col("m")) / 2 +
-          col("q") * log2(col("q") / col("m")) / 2).as("js"))
-      .agg(sum("js").as("js"))
-    // note: buckets NEITHER side touched contribute p = q = smoothed
-    // floor → js term 0, so restricting to the union of touched
-    // buckets is exact, not an approximation
-    na.crossJoin(nb).crossJoin(terms)
+      .select(col("na"), col("nb"), termUnits(
+        (coalesce(col("ca"), lit(0L)).cast("double") + alpha) /
+          (col("na").cast("double") + alpha * buckets),
+        (coalesce(col("cb"), lit(0L)).cast("double") + alpha) /
+          (col("nb").cast("double") + alpha * buckets)).as("u"))
+      .groupBy("na", "nb")
+      .agg(sum("u").as("su"), count(lit(1)).as("touched"))
+    touched
+      .select(col("na"), col("nb"),
+        (col("su") + (lit(buckets.toLong) - col("touched")) * termUnits(
+          lit(alpha) / (col("na").cast("double") + alpha * buckets),
+          lit(alpha) / (col("nb").cast("double") + alpha * buckets)))
+          .as("units"))
+      // 6dp presentation as exact integer rounding of the unit count
       .select(col("na").as("n_a"), col("nb").as("n_b"),
-        round(col("js"), 6).as("js_bits"))
+        (expr("(units + 500) div 1000").cast("double") / 1e6)
+          .as("js_bits"))
   }
 
   /** Leakage-free train/val/test split. The naive per-doc hash split

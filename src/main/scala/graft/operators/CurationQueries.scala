@@ -271,9 +271,13 @@ object CurationQueries {
                   ((cid % 1000000007) * 2654435761) % 10000 AS h FROM f)
           ORDER BY doc_id""",
     // drift mirror: same bigram construction + md5 bucketing as the
-    // DSIR oracle, Laplace-1 over 4096 buckets, JS in bits via log2;
-    // full-outer over touched buckets (untouched buckets contribute
-    // exactly 0 to JS — p = q = the smoothed floor)
+    // DSIR oracle, Laplace-1 over 4096 buckets, JS in bits via log2.
+    // r11 determinism fix (the r10 red row): each bucket term is
+    // quantized to 1e-9-bit integer units BEFORE summing — the sum
+    // is exact integer arithmetic in any order on either engine,
+    // and the 6dp presentation is integer division — plus the
+    // closed-form correction for untouched buckets (p = α/(n_a+αB)
+    // vs q = α/(n_b+αB) differ whenever the totals do).
     "pipe_corpus_drift" ->
       s"""WITH t AS (SELECT doc_id,
               CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) AS sn,
@@ -291,15 +295,28 @@ object CurationQueries {
           ta AS (SELECT SUM(ca) AS na FROM pa),
           tb AS (SELECT SUM(cb) AS nb FROM pb),
           terms AS (
-            SELECT (COALESCE(ca, 0) + 1.0) / (na + 4096.0) AS p,
-                   (COALESCE(cb, 0) + 1.0) / (nb + 4096.0) AS q
-            FROM pa FULL OUTER JOIN pb USING (bk)
-            CROSS JOIN ta CROSS JOIN tb)
-          SELECT ta.na AS n_a, tb.nb AS n_b,
-                 ROUND(SUM(p * log2(p / ((p + q) / 2)) / 2 +
-                           q * log2(q / ((p + q) / 2)) / 2), 6) AS js_bits
-          FROM terms CROSS JOIN ta CROSS JOIN tb
-          GROUP BY ta.na, tb.nb""",
+            SELECT na, nb,
+                   CAST(floor((p * log2(p / ((p + q) / 2)) / 2 +
+                               q * log2(q / ((p + q) / 2)) / 2)
+                              * 1000000000 + 0.5) AS BIGINT) AS u
+            FROM (SELECT na, nb,
+                    (COALESCE(ca, 0) + 1.0) / (na + 4096.0) AS p,
+                    (COALESCE(cb, 0) + 1.0) / (nb + 4096.0) AS q
+                  FROM pa FULL OUTER JOIN pb USING (bk)
+                  CROSS JOIN ta CROSS JOIN tb)),
+          s AS (SELECT na, nb, SUM(u) AS su, COUNT(*) AS touched
+                FROM terms GROUP BY na, nb),
+          c AS (SELECT na, nb, su + (4096 - touched) *
+                  CAST(floor((p0 * log2(p0 / ((p0 + q0) / 2)) / 2 +
+                              q0 * log2(q0 / ((p0 + q0) / 2)) / 2)
+                             * 1000000000 + 0.5) AS BIGINT) AS units
+                FROM (SELECT na, nb, su, touched,
+                        1.0 / (na + 4096.0) AS p0,
+                        1.0 / (nb + 4096.0) AS q0 FROM s))
+          SELECT na AS n_a, nb AS n_b,
+                 CAST((units + 500) // 1000 AS DOUBLE) / 1000000.0
+                   AS js_bits
+          FROM c""",
     // LM mirror: identical bigram construction (incl. the <2-word
     // whole-text fallback), add-0.4 smoothing over the English
     // reference's bigram/context counts, V = ref unigram vocab + 1,

@@ -33,21 +33,28 @@ import graft.views.Views
   * Re-delivery: foreachBatch is at-least-once; a batchId at or below
   * the `<metaPath>/stream_meta` high-water mark is a NO-OP for both
   * the store and the view state (StreamMeta contract, shared with
-  * the index maintainers). The mark is written BEFORE the fold, so a
-  * failure mid-batch loses that batch (store and view stay mutually
-  * consistent at the pre-batch state) rather than double-folding the
-  * delta on retry. The store reference evolves inside the closure;
-  * `current()` exposes it for end-of-stream reads.
+  * the index maintainers). The mark is claimed BEFORE the fold (the
+  * double-fold guard), and the fold runs inside a catalog batch
+  * journal (r11): on ANY mid-fold failure the view state rolls back
+  * to the pre-batch frames and the mark is restored, so
+  * foreachBatch's in-JVM retry re-applies the batch idempotently —
+  * the pre-r11 ordering permanently LOST the batch with no detection
+  * signature. A JVM crash loses store + catalog + retry together
+  * (all in-JVM state, external restart protocol unchanged); only a
+  * double fault (rollback or mark-restore itself failing) degrades
+  * to the old lose-the-batch behavior. The store reference evolves
+  * inside the closure; `current()` exposes it for end-of-stream
+  * reads.
   */
-final class StreamPatternView private (initial: GraphStore,
-    metaPath: String,
+final class StreamPatternView private[graft] (initial: GraphStore,
+    metaPath: String, catalog: Views.ViewCatalog,
     refreshFn: (GraphStore, GraphStore) => DataFrame) {
 
   /** K-hop label-chain form (label-only positions). */
   def this(initial: GraphStore, metaPath: String,
       catalog: Views.ViewCatalog, viewName: String,
       vertexLabels: Seq[String], edgeLabels: Seq[String]) =
-    this(initial, metaPath,
+    this(initial, metaPath, catalog,
       (o: GraphStore, n: GraphStore) =>
         // single-hop keeps the (src, dst) column contract; chains
         // carry positional c0..ck
@@ -99,22 +106,32 @@ final class StreamPatternView private (initial: GraphStore,
     */
   def applyAndRefresh(batch: DataFrame, batchId: Long): Option[DataFrame] = {
     val spark = batch.sparkSession
-    if (batchId <= StreamMeta.lastApplied(spark, metaPath)) None
+    val prev = StreamMeta.lastApplied(spark, metaPath)
+    if (batchId <= prev) None
     else {
-      // HWM FIRST: refreshFn folds the delta into catalog view state,
-      // which this class cannot snapshot-restore (it only holds the
-      // opaque refresh closure). Advancing the mark BEFORE the fold
-      // means a failure between the two LOSES the batch — store and
-      // view both stay at the pre-batch state, consistent with each
-      // other — instead of double-folding the same delta into
-      // already-updated state on an in-JVM retry (__mult would drift
-      // 2×). Same documented lose-the-batch trade as StreamQuantile
-      // and StreamSketch's meta-first ordering.
+      // Claim the mark FIRST (double-fold guard), then fold inside a
+      // catalog journal: refreshFn's puts (view + !state + sub-view
+      // keys) are journaled, so a mid-fold failure rolls the view
+      // state back to the pre-batch frames, restores the mark, and
+      // rethrows — foreachBatch's in-JVM retry then re-applies the
+      // batch idempotently from consistent state. `cur` only advances
+      // after a committed fold, so the store side retries cleanly
+      // too (GraphStore versions are immutable; a failed attempt's
+      // intermediates are garbage, not state).
       StreamMeta.writeLastApplied(spark, metaPath, batchId)
-      val next = applyBatch(batch)
-      val view = refreshFn(cur, next)
-      cur = next
-      Some(view)
+      catalog.beginBatch()
+      try {
+        val next = applyBatch(batch)
+        val view = refreshFn(cur, next)
+        catalog.commitBatch()
+        cur = next
+        Some(view)
+      } catch {
+        case t: Throwable =>
+          catalog.rollbackBatch()
+          StreamMeta.writeLastApplied(spark, metaPath, prev)
+          throw t
+      }
     }
   }
 
@@ -141,7 +158,7 @@ object StreamPatternView {
       catalog: Views.ViewCatalog, viewName: String,
       gql: String): StreamPatternView = {
     graft.gql.GqlViews.register(catalog, viewName, gql)
-    new StreamPatternView(initial, metaPath,
+    new StreamPatternView(initial, metaPath, catalog,
       (o, n) => graft.gql.GqlViews.refresh(catalog, viewName, o, n))
   }
 }

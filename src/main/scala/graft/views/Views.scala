@@ -122,12 +122,63 @@ object Views {
     private val data = mutable.Map[String, DataFrame]()
     private val lastRefresh = mutable.Map[String, Long]()
 
+    // ---- batch journal (r11, advisor-flagged): a streaming
+    // maintainer wraps its per-micro-batch fold in begin/commit/
+    // rollback so an in-JVM foreachBatch retry restarts from the
+    // PRE-batch view state instead of double-folding a half-applied
+    // delta or permanently losing the batch. The journal records the
+    // first-replaced frame per key; because every put installs a NEW
+    // immutable frame, restoring the old references IS the rollback.
+    // While a batch is open, put() DEFERS unpersisting the journaled
+    // originals — an unpersisted localCheckpoint frame is unreadable
+    // (truncated lineage), and rollback must hand them back readable.
+    // Single-writer by contract, like foreachBatch itself.
+    private var journal: Option[mutable.Map[String, (Option[DataFrame], Option[Long])]] = None
+    private val deferredUnpersist = mutable.ArrayBuffer[DataFrame]()
+
+    def beginBatch(): Unit = {
+      require(journal.isEmpty, "a catalog batch is already open")
+      journal = Some(mutable.Map())
+    }
+    def commitBatch(): Unit = {
+      require(journal.nonEmpty, "no catalog batch is open")
+      deferredUnpersist.foreach(_.unpersist(false))
+      deferredUnpersist.clear()
+      journal = None
+    }
+    def rollbackBatch(): Unit = {
+      journal.foreach(_.foreach { case (name, (oldDf, oldTs)) =>
+        oldDf match {
+          case Some(old) =>
+            data.get(name).filter(_ ne old).foreach(_.unpersist(false))
+            data(name) = old
+          case None =>
+            data.remove(name).foreach(_.unpersist(false))
+        }
+        oldTs match {
+          case Some(ts) => lastRefresh(name) = ts
+          case None => lastRefresh.remove(name)
+        }
+      })
+      deferredUnpersist.clear()
+      journal = None
+    }
+
     def register(d: ViewDefn): Unit = defns(d.name) = d
     def definitions: Seq[ViewDefn] = defns.values.toSeq
     def get(name: String): Option[ViewDefn] = defns.get(name)
 
     def put(name: String, df: DataFrame, persist: Boolean = true): Unit = {
-      data.get(name).foreach(_.unpersist(false))
+      journal.foreach(j => if (!j.contains(name))
+        j(name) = (data.get(name), lastRefresh.get(name)))
+      data.get(name).foreach { old =>
+        // the pre-batch original must stay readable for rollback;
+        // frames replaced WITHIN the open batch are rollback-garbage
+        // and can release immediately
+        if (journal.exists(_.get(name).exists(_._1.exists(_ eq old))))
+          deferredUnpersist += old
+        else old.unpersist(false)
+      }
       val stored = if (persist) df.persist(StorageLevel.MEMORY_AND_DISK) else df
       data(name) = stored
       lastRefresh(name) = System.currentTimeMillis()

@@ -909,6 +909,40 @@ class AlgoSpec extends SparkSpec {
     }
   }
 
+  test("temporal reachability: round budget is per bucket, and any " +
+    "non-fixpoint exit fails loudly") {
+    import java.sql.Timestamp
+    def ts(y: Int) = Timestamp.valueOf(s"$y-01-01 00:00:00")
+    val sentinel = ts(1990)
+    // 6-edge chain, one edge per year: each of 2 date buckets holds a
+    // 3-hop sub-chain needing 3 improving rounds + 1 fixpoint round
+    val chain = (0 until 6).map(i =>
+      (i + 1L, i + 2L, ts(2000 + i))).toDF("src", "dst", "d")
+    val seeds = Seq(1L).toDF("id")
+    // maxRounds = 4 suffices PER BUCKET but not SHARED across both —
+    // under the pre-r11 shared budget bucket 2's loop never ran and
+    // vertices 5..7 were silently dropped with the require passing
+    val got = Algorithms.temporalReachability(chain, seeds, sentinel,
+        maxRounds = 4, dateBuckets = 2)
+      .collect().map(r => (r.getLong(1), r.getTimestamp(2))).toMap
+    assert(got == ((1L -> sentinel) +: (0 until 6).map(i =>
+      (i + 2L) -> ts(2000 + i))).toMap,
+      "later buckets must get their own round budget")
+    // genuinely insufficient budget must throw, not return partials
+    val e1 = intercept[IllegalArgumentException] {
+      Algorithms.temporalReachability(chain, seeds, sentinel,
+        maxRounds = 2, dateBuckets = 2).collect()
+    }
+    assert(e1.getMessage.contains("did not converge"))
+    // degenerate maxRounds = 0 (loop never entered, improvedCnt
+    // still -1) must ALSO throw — the advisor's silent-pass shape
+    val e0 = intercept[IllegalArgumentException] {
+      Algorithms.temporalReachability(chain, seeds, sentinel,
+        maxRounds = 0).collect()
+    }
+    assert(e0.getMessage.contains("did not converge"))
+  }
+
   test("node2vec: plain-Scala simulator parity; transitions valid; deterministic") {
     for (seedv <- Seq(4, 8)) {
       val rnd = new scala.util.Random(seedv)

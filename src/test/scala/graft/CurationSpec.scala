@@ -50,6 +50,51 @@ class CurationSpec extends SparkSpec {
     assert(rev.getDouble(2) == diff.getDouble(2), "JS is symmetric")
   }
 
+  test("corpusDrift: quantized output matches a dense all-buckets JS " +
+    "and includes the untouched-bucket correction when totals differ") {
+    // n_a ≫ n_b so the untouched-bucket floors α/(n_a+αB) vs
+    // α/(n_b+αB) differ materially — the r10 ADVICE case the old
+    // touched-only sum silently dropped
+    val bigText = (0 to 1000).map(i => "w" + (i % 37)).mkString(" ")
+    val a = Seq((1L, bigText)).toDF("doc_id", "text")
+    val b = Seq((2L, "alpha beta kappa")).toDF("doc_id", "text")
+    val B = 4096
+    def prof(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      graft.functions.TextFunctions.shingleRows(df, "doc_id", "text", 2)
+        .select((conv(substring(md5(col("s")), 1, 8), 16, 10)
+          .cast("long") % B).as("bk"))
+        .groupBy("bk").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pa = prof(a); val pb = prof(b)
+    val na = pa.values.sum.toDouble; val nb = pb.values.sum.toDouble
+    assert(na != nb && pa.size + pb.size < B, "fixture precondition")
+    def jsTerm(p: Double, q: Double): Double = {
+      val m = (p + q) / 2
+      p * math.log(p / m) / math.log(2) / 2 +
+        q * math.log(q / m) / math.log(2) / 2
+    }
+    // dense reference: ALL B buckets, plain (unquantized) double sum
+    val dense = (0 until B).map { k =>
+      jsTerm((pa.getOrElse(k.toLong, 0L) + 1.0) / (na + B),
+        (pb.getOrElse(k.toLong, 0L) + 1.0) / (nb + B))
+    }.sum
+    val touchedOnly = (pa.keySet ++ pb.keySet).toSeq.map { k =>
+      jsTerm((pa.getOrElse(k, 0L) + 1.0) / (na + B),
+        (pb.getOrElse(k, 0L) + 1.0) / (nb + B))
+    }.sum
+    val out = Curation.corpusDrift(a, b, "doc_id", "text").head()
+    assert(out.getLong(0).toDouble == na && out.getLong(1).toDouble == nb)
+    val js = out.getDouble(2)
+    // quantization bias ≤ B·0.5e-9 + 0.5e-6 presentation rounding
+    assert(math.abs(js - dense) < 5e-6,
+      s"dense=$dense quantized=$js")
+    assert(dense - touchedOnly > 1e-3,
+      s"fixture must make the correction material: dense=$dense " +
+        s"touchedOnly=$touchedOnly")
+    assert(js - touchedOnly > 1e-3,
+      "output must include the untouched-bucket correction")
+  }
+
   // ---- lmPerplexity --------------------------------------------------
 
   test("lmPerplexity: hand-computed add-alpha bits; fluency orders " +

@@ -1190,6 +1190,61 @@ class StreamViewsSpec extends SparkSpec {
     assert(recompute(spv.current()) == Set((1L, 10L), (4L, 11L)))
   }
 
+  test("streaming pattern view: mid-fold failure rolls back view state " +
+    "and mark; the in-JVM retry folds the batch exactly once") {
+    import spark.implicits._
+    import graft.graph.GraphStore
+    import graft.streaming.StreamPatternView
+    val base = GraphStore.fromTuples(spark,
+      Seq((1L, "User", Nil), (10L, "Group", Nil)),
+      Seq((1L, 10L, "member", Nil)))
+    val cat = new Views.ViewCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_spv_rb_cat").toString)
+    val meta = java.nio.file.Files.createTempDirectory("graft_spv_rb").toString
+    // fault injection: the refresh completes its catalog puts (view +
+    // !state — a fully half-applied fold from the journal's point of
+    // view) and THEN dies, once. Pre-r11 this either lost the batch
+    // (mark already advanced) or, without the mark guard, double-
+    // folded the delta into the already-updated state on retry.
+    var calls = 0
+    val spv = new StreamPatternView(base, meta, cat,
+      (o: GraphStore, n: GraphStore) => {
+        calls += 1
+        val view = Views.refreshPatternView(cat, "membership", o, n,
+          "User", "member", "Group")
+        if (calls == 1) throw new RuntimeException("injected mid-fold fault")
+        view
+      })
+    val b0 = Seq(
+      ("add_vertex", 2L, "User", 0L, 0L),
+      ("add_edge", 0L, "member", 2L, 10L))
+      .toDF("_1", "_2", "_3", "_4", "_5")
+      .select(col("_1").as("op"), col("_2").as("id"), col("_3").as("label"),
+        col("_4").as("src"), col("_5").as("dst"),
+        lit(null).cast(graft.model.PropValue.mapType).as("props"))
+    val boom = intercept[RuntimeException] { spv.applyAndRefresh(b0, 0L) }
+    assert(boom.getMessage.contains("injected"))
+    // rollback left no trace: catalog state gone, store unadvanced
+    assert(cat.dataOf("membership").isEmpty &&
+      cat.dataOf("membership!state").isEmpty,
+      "failed fold must roll back every catalog key it touched")
+    assert(spv.current().vertices.count() == 2L)
+    // the retry is NOT a no-op (mark was restored) and folds once
+    val out = spv.applyAndRefresh(b0, 0L)
+    assert(calls == 2 && out.nonEmpty, "retry must re-apply the batch")
+    assert(out.get.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 10L), (2L, 10L)))
+    // exactly-once state: every multiset row carries __mult = 1 — a
+    // double fold would read 2 for the batch's rows
+    val mults = cat.dataOf("membership!state").get
+      .select("__mult").collect().map(_.getLong(0)).toSeq
+    assert(mults.nonEmpty && mults.forall(_ == 1L),
+      s"state multiplicities after retry: $mults")
+    // committed batch: re-delivery is a no-op again
+    assert(spv.applyAndRefresh(b0, 0L).isEmpty)
+  }
+
   test("streaming var-length view: per-batch walk-count folds equal recompute") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -1,16 +1,24 @@
 #!/usr/bin/env python3
 """Local correctness loop: emulate the driver's DuckDB-oracle compare.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [--tol]
 
 For each <name>.parquet under verifyOutDir (the Verify.scala dump),
 runs oracle_sql.json[name] in DuckDB against the sfDir tables,
-sorts columns by name + rows by value, and compares cell-by-cell
-(floats with 1e-9 relative tolerance after the 4-decimal rounds both
-sides already apply).
+sorts columns by name + rows by value, and compares cell-by-cell.
+
+DEFAULT (r11, the record gate): EXACT compare — floats must be
+bit-identical (the driver hashes canonicalized cell values exactly;
+r10's 1e-9-relative-tolerance local green shipped a driver-red
+`pipe_corpus_drift`). Local green under exact mode implies driver
+hash green. `--tol` restores the old 1e-9 relative tolerance for
+triage only (e.g. "is this a rounding-convention gap or a real
+value gap") — NEVER for a round record.
 """
 import sys, os, json, glob, math
 import duckdb
+
+EXACT = "--tol" not in sys.argv
 
 def norm(rows):
     return sorted(rows, key=lambda r: tuple(str(x) for x in r))
@@ -25,6 +33,12 @@ def cell_eq(a, b):
             return str(a) == str(b)
         if math.isnan(fa) or math.isnan(fb):
             return math.isnan(fa) and math.isnan(fb)
+        if EXACT:
+            # bit-exact incl. the sign of zero: the driver hashes a
+            # rendering, and "-0.0" != "0.0" under any plausible one.
+            # Stricter-than-driver is the safe direction for a gate.
+            return fa == fb and \
+                math.copysign(1.0, fa) == math.copysign(1.0, fb)
         return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
     return str(a) == str(b)
 
@@ -73,7 +87,8 @@ def main(sf_dir, out_dir):
     n_ok = sum(1 for v in results.values() if v == "OK" or v.endswith("OK"))
     for k, v in sorted(results.items()):
         print(f"{'PASS' if v == 'OK' or v.endswith('OK') else 'FAIL'} {k}: {v}")
-    print(f"== {n_ok}/{len(results)} pass")
+    print(f"== {n_ok}/{len(results)} pass"
+          f" [{'EXACT float compare (record gate)' if EXACT else 'TOLERANT 1e-9 (triage only, NOT a record)'}]")
     return 0 if n_ok == len(results) else 1
 
 if __name__ == "__main__":
