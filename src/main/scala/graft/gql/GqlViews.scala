@@ -30,19 +30,25 @@ import Ast._
   * transitive-closure reachability view, semi-naive insertion + DRed
   * deletion — Views.refreshReachabilityView), all with NO RETURN
   * (the view's rows are the bound id tuple / the distinct endpoint
-  * pairs). BOUNDED var-length segments may also COMPOSE with further
-  * hops (`(a:N)-[:link*1..2]->(b:N)-[:owns]->(c:M)` — r10,
+  * pairs). Var-length segments may also COMPOSE with further hops
+  * (`(a:N)-[:link*1..2]->(b:N)-[:owns]->(c:M)` — r10,
   * Views.refreshComposedChainView: per-segment counting sub-states
-  * whose membership deltas fold through the chain). Single-hop views
+  * whose membership deltas fold through the chain; since r11 an
+  * UNBOUNDED `*1..` segment composes the same way, its sub-state
+  * being the closure maintained by the reachability fold). Single-hop views
   * may carry a cross-variable WHERE
   * (`... WHERE a.score > b.score` — r10,
   * Views.refreshWherePatternView: tuple-level net compare over the
-  * touched-edge set, prop-flip windows included). WHERE on chains,
-  * OPTIONAL/WITH segments, unbounded segments composed with further
-  * hops, incoming `<-` edges (flip the chain), unlabeled positions,
-  * and null prop values reject with remedies: each is either
-  * ambiguous as a maintained row set, has an exact rewrite, or is
-  * outside the incremental contract.
+  * touched-edge set, prop-flip windows included); chains may carry a
+  * WHERE whose top-level AND conjuncts each bind within one hop
+  * window (`(a)-[e1]->(b)-[e2]->(c) WHERE a.x > b.y AND b.z < c.w`
+  * — r11, Views.refreshWhereChainView: each conjunct predicates its
+  * hop's relation, maintained by the same net compare per hop).
+  * Cross-position WHERE conjuncts (`a.x > c.y`), OPTIONAL/WITH
+  * segments, incoming `<-` edges (flip the chain), unlabeled
+  * positions, and null prop values reject with remedies: each is
+  * either ambiguous as a maintained row set, has an exact rewrite,
+  * or is outside the incremental contract.
   */
 object GqlViews {
 
@@ -53,7 +59,11 @@ object GqlViews {
       undirectedHops: Seq[Boolean] = Nil,
       where: Option[Expr] = None,
       nodeVars: Seq[Option[String]] = Nil,
-      edgeVars: Seq[Option[String]] = Nil)
+      edgeVars: Seq[Option[String]] = Nil,
+      // chain WHERE only (r11): conjuncts of `where` regrouped per
+      // hop window — hopWheres(j) binds within (node j, edge j,
+      // node j+1); empty for single-hop definitions
+      hopWheres: Seq[Option[Expr]] = Nil)
 
   private def propsPred(props: Map[String, GqlValue]): Option[Column] = {
     props.foreach {
@@ -111,15 +121,10 @@ object GqlViews {
           require(e.direction != Incoming,
             "pattern-view edges cannot point <- ; flip the chain " +
               "(the reversed -> definition maintains the same rows)")
-          // BOUNDED var-length segments compose with further hops
-          // (r10 — refreshComposedChainView maintains each segment's
-          // counting sub-state and folds its membership delta through
-          // the chain); only the UNBOUNDED form must stand alone
-          require(!e.range.exists(_._2 == Int.MaxValue) ||
-              p.edges.size == 1,
-            "an unbounded *1.. segment cannot compose with further " +
-              "hops — its membership is a transitive closure; register " +
-              "the *1.. reachability view and join downstream")
+          // var-length segments compose with further hops — BOUNDED
+          // ones by counting sub-states (r10), UNBOUNDED *1.. ones by
+          // closure sub-states (r11); refreshComposedChainView folds
+          // both membership deltas through the chain
           require(e.label.isDefined,
             "pattern-view edges need a label (an unlabeled edge would " +
               "mix every edge type into one maintained set)")
@@ -143,16 +148,23 @@ object GqlViews {
         }
         p.nodes.foreach(n => require(n.label.isDefined,
           "every pattern-view node needs a label"))
-        // cross-variable WHERE (r10): maintained for SINGLE-HOP views
-        // by tuple-level net compare (refreshWherePatternView) — any
-        // deterministic per-row expression over the bound variables'
-        // properties. Chains stay out of contract (each extra hop
-        // multiplies the touched-tuple frontier); remedy in message.
+        // cross-variable WHERE: single-hop views maintain ANY
+        // per-row expression by tuple-level net compare (r10,
+        // refreshWherePatternView); chains maintain WHEREs whose
+        // top-level AND conjuncts each bind within ONE hop window
+        // (node j, edge j, node j+1) — each conjunct then predicates
+        // one hop's relation and its delta stays per-hop-bounded
+        // (r11, refreshWhereChainView). A conjunct spanning
+        // non-adjacent positions has no per-hop relation (a prop
+        // flip could retest every tuple through the variable — the
+        // multiplied frontier), so it rejects; remedy in message.
+        var hopWheres: Seq[Option[Expr]] = Nil
         m.where.foreach { w =>
-          require(p.edges.size == 1 && p.edges.head.range.isEmpty &&
-              p.edges.head.direction == Outgoing,
-            "WHERE is maintained for directed single-hop views only — " +
-              "split the chain into single-hop views and join " +
+          require(p.edges.forall(e => e.range.isEmpty &&
+              e.direction == Outgoing),
+            "WHERE views maintain directed single-hop positions only " +
+              "(no var-length or undirected hops under WHERE) — split " +
+              "those segments into their own views and join " +
               "downstream, or move per-position equality tests into " +
               "inline props blocks")
           val declared = p.nodes.flatMap(_.variable) ++
@@ -185,6 +197,49 @@ object GqlViews {
                 "predicates, no alias references)")
           }
           walkW(w)
+          if (p.edges.size > 1) {
+            // regroup conjuncts per hop window; validated above, so
+            // the collector's catch-all cannot hide an unknown shape
+            def varsOf(x: Expr): Set[String] = x match {
+              case PropRef(v, _) => Set(v)
+              case Comparison(l, _, r) => varsOf(l) ++ varsOf(r)
+              case And(l, r) => varsOf(l) ++ varsOf(r)
+              case Or(l, r) => varsOf(l) ++ varsOf(r)
+              case Not(e) => varsOf(e)
+              case In(l, _) => varsOf(l)
+              case Contains(l, r) => varsOf(l) ++ varsOf(r)
+              case Like(l, _) => varsOf(l)
+              case StartsWith(l, r) => varsOf(l) ++ varsOf(r)
+              case EndsWith(l, r) => varsOf(l) ++ varsOf(r)
+              case Arith(l, _, r) => varsOf(l) ++ varsOf(r)
+              case StrFunc(_, args) =>
+                args.foldLeft(Set.empty[String])(_ ++ varsOf(_))
+              case IsNull(e, _) => varsOf(e)
+              case _ => Set.empty
+            }
+            def conjs(x: Expr): Seq[Expr] = x match {
+              case And(l, r) => conjs(l) ++ conjs(r)
+              case other => Seq(other)
+            }
+            val assigned = Array.fill[List[Expr]](p.edges.size)(Nil)
+            conjs(w).foreach { c =>
+              val vs = varsOf(c)
+              val windows = (0 until p.edges.size).filter { j =>
+                vs.subsetOf(Set(p.nodes(j).variable,
+                  p.edges(j).variable, p.nodes(j + 1).variable).flatten)
+              }
+              require(windows.nonEmpty,
+                s"chain WHERE conjunct over ${vs.mkString("{", ", ", "}")} " +
+                  "spans non-adjacent positions — each top-level AND " +
+                  "conjunct must bind within one hop window (a node, " +
+                  "its edge, and the next node); for the cross-position " +
+                  "form split the chain into single-hop WHERE views " +
+                  "and join downstream")
+              assigned(windows.head) ::= c
+            }
+            hopWheres = assigned.toSeq.map(
+              _.reverse.reduceOption(And(_, _)))
+          }
         }
         PatternDef(p.nodes.map(_.label.get), p.edges.map(_.label.get),
           p.nodes.map(n => propsPred(n.props)),
@@ -193,7 +248,8 @@ object GqlViews {
           p.edges.map(_.direction == Undirected),
           m.where,
           p.nodes.map(_.variable),
-          p.edges.map(_.variable))
+          p.edges.map(_.variable),
+          hopWheres)
       case Right(other) => throw new IllegalArgumentException(
         s"pattern views are defined by a MATCH chain, not $other")
     }
@@ -226,16 +282,24 @@ object GqlViews {
     val d = parseDef(gql)
     if (d.where.isDefined) {
       // column-name contract with GqlExecutor.whereCol: a PropRef
-      // over variable v compiles to column `v__props`
-      def pcol(v: Option[String], anon: String) =
-        s"${v.getOrElse(anon)}__props"
-      return Views.refreshWherePatternView(catalog, name,
-        oldStore, newStore,
-        d.vertexLabels(0), d.edgeLabels(0), d.vertexLabels(1),
-        pcol(d.nodeVars(0), "__anon_a"), pcol(d.edgeVars(0), "__anon_e"),
-        pcol(d.nodeVars(1), "__anon_b"),
-        GqlExecutor.whereCol(d.where.get),
-        d.vertexPreds(0), d.vertexPreds(1), d.edgePreds(0))
+      // over variable v compiles to column `v__props` (anon
+      // positions get placeholder names — nothing can reference them)
+      def ncol(i: Int) =
+        s"${d.nodeVars(i).getOrElse(s"__anon_n$i")}__props"
+      def ecol(j: Int) =
+        s"${d.edgeVars(j).getOrElse(s"__anon_e$j")}__props"
+      if (d.edgeLabels.size == 1)
+        return Views.refreshWherePatternView(catalog, name,
+          oldStore, newStore,
+          d.vertexLabels(0), d.edgeLabels(0), d.vertexLabels(1),
+          ncol(0), ecol(0), ncol(1),
+          GqlExecutor.whereCol(d.where.get),
+          d.vertexPreds(0), d.vertexPreds(1), d.edgePreds(0))
+      return Views.refreshWhereChainView(catalog, name,
+        oldStore, newStore, d.vertexLabels, d.edgeLabels,
+        d.vertexLabels.indices.map(ncol), d.edgeLabels.indices.map(ecol),
+        d.hopWheres.map(_.map(GqlExecutor.whereCol)),
+        d.vertexPreds, d.edgePreds)
     }
     if (d.edgeLabels.size == 1) d.ranges.head match {
       case Some((1, Int.MaxValue)) =>

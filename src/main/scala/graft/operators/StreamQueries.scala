@@ -336,6 +336,62 @@ object StreamQueries {
         .orderBy("custkey", "orderkey")
     }),
 
+    // V5h: CHAIN WHERE view (r11) — adjacent-scoped conjuncts over a
+    // two-hop chain: (c:Customer)-[:located_in]->(n:Nation)
+    // -[:in_region]->(r:Region) WHERE c.acctbal > n.gdp AND
+    // n.gdp > r.cutoff. Each conjunct predicates ONE hop's relation
+    // (refreshWhereChainView); the interior variable n sits in both.
+    // The gdp/cutoff props don't exist at bootstrap (null compare →
+    // false → the view bootstraps EMPTY), so window 1 — planting
+    // them — is a pure prop-flip delta that populates the whole
+    // view; window 2 repricing flips BOTH hops through the shared
+    // interior variable, plus a vertex cascade. Oracle recomputes
+    // the end state with the same CASE-derived constants.
+    "v6_pattern_view_where_chain" -> ((s, dir) => {
+      import graft.graph.GraphStore
+      import graft.model.PropValue
+      val base = GraphStore.fromTpch(s, dir)
+      val cOff = GraphStore.CustomerOff
+      val nOff = GraphStore.NationOff
+      val rOff = GraphStore.RegionOff
+      val cat = new Views.ViewCatalog(s,
+        java.nio.file.Files.createTempDirectory("graft_pvwc").toString)
+      graft.gql.GqlViews.register(cat, "rich_in_poor",
+        "MATCH (c:Customer)-[:located_in]->(n:Nation)" +
+          "-[:in_region]->(r:Region) " +
+          "WHERE c.acctbal > n.gdp AND n.gdp > r.cutoff")
+      // window 1: plant gdp on all 25 nations and cutoff on all 5
+      // regions — every view row arrives through the prop-flip path
+      val m1 = base.updateVertexProps(
+          s.range(0, 25).select((col("id") + nOff).as("id"),
+            map(lit("gdp"),
+              PropValue.ofFloat(col("id") * 400.0 - 3000.0)).as("props"))
+          .unionByName(s.range(0, 5).select((col("id") + rOff).as("id"),
+            map(lit("cutoff"),
+              PropValue.ofFloat(col("id") * 1000.0)).as("props"))))
+        .truncated()
+      graft.gql.GqlViews.refresh(cat, "rich_in_poor", base, m1)
+      // window 2: nations 0-4 spike to gdp 8000 (kills hop-0 rows,
+      // passes hop-1 everywhere), customers 1-5 reprice to 9500,
+      // region 3's cutoff drops to -500, nation 10 cascades out
+      val m2 = m1.updateVertexProps(
+          s.range(0, 5).select((col("id") + nOff).as("id"),
+            map(lit("gdp"), PropValue.ofFloat(lit(8000.0))).as("props"))
+          .unionByName(s.range(1, 6).select((col("id") + cOff).as("id"),
+            map(lit("acctbal"),
+              PropValue.ofFloat(lit(9500.0))).as("props")))
+          .unionByName(s.range(1).select(lit(rOff + 3L).as("id"),
+            map(lit("cutoff"),
+              PropValue.ofFloat(lit(-500.0))).as("props"))))
+        .removeVertices(s.range(1).select(lit(nOff + 10L).as("id")))
+        .truncated().truncatedEdges()
+      graft.gql.GqlViews.refresh(cat, "rich_in_poor", m1, m2)
+        .select((col("c0") - cOff).as("custkey"),
+          (col("c1") - nOff).as("nationkey"),
+          (col("c2") - rOff).as("regionkey"))
+        .orderBy("custkey", "nationkey", "regionkey")
+    }),
+
     // V5f: COMPOSED chain view — a bounded var-length segment folded
     // through a further hop: (a:Nation)-[:feeds*1..2]->(b:Nation)
     // -[:in_region]->(c:Region). The feeds DAG arrives by mutation
@@ -418,6 +474,52 @@ object StreamQueries {
         .select((col("src") - off).as("src_nation"),
           (col("dst") - off).as("dst_nation"))
         .orderBy("src_nation", "dst_nation")
+    }),
+
+    // V5i: COMPOSED chain with an UNBOUNDED segment (r11) — the
+    // closure sub-state folds through a further hop:
+    // (a:Nation)-[:flows*1..]->(b:Nation)-[:in_region]->(c:Region).
+    // The flows graph arrives by mutation (window 1: chain, branch,
+    // cycle — all through the semi-naive insertion sub-fold + chain
+    // fold); window 2 mixes a bypass INSERT with DRed deletions
+    // (straddling pairs re-derive through the bypass), a vertex
+    // cascade (kills closure rows AND the vertex's own region link),
+    // and explicit tail-hop churn (nation 5 keeps its closure rows
+    // as src but loses its mid-position region link). Oracle:
+    // WITH RECURSIVE closure joined to surviving region links.
+    "v6_pattern_view_composed_unbounded" -> ((s, dir) => {
+      import graft.graph.GraphStore
+      import graft.model.PropValue
+      val base = GraphStore.fromTpch(s, dir)
+      val noProps = lit(null).cast(PropValue.mapType)
+      val off = GraphStore.NationOff
+      def edgeFrame(es: Seq[(Long, Long)]) = {
+        import s.implicits._
+        es.map { case (a, b) => (a + off, b + off, "flows") }
+          .toDF("src", "dst", "label").withColumn("props", noProps)
+      }
+      val cat = new Views.ViewCatalog(s,
+        java.nio.file.Files.createTempDirectory("graft_pvcu").toString)
+      graft.gql.GqlViews.register(cat, "flows_region",
+        "MATCH (a:Nation)-[:flows*1..]->(b:Nation)" +
+          "-[:in_region]->(c:Region)")
+      val m1 = base.addEdges(edgeFrame(
+          (0L to 14L).map(i => (i, i + 1)) ++
+            Seq((3L, 20L), (20L, 21L), (5L, 22L), (22L, 23L), (23L, 22L))))
+        .truncatedEdges()
+      graft.gql.GqlViews.refresh(cat, "flows_region", base, m1)
+      val m2 = m1.addEdges(edgeFrame(Seq((2L, 4L))))
+        .removeVertices(s.range(1).select(lit(off + 3L).as("id")))
+        .removeEdges(edgeFrame(Seq((7L, 8L))).select("src", "dst", "label"))
+        .removeEdges(m1.edges.filter(col("src") === off + 5L &&
+            col("label") === "in_region")
+          .select("src", "dst", "label"))
+        .truncated().truncatedEdges()
+      graft.gql.GqlViews.refresh(cat, "flows_region", m1, m2)
+        .select((col("c0") - off).as("src_nation"),
+          (col("c1") - off).as("mid_nation"),
+          (col("c2") - GraphStore.RegionOff).as("regionkey"))
+        .orderBy("src_nation", "mid_nation", "regionkey")
     }),
 
     "v5_incremental_view" -> ((s, dir) => {
@@ -534,6 +636,32 @@ object StreamQueries {
          FROM o JOIN c ON o.ck = c.ck
          WHERE o.tp > c.bal * 40.0
          ORDER BY custkey, orderkey""",
+    // end state of the chain WHERE view: CASE-derived gdp/cutoff/bal
+    // constants mirror window 2's repricing exactly (comparisons
+    // only — no emitted floats, so the integer-key output is
+    // hash-stable); nation 10 is gone with its customers
+    "v6_pattern_view_where_chain" ->
+      """WITH n AS (
+           SELECT CAST(n_nationkey AS BIGINT) AS nk,
+                  CAST(n_regionkey AS BIGINT) AS rk,
+                  CASE WHEN n_nationkey BETWEEN 0 AND 4 THEN 8000.0
+                       ELSE n_nationkey * 400.0 - 3000.0 END AS gdp
+           FROM nation WHERE n_nationkey <> 10),
+         r AS (
+           SELECT CAST(r_regionkey AS BIGINT) AS rk,
+                  CASE WHEN r_regionkey = 3 THEN -500.0
+                       ELSE r_regionkey * 1000.0 END AS cutoff
+           FROM region),
+         c AS (
+           SELECT CAST(c_custkey AS BIGINT) AS ck,
+                  CAST(c_nationkey AS BIGINT) AS nk,
+                  CASE WHEN c_custkey BETWEEN 1 AND 5 THEN 9500.0
+                       ELSE CAST(c_acctbal AS DOUBLE) END AS bal
+           FROM customer)
+         SELECT c.ck AS custkey, n.nk AS nationkey, r.rk AS regionkey
+         FROM c JOIN n ON c.nk = n.nk JOIN r ON n.rk = r.rk
+         WHERE c.bal > n.gdp AND n.gdp > r.cutoff
+         ORDER BY custkey, nationkey, regionkey""",
     // end-state of the composed view: distinct 1-2-hop feeds pairs
     // (edges minus everything touching nation 10 and minus 5→6)
     // joined to each mid-nation's surviving region link (10's died
@@ -575,6 +703,30 @@ object StreamQueries {
              SELECT r.s, e.d FROM r JOIN e ON r.d = e.s)
          SELECT s AS src_nation, d AS dst_nation FROM r
          ORDER BY src_nation, dst_nation""",
+    // end state of the composed-unbounded view: the same flows
+    // closure as v6_pattern_view_unbounded, joined to each
+    // mid-nation's surviving region link (3's died with the vertex,
+    // 5's was removed explicitly — 5 still appears as src)
+    "v6_pattern_view_composed_unbounded" ->
+      """WITH RECURSIVE
+           e AS (
+             SELECT CAST(i AS BIGINT) AS s, CAST(i + 1 AS BIGINT) AS d
+             FROM range(0, 15) t(i) WHERE i NOT IN (2, 3, 7)
+             UNION ALL SELECT 2, 4
+             UNION ALL SELECT 20, 21
+             UNION ALL SELECT 5, 22
+             UNION ALL SELECT 22, 23
+             UNION ALL SELECT 23, 22),
+           r(s, d) AS (
+             SELECT s, d FROM e
+             UNION
+             SELECT r.s, e.d FROM r JOIN e ON r.d = e.s),
+           nr AS (SELECT CAST(n_nationkey AS BIGINT) AS nk,
+                         CAST(n_regionkey AS BIGINT) AS rk
+                  FROM nation WHERE n_nationkey NOT IN (3, 5))
+         SELECT r.s AS src_nation, r.d AS mid_nation, nr.rk AS regionkey
+         FROM r JOIN nr ON r.d = nr.nk
+         ORDER BY src_nation, mid_nation, regionkey""",
     "v6_pattern_view" ->
       """WITH orig AS (
            SELECT CAST(c_custkey AS BIGINT) AS custkey,

@@ -1,0 +1,171 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+import graft.graph.GraphStore
+import graft.model.PropValue
+import graft.views.Views
+
+/** Dev probe: the r10/r11 pattern-view family's second measured scale
+  * decade — incremental refresh vs full recompute for the UNDIRECTED,
+  * COMPOSED (var-length + hop), and CHAIN-WHERE classes, at 1× and
+  * 10× graph size with mutation windows from tiny to 2% of edges.
+  * (The UNBOUNDED class has its own dedicated sweep —
+  * [[ReachCrossoverProbe]] — because its switch is intra-refresh.)
+  *
+  * Fixture: n "N" vertices carrying a float prop, n/10 "M" vertices;
+  * `link` a DAG (i→i+1 except every 97th, plus i→i+2 every 5th),
+  * `peer` an undirected sparse graph (3j —— 3j+13), `owns` a fan-in
+  * to the M layer (even i → M[i mod n/10]). Each class registers its
+  * GQL definition, bootstraps on the base store (untimed), then for
+  * each window size w: build a store with w removes + w adds (plus,
+  * for the WHERE class, w prop flips — the delta source unique to
+  * it), time the INCREMENTAL refresh against that window, and time a
+  * RECOMPUTE (fresh catalog bootstrapped directly on the end state).
+  *
+  * Each cell also reports SHUFFLE WRITE BYTES, and that column — not
+  * wall-clock — is the cluster-scale signal: on local[32] a shuffle
+  * costs the same as a scan (both hit the page cache), so recompute's
+  * corpus-sized joins and the refresh's broadcast-probed scans time
+  * alike; on a 1000-executor cluster the shuffle crosses the network
+  * and the scan does not. Wall-clock here measures job-count overhead
+  * and scan multiplicity; shuffle bytes measure what 100 TB would pay.
+  *
+  * Usage: runMain graft.tools.ViewScaleProbe [scaleList]
+  * (scale 100 needs SPARK_DRIVER_MEM=48g — one JVM holds the base
+  * store, both catalogs' states, and the fixpoint checkpoints)
+  */
+object ViewScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    spark.sparkContext.setLogLevel("ERROR")
+    val shuffleW = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit = {
+          val m = s.stageInfo.taskMetrics
+          if (m != null)
+            shuffleW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      })
+    val scales = args.headOption.getOrElse("1,10")
+      .split(",").map(_.trim.toInt).toSeq
+    val noProps = lit(null).cast(PropValue.mapType)
+
+    for (scale <- scales) {
+      val n = 50000L * scale
+      val m = n / 10
+      val nV = spark.range(n).select(col("id"), lit("N").as("label"),
+        map(lit("w"), PropValue.ofFloat(col("id").cast("double")))
+          .as("props"))
+      val mV = spark.range(m).select((col("id") + n).as("id"),
+        lit("M").as("label"),
+        map(lit("v"), PropValue.ofFloat(col("id").cast("double")))
+          .as("props"))
+      val ids = spark.range(n)
+      val link = ids.filter(col("id") % 97 =!= 0 && col("id") < n - 1)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"))
+        .unionByName(ids.filter(col("id") % 5 === 0 && col("id") < n - 2)
+          .select(col("id").as("src"), (col("id") + 2).as("dst")))
+        .withColumn("label", lit("link"))
+      val peer = ids.filter(col("id") % 3 === 0 && col("id") < n - 13)
+        .select(col("id").as("src"), (col("id") + 13).as("dst"))
+        .withColumn("label", lit("peer"))
+      val owns = ids.filter(col("id") % 2 === 0)
+        .select(col("id").as("src"), (col("id") % m + n).as("dst"))
+        .withColumn("label", lit("owns"))
+      val base = GraphStore(
+        nV.unionByName(mV).localCheckpoint(),
+        link.unionByName(peer).unionByName(owns)
+          .withColumn("props", noProps).localCheckpoint())
+      val eCnt = base.edges.count()
+      println(s"PROBE scale=${scale}x n=$n edges=$eCnt")
+
+      // (sec, shuffle write bytes) — the listener is async, so drain
+      // ~settled events on both edges of the timed block
+      def timed[A](f: => A): (Double, Long) = {
+        Thread.sleep(300)
+        val w0 = shuffleW.get
+        val t0 = System.nanoTime(); f
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300)
+        (sec, shuffleW.get - w0)
+      }
+      def newCat() = new Views.ViewCatalog(spark,
+        java.nio.file.Files.createTempDirectory("graft_vsp").toString)
+
+      // one store per window size: w link/peer/owns removes + w adds
+      // in a disjoint id range, plus w N-prop flips (doubling every
+      // flipped vertex's w — membership churn for the WHERE class,
+      // harmless label-only touches for the others)
+      def mutate(w: Long): GraphStore = {
+        val r = spark.range(w)
+        val dels = r.select((col("id") * 2 + 1).as("src"),
+            (col("id") * 2 + 2).as("dst"), lit("link").as("label"))
+          .filter((col("src") % 97 =!= 0) && col("src") < n - 1)
+          .unionByName(r.select((col("id") * 3).as("src"),
+            (col("id") * 3 + 13).as("dst"), lit("peer").as("label"))
+            .filter(col("src") < n - 13))
+          .unionByName(r.select((col("id") * 2).as("src"),
+            (col("id") * 2 % m + n).as("dst"), lit("owns").as("label")))
+        val adds = r.select((col("id") + n / 2).as("src"),
+            (col("id") + n / 2 + 3).as("dst"), lit("link").as("label"))
+          .filter(col("dst") < n)
+          .unionByName(r.select((col("id") * 3 + 1).as("src"),
+            (col("id") * 3 + 24).as("dst"), lit("peer").as("label"))
+            .filter(col("dst") < n))
+          .unionByName(r.select((col("id") * 2 + 1).as("src"),
+            ((col("id") * 2 + 1) % m + n).as("dst"),
+            lit("owns").as("label")))
+          .withColumn("props", noProps)
+        val flips = r.select((col("id") + n / 4).as("id"),
+          map(lit("w"), PropValue.ofFloat(
+            (col("id") + n / 4).cast("double") * 2.0)).as("props"))
+        base.removeEdges(dels).addEdges(adds).updateVertexProps(flips)
+          .truncated().truncatedEdges()
+      }
+
+      val allClasses = Seq(
+        "undirected" -> "MATCH (a:N)-[:peer]-(b:N)",
+        "composed" -> "MATCH (a:N)-[:link*1..2]->(b:N)-[:owns]->(c:M)",
+        "where_chain" -> ("MATCH (a:N)-[:link]->(b:N)-[:owns]->(c:M) " +
+          "WHERE a.w < b.w AND c.v >= 0"))
+      // the third decade is about the recompute-side join growth, and
+      // the composed class is where the crossover showed at 10× —
+      // bound the runtime by probing only it past 10×
+      val classes =
+        if (scale >= 100) allClasses.filter(_._1 == "composed")
+        else allClasses
+      // untimed warmup refresh: the very first refresh JIT-compiles
+      // the whole delta machinery (measured ~2 s of the first cell)
+      locally {
+        val warm = newCat()
+        graft.gql.GqlViews.register(warm, "warm", allClasses.head._2)
+        graft.gql.GqlViews.refresh(warm, "warm", base, mutate(1)).count()
+      }
+      for ((cls, defn) <- classes) {
+        for (w <- Seq(64L, n / 1000, n / 50)) {
+          val m1 = mutate(w)
+          val cat = newCat()
+          graft.gql.GqlViews.register(cat, cls, defn)
+          graft.gql.GqlViews.refresh(cat, cls, base, base).count() // boot
+          val (tInc, sInc) = timed(
+            graft.gql.GqlViews.refresh(cat, cls, base, m1).count())
+          val cat2 = newCat()
+          graft.gql.GqlViews.register(cat2, cls, defn)
+          val (tRec, sRec) = timed(
+            graft.gql.GqlViews.refresh(cat2, cls, m1, m1).count())
+          println(f"PROBE scale=${scale}x class=$cls w=$w " +
+            f"tRefresh=$tInc%.2fs shfRefresh=${sInc / 1e6}%.1fMB " +
+            f"tRecompute=$tRec%.2fs shfRecompute=${sRec / 1e6}%.1fMB " +
+            f"shfRatio=${sRec.toDouble / math.max(1L, sInc)}%.1fx")
+        }
+      }
+    }
+    spark.stop()
+  }
+}

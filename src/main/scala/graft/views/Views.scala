@@ -328,16 +328,49 @@ object Views {
 
   /** Fold a signed join delta into multiset state: merge on the view
     * columns, sum multiplicities, drop rows whose net count reaches
-    * zero. One shuffle of (state ∪ delta) on the view columns.
+    * zero.
+    *
+    * SHUFFLE-FREE on the state side (r11): the old form unioned
+    * state ∪ delta and re-grouped — a STATE-sized shuffle on every
+    * refresh, the one per-refresh network cost that would not be
+    * window-bounded at cluster scale (ViewScaleProbe's shuffle
+    * column measured it as the dominant refresh shuffle). Now the
+    * delta nets to per-key sums first (delta-sized shuffle), and the
+    * state is only SCANNED: a broadcast left-outer merges matched
+    * keys in place, and the unmatched delta keys append through a
+    * broadcast anti-join against the (≤ delta-sized) matched-key
+    * frame. Costs one extra delta-sized action (the net count) and
+    * one extra state scan; removes the state shuffle entirely.
+    * Windows too wide to broadcast (> broadcastCap netted keys) fall
+    * back to the classic union-regroup, which is the right plan when
+    * the delta is state-sized anyway.
     */
-  def mergeJoinDelta(state: DataFrame, delta: DataFrame): DataFrame = {
+  def mergeJoinDelta(state: DataFrame, delta: DataFrame,
+      broadcastCap: Long = 4L << 20): DataFrame = {
     val cols = state.columns.filterNot(_ == "__mult")
-    state.select(cols.map(col) :+ col("__mult").as("__m"): _*)
-      .unionByName(delta.select(cols.map(col) :+
-        col("__sign").cast("long").as("__m"): _*))
+    val dAgg = delta
+      .select(cols.map(col) :+ col("__sign").cast("long").as("__m"): _*)
       .groupBy(cols.map(col): _*)
-      .agg(sum("__m").as("__mult"))
+      .agg(sum("__m").as("__dm"))
+      .localCheckpoint()
+    if (dAgg.count() > broadcastCap)
+      return state.select(cols.map(col) :+ col("__mult").as("__m"): _*)
+        .unionByName(dAgg.select(cols.map(col) :+ col("__dm").as("__m"): _*))
+        .groupBy(cols.map(col): _*)
+        .agg(sum("__m").as("__mult"))
+        .filter(col("__mult") > 0)
+    val merged = state.join(broadcast(dAgg), cols.toSeq, "left_outer")
+      .select(cols.map(col) :+
+        (col("__mult") + coalesce(col("__dm"), lit(0L))).as("__mult"): _*)
       .filter(col("__mult") > 0)
+    // keys present in BOTH — ≤ |delta| rows off one state scan; the
+    // checkpoint keeps the anti-join below from re-scanning the state
+    val matched = state.join(broadcast(dAgg), cols.toSeq, "left_semi")
+      .select(cols.map(col): _*).localCheckpoint()
+    val inserts = dAgg.join(broadcast(matched), cols.toSeq, "left_anti")
+      .select(cols.map(col) :+ col("__dm").as("__mult"): _*)
+      .filter(col("__mult") > 0)
+    merged.unionByName(inserts)
   }
 
   /** The maintained join view as plain rows (multiplicity expanded). */
@@ -872,9 +905,11 @@ object Views {
     * columns are named `srcPropsCol` / `edgePropsCol` / `dstPropsCol`
     * (the GQL front door passes `<var>__props` names so
     * GqlExecutor.whereCol-compiled expressions bind directly).
-    * Chains are out of contract (each extra hop multiplies the
-    * touched-tuple frontier): split into single-hop views and join
-    * downstream.
+    * Chains whose WHERE decomposes into ADJACENT-variable conjuncts
+    * are maintained by [[refreshWhereChainView]] (r11); the general
+    * cross-position form stays out of contract (each extra hop
+    * multiplies the touched-tuple frontier): split into single-hop
+    * views and join downstream.
     */
   def refreshWherePatternView(catalog: ViewCatalog, name: String,
       oldStore: graft.graph.GraphStore, newStore: graft.graph.GraphStore,
@@ -884,6 +919,44 @@ object Views {
       srcPred: Option[Column] = None,
       dstPred: Option[Column] = None,
       edgePred: Option[Column] = None): DataFrame = {
+    val (oldMembers, ops) = whereHopMembers(oldStore, newStore,
+      srcLabel, edgeLabel, dstLabel,
+      srcPropsCol, edgePropsCol, dstPropsCol, tuplePred,
+      srcPred, dstPred, edgePred)
+    val state0 = catalog.dataOf(s"$name!state").getOrElse(
+      oldMembers.groupBy("src", "dst")
+        .agg(count(lit(1)).as("__mult")))
+    val delta = ops.select(col("src"), col("dst"),
+      when(col("op") === "add", lit(1L)).otherwise(lit(-1L)).as("__sign"))
+    val state1 = mergeJoinDelta(state0, delta).localCheckpoint()
+    catalog.put(s"$name!state", state1)
+    val view = finalizeJoin(state1)
+    catalog.put(name, view)
+    view
+  }
+
+  /** One WHERE-predicated hop's (full OLD-store member pairs, netted
+    * ±op rows): the tuple-level compare [[refreshWherePatternView]]
+    * introduced, shared since r11 with the adjacent-conjunct chain
+    * maintainer ([[refreshWhereChainView]]). A tuple's membership
+    * depends only on its edge's existence, both endpoints'
+    * label/props, and the edge's props — so every tuple the window
+    * could have flipped has its edge in the touched set (explicit
+    * edge ops + old/new edges incident to feed-touched vertices),
+    * and the old/new member compare restricted to that set is the
+    * exact delta, prop-flip windows included. The member frame is a
+    * LAZY join of label-filtered base scans (read with the delta
+    * side broadcast wherever the chain algebra consumes it); only
+    * the op rows are materialized.
+    */
+  private def whereHopMembers(
+      oldStore: graft.graph.GraphStore, newStore: graft.graph.GraphStore,
+      srcLabel: String, edgeLabel: String, dstLabel: String,
+      srcPropsCol: String, edgePropsCol: String, dstPropsCol: String,
+      tuplePred: Column, srcPred: Option[Column],
+      dstPred: Option[Column], edgePred: Option[Column],
+      sharedTouchedV: Option[DataFrame] = None)
+      : (DataFrame, DataFrame) = {
     def cut(df: DataFrame): DataFrame = df.localCheckpoint()
     def members(store: graft.graph.GraphStore): DataFrame =
       store.vertices.filter(
@@ -899,14 +972,13 @@ object Views {
           "dst")
         .filter(tuplePred)
         .select("src", "dst")
-    val state0 = catalog.dataOf(s"$name!state").getOrElse(
-      members(oldStore).groupBy("src", "dst")
-        .agg(count(lit(1)).as("__mult")))
     val feed = newStore.changes.filter(col("version") > oldStore.version)
-    val touchedV = cut(feed
+    // a multi-hop caller computes the touched set ONCE and shares it
+    // across its predicated hops (it is hop-independent)
+    val touchedV = sharedTouchedV.getOrElse(cut(feed
       .filter(col("op").isin("add_vertex", "remove_vertex",
         "update_vertex_props"))
-      .select(col("id")).distinct())
+      .select(col("id")).distinct()))
     val explicitE = feed.filter(
         col("op").isin("add_edge", "remove_edge", "update_edge_props")
           && col("elabel") === edgeLabel)
@@ -927,10 +999,84 @@ object Views {
         "left_semi")
     val o = touchedMembers(oldStore)
     val n = touchedMembers(newStore)
-    val delta = cut(n.join(o, Seq("src", "dst"), "left_anti")
-      .select(col("src"), col("dst"), lit(1L).as("__sign"))
+    val ops = cut(n.join(o, Seq("src", "dst"), "left_anti")
+      .select(lit("add").as("op"), col("src"), col("dst"))
       .unionByName(o.join(n, Seq("src", "dst"), "left_anti")
-        .select(col("src"), col("dst"), lit(-1L).as("__sign"))))
+        .select(lit("remove").as("op"), col("src"), col("dst"))))
+    (members(oldStore), ops)
+  }
+
+  /** Catalog-driven refresh of a CHAIN view whose WHERE decomposes
+    * into ADJACENT-variable conjuncts — each top-level AND conjunct
+    * binds only variables of one hop window (node j, edge j,
+    * node j+1), e.g. `(a)-[e1]->(b)-[e2]->(c) WHERE a.x > b.y AND
+    * b.z < c.w` (the shape r10's ledger rejected wholesale: "WHERE
+    * on chains").
+    *
+    * Why the adjacency scope is the maintainable one: an
+    * adjacent-scoped conjunct is a property of ONE hop's tuple, so
+    * the chain equals a plain chain over per-hop PREDICATED
+    * relations R_j = σ_{P_j}(V_j ⋈ E_j ⋈ V_{j+1}) projected to
+    * (src, dst) — and each R_j's delta is the single-hop tuple-level
+    * net compare ([[whereHopMembers]]) over its own touched-edge
+    * set, bounded per hop by the change window exactly like an edge
+    * delta. The deltas feed [[patternChainViewDelta]]'s hopOverrides
+    * (the composed var-length machinery's injection point — the
+    * algebra is indifferent to where a hop relation comes from as
+    * long as old + ops = new). A CROSS-POSITION conjunct
+    * (`a.x > c.y`) has no such per-hop relation: any prop flip on a
+    * could retest every chain tuple through a — the multiplied
+    * touched-tuple frontier the r10 rejection named — so that form
+    * still rejects with the split-and-join-downstream remedy.
+    *
+    * No sub-state per hop (unlike composed var-length): R_j
+    * re-derives lazily from the store, so only the chain's own
+    * `name!state` multiset persists. Endpoint labels/preds apply
+    * both inside R_j and at the chain's vertex joins —
+    * double-filtering is algebraically idempotent. Directed
+    * single-hop positions only (the GQL front door enforces this).
+    */
+  def refreshWhereChainView(catalog: ViewCatalog, name: String,
+      oldStore: graft.graph.GraphStore, newStore: graft.graph.GraphStore,
+      vertexLabels: Seq[String], edgeLabels: Seq[String],
+      vertexPropsCols: Seq[String], edgePropsCols: Seq[String],
+      hopPreds: Seq[Option[Column]],
+      vertexPreds: Seq[Option[Column]] = Nil,
+      edgePreds: Seq[Option[Column]] = Nil): DataFrame = {
+    require(edgeLabels.size >= 2,
+      "single-hop WHERE views use refreshWherePatternView")
+    require(hopPreds.size == edgeLabels.size &&
+        vertexPropsCols.size == vertexLabels.size &&
+        edgePropsCols.size == edgeLabels.size,
+      "per-hop predicate/props-column seqs must align with the chain")
+    val preds = if (vertexPreds.isEmpty)
+      Seq.fill(vertexLabels.size)(None: Option[Column]) else vertexPreds
+    val epreds = if (edgePreds.isEmpty)
+      Seq.fill(edgeLabels.size)(None: Option[Column]) else edgePreds
+    val sharedTouchedV = newStore.changes
+      .filter(col("version") > oldStore.version)
+      .filter(col("op").isin("add_vertex", "remove_vertex",
+        "update_vertex_props"))
+      .select(col("id")).distinct().localCheckpoint()
+    val overrides = hopPreds.zipWithIndex.collect {
+      case (Some(p), j) =>
+        val (oldMembers, ops) = whereHopMembers(oldStore, newStore,
+          vertexLabels(j), edgeLabels(j), vertexLabels(j + 1),
+          vertexPropsCols(j), edgePropsCols(j), vertexPropsCols(j + 1),
+          p, preds(j), preds(j + 1), epreds(j), Some(sharedTouchedV))
+        j -> ((s: String, d: String) => (
+          oldMembers.select(col("src").as(s), col("dst").as(d)),
+          ops.select(col("op"), col("src").as(s), col("dst").as(d))))
+    }.toMap
+    val bootOverrides = overrides.map { case (j, provider) =>
+      j -> ((s: String, d: String) => provider(s, d)._1)
+    }
+    val undir = Seq.fill(edgeLabels.size)(false)
+    val state0 = catalog.dataOf(s"$name!state").getOrElse(
+      initPatternChainState(oldStore, vertexLabels, edgeLabels,
+        preds, epreds, undir, bootOverrides))
+    val delta = patternChainViewDelta(oldStore, newStore, vertexLabels,
+      edgeLabels, preds, epreds, undir, overrides)
     val state1 = mergeJoinDelta(state0, delta).localCheckpoint()
     catalog.put(s"$name!state", state1)
     val view = finalizeJoin(state1)
@@ -962,9 +1108,19 @@ object Views {
     *
     * Cost: one counting-sub-state fold per var-length hop (bounded
     * [1, 6] like the standalone form) + the chain fold — all deltas
-    * broadcast, bases scanned never shuffled. UNBOUNDED segments
-    * cannot compose (their membership is the reachability view's
-    * closure; register `*1..` standalone and join downstream).
+    * broadcast, bases scanned never shuffled.
+    *
+    * UNBOUNDED `*1..` segments compose too (r11, closing the r10
+    * ledger's last view-shape gap): the segment's relation is the
+    * reachability view's closure, maintained as its own sub-state
+    * under `name!tc<i>` by the SAME fold the standalone view uses
+    * ([[foldReachState]]: semi-naive insertion, DRed deletion,
+    * measured recompute switch) — closure membership is distinct
+    * pairs, exactly the relation contract the var-length sub-states
+    * already feed through hopOverrides, so the chain algebra is
+    * unchanged. State cost is O(|TC|) per unbounded segment — the
+    * standalone view's documented posture, inherited, not worsened
+    * (the chain state multiplies only by the OTHER hops' fan-out).
     */
   def refreshComposedChainView(catalog: ViewCatalog, name: String,
       oldStore: graft.graph.GraphStore, newStore: graft.graph.GraphStore,
@@ -972,17 +1128,19 @@ object Views {
       ranges: Seq[Option[(Int, Int)]],
       vertexPreds: Seq[Option[Column]] = Nil,
       edgePreds: Seq[Option[Column]] = Nil,
-      undirectedHops: Seq[Boolean] = Nil): DataFrame = {
+      undirectedHops: Seq[Boolean] = Nil,
+      recomputeRatio: Double = 0.3): DataFrame = {
     require(ranges.size == edgeLabels.size,
       "ranges wants one entry per edge label")
     require(ranges.exists(_.isDefined) && edgeLabels.size >= 2,
       "composed chains need >= 2 hops with >= 1 var-length segment — " +
         "use refreshPatternChainView / refreshVarLengthPatternView for " +
         "the simple shapes")
-    require(ranges.forall(_.forall(_._2 != Int.MaxValue)),
-      "an UNBOUNDED segment cannot compose — its membership is a " +
-        "transitive closure; register the *1.. reachability view and " +
-        "join downstream")
+    require(ranges.forall(_.forall(r =>
+        r._2 != Int.MaxValue || r._1 == 1)),
+      "an unbounded segment composes as *1.. only (its relation is " +
+        "the transitive closure; a *m.. lower bound would need " +
+        "per-length counting the closure cannot carry)")
     def cut(df: DataFrame): DataFrame = df.localCheckpoint()
     val preds = if (vertexPreds.isEmpty)
       Seq.fill(vertexLabels.size)(None: Option[Column]) else vertexPreds
@@ -994,9 +1152,25 @@ object Views {
       require(r.isEmpty || epreds(j).isEmpty,
         "edge props cannot predicate a var-length segment")
     }
-    // fold every var-length hop's counting sub-state FIRST; its
-    // membership delta feeds the chain fold below
+    // fold every var-length hop's sub-state FIRST; its membership
+    // delta feeds the chain fold below. Two sub-state kinds: an
+    // UNBOUNDED segment keeps the closure (foldReachState under
+    // !tc<j> — set semantics, ops are the state diff), a BOUNDED one
+    // keeps walk counts (!vl<j> — a pair enters on its first walk,
+    // leaves with its last)
     val overrides = ranges.zipWithIndex.collect {
+      case (Some((1, Int.MaxValue)), j) =>
+        val (k0, k1) = foldReachState(catalog, s"$name!tc$j",
+          oldStore, newStore, edgeLabels(j),
+          recomputeRatio = recomputeRatio)
+        val ops = cut(
+          k1.join(k0, Seq("src", "dst"), "left_anti")
+            .withColumn("op", lit("add"))
+          .unionByName(k0.join(k1, Seq("src", "dst"), "left_anti")
+            .withColumn("op", lit("remove"))))
+        j -> ((s: String, dn: String) => (
+          k0.select(col("src").as(s), col("dst").as(dn)),
+          ops.select(col("op"), col("src").as(s), col("dst").as(dn))))
       case (Some((mn, mx)), j) =>
         val sub = s"$name!vl$j"
         val s0 = catalog.dataOf(sub).getOrElse(cut(
@@ -1141,10 +1315,25 @@ object Views {
     *    the surviving edges, restricted to the over-deleted
     *    candidates; pairs that never re-derive are truly gone.
     *  - FALLBACK: when the deletion wavefront (`|candidates|`)
-    *    exceeds `rederiveCap`, re-derivation would churn most of the
-    *    state and a fresh semi-naive closure of the NEW edge set is
-    *    strictly cheaper — recompute, fold, and record the same
-    *    contract (end state identical by construction).
+    *    exceeds `recomputeRatio · |state|`, re-derivation would churn
+    *    most of the state and a fresh semi-naive closure of the NEW
+    *    edge set is strictly cheaper — recompute, fold, and record
+    *    the same contract (end state identical by construction). The
+    *    switch is MEASURED, not static (r11, was a fixed 2²⁰ row
+    *    cap): both counts fall out of work DRed does anyway, and
+    *    ReachCrossoverProbe's clustered-closure sweep (1× and 10×
+    *    graph, wavefront 1%→51% of state — table in ROUND11.md)
+    *    reads DRed ahead through 26% at both scales and a toss-up
+    *    by 51% (10× flips to recompute, 1× ties within 3%); 0.3 is
+    *    the conservative edge — below it DRed won every measured
+    *    point, above it the two are within noise while recompute
+    *    bounds the worst case.
+    *    The ratio is scale-free where a row cap is not — at a 100 TB
+    *    closure a 2²⁰ wavefront is far below any sane recompute
+    *    point, and on a small view it could exceed the whole state.
+    *
+    * `rederiveCap` keeps only its BROADCAST-licensing role: frames
+    * counted at or below it may hash-broadcast inside the rounds.
     *
     * State under `name!state` is the label-free closure; endpoint
     * labels/predicates are SERVE-time semi-joins against the current
@@ -1155,19 +1344,42 @@ object Views {
       oldStore: graft.graph.GraphStore, newStore: graft.graph.GraphStore,
       srcLabel: String, edgeLabel: String, dstLabel: String,
       srcPred: Option[Column] = None, dstPred: Option[Column] = None,
-      rederiveCap: Long = 1L << 20, maxRounds: Int = 60): DataFrame = {
+      rederiveCap: Long = 1L << 20, maxRounds: Int = 60,
+      recomputeRatio: Double = 0.3): DataFrame = {
+    val (_, s1) = foldReachState(catalog, s"$name!state",
+      oldStore, newStore, edgeLabel, rederiveCap, maxRounds,
+      recomputeRatio)
+    val view = serveReach(newStore, s1, srcLabel, dstLabel,
+      srcPred, dstPred)
+    catalog.put(name, view)
+    view
+  }
+
+  /** The closure-state fold behind [[refreshReachabilityView]] —
+    * split out (r11) so a COMPOSED chain can maintain an unbounded
+    * segment's closure as a sub-state under its own key and feed the
+    * membership diff through the chain fold. Bootstraps `stateKey`
+    * from `oldStore` when absent, folds the edge window (DRed or
+    * measured recompute, then semi-naive insertion), stores the new
+    * state, and returns (pre-fold state, post-fold state) — the pair
+    * the composed caller anti-joins into ±op rows.
+    */
+  private[views] def foldReachState(catalog: ViewCatalog,
+      stateKey: String,
+      oldStore: graft.graph.GraphStore, newStore: graft.graph.GraphStore,
+      edgeLabel: String,
+      rederiveCap: Long = 1L << 20, maxRounds: Int = 60,
+      recomputeRatio: Double = 0.3): (DataFrame, DataFrame) = {
     def cut(df: DataFrame): DataFrame = df.localCheckpoint()
     def hinted(df: DataFrame, cnt: Long): DataFrame =
       if (cnt <= rederiveCap) broadcast(df) else df
-    def finish(state: DataFrame): DataFrame = {
-      catalog.put(s"$name!state", state)
-      val view = serveReach(newStore, state, srcLabel, dstLabel,
-        srcPred, dstPred)
-      catalog.put(name, view)
-      view
-    }
-    var r = catalog.dataOf(s"$name!state").getOrElse(
+    val s0 = catalog.dataOf(stateKey).getOrElse(
       initReachState(oldStore, edgeLabel, maxRounds))
+    def finish(state: DataFrame): (DataFrame, DataFrame) = {
+      catalog.put(stateKey, state)
+      (s0, state)
+    }
+    var r = s0
     val (eAdd, eRem) = reachEdgeDelta(oldStore, newStore, edgeLabel)
     val remCnt = eRem.count()
     if (remCnt > 0) {
@@ -1191,11 +1403,14 @@ object Views {
       val cands = cut(eRem.unionByName(shape2).unionByName(shape3)
         .unionByName(shape4).distinct())
       val aCnt = cands.count()
-      if (aCnt > rederiveCap)
-        // deletion wavefront exceeds the re-derivation budget:
-        // recompute the closure over the new edge set (additions
-        // folded in for free) — strictly cheaper than churning
-        // most of the state through DRed rounds
+      val stateCnt = r.count()
+      if (aCnt > recomputeRatio * stateCnt)
+        // deletion wavefront churns too much of the closure for
+        // candidate-restricted re-derivation to pay: recompute over
+        // the new edge set (additions folded in for free). Both
+        // counts are work DRed needs anyway (cands drives the rounds,
+        // r is the materialized state), so the measured switch costs
+        // one count on a checkpointed frame.
         return finish(cut(initReachState(newStore, edgeLabel, maxRounds)))
       val eMid = cut(oldStore.edges.filter(col("label") === edgeLabel)
         .select("src", "dst")

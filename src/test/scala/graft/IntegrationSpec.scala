@@ -253,17 +253,17 @@ class IntegrationSpec extends SparkSpec {
     val served = graft.gql.RoutedGql.run(m1, cat,
       "MATCH (a:Person)-[:friend]->(b) RETURN a.department")
     assert(served.servedBy.contains("eng_friends"))
-    // definition validation: WHERE, incoming, unlabeled, UNBOUNDED
-    // var-length composed with further hops (bounded composition is
-    // maintained since r10; single-segment since r9; undirected
-    // single-hop/chain since r10 — see StreamViewsSpec), null props
-    // all reject at REGISTRATION time
+    // definition validation: cross-position chain WHERE (adjacent-
+    // scoped chain WHERE and `*1..` composition are maintained since
+    // r11 — see StreamViewsSpec), incoming, unlabeled, `*m..` lower
+    // bounds composed with further hops, null props all reject at
+    // REGISTRATION time
     for (bad <- Seq(
         "MATCH (a:Person)-[:friend]->(b:Person)-[:friend]->(c:Person)" +
-          " WHERE a.age > 3",
+          " WHERE a.age > c.age",
         "MATCH (a:Person)<-[:friend]-(b:Person)",
         "MATCH (a)-[:friend]->(b:Person)",
-        "MATCH (a:Person)-[:friend*1..]->(b:Person)-[:friend]->(c:Person)",
+        "MATCH (a:Person)-[:friend*2..]->(b:Person)-[:friend]->(c:Person)",
         "MATCH (a:Person {department: null})-[:friend]->(b:Person)")) {
       intercept[IllegalArgumentException] {
         GqlViews.register(cat, "bad", bad)

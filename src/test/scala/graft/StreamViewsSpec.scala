@@ -1619,16 +1619,21 @@ class StreamViewsSpec extends SparkSpec {
     val r3 = GqlViews.refresh(cat, "tc", m2, m3)
     assert(rows(r3) == tc(e3))
     assert(!rows(r3).contains((0L, 5L)), "last path to 5 ran through 4")
-    // recompute FALLBACK parity: rederiveCap = 0 forces the fallback
-    // on the same two mutation windows — end state identical
-    val cat2 = new Views.ViewCatalog(spark,
-      java.nio.file.Files.createTempDirectory("graft_tc2_cat").toString)
-    Views.refreshReachabilityView(cat2, "tc2", base, m1, "N", "dep", "N")
-    Views.refreshReachabilityView(cat2, "tc2", m1, m2, "N", "dep", "N",
-      rederiveCap = 0L)
-    val rf = Views.refreshReachabilityView(cat2, "tc2", m2, m3,
-      "N", "dep", "N", rederiveCap = 0L)
-    assert(rows(rf) == tc(e3))
+    // FORCED-BRANCH parity (r11: the DRed-vs-recompute switch is
+    // aCnt > recomputeRatio·|state|, measured per refresh): pin BOTH
+    // branches on the same mutation windows — end state identical.
+    // ratio = ∞ can never trip → always DRed; ratio = 0 trips on any
+    // deletion → always recompute.
+    for (ratio <- Seq(Double.MaxValue, 0.0)) {
+      val cat2 = new Views.ViewCatalog(spark,
+        java.nio.file.Files.createTempDirectory("graft_tc2_cat").toString)
+      Views.refreshReachabilityView(cat2, "tc2", base, m1, "N", "dep", "N")
+      Views.refreshReachabilityView(cat2, "tc2", m1, m2, "N", "dep", "N",
+        recomputeRatio = ratio)
+      val rf = Views.refreshReachabilityView(cat2, "tc2", m2, m3,
+        "N", "dep", "N", recomputeRatio = ratio)
+      assert(rows(rf) == tc(e3), s"recomputeRatio=$ratio")
+    }
     // executor parity: `*1..` caps at VarLenCap=10 hops in the
     // EXECUTOR — this fixture's diameter is under the cap, so the
     // maintained unbounded answer and the capped expansion agree
@@ -1666,12 +1671,83 @@ class StreamViewsSpec extends SparkSpec {
       GqlViews.register(cat, "bad2",
         """MATCH (a:N)-[:link*1..2 {w: 1}]->(b:N)""")
     }
-    // an UNBOUNDED segment composed with a further hop rejects (the
-    // bounded composition is maintained — see the composed-chain test)
+    // an UNBOUNDED segment with a *m.. lower bound still rejects in
+    // a chain (per-length counting the closure cannot carry); *1..
+    // composes since r11 — its own test below
     intercept[IllegalArgumentException] {
       GqlViews.register(cat, "bad3",
-        "MATCH (a:N)-[:link*1..]->(b:N)-[:link]->(c:N)")
+        "MATCH (a:N)-[:link*2..]->(b:N)-[:link]->(c:N)")
     }
+  }
+
+  test("composed chains with an UNBOUNDED segment: closure sub-state " +
+    "folds through the chain; executor parity across mutation windows") {
+    import spark.implicits._
+    import graft.graph.GraphStore
+    import graft.gql.GqlViews
+    // N-layer flows DAG: 1→2→3→4 plus branch 2→5; M-layer owns
+    val base = GraphStore.fromTuples(spark,
+      Seq((1L, "N", Nil), (2L, "N", Nil), (3L, "N", Nil), (4L, "N", Nil),
+        (5L, "N", Nil), (10L, "M", Nil), (11L, "M", Nil)),
+      Seq((1L, 2L, "dep", Nil), (2L, 3L, "dep", Nil),
+        (3L, 4L, "dep", Nil), (2L, 5L, "dep", Nil),
+        (4L, 10L, "owns", Nil), (5L, 11L, "owns", Nil),
+        (2L, 10L, "owns", Nil)))
+    val cat = new Views.ViewCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_ucc_cat").toString)
+    val defn = "MATCH (a:N)-[:dep*1..]->(b:N)-[:owns]->(c:M)"
+    GqlViews.register(cat, "reach_owns", defn)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.select("c0", "c1", "c2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // executor parity: `*1..` caps at VarLenCap=10 in the EXECUTOR;
+    // this fixture's diameter stays under the cap so the maintained
+    // closure and the capped expansion agree
+    def exe(st: GraphStore): Set[(Long, Long, Long)] =
+      graft.gql.GqlExecutor.run(st,
+        defn + " RETURN id(a) AS x, id(b) AS y, id(c) AS z").df
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val r0 = GqlViews.refresh(cat, "reach_owns", base, base)
+    assert(rows(r0) == exe(base))
+    assert(rows(r0).contains((1L, 4L, 10L)), "3-hop closure pair × owns")
+    // window 1 — insertion closure growth AND tail churn in one
+    // window: bypass 1→3 (already-reachable pairs must not double),
+    // new chain tail 4→6 with its own owns edge (extends the closure
+    // and the M-join), owns edge 2→10 removed (kills (1,2,10))
+    val m1 = base.addVertices(Seq((6L, "N")).toDF("id", "label")
+        .withColumn("props", lit(null).cast(graft.model.PropValue.mapType)))
+      .addEdges(Seq((1L, 3L, "dep"), (4L, 6L, "dep"), (6L, 11L, "owns"))
+        .toDF("src", "dst", "label")
+        .withColumn("props", lit(null).cast(graft.model.PropValue.mapType)))
+      .removeEdges(Seq((2L, 10L, "owns")).toDF("src", "dst", "label"))
+      .truncated().truncatedEdges()
+    val r1 = GqlViews.refresh(cat, "reach_owns", base, m1)
+    assert(rows(r1) == exe(m1))
+    assert(rows(r1).contains((1L, 6L, 11L)), "extended closure × new owns")
+    assert(!rows(r1).contains((1L, 2L, 10L)), "owns churn kills the tail")
+    // window 2 — DRed with a straddle witness: remove 2→3; 1 keeps
+    // reaching 3 and 4 through the 1→3 bypass (pairs must RE-derive),
+    // while 2 truly loses 3, 4, 6
+    val m2 = m1.removeEdges(Seq((2L, 3L, "dep")).toDF("src", "dst", "label"))
+      .truncatedEdges()
+    val r2 = GqlViews.refresh(cat, "reach_owns", m1, m2)
+    assert(rows(r2) == exe(m2))
+    assert(rows(r2).contains((1L, 4L, 10L)), "re-derived through the bypass")
+    assert(!rows(r2).exists(t => t._1 == 2L && t._2 == 4L),
+      "2 truly lost its path to 4")
+    // forced-branch parity on the SAME windows: ratio=0 recomputes
+    // the closure sub-state instead of DRed — end state identical
+    val cat2 = new Views.ViewCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_ucc2_cat").toString)
+    GqlViews.register(cat2, "reach_owns", defn)
+    GqlViews.refresh(cat2, "reach_owns", base, m1)
+    // the GQL front door has no ratio knob — drive the Views-level
+    // refresher with the same definition decomposition; ratio = 0
+    // trips the recompute fallback on any deletion
+    Views.refreshComposedChainView(cat2, "reach_owns", m1, m2,
+      Seq("N", "N", "M"), Seq("dep", "owns"),
+      Seq(Some((1, Int.MaxValue)), None), recomputeRatio = 0.0)
+    assert(rows(cat2.dataOf("reach_owns").get) == exe(m2))
   }
 
   test("cross-variable WHERE views: tuple-level maintenance under prop " +
@@ -1728,10 +1804,12 @@ class StreamViewsSpec extends SparkSpec {
     assert(rows(r2) == exe(m2))
     assert(rows(r2).contains((4L, 1L)), "edge-prop update flipped it in")
     assert(!rows(r2).exists(p => p._1 == 3L || p._2 == 3L))
-    // WHERE validation: chain WHERE and alias refs still reject
+    // WHERE validation: cross-position chain conjuncts and alias
+    // refs still reject (adjacent-scoped chain WHERE is maintained
+    // since r11 — its own test below)
     intercept[IllegalArgumentException] {
       GqlViews.register(cat, "bad_w",
-        "MATCH (a:P)-[:beats]->(b:P)-[:beats]->(c:P) WHERE a.score > 1")
+        "MATCH (a:P)-[:beats]->(b:P)-[:beats]->(c:P) WHERE a.score > c.score")
     }
     intercept[IllegalArgumentException] {
       GqlViews.register(cat, "bad_w2",
@@ -1742,6 +1820,74 @@ class StreamViewsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       GqlViews.register(cat, "bad_w3",
         "MATCH (a:P)-[:beats]->(a:P) WHERE a.score > 1")
+    }
+  }
+
+  test("chain WHERE views (adjacent-scoped conjuncts): per-hop predicated " +
+    "relations under prop flips, edge churn, cascades; executor parity") {
+    import spark.implicits._
+    import graft.graph.GraphStore
+    import graft.gql.GqlViews
+    import graft.model.PropValue
+    val base = GraphStore.fromTuples(spark,
+      Seq((1L, "P", Seq("score" -> 5.0)), (2L, "P", Seq("score" -> 3.0)),
+        (3L, "P", Seq("score" -> 7.0)), (4L, "P", Seq("score" -> 1.0)),
+        (5L, "P", Seq("score" -> 4.0))),
+      Seq((1L, 2L, "beats", Seq("margin" -> 1.0)),
+        (2L, 3L, "beats", Seq("margin" -> 5.0)),
+        (3L, 4L, "beats", Seq("margin" -> 2.0)),
+        (4L, 5L, "beats", Seq("margin" -> 9.0)),
+        (2L, 4L, "beats", Seq("margin" -> 3.0))))
+    val cat = new Views.ViewCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_whc_cat").toString)
+    // three conjunct scopes in one definition: cross-variable within
+    // hop 0 (a, b), edge-only within hop 1 (e2), and an interior
+    // single-variable (b — fits both windows, assigned to hop 0)
+    val defn = "MATCH (a:P)-[e1:beats]->(b:P)-[e2:beats]->(c:P) " +
+      "WHERE a.score > b.score AND e2.margin < 6 AND b.score > 0"
+    GqlViews.register(cat, "upset_chains", defn)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.select("c0", "c1", "c2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def exe(st: GraphStore): Set[(Long, Long, Long)] =
+      graft.gql.GqlExecutor.run(st,
+        defn + " RETURN id(a) AS x, id(b) AS y, id(c) AS z").df
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val r0 = GqlViews.refresh(cat, "upset_chains", base, base)
+    assert(rows(r0) == exe(base))
+    assert(rows(r0) == Set((1L, 2L, 3L), (1L, 2L, 4L)))
+    // window 1 — PURE PROP FLIPS, no membership op in the feed: 2
+    // rises to 6.0 (hop-0 conjunct 5 > 6 fails — both rows leave);
+    // edge 4→5's margin drops to 3.0 (hop-1 conjunct now passes —
+    // (2,4,5) and (3,4,5) enter through the OTHER hop's flip)
+    val m1 = base.updateVertexProps(
+        Seq((2L, 6.0)).toDF("id", "s").select(col("id"),
+          map(lit("score"), PropValue.ofFloat(col("s"))).as("props")))
+      .updateEdgeProps(Seq((4L, 5L, "beats")).toDF("src", "dst", "label")
+        .withColumn("props",
+          map(lit("margin"), PropValue.ofFloat(lit(3.0)))))
+    val r1 = GqlViews.refresh(cat, "upset_chains", base, m1)
+    assert(rows(r1) == exe(m1))
+    assert(rows(r1) == Set((2L, 4L, 5L), (3L, 4L, 5L)))
+    // window 2 — cascade + churn: vertex 2 leaves (kills (2,4,5) and
+    // every chain through 2), edges 3→5 and 5→4 arrive ((3,5,4) and
+    // the 5→4→5 loop tuple enter)
+    val m2 = m1.removeVertices(Seq(2L).toDF("id"))
+      .addEdges(Seq((3L, 5L, 1.0), (5L, 4L, 2.0))
+        .toDF("src", "dst", "m")
+        .select(col("src"), col("dst"), lit("beats").as("label"),
+          map(lit("margin"), PropValue.ofFloat(col("m"))).as("props")))
+    val r2 = GqlViews.refresh(cat, "upset_chains", m1, m2)
+    assert(rows(r2) == exe(m2))
+    assert(rows(r2).contains((3L, 5L, 4L)))
+    assert(rows(r2).contains((5L, 4L, 5L)), "5→4→5 walk through the loop")
+    assert(!rows(r2).exists(t => t._1 == 2L || t._2 == 2L || t._3 == 2L))
+    // OR across positions inside ONE conjunct stays rejected (it
+    // cannot split into per-hop relations)
+    intercept[IllegalArgumentException] {
+      GqlViews.register(cat, "bad_wc",
+        "MATCH (a:P)-[:beats]->(b:P)-[:beats]->(c:P) " +
+          "WHERE a.score > 9 OR c.score > 9")
     }
   }
 
