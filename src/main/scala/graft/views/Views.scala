@@ -457,6 +457,23 @@ object Views {
     * DISTINCT-pair membership this way, and the algebra is
     * indifferent to where a hop relation comes from as long as
     * old + ops = new.
+    *
+    * SHUFFLE POSTURE (r11): the second level of each hop folds
+    * through [[level2Delta]], which reassociates the old-side probe
+    * term to P_old ⋈ (E_old ⋈ broadcast(ΔV)) — so the prefix
+    * relation is only ever SCANNED with a window-sized broadcast
+    * probe, never re-joined against the vertex delta. With
+    * `prefixOld` supplied (the catalog refreshers pass their stored
+    * per-level prefix bags, maintained under `name!p<i>`), every
+    * big frame in the whole fold is a stored scan and the only
+    * shuffles are delta-sized: ViewScaleProbe measured the lazy
+    * prefix re-joins as the dominant refresh shuffle once the
+    * state-merge shuffle was removed. Stateless callers (no
+    * `prefixOld`) keep the lazy prefix join — correct, and still one
+    * association level cheaper than the pre-r11 form.
+    * `onLevelDelta(i, signedCut)` fires once per interior level with
+    * the (checkpointed) level delta so the caller can fold its
+    * prefix state forward.
     */
   def patternChainViewDelta(oldStore: graft.graph.GraphStore,
       newStore: graft.graph.GraphStore, vertexLabels: Seq[String],
@@ -465,7 +482,9 @@ object Views {
       edgePreds: Seq[Option[Column]] = Nil,
       undirectedHops: Seq[Boolean] = Nil,
       hopOverrides: Map[Int, (String, String) => (DataFrame, DataFrame)] =
-        Map.empty): DataFrame = {
+        Map.empty,
+      prefixOld: Map[Int, DataFrame] = Map.empty,
+      onLevelDelta: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
     require(vertexLabels.size == edgeLabels.size + 1 && edgeLabels.nonEmpty,
       s"chain wants k+1 vertex labels for k>=1 edge labels, got " +
         s"${vertexLabels.size}/${edgeLabels.size}")
@@ -584,16 +603,44 @@ object Views {
       val d1 = joinViewDelta(chainOld, deltaOps, e, eOps, Seq(s))
       // re-expressed as op rows so the next level's sign validation
       // and broadcasts apply unchanged (each row is exactly ±1)
-      val withE = chainOld.join(e, s)
       val v = vOld(i, d)
-      signed = joinViewDelta(withE, opify(d1),
-        v, vDelta(i, d), Seq(d))
+      signed = level2Delta(chainOld, e, v, opify(d1), vDelta(i, d), s, d)
       if (i < edgeLabels.size) {
-        chainOld = withE.join(v, d)
+        signed = cut(signed)
+        onLevelDelta(i, signed)
+        chainOld = prefixOld.getOrElse(i, chainOld.join(e, s).join(v, d))
         deltaOps = opify(signed)
       }
     }
     signed
+  }
+
+  /** Second-level chain delta Δ((P ⋈ E) ⋈ V), REASSOCIATED so both
+    * big relations are scanned with broadcast probes instead of the
+    * old-side term re-executing the lazy P ⋈ E join:
+    *
+    *   t1 = ΔA ⋈ V_old          (ΔA = Δ(P⋈E) op rows, broadcast)
+    *   t2 = P_old ⋈ (E_old ⋈ ΔV) (equi-join associativity — the
+    *        window-sized E-slice broadcasts into the prefix scan)
+    *   t3 = ΔA ⋈ ΔV             (the simultaneous-window cross term)
+    *
+    * Identical bag to joinViewDelta(P ⋈ E, ΔA, V, ΔV) — same three
+    * terms, same sign products — with P ⋈ E never materialized on
+    * the probe path.
+    */
+  private def level2Delta(pOld: DataFrame, eOld: DataFrame,
+      vOld: DataFrame, dA: DataFrame, dV: DataFrame,
+      joinP: String, joinV: String): DataFrame = {
+    val sA = dA.withColumn("__sa", validatedSign).drop("op")
+    val sV = dV.withColumn("__sb", validatedSign).drop("op")
+    val t1 = broadcast(sA).join(vOld.withColumn("__sb", lit(1)), joinV)
+    val eTouched = eOld.join(broadcast(sV), joinV)
+    val t2 = pOld.withColumn("__sa", lit(1))
+      .join(broadcast(eTouched), joinP)
+    val t3 = broadcast(sA).join(sV, joinV)
+    t1.unionByName(t2).unionByName(t3)
+      .withColumn("__sign", col("__sa") * col("__sb"))
+      .drop("__sa", "__sb")
   }
 
   /** Bootstrap pattern-view state: the matched (src, dst) pairs with
@@ -649,9 +696,44 @@ object Views {
       .agg(count(lit(1)).as("__mult"))
   }
 
+  /** Per-level PREFIX states for a catalog-backed k-hop chain view
+    * (r11): the prefix bags P_1..P_{k-1} live under `name!p<i>` so
+    * every refresh reads them as stored scans instead of lazily
+    * re-joining the prefix pipeline once per level — ViewScaleProbe
+    * measured those re-joins as the dominant refresh shuffle.
+    * Returns (prefixOld relations for the delta fold, the fold
+    * callback that merges each level's delta forward — skipping the
+    * state rewrite entirely when a level's delta is empty).
+    * Bootstrap of an absent prefix state joins once on the OLD store
+    * (the same work the lazy path did per refresh, paid once).
+    */
+  private def chainPrefixHooks(catalog: ViewCatalog, name: String,
+      oldStore: graft.graph.GraphStore,
+      vertexLabels: Seq[String], edgeLabels: Seq[String],
+      preds: Seq[Option[Column]], epreds: Seq[Option[Column]],
+      undir: Seq[Boolean],
+      bootOverrides: Map[Int, (String, String) => DataFrame] = Map.empty)
+      : (Map[Int, DataFrame], (Int, DataFrame) => Unit) = {
+    val oldStates = (1 until edgeLabels.size).map { i =>
+      i -> catalog.dataOf(s"$name!p$i").getOrElse(
+        initPatternChainState(oldStore,
+          vertexLabels.take(i + 1), edgeLabels.take(i),
+          preds.take(i + 1), epreds.take(i), undir.take(i),
+          bootOverrides.filter(_._1 < i)).localCheckpoint())
+    }.toMap
+    val fold = (i: Int, signed: DataFrame) => {
+      if (!signed.isEmpty) {
+        val s1 = mergeJoinDelta(oldStates(i), signed).localCheckpoint()
+        catalog.put(s"$name!p$i", s1)
+      } else if (catalog.dataOf(s"$name!p$i").isEmpty)
+        catalog.put(s"$name!p$i", oldStates(i)) // persist the bootstrap
+    }
+    (oldStates.map { case (i, st) => i -> finalizeJoin(st) }, fold)
+  }
+
   /** Catalog-driven refresh of a registered k-hop chain view — the
     * multi-hop form of [[refreshPatternView]], same materialize-state
-    * contract.
+    * contract, plus per-level prefix states ([[chainPrefixHooks]]).
     */
   def refreshPatternChainView(catalog: ViewCatalog, name: String,
       oldStore: graft.graph.GraphStore, newStore: graft.graph.GraphStore,
@@ -659,11 +741,20 @@ object Views {
       vertexPreds: Seq[Option[Column]] = Nil,
       edgePreds: Seq[Option[Column]] = Nil,
       undirectedHops: Seq[Boolean] = Nil): DataFrame = {
+    val preds = if (vertexPreds.isEmpty)
+      Seq.fill(vertexLabels.size)(None: Option[Column]) else vertexPreds
+    val epreds = if (edgePreds.isEmpty)
+      Seq.fill(edgeLabels.size)(None: Option[Column]) else edgePreds
+    val undir = if (undirectedHops.isEmpty)
+      Seq.fill(edgeLabels.size)(false) else undirectedHops
     val state0 = catalog.dataOf(s"$name!state").getOrElse(
       initPatternChainState(oldStore, vertexLabels, edgeLabels,
-        vertexPreds, edgePreds, undirectedHops))
+        preds, epreds, undir))
+    val (prefixOld, fold) = chainPrefixHooks(catalog, name, oldStore,
+      vertexLabels, edgeLabels, preds, epreds, undir)
     val delta = patternChainViewDelta(oldStore, newStore,
-      vertexLabels, edgeLabels, vertexPreds, edgePreds, undirectedHops)
+      vertexLabels, edgeLabels, preds, epreds, undir,
+      prefixOld = prefixOld, onLevelDelta = fold)
     val state1 = mergeJoinDelta(state0, delta).localCheckpoint()
     catalog.put(s"$name!state", state1)
     val view = finalizeJoin(state1)
@@ -1029,12 +1120,17 @@ object Views {
     * touched-tuple frontier the r10 rejection named — so that form
     * still rejects with the split-and-join-downstream remedy.
     *
-    * No sub-state per hop (unlike composed var-length): R_j
-    * re-derives lazily from the store, so only the chain's own
-    * `name!state` multiset persists. Endpoint labels/preds apply
-    * both inside R_j and at the chain's vertex joins —
-    * double-filtering is algebraically idempotent. Directed
-    * single-hop positions only (the GQL front door enforces this).
+    * Each predicated hop keeps its member bag as a sub-state under
+    * `name!wh<j>` (src, dst, mult): the chain fold then reads R_j as
+    * a STORED SCAN instead of re-executing the three-way
+    * props-carrying member join once per delta term — ViewScaleProbe
+    * measured those lazy re-joins (shuffling the props maps each
+    * time) as the reason this class shuffled MORE on refresh than on
+    * recompute. The sub-state folds forward by the same ±op rows
+    * that feed the chain. Endpoint labels/preds apply both inside
+    * R_j and at the chain's vertex joins — double-filtering is
+    * algebraically idempotent. Directed single-hop positions only
+    * (the GQL front door enforces this).
     */
   def refreshWhereChainView(catalog: ViewCatalog, name: String,
       oldStore: graft.graph.GraphStore, newStore: graft.graph.GraphStore,
@@ -1064,8 +1160,17 @@ object Views {
           vertexLabels(j), edgeLabels(j), vertexLabels(j + 1),
           vertexPropsCols(j), edgePropsCols(j), vertexPropsCols(j + 1),
           p, preds(j), preds(j + 1), epreds(j), Some(sharedTouchedV))
+        val sub = s"$name!wh$j"
+        val s0 = catalog.dataOf(sub).getOrElse(
+          oldMembers.groupBy("src", "dst")
+            .agg(count(lit(1)).as("__mult")).localCheckpoint())
+        val s1 = mergeJoinDelta(s0, ops.select(col("src"), col("dst"),
+          when(col("op") === "add", lit(1L)).otherwise(lit(-1L))
+            .as("__sign"))).localCheckpoint()
+        catalog.put(sub, s1)
+        val rOld = finalizeJoin(s0)
         j -> ((s: String, d: String) => (
-          oldMembers.select(col("src").as(s), col("dst").as(d)),
+          rOld.select(col("src").as(s), col("dst").as(d)),
           ops.select(col("op"), col("src").as(s), col("dst").as(d))))
     }.toMap
     val bootOverrides = overrides.map { case (j, provider) =>
@@ -1075,8 +1180,11 @@ object Views {
     val state0 = catalog.dataOf(s"$name!state").getOrElse(
       initPatternChainState(oldStore, vertexLabels, edgeLabels,
         preds, epreds, undir, bootOverrides))
+    val (prefixOld, fold) = chainPrefixHooks(catalog, name, oldStore,
+      vertexLabels, edgeLabels, preds, epreds, undir, bootOverrides)
     val delta = patternChainViewDelta(oldStore, newStore, vertexLabels,
-      edgeLabels, preds, epreds, undir, overrides)
+      edgeLabels, preds, epreds, undir, overrides,
+      prefixOld = prefixOld, onLevelDelta = fold)
     val state1 = mergeJoinDelta(state0, delta).localCheckpoint()
     catalog.put(s"$name!state", state1)
     val view = finalizeJoin(state1)
@@ -1199,8 +1307,11 @@ object Views {
     val state0 = catalog.dataOf(s"$name!state").getOrElse(
       initPatternChainState(oldStore, vertexLabels, edgeLabels,
         preds, epreds, undir, bootOverrides))
+    val (prefixOld, fold) = chainPrefixHooks(catalog, name, oldStore,
+      vertexLabels, edgeLabels, preds, epreds, undir, bootOverrides)
     val delta = patternChainViewDelta(oldStore, newStore, vertexLabels,
-      edgeLabels, preds, epreds, undir, overrides)
+      edgeLabels, preds, epreds, undir, overrides,
+      prefixOld = prefixOld, onLevelDelta = fold)
     val state1 = mergeJoinDelta(state0, delta).localCheckpoint()
     catalog.put(s"$name!state", state1)
     val view = finalizeJoin(state1)
