@@ -116,6 +116,63 @@ class StreamViewsSpec extends SparkSpec {
     assert(err.getMessage.contains("op must be add|remove"), err.getMessage)
   }
 
+  test("mergeJoinDelta branch parity: broadcast merge == union-regroup " +
+    "fallback; delta-only keys insert; net-zero delta keys never appear") {
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toList).groupBy(identity).view.mapValues(_.length).toMap
+    val state = Seq((1L, 2L), (3L, 4L), (3L, 4L), (5L, 6L))
+      .toDF("src", "dst").groupBy("src", "dst")
+      .agg(count(lit(1)).as("__mult"))
+    // touches an existing key (+1), kills one outright (-1 of mult 1),
+    // peels one copy of the dup key (-1 of mult 2), inserts a fresh
+    // key, and nets a second fresh key to ZERO (+1 then -1 — must not
+    // appear: the r11 broadcast merge inserts via anti-join, and a
+    // net-zero delta-only key would slip in without the >0 filter)
+    val delta = Seq(
+      (1L, 2L, 1L), (5L, 6L, -1L), (3L, 4L, -1L),
+      (7L, 8L, 1L), (9L, 9L, 1L), (9L, 9L, -1L))
+      .toDF("src", "dst", "__sign")
+    val viaBroadcast = Views.mergeJoinDelta(state, delta)
+    val viaRegroup = Views.mergeJoinDelta(state, delta, broadcastCap = 0L)
+    val want = Map(
+      List(1L, 2L, 2L) -> 1, List(3L, 4L, 1L) -> 1, List(7L, 8L, 1L) -> 1)
+    assert(multiset(viaBroadcast) == want)
+    assert(multiset(viaRegroup) == want)
+  }
+
+  test("chain prefix states: a window touching only the tail hop leaves " +
+    "the stored prefix untouched (fold skipped), and the refresh is exact") {
+    import graft.graph.GraphStore
+    val base = GraphStore.fromTuples(spark,
+      Seq((1L, "A", Nil), (2L, "B", Nil), (3L, "C", Nil), (4L, "C", Nil)),
+      Seq((1L, 2L, "ab", Nil), (2L, 3L, "bc", Nil)))
+    val cat = new Views.ViewCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_pfx_cat").toString)
+    Views.refreshPatternChainView(cat, "abc", base, base,
+      Seq("A", "B", "C"), Seq("ab", "bc"))
+    val p1Before = cat.dataOf("abc!p1")
+    assert(p1Before.isDefined, "prefix state materialized at bootstrap")
+    // tail-only window: hop-2 edge churn, no A/B vertex or ab-edge op
+    val m1 = base.addEdges(Seq((2L, 4L, "bc")).toDF("src", "dst", "label")
+        .withColumn("props", lit(null).cast(graft.model.PropValue.mapType)))
+      .removeEdges(Seq((2L, 3L, "bc")).toDF("src", "dst", "label"))
+    val r1 = Views.refreshPatternChainView(cat, "abc", base, m1,
+      Seq("A", "B", "C"), Seq("ab", "bc"))
+    assert(r1.select("c0", "c1", "c2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      Set((1L, 2L, 4L)))
+    assert(cat.dataOf("abc!p1").get eq p1Before.get,
+      "empty level-1 delta must not rewrite the prefix state")
+    // a window that DOES touch hop 1 folds the prefix forward
+    val m2 = m1.removeVertices(Seq(1L).toDF("id"))
+    val r2 = Views.refreshPatternChainView(cat, "abc", m1, m2,
+      Seq("A", "B", "C"), Seq("ab", "bc"))
+    assert(r2.count() == 0L)
+    assert(!(cat.dataOf("abc!p1").get eq p1Before.get),
+      "level-1 delta folds the prefix state forward")
+    assert(cat.dataOf("abc!p1").get.count() == 0L)
+  }
+
   test("stream-stream interval join matches in-window pairs, batch-parity") {
     import graft.streaming.StreamJoins
     implicit val sqlCtx = spark.sqlContext
