@@ -318,13 +318,26 @@ object Views {
     // the DELTA side broadcasts in every term — deltas have no stats,
     // so without the hint Catalyst would sort-merge and shuffle the
     // whole base, the exact cost this operator exists to avoid
-    val t1 = broadcast(sA).join(bOld.withColumn("__sb", lit(1)), keys)
-    val t2 = aOld.withColumn("__sa", lit(1)).join(broadcast(sB), keys)
+    val t1 = broadcast(sA).join(weighted(bOld, "__sb"), keys)
+    val t2 = weighted(aOld, "__sa").join(broadcast(sB), keys)
     val t3 = broadcast(sA).join(sB, keys)
     t1.unionByName(t2).unionByName(t3)
       .withColumn("__sign", col("__sa") * col("__sb"))
       .drop("__sa", "__sb")
   }
+
+  /** A base relation may arrive as a WEIGHTED bag — a state frame
+    * whose `__mult` column is the row's multiplicity (r11: prefix
+    * and walk states flow into the delta algebra directly instead of
+    * being exploded row-per-count, which for walk counts could mean
+    * degree^h rows per pair). The weight becomes the old side's sign
+    * factor, which is exactly what explosion would have summed to.
+    * Unit-weight relations (no `__mult`) behave as before.
+    */
+  private def weighted(rel: DataFrame, signCol: String): DataFrame =
+    if (rel.columns.contains("__mult"))
+      rel.withColumn(signCol, col("__mult").cast("long")).drop("__mult")
+    else rel.withColumn(signCol, lit(1L))
 
   /** Fold a signed join delta into multiset state: merge on the view
     * columns, sum multiplicities, drop rows whose net count reaches
