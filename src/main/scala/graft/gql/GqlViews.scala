@@ -131,15 +131,21 @@ object GqlViews {
           if (e.range.isDefined) require(e.props.isEmpty,
             "edge props cannot predicate a var-length segment (each hop " +
               "is unbound); use a single-hop view for edge predicates")
-          // UNBOUNDED ranges (`*1..`, parser-carried as Int.MaxValue)
-          // route to the reachability maintainer (semi-naive + DRed);
-          // the two shapes it cannot serve reject with remedies
+          // UNBOUNDED ranges (parser-carried as Int.MaxValue) route to
+          // the reachability maintainer (semi-naive + DRed) for *1..,
+          // or the walk ⋈ closure composition for *m.. (r11 — a
+          // length-≥m walk is an (m−1)-hop walk followed by
+          // reachability, so the counting sub-states compose); the
+          // shapes neither can serve reject with remedies
           if (e.range.exists(_._2 == Int.MaxValue)) {
-            require(e.range.get._1 == 1,
-              "unbounded reach views maintain *1.. only — a *m.. lower " +
-                "bound would need per-length counting the closure " +
-                "cannot carry; register *1.. and filter m-1 bounded " +
-                "hops downstream")
+            require(e.range.get._1 <= 6,
+              "lower-bounded reach views maintain *m.. for m <= 6 (the " +
+                "walk factor inherits the bounded family's hop cap); " +
+                "register a smaller bound and filter downstream")
+            require(e.range.get._1 == 1 || p.edges.size == 1,
+              "a *m.. (m >= 2) segment composes only as a standalone " +
+                "view (walk ⋈ closure); in a longer chain register the " +
+                "*m.. view separately and join downstream")
             require(e.direction == Outgoing,
               "undirected unbounded reachability is connected-component " +
                 "membership, not a pattern view — use " +
@@ -306,6 +312,11 @@ object GqlViews {
         Views.refreshReachabilityView(catalog, name, oldStore, newStore,
           d.vertexLabels(0), d.edgeLabels(0), d.vertexLabels(1),
           d.vertexPreds(0), d.vertexPreds(1))
+      case Some((minHops, Int.MaxValue)) =>
+        Views.refreshLowerBoundedReachView(catalog, name,
+          oldStore, newStore,
+          d.vertexLabels(0), d.edgeLabels(0), d.vertexLabels(1),
+          minHops, d.vertexPreds(0), d.vertexPreds(1))
       case Some((minHops, maxHops)) =>
         Views.refreshVarLengthPatternView(catalog, name, oldStore, newStore,
           d.vertexLabels(0), d.edgeLabels(0), d.vertexLabels(1),

@@ -522,6 +522,44 @@ object StreamQueries {
         .orderBy("src_nation", "mid_nation", "regionkey")
     }),
 
+    // V5j: LOWER-BOUNDED unbounded reach view (r11) — *2.. maintained
+    // as the walk ⋈ closure composition (a length-≥2 walk is one edge
+    // followed by reachability), the shape earlier rounds left under
+    // a remedy. Same flows fixture and windows as
+    // v6_pattern_view_unbounded, so the closure sub-state exercises
+    // semi-naive insertion AND DRed with a straddle-witness bypass,
+    // while the walk factor rides the edge deltas. Oracle: edge set
+    // joined to its own recursive closure, distinct pairs.
+    "v6_pattern_view_lower_bounded" -> ((s, dir) => {
+      import graft.graph.GraphStore
+      import graft.model.PropValue
+      val base = GraphStore.fromTpch(s, dir)
+      val noProps = lit(null).cast(PropValue.mapType)
+      val off = GraphStore.NationOff
+      def edgeFrame(es: Seq[(Long, Long)]) = {
+        import s.implicits._
+        es.map { case (a, b) => (a + off, b + off, "flows") }
+          .toDF("src", "dst", "label").withColumn("props", noProps)
+      }
+      val cat = new Views.ViewCatalog(s,
+        java.nio.file.Files.createTempDirectory("graft_pvlb").toString)
+      graft.gql.GqlViews.register(cat, "far_flows",
+        "MATCH (a:Nation)-[:flows*2..]->(b:Nation)")
+      val m1 = base.addEdges(edgeFrame(
+          (0L to 14L).map(i => (i, i + 1)) ++
+            Seq((3L, 20L), (20L, 21L), (5L, 22L), (22L, 23L), (23L, 22L))))
+        .truncatedEdges()
+      graft.gql.GqlViews.refresh(cat, "far_flows", base, m1)
+      val m2 = m1.addEdges(edgeFrame(Seq((2L, 4L))))
+        .removeVertices(s.range(1).select(lit(off + 3L).as("id")))
+        .removeEdges(edgeFrame(Seq((7L, 8L))).select("src", "dst", "label"))
+        .truncated().truncatedEdges()
+      graft.gql.GqlViews.refresh(cat, "far_flows", m1, m2)
+        .select((col("src") - off).as("src_nation"),
+          (col("dst") - off).as("dst_nation"))
+        .orderBy("src_nation", "dst_nation")
+    }),
+
     "v5_incremental_view" -> ((s, dir) => {
       val t1 = lit(java.sql.Timestamp.valueOf("2024-01-11 00:00:00"))
       val t2 = lit(java.sql.Timestamp.valueOf("2024-01-21 00:00:00"))
@@ -727,6 +765,25 @@ object StreamQueries {
          SELECT r.s AS src_nation, r.d AS mid_nation, nr.rk AS regionkey
          FROM r JOIN nr ON r.d = nr.nk
          ORDER BY src_nation, mid_nation, regionkey""",
+    // *2.. over the same end-state flows graph: one edge followed by
+    // reachability — the edge set joined to its own closure, distinct
+    "v6_pattern_view_lower_bounded" ->
+      """WITH RECURSIVE
+           e AS (
+             SELECT CAST(i AS BIGINT) AS s, CAST(i + 1 AS BIGINT) AS d
+             FROM range(0, 15) t(i) WHERE i NOT IN (2, 3, 7)
+             UNION ALL SELECT 2, 4
+             UNION ALL SELECT 20, 21
+             UNION ALL SELECT 5, 22
+             UNION ALL SELECT 22, 23
+             UNION ALL SELECT 23, 22),
+           r(s, d) AS (
+             SELECT s, d FROM e
+             UNION
+             SELECT r.s, e.d FROM r JOIN e ON r.d = e.s)
+         SELECT DISTINCT e.s AS src_nation, r.d AS dst_nation
+         FROM e JOIN r ON e.d = r.s
+         ORDER BY src_nation, dst_nation""",
     "v6_pattern_view" ->
       """WITH orig AS (
            SELECT CAST(c_custkey AS BIGINT) AS custkey,

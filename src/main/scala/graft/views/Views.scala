@@ -309,10 +309,14 @@ object Views {
   def joinViewDelta(aOld: DataFrame, dA: DataFrame,
       bOld: DataFrame, dB: DataFrame, keys: Seq[String]): DataFrame = {
     // op validated in-plan (validatedSign): a typo'd op must fail
-    // the batch, not silently insert rows into the maintained view
-    def signed(d: DataFrame, s: String) = d
-      .withColumn(s, validatedSign)
-      .drop("op")
+    // the batch, not silently insert rows into the maintained view.
+    // A delta may instead arrive PRE-WEIGHTED with a `__sign` column
+    // (r11: the var-length walk folds net each level's delta to
+    // per-pair counts, whose magnitudes are legitimately > 1 — op
+    // rows cannot carry them without re-exploding walk counts).
+    def signed(d: DataFrame, s: String) =
+      if (d.columns.contains("__sign")) d.withColumnRenamed("__sign", s)
+      else d.withColumn(s, validatedSign).drop("op")
     val sA = signed(dA, "__sa")
     val sB = signed(dB, "__sb")
     // the DELTA side broadcasts in every term — deltas have no stats,
@@ -384,6 +388,52 @@ object Views {
       .select(cols.map(col) :+ col("__dm").as("__mult"): _*)
       .filter(col("__mult") > 0)
     merged.unionByName(inserts)
+  }
+
+  /** MEMBERSHIP ops (add/remove key rows) implied by folding `delta`
+    * into counted `state` — the keys whose net count crosses zero.
+    * A sub-state's consumer (the composed-chain fold) needs exactly
+    * these; deriving them as `new-state ANTI old-state` both ways
+    * shuffles two state-sized frames per refresh — ViewScaleProbe
+    * measured that anti-join pair as the dominant composed-class
+    * refresh shuffle once the walk bases were stored (r11 stage D).
+    * Here the delta nets per key (delta-sized shuffle), the state is
+    * SCANNED once with the netted keys broadcast, and the ops fall
+    * out ≤ delta-sized: `remove` where an existing key's count
+    * reaches zero, `add` where a positive net lands on an absent
+    * key. Windows too wide to broadcast fall back to the anti-join
+    * diff, which is proportionate when the delta is state-sized.
+    * Keys whose count moves but stays positive emit nothing — the
+    * membership relation did not change.
+    */
+  def stateMembershipOps(state: DataFrame, delta: DataFrame,
+      broadcastCap: Long = 4L << 20): DataFrame = {
+    val cols = state.columns.filterNot(_ == "__mult")
+    val dAgg = delta
+      .select(cols.map(col) :+ col("__sign").cast("long").as("__m"): _*)
+      .groupBy(cols.map(col): _*)
+      .agg(sum("__m").as("__dm"))
+      .filter(col("__dm") =!= 0)
+      .localCheckpoint()
+    if (dAgg.count() > broadcastCap) {
+      val s1 = mergeJoinDelta(state, delta, broadcastCap)
+      val k0 = state.select(cols.map(col): _*)
+      val k1 = s1.select(cols.map(col): _*)
+      return k1.join(k0, cols.toSeq, "left_anti")
+        .select(cols.map(col) :+ lit("add").as("op"): _*)
+        .unionByName(k0.join(k1, cols.toSeq, "left_anti")
+          .select(cols.map(col) :+ lit("remove").as("op"): _*))
+    }
+    val touched = state.join(broadcast(dAgg), cols.toSeq)
+      .select(cols.map(col) ++ Seq(col("__mult"), col("__dm")): _*)
+      .localCheckpoint()
+    val removes = touched.filter(col("__mult") + col("__dm") <= 0)
+      .select(cols.map(col) :+ lit("remove").as("op"): _*)
+    val adds = dAgg.filter(col("__dm") > 0)
+      .join(broadcast(touched.select(cols.map(col): _*)),
+        cols.toSeq, "left_anti")
+      .select(cols.map(col) :+ lit("add").as("op"): _*)
+    removes.unionByName(adds)
   }
 
   /** The maintained join view as plain rows (multiplicity expanded). */
@@ -821,6 +871,24 @@ object Views {
     * realistic degree, and the range cap also bounds the state
     * multiplicities.
     *
+    * SHUFFLE POSTURE (r11, stage D): the walk bases are COMPRESSED
+    * COUNTED PAIRS — level i's base is the bag W_i(c0, c_i, __mult) =
+    * number of i-hop walks c0⇝c_i, which is all any later join reads
+    * (interiors are never referenced again), and each level's delta
+    * nets to per-pair signed counts before it broadcasts into the
+    * next level. With `walkOld` supplied (the catalog refreshers pass
+    * their stored per-level walk bags, maintained under `name!w<i>`
+    * by [[walkHooks]]), every walk base is a STORED SCAN instead of a
+    * lazy join pipeline re-executed once per downstream term — the
+    * residual refresh shuffle ViewScaleProbe measured in the composed
+    * class after the chain-level r11 fixes ("the same disease, one
+    * layer down"). The emission's dst-delta term is reassociated like
+    * [[level2Delta]]: W_{h-1} ⋈ (E ⋈ broadcast(ΔV_dst)) — so no
+    * W_max state is ever needed. `onWalkDelta(i, netted)` fires once
+    * per interior level for the caller's state fold; stateless
+    * callers (no `walkOld`) keep lazy pair-compressed bases, still
+    * strictly cheaper than the pre-r11 full-tuple pipelines.
+    *
     * `undirected = true` maintains the UNDIRECTED form
     * `(a)-[:e*m..n]-(b)` — the executor's own `gql_varlength` shape:
     * walks run over the symmetrized relation E ∪ Eᵀ, realized by
@@ -835,30 +903,76 @@ object Views {
       edgeLabel: String, dstLabel: String, minHops: Int, maxHops: Int,
       srcPred: Option[Column] = None,
       dstPred: Option[Column] = None,
-      undirected: Boolean = false): DataFrame = {
+      undirected: Boolean = false,
+      walkOld: Map[Int, DataFrame] = Map.empty,
+      onWalkDelta: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
     requireHops(minHops, maxHops)
+    val dstOld = oldStore.vertices.filter(
+      dstPred.foldLeft(col("label") === dstLabel)(_ && _))
+    val dstDelta = windowVertexDelta(oldStore, newStore, dstLabel,
+      dstPred, "__d")
+    // shared-prefix fold over COUNTED PAIR bags: W_i(c0, c_i[, __mult])
+    // = i-hop walk counts; emit Δ(W_h ⋈ V_dst) at each h ∈ [min, max]
+    val emitted = scala.collection.mutable.Buffer[DataFrame]()
+    walkFoldLevels(oldStore, newStore, srcLabel, edgeLabel, maxHops,
+      srcPred, undirected, walkOld, (i, wPrev, e, dW, s, d) => {
+        if (i >= minHops)
+          emitted += walkEmitDelta(wPrev, e,
+            dstOld.select(col("id").as(d)), dW,
+            dstDelta.select(col("op"), col("__d").as(d)), s, d)
+        if (i < maxHops) onWalkDelta(i, dW)
+      })
+    emitted.reduce(_ unionByName _)
+  }
+
+  /** Net ±op membership delta of the `label`-filtered (optionally
+    * predicated) vertex set between two store versions, restricted
+    * to feed-touched ids — the vertex-delta brick every walk/chain
+    * fold uses, extracted (r11) so folds that need several label
+    * deltas share it.
+    */
+  private def windowVertexDelta(oldStore: graft.graph.GraphStore,
+      newStore: graft.graph.GraphStore, label: String,
+      pred: Option[Column], keyName: String): DataFrame = {
+    val feed = newStore.changes.filter(col("version") > oldStore.version)
+    val touchedV = feed
+      .filter(col("op").isin("add_vertex", "remove_vertex",
+        "update_vertex_props"))
+      .select(col("id")).distinct().localCheckpoint()
+    def members(store: graft.graph.GraphStore) =
+      store.vertices.filter(pred.foldLeft(col("label") === label)(_ && _))
+        .join(broadcast(touchedV), Seq("id"), "left_semi").select("id")
+    val o = members(oldStore)
+    val n = members(newStore)
+    n.join(o, Seq("id"), "left_anti")
+      .select(lit("add").as("op"), col("id").as(keyName))
+      .unionByName(o.join(n, Seq("id"), "left_anti")
+        .select(lit("remove").as("op"), col("id").as(keyName)))
+      .localCheckpoint()
+  }
+
+  /** The counted-pair walk fold shared by [[varLengthViewDelta]] and
+    * the lower-bounded reach composition: advances the walk bags
+    * W_0..W_maxLevel through the change window, firing
+    * `onLevel(i, wPrevOld, e, dW, s, d)` at every level with the
+    * netted signed pair-count delta ΔW_i (checkpointed; `wPrevOld` is
+    * W_{i-1}'s old bag, `e` the old edge relation aliased (s, d)).
+    * One edge delta serves every level (all hops share the label);
+    * cascades arrive through the incident scans. `walkOld` substitutes
+    * stored bags for the lazy prefix joins level by level.
+    */
+  private def walkFoldLevels(oldStore: graft.graph.GraphStore,
+      newStore: graft.graph.GraphStore, srcLabel: String,
+      edgeLabel: String, maxLevel: Int, srcPred: Option[Column],
+      undirected: Boolean, walkOld: Map[Int, DataFrame],
+      onLevel: (Int, DataFrame, DataFrame, DataFrame, String, String) => Unit)
+      : Unit = {
     val feed = newStore.changes.filter(col("version") > oldStore.version)
     def cut(df: DataFrame): DataFrame = df.localCheckpoint()
     val touchedV = cut(feed
       .filter(col("op").isin("add_vertex", "remove_vertex",
         "update_vertex_props"))
       .select(col("id")).distinct())
-    def vFilter(label: String, pred: Option[Column]): Column =
-      pred.foldLeft(col("label") === label)(_ && _)
-    def members(store: graft.graph.GraphStore, label: String,
-        pred: Option[Column]) =
-      store.vertices.filter(vFilter(label, pred))
-        .join(broadcast(touchedV), Seq("id"), "left_semi").select("id")
-    def vDelta(label: String, pred: Option[Column],
-        keyName: String): DataFrame = {
-      val o = members(oldStore, label, pred)
-      val n = members(newStore, label, pred)
-      cut(n.join(o, Seq("id"), "left_anti")
-        .select(lit("add").as("op"), col("id").as(keyName))
-        .unionByName(o.join(n, Seq("id"), "left_anti")
-          .select(lit("remove").as("op"), col("id").as(keyName))))
-    }
-    // ONE edge delta serves every level (all hops share the label):
     // explicit edge ops + old/new edges incident to touched vertices
     // (cascades are not spelled out in the feed)
     val explicitE = feed.filter(
@@ -895,41 +1009,109 @@ object Views {
         .select(lit("remove").as("op"), col("src"), col("dst")))))
     val eOld = sym(oldStore.edges.filter(col("label") === edgeLabel)
       .select("src", "dst"))
-    def opify(signed: DataFrame): DataFrame =
-      cut(signed.withColumn("op",
-        when(col("__sign") > 0, lit("add")).otherwise(lit("remove")))
-        .drop("__sign"))
-    val dstOld = oldStore.vertices.filter(vFilter(dstLabel, dstPred))
-    val dstDelta = vDelta(dstLabel, dstPred, "__d")
-    // shared-prefix fold: W_i = (a:src-labeled) followed by i
-    // edge-implied hops; emit Δ(W_h ⋈ V_dst) at each h ∈ [min, max]
-    var chainOld = oldStore.vertices.filter(vFilter(srcLabel, srcPred))
+    var wPrev = oldStore.vertices.filter(
+        srcPred.foldLeft(col("label") === srcLabel)(_ && _))
       .select(col("id").as("c0"))
-    var deltaOps = vDelta(srcLabel, srcPred, "c0")
-    val emitted = scala.collection.mutable.Buffer[DataFrame]()
-    for (i <- 1 to maxHops) {
+    var dPrev: DataFrame = windowVertexDelta(oldStore, newStore,
+      srcLabel, srcPred, "c0")
+    for (i <- 1 to maxLevel) {
       val s = s"c${i - 1}"
       val d = s"c$i"
       val e = eOld.select(col("src").as(s), col("dst").as(d))
       val dE = eDelta.select(col("op"), col("src").as(s), col("dst").as(d))
-      val dW = opify(joinViewDelta(chainOld, deltaOps, e, dE, Seq(s)))
-      val withE = chainOld.join(e, s)
-      if (i >= minHops)
-        emitted += joinViewDelta(withE, dW,
-          dstOld.select(col("id").as(d)),
-          dstDelta.select(col("op"), col("__d").as(d)), Seq(d))
-          .select(col("c0").as("src"), col(d).as("dst"), col("__sign"))
-      if (i < maxHops) { chainOld = withE; deltaOps = dW }
+      // ΔW_i netted to signed per-pair counts — the one delta-sized
+      // shuffle per level; downstream terms broadcast it
+      val dW = cut(joinViewDelta(wPrev, dPrev, e, dE, Seq(s))
+        .groupBy(col("c0"), col(d))
+        .agg(sum("__sign").as("__sign"))
+        .filter(col("__sign") =!= 0))
+      onLevel(i, wPrev, e, dW, s, d)
+      if (i < maxLevel) {
+        wPrev = walkOld.getOrElse(i, {
+          val ext = wPrev.join(e, s)
+          val keep = Seq(col("c0"), col(d)) ++
+            (if (ext.columns.contains("__mult")) Seq(col("__mult")) else Nil)
+          ext.select(keep: _*)
+        })
+        dPrev = dW
+      }
     }
-    emitted.reduce(_ unionByName _)
+  }
+
+  /** Emission term of the var-length fold: Δ(W_h ⋈_{d} V_dst) with
+    * the old-side middle term REASSOCIATED (the [[level2Delta]]
+    * move): W_h^old = W_{h-1}^old ⋈ E never materializes on the
+    * probe path — the window-sized E-slice into touched dst vertices
+    * broadcasts into the stored walk scan. ΔW_h arrives netted
+    * (`__sign` counts, magnitude = net walk count), ΔV_dst as ±1 op
+    * rows; returns (src, dst, __sign).
+    */
+  private def walkEmitDelta(wPrevOld: DataFrame, eOld: DataFrame,
+      dstOld: DataFrame, dWalk: DataFrame, dDst: DataFrame,
+      s: String, d: String): DataFrame = {
+    val sA = dWalk.withColumnRenamed("__sign", "__sa")
+    val sV = dDst.withColumn("__sb", validatedSign).drop("op")
+    val t1 = broadcast(sA).join(dstOld.withColumn("__sb", lit(1)), d)
+      .select(col("c0"), col(d), col("__sa"), col("__sb"))
+    val eTouched = eOld.join(broadcast(sV), d)
+    val t2 = weighted(wPrevOld, "__sa").join(broadcast(eTouched), s)
+      .select(col("c0"), col(d), col("__sa"), col("__sb"))
+    val t3 = broadcast(sA).join(sV, d)
+      .select(col("c0"), col(d), col("__sa"), col("__sb"))
+    t1.unionByName(t2).unionByName(t3)
+      .select(col("c0").as("src"), col(d).as("dst"),
+        (col("__sa") * col("__sb")).as("__sign"))
+  }
+
+  /** Per-level WALK states for a catalog-backed var-length view
+    * (r11, stage D — the composed-class residual ViewScaleProbe
+    * named): W_1..W_{maxHops−1} persist under `prefix!w<i>` as
+    * counted pair bags, so every refresh reads them as stored scans
+    * instead of lazily re-joining the walk pipeline once per level
+    * per term. Bootstrap of an absent level extends the previous
+    * level's bag by one edge join (cumulative — stored lower levels
+    * are reused), paid once. Returns (walk bags keyed by level, the
+    * fold callback that merges each level's netted delta forward —
+    * skipping the state rewrite when a level's delta is empty).
+    */
+  private def walkHooks(catalog: ViewCatalog, prefix: String,
+      oldStore: graft.graph.GraphStore, srcLabel: String,
+      edgeLabel: String, maxHops: Int, srcPred: Option[Column],
+      undirected: Boolean): (Map[Int, DataFrame], (Int, DataFrame) => Unit) = {
+    val e1 = oldStore.edges.filter(col("label") === edgeLabel)
+      .select("src", "dst")
+    val e = if (!undirected) e1 else e1.unionByName(
+      e1.select(col("dst").as("src"), col("src").as("dst")))
+    var w = oldStore.vertices
+      .filter(srcPred.foldLeft(col("label") === srcLabel)(_ && _))
+      .select(col("id").as("c0"), lit(1L).as("__mult"))
+    val oldStates = (1 until maxHops).map { i =>
+      val s = s"c${i - 1}"
+      val d = s"c$i"
+      w = catalog.dataOf(s"$prefix!w$i").getOrElse(
+        w.join(e.select(col("src").as(s), col("dst").as(d)), s)
+          .groupBy(col("c0"), col(d)).agg(sum("__mult").as("__mult"))
+          .localCheckpoint())
+      i -> w
+    }.toMap
+    val fold = (i: Int, dW: DataFrame) => {
+      if (!dW.isEmpty) {
+        val s1 = mergeJoinDelta(oldStates(i), dW).localCheckpoint()
+        catalog.put(s"$prefix!w$i", s1)
+      } else if (catalog.dataOf(s"$prefix!w$i").isEmpty)
+        catalog.put(s"$prefix!w$i", oldStates(i)) // persist the bootstrap
+    }
+    (oldStates, fold)
   }
 
   /** Bootstrap var-length state: (src, dst, __mult = total walk count
     * across lengths). The finalized view is the distinct pairs — but
     * the state keeps the counts, because counts are what make the
     * deltas compose (see [[varLengthViewDelta]]). Same shared-prefix
-    * shape as the delta: one walk frame extended per hop, dst
-    * restriction applied at each emitted length.
+    * shape as the delta, over COUNTED PAIR bags (r11): each level
+    * compresses to (c0, c_h, walk count) before the next join, so
+    * bootstrap never enumerates degree^h walk tuples — counts are
+    * summed where the tuples would have multiplied.
     */
   def initVarLengthState(store: graft.graph.GraphStore, srcLabel: String,
       edgeLabel: String, dstLabel: String, minHops: Int, maxHops: Int,
@@ -945,18 +1127,19 @@ object Views {
       dstPred.foldLeft(col("label") === dstLabel)(_ && _))
     var walk = store.vertices.filter(
         srcPred.foldLeft(col("label") === srcLabel)(_ && _))
-      .select(col("id").as("c0"))
+      .select(col("id").as("c0"), lit(1L).as("__mult"))
     val emitted = scala.collection.mutable.Buffer[DataFrame]()
     for (h <- 1 to maxHops) {
       val s = s"c${h - 1}"
       val d = s"c$h"
       walk = walk.join(e.select(col("src").as(s), col("dst").as(d)), s)
+        .groupBy(col("c0"), col(d)).agg(sum("__mult").as("__mult"))
       if (h >= minHops)
         emitted += walk.join(dstV.select(col("id").as(d)), d)
-          .select(col("c0").as("src"), col(d).as("dst"))
+          .select(col("c0").as("src"), col(d).as("dst"), col("__mult"))
     }
     emitted.reduce(_ unionByName _)
-      .groupBy("src", "dst").agg(count(lit(1)).as("__mult"))
+      .groupBy("src", "dst").agg(sum("__mult").as("__mult"))
   }
 
   /** Catalog-driven refresh of a registered var-length pattern view —
@@ -976,9 +1159,11 @@ object Views {
     val state0 = catalog.dataOf(s"$name!state").getOrElse(
       initVarLengthState(oldStore, srcLabel, edgeLabel, dstLabel,
         minHops, maxHops, srcPred, dstPred, undirected))
+    val (wOld, wFold) = walkHooks(catalog, name, oldStore,
+      srcLabel, edgeLabel, maxHops, srcPred, undirected)
     val delta = varLengthViewDelta(oldStore, newStore,
       srcLabel, edgeLabel, dstLabel, minHops, maxHops, srcPred, dstPred,
-      undirected)
+      undirected, walkOld = wOld, onWalkDelta = wFold)
     val state1 = mergeJoinDelta(state0, delta).localCheckpoint()
     catalog.put(s"$name!state", state1)
     // state keys are unique by mergeJoinDelta's groupBy, all __mult>0:
@@ -1098,9 +1283,29 @@ object Views {
     }
     val touchedE = cut(explicitE.unionByName(incident(oldStore))
       .unionByName(incident(newStore)).distinct())
-    def touchedMembers(store: graft.graph.GraphStore) =
-      members(store).join(broadcast(touchedE), Seq("src", "dst"),
-        "left_semi")
+    // restrict the EDGE SCAN first and broadcast the window-sized
+    // slice outward — the members(store)-then-semi-join form left
+    // Catalyst to re-plan the three-way props-carrying join, and
+    // without post-semi stats it shuffled all three base frames
+    // (ViewScaleProbe: the where-chain class's dominant refresh
+    // shuffle). Every frame here is scanned once; every join side
+    // that crosses is window-sized and hinted.
+    def touchedMembers(store: graft.graph.GraphStore) = {
+      val eT = store.edges.filter(
+          edgePred.foldLeft(col("label") === edgeLabel)(_ && _))
+        .select(col("src"), col("dst"), col("props").as(edgePropsCol))
+        .join(broadcast(touchedE), Seq("src", "dst"), "left_semi")
+      val withSrc = store.vertices.filter(
+          srcPred.foldLeft(col("label") === srcLabel)(_ && _))
+        .select(col("id").as("src"), col("props").as(srcPropsCol))
+        .join(broadcast(eT), "src")
+      store.vertices.filter(
+          dstPred.foldLeft(col("label") === dstLabel)(_ && _))
+        .select(col("id").as("dst"), col("props").as(dstPropsCol))
+        .join(broadcast(withSrc), "dst")
+        .filter(tuplePred)
+        .select("src", "dst")
+    }
     val o = touchedMembers(oldStore)
     val n = touchedMembers(newStore)
     val ops = cut(n.join(o, Seq("src", "dst"), "left_anti")
@@ -1216,10 +1421,10 @@ object Views {
     * [[varLengthViewDelta]]), and the hop's relation in the chain is
     * that sub-state's DISTINCT-pair MEMBERSHIP — the executor's own
     * mid-chain var-length semantics (seeded expansion distincts its
-    * (from, to) pairs before the next join). Membership deltas fall
-    * out of the sub-state fold as key anti-joins old↔new (a pair
-    * enters when its first walk appears, leaves when its last walk
-    * dies), and the top-level chain folds them through the SAME
+    * (from, to) pairs before the next join). Membership deltas come
+    * from [[stateMembershipOps]] — the netted delta probed into one
+    * state scan; a pair enters when its first walk appears, leaves
+    * when its last walk dies — and the chain folds them through the
     * signed two-level rule as any edge delta — the algebra is
     * indifferent to where a hop relation comes from as long as
     * old + ops = new ([[patternChainViewDelta]]'s hopOverrides).
@@ -1281,14 +1486,11 @@ object Views {
     // leaves with its last)
     val overrides = ranges.zipWithIndex.collect {
       case (Some((1, Int.MaxValue)), j) =>
-        val (k0, k1) = foldReachState(catalog, s"$name!tc$j",
+        // ops accumulate from the fold's own DRed/insertion work —
+        // no closure-sized anti-join on the refresh path
+        val (k0, _, ops) = foldReachState(catalog, s"$name!tc$j",
           oldStore, newStore, edgeLabels(j),
           recomputeRatio = recomputeRatio)
-        val ops = cut(
-          k1.join(k0, Seq("src", "dst"), "left_anti")
-            .withColumn("op", lit("add"))
-          .unionByName(k0.join(k1, Seq("src", "dst"), "left_anti")
-            .withColumn("op", lit("remove"))))
         j -> ((s: String, dn: String) => (
           k0.select(col("src").as(s), col("dst").as(dn)),
           ops.select(col("op"), col("src").as(s), col("dst").as(dn))))
@@ -1298,18 +1500,18 @@ object Views {
           initVarLengthState(oldStore, vertexLabels(j), edgeLabels(j),
             vertexLabels(j + 1), mn, mx, preds(j), preds(j + 1),
             undir(j))))
-        val d = varLengthViewDelta(oldStore, newStore, vertexLabels(j),
+        val (wOld, wFold) = walkHooks(catalog, sub, oldStore,
+          vertexLabels(j), edgeLabels(j), mx, preds(j), undir(j))
+        val d = cut(varLengthViewDelta(oldStore, newStore, vertexLabels(j),
           edgeLabels(j), vertexLabels(j + 1), mn, mx, preds(j),
-          preds(j + 1), undir(j))
+          preds(j + 1), undir(j), walkOld = wOld, onWalkDelta = wFold))
         val s1 = mergeJoinDelta(s0, d).localCheckpoint()
         catalog.put(sub, s1)
         val k0 = s0.select("src", "dst")
-        val k1 = s1.select("src", "dst")
-        val ops = cut(
-          k1.join(k0, Seq("src", "dst"), "left_anti")
-            .withColumn("op", lit("add"))
-          .unionByName(k0.join(k1, Seq("src", "dst"), "left_anti")
-            .withColumn("op", lit("remove"))))
+        // membership ops from the netted delta + ONE state scan
+        // (stateMembershipOps) — the old `new ANTI old` both-ways
+        // diff shuffled two walk-state-sized frames per refresh
+        val ops = cut(stateMembershipOps(s0, d))
         j -> ((s: String, dn: String) => (
           k0.select(col("src").as(s), col("dst").as(dn)),
           ops.select(col("op"), col("src").as(s), col("dst").as(dn))))
@@ -1470,7 +1672,7 @@ object Views {
       srcPred: Option[Column] = None, dstPred: Option[Column] = None,
       rederiveCap: Long = 1L << 20, maxRounds: Int = 60,
       recomputeRatio: Double = 0.3): DataFrame = {
-    val (_, s1) = foldReachState(catalog, s"$name!state",
+    val (_, s1, _) = foldReachState(catalog, s"$name!state",
       oldStore, newStore, edgeLabel, rederiveCap, maxRounds,
       recomputeRatio)
     val view = serveReach(newStore, s1, srcLabel, dstLabel,
@@ -1485,26 +1687,46 @@ object Views {
     * membership diff through the chain fold. Bootstraps `stateKey`
     * from `oldStore` when absent, folds the edge window (DRed or
     * measured recompute, then semi-naive insertion), stores the new
-    * state, and returns (pre-fold state, post-fold state) — the pair
-    * the composed caller anti-joins into ±op rows.
+    * state, and returns (pre-fold state, post-fold state, ±op rows).
+    *
+    * The ops are ACCUMULATED FROM THE FOLD'S OWN WORK (r11 stage D):
+    * DRed's truly-underivable candidates are exactly the removed
+    * pairs, and the insertion rounds' frontier unions are exactly
+    * the added ones — netting the two window-bounded frames costs
+    * two broadcast anti-joins. The old form (`new ANTI old` both
+    * ways) shuffled two closure-sized frames per refresh, which
+    * ViewScaleProbe measured as a dominant composed-class refresh
+    * shuffle. Only the measured-recompute fallback keeps the
+    * state-diff anti-join — proportionate there, since recompute
+    * fires when the wavefront is a large fraction of the state.
     */
   private[views] def foldReachState(catalog: ViewCatalog,
       stateKey: String,
       oldStore: graft.graph.GraphStore, newStore: graft.graph.GraphStore,
       edgeLabel: String,
       rederiveCap: Long = 1L << 20, maxRounds: Int = 60,
-      recomputeRatio: Double = 0.3): (DataFrame, DataFrame) = {
+      recomputeRatio: Double = 0.3): (DataFrame, DataFrame, DataFrame) = {
     def cut(df: DataFrame): DataFrame = df.localCheckpoint()
     def hinted(df: DataFrame, cnt: Long): DataFrame =
       if (cnt <= rederiveCap) broadcast(df) else df
     val s0 = catalog.dataOf(stateKey).getOrElse(
       initReachState(oldStore, edgeLabel, maxRounds))
-    def finish(state: DataFrame): (DataFrame, DataFrame) = {
+    val (eAdd, eRem) = reachEdgeDelta(oldStore, newStore, edgeLabel)
+    def finish(state: DataFrame, ops: Option[DataFrame])
+        : (DataFrame, DataFrame, DataFrame) = {
       catalog.put(stateKey, state)
-      (s0, state)
+      val o = ops.getOrElse(cut(
+        state.join(s0, Seq("src", "dst"), "left_anti")
+          .withColumn("op", lit("add"))
+          .unionByName(s0.join(state, Seq("src", "dst"), "left_anti")
+            .withColumn("op", lit("remove")))))
+      (s0, state, o)
     }
     var r = s0
-    val (eAdd, eRem) = reachEdgeDelta(oldStore, newStore, edgeLabel)
+    var removedPend: DataFrame = eRem.limit(0)
+    var removedCnt = 0L
+    var added: DataFrame = eAdd.limit(0)
+    var addedCnt = 0L
     val remCnt = eRem.count()
     if (remCnt > 0) {
       // over-delete candidates: the removed pair itself and every
@@ -1534,8 +1756,11 @@ object Views {
         // the new edge set (additions folded in for free). Both
         // counts are work DRed needs anyway (cands drives the rounds,
         // r is the materialized state), so the measured switch costs
-        // one count on a checkpointed frame.
-        return finish(cut(initReachState(newStore, edgeLabel, maxRounds)))
+        // one count on a checkpointed frame. Ops fall back to the
+        // state-diff anti-join — proportionate, the wavefront IS a
+        // large fraction of the state here.
+        return finish(cut(initReachState(newStore, edgeLabel, maxRounds)),
+          None)
       val eMid = cut(oldStore.edges.filter(col("label") === edgeLabel)
         .select("src", "dst")
         .join(hinted(eRem, remCnt), Seq("src", "dst"), "left_anti"))
@@ -1570,6 +1795,8 @@ object Views {
         s"DRed re-derivation did not converge in $maxRounds rounds " +
           s"($pendCnt candidates still open); raise maxRounds")
       r = kept
+      removedPend = pending // truly-underivable candidates = removals
+      removedCnt = pendCnt
     }
     val addCnt0 = eAdd.count()
     if (addCnt0 > 0) {
@@ -1578,6 +1805,8 @@ object Views {
       var rounds = 0
       while (dCnt > 0 && rounds < maxRounds) {
         r = cut(r.unionByName(delta))
+        added = cut(added.unionByName(delta))
+        addedCnt += dCnt
         val dL = hinted(
           delta.select(col("src").as("__a"), col("dst").as("__m")), dCnt)
         val dR = hinted(
@@ -1598,7 +1827,118 @@ object Views {
         s"insertion closure did not converge in $maxRounds rounds; " +
           "raise maxRounds")
     }
-    finish(r)
+    // net the two window-bounded frames: a DRed-removed pair that the
+    // insertion re-derived was present before AND after — no op
+    val ops = cut(
+      added.join(hinted(removedPend, removedCnt), Seq("src", "dst"),
+          "left_anti")
+        .withColumn("op", lit("add"))
+      .unionByName(removedPend.join(hinted(added, addedCnt),
+          Seq("src", "dst"), "left_anti")
+        .withColumn("op", lit("remove"))))
+    finish(r, Some(ops))
+  }
+
+  /** Counting state + signed delta for a LOWER-BOUNDED unbounded reach
+    * segment `-[:e*m..]->` with m ≥ 2 — the view shape the r10/r11
+    * ledgers left under a remedy ("per-length counting the closure
+    * cannot carry"). It CAN be carried as a COMPOSITION: a walk of
+    * length ≥ m from a to b is exactly an (m−1)-hop walk a ⇝ x
+    * followed by reachability x ⇝ b, so the relation is
+    *
+    *   R(a, b) = Σ_x W_{m−1}(a, x) · TC(x, b)   (membership: R > 0)
+    *
+    * with W_{m−1} the bounded walk-count bag the var-length family
+    * already maintains ([[walkHooks]], stored under `prefix!w<i>`)
+    * and TC the closure sub-state [[foldReachState]] maintains
+    * (`prefix!tc`). Both factors' deltas fall out of their own folds
+    * (ΔW netted pair counts; ΔTC ops from DRed/insertion work), and
+    * the three-relation delta Δ(W ⋈ TC ⋈ V_dst) composes the same
+    * two-level rule as a bounded emission — [[walkEmitDelta]] with
+    * the closure as the "edge" relation, so every big frame is a
+    * stored scan and every crossing side is window-sized. Counting
+    * keeps deletion exact: a pair leaves only when its last
+    * (walk, closure-pair) support dies. State under `prefix!state`:
+    * (src, dst, __mult); src label/pred is baked into W's level-0,
+    * dst label/pred into the final factor — both maintained through
+    * their own vertex deltas, prop flips included.
+    *
+    * Returns (state0, state1, signed view delta) — the composed-chain
+    * caller derives membership ops from (state0, delta) via
+    * [[stateMembershipOps]].
+    */
+  private[views] def foldLowerBoundedState(catalog: ViewCatalog,
+      prefix: String,
+      oldStore: graft.graph.GraphStore, newStore: graft.graph.GraphStore,
+      srcLabel: String, edgeLabel: String, dstLabel: String,
+      minHops: Int,
+      srcPred: Option[Column] = None, dstPred: Option[Column] = None,
+      rederiveCap: Long = 1L << 20, maxRounds: Int = 60,
+      recomputeRatio: Double = 0.3)
+      : (DataFrame, DataFrame, DataFrame) = {
+    require(minHops >= 2 && minHops <= 6,
+      s"lower-bounded reach views maintain *m.. for m in [2, 6], got " +
+        s"*$minHops.. — *1.. is the plain reachability view " +
+        "(refreshReachabilityView), and the walk factor inherits the " +
+        "bounded family's [1, 6] hop discipline")
+    val lvl = minHops - 1
+    def cut(df: DataFrame): DataFrame = df.localCheckpoint()
+    val (tc0, _, tcOps) = foldReachState(catalog, s"$prefix!tc",
+      oldStore, newStore, edgeLabel, rederiveCap, maxRounds,
+      recomputeRatio)
+    val (wOld, wFold) = walkHooks(catalog, prefix, oldStore,
+      srcLabel, edgeLabel, lvl + 1, srcPred, undirected = false)
+    var dWL: DataFrame = null
+    walkFoldLevels(oldStore, newStore, srcLabel, edgeLabel, lvl,
+      srcPred, undirected = false, wOld, (i, _, _, dW, _, _) => {
+        wFold(i, dW)
+        if (i == lvl) dWL = dW
+      })
+    val x = "__x"
+    val b = "__b"
+    val wl = wOld(lvl).select(col("c0"), col(s"c$lvl").as(x), col("__mult"))
+    val tcRel = tc0.select(col("src").as(x), col("dst").as(b))
+    val dJ = cut(joinViewDelta(wl,
+        dWL.select(col("c0"), col(s"c$lvl").as(x), col("__sign")),
+        tcRel, tcOps.select(col("op"), col("src").as(x), col("dst").as(b)),
+        Seq(x))
+      .groupBy(col("c0"), col(b))
+      .agg(sum("__sign").as("__sign"))
+      .filter(col("__sign") =!= 0))
+    val dstOld = oldStore.vertices.filter(
+        dstPred.foldLeft(col("label") === dstLabel)(_ && _))
+      .select(col("id").as(b))
+    val dstDelta = windowVertexDelta(oldStore, newStore, dstLabel,
+      dstPred, "__d").select(col("op"), col("__d").as(b))
+    val delta = cut(walkEmitDelta(wl, tcRel, dstOld, dJ, dstDelta, x, b))
+    val state0 = catalog.dataOf(s"$prefix!state").getOrElse(cut(
+      wl.join(tcRel, x)
+        .join(dstOld, b)
+        .groupBy(col("c0").as("src"), col(b).as("dst"))
+        .agg(sum("__mult").as("__mult"))))
+    val state1 = mergeJoinDelta(state0, delta).localCheckpoint()
+    catalog.put(s"$prefix!state", state1)
+    (state0, state1, delta)
+  }
+
+  /** Catalog-driven refresh of a registered lower-bounded reach view
+    * `(a:srcLabel)-[:edgeLabel*m..]->(b:dstLabel)`, m ≥ 2 — serves
+    * the distinct endpoint pairs off [[foldLowerBoundedState]]'s
+    * counting state (state keys are unique, all __mult > 0).
+    */
+  def refreshLowerBoundedReachView(catalog: ViewCatalog, name: String,
+      oldStore: graft.graph.GraphStore, newStore: graft.graph.GraphStore,
+      srcLabel: String, edgeLabel: String, dstLabel: String,
+      minHops: Int,
+      srcPred: Option[Column] = None, dstPred: Option[Column] = None,
+      rederiveCap: Long = 1L << 20, maxRounds: Int = 60,
+      recomputeRatio: Double = 0.3): DataFrame = {
+    val (_, state1, _) = foldLowerBoundedState(catalog, name,
+      oldStore, newStore, srcLabel, edgeLabel, dstLabel, minHops,
+      srcPred, dstPred, rederiveCap, maxRounds, recomputeRatio)
+    val view = state1.select("src", "dst")
+    catalog.put(name, view)
+    view
   }
 
   /** Catalog-driven refresh of a registered single-hop MATCH-pattern

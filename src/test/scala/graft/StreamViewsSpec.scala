@@ -140,6 +140,33 @@ class StreamViewsSpec extends SparkSpec {
     assert(multiset(viaRegroup) == want)
   }
 
+  test("stateMembershipOps branch parity: broadcast derivation == " +
+    "state-diff fallback; count moves that stay positive emit nothing") {
+    def opset(df: org.apache.spark.sql.DataFrame) =
+      df.select("src", "dst", "op").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val state = Seq((1L, 2L), (3L, 4L), (3L, 4L), (5L, 6L))
+      .toDF("src", "dst").groupBy("src", "dst")
+      .agg(count(lit(1)).as("__mult"))
+    // (1,2): +1 → stays positive, NO op; (5,6): −1 → count 0, remove;
+    // (3,4): −1 of mult 2 → stays positive, NO op; (7,8): fresh add;
+    // (9,9): +1 −1 nets zero on an absent key → NO op
+    val delta = Seq(
+      (1L, 2L, 1L), (5L, 6L, -1L), (3L, 4L, -1L),
+      (7L, 8L, 1L), (9L, 9L, 1L), (9L, 9L, -1L))
+      .toDF("src", "dst", "__sign")
+    val want = Set((5L, 6L, "remove"), (7L, 8L, "add"))
+    assert(opset(Views.stateMembershipOps(state, delta)) == want)
+    assert(opset(Views.stateMembershipOps(state, delta,
+      broadcastCap = 0L)) == want)
+    // ops must agree with the fold: add keys appear in the merged
+    // state, remove keys vanish
+    val s1 = Views.mergeJoinDelta(state, delta)
+    val keys = s1.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys((7L, 8L)) && !keys((5L, 6L)) && keys((3L, 4L)))
+  }
+
   test("chain prefix states: a window touching only the tail hop leaves " +
     "the stored prefix untouched (fold skipped), and the refresh is exact") {
     import graft.graph.GraphStore
@@ -1512,6 +1539,129 @@ class StreamViewsSpec extends SparkSpec {
     }
   }
 
+  test("var-length walk states: stored counted-pair bags fold forward, " +
+    "skip untouched windows, and match a fresh bootstrap") {
+    import spark.implicits._
+    import graft.graph.GraphStore
+    val noProps = lit(null).cast(graft.model.PropValue.mapType)
+    // diamond 1→{2,3}→4 with tail 4→5: W_2 carries (1, 4, count 2),
+    // so tail-edge churn exercises the WEIGHTED delta path (a single
+    // ±1 edge op scaling through a multiplicity-2 walk bag)
+    val base = GraphStore.fromTuples(spark,
+      Seq((1L, "N", Nil), (2L, "N", Nil), (3L, "N", Nil),
+        (4L, "N", Nil), (5L, "N", Nil)),
+      Seq((1L, 2L, "link", Nil), (1L, 3L, "link", Nil),
+        (2L, 4L, "link", Nil), (3L, 4L, "link", Nil),
+        (4L, 5L, "link", Nil)))
+    val cat = new Views.ViewCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_wlk_cat").toString)
+    val r0 = Views.refreshVarLengthPatternView(cat, "vl", base, base,
+      "N", "link", "N", 2, 3)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(r0).contains((1L, 5L)), "two 3-hop 1⇝5 walks at boot")
+    def w2 = cat.dataOf("vl!w2")
+    assert(cat.dataOf("vl!w1").isDefined && w2.isDefined,
+      "walk states materialized at bootstrap")
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(counts(w2.get)((1L, 4L)) == 2L, "both 2-hop 1⇝4 walks counted")
+    val w2Before = w2.get
+    // off-label churn: nothing in the link subgraph moves — the fold
+    // must skip the walk-state rewrite entirely
+    val m1 = base.addEdges(Seq((1L, 4L, "follows")).toDF("src", "dst", "label")
+      .withColumn("props", noProps))
+    Views.refreshVarLengthPatternView(cat, "vl", base, m1,
+      "N", "link", "N", 2, 3)
+    assert(w2.get eq w2Before, "untouched window must not rewrite walk state")
+    // remove the tail edge 4→5: ΔW_3(1,5) = −2 in ONE weighted row
+    // (walk-bag mult 2 × edge op −1); the pair's net reaches zero and
+    // it leaves the view with its last walks
+    val m2 = m1.removeEdges(Seq((4L, 5L, "link")).toDF("src", "dst", "label"))
+    val r2 = Views.refreshVarLengthPatternView(cat, "vl", m1, m2,
+      "N", "link", "N", 2, 3)
+    assert(!pairs(r2).contains((1L, 5L)), "both 1⇝5 walks died together")
+    assert(counts(w2.get).get((2L, 5L)).isEmpty,
+      "the 2→4→5 walk leaves the level-2 bag with the cut edge")
+    // kill one of the two 1⇝4 walks: count nets 2 → 1, and the stored
+    // bag equals what a fresh bootstrap on the end store builds
+    val m3 = m2.removeEdges(Seq((2L, 4L, "link")).toDF("src", "dst", "label"))
+    val r3 = Views.refreshVarLengthPatternView(cat, "vl", m2, m3,
+      "N", "link", "N", 2, 3)
+    assert(counts(w2.get)((1L, 4L)) == 1L, "one walk survives with count 1")
+    assert(pairs(r3).contains((1L, 4L)))
+    val fresh = new Views.ViewCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_wlk_cat2").toString)
+    Views.refreshVarLengthPatternView(fresh, "vl", m3, m3,
+      "N", "link", "N", 2, 3)
+    assert(counts(w2.get) == counts(fresh.dataOf("vl!w2").get),
+      "folded walk state == fresh bootstrap on the end store")
+    assert(pairs(r3) == pairs(fresh.dataOf("vl").get))
+  }
+
+  test("lower-bounded reach view *2..: walk x closure composition, " +
+    "insertion + DRed windows, executor parity, rejections") {
+    import spark.implicits._
+    import graft.graph.GraphStore
+    import graft.gql.GqlViews
+    val noProps = lit(null).cast(graft.model.PropValue.mapType)
+    val base = GraphStore.fromTuples(spark,
+      (1L to 8L).map(i => (i, "N", Seq.empty[(String, Any)])), Nil)
+    def edges(es: (Long, Long)*) =
+      es.map { case (a, b) => (a, b, "dep") }.toDF("src", "dst", "label")
+    val cat = new Views.ViewCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_lb_cat").toString)
+    GqlViews.register(cat, "far", "MATCH (a:N)-[:dep*2..]->(b:N)")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def exe(st: GraphStore) = graft.gql.GqlExecutor.run(st,
+      "MATCH (a:N)-[:dep*2..]->(b:N) RETURN id(a) AS s, id(b) AS d").df
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // window 1 (pure insertion from the empty bootstrap): chain
+    // 1→2→3→4→5 with branch 2→6 and cycle 7⇄8 fed from 4
+    val m1 = base.addEdges(edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (2L, 6L), (4L, 7L), (7L, 8L), (8L, 7L)).withColumn("props", noProps))
+      .truncatedEdges()
+    val r1 = GqlViews.refresh(cat, "far", base, m1)
+    assert(rows(r1) == exe(m1))
+    assert(rows(r1).contains((1L, 3L)) && rows(r1).contains((1L, 6L)),
+      "2-hop pairs appear")
+    assert(rows(r1).contains((7L, 7L)), "cycle self-pair via 7→8→7")
+    assert(!rows(r1).contains((1L, 2L)), "length-1 pairs stay OUT of *2..")
+    // window 2: bypass 2→4 added, then vertex 3 cascaded away and
+    // edge 4→7 removed — pairs through the bypass re-derive (DRed
+    // straddle witness), pairs into the 7⇄8 cycle die
+    val m2 = m1.addEdges(edges((2L, 4L)).withColumn("props", noProps))
+      .removeVertices(Seq(3L).toDF("id"))
+      .removeEdges(edges((4L, 7L)))
+      .truncated().truncatedEdges()
+    val r2 = GqlViews.refresh(cat, "far", m1, m2)
+    assert(rows(r2) == exe(m2))
+    assert(rows(r2).contains((1L, 4L)) && rows(r2).contains((1L, 5L)),
+      "re-derived through the 2→4 bypass")
+    assert(!rows(r2).contains((1L, 7L)) && !rows(r2).contains((2L, 8L)),
+      "the cycle is unreachable once 4→7 dies")
+    assert(rows(r2).contains((7L, 7L)), "the cycle itself survives")
+    // end-state parity against a fresh bootstrap (fold == recompute)
+    val fresh = new Views.ViewCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_lb_cat2").toString)
+    GqlViews.register(fresh, "far", "MATCH (a:N)-[:dep*2..]->(b:N)")
+    assert(rows(r2) == rows(GqlViews.refresh(fresh, "far", m2, m2)))
+    // rejections: *m.. in a longer chain, m > 6, undirected
+    intercept[IllegalArgumentException] {
+      GqlViews.register(cat, "bad_chain",
+        "MATCH (a:N)-[:dep*2..]->(b:N)-[:dep]->(c:N)")
+    }
+    intercept[IllegalArgumentException] {
+      GqlViews.register(cat, "bad_deep", "MATCH (a:N)-[:dep*7..]->(b:N)")
+    }
+    intercept[IllegalArgumentException] {
+      GqlViews.register(cat, "bad_undir", "MATCH (a:N)-[:dep*2..]-(b:N)")
+    }
+  }
+
   test("undirected var-length view: symmetrized walk counting, executor parity") {
     import spark.implicits._
     import graft.graph.GraphStore
@@ -1698,10 +1848,9 @@ class StreamViewsSpec extends SparkSpec {
       "MATCH (a:N)-[:dep*1..]->(b:N) RETURN id(a) AS s, id(b) AS d").df
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(rows(r3) == exe)
-    // rejections with remedies: *2.. lower bound, undirected unbounded
-    intercept[IllegalArgumentException] {
-      GqlViews.register(cat, "bad_m", "MATCH (a:N)-[:dep*2..]->(b:N)")
-    }
+    // *2.. lower bounds REGISTER since r11 (walk x closure
+    // composition — own spec); undirected unbounded still rejects
+    GqlViews.register(cat, "ok_m", "MATCH (a:N)-[:dep*2..]->(b:N)")
     intercept[IllegalArgumentException] {
       GqlViews.register(cat, "bad_ud", "MATCH (a:N)-[:dep*1..]-(b:N)")
     }
