@@ -131,6 +131,13 @@ object GqlViews {
           if (e.range.isDefined) require(e.props.isEmpty,
             "edge props cannot predicate a var-length segment (each hop " +
               "is unbound); use a single-hop view for edge predicates")
+          // *0 lower bounds reject HERE, not at first refresh —
+          // register() is the eager-validation contract (the executor's
+          // own *0.. expansion starts at one hop anyway)
+          e.range.foreach(r => require(r._1 >= 1,
+            "var-length view ranges start at *1 — a *0 lower bound " +
+              "adds only identity pairs, which the executor's own " +
+              "expansion does not emit; register *1.. / *1..n"))
           // UNBOUNDED ranges (parser-carried as Int.MaxValue) route to
           // the reachability maintainer (semi-naive + DRed) for *1..,
           // or the walk ⋈ closure composition for *m.. (r11 — a
@@ -142,10 +149,6 @@ object GqlViews {
               "lower-bounded reach views maintain *m.. for m <= 6 (the " +
                 "walk factor inherits the bounded family's hop cap); " +
                 "register a smaller bound and filter downstream")
-            require(e.range.get._1 == 1 || p.edges.size == 1,
-              "a *m.. (m >= 2) segment composes only as a standalone " +
-                "view (walk ⋈ closure); in a longer chain register the " +
-                "*m.. view separately and join downstream")
             require(e.direction == Outgoing,
               "undirected unbounded reachability is connected-component " +
                 "membership, not a pattern view — use " +

@@ -522,6 +522,46 @@ object StreamQueries {
         .orderBy("src_nation", "mid_nation", "regionkey")
     }),
 
+    // V5k: *m.. COMPOSED with a further hop (r11) — the lower-bounded
+    // sub-state (walk x closure, name!lb<j>) feeding the chain fold
+    // like any other segment relation. Same flows windows as
+    // v6_pattern_view_composed_unbounded incl. the explicit tail-hop
+    // churn (nation 5 keeps closure rows but loses its region link).
+    "v6_pattern_view_composed_lower" -> ((s, dir) => {
+      import graft.graph.GraphStore
+      import graft.model.PropValue
+      val base = GraphStore.fromTpch(s, dir)
+      val noProps = lit(null).cast(PropValue.mapType)
+      val off = GraphStore.NationOff
+      def edgeFrame(es: Seq[(Long, Long)]) = {
+        import s.implicits._
+        es.map { case (a, b) => (a + off, b + off, "flows") }
+          .toDF("src", "dst", "label").withColumn("props", noProps)
+      }
+      val cat = new Views.ViewCatalog(s,
+        java.nio.file.Files.createTempDirectory("graft_pvcl").toString)
+      graft.gql.GqlViews.register(cat, "far_region",
+        "MATCH (a:Nation)-[:flows*2..]->(b:Nation)" +
+          "-[:in_region]->(c:Region)")
+      val m1 = base.addEdges(edgeFrame(
+          (0L to 14L).map(i => (i, i + 1)) ++
+            Seq((3L, 20L), (20L, 21L), (5L, 22L), (22L, 23L), (23L, 22L))))
+        .truncatedEdges()
+      graft.gql.GqlViews.refresh(cat, "far_region", base, m1)
+      val m2 = m1.addEdges(edgeFrame(Seq((2L, 4L))))
+        .removeVertices(s.range(1).select(lit(off + 3L).as("id")))
+        .removeEdges(edgeFrame(Seq((7L, 8L))).select("src", "dst", "label"))
+        .removeEdges(m1.edges.filter(col("src") === off + 5L &&
+            col("label") === "in_region")
+          .select("src", "dst", "label"))
+        .truncated().truncatedEdges()
+      graft.gql.GqlViews.refresh(cat, "far_region", m1, m2)
+        .select((col("c0") - off).as("src_nation"),
+          (col("c1") - off).as("mid_nation"),
+          (col("c2") - GraphStore.RegionOff).as("regionkey"))
+        .orderBy("src_nation", "mid_nation", "regionkey")
+    }),
+
     // V5j: LOWER-BOUNDED unbounded reach view (r11) — *2.. maintained
     // as the walk ⋈ closure composition (a length-≥2 walk is one edge
     // followed by reachability), the shape earlier rounds left under
@@ -764,6 +804,30 @@ object StreamQueries {
                   FROM nation WHERE n_nationkey NOT IN (3, 5))
          SELECT r.s AS src_nation, r.d AS mid_nation, nr.rk AS regionkey
          FROM r JOIN nr ON r.d = nr.nk
+         ORDER BY src_nation, mid_nation, regionkey""",
+    // *2.. composed with the region hop: the lower-bounded pairs
+    // (edge set joined to its own closure) joined to each
+    // mid-nation's surviving region link
+    "v6_pattern_view_composed_lower" ->
+      """WITH RECURSIVE
+           e AS (
+             SELECT CAST(i AS BIGINT) AS s, CAST(i + 1 AS BIGINT) AS d
+             FROM range(0, 15) t(i) WHERE i NOT IN (2, 3, 7)
+             UNION ALL SELECT 2, 4
+             UNION ALL SELECT 20, 21
+             UNION ALL SELECT 5, 22
+             UNION ALL SELECT 22, 23
+             UNION ALL SELECT 23, 22),
+           r(s, d) AS (
+             SELECT s, d FROM e
+             UNION
+             SELECT r.s, e.d FROM r JOIN e ON r.d = e.s),
+           lb AS (SELECT DISTINCT e.s, r.d FROM e JOIN r ON e.d = r.s),
+           nr AS (SELECT CAST(n_nationkey AS BIGINT) AS nk,
+                         CAST(n_regionkey AS BIGINT) AS rk
+                  FROM nation WHERE n_nationkey NOT IN (3, 5))
+         SELECT lb.s AS src_nation, lb.d AS mid_nation, nr.rk AS regionkey
+         FROM lb JOIN nr ON lb.d = nr.nk
          ORDER BY src_nation, mid_nation, regionkey""",
     // *2.. over the same end-state flows graph: one edge followed by
     // reachability — the edge set joined to its own closure, distinct

@@ -390,24 +390,26 @@ object Views {
     merged.unionByName(inserts)
   }
 
-  /** MEMBERSHIP ops (add/remove key rows) implied by folding `delta`
-    * into counted `state` — the keys whose net count crosses zero.
-    * A sub-state's consumer (the composed-chain fold) needs exactly
-    * these; deriving them as `new-state ANTI old-state` both ways
-    * shuffles two state-sized frames per refresh — ViewScaleProbe
-    * measured that anti-join pair as the dominant composed-class
-    * refresh shuffle once the walk bases were stored (r11 stage D).
-    * Here the delta nets per key (delta-sized shuffle), the state is
-    * SCANNED once with the netted keys broadcast, and the ops fall
-    * out ≤ delta-sized: `remove` where an existing key's count
-    * reaches zero, `add` where a positive net lands on an absent
-    * key. Windows too wide to broadcast fall back to the anti-join
-    * diff, which is proportionate when the delta is state-sized.
-    * Keys whose count moves but stays positive emit nothing — the
-    * membership relation did not change.
+  /** [[mergeJoinDelta]] fused with the MEMBERSHIP ops its fold
+    * implies (the keys whose net count crosses zero) — a sub-state's
+    * consumer (the composed-chain fold) needs both, and deriving the
+    * ops as `new-state ANTI old-state` both ways shuffled two
+    * state-sized frames per refresh (ViewScaleProbe measured that
+    * anti-join pair as the dominant composed-class refresh shuffle
+    * once the walk bases were stored — r11 stage D). One netted
+    * delta (delta-sized shuffle) and ONE extra state scan (the
+    * `touched` inner probe) serve merge AND ops: `remove` where an
+    * existing key's count reaches zero, `add` where a positive net
+    * lands on an absent key; keys whose count moves but stays
+    * positive emit nothing. Windows too wide to broadcast fall back
+    * to union-regroup + the anti-join diff, proportionate when the
+    * delta is state-sized. Returns (merged state, ±op key rows) —
+    * both lazy on the broadcast path (callers checkpoint), the
+    * fallback's merged state checkpointed so the diff does not
+    * re-execute it.
     */
-  def stateMembershipOps(state: DataFrame, delta: DataFrame,
-      broadcastCap: Long = 4L << 20): DataFrame = {
+  def mergeJoinDeltaWithOps(state: DataFrame, delta: DataFrame,
+      broadcastCap: Long = 4L << 20): (DataFrame, DataFrame) = {
     val cols = state.columns.filterNot(_ == "__mult")
     val dAgg = delta
       .select(cols.map(col) :+ col("__sign").cast("long").as("__m"): _*)
@@ -416,25 +418,47 @@ object Views {
       .filter(col("__dm") =!= 0)
       .localCheckpoint()
     if (dAgg.count() > broadcastCap) {
-      val s1 = mergeJoinDelta(state, delta, broadcastCap)
+      val s1 = state
+        .select(cols.map(col) :+ col("__mult").as("__m"): _*)
+        .unionByName(dAgg.select(cols.map(col) :+ col("__dm").as("__m"): _*))
+        .groupBy(cols.map(col): _*)
+        .agg(sum("__m").as("__mult"))
+        .filter(col("__mult") > 0)
+        .localCheckpoint()
       val k0 = state.select(cols.map(col): _*)
       val k1 = s1.select(cols.map(col): _*)
-      return k1.join(k0, cols.toSeq, "left_anti")
+      return (s1, k1.join(k0, cols.toSeq, "left_anti")
         .select(cols.map(col) :+ lit("add").as("op"): _*)
         .unionByName(k0.join(k1, cols.toSeq, "left_anti")
-          .select(cols.map(col) :+ lit("remove").as("op"): _*))
+          .select(cols.map(col) :+ lit("remove").as("op"): _*)))
     }
+    // keys present in BOTH state and delta, with both counts — one
+    // state scan feeds the merge, the inserts, and the ops
     val touched = state.join(broadcast(dAgg), cols.toSeq)
       .select(cols.map(col) ++ Seq(col("__mult"), col("__dm")): _*)
       .localCheckpoint()
+    val merged = state.join(broadcast(dAgg), cols.toSeq, "left_outer")
+      .select(cols.map(col) :+
+        (col("__mult") + coalesce(col("__dm"), lit(0L))).as("__mult"): _*)
+      .filter(col("__mult") > 0)
+    val freshKeys = dAgg.join(broadcast(touched.select(cols.map(col): _*)),
+      cols.toSeq, "left_anti")
+    val inserts = freshKeys
+      .select(cols.map(col) :+ col("__dm").as("__mult"): _*)
+      .filter(col("__mult") > 0)
     val removes = touched.filter(col("__mult") + col("__dm") <= 0)
       .select(cols.map(col) :+ lit("remove").as("op"): _*)
-    val adds = dAgg.filter(col("__dm") > 0)
-      .join(broadcast(touched.select(cols.map(col): _*)),
-        cols.toSeq, "left_anti")
+    val adds = freshKeys.filter(col("__dm") > 0)
       .select(cols.map(col) :+ lit("add").as("op"): _*)
-    removes.unionByName(adds)
+    (merged.unionByName(inserts), removes.unionByName(adds))
   }
+
+  /** Just the membership ops of [[mergeJoinDeltaWithOps]] — for
+    * callers that fold the state elsewhere.
+    */
+  def stateMembershipOps(state: DataFrame, delta: DataFrame,
+      broadcastCap: Long = 4L << 20): DataFrame =
+    mergeJoinDeltaWithOps(state, delta, broadcastCap)._2
 
   /** The maintained join view as plain rows (multiplicity expanded). */
   def finalizeJoin(state: DataFrame): DataFrame = {
@@ -907,10 +931,11 @@ object Views {
       walkOld: Map[Int, DataFrame] = Map.empty,
       onWalkDelta: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
     requireHops(minHops, maxHops)
+    val touchedV = feedTouchedV(oldStore, newStore)
     val dstOld = oldStore.vertices.filter(
       dstPred.foldLeft(col("label") === dstLabel)(_ && _))
     val dstDelta = windowVertexDelta(oldStore, newStore, dstLabel,
-      dstPred, "__d")
+      dstPred, "__d", Some(touchedV))
     // shared-prefix fold over COUNTED PAIR bags: W_i(c0, c_i[, __mult])
     // = i-hop walk counts; emit Δ(W_h ⋈ V_dst) at each h ∈ [min, max]
     val emitted = scala.collection.mutable.Buffer[DataFrame]()
@@ -921,7 +946,7 @@ object Views {
             dstOld.select(col("id").as(d)), dW,
             dstDelta.select(col("op"), col("__d").as(d)), s, d)
         if (i < maxHops) onWalkDelta(i, dW)
-      })
+      }, Some(touchedV))
     emitted.reduce(_ unionByName _)
   }
 
@@ -931,14 +956,25 @@ object Views {
     * fold uses, extracted (r11) so folds that need several label
     * deltas share it.
     */
-  private def windowVertexDelta(oldStore: graft.graph.GraphStore,
-      newStore: graft.graph.GraphStore, label: String,
-      pred: Option[Column], keyName: String): DataFrame = {
-    val feed = newStore.changes.filter(col("version") > oldStore.version)
-    val touchedV = feed
+  /** The feed-touched vertex-id frame every window brick probes —
+    * computed ONCE per refresh and passed as `sharedTouchedV` to
+    * [[windowVertexDelta]] / [[walkFoldLevels]] / [[reachEdgeDelta]]
+    * (each is an eager checkpoint job over the change feed; a
+    * var-length refresh uses it 3-4 times).
+    */
+  private def feedTouchedV(oldStore: graft.graph.GraphStore,
+      newStore: graft.graph.GraphStore): DataFrame =
+    newStore.changes.filter(col("version") > oldStore.version)
       .filter(col("op").isin("add_vertex", "remove_vertex",
         "update_vertex_props"))
       .select(col("id")).distinct().localCheckpoint()
+
+  private def windowVertexDelta(oldStore: graft.graph.GraphStore,
+      newStore: graft.graph.GraphStore, label: String,
+      pred: Option[Column], keyName: String,
+      sharedTouchedV: Option[DataFrame] = None): DataFrame = {
+    val touchedV = sharedTouchedV.getOrElse(
+      feedTouchedV(oldStore, newStore))
     def members(store: graft.graph.GraphStore) =
       store.vertices.filter(pred.foldLeft(col("label") === label)(_ && _))
         .join(broadcast(touchedV), Seq("id"), "left_semi").select("id")
@@ -965,14 +1001,12 @@ object Views {
       newStore: graft.graph.GraphStore, srcLabel: String,
       edgeLabel: String, maxLevel: Int, srcPred: Option[Column],
       undirected: Boolean, walkOld: Map[Int, DataFrame],
-      onLevel: (Int, DataFrame, DataFrame, DataFrame, String, String) => Unit)
-      : Unit = {
+      onLevel: (Int, DataFrame, DataFrame, DataFrame, String, String) => Unit,
+      sharedTouchedV: Option[DataFrame] = None): Unit = {
     val feed = newStore.changes.filter(col("version") > oldStore.version)
     def cut(df: DataFrame): DataFrame = df.localCheckpoint()
-    val touchedV = cut(feed
-      .filter(col("op").isin("add_vertex", "remove_vertex",
-        "update_vertex_props"))
-      .select(col("id")).distinct())
+    val touchedV = sharedTouchedV.getOrElse(
+      feedTouchedV(oldStore, newStore))
     // explicit edge ops + old/new edges incident to touched vertices
     // (cascades are not spelled out in the feed)
     val explicitE = feed.filter(
@@ -1013,7 +1047,7 @@ object Views {
         srcPred.foldLeft(col("label") === srcLabel)(_ && _))
       .select(col("id").as("c0"))
     var dPrev: DataFrame = windowVertexDelta(oldStore, newStore,
-      srcLabel, srcPred, "c0")
+      srcLabel, srcPred, "c0", Some(touchedV))
     for (i <- 1 to maxLevel) {
       val s = s"c${i - 1}"
       val d = s"c$i"
@@ -1027,11 +1061,14 @@ object Views {
         .filter(col("__sign") =!= 0))
       onLevel(i, wPrev, e, dW, s, d)
       if (i < maxLevel) {
+        // stateless fallback pair-compresses too: the lazy bag would
+        // re-enumerate degree^h walk rows at every level and in every
+        // downstream term — the blow-up the counted-pair form removes
         wPrev = walkOld.getOrElse(i, {
           val ext = wPrev.join(e, s)
-          val keep = Seq(col("c0"), col(d)) ++
-            (if (ext.columns.contains("__mult")) Seq(col("__mult")) else Nil)
-          ext.select(keep: _*)
+          val m = if (ext.columns.contains("__mult"))
+            sum("__mult").as("__mult") else count(lit(1)).as("__mult")
+          ext.groupBy(col("c0"), col(d)).agg(m)
         })
         dPrev = dW
       }
@@ -1044,7 +1081,14 @@ object Views {
     * probe path — the window-sized E-slice into touched dst vertices
     * broadcasts into the stored walk scan. ΔW_h arrives netted
     * (`__sign` counts, magnitude = net walk count), ΔV_dst as ±1 op
-    * rows; returns (src, dst, __sign).
+    * rows; returns (src, dst, __sign). Posture note: `eTouched`'s
+    * size is the hop relation's fan-in to the touched dst set — for
+    * an edge base that is per-vertex-degree bounded; when the
+    * lower-bounded composition passes the CLOSURE as `eOld`, a
+    * touched hub dst can pull its whole reach-set slice into the
+    * broadcast (the same trade level2Delta makes, one relation up);
+    * the state-diff-sized case is gated out one level above
+    * ([[foldLowerBoundedState]]'s recompute switch).
     */
   private def walkEmitDelta(wPrevOld: DataFrame, eOld: DataFrame,
       dstOld: DataFrame, dWalk: DataFrame, dDst: DataFrame,
@@ -1463,10 +1507,10 @@ object Views {
         "use refreshPatternChainView / refreshVarLengthPatternView for " +
         "the simple shapes")
     require(ranges.forall(_.forall(r =>
-        r._2 != Int.MaxValue || r._1 == 1)),
-      "an unbounded segment composes as *1.. only (its relation is " +
-        "the transitive closure; a *m.. lower bound would need " +
-        "per-length counting the closure cannot carry)")
+        r._2 != Int.MaxValue || (r._1 >= 1 && r._1 <= 6))),
+      "an unbounded segment composes as *1.. (closure sub-state) or " +
+        "*m.. with m in [2, 6] (walk x closure composition — the walk " +
+        "factor inherits the bounded family's hop cap)")
     def cut(df: DataFrame): DataFrame = df.localCheckpoint()
     val preds = if (vertexPreds.isEmpty)
       Seq.fill(vertexLabels.size)(None: Option[Column]) else vertexPreds
@@ -1477,6 +1521,9 @@ object Views {
     ranges.zipWithIndex.foreach { case (r, j) =>
       require(r.isEmpty || epreds(j).isEmpty,
         "edge props cannot predicate a var-length segment")
+      require(!r.exists(_._2 == Int.MaxValue) || !undir(j),
+        "unbounded segments are directed-only (undirected unbounded " +
+          "reachability is connected-component membership)")
     }
     // fold every var-length hop's sub-state FIRST; its membership
     // delta feeds the chain fold below. Two sub-state kinds: an
@@ -1494,6 +1541,19 @@ object Views {
         j -> ((s: String, dn: String) => (
           k0.select(col("src").as(s), col("dst").as(dn)),
           ops.select(col("op"), col("src").as(s), col("dst").as(dn))))
+      case (Some((mn, Int.MaxValue)), j) =>
+        // *m.. (m >= 2): the walk x closure composition sub-state
+        // ([[foldLowerBoundedState]]) under `name!lb<j>` — its
+        // counting state's membership ops feed the chain like any
+        // other sub-state relation
+        val (s0, _, ops) = foldLowerBoundedState(catalog, s"$name!lb$j",
+          oldStore, newStore, vertexLabels(j), edgeLabels(j),
+          vertexLabels(j + 1), mn, preds(j), preds(j + 1),
+          recomputeRatio = recomputeRatio)
+        val k0 = s0.select("src", "dst")
+        j -> ((s: String, dn: String) => (
+          k0.select(col("src").as(s), col("dst").as(dn)),
+          ops.select(col("op"), col("src").as(s), col("dst").as(dn))))
       case (Some((mn, mx)), j) =>
         val sub = s"$name!vl$j"
         val s0 = catalog.dataOf(sub).getOrElse(cut(
@@ -1505,13 +1565,14 @@ object Views {
         val d = cut(varLengthViewDelta(oldStore, newStore, vertexLabels(j),
           edgeLabels(j), vertexLabels(j + 1), mn, mx, preds(j),
           preds(j + 1), undir(j), walkOld = wOld, onWalkDelta = wFold))
-        val s1 = mergeJoinDelta(s0, d).localCheckpoint()
+        // fused fold: one netted delta + one state scan serve the
+        // merge AND the membership ops — the old `new ANTI old`
+        // both-ways diff shuffled two walk-state-sized frames
+        val (s1Raw, opsRaw) = mergeJoinDeltaWithOps(s0, d)
+        val s1 = s1Raw.localCheckpoint()
         catalog.put(sub, s1)
         val k0 = s0.select("src", "dst")
-        // membership ops from the netted delta + ONE state scan
-        // (stateMembershipOps) — the old `new ANTI old` both-ways
-        // diff shuffled two walk-state-sized frames per refresh
-        val ops = cut(stateMembershipOps(s0, d))
+        val ops = cut(opsRaw)
         j -> ((s: String, dn: String) => (
           k0.select(col("src").as(s), col("dst").as(dn)),
           ops.select(col("op"), col("src").as(s), col("dst").as(dn))))
@@ -1581,13 +1642,12 @@ object Views {
     */
   private def reachEdgeDelta(oldStore: graft.graph.GraphStore,
       newStore: graft.graph.GraphStore,
-      edgeLabel: String): (DataFrame, DataFrame) = {
+      edgeLabel: String,
+      sharedTouchedV: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     def cut(df: DataFrame): DataFrame = df.localCheckpoint()
     val feed = newStore.changes.filter(col("version") > oldStore.version)
-    val touchedV = cut(feed
-      .filter(col("op").isin("add_vertex", "remove_vertex",
-        "update_vertex_props"))
-      .select(col("id")).distinct())
+    val touchedV = sharedTouchedV.getOrElse(
+      feedTouchedV(oldStore, newStore))
     val explicitE = feed.filter(
         col("op").isin("add_edge", "remove_edge", "update_edge_props")
           && col("elabel") === edgeLabel)
@@ -1705,13 +1765,16 @@ object Views {
       oldStore: graft.graph.GraphStore, newStore: graft.graph.GraphStore,
       edgeLabel: String,
       rederiveCap: Long = 1L << 20, maxRounds: Int = 60,
-      recomputeRatio: Double = 0.3): (DataFrame, DataFrame, DataFrame) = {
+      recomputeRatio: Double = 0.3,
+      sharedTouchedV: Option[DataFrame] = None)
+      : (DataFrame, DataFrame, DataFrame) = {
     def cut(df: DataFrame): DataFrame = df.localCheckpoint()
     def hinted(df: DataFrame, cnt: Long): DataFrame =
       if (cnt <= rederiveCap) broadcast(df) else df
     val s0 = catalog.dataOf(stateKey).getOrElse(
       initReachState(oldStore, edgeLabel, maxRounds))
-    val (eAdd, eRem) = reachEdgeDelta(oldStore, newStore, edgeLabel)
+    val (eAdd, eRem) = reachEdgeDelta(oldStore, newStore, edgeLabel,
+      sharedTouchedV)
     def finish(state: DataFrame, ops: Option[DataFrame])
         : (DataFrame, DataFrame, DataFrame) = {
       catalog.put(stateKey, state)
@@ -1863,9 +1926,14 @@ object Views {
     * dst label/pred into the final factor — both maintained through
     * their own vertex deltas, prop flips included.
     *
-    * Returns (state0, state1, signed view delta) — the composed-chain
-    * caller derives membership ops from (state0, delta) via
-    * [[stateMembershipOps]].
+    * When the closure fold fell back to its measured RECOMPUTE (its
+    * ops are then state-diff-sized — `> rederiveCap` — and the delta
+    * path would broadcast them), the composition recomputes too:
+    * one join over the post-fold factors, ops from the counting-state
+    * diff — proportionate, the closure itself just churned.
+    *
+    * Returns (state0, state1, membership ±op rows) — ops fall out of
+    * the fused state fold ([[mergeJoinDeltaWithOps]]), checkpointed.
     */
   private[views] def foldLowerBoundedState(catalog: ViewCatalog,
       prefix: String,
@@ -1883,9 +1951,10 @@ object Views {
         "bounded family's [1, 6] hop discipline")
     val lvl = minHops - 1
     def cut(df: DataFrame): DataFrame = df.localCheckpoint()
-    val (tc0, _, tcOps) = foldReachState(catalog, s"$prefix!tc",
+    val touchedV = feedTouchedV(oldStore, newStore)
+    val (tc0, tc1, tcOps) = foldReachState(catalog, s"$prefix!tc",
       oldStore, newStore, edgeLabel, rederiveCap, maxRounds,
-      recomputeRatio)
+      recomputeRatio, Some(touchedV))
     val (wOld, wFold) = walkHooks(catalog, prefix, oldStore,
       srcLabel, edgeLabel, lvl + 1, srcPred, undirected = false)
     var dWL: DataFrame = null
@@ -1893,11 +1962,37 @@ object Views {
       srcPred, undirected = false, wOld, (i, _, _, dW, _, _) => {
         wFold(i, dW)
         if (i == lvl) dWL = dW
-      })
+      }, Some(touchedV))
     val x = "__x"
     val b = "__b"
+    def dstV(store: graft.graph.GraphStore) = store.vertices.filter(
+        dstPred.foldLeft(col("label") === dstLabel)(_ && _))
+      .select(col("id").as(b))
+    def composed(walk: DataFrame, tc: DataFrame, dst: DataFrame) =
+      cut(walk.join(tc, x).join(dst, b)
+        .groupBy(col("c0").as("src"), col(b).as("dst"))
+        .agg(sum("__mult").as("__mult")))
     val wl = wOld(lvl).select(col("c0"), col(s"c$lvl").as(x), col("__mult"))
     val tcRel = tc0.select(col("src").as(x), col("dst").as(b))
+    val state0 = catalog.dataOf(s"$prefix!state").getOrElse(
+      composed(wl, tcRel, dstV(oldStore)))
+    if (tcOps.count() > rederiveCap) {
+      // closure ops are state-diff-sized (the reach fold recomputed):
+      // recompute the composition from the POST-fold factors instead
+      // of broadcasting them through the delta path
+      val wlNew = catalog.dataOf(s"$prefix!w$lvl").get
+        .select(col("c0"), col(s"c$lvl").as(x), col("__mult"))
+      val state1 = composed(wlNew,
+        tc1.select(col("src").as(x), col("dst").as(b)), dstV(newStore))
+      val k0 = state0.select("src", "dst")
+      val k1 = state1.select("src", "dst")
+      val ops = cut(k1.join(k0, Seq("src", "dst"), "left_anti")
+        .select(col("src"), col("dst"), lit("add").as("op"))
+        .unionByName(k0.join(k1, Seq("src", "dst"), "left_anti")
+          .select(col("src"), col("dst"), lit("remove").as("op"))))
+      catalog.put(s"$prefix!state", state1)
+      return (state0, state1, ops)
+    }
     val dJ = cut(joinViewDelta(wl,
         dWL.select(col("c0"), col(s"c$lvl").as(x), col("__sign")),
         tcRel, tcOps.select(col("op"), col("src").as(x), col("dst").as(b)),
@@ -1905,20 +2000,14 @@ object Views {
       .groupBy(col("c0"), col(b))
       .agg(sum("__sign").as("__sign"))
       .filter(col("__sign") =!= 0))
-    val dstOld = oldStore.vertices.filter(
-        dstPred.foldLeft(col("label") === dstLabel)(_ && _))
-      .select(col("id").as(b))
     val dstDelta = windowVertexDelta(oldStore, newStore, dstLabel,
-      dstPred, "__d").select(col("op"), col("__d").as(b))
-    val delta = cut(walkEmitDelta(wl, tcRel, dstOld, dJ, dstDelta, x, b))
-    val state0 = catalog.dataOf(s"$prefix!state").getOrElse(cut(
-      wl.join(tcRel, x)
-        .join(dstOld, b)
-        .groupBy(col("c0").as("src"), col(b).as("dst"))
-        .agg(sum("__mult").as("__mult"))))
-    val state1 = mergeJoinDelta(state0, delta).localCheckpoint()
+      dstPred, "__d", Some(touchedV)).select(col("op"), col("__d").as(b))
+    val delta = cut(walkEmitDelta(wl, tcRel, dstV(oldStore), dJ,
+      dstDelta, x, b))
+    val (s1Raw, opsRaw) = mergeJoinDeltaWithOps(state0, delta)
+    val state1 = s1Raw.localCheckpoint()
     catalog.put(s"$prefix!state", state1)
-    (state0, state1, delta)
+    (state0, state1, cut(opsRaw))
   }
 
   /** Catalog-driven refresh of a registered lower-bounded reach view

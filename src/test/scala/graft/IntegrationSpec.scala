@@ -254,16 +254,16 @@ class IntegrationSpec extends SparkSpec {
       "MATCH (a:Person)-[:friend]->(b) RETURN a.department")
     assert(served.servedBy.contains("eng_friends"))
     // definition validation: cross-position chain WHERE (adjacent-
-    // scoped chain WHERE and `*1..` composition are maintained since
-    // r11 — see StreamViewsSpec), incoming, unlabeled, `*m..` lower
-    // bounds composed with further hops, null props all reject at
+    // scoped chain WHERE, `*1..` composition, and `*m..` composition
+    // are maintained since r11 — see StreamViewsSpec), incoming,
+    // unlabeled, *0 lower bounds, null props all reject at
     // REGISTRATION time
     for (bad <- Seq(
         "MATCH (a:Person)-[:friend]->(b:Person)-[:friend]->(c:Person)" +
           " WHERE a.age > c.age",
         "MATCH (a:Person)<-[:friend]-(b:Person)",
         "MATCH (a)-[:friend]->(b:Person)",
-        "MATCH (a:Person)-[:friend*2..]->(b:Person)-[:friend]->(c:Person)",
+        "MATCH (a:Person)-[:friend*0..]->(b:Person)",
         "MATCH (a:Person {department: null})-[:friend]->(b:Person)")) {
       intercept[IllegalArgumentException] {
         GqlViews.register(cat, "bad", bad)

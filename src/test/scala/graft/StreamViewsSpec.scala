@@ -1649,16 +1649,48 @@ class StreamViewsSpec extends SparkSpec {
       java.nio.file.Files.createTempDirectory("graft_lb_cat2").toString)
     GqlViews.register(fresh, "far", "MATCH (a:N)-[:dep*2..]->(b:N)")
     assert(rows(r2) == rows(GqlViews.refresh(fresh, "far", m2, m2)))
-    // rejections: *m.. in a longer chain, m > 6, undirected
-    intercept[IllegalArgumentException] {
-      GqlViews.register(cat, "bad_chain",
-        "MATCH (a:N)-[:dep*2..]->(b:N)-[:dep]->(c:N)")
-    }
+    // *m.. COMPOSES in chains too (sub-state under name!lb<j>): bolt
+    // an owns-hop onto the maintained segment and run a window that
+    // churns both the closure (new dep edge closes a path into the
+    // cycle) and the tail hop (an owns edge dies)
+    val withM = m2.addVertices(Seq((20L, "M"), (21L, "M"))
+        .toDF("id", "label").withColumn("props", noProps))
+      .addEdges(Seq((4L, 20L, "owns"), (5L, 21L, "owns"), (7L, 21L, "owns"))
+        .toDF("src", "dst", "label").withColumn("props", noProps))
+      .truncated().truncatedEdges()
+    val cat3 = new Views.ViewCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_lbc_cat").toString)
+    GqlViews.register(cat3, "far_owns",
+      "MATCH (a:N)-[:dep*2..]->(b:N)-[:owns]->(c:M)")
+    def exeChain(st: GraphStore) = graft.gql.GqlExecutor.run(st,
+      "MATCH (a:N)-[:dep*2..]->(b:N)-[:owns]->(c:M) " +
+        "RETURN id(a) AS s, id(b) AS m, id(c) AS d").df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def chainRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("c0", "c1", "c2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(chainRows(GqlViews.refresh(cat3, "far_owns", withM, withM))
+      == exeChain(withM))
+    val m3 = withM.addEdges(edges((6L, 7L)).withColumn("props", noProps))
+      .removeEdges(Seq((5L, 21L, "owns")).toDF("src", "dst", "label"))
+      .truncatedEdges()
+    val r4 = GqlViews.refresh(cat3, "far_owns", withM, m3)
+    assert(chainRows(r4) == exeChain(m3))
+    assert(chainRows(r4).contains((2L, 7L, 21L)),
+      "new dep edge 6→7 opens *2.. walks into the cycle's owns link")
+    // rejections: m > 6, undirected, and *0 lower bounds (must fail
+    // EAGERLY at register, not at first refresh)
     intercept[IllegalArgumentException] {
       GqlViews.register(cat, "bad_deep", "MATCH (a:N)-[:dep*7..]->(b:N)")
     }
     intercept[IllegalArgumentException] {
       GqlViews.register(cat, "bad_undir", "MATCH (a:N)-[:dep*2..]-(b:N)")
+    }
+    intercept[IllegalArgumentException] {
+      GqlViews.register(cat, "bad_zero", "MATCH (a:N)-[:dep*0..]->(b:N)")
+    }
+    intercept[IllegalArgumentException] {
+      GqlViews.register(cat, "bad_zero_b", "MATCH (a:N)-[:dep*0..2]->(b:N)")
     }
   }
 
@@ -1877,13 +1909,11 @@ class StreamViewsSpec extends SparkSpec {
       GqlViews.register(cat, "bad2",
         """MATCH (a:N)-[:link*1..2 {w: 1}]->(b:N)""")
     }
-    // an UNBOUNDED segment with a *m.. lower bound still rejects in
-    // a chain (per-length counting the closure cannot carry); *1..
-    // composes since r11 — its own test below
-    intercept[IllegalArgumentException] {
-      GqlViews.register(cat, "bad3",
-        "MATCH (a:N)-[:link*2..]->(b:N)-[:link]->(c:N)")
-    }
+    // *m.. unbounded segments REGISTER in chains since the r11
+    // continuation (walk x closure composition sub-state — covered by
+    // the lower-bounded reach spec)
+    GqlViews.register(cat, "ok3",
+      "MATCH (a:N)-[:link*2..]->(b:N)-[:link]->(c:N)")
   }
 
   test("composed chains with an UNBOUNDED segment: closure sub-state " +
