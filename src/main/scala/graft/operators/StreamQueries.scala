@@ -527,6 +527,11 @@ object StreamQueries {
     // like any other segment relation. Same flows windows as
     // v6_pattern_view_composed_unbounded incl. the explicit tail-hop
     // churn (nation 5 keeps closure rows but loses its region link).
+    // Bench note: this is the machinery-densest query in the suite
+    // (closure fold + walk states + composition + chain prefix
+    // states, twice) — on a 25-nation fixture its wall-clock is
+    // driver job count, not data; the scale evidence is
+    // ViewScaleProbe's shuffle columns, not this number.
     "v6_pattern_view_composed_lower" -> ((s, dir) => {
       import graft.graph.GraphStore
       import graft.model.PropValue
