@@ -217,15 +217,20 @@ object Curation {
     * identical positive closed-form term, added here as
     * (B − touched) · quantize(term₀) from the same aggregates
     * (one scalar — the full-B sum without materializing B rows).
+    * `untouchedCorrection = false` omits that closed form and sums
+    * the TOUCHED buckets only — the pre-r11 semantics, kept
+    * selectable because a drift monitor's consumers compare the
+    * scalar against their own recorded history: a monitor that
+    * captured baselines under the touched-only definition keeps its
+    * series comparable, while new deployments take the corrected
+    * full-profile value (the two differ by the one closed-form term
+    * whenever n_a ≠ n_b).
     */
   def corpusDrift(a: DataFrame, b: DataFrame, idCol: String,
       textCol: String, buckets: Int = 4096,
-      alpha: Double = 1.0): DataFrame = {
+      alpha: Double = 1.0, untouchedCorrection: Boolean = true): DataFrame = {
     def profile(df: DataFrame, cname: String): DataFrame =
-      TextFunctions.shingleRows(df, idCol, textCol, 2)
-        .select((conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long")
-          % buckets).as("bk"))
-        .groupBy("bk").agg(count(lit(1)).as(cname))
+      bigramProfile(df, idCol, textCol, buckets, cname)
     // per-bucket JS contribution (bits) quantized to 1e-9-bit units;
     // pointwise ≥ 0 (two-point KL), so the unit count is ≥ 0
     def termUnits(p: Column, q: Column): Column = {
@@ -248,16 +253,80 @@ object Curation {
           (col("nb").cast("double") + alpha * buckets)).as("u"))
       .groupBy("na", "nb")
       .agg(sum("u").as("su"), count(lit(1)).as("touched"))
-    touched
-      .select(col("na"), col("nb"),
-        (col("su") + (lit(buckets.toLong) - col("touched")) * termUnits(
+    val units =
+      if (untouchedCorrection)
+        col("su") + (lit(buckets.toLong) - col("touched")) * termUnits(
           lit(alpha) / (col("na").cast("double") + alpha * buckets),
-          lit(alpha) / (col("nb").cast("double") + alpha * buckets)))
-          .as("units"))
+          lit(alpha) / (col("nb").cast("double") + alpha * buckets))
+      else col("su")
+    touched
+      .select(col("na"), col("nb"), units.as("units"))
       // 6dp presentation as exact integer rounding of the unit count
       .select(col("na").as("n_a"), col("nb").as("n_b"),
         (expr("(units + 500) div 1000").cast("double") / 1e6)
           .as("js_bits"))
+  }
+
+  /** The fixed-width hashed-bigram profile both drift statistics run
+    * on: md5-bucketed bigram counts, `buckets` rows at ANY corpus
+    * size (the DSIR profile — two corpus scans and a 4096-row join
+    * no matter whether the snapshots are 60k docs or 100 TB).
+    */
+  private def bigramProfile(df: DataFrame, idCol: String,
+      textCol: String, buckets: Int, cname: String): DataFrame =
+    TextFunctions.shingleRows(df, idCol, textCol, 2)
+      .select((conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long")
+        % buckets).as("bk"))
+      .groupBy("bk").agg(count(lit(1)).as(cname))
+
+  /** Corpus drift as TOTAL-VARIATION distance between the two
+    * snapshots' Laplace-1-smoothed hashed-bigram profiles —
+    * TV = ½ Σ_b |p_b − q_b| ∈ [0, 1), same monitoring role as
+    * [[corpusDrift]]'s JS divergence with one property JS cannot
+    * have: the statistic is EXACTLY RATIONAL, so the emitted value
+    * involves no transcendental function on any engine. With α = 1,
+    *   p_b − q_b = [(ca_b+1)(n_b+B) − (cb_b+1)(n_a+B)] / (D_a·D_b),
+    *   D_x = n_x + B,
+    * so the numerator sum S = Σ_b |(ca+1)(n_b+B) − (cb+1)(n_a+B)|
+    * is pure integer arithmetic (decimal(38,0) — products reach
+    * ~10²⁶ at 100 TB bigram totals, past long range), untouched
+    * buckets contribute (B − touched)·|n_b − n_a| in closed form,
+    * and the 1e-6-unit presentation
+    *   tv_units = round(S·10⁶ / (2·D_a·D_b))
+    *            = (S·10⁶ + D_a·D_b) div (2·D_a·D_b)
+    * is one exact integral divide. Every engine that can hash md5
+    * and divide integers emits the identical row — there is no
+    * libm, no float summation order, no rounding mode anywhere in
+    * the definition (the JS variants quantize per-bucket log2 terms
+    * and still carry a ~1-ULP knife edge per bucket; this carries
+    * none). Returns one row (n_a, n_b, tv_units) with tv_units an
+    * integer count of 1e-6 TV units.
+    */
+  def corpusDriftTv(a: DataFrame, b: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 4096): DataFrame = {
+    val pa = graft.TransientCache.persist(bigramProfile(a, idCol, textCol, buckets, "ca"))
+    val pb = graft.TransientCache.persist(bigramProfile(b, idCol, textCol, buckets, "cb"))
+    val na = pa.agg(sum("ca").as("na"))
+    val nb = pb.agg(sum("cb").as("nb"))
+    val dec = "decimal(38,0)"
+    val bL = lit(buckets.toLong)
+    val touched = pa.join(pb, Seq("bk"), "full_outer")
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(col("na"), col("nb"),
+        abs((coalesce(col("ca"), lit(0L)) + 1L).cast(dec) *
+              (col("nb") + bL).cast(dec) -
+            (coalesce(col("cb"), lit(0L)) + 1L).cast(dec) *
+              (col("na") + bL).cast(dec)).as("t"))
+      .groupBy("na", "nb")
+      .agg(sum(col("t")).as("st"), count(lit(1)).as("touched"))
+    touched
+      .select(col("na"), col("nb"),
+        (col("st") + (bL - col("touched")).cast(dec) *
+          abs(col("nb") - col("na")).cast(dec)).as("s"),
+        ((col("na") + bL).cast(dec) * (col("nb") + bL).cast(dec)).as("dd"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        expr(s"cast((s * 1000000 + dd) div (dd * 2) as long)")
+          .as("tv_units"))
   }
 
   /** Leakage-free train/val/test split. The naive per-doc hash split

@@ -24,6 +24,17 @@ object CurationQueries {
     "longword" -> "\\b[a-z]{6,}\\b" // 6+ letter lowercase words
   )
 
+  /** The two deterministic corpus halves every drift query compares
+    * (sources src0-9 vs src10-19 standing in for consecutive crawl
+    * snapshots).
+    */
+  private def driftSnapshots(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val d = Tables.documents(s, dir)
+    val sn = regexp_extract(col("source"), "src(\\d+)", 1).cast("int")
+    (d.filter(sn < 10), d.filter(sn >= 10))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Keep the best 20 docs per source by quality score — the
     // per-domain curation cut.
@@ -85,13 +96,33 @@ object CurationQueries {
     // (sources src0-9 vs src10-19 standing in for consecutive crawl
     // snapshots). The profile is buckets-bounded at ANY corpus size;
     // md5 bucketing makes the whole scalar cross-engine exact.
+    // THIS name keeps the original touched-only sum (r12, oracle-
+    // lifecycle: an oracle captured against this query name predates
+    // the r11 untouched-bucket correction, and a monitor's recorded
+    // history is only comparable under the definition it was captured
+    // with); the corrected full-profile value ships under the NEW
+    // name `pipe_corpus_drift_full` below.
     "pipe_corpus_drift" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      val oldSnap = d.filter(
-        regexp_extract(col("source"), "src(\\d+)", 1).cast("int") < 10)
-      val newSnap = d.filter(
-        regexp_extract(col("source"), "src(\\d+)", 1).cast("int") >= 10)
+      val (oldSnap, newSnap) = driftSnapshots(s, dir)
+      Curation.corpusDrift(oldSnap, newSnap, "doc_id", "text",
+        untouchedCorrection = false)
+    }),
+
+    // Full-profile JS drift (r11 semantics): the touched-bucket sum
+    // PLUS the closed-form term every untouched bucket carries when
+    // the snapshot totals differ — the value a fresh deployment
+    // should record baselines against.
+    "pipe_corpus_drift_full" -> ((s, dir) => {
+      val (oldSnap, newSnap) = driftSnapshots(s, dir)
       Curation.corpusDrift(oldSnap, newSnap, "doc_id", "text")
+    }),
+
+    // Total-variation drift (r12): the same profiles, a statistic
+    // that is exactly rational — integer arithmetic end-to-end, no
+    // libm on either engine, deterministic by construction.
+    "pipe_corpus_drift_tv" -> ((s, dir) => {
+      val (oldSnap, newSnap) = driftSnapshots(s, dir)
+      Curation.corpusDriftTv(oldSnap, newSnap, "doc_id", "text")
     }),
 
     // Per-doc top-3 TF-IDF terms.
@@ -228,6 +259,54 @@ object CurationQueries {
   /** The Morton-interleave bit expression, generated to mirror
     * Layout.zorderKey(Seq(orderkey%256, suppkey%256), 8) term by term.
     */
+  /** JS-drift oracle, with (`full`) or without the untouched-bucket
+    * closed-form correction — shared scaffold, one diverging CTE.
+    */
+  private def driftJsSql(full: Boolean): String = {
+    val units =
+      if (full)
+        """su + (4096 - touched) *
+                  CAST(floor((p0 * log2(p0 / ((p0 + q0) / 2)) / 2 +
+                              q0 * log2(q0 / ((p0 + q0) / 2)) / 2)
+                             * 1000000000 + 0.5) AS BIGINT)"""
+      else "su"
+    s"""WITH t AS (SELECT doc_id,
+              CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) AS sn,
+              CASE WHEN len(w) >= 2
+                THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                ELSE [array_to_string(w, ' ')] END AS b
+            FROM (SELECT doc_id, source,
+                    string_split(${PipelineQueries.normText}, ' ') AS w
+                  FROM documents)),
+          g AS (SELECT sn, CAST(('0x' || substr(md5(s), 1, 8))::UBIGINT
+                  % 4096 AS BIGINT) AS bk
+                FROM (SELECT sn, unnest(b) AS s FROM t)),
+          pa AS (SELECT bk, COUNT(*) AS ca FROM g WHERE sn < 10 GROUP BY bk),
+          pb AS (SELECT bk, COUNT(*) AS cb FROM g WHERE sn >= 10 GROUP BY bk),
+          ta AS (SELECT SUM(ca) AS na FROM pa),
+          tb AS (SELECT SUM(cb) AS nb FROM pb),
+          terms AS (
+            SELECT na, nb,
+                   CAST(floor((p * log2(p / ((p + q) / 2)) / 2 +
+                               q * log2(q / ((p + q) / 2)) / 2)
+                              * 1000000000 + 0.5) AS BIGINT) AS u
+            FROM (SELECT na, nb,
+                    (COALESCE(ca, 0) + 1.0) / (na + 4096.0) AS p,
+                    (COALESCE(cb, 0) + 1.0) / (nb + 4096.0) AS q
+                  FROM pa FULL OUTER JOIN pb USING (bk)
+                  CROSS JOIN ta CROSS JOIN tb)),
+          s AS (SELECT na, nb, SUM(u) AS su, COUNT(*) AS touched
+                FROM terms GROUP BY na, nb),
+          c AS (SELECT na, nb, $units AS units
+                FROM (SELECT na, nb, su, touched,
+                        1.0 / (na + 4096.0) AS p0,
+                        1.0 / (nb + 4096.0) AS q0 FROM s))
+          SELECT na AS n_a, nb AS n_b,
+                 CAST((units + 500) // 1000 AS DOUBLE) / 1000000.0
+                   AS js_bits
+          FROM c"""
+  }
+
   private val zorderSql: String = (0 until 8).flatMap(i => Seq(
     s"((((l_orderkey % 256) >> $i) & 1) << ${2 * i})",
     s"((((l_suppkey % 256) >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
@@ -275,10 +354,17 @@ object CurationQueries {
     // r11 determinism fix (the r10 red row): each bucket term is
     // quantized to 1e-9-bit integer units BEFORE summing — the sum
     // is exact integer arithmetic in any order on either engine,
-    // and the 6dp presentation is integer division — plus the
-    // closed-form correction for untouched buckets (p = α/(n_a+αB)
-    // vs q = α/(n_b+αB) differ whenever the totals do).
-    "pipe_corpus_drift" ->
+    // and the 6dp presentation is integer division. THIS name sums
+    // the TOUCHED buckets only (the original definition an existing
+    // oracle capture predates); `pipe_corpus_drift_full` below adds
+    // the untouched-bucket closed form.
+    "pipe_corpus_drift" -> driftJsSql(full = false),
+    "pipe_corpus_drift_full" -> driftJsSql(full = true),
+    // TV mirror: exactly-rational statistic — HUGEINT arithmetic
+    // end-to-end (products reach ~1e14 at sf0.01 and ~1e26 at
+    // 100 TB-scale totals; int128 holds both), one integer divide
+    // for the 1e-6-unit presentation. No libm anywhere.
+    "pipe_corpus_drift_tv" ->
       s"""WITH t AS (SELECT doc_id,
               CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) AS sn,
               CASE WHEN len(w) >= 2
@@ -296,26 +382,19 @@ object CurationQueries {
           tb AS (SELECT SUM(cb) AS nb FROM pb),
           terms AS (
             SELECT na, nb,
-                   CAST(floor((p * log2(p / ((p + q) / 2)) / 2 +
-                               q * log2(q / ((p + q) / 2)) / 2)
-                              * 1000000000 + 0.5) AS BIGINT) AS u
-            FROM (SELECT na, nb,
-                    (COALESCE(ca, 0) + 1.0) / (na + 4096.0) AS p,
-                    (COALESCE(cb, 0) + 1.0) / (nb + 4096.0) AS q
-                  FROM pa FULL OUTER JOIN pb USING (bk)
-                  CROSS JOIN ta CROSS JOIN tb)),
-          s AS (SELECT na, nb, SUM(u) AS su, COUNT(*) AS touched
+                   abs((COALESCE(ca, 0) + 1)::HUGEINT * (nb + 4096)::HUGEINT
+                     - (COALESCE(cb, 0) + 1)::HUGEINT * (na + 4096)::HUGEINT)
+                     AS t
+            FROM pa FULL OUTER JOIN pb USING (bk)
+            CROSS JOIN ta CROSS JOIN tb),
+          s AS (SELECT na, nb, SUM(t) AS st, COUNT(*) AS touched
                 FROM terms GROUP BY na, nb),
-          c AS (SELECT na, nb, su + (4096 - touched) *
-                  CAST(floor((p0 * log2(p0 / ((p0 + q0) / 2)) / 2 +
-                              q0 * log2(q0 / ((p0 + q0) / 2)) / 2)
-                             * 1000000000 + 0.5) AS BIGINT) AS units
-                FROM (SELECT na, nb, su, touched,
-                        1.0 / (na + 4096.0) AS p0,
-                        1.0 / (nb + 4096.0) AS q0 FROM s))
+          c AS (SELECT na, nb,
+                  st + (4096 - touched)::HUGEINT * abs(nb - na)::HUGEINT AS s,
+                  (na + 4096)::HUGEINT * (nb + 4096)::HUGEINT AS dd
+                FROM s)
           SELECT na AS n_a, nb AS n_b,
-                 CAST((units + 500) // 1000 AS DOUBLE) / 1000000.0
-                   AS js_bits
+                 CAST((s * 1000000 + dd) // (dd * 2) AS BIGINT) AS tv_units
           FROM c""",
     // LM mirror: identical bigram construction (incl. the <2-word
     // whole-text fallback), add-0.4 smoothing over the English

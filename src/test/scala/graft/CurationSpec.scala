@@ -93,6 +93,52 @@ class CurationSpec extends SparkSpec {
         s"touchedOnly=$touchedOnly")
     assert(js - touchedOnly > 1e-3,
       "output must include the untouched-bucket correction")
+    // untouchedCorrection=false reproduces the original touched-only
+    // definition (the series an existing drift monitor's recorded
+    // history was captured under — pipe_corpus_drift keeps this one)
+    val legacy = Curation.corpusDrift(a, b, "doc_id", "text",
+      untouchedCorrection = false).head().getDouble(2)
+    assert(math.abs(legacy - touchedOnly) < 5e-6,
+      s"touched-only=$touchedOnly legacy=$legacy")
+    assert(js - legacy > 1e-3,
+      "the two definitions must differ by the closed-form term here")
+  }
+
+  test("corpusDriftTv: exact-rational BigInt reference reproduced bit " +
+    "for bit; identical snapshots read 0; symmetric") {
+    val bigText = (0 to 1000).map(i => "w" + (i % 37)).mkString(" ")
+    val a = Seq((1L, bigText)).toDF("doc_id", "text")
+    val b = Seq((2L, "alpha beta kappa")).toDF("doc_id", "text")
+    val B = 4096
+    def prof(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      graft.functions.TextFunctions.shingleRows(df, "doc_id", "text", 2)
+        .select((conv(substring(md5(col("s")), 1, 8), 16, 10)
+          .cast("long") % B).as("bk"))
+        .groupBy("bk").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pa = prof(a); val pb = prof(b)
+    val na = pa.values.sum; val nb = pb.values.sum
+    // dense all-buckets integer-exact reference
+    val s = (0 until B).map { k =>
+      ((BigInt(pa.getOrElse(k.toLong, 0L)) + 1) * (BigInt(nb) + B) -
+        (BigInt(pb.getOrElse(k.toLong, 0L)) + 1) * (BigInt(na) + B)).abs
+    }.sum
+    val dd = (BigInt(na) + B) * (BigInt(nb) + B)
+    val expected = ((s * 1000000 + dd) / (dd * 2)).toLong
+    val out = Curation.corpusDriftTv(a, b, "doc_id", "text").head()
+    assert(out.getLong(0) == na && out.getLong(1) == nb)
+    assert(out.getLong(2) == expected,
+      s"tv_units=${out.getLong(2)} expected=$expected")
+    // sanity: the rational statistic tracks the float TV to 1e-6
+    val tvFloat = (0 until B).map { k =>
+      math.abs((pa.getOrElse(k.toLong, 0L) + 1.0) / (na.toDouble + B) -
+        (pb.getOrElse(k.toLong, 0L) + 1.0) / (nb.toDouble + B))
+    }.sum / 2
+    assert(math.abs(expected / 1e6 - tvFloat) < 2e-6)
+    val same = Curation.corpusDriftTv(a, a, "doc_id", "text").head()
+    assert(same.getLong(2) == 0L)
+    val rev = Curation.corpusDriftTv(b, a, "doc_id", "text").head()
+    assert(rev.getLong(2) == out.getLong(2), "TV is symmetric")
   }
 
   // ---- lmPerplexity --------------------------------------------------

@@ -40,6 +40,10 @@ class PlanLintSpec extends SparkSpec {
     "tfidf_top_terms" -> "single-row corpus count broadcast",
     "pipe_corpus_drift" -> ("single-row bigram-total aggregates (n_a, " +
       "n_b, js sum) crossJoined into the one-row result"),
+    "pipe_corpus_drift_full" -> ("single-row bigram-total aggregates " +
+      "crossJoined into the one-row result (same shape as pipe_corpus_drift)"),
+    "pipe_corpus_drift_tv" -> ("single-row bigram-total aggregates " +
+      "crossJoined into the one-row result (same shape as pipe_corpus_drift)"),
     "pipe_temperature_mix" -> "single-row weight-sum broadcast",
     "text_fingerprint" -> "single-row aggregate",
     "emb_outliers" -> "per-label centroid model",
