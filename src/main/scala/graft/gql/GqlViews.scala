@@ -153,6 +153,16 @@ object GqlViews {
               "undirected unbounded reachability is connected-component " +
                 "membership, not a pattern view — use " +
                 "Algorithms.connectedComponents as a recomputed view")
+          } else e.range.foreach { r =>
+            // bounded ranges inherit the same hop cap the refresh
+            // enforces (requireHops) — validated HERE so a *1..7
+            // registration fails eagerly like *0 and *8.. do, not at
+            // first refresh
+            require(r._2 <= 6,
+              "var-length views maintain hop ranges within [1, 6], " +
+                s"got *${r._1}..${r._2} — each refresh folds one delta " +
+                "level per length; register *m..6 and filter, or an " +
+                "unbounded *m.. reach view if you need all lengths")
           }
         }
         p.nodes.foreach(n => require(n.label.isDefined,

@@ -343,6 +343,32 @@ object Views {
       rel.withColumn(signCol, col("__mult").cast("long")).drop("__mult")
     else rel.withColumn(signCol, lit(1L))
 
+  /** Rows of `df`'s shape that fit the session broadcast budget:
+    * `spark.sql.autoBroadcastJoinThreshold` divided by the schema's
+    * estimated row width — the byte-derived stand-in for the old
+    * fixed 4M-row cap (r11 verdict: 4M rows of a 3-long delta is
+    * ~100 MB, an order past the 10 MB default the rest of the plan
+    * broadcasts under; a row count must track the row SHAPE). A
+    * disabled threshold (-1/0) or an unparsable value falls back to
+    * the byte budget of the Spark default (10 MB).
+    */
+  private[graft] def broadcastRowBudget(df: DataFrame): Long = {
+    val raw = try df.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    catch { case _: Throwable => "10485760" }
+    val m = "(?i)^(-?\\d+)\\s*(b|kb?|mb?|gb?)?$".r.findFirstMatchIn(raw.trim)
+    val bytes = m.map { mm =>
+      val n = mm.group(1).toLong
+      Option(mm.group(2)).map(_.toLowerCase.head) match {
+        case Some('k') => n << 10
+        case Some('m') => n << 20
+        case Some('g') => n << 30
+        case _ => n
+      }
+    }.filter(_ > 0).getOrElse(10L << 20)
+    math.max(1L, bytes / math.max(df.schema.defaultSize.toLong, 8L))
+  }
+
   /** Fold a signed join delta into multiset state: merge on the view
     * columns, sum multiplicities, drop rows whose net count reaches
     * zero.
@@ -358,19 +384,23 @@ object Views {
     * broadcast anti-join against the (≤ delta-sized) matched-key
     * frame. Costs one extra delta-sized action (the net count) and
     * one extra state scan; removes the state shuffle entirely.
-    * Windows too wide to broadcast (> broadcastCap netted keys) fall
-    * back to the classic union-regroup, which is the right plan when
-    * the delta is state-sized anyway.
+    * Windows too wide to broadcast fall back to the classic
+    * union-regroup, which is the right plan when the delta is
+    * state-sized anyway. The cap is BYTE-derived by default
+    * ([[broadcastRowBudget]]: autoBroadcastJoinThreshold over the
+    * netted delta's row width); pass an explicit `broadcastCap` to
+    * override (0 forces the regroup path).
     */
   def mergeJoinDelta(state: DataFrame, delta: DataFrame,
-      broadcastCap: Long = 4L << 20): DataFrame = {
+      broadcastCap: Long = -1L): DataFrame = {
     val cols = state.columns.filterNot(_ == "__mult")
     val dAgg = delta
       .select(cols.map(col) :+ col("__sign").cast("long").as("__m"): _*)
       .groupBy(cols.map(col): _*)
       .agg(sum("__m").as("__dm"))
       .localCheckpoint()
-    if (dAgg.count() > broadcastCap)
+    val cap = if (broadcastCap >= 0) broadcastCap else broadcastRowBudget(dAgg)
+    if (dAgg.count() > cap)
       return state.select(cols.map(col) :+ col("__mult").as("__m"): _*)
         .unionByName(dAgg.select(cols.map(col) :+ col("__dm").as("__m"): _*))
         .groupBy(cols.map(col): _*)
@@ -409,7 +439,7 @@ object Views {
     * re-execute it.
     */
   def mergeJoinDeltaWithOps(state: DataFrame, delta: DataFrame,
-      broadcastCap: Long = 4L << 20): (DataFrame, DataFrame) = {
+      broadcastCap: Long = -1L): (DataFrame, DataFrame) = {
     val cols = state.columns.filterNot(_ == "__mult")
     val dAgg = delta
       .select(cols.map(col) :+ col("__sign").cast("long").as("__m"): _*)
@@ -417,7 +447,8 @@ object Views {
       .agg(sum("__m").as("__dm"))
       .filter(col("__dm") =!= 0)
       .localCheckpoint()
-    if (dAgg.count() > broadcastCap) {
+    val cap = if (broadcastCap >= 0) broadcastCap else broadcastRowBudget(dAgg)
+    if (dAgg.count() > cap) {
       val s1 = state
         .select(cols.map(col) :+ col("__mult").as("__m"): _*)
         .unionByName(dAgg.select(cols.map(col) :+ col("__dm").as("__m"): _*))
@@ -457,7 +488,7 @@ object Views {
     * callers that fold the state elsewhere.
     */
   def stateMembershipOps(state: DataFrame, delta: DataFrame,
-      broadcastCap: Long = 4L << 20): DataFrame =
+      broadcastCap: Long = -1L): DataFrame =
     mergeJoinDeltaWithOps(state, delta, broadcastCap)._2
 
   /** The maintained join view as plain rows (multiplicity expanded). */
@@ -950,12 +981,6 @@ object Views {
     emitted.reduce(_ unionByName _)
   }
 
-  /** Net ±op membership delta of the `label`-filtered (optionally
-    * predicated) vertex set between two store versions, restricted
-    * to feed-touched ids — the vertex-delta brick every walk/chain
-    * fold uses, extracted (r11) so folds that need several label
-    * deltas share it.
-    */
   /** The feed-touched vertex-id frame every window brick probes —
     * computed ONCE per refresh and passed as `sharedTouchedV` to
     * [[windowVertexDelta]] / [[walkFoldLevels]] / [[reachEdgeDelta]]
@@ -969,6 +994,12 @@ object Views {
         "update_vertex_props"))
       .select(col("id")).distinct().localCheckpoint()
 
+  /** Net ±op membership delta of the `label`-filtered (optionally
+    * predicated) vertex set between two store versions, restricted
+    * to feed-touched ids — the vertex-delta brick every walk/chain
+    * fold uses, extracted (r11) so folds that need several label
+    * deltas share it.
+    */
   private def windowVertexDelta(oldStore: graft.graph.GraphStore,
       newStore: graft.graph.GraphStore, label: String,
       pred: Option[Column], keyName: String,
@@ -1083,22 +1114,35 @@ object Views {
     * (`__sign` counts, magnitude = net walk count), ΔV_dst as ±1 op
     * rows; returns (src, dst, __sign). Posture note: `eTouched`'s
     * size is the hop relation's fan-in to the touched dst set — for
-    * an edge base that is per-vertex-degree bounded; when the
+    * an edge base that is per-vertex-degree bounded, so the default
+    * path broadcasts without a measuring action; when the
     * lower-bounded composition passes the CLOSURE as `eOld`, a
     * touched hub dst can pull its whole reach-set slice into the
-    * broadcast (the same trade level2Delta makes, one relation up);
-    * the state-diff-sized case is gated out one level above
-    * ([[foldLowerBoundedState]]'s recompute switch).
+    * broadcast even while the closure itself is quiet (the recompute
+    * switch one level up only fires on closure churn) — those
+    * callers pass `gateETouched = true`, which spends one count on
+    * the materialized slice and downgrades to a SHUFFLE_HASH join
+    * when it exceeds the session broadcast budget
+    * ([[broadcastRowBudget]]): a skew-safe shuffle instead of a
+    * driver/executor OOM.
     */
   private def walkEmitDelta(wPrevOld: DataFrame, eOld: DataFrame,
       dstOld: DataFrame, dWalk: DataFrame, dDst: DataFrame,
-      s: String, d: String): DataFrame = {
+      s: String, d: String, gateETouched: Boolean = false): DataFrame = {
     val sA = dWalk.withColumnRenamed("__sign", "__sa")
     val sV = dDst.withColumn("__sb", validatedSign).drop("op")
     val t1 = broadcast(sA).join(dstOld.withColumn("__sb", lit(1)), d)
       .select(col("c0"), col(d), col("__sa"), col("__sb"))
-    val eTouched = eOld.join(broadcast(sV), d)
-    val t2 = weighted(wPrevOld, "__sa").join(broadcast(eTouched), s)
+    val eTouched = {
+      val raw = eOld.join(broadcast(sV), d)
+      if (!gateETouched) broadcast(raw)
+      else {
+        val eT = raw.localCheckpoint()
+        if (eT.count() <= broadcastRowBudget(eT)) broadcast(eT)
+        else eT.hint("shuffle_hash")
+      }
+    }
+    val t2 = weighted(wPrevOld, "__sa").join(eTouched, s)
       .select(col("c0"), col(d), col("__sa"), col("__sb"))
     val t3 = broadcast(sA).join(sV, d)
       .select(col("c0"), col(d), col("__sa"), col("__sb"))
@@ -1734,7 +1778,7 @@ object Views {
       recomputeRatio: Double = 0.3): DataFrame = {
     val (_, s1, _) = foldReachState(catalog, s"$name!state",
       oldStore, newStore, edgeLabel, rederiveCap, maxRounds,
-      recomputeRatio)
+      recomputeRatio, needOps = false)
     val view = serveReach(newStore, s1, srcLabel, dstLabel,
       srcPred, dstPred)
     catalog.put(name, view)
@@ -1766,7 +1810,8 @@ object Views {
       edgeLabel: String,
       rederiveCap: Long = 1L << 20, maxRounds: Int = 60,
       recomputeRatio: Double = 0.3,
-      sharedTouchedV: Option[DataFrame] = None)
+      sharedTouchedV: Option[DataFrame] = None,
+      needOps: Boolean = true)
       : (DataFrame, DataFrame, DataFrame) = {
     def cut(df: DataFrame): DataFrame = df.localCheckpoint()
     def hinted(df: DataFrame, cnt: Long): DataFrame =
@@ -1775,14 +1820,23 @@ object Views {
       initReachState(oldStore, edgeLabel, maxRounds))
     val (eAdd, eRem) = reachEdgeDelta(oldStore, newStore, edgeLabel,
       sharedTouchedV)
+    // `needOps = false` callers (standalone reachability refresh)
+    // discard the ±op frame, so the recompute fallback must not pay
+    // its both-ways closure-sized state-diff anti-join for them —
+    // they get an empty frame instead (the fold paths' own ops are
+    // byproducts of work already done and stay as-is).
     def finish(state: DataFrame, ops: Option[DataFrame])
         : (DataFrame, DataFrame, DataFrame) = {
       catalog.put(stateKey, state)
-      val o = ops.getOrElse(cut(
-        state.join(s0, Seq("src", "dst"), "left_anti")
-          .withColumn("op", lit("add"))
-          .unionByName(s0.join(state, Seq("src", "dst"), "left_anti")
-            .withColumn("op", lit("remove")))))
+      val o = ops.getOrElse {
+        if (!needOps)
+          s0.limit(0).withColumn("op", lit("add"))
+        else cut(
+          state.join(s0, Seq("src", "dst"), "left_anti")
+            .withColumn("op", lit("add"))
+            .unionByName(s0.join(state, Seq("src", "dst"), "left_anti")
+              .withColumn("op", lit("remove"))))
+      }
       (s0, state, o)
     }
     var r = s0
@@ -1892,14 +1946,14 @@ object Views {
     }
     // net the two window-bounded frames: a DRed-removed pair that the
     // insertion re-derived was present before AND after — no op
-    val ops = cut(
+    val ops = if (!needOps) None else Some(cut(
       added.join(hinted(removedPend, removedCnt), Seq("src", "dst"),
           "left_anti")
         .withColumn("op", lit("add"))
       .unionByName(removedPend.join(hinted(added, addedCnt),
           Seq("src", "dst"), "left_anti")
-        .withColumn("op", lit("remove"))))
-    finish(r, Some(ops))
+        .withColumn("op", lit("remove")))))
+    finish(r, ops)
   }
 
   /** Counting state + signed delta for a LOWER-BOUNDED unbounded reach
@@ -2003,7 +2057,7 @@ object Views {
     val dstDelta = windowVertexDelta(oldStore, newStore, dstLabel,
       dstPred, "__d", Some(touchedV)).select(col("op"), col("__d").as(b))
     val delta = cut(walkEmitDelta(wl, tcRel, dstV(oldStore), dJ,
-      dstDelta, x, b))
+      dstDelta, x, b, gateETouched = true))
     val (s1Raw, opsRaw) = mergeJoinDeltaWithOps(state0, delta)
     val state1 = s1Raw.localCheckpoint()
     catalog.put(s"$prefix!state", state1)

@@ -140,6 +140,49 @@ class StreamViewsSpec extends SparkSpec {
     assert(multiset(viaRegroup) == want)
   }
 
+  test("mergeJoinDelta cap is byte-derived: budget tracks the session " +
+    "broadcast threshold and row width; a tiny threshold takes the " +
+    "regroup path, the default broadcasts — same rows either way") {
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toList).groupBy(identity).view.mapValues(_.length).toMap
+    val shape = Seq((1L, 2L, 3L)).toDF("src", "dst", "__dm")
+    val width = shape.schema.defaultSize.toLong // 3 longs = 24 bytes
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "1kb")
+      assert(Views.broadcastRowBudget(shape) == 1024L / width)
+      spark.conf.set(key, "10485760")
+      assert(Views.broadcastRowBudget(shape) == (10L << 20) / width)
+      // disabled threshold (-1) must not yield a zero/negative cap —
+      // the merge still needs SOME budget; it falls back to the
+      // Spark default byte budget
+      spark.conf.set(key, "-1")
+      assert(Views.broadcastRowBudget(shape) == (10L << 20) / width)
+      val state = Seq((1L, 2L), (3L, 4L), (3L, 4L), (5L, 6L))
+        .toDF("src", "dst").groupBy("src", "dst")
+        .agg(count(lit(1)).as("__mult"))
+      val delta = Seq(
+        (1L, 2L, 1L), (5L, 6L, -1L), (3L, 4L, -1L), (7L, 8L, 1L))
+        .toDF("src", "dst", "__sign")
+      val want = Map(
+        List(1L, 2L, 2L) -> 1, List(3L, 4L, 1L) -> 1, List(7L, 8L, 1L) -> 1)
+      // 72-byte threshold → 3-row budget < 4 netted keys → regroup
+      // fallback (plan has NO join: union + re-aggregate only)
+      spark.conf.set(key, "72")
+      val viaTiny = Views.mergeJoinDelta(state, delta)
+      assert(!viaTiny.queryExecution.executedPlan.toString.contains("Join"),
+        "a delta over the byte budget must take the join-free regroup path")
+      assert(multiset(viaTiny) == want)
+      // default threshold → broadcast merge path (plan joins)
+      spark.conf.set(key, saved)
+      val viaDefault = Views.mergeJoinDelta(state, delta)
+      assert(viaDefault.queryExecution.executedPlan.toString.contains("Join"),
+        "a window-sized delta must take the broadcast merge path")
+      assert(multiset(viaDefault) == want)
+    } finally spark.conf.set(key, saved)
+  }
+
   test("stateMembershipOps branch parity: broadcast derivation == " +
     "state-diff fallback; count moves that stay positive emit nothing") {
     def opset(df: org.apache.spark.sql.DataFrame) =
@@ -1914,6 +1957,13 @@ class StreamViewsSpec extends SparkSpec {
     // the lower-bounded reach spec)
     GqlViews.register(cat, "ok3",
       "MATCH (a:N)-[:link*2..]->(b:N)-[:link]->(c:N)")
+    // a bounded range past the hop cap rejects at REGISTER, like *0
+    // and *8.. do — not at first refresh (r12, eager-validation
+    // symmetry)
+    val wide = intercept[IllegalArgumentException] {
+      GqlViews.register(cat, "bad3", "MATCH (a:N)-[:link*1..7]->(b:N)")
+    }
+    assert(wide.getMessage.contains("[1, 6]"), wide.getMessage)
   }
 
   test("composed chains with an UNBOUNDED segment: closure sub-state " +
