@@ -28,7 +28,10 @@ import Ast._
   * counting — Views.refreshVarLengthPatternView), or a single
   * UNBOUNDED segment `MATCH (a:N)-[:dep*1..]->(b:N)` (maintained as a
   * transitive-closure reachability view, semi-naive insertion + DRed
-  * deletion — Views.refreshReachabilityView), all with NO RETURN
+  * deletion — Views.refreshReachabilityView; the UNDIRECTED form
+  * `-[:dep*m..]-` is connected-component membership, maintained as an
+  * incremental O(V) label state — r12,
+  * Views.refreshUndirectedReachView), all with NO RETURN
   * (the view's rows are the bound id tuple / the distinct endpoint
   * pairs). Var-length segments may also COMPOSE with further hops
   * (`(a:N)-[:link*1..2]->(b:N)-[:owns]->(c:M)` — r10,
@@ -145,14 +148,29 @@ object GqlViews {
           // reachability, so the counting sub-states compose); the
           // shapes neither can serve reject with remedies
           if (e.range.exists(_._2 == Int.MaxValue)) {
-            require(e.range.get._1 <= 6,
-              "lower-bounded reach views maintain *m.. for m <= 6 (the " +
-                "walk factor inherits the bounded family's hop cap); " +
-                "register a smaller bound and filter downstream")
-            require(e.direction == Outgoing,
-              "undirected unbounded reachability is connected-component " +
-                "membership, not a pattern view — use " +
-                "Algorithms.connectedComponents as a recomputed view")
+            if (e.direction == Undirected) {
+              // undirected unbounded reachability IS connected-
+              // component membership, maintained as an incremental
+              // label state (r12, Views.refreshUndirectedReachView);
+              // every lower bound m serves the same rows (a connected
+              // pair has walks of every sufficiently large length —
+              // bounce on any incident edge to pad by 2), so *m..
+              // needs no walk factor and no hop cap. Composition
+              // stays rejected: a component merge changes
+              // O(|compA|·|compB|) PAIRS, so pair-level membership
+              // ops (what a chain fold consumes) are quadratic where
+              // the label state itself is linear.
+              require(p.edges.size == 1,
+                "an undirected unbounded segment cannot compose with " +
+                  "further hops — a component merge implies " +
+                  "quadratically many pair-level ops for the chain " +
+                  "fold to consume; register the -[*..]- segment as " +
+                  "its own view and join downstream")
+            } else
+              require(e.range.get._1 <= 6,
+                "lower-bounded reach views maintain *m.. for m <= 6 (the " +
+                  "walk factor inherits the bounded family's hop cap); " +
+                  "register a smaller bound and filter downstream")
           } else e.range.foreach { r =>
             // bounded ranges inherit the same hop cap the refresh
             // enforces (requireHops) — validated HERE so a *1..7
@@ -321,6 +339,12 @@ object GqlViews {
         d.vertexPreds, d.edgePreds)
     }
     if (d.edgeLabels.size == 1) d.ranges.head match {
+      case Some((_, Int.MaxValue)) if d.undirectedHops.head =>
+        // any lower bound serves the same same-component pairs
+        // (walks pad by 2 through any incident edge)
+        Views.refreshUndirectedReachView(catalog, name, oldStore, newStore,
+          d.vertexLabels(0), d.edgeLabels(0), d.vertexLabels(1),
+          d.vertexPreds(0), d.vertexPreds(1))
       case Some((1, Int.MaxValue)) =>
         Views.refreshReachabilityView(catalog, name, oldStore, newStore,
           d.vertexLabels(0), d.edgeLabels(0), d.vertexLabels(1),

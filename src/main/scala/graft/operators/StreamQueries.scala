@@ -476,6 +476,50 @@ object StreamQueries {
         .orderBy("src_nation", "dst_nation")
     }),
 
+    // V5m: UNDIRECTED unbounded view (r12) — incremental connected
+    // components: the state is O(V) min-id labels, pairs are a
+    // serve-time comp self-join. Window 1 builds a mixed-orientation
+    // chain {0..5}, a triangle {6,7,8}, a self-loop {10}, a pair
+    // {12,13}, and a star {15,16,17} (all via the merge path —
+    // bootstrap is empty). Window 2 exercises every incremental
+    // shape at once: a SPLIT (remove 3-2 cuts the chain), a MERGE
+    // (add 5-6 joins {3,4,5} to the triangle), REDUNDANCY SURVIVAL
+    // (add 12-14-13 then remove 12-13 — the component re-derives
+    // whole), and a VERTEX CASCADE (remove 15 — 16/17 lose their
+    // only edges and leave the state). Oracle recomputes the
+    // end-state closure over the symmetrized edge set.
+    "v6_pattern_view_undirected_unbounded" -> ((s, dir) => {
+      import graft.graph.GraphStore
+      import graft.model.PropValue
+      val base = GraphStore.fromTpch(s, dir)
+      val noProps = lit(null).cast(PropValue.mapType)
+      val off = GraphStore.NationOff
+      def edgeFrame(es: Seq[(Long, Long)]) = {
+        import s.implicits._
+        es.map { case (a, b) => (a + off, b + off, "peers") }
+          .toDF("src", "dst", "label").withColumn("props", noProps)
+      }
+      val cat = new Views.ViewCatalog(s,
+        java.nio.file.Files.createTempDirectory("graft_pvcc").toString)
+      graft.gql.GqlViews.register(cat, "nation_peers",
+        "MATCH (a:Nation)-[:peers*1..]-(b:Nation)")
+      val m1 = base.addEdges(edgeFrame(Seq(
+          (1L, 0L), (1L, 2L), (3L, 2L), (3L, 4L), (5L, 4L),
+          (6L, 7L), (7L, 8L), (8L, 6L), (10L, 10L), (12L, 13L),
+          (15L, 16L), (15L, 17L))))
+        .truncatedEdges()
+      graft.gql.GqlViews.refresh(cat, "nation_peers", base, m1)
+      val m2 = m1.addEdges(edgeFrame(Seq((5L, 6L), (12L, 14L), (14L, 13L))))
+        .removeEdges(edgeFrame(Seq((3L, 2L), (12L, 13L)))
+          .select("src", "dst", "label"))
+        .removeVertices(s.range(1).select(lit(off + 15L).as("id")))
+        .truncated().truncatedEdges()
+      graft.gql.GqlViews.refresh(cat, "nation_peers", m1, m2)
+        .select((col("src") - off).as("src_nation"),
+          (col("dst") - off).as("dst_nation"))
+        .orderBy("src_nation", "dst_nation")
+    }),
+
     // V5i: COMPOSED chain with an UNBOUNDED segment (r11) — the
     // closure sub-state folds through a further hop:
     // (a:Nation)-[:flows*1..]->(b:Nation)-[:in_region]->(c:Region).
@@ -765,6 +809,28 @@ object StreamQueries {
          SELECT w.s AS src_nation, w.d AS mid_nation, nr.rk AS regionkey
          FROM w JOIN nr ON w.d = nr.nk
          ORDER BY src_nation, mid_nation, regionkey""",
+    // end-state same-component pairs of the undirected peers graph:
+    // surviving edges symmetrized, closed by a recursive CTE —
+    // components {0,1,2}, {3..8}, {10}, {12,13,14}; self-pairs
+    // included (every incident vertex reaches itself through any of
+    // its edges)
+    "v6_pattern_view_undirected_unbounded" ->
+      """WITH RECURSIVE
+           e0(s0, d0) AS (
+             SELECT * FROM (VALUES (1, 0), (1, 2), (3, 4), (5, 4),
+               (6, 7), (7, 8), (8, 6), (10, 10), (12, 14), (14, 13),
+               (5, 6)) v(s0, d0)),
+           e AS (
+             SELECT CAST(s0 AS BIGINT) AS s, CAST(d0 AS BIGINT) AS d
+             FROM e0
+             UNION
+             SELECT CAST(d0 AS BIGINT), CAST(s0 AS BIGINT) FROM e0),
+           r(s, d) AS (
+             SELECT s, d FROM e
+             UNION
+             SELECT r.s, e.d FROM r JOIN e ON r.d = e.s)
+         SELECT s AS src_nation, d AS dst_nation FROM r
+         ORDER BY src_nation, dst_nation""",
     // end-state closure of the flows graph: chain edges minus the
     // vertex-3 cascade (2→3, 3→4) and the removed 7→8, plus the 2→4
     // bypass, the 20→21 remnant (3→20 died with vertex 3), and the

@@ -9,10 +9,16 @@ import graft.views.Views
 
 /** Dev probe: the r10/r11 pattern-view family's second measured scale
   * decade — incremental refresh vs full recompute for the UNDIRECTED,
-  * COMPOSED (var-length + hop), and CHAIN-WHERE classes, at 1× and
-  * 10× graph size with mutation windows from tiny to 2% of edges.
-  * (The UNBOUNDED class has its own dedicated sweep —
-  * [[ReachCrossoverProbe]] — because its switch is intra-refresh.)
+  * COMPOSED (var-length + hop), CHAIN-WHERE, and (r12) the
+  * LOWER-BOUNDED *m.. classes (standalone and composed — their
+  * windows churn the closure itself, over a clustered-DAG `dep`
+  * graph whose chain depth stays under the reach fold's maxRounds),
+  * at 1× and 10× graph size with mutation windows from tiny to 2% of
+  * edges. Each cell also reports DRIVER JOBS per refresh (r12 —
+  * scheduler round-trips are the cluster latency floor at
+  * view-catalog scale). (The UNBOUNDED class has its own dedicated
+  * sweep — [[ReachCrossoverProbe]] — because its switch is
+  * intra-refresh.)
   *
   * Fixture: n "N" vertices carrying a float prop, n/10 "M" vertices;
   * `link` a DAG (i→i+1 except every 97th, plus i→i+2 every 5th),
@@ -42,6 +48,8 @@ object ViewScaleProbe {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     spark.sparkContext.setLogLevel("ERROR")
     val shuffleW = new java.util.concurrent.atomic.AtomicLong
+    val jobsN = new java.util.concurrent.atomic.AtomicLong
+    val bcastN = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
@@ -50,6 +58,26 @@ object ViewScaleProbe {
           val m = s.stageInfo.taskMetrics
           if (m != null)
             shuffleW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+        // jobs per refresh = driver actions = scheduler round-trips:
+        // on a real cluster each is a driver→executors latency floor,
+        // so at view-catalog scale (hundreds of views per batch) the
+        // count matters independently of data volume (r12 verdict #4).
+        // Split out BROADCAST-build jobs — they are intrinsic to the
+        // broadcast-everything delta design (one per exchange), run
+        // concurrently with their parent action on a cluster, and are
+        // not the serialized count()/checkpoint round-trips the
+        // verdict targets.
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobsN.incrementAndGet()
+          // broadcast builds run on the exchange thread pool; their
+          // jobs' stages all carry the withThreadLocalCaptured
+          // callsite (measured via JobTraceProbe) — the description
+          // property does not mark them in this Spark version
+          if (j.stageInfos.lastOption.exists(
+              _.name.contains("withThreadLocalCaptured")))
+            bcastN.incrementAndGet()
         }
       })
     val scales = args.headOption.getOrElse("1,10")
@@ -78,22 +106,38 @@ object ViewScaleProbe {
       val owns = ids.filter(col("id") % 2 === 0)
         .select(col("id").as("src"), (col("id") % m + n).as("dst"))
         .withColumn("label", lit("owns"))
+      // `dep`: C clustered DAGs of 32 (chain + j→j+7 skips every
+      // 5th) — the closure-backed classes need chain depth under the
+      // reach fold's maxRounds, same fixture shape as
+      // [[ReachCrossoverProbe]]; closure ≈ 560 pairs per cluster
+      val cSize = 32L
+      val clusters = n / cSize
+      val dep = ids.filter(col("id") % cSize =!= (cSize - 1))
+        .select(col("id").as("src"), (col("id") + 1).as("dst"))
+        .unionByName(ids.filter(
+            col("id") % cSize < (cSize - 7) && col("id") % 5 === 0)
+          .select(col("id").as("src"), (col("id") + 7).as("dst")))
+        .withColumn("label", lit("dep"))
       val base = GraphStore(
         nV.unionByName(mV).localCheckpoint(),
-        link.unionByName(peer).unionByName(owns)
+        link.unionByName(peer).unionByName(owns).unionByName(dep)
           .withColumn("props", noProps).localCheckpoint())
       val eCnt = base.edges.count()
       println(s"PROBE scale=${scale}x n=$n edges=$eCnt")
 
-      // (sec, shuffle write bytes) — the listener is async, so drain
-      // ~settled events on both edges of the timed block
-      def timed[A](f: => A): (Double, Long) = {
+      // (sec, shuffle write bytes, action jobs, broadcast-build jobs)
+      // — the listener is async, so drain ~settled events on both
+      // edges of the block
+      def timed[A](f: => A): (Double, Long, Long, Long) = {
         Thread.sleep(300)
         val w0 = shuffleW.get
+        val j0 = jobsN.get
+        val b0 = bcastN.get
         val t0 = System.nanoTime(); f
         val sec = (System.nanoTime() - t0) / 1e9
         Thread.sleep(300)
-        (sec, shuffleW.get - w0)
+        val b = bcastN.get - b0
+        (sec, shuffleW.get - w0, jobsN.get - j0 - b, b)
       }
       def newCat() = new Views.ViewCatalog(spark,
         java.nio.file.Files.createTempDirectory("graft_vsp").toString)
@@ -129,11 +173,40 @@ object ViewScaleProbe {
           .truncated().truncatedEdges()
       }
 
+      // dep-churn windows for the closure-backed classes: remove the
+      // mid-chain edge of the first w clusters (the j→j+7 skip at
+      // offset 15 keeps straddling pairs alive, so DRed genuinely
+      // re-derives), add a fresh skip in the next w, plus the same
+      // owns churn for the composed tail hop
+      def mutateDep(w: Long): GraphStore = {
+        val r = spark.range(math.min(w, clusters))
+        val depDels = r.select((col("id") * cSize + 16).as("src"),
+          (col("id") * cSize + 17).as("dst"), lit("dep").as("label"))
+        val depAdds = r.select(
+            ((col("id") + w) % clusters * cSize + 3).as("src"),
+            ((col("id") + w) % clusters * cSize + 10).as("dst"),
+            lit("dep").as("label"))
+        val ownsDels = r.select((col("id") * 2).as("src"),
+          (col("id") * 2 % m + n).as("dst"), lit("owns").as("label"))
+        val ownsAdds = r.select((col("id") * 2 + 1).as("src"),
+          ((col("id") * 2 + 1) % m + n).as("dst"), lit("owns").as("label"))
+        base.removeEdges(depDels.unionByName(ownsDels))
+          .addEdges(depAdds.unionByName(ownsAdds)
+            .withColumn("props", noProps))
+          .truncated().truncatedEdges()
+      }
+
       val allClasses = Seq(
         "undirected" -> "MATCH (a:N)-[:peer]-(b:N)",
         "composed" -> "MATCH (a:N)-[:link*1..2]->(b:N)-[:owns]->(c:M)",
         "where_chain" -> ("MATCH (a:N)-[:link]->(b:N)-[:owns]->(c:M) " +
-          "WHERE a.w < b.w AND c.v >= 0"))
+          "WHERE a.w < b.w AND c.v >= 0"),
+        // r12: the two r11-new classes, previously argued from shared
+        // machinery — *m.. lower-bounded (walk ⋈ closure) standalone
+        // and composed with a further hop; their windows churn the
+        // dep closure itself (mutateDep)
+        "lower_bounded" -> "MATCH (a:N)-[:dep*2..]->(b:N)",
+        "composed_lower" -> "MATCH (a:N)-[:dep*2..]->(b:N)-[:owns]->(c:M)")
       // the third decade is about the recompute-side join growth, and
       // the composed class is where the crossover showed at 10× —
       // bound the runtime by probing only it past 10×
@@ -147,21 +220,26 @@ object ViewScaleProbe {
         graft.gql.GqlViews.register(warm, "warm", allClasses.head._2)
         graft.gql.GqlViews.refresh(warm, "warm", base, mutate(1)).count()
       }
-      for ((cls, defn) <- classes) {
+      val only = args.drop(1).headOption
+        .map(_.split(",").map(_.trim).toSet)
+      for ((cls, defn) <- classes if only.forall(_.contains(cls))) {
+        val depCls = cls == "lower_bounded" || cls == "composed_lower"
         for (w <- Seq(64L, n / 1000, n / 50)) {
-          val m1 = mutate(w)
+          val m1 = if (depCls) mutateDep(w) else mutate(w)
           val cat = newCat()
           graft.gql.GqlViews.register(cat, cls, defn)
           graft.gql.GqlViews.refresh(cat, cls, base, base).count() // boot
-          val (tInc, sInc) = timed(
+          val (tInc, sInc, jInc, bInc) = timed(
             graft.gql.GqlViews.refresh(cat, cls, base, m1).count())
           val cat2 = newCat()
           graft.gql.GqlViews.register(cat2, cls, defn)
-          val (tRec, sRec) = timed(
+          val (tRec, sRec, jRec, bRec) = timed(
             graft.gql.GqlViews.refresh(cat2, cls, m1, m1).count())
           println(f"PROBE scale=${scale}x class=$cls w=$w " +
             f"tRefresh=$tInc%.2fs shfRefresh=${sInc / 1e6}%.1fMB " +
+            f"jobsRefresh=$jInc bcastRefresh=$bInc " +
             f"tRecompute=$tRec%.2fs shfRecompute=${sRec / 1e6}%.1fMB " +
+            f"jobsRecompute=$jRec bcastRecompute=$bRec " +
             f"shfRatio=${sRec.toDouble / math.max(1L, sInc)}%.1fx")
         }
       }

@@ -343,6 +343,70 @@ object Views {
       rel.withColumn(signCol, col("__mult").cast("long")).drop("__mult")
     else rel.withColumn(signCol, lit(1L))
 
+  /** LAZY localCheckpoint + count fused into ONE driver job (r12
+    * verdict #4): the family's eager checkpoint-then-count idiom paid
+    * two scheduler round-trips per fixpoint round — the checkpoint
+    * job materialized the frame, then the count re-read it. The first
+    * action on a lazily-marked checkpoint materializes it, so the
+    * count IS the materialization. On a real cluster each saved job
+    * is a driver→executor round-trip; at view-catalog scale (hundreds
+    * of views per batch) the job count is the refresh latency floor.
+    *
+    * Lazy-checkpoint discipline for frames WITHOUT a fused count
+    * ([[lazyCut]]): safe exactly when some later action in the same
+    * fold touches the frame before its INPUTS are unpersisted —
+    * inside a fold every input is a materialized checkpoint, so a
+    * deferred materialization never re-derives through the catalog's
+    * replaced state. Frames handed to `catalog.put` stay EAGER (the
+    * put boundary is the state's materialization contract).
+    */
+  private def cutCount(df: DataFrame): (DataFrame, Long) = {
+    val c = df.localCheckpoint(false)
+    (c, c.count())
+  }
+
+  private def lazyCut(df: DataFrame): DataFrame = df.localCheckpoint(false)
+
+  /** AQE-off scope for creating PARTITION-CARRYING checkpoints.
+    * Dataset.localCheckpoint captures the physical plan's
+    * outputPartitioning/outputOrdering into the returned LogicalRDD —
+    * but only usefully with AQE off at CREATION time: under AQE the
+    * captured partitioning degrades to unknown (measured,
+    * PartitionProbe r12 — consumers plan an ENSURE_REQUIREMENTS
+    * exchange over the checkpointed scan with AQE on at creation,
+    * and no exchange / no sort with it off). The scope covers only
+    * the checkpoint's own planning; consumer queries keep AQE.
+    */
+  private def aqeOff[A](spark: SparkSession)(f: => A): A = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try f finally spark.conf.set(key, prev)
+  }
+
+  /** One state-sized shuffle that buys shuffle-free membership joins
+    * for every later fold round and refresh: hash-partition + sort on
+    * `keyCols`, checkpoint eagerly with the layout carried into the
+    * LogicalRDD ([[aqeOff]]). EnsureRequirements then plans every
+    * equi/semi/anti join on these keys with NO exchange and NO sort
+    * on this side — only the window-sized probe side shuffles.
+    */
+  private def partitionedCkpt(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    aqeOff(df.sparkSession) {
+      df.repartition(keyCols.map(col): _*)
+        .sortWithinPartitions(keyCols.map(col): _*)
+        .localCheckpoint()
+    }
+
+  /** Lazy checkpoint of a frame DERIVED from a partitioned core by
+    * layout-preserving operators (broadcast joins, filters, alias
+    * projections) — the carried partitioning/ordering survives into
+    * the new checkpoint (PartitionProbe case 3), so a filtered core
+    * keeps serving exchange-free joins.
+    */
+  private def preservedCkpt(df: DataFrame): DataFrame =
+    aqeOff(df.sparkSession) { df.localCheckpoint(false) }
+
   /** Rows of `df`'s shape that fit the session broadcast budget:
     * `spark.sql.autoBroadcastJoinThreshold` divided by the schema's
     * estimated row width — the byte-derived stand-in for the old
@@ -394,13 +458,12 @@ object Views {
   def mergeJoinDelta(state: DataFrame, delta: DataFrame,
       broadcastCap: Long = -1L): DataFrame = {
     val cols = state.columns.filterNot(_ == "__mult")
-    val dAgg = delta
+    val (dAgg, dCnt) = cutCount(delta
       .select(cols.map(col) :+ col("__sign").cast("long").as("__m"): _*)
       .groupBy(cols.map(col): _*)
-      .agg(sum("__m").as("__dm"))
-      .localCheckpoint()
+      .agg(sum("__m").as("__dm")))
     val cap = if (broadcastCap >= 0) broadcastCap else broadcastRowBudget(dAgg)
-    if (dAgg.count() > cap)
+    if (dCnt > cap)
       return state.select(cols.map(col) :+ col("__mult").as("__m"): _*)
         .unionByName(dAgg.select(cols.map(col) :+ col("__dm").as("__m"): _*))
         .groupBy(cols.map(col): _*)
@@ -411,9 +474,10 @@ object Views {
         (col("__mult") + coalesce(col("__dm"), lit(0L))).as("__mult"): _*)
       .filter(col("__mult") > 0)
     // keys present in BOTH — ≤ |delta| rows off one state scan; the
-    // checkpoint keeps the anti-join below from re-scanning the state
-    val matched = state.join(broadcast(dAgg), cols.toSeq, "left_semi")
-      .select(cols.map(col): _*).localCheckpoint()
+    // (lazy) checkpoint keeps the anti-join below from re-scanning
+    // the state once the consumer's first action materializes it
+    val matched = lazyCut(state.join(broadcast(dAgg), cols.toSeq, "left_semi")
+      .select(cols.map(col): _*))
     val inserts = dAgg.join(broadcast(matched), cols.toSeq, "left_anti")
       .select(cols.map(col) :+ col("__dm").as("__mult"): _*)
       .filter(col("__mult") > 0)
@@ -441,14 +505,13 @@ object Views {
   def mergeJoinDeltaWithOps(state: DataFrame, delta: DataFrame,
       broadcastCap: Long = -1L): (DataFrame, DataFrame) = {
     val cols = state.columns.filterNot(_ == "__mult")
-    val dAgg = delta
+    val (dAgg, dCnt) = cutCount(delta
       .select(cols.map(col) :+ col("__sign").cast("long").as("__m"): _*)
       .groupBy(cols.map(col): _*)
       .agg(sum("__m").as("__dm"))
-      .filter(col("__dm") =!= 0)
-      .localCheckpoint()
+      .filter(col("__dm") =!= 0))
     val cap = if (broadcastCap >= 0) broadcastCap else broadcastRowBudget(dAgg)
-    if (dAgg.count() > cap) {
+    if (dCnt > cap) {
       val s1 = state
         .select(cols.map(col) :+ col("__mult").as("__m"): _*)
         .unionByName(dAgg.select(cols.map(col) :+ col("__dm").as("__m"): _*))
@@ -464,10 +527,10 @@ object Views {
           .select(cols.map(col) :+ lit("remove").as("op"): _*)))
     }
     // keys present in BOTH state and delta, with both counts — one
-    // state scan feeds the merge, the inserts, and the ops
-    val touched = state.join(broadcast(dAgg), cols.toSeq)
-      .select(cols.map(col) ++ Seq(col("__mult"), col("__dm")): _*)
-      .localCheckpoint()
+    // state scan feeds the merge, the inserts, and the ops (lazy:
+    // the consumer's first action materializes it once)
+    val touched = lazyCut(state.join(broadcast(dAgg), cols.toSeq)
+      .select(cols.map(col) ++ Seq(col("__mult"), col("__dm")): _*))
     val merged = state.join(broadcast(dAgg), cols.toSeq, "left_outer")
       .select(cols.map(col) :+
         (col("__mult") + coalesce(col("__dm"), lit(0L))).as("__mult"): _*)
@@ -589,9 +652,10 @@ object Views {
     * state-merge shuffle was removed. Stateless callers (no
     * `prefixOld`) keep the lazy prefix join — correct, and still one
     * association level cheaper than the pre-r11 form.
-    * `onLevelDelta(i, signedCut)` fires once per interior level with
-    * the (checkpointed) level delta so the caller can fold its
-    * prefix state forward.
+    * `onLevelDelta(i, signedCut, cnt)` fires once per interior level
+    * with the (checkpointed) level delta and its fused row count so
+    * the caller can fold its prefix state forward without spending
+    * an isEmpty action.
     */
   def patternChainViewDelta(oldStore: graft.graph.GraphStore,
       newStore: graft.graph.GraphStore, vertexLabels: Seq[String],
@@ -602,7 +666,8 @@ object Views {
       hopOverrides: Map[Int, (String, String) => (DataFrame, DataFrame)] =
         Map.empty,
       prefixOld: Map[Int, DataFrame] = Map.empty,
-      onLevelDelta: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
+      onLevelDelta: (Int, DataFrame, Long) => Unit = (_, _, _) => ())
+      : DataFrame = {
     require(vertexLabels.size == edgeLabels.size + 1 && edgeLabels.nonEmpty,
       s"chain wants k+1 vertex labels for k>=1 edge labels, got " +
         s"${vertexLabels.size}/${edgeLabels.size}")
@@ -620,27 +685,28 @@ object Views {
       s"undirectedHops wants one entry per edge label")
     val feed = newStore.changes.filter(col("version") > oldStore.version)
     // Every intermediate here is DELTA-sized, and each is read by
-    // several downstream joins/broadcasts; left lazy, the tree
-    // re-executes multiplicatively (the level-1 delta re-runs the
-    // edge delta up to 3×, which runs touched-keys 2×, which runs
+    // several downstream joins/broadcasts; left UNCHECKPOINTED, the
+    // tree re-executes multiplicatively (the level-1 delta re-runs
+    // the edge delta up to 3×, which runs touched-keys 2×, which runs
     // the incident scans 3× — measured 32 s for a 9-op window at
-    // sf0.1, ~3 s once cut). localCheckpoint is eager and
-    // lineage-free, so each level computes exactly once.
-    def cut(df: DataFrame): DataFrame = df.localCheckpoint()
+    // sf0.1, ~3 s once cut). A LAZY checkpoint mark (r12) keeps the
+    // compute-exactly-once property — the first consumer job
+    // materializes the frame, later consumers read blocks — while
+    // dropping the standalone eager-materialization job each frame
+    // used to pay: the chain fold's per-refresh driver-job count
+    // roughly halves (ViewScaleProbe's jobsRefresh column).
+    def cut(df: DataFrame): DataFrame = lazyCut(df)
     // update_vertex_props joins the touched set: for a predicated
     // position the update can flip membership; for label-only
     // positions the NET compare below yields no delta row, so the
-    // wider set costs nothing but a few extra broadcast probe keys
-    val touchedV = cut(feed
-      .filter(col("op").isin("add_vertex", "remove_vertex",
-        "update_vertex_props"))
-      .select(col("id")).distinct())
+    // wider set costs nothing but a few extra probe keys
+    val touchedV = feedTouchedV(oldStore, newStore)
     def vFilter(label: String, pred: Option[Column]): Column =
       pred.foldLeft(col("label") === label)(_ && _)
     def members(store: graft.graph.GraphStore, label: String,
         pred: Option[Column]) =
-      store.vertices.filter(vFilter(label, pred))
-        .join(broadcast(touchedV), Seq("id"), "left_semi").select("id")
+      touchedV.semi(store.vertices.filter(vFilter(label, pred)), "id")
+        .select("id")
     def vDelta(pos: Int, keyName: String): DataFrame = {
       val o = members(oldStore, vertexLabels(pos), preds(pos))
       val n = members(newStore, vertexLabels(pos), preds(pos))
@@ -662,11 +728,7 @@ object Views {
         .select(col("src"), col("dst")).distinct()
       def incident(store: graft.graph.GraphStore) = {
         val e = store.edges.filter(col("label") === edgeLabel)
-        e.join(broadcast(touchedV.select(col("id").as("src"))),
-            Seq("src"), "left_semi")
-          .unionByName(e.join(broadcast(touchedV.select(col("id").as("dst"))),
-            Seq("dst"), "left_semi").select(col("src"), col("dst"),
-              col("label"), col("props")))
+        touchedV.semi(e, "src").unionByName(touchedV.semi(e, "dst"))
           .select(col("src"), col("dst"))
       }
       val touchedE = cut(explicitE.unionByName(incident(oldStore))
@@ -724,8 +786,11 @@ object Views {
       val v = vOld(i, d)
       signed = level2Delta(chainOld, e, v, opify(d1), vDelta(i, d), s, d)
       if (i < edgeLabels.size) {
-        signed = cut(signed)
-        onLevelDelta(i, signed)
+        // fused: one job materializes the level delta AND yields the
+        // count the prefix-state fold branches on
+        val (sc, scCnt) = cutCount(signed)
+        signed = sc
+        onLevelDelta(i, sc, scCnt)
         chainOld = prefixOld.getOrElse(i, chainOld.join(e, s).join(v, d))
         deltaOps = opify(signed)
       }
@@ -831,7 +896,7 @@ object Views {
       preds: Seq[Option[Column]], epreds: Seq[Option[Column]],
       undir: Seq[Boolean],
       bootOverrides: Map[Int, (String, String) => DataFrame] = Map.empty)
-      : (Map[Int, DataFrame], (Int, DataFrame) => Unit) = {
+      : (Map[Int, DataFrame], (Int, DataFrame, Long) => Unit) = {
     val oldStates = (1 until edgeLabels.size).map { i =>
       i -> catalog.dataOf(s"$name!p$i").getOrElse(
         initPatternChainState(oldStore,
@@ -839,8 +904,9 @@ object Views {
           preds.take(i + 1), epreds.take(i), undir.take(i),
           bootOverrides.filter(_._1 < i)).localCheckpoint())
     }.toMap
-    val fold = (i: Int, signed: DataFrame) => {
-      if (!signed.isEmpty) {
+    val fold = (i: Int, signed: DataFrame, cnt: Long) => {
+      // the fused level count replaces the old isEmpty action (r12)
+      if (cnt > 0) {
         val s1 = mergeJoinDelta(oldStates(i), signed).localCheckpoint()
         catalog.put(s"$name!p$i", s1)
       } else if (catalog.dataOf(s"$name!p$i").isEmpty)
@@ -960,7 +1026,8 @@ object Views {
       dstPred: Option[Column] = None,
       undirected: Boolean = false,
       walkOld: Map[Int, DataFrame] = Map.empty,
-      onWalkDelta: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
+      onWalkDelta: (Int, DataFrame, Long) => Unit = (_, _, _) => ())
+      : DataFrame = {
     requireHops(minHops, maxHops)
     val touchedV = feedTouchedV(oldStore, newStore)
     val dstOld = oldStore.vertices.filter(
@@ -971,28 +1038,59 @@ object Views {
     // = i-hop walk counts; emit Δ(W_h ⋈ V_dst) at each h ∈ [min, max]
     val emitted = scala.collection.mutable.Buffer[DataFrame]()
     walkFoldLevels(oldStore, newStore, srcLabel, edgeLabel, maxHops,
-      srcPred, undirected, walkOld, (i, wPrev, e, dW, s, d) => {
+      srcPred, undirected, walkOld, (i, wPrev, e, dW, dwCnt, s, d) => {
         if (i >= minHops)
           emitted += walkEmitDelta(wPrev, e,
             dstOld.select(col("id").as(d)), dW,
             dstDelta.select(col("op"), col("__d").as(d)), s, d)
-        if (i < maxHops) onWalkDelta(i, dW)
+        if (i < maxHops) onWalkDelta(i, dW, dwCnt)
       }, Some(touchedV))
     emitted.reduce(_ unionByName _)
   }
 
-  /** The feed-touched vertex-id frame every window brick probes —
+  /** The feed-touched vertex-id set every window brick probes —
     * computed ONCE per refresh and passed as `sharedTouchedV` to
-    * [[windowVertexDelta]] / [[walkFoldLevels]] / [[reachEdgeDelta]]
-    * (each is an eager checkpoint job over the change feed; a
-    * var-length refresh uses it 3-4 times).
+    * [[windowVertexDelta]] / [[walkFoldLevels]] / [[reachEdgeDelta]].
+    *
+    * Probe shape (r12): a normal change window is a HANDFUL of ids,
+    * yet the old broadcast-semi-join form paid one broadcast-build
+    * job per consumer query — JobTraceProbe attributed 52 of a
+    * composed refresh's 76 jobs to broadcast builds, many of them
+    * this frame over and over. [[IdProbe]] collects the set once
+    * (one driver job) when it fits `collectCap` and probes as an
+    * InSet FILTER pushed into each scan — zero per-consumer build
+    * jobs, tighter codegen; an oversized window falls back to the
+    * broadcast semi-join.
     */
+  private[views] final class IdProbe(val df: DataFrame,
+      ids: Option[Array[Long]]) {
+    /** rows of `x` whose column `on` is in the touched set */
+    def semi(x: DataFrame, on: String): DataFrame = ids match {
+      case Some(a) if a.isEmpty => x.filter(lit(false))
+      case Some(a) => x.filter(col(on).isInCollection(a))
+      case None =>
+        x.join(broadcast(df.select(col("id").as(on))), Seq(on), "left_semi")
+    }
+  }
+
+  private val collectCap = 1 << 16
+
+  /** Wrap a single-column id frame as an [[IdProbe]] — one bounded
+    * collect; oversize sets stay as broadcast semi-joins.
+    */
+  private def idProbe(df: DataFrame): IdProbe = {
+    val head = df.limit(collectCap + 1).collect()
+    new IdProbe(df,
+      if (head.length > collectCap) None
+      else Some(head.map(_.getLong(0))))
+  }
+
   private def feedTouchedV(oldStore: graft.graph.GraphStore,
-      newStore: graft.graph.GraphStore): DataFrame =
-    newStore.changes.filter(col("version") > oldStore.version)
+      newStore: graft.graph.GraphStore): IdProbe =
+    idProbe(newStore.changes.filter(col("version") > oldStore.version)
       .filter(col("op").isin("add_vertex", "remove_vertex",
         "update_vertex_props"))
-      .select(col("id")).distinct().localCheckpoint()
+      .select(col("id")).distinct().localCheckpoint(false))
 
   /** Net ±op membership delta of the `label`-filtered (optionally
     * predicated) vertex set between two store versions, restricted
@@ -1003,26 +1101,27 @@ object Views {
   private def windowVertexDelta(oldStore: graft.graph.GraphStore,
       newStore: graft.graph.GraphStore, label: String,
       pred: Option[Column], keyName: String,
-      sharedTouchedV: Option[DataFrame] = None): DataFrame = {
+      sharedTouchedV: Option[IdProbe] = None): DataFrame = {
     val touchedV = sharedTouchedV.getOrElse(
       feedTouchedV(oldStore, newStore))
     def members(store: graft.graph.GraphStore) =
-      store.vertices.filter(pred.foldLeft(col("label") === label)(_ && _))
-        .join(broadcast(touchedV), Seq("id"), "left_semi").select("id")
+      touchedV.semi(store.vertices.filter(
+        pred.foldLeft(col("label") === label)(_ && _)), "id").select("id")
     val o = members(oldStore)
     val n = members(newStore)
     n.join(o, Seq("id"), "left_anti")
       .select(lit("add").as("op"), col("id").as(keyName))
       .unionByName(o.join(n, Seq("id"), "left_anti")
         .select(lit("remove").as("op"), col("id").as(keyName)))
-      .localCheckpoint()
+      .localCheckpoint(false)
   }
 
   /** The counted-pair walk fold shared by [[varLengthViewDelta]] and
     * the lower-bounded reach composition: advances the walk bags
     * W_0..W_maxLevel through the change window, firing
-    * `onLevel(i, wPrevOld, e, dW, s, d)` at every level with the
-    * netted signed pair-count delta ΔW_i (checkpointed; `wPrevOld` is
+    * `onLevel(i, wPrevOld, e, dW, dwCnt, s, d)` at every level with
+    * the netted signed pair-count delta ΔW_i (checkpointed, row count
+    * fused with its materialization — r12) (`wPrevOld` is
     * W_{i-1}'s old bag, `e` the old edge relation aliased (s, d)).
     * One edge delta serves every level (all hops share the label);
     * cascades arrive through the incident scans. `walkOld` substitutes
@@ -1032,10 +1131,10 @@ object Views {
       newStore: graft.graph.GraphStore, srcLabel: String,
       edgeLabel: String, maxLevel: Int, srcPred: Option[Column],
       undirected: Boolean, walkOld: Map[Int, DataFrame],
-      onLevel: (Int, DataFrame, DataFrame, DataFrame, String, String) => Unit,
-      sharedTouchedV: Option[DataFrame] = None): Unit = {
+      onLevel: (Int, DataFrame, DataFrame, DataFrame, Long, String,
+        String) => Unit,
+      sharedTouchedV: Option[IdProbe] = None): Unit = {
     val feed = newStore.changes.filter(col("version") > oldStore.version)
-    def cut(df: DataFrame): DataFrame = df.localCheckpoint()
     val touchedV = sharedTouchedV.getOrElse(
       feedTouchedV(oldStore, newStore))
     // explicit edge ops + old/new edges incident to touched vertices
@@ -1046,14 +1145,10 @@ object Views {
       .select(col("src"), col("dst")).distinct()
     def incident(store: graft.graph.GraphStore) = {
       val e = store.edges.filter(col("label") === edgeLabel)
-      e.join(broadcast(touchedV.select(col("id").as("src"))),
-          Seq("src"), "left_semi")
-        .unionByName(e.join(broadcast(touchedV.select(col("id").as("dst"))),
-          Seq("dst"), "left_semi").select(col("src"), col("dst"),
-            col("label"), col("props")))
+      touchedV.semi(e, "src").unionByName(touchedV.semi(e, "dst"))
         .select(col("src"), col("dst"))
     }
-    val touchedE = cut(explicitE.unionByName(incident(oldStore))
+    val touchedE = lazyCut(explicitE.unionByName(incident(oldStore))
       .unionByName(incident(newStore)).distinct())
     def eMembers(store: graft.graph.GraphStore) =
       store.edges.filter(col("label") === edgeLabel)
@@ -1068,7 +1163,7 @@ object Views {
         case "dst" => col("src").as("dst")
         case c => col(c)
       }: _*))
-    val eDelta = cut(sym(en.join(eo, Seq("src", "dst"), "left_anti")
+    val eDelta = lazyCut(sym(en.join(eo, Seq("src", "dst"), "left_anti")
       .select(lit("add").as("op"), col("src"), col("dst"))
       .unionByName(eo.join(en, Seq("src", "dst"), "left_anti")
         .select(lit("remove").as("op"), col("src"), col("dst")))))
@@ -1085,12 +1180,14 @@ object Views {
       val e = eOld.select(col("src").as(s), col("dst").as(d))
       val dE = eDelta.select(col("op"), col("src").as(s), col("dst").as(d))
       // ΔW_i netted to signed per-pair counts — the one delta-sized
-      // shuffle per level; downstream terms broadcast it
-      val dW = cut(joinViewDelta(wPrev, dPrev, e, dE, Seq(s))
+      // shuffle per level; downstream terms broadcast it. Count fused
+      // with the checkpoint (one job), and passed to the callback so
+      // state folds skip empty levels without an isEmpty action.
+      val (dW, dwCnt) = cutCount(joinViewDelta(wPrev, dPrev, e, dE, Seq(s))
         .groupBy(col("c0"), col(d))
         .agg(sum("__sign").as("__sign"))
         .filter(col("__sign") =!= 0))
-      onLevel(i, wPrev, e, dW, s, d)
+      onLevel(i, wPrev, e, dW, dwCnt, s, d)
       if (i < maxLevel) {
         // stateless fallback pair-compresses too: the lazy bag would
         // re-enumerate degree^h walk rows at every level and in every
@@ -1137,8 +1234,8 @@ object Views {
       val raw = eOld.join(broadcast(sV), d)
       if (!gateETouched) broadcast(raw)
       else {
-        val eT = raw.localCheckpoint()
-        if (eT.count() <= broadcastRowBudget(eT)) broadcast(eT)
+        val (eT, eTCnt) = cutCount(raw)
+        if (eTCnt <= broadcastRowBudget(eT)) broadcast(eT)
         else eT.hint("shuffle_hash")
       }
     }
@@ -1165,7 +1262,8 @@ object Views {
   private def walkHooks(catalog: ViewCatalog, prefix: String,
       oldStore: graft.graph.GraphStore, srcLabel: String,
       edgeLabel: String, maxHops: Int, srcPred: Option[Column],
-      undirected: Boolean): (Map[Int, DataFrame], (Int, DataFrame) => Unit) = {
+      undirected: Boolean)
+      : (Map[Int, DataFrame], (Int, DataFrame, Long) => Unit) = {
     val e1 = oldStore.edges.filter(col("label") === edgeLabel)
       .select("src", "dst")
     val e = if (!undirected) e1 else e1.unionByName(
@@ -1182,8 +1280,9 @@ object Views {
           .localCheckpoint())
       i -> w
     }.toMap
-    val fold = (i: Int, dW: DataFrame) => {
-      if (!dW.isEmpty) {
+    val fold = (i: Int, dW: DataFrame, dwCnt: Long) => {
+      // the fused level count replaces the old isEmpty action (r12)
+      if (dwCnt > 0) {
         val s1 = mergeJoinDelta(oldStates(i), dW).localCheckpoint()
         catalog.put(s"$prefix!w$i", s1)
       } else if (catalog.dataOf(s"$prefix!w$i").isEmpty)
@@ -1332,7 +1431,7 @@ object Views {
       srcPropsCol: String, edgePropsCol: String, dstPropsCol: String,
       tuplePred: Column, srcPred: Option[Column],
       dstPred: Option[Column], edgePred: Option[Column],
-      sharedTouchedV: Option[DataFrame] = None)
+      sharedTouchedV: Option[IdProbe] = None)
       : (DataFrame, DataFrame) = {
     def cut(df: DataFrame): DataFrame = df.localCheckpoint()
     def members(store: graft.graph.GraphStore): DataFrame =
@@ -1352,24 +1451,20 @@ object Views {
     val feed = newStore.changes.filter(col("version") > oldStore.version)
     // a multi-hop caller computes the touched set ONCE and shares it
     // across its predicated hops (it is hop-independent)
-    val touchedV = sharedTouchedV.getOrElse(cut(feed
+    val touchedV = sharedTouchedV.getOrElse(idProbe(lazyCut(feed
       .filter(col("op").isin("add_vertex", "remove_vertex",
         "update_vertex_props"))
-      .select(col("id")).distinct()))
+      .select(col("id")).distinct())))
     val explicitE = feed.filter(
         col("op").isin("add_edge", "remove_edge", "update_edge_props")
           && col("elabel") === edgeLabel)
       .select(col("src"), col("dst")).distinct()
     def incident(store: graft.graph.GraphStore) = {
       val e = store.edges.filter(col("label") === edgeLabel)
-      e.join(broadcast(touchedV.select(col("id").as("src"))),
-          Seq("src"), "left_semi")
-        .unionByName(e.join(broadcast(touchedV.select(col("id").as("dst"))),
-          Seq("dst"), "left_semi").select(col("src"), col("dst"),
-            col("label"), col("props")))
+      touchedV.semi(e, "src").unionByName(touchedV.semi(e, "dst"))
         .select(col("src"), col("dst"))
     }
-    val touchedE = cut(explicitE.unionByName(incident(oldStore))
+    val touchedE = lazyCut(explicitE.unionByName(incident(oldStore))
       .unionByName(incident(newStore)).distinct())
     // restrict the EDGE SCAN first and broadcast the window-sized
     // slice outward — the members(store)-then-semi-join form left
@@ -1396,7 +1491,7 @@ object Views {
     }
     val o = touchedMembers(oldStore)
     val n = touchedMembers(newStore)
-    val ops = cut(n.join(o, Seq("src", "dst"), "left_anti")
+    val ops = lazyCut(n.join(o, Seq("src", "dst"), "left_anti")
       .select(lit("add").as("op"), col("src"), col("dst"))
       .unionByName(o.join(n, Seq("src", "dst"), "left_anti")
         .select(lit("remove").as("op"), col("src"), col("dst"))))
@@ -1455,11 +1550,7 @@ object Views {
       Seq.fill(vertexLabels.size)(None: Option[Column]) else vertexPreds
     val epreds = if (edgePreds.isEmpty)
       Seq.fill(edgeLabels.size)(None: Option[Column]) else edgePreds
-    val sharedTouchedV = newStore.changes
-      .filter(col("version") > oldStore.version)
-      .filter(col("op").isin("add_vertex", "remove_vertex",
-        "update_vertex_props"))
-      .select(col("id")).distinct().localCheckpoint()
+    val sharedTouchedV = feedTouchedV(oldStore, newStore)
     val overrides = hopPreds.zipWithIndex.collect {
       case (Some(p), j) =>
         val (oldMembers, ops) = whereHopMembers(oldStore, newStore,
@@ -1606,9 +1697,10 @@ object Views {
             undir(j))))
         val (wOld, wFold) = walkHooks(catalog, sub, oldStore,
           vertexLabels(j), edgeLabels(j), mx, preds(j), undir(j))
-        val d = cut(varLengthViewDelta(oldStore, newStore, vertexLabels(j),
-          edgeLabels(j), vertexLabels(j + 1), mn, mx, preds(j),
-          preds(j + 1), undir(j), walkOld = wOld, onWalkDelta = wFold))
+        val d = lazyCut(varLengthViewDelta(oldStore, newStore,
+          vertexLabels(j), edgeLabels(j), vertexLabels(j + 1), mn, mx,
+          preds(j), preds(j + 1), undir(j), walkOld = wOld,
+          onWalkDelta = wFold))
         // fused fold: one netted delta + one state scan serve the
         // merge AND the membership ops — the old `new ANTI old`
         // both-ways diff shuffled two walk-state-sized frames
@@ -1653,24 +1745,26 @@ object Views {
     */
   def initReachState(store: graft.graph.GraphStore, edgeLabel: String,
       maxRounds: Int = 60): DataFrame = {
-    def cut(df: DataFrame): DataFrame = df.localCheckpoint()
-    val e = cut(store.edges.filter(col("label") === edgeLabel)
-      .select("src", "dst"))
+    val (e, eCnt) = cutCount(store.edges
+      .filter(col("label") === edgeLabel).select("src", "dst"))
     var r = e
     var frontier = e
-    var cnt = frontier.count()
+    var cnt = eCnt
     var rounds = 0
     while (cnt > 0 && rounds < maxRounds) {
       // renamed-column joins throughout this family: alias-qualified
       // self-join branches UNIONED together trip Catalyst's
       // union-constraint rewrite (AttributeMap key-not-found)
-      val next = cut(frontier
+      // (one fused job per round: the count materializes the lazy
+      // checkpoint; r's lazy union materializes inside the next
+      // round's count through its checkpointed inputs)
+      val (next, c) = cutCount(frontier
         .select(col("src").as("__a"), col("dst").as("__m"))
         .join(e.select(col("src").as("__m"), col("dst").as("__b")), "__m")
         .select(col("__a").as("src"), col("__b").as("dst")).distinct()
         .join(r, Seq("src", "dst"), "left_anti"))
-      cnt = next.count()
-      if (cnt > 0) { r = cut(r.unionByName(next)); frontier = next }
+      cnt = c
+      if (cnt > 0) { r = lazyCut(r.unionByName(next)); frontier = next }
       rounds += 1
     }
     require(cnt == 0L,
@@ -1687,8 +1781,7 @@ object Views {
   private def reachEdgeDelta(oldStore: graft.graph.GraphStore,
       newStore: graft.graph.GraphStore,
       edgeLabel: String,
-      sharedTouchedV: Option[DataFrame] = None): (DataFrame, DataFrame) = {
-    def cut(df: DataFrame): DataFrame = df.localCheckpoint()
+      sharedTouchedV: Option[IdProbe] = None): (DataFrame, DataFrame) = {
     val feed = newStore.changes.filter(col("version") > oldStore.version)
     val touchedV = sharedTouchedV.getOrElse(
       feedTouchedV(oldStore, newStore))
@@ -1698,23 +1791,24 @@ object Views {
       .select(col("src"), col("dst")).distinct()
     def incident(store: graft.graph.GraphStore) = {
       val e = store.edges.filter(col("label") === edgeLabel)
-      e.join(broadcast(touchedV.select(col("id").as("src"))),
-          Seq("src"), "left_semi")
-        .unionByName(e.join(broadcast(touchedV.select(col("id").as("dst"))),
-          Seq("dst"), "left_semi").select(col("src"), col("dst"),
-            col("label"), col("props")))
+      touchedV.semi(e, "src").unionByName(touchedV.semi(e, "dst"))
         .select(col("src"), col("dst"))
     }
-    val touchedE = cut(explicitE.unionByName(incident(oldStore))
-      .unionByName(incident(newStore)).distinct())
+    // the touched-edge frame stays an EAGER checkpoint — it feeds
+    // two broadcast builds, which collect on the driver outside any
+    // counted consumer job. The returned add/remove frames are lazy:
+    // the fold's first count on each IS its materialization (one
+    // job, not two).
+    val touchedE = explicitE.unionByName(incident(oldStore))
+      .unionByName(incident(newStore)).distinct().localCheckpoint()
     def eMembers(store: graft.graph.GraphStore) =
       store.edges.filter(col("label") === edgeLabel)
         .join(broadcast(touchedE), Seq("src", "dst"), "left_semi")
         .select("src", "dst")
     val eo = eMembers(oldStore)
     val en = eMembers(newStore)
-    (cut(en.join(eo, Seq("src", "dst"), "left_anti")),
-      cut(eo.join(en, Seq("src", "dst"), "left_anti")))
+    (lazyCut(en.join(eo, Seq("src", "dst"), "left_anti")),
+      lazyCut(eo.join(en, Seq("src", "dst"), "left_anti")))
   }
 
   private def serveReach(store: graft.graph.GraphStore, state: DataFrame,
@@ -1793,6 +1887,16 @@ object Views {
     * measured recompute, then semi-naive insertion), stores the new
     * state, and returns (pre-fold state, post-fold state, ±op rows).
     *
+    * STATE LAYOUT (r12): `stateKey!core` is the closure
+    * hash-partitioned + sorted on (src, dst) with the layout carried
+    * across refreshes ([[partitionedCkpt]]); `stateKey!tail` is the
+    * window-accumulated remainder; the plain `stateKey` serves their
+    * union. Every membership anti/semi inside the fold plans with NO
+    * exchange on the core side and a broadcast tail side — refresh
+    * shuffle is window-bounded; the tail folds into the core at
+    * COMPACTION (tail > core/4 or past the broadcast license), one
+    * amortized state-sized shuffle.
+    *
     * The ops are ACCUMULATED FROM THE FOLD'S OWN WORK (r11 stage D):
     * DRed's truly-underivable candidates are exactly the removed
     * pairs, and the insertion rounds' frontier unions are exactly
@@ -1810,14 +1914,37 @@ object Views {
       edgeLabel: String,
       rederiveCap: Long = 1L << 20, maxRounds: Int = 60,
       recomputeRatio: Double = 0.3,
-      sharedTouchedV: Option[DataFrame] = None,
+      sharedTouchedV: Option[IdProbe] = None,
       needOps: Boolean = true)
       : (DataFrame, DataFrame, DataFrame) = {
     def cut(df: DataFrame): DataFrame = df.localCheckpoint()
     def hinted(df: DataFrame, cnt: Long): DataFrame =
       if (cnt <= rederiveCap) broadcast(df) else df
-    val s0 = catalog.dataOf(stateKey).getOrElse(
-      initReachState(oldStore, edgeLabel, maxRounds))
+    val keys = Seq("src", "dst")
+    // CORE + TAIL state layout (r12): the closure lives as a
+    // hash-partitioned, pair-sorted CORE carried across refreshes
+    // ([[partitionedCkpt]] — the layout rides the checkpoint into
+    // join planning) plus a window-accumulated TAIL. Every
+    // membership anti/semi join inside the fold then shuffles ONLY
+    // the window-sized probe side: the core side plans with no
+    // exchange and no sort, the tail side broadcasts. Before this,
+    // each fixpoint round's anti/semi against the closure shuffled
+    // the whole state — ViewScaleProbe r12 measured a w=64 refresh
+    // shuffling 116 MB on the 1× dep fixture, the same as recompute,
+    // i.e. the class was NOT window-bounded in shuffle terms.
+    val (core0, tail0, tailBound0) = (catalog.dataOf(s"$stateKey!core"),
+        catalog.dataOf(s"$stateKey!tail")) match {
+      case (Some(c), Some(t)) => (c, t, t.count())
+      case _ =>
+        // bootstrap (or a parquet-reloaded catalog): compact the
+        // whole closure into a fresh partitioned core — the one
+        // state-sized shuffle this layout ever pays outside
+        // compaction
+        val boot = catalog.dataOf(stateKey).getOrElse(
+          initReachState(oldStore, edgeLabel, maxRounds))
+        (partitionedCkpt(boot, keys), boot.limit(0).localCheckpoint(), 0L)
+    }
+    val s0 = core0.unionByName(tail0)
     val (eAdd, eRem) = reachEdgeDelta(oldStore, newStore, edgeLabel,
       sharedTouchedV)
     // `needOps = false` callers (standalone reachability refresh)
@@ -1825,21 +1952,40 @@ object Views {
     // its both-ways closure-sized state-diff anti-join for them —
     // they get an empty frame instead (the fold paths' own ops are
     // byproducts of work already done and stay as-is).
-    def finish(state: DataFrame, ops: Option[DataFrame])
-        : (DataFrame, DataFrame, DataFrame) = {
-      catalog.put(stateKey, state)
+    def finish(core: DataFrame, tail: DataFrame, tailBound: Long,
+        ops: Option[DataFrame]): (DataFrame, DataFrame, DataFrame) = {
+      // COMPACTION: fold the tail into the partitioned core when it
+      // outgrows a quarter of the core or the broadcast license —
+      // one state-sized shuffle amortized over ~core/window
+      // refreshes; between compactions the state-side shuffle is
+      // zero
+      val (coreF, tailF) =
+        if (tailBound == 0L) (core, tail)
+        else if (tailBound > rederiveCap || tailBound * 4 > core.count())
+          (partitionedCkpt(core.unionByName(tail), keys),
+            tail.limit(0).localCheckpoint())
+        else (core, cut(tail))
+      val state = coreF.unionByName(tailF)
+      catalog.put(s"$stateKey!core", coreF)
+      catalog.put(s"$stateKey!tail", tailF)
+      // the union is served under the plain key (compat: save/load,
+      // direct readers); persist = false — its blocks live in the
+      // two checkpoints just stored
+      catalog.put(stateKey, state, persist = false)
       val o = ops.getOrElse {
         if (!needOps)
           s0.limit(0).withColumn("op", lit("add"))
         else cut(
-          state.join(s0, Seq("src", "dst"), "left_anti")
+          state.join(s0, keys, "left_anti")
             .withColumn("op", lit("add"))
-            .unionByName(s0.join(state, Seq("src", "dst"), "left_anti")
+            .unionByName(s0.join(state, keys, "left_anti")
               .withColumn("op", lit("remove"))))
       }
       (s0, state, o)
     }
-    var r = s0
+    var core = core0
+    var tail = tail0
+    var tailBound = tailBound0
     var removedPend: DataFrame = eRem.limit(0)
     var removedCnt = 0L
     var added: DataFrame = eAdd.limit(0)
@@ -1848,11 +1994,13 @@ object Views {
     if (remCnt > 0) {
       // over-delete candidates: the removed pair itself and every
       // member pair reaching AROUND it (a ⇒ u and/or v ⇒ b, with
-      // a = u / b = v coincidences as their own shapes)
+      // a = u / b = v coincidences as their own shapes); the R scans
+      // stream against the broadcast removal set — no state shuffle
       val remUV = hinted(
         eRem.select(col("src").as("__u"), col("dst").as("__v")), remCnt)
-      val rToU = r.select(col("src").as("__a"), col("dst").as("__u"))
-      val rFromV = r.select(col("src").as("__v"), col("dst").as("__b"))
+      val r0 = s0
+      val rToU = r0.select(col("src").as("__a"), col("dst").as("__u"))
+      val rFromV = r0.select(col("src").as("__v"), col("dst").as("__b"))
       val shape2 = rToU.join(remUV, "__u")
         .select(col("__a").as("src"), col("__v").as("dst"))
       val shape3 = remUV.join(rFromV, "__v")
@@ -1863,44 +2011,64 @@ object Views {
       // R-paths with an E_old edge (a⇒u, u→v ∈ E_old, v⇒b gives
       // a⇒b in TC(E_old)) — so no membership semi-join against the
       // (closure-sized) R is needed; distinct() is the only dedup
-      val cands = cut(eRem.unionByName(shape2).unionByName(shape3)
-        .unionByName(shape4).distinct())
-      val aCnt = cands.count()
-      val stateCnt = r.count()
+      val (cands, aCnt) = cutCount(eRem.unionByName(shape2)
+        .unionByName(shape3).unionByName(shape4).distinct())
+      val stateCnt = s0.count()
       if (aCnt > recomputeRatio * stateCnt)
         // deletion wavefront churns too much of the closure for
         // candidate-restricted re-derivation to pay: recompute over
         // the new edge set (additions folded in for free). Both
         // counts are work DRed needs anyway (cands drives the rounds,
-        // r is the materialized state), so the measured switch costs
-        // one count on a checkpointed frame. Ops fall back to the
-        // state-diff anti-join — proportionate, the wavefront IS a
-        // large fraction of the state here.
-        return finish(cut(initReachState(newStore, edgeLabel, maxRounds)),
-          None)
-      val eMid = cut(oldStore.edges.filter(col("label") === edgeLabel)
+        // the state is checkpointed), so the measured switch costs
+        // one count. Ops fall back to the state-diff anti-join —
+        // proportionate, the wavefront IS a large fraction of the
+        // state here.
+        return finish(
+          partitionedCkpt(initReachState(newStore, edgeLabel, maxRounds),
+            keys),
+          eRem.limit(0), 0L, None)
+      // lazy cuts throughout the loop: each round's single count
+      // materializes that round's derived frame AND (through the
+      // join lineage) the previous round's lazy union — one driver
+      // job per round where the eager form paid three
+      val eMid = lazyCut(oldStore.edges.filter(col("label") === edgeLabel)
         .select("src", "dst")
         .join(hinted(eRem, remCnt), Seq("src", "dst"), "left_anti"))
-      var kept = cut(r.join(hinted(cands, aCnt), Seq("src", "dst"),
+      // kept = state minus candidates, SPLIT: the core side keeps its
+      // carried layout through the broadcast-anti ([[preservedCkpt]]),
+      // so the per-round membership semi below shuffles only the
+      // probe; re-derived rows accumulate in the window-sized tail
+      val keptCore = preservedCkpt(core.join(hinted(cands, aCnt), keys,
         "left_anti"))
+      var keptTail = lazyCut(tail.join(hinted(cands, aCnt), keys,
+        "left_anti"))
+      var keptTailBound = tailBound
       var pending = cands
       var pendCnt = aCnt
       var rounds = 0
       var derivedCnt = -1L
       while (pendCnt > 0 && derivedCnt != 0 && rounds < maxRounds) {
         val p = hinted(pending, pendCnt)
-        // R(a,b) ← E(a,b) | E(a,x) ∧ R(x,b), restricted to candidates
+        // R(a,b) ← E(a,b) | E(a,x) ∧ R(x,b), restricted to candidates;
+        // semi against (keptCore ∪ keptTail) in split form —
+        // semi(x, A∪B) = semi(x, A) ∪ semi(anti(x, A), B) — so the
+        // core side never shuffles and the tail side broadcasts
         val direct = p.join(eMid, Seq("src", "dst"), "left_semi")
-        val step = p
-          .join(eMid.select(col("src"), col("dst").as("__x")), "src")
-          .join(kept.select(col("src").as("__x"), col("dst")),
-            Seq("__x", "dst"), "left_semi")
+        val probe = p.join(eMid.select(col("src"), col("dst").as("__x")),
+          "src")
+        val keptCoreR = keptCore.select(col("src").as("__x"), col("dst"))
+        val keptTailR = keptTail.select(col("src").as("__x"), col("dst"))
+        val step = probe.join(keptCoreR, Seq("__x", "dst"), "left_semi")
+          .unionByName(probe.join(keptCoreR, Seq("__x", "dst"), "left_anti")
+            .join(hinted(keptTailR, keptTailBound), Seq("__x", "dst"),
+              "left_semi"))
           .select("src", "dst")
-        val derived = cut(direct.unionByName(step).distinct())
-        derivedCnt = derived.count()
+        val (derived, dc) = cutCount(direct.unionByName(step).distinct())
+        derivedCnt = dc
         if (derivedCnt > 0) {
-          kept = cut(kept.unionByName(derived))
-          pending = cut(pending.join(hinted(derived, derivedCnt),
+          keptTail = lazyCut(keptTail.unionByName(derived))
+          keptTailBound += derivedCnt
+          pending = lazyCut(pending.join(hinted(derived, derivedCnt),
             Seq("src", "dst"), "left_anti"))
           pendCnt -= derivedCnt
         }
@@ -1911,33 +2079,44 @@ object Views {
       require(derivedCnt == 0L || pendCnt == 0L,
         s"DRed re-derivation did not converge in $maxRounds rounds " +
           s"($pendCnt candidates still open); raise maxRounds")
-      r = kept
+      core = keptCore
+      tail = keptTail
+      tailBound = keptTailBound
       removedPend = pending // truly-underivable candidates = removals
       removedCnt = pendCnt
     }
     val addCnt0 = eAdd.count()
     if (addCnt0 > 0) {
-      var delta = cut(eAdd.join(r, Seq("src", "dst"), "left_anti"))
-      var dCnt = delta.count()
+      // anti(x, core ∪ tail) in split form: anti(anti(x, core), tail)
+      // — core exchange-free, tail broadcast; new pairs accumulate in
+      // the tail, so the relation scans below read core ∪ tail
+      def antiState(x: DataFrame): DataFrame =
+        x.join(core, keys, "left_anti")
+          .join(hinted(tail, tailBound), keys, "left_anti")
+      var (delta, dCnt) = cutCount(antiState(eAdd))
       var rounds = 0
       while (dCnt > 0 && rounds < maxRounds) {
-        r = cut(r.unionByName(delta))
-        added = cut(added.unionByName(delta))
+        tail = lazyCut(tail.unionByName(delta))
+        tailBound += dCnt
+        added = lazyCut(added.unionByName(delta))
         addedCnt += dCnt
+        val rAll = core.unionByName(tail)
         val dL = hinted(
           delta.select(col("src").as("__a"), col("dst").as("__m")), dCnt)
         val dR = hinted(
           delta.select(col("src").as("__m"), col("dst").as("__b")), dCnt)
         val left = dL
-          .join(r.select(col("src").as("__m"), col("dst").as("__b")), "__m")
+          .join(rAll.select(col("src").as("__m"), col("dst").as("__b")),
+            "__m")
           .select(col("__a").as("src"), col("__b").as("dst"))
-        val right = r
+        val right = rAll
           .select(col("src").as("__a"), col("dst").as("__m"))
           .join(dR, "__m")
           .select(col("__a").as("src"), col("__b").as("dst"))
-        delta = cut(left.unionByName(right).distinct()
-          .join(r, Seq("src", "dst"), "left_anti"))
-        dCnt = delta.count()
+        val (d2, c2) = cutCount(antiState(
+          left.unionByName(right).distinct()))
+        delta = d2
+        dCnt = c2
         rounds += 1
       }
       require(dCnt == 0L,
@@ -1945,15 +2124,18 @@ object Views {
           "raise maxRounds")
     }
     // net the two window-bounded frames: a DRed-removed pair that the
-    // insertion re-derived was present before AND after — no op
-    val ops = if (!needOps) None else Some(cut(
+    // insertion re-derived was present before AND after — no op.
+    // Lazy: the consumer's first action (the chain fold's own counted
+    // delta, or foldLowerBoundedState's tcOps count) materializes it
+    // off checkpointed inputs.
+    val ops = if (!needOps) None else Some(lazyCut(
       added.join(hinted(removedPend, removedCnt), Seq("src", "dst"),
           "left_anti")
         .withColumn("op", lit("add"))
       .unionByName(removedPend.join(hinted(added, addedCnt),
           Seq("src", "dst"), "left_anti")
         .withColumn("op", lit("remove")))))
-    finish(r, ops)
+    finish(core, tail, tailBound, ops)
   }
 
   /** Counting state + signed delta for a LOWER-BOUNDED unbounded reach
@@ -2006,6 +2188,8 @@ object Views {
     val lvl = minHops - 1
     def cut(df: DataFrame): DataFrame = df.localCheckpoint()
     val touchedV = feedTouchedV(oldStore, newStore)
+    // (delta-path frames below are LAZY cuts — each materializes
+    // inside the state fold's own counted job; see cutCount's doc)
     val (tc0, tc1, tcOps) = foldReachState(catalog, s"$prefix!tc",
       oldStore, newStore, edgeLabel, rederiveCap, maxRounds,
       recomputeRatio, Some(touchedV))
@@ -2013,8 +2197,8 @@ object Views {
       srcLabel, edgeLabel, lvl + 1, srcPred, undirected = false)
     var dWL: DataFrame = null
     walkFoldLevels(oldStore, newStore, srcLabel, edgeLabel, lvl,
-      srcPred, undirected = false, wOld, (i, _, _, dW, _, _) => {
-        wFold(i, dW)
+      srcPred, undirected = false, wOld, (i, _, _, dW, dwCnt, _, _) => {
+        wFold(i, dW, dwCnt)
         if (i == lvl) dWL = dW
       }, Some(touchedV))
     val x = "__x"
@@ -2047,7 +2231,7 @@ object Views {
       catalog.put(s"$prefix!state", state1)
       return (state0, state1, ops)
     }
-    val dJ = cut(joinViewDelta(wl,
+    val dJ = lazyCut(joinViewDelta(wl,
         dWL.select(col("c0"), col(s"c$lvl").as(x), col("__sign")),
         tcRel, tcOps.select(col("op"), col("src").as(x), col("dst").as(b)),
         Seq(x))
@@ -2056,12 +2240,15 @@ object Views {
       .filter(col("__sign") =!= 0))
     val dstDelta = windowVertexDelta(oldStore, newStore, dstLabel,
       dstPred, "__d", Some(touchedV)).select(col("op"), col("__d").as(b))
-    val delta = cut(walkEmitDelta(wl, tcRel, dstV(oldStore), dJ,
+    val delta = lazyCut(walkEmitDelta(wl, tcRel, dstV(oldStore), dJ,
       dstDelta, x, b, gateETouched = true))
     val (s1Raw, opsRaw) = mergeJoinDeltaWithOps(state0, delta)
+    // the state stays an EAGER checkpoint (put-boundary contract) —
+    // its job also materializes the fold's lazy `touched`/`matched`
+    // probes, which the lazy ops then read as stored blocks
     val state1 = s1Raw.localCheckpoint()
     catalog.put(s"$prefix!state", state1)
-    (state0, state1, cut(opsRaw))
+    (state0, state1, lazyCut(opsRaw))
   }
 
   /** Catalog-driven refresh of a registered lower-bounded reach view
@@ -2080,6 +2267,208 @@ object Views {
       oldStore, newStore, srcLabel, edgeLabel, dstLabel, minHops,
       srcPred, dstPred, rederiveCap, maxRounds, recomputeRatio)
     val view = state1.select("src", "dst")
+    catalog.put(name, view)
+    view
+  }
+
+  /** Min-id component labels over the UNDIRECTED view of `edges`
+    * ((src, dst) pairs, orientation ignored): classic min-label
+    * propagation — every vertex starts as its own label, each round
+    * takes the min over neighbors, rounds bounded by component
+    * diameter, one shuffle + one action per round (the convergence
+    * count materializes the round's lazy checkpoint). `hintSmall`
+    * broadcasts the relation inside the rounds — the component
+    * merge-graph caller's frames are window-sized by construction.
+    * Self-loops seed their vertex but propagate nothing.
+    */
+  private def ccLabels(edges: DataFrame, maxRounds: Int,
+      hintSmall: Boolean = false): DataFrame = {
+    val sym0 = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    val sym = if (hintSmall) broadcast(sym0) else sym0
+    var lbl = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id")))
+      .distinct().withColumn("comp", col("id")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxRounds) {
+      val msgs = sym.join(lbl.select(col("id").as("src"), col("comp")), "src")
+        .select(col("dst").as("id"), col("comp"))
+      val next = lbl.unionByName(msgs)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint(false)
+      changed = next
+        .join(lbl.select(col("id"), col("comp").as("__c0")), "id")
+        .filter(col("comp") =!= col("__c0")).count()
+      lbl = next
+      rounds += 1
+    }
+    require(changed == 0L,
+      s"component labels did not converge in $maxRounds rounds; " +
+        "raise maxRounds")
+    lbl
+  }
+
+  /** Bootstrap label state for [[refreshUndirectedReachView]]:
+    * (id, comp) over every vertex incident to a live `edgeLabel`
+    * edge, comp = the component's minimum vertex id (deterministic,
+    * stable across refreshes that do not change the component).
+    */
+  def initCcState(store: graft.graph.GraphStore, edgeLabel: String,
+      maxRounds: Int = 60): DataFrame =
+    ccLabels(store.edges.filter(col("label") === edgeLabel)
+      .select("src", "dst"), maxRounds)
+
+  /** The component-label fold behind [[refreshUndirectedReachView]]:
+    * bootstraps `stateKey` from `oldStore` when absent, folds the
+    * netted edge window, stores and returns (pre-fold, post-fold)
+    * label states. Both directions of incremental connectivity are
+    * window-proportionate:
+    *
+    *  - DELETION: only a component that LOST an edge can split, so
+    *    labels re-derive inside the affected components only — one
+    *    label propagation over the affected members' surviving old
+    *    edges (an edge touching an affected component lies within it;
+    *    components are closed under edges). Vertices left with no
+    *    incident edge drop out of the state. The same MEASURED switch
+    *    as [[foldReachState]]: when the affected membership exceeds
+    *    `recomputeRatio · |state|`, one fresh propagation over the
+    *    new edge set is strictly cheaper (additions fold in free).
+    *  - INSERTION: an added edge can only MERGE components — map its
+    *    endpoints to current labels (absent endpoints are their own
+    *    provisional component), propagate min labels over the
+    *    window-sized component merge-graph, and apply the resulting
+    *    (old comp → new comp) map as one broadcast relabel over a
+    *    state SCAN. No state shuffle on either path.
+    *
+    * `rederiveCap` keeps its broadcast-licensing role: frames counted
+    * at or below it may hash-broadcast inside the fold.
+    */
+  private[views] def foldCcState(catalog: ViewCatalog, stateKey: String,
+      oldStore: graft.graph.GraphStore, newStore: graft.graph.GraphStore,
+      edgeLabel: String, rederiveCap: Long = 1L << 20,
+      maxRounds: Int = 60, recomputeRatio: Double = 0.3)
+      : (DataFrame, DataFrame) = {
+    def cut(df: DataFrame): DataFrame = df.localCheckpoint()
+    def hinted(df: DataFrame, cnt: Long): DataFrame =
+      if (cnt <= rederiveCap) broadcast(df) else df
+    val s0 = catalog.dataOf(stateKey).getOrElse(
+      initCcState(oldStore, edgeLabel, maxRounds))
+    val (eAdd, eRem) = reachEdgeDelta(oldStore, newStore, edgeLabel)
+    def finish(s1: DataFrame): (DataFrame, DataFrame) = {
+      catalog.put(stateKey, s1)
+      (s0, s1)
+    }
+    var s = s0
+    val remCnt = eRem.count()
+    if (remCnt > 0) {
+      val remV = eRem.select(col("src").as("id"))
+        .unionByName(eRem.select(col("dst").as("id"))).distinct()
+      val affected = lazyCut(s.join(hinted(remV, 2 * remCnt), Seq("id"),
+          "left_semi")
+        .select("comp").distinct())
+      val (memb, membCnt) = cutCount(s.join(hinted(affected, 2 * remCnt),
+        Seq("comp"), "left_semi"))
+      val stateCnt = s.count()
+      if (membCnt > recomputeRatio * stateCnt)
+        // the split wavefront churns most of the state — recompute
+        // (additions are part of newStore's edge set, so the fold is
+        // complete here)
+        return finish(cut(initCcState(newStore, edgeLabel, maxRounds)))
+      val eMid = oldStore.edges.filter(col("label") === edgeLabel)
+        .select("src", "dst")
+        .join(hinted(eRem, remCnt), Seq("src", "dst"), "left_anti")
+        .join(hinted(memb.select(col("id").as("src")), membCnt),
+          Seq("src"), "left_semi")
+      // the re-derivation propagation shuffles the affected
+      // subgraph's edges, which membCnt (a vertex count) does not
+      // bound in a dense component — so no broadcast hint here; the
+      // shuffle is proportionate to the wavefront by construction
+      s = cut(s.join(hinted(affected, 2 * remCnt), Seq("comp"), "left_anti")
+        .unionByName(ccLabels(eMid, maxRounds)))
+    }
+    val addCnt = eAdd.count()
+    if (addCnt > 0) {
+      val endpoints = lazyCut(eAdd.select(col("src").as("id"))
+        .unionByName(eAdd.select(col("dst").as("id"))).distinct())
+      // current labels of the touched endpoints: known off one state
+      // scan; endpoints the state has never seen are their own
+      // provisional component
+      val known = lazyCut(s.join(hinted(endpoints, 2 * addCnt), Seq("id"),
+        "left_semi"))
+      val fresh = lazyCut(endpoints.join(
+          hinted(known.select("id"), 2 * addCnt), Seq("id"), "left_anti")
+        .withColumn("comp", col("id")))
+      val epLbl = hinted(known.unionByName(fresh), 2 * addCnt)
+      // component merge-graph: one node per touched label, one edge
+      // per added edge — window-sized, so the propagation broadcasts
+      val mgEdges = eAdd
+        .join(epLbl.select(col("id").as("src"), col("comp").as("__cs")),
+          "src")
+        .join(epLbl.select(col("id").as("dst"), col("comp").as("__cd")),
+          "dst")
+        .select(col("__cs").as("src"), col("__cd").as("dst"))
+      val mapping = ccLabels(mgEdges, maxRounds, hintSmall = true)
+        .filter(col("id") =!= col("comp"))
+        .select(col("id").as("__oc"), col("comp").as("__nc"))
+      // one broadcast relabel over a state scan; fresh endpoints join
+      // the state under their merged label
+      s = cut(s.unionByName(fresh)
+        .join(broadcast(mapping), col("comp") === col("__oc"), "left_outer")
+        .select(col("id"), coalesce(col("__nc"), col("comp")).as("comp")))
+    }
+    finish(s)
+  }
+
+  /** Same-component endpoint pairs off a label state: the served rows
+    * of an undirected unbounded view. Label/pred filters are serve-
+    * time semi-joins (a vertex prop flip re-serves without touching
+    * the labels); the comp self-join is the one place the output is
+    * inherently quadratic IN COMPONENT SIZE — the query asks for all
+    * same-component pairs, so that is the answer's own cardinality,
+    * not maintenance state (the state stays O(V)).
+    */
+  private def serveCcPairs(store: graft.graph.GraphStore,
+      state: DataFrame, srcLabel: String, dstLabel: String,
+      srcPred: Option[Column], dstPred: Option[Column]): DataFrame = {
+    def vSet(label: String, pred: Option[Column]) =
+      store.vertices.filter(pred.foldLeft(col("label") === label)(_ && _))
+        .select("id")
+    val a = state.join(vSet(srcLabel, srcPred), Seq("id"), "left_semi")
+      .select(col("id").as("src"), col("comp"))
+    val b = state.join(vSet(dstLabel, dstPred), Seq("id"), "left_semi")
+      .select(col("id").as("dst"), col("comp"))
+    a.join(b, "comp").select("src", "dst")
+  }
+
+  /** Catalog-driven refresh of an UNDIRECTED unbounded reach view
+    * `(a:srcLabel)-[:edgeLabel*m..]-(b:dstLabel)` — exactly
+    * incremental CONNECTED COMPONENTS (the reference's G3/G4,
+    * graph/algorithms/src/basic.rs:158-206, maintained instead of
+    * recomputed): under the executor's walk semantics over the
+    * symmetrized edge bag, reachability is same-component membership,
+    * and every lower bound m serves the SAME rows — a pair with a
+    * length-k walk has walks of length k+2j for all j (bounce on any
+    * incident edge), so "length ≥ m" never excludes a connected pair.
+    * The closure pair-set the directed family stores would be
+    * Σ|comp|² here; the label state is O(V) and the pairs are a
+    * serve-time comp self-join ([[serveCcPairs]]).
+    *
+    * State under `name!cc`: (id, comp), comp = component min id.
+    * Served rows under `name`: distinct (src, dst) — self-pairs
+    * included, exactly the executor's orientation-union expansion.
+    */
+  def refreshUndirectedReachView(catalog: ViewCatalog, name: String,
+      oldStore: graft.graph.GraphStore, newStore: graft.graph.GraphStore,
+      srcLabel: String, edgeLabel: String, dstLabel: String,
+      srcPred: Option[Column] = None, dstPred: Option[Column] = None,
+      rederiveCap: Long = 1L << 20, maxRounds: Int = 60,
+      recomputeRatio: Double = 0.3): DataFrame = {
+    val (_, s1) = foldCcState(catalog, s"$name!cc", oldStore, newStore,
+      edgeLabel, rederiveCap, maxRounds, recomputeRatio)
+    val view = serveCcPairs(newStore, s1, srcLabel, dstLabel,
+      srcPred, dstPred)
     catalog.put(name, view)
     view
   }

@@ -1721,14 +1721,15 @@ class StreamViewsSpec extends SparkSpec {
     assert(chainRows(r4) == exeChain(m3))
     assert(chainRows(r4).contains((2L, 7L, 21L)),
       "new dep edge 6→7 opens *2.. walks into the cycle's owns link")
-    // rejections: m > 6, undirected, and *0 lower bounds (must fail
-    // EAGERLY at register, not at first refresh)
+    // rejections: m > 6 (directed — the walk factor's hop cap) and
+    // *0 lower bounds (must fail EAGERLY at register, not at first
+    // refresh). Undirected *m.. REGISTERS since r12 for any m — it
+    // serves same-component pairs (the CC view; covered by the
+    // undirected-unbounded spec), so no walk factor and no cap.
     intercept[IllegalArgumentException] {
       GqlViews.register(cat, "bad_deep", "MATCH (a:N)-[:dep*7..]->(b:N)")
     }
-    intercept[IllegalArgumentException] {
-      GqlViews.register(cat, "bad_undir", "MATCH (a:N)-[:dep*2..]-(b:N)")
-    }
+    GqlViews.register(cat, "ok_undir_m", "MATCH (a:N)-[:dep*2..]-(b:N)")
     intercept[IllegalArgumentException] {
       GqlViews.register(cat, "bad_zero", "MATCH (a:N)-[:dep*0..]->(b:N)")
     }
@@ -1924,11 +1925,98 @@ class StreamViewsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(rows(r3) == exe)
     // *2.. lower bounds REGISTER since r11 (walk x closure
-    // composition — own spec); undirected unbounded still rejects
+    // composition — own spec); undirected unbounded registers since
+    // r12 (incremental connected components — own spec), but cannot
+    // COMPOSE with further hops (component merges imply quadratic
+    // pair-level ops)
     GqlViews.register(cat, "ok_m", "MATCH (a:N)-[:dep*2..]->(b:N)")
+    GqlViews.register(cat, "ok_ud", "MATCH (a:N)-[:dep*1..]-(b:N)")
     intercept[IllegalArgumentException] {
-      GqlViews.register(cat, "bad_ud", "MATCH (a:N)-[:dep*1..]-(b:N)")
+      GqlViews.register(cat, "bad_ud_chain",
+        "MATCH (a:N)-[:dep*1..]-(b:N)-[:dep]->(c:N)")
     }
+  }
+
+  test("undirected unbounded view: incremental connected components — " +
+    "merge, split, redundancy survival, vertex cascade, executor parity") {
+    import spark.implicits._
+    import graft.graph.GraphStore
+    import graft.gql.GqlViews
+    def pairs(comps: Set[Set[Long]]): Set[(Long, Long)] =
+      comps.flatMap(c => for (a <- c; b <- c) yield (a, b))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val noProps = lit(null).cast(graft.model.PropValue.mapType)
+    def addE(st: GraphStore, es: Seq[(Long, Long)]) =
+      st.addEdges(es.map { case (a, b) => (a, b, "link") }
+        .toDF("src", "dst", "label").withColumn("props", noProps))
+    def remE(st: GraphStore, es: Seq[(Long, Long)]) =
+      st.removeEdges(es.map { case (a, b) => (a, b, "link") }
+        .toDF("src", "dst", "label"))
+    val base = GraphStore.fromTuples(spark,
+      (0L to 17L).map(i => (i, "N", Seq.empty[(String, Any)])), Nil)
+    val cat = new Views.ViewCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_cc_cat").toString)
+    GqlViews.register(cat, "peers", "MATCH (a:N)-[:link*1..]-(b:N)")
+    // window 1 — mixed-orientation chain {0..5}, triangle {6,7,8},
+    // self-loop {10}, pair {12,13}, star {15,16,17}; the view
+    // bootstraps empty so everything arrives via the merge path
+    val e1 = Seq((1L, 0L), (1L, 2L), (3L, 2L), (3L, 4L), (5L, 4L),
+      (6L, 7L), (7L, 8L), (8L, 6L), (10L, 10L), (12L, 13L),
+      (15L, 16L), (15L, 17L))
+    val m1 = addE(base, e1)
+    val r1 = GqlViews.refresh(cat, "peers", base, m1)
+    val comps1 = Set(Set(0L, 1L, 2L, 3L, 4L, 5L), Set(6L, 7L, 8L),
+      Set(10L), Set(12L, 13L), Set(15L, 16L, 17L))
+    assert(rows(r1) == pairs(comps1))
+    assert(rows(r1).contains((10L, 10L)), "self-loop self-pair")
+    assert(rows(r1).contains((0L, 0L)), "any incident vertex self-pairs")
+    // executor parity: reachability over the symmetrized bag (the
+    // fixture's diameter is under the executor's VarLenCap)
+    val exe = graft.gql.GqlExecutor.run(m1,
+      "MATCH (a:N)-[:link*1..]-(b:N) RETURN id(a) AS s, id(b) AS d").df
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(r1) == exe)
+    // window 2 — all four incremental shapes at once:
+    //  SPLIT: remove (3,2) cuts {0..5} into {0,1,2} and {3,4,5}
+    //  MERGE: add (5,6) joins {3,4,5} with the triangle
+    //  REDUNDANCY: add 12-14-13 then remove (12,13) — the component
+    //   survives whole through the new path (re-derivation, not loss)
+    //  VERTEX CASCADE: remove vertex 15 — 16 and 17 lose their only
+    //   edges and drop from the state entirely (no self-pairs left)
+    val m2 = remE(addE(m1, Seq((5L, 6L), (12L, 14L), (14L, 13L))),
+        Seq((3L, 2L), (12L, 13L)))
+      .removeVertices(Seq(15L).toDF("id"))
+    val r2 = GqlViews.refresh(cat, "peers", m1, m2)
+    val comps2 = Set(Set(0L, 1L, 2L), Set(3L, 4L, 5L, 6L, 7L, 8L),
+      Set(10L), Set(12L, 13L, 14L))
+    assert(rows(r2) == pairs(comps2))
+    assert(!rows(r2).contains((16L, 16L)) && !rows(r2).contains((17L, 17L)),
+      "isolated vertices leave the state")
+    assert(rows(r2).contains((12L, 13L)), "redundant path keeps the pair")
+    // FORCED-BRANCH parity: recomputeRatio = MaxValue can never trip
+    // (always candidate-restricted re-derivation), 0.0 trips on any
+    // deletion (always recompute) — end state identical
+    for (ratio <- Seq(Double.MaxValue, 0.0)) {
+      val cat2 = new Views.ViewCatalog(spark,
+        java.nio.file.Files.createTempDirectory("graft_cc2_cat").toString)
+      Views.refreshUndirectedReachView(cat2, "p2", base, m1,
+        "N", "link", "N")
+      val rf = Views.refreshUndirectedReachView(cat2, "p2", m1, m2,
+        "N", "link", "N", recomputeRatio = ratio)
+      assert(rows(rf) == pairs(comps2), s"recomputeRatio=$ratio")
+    }
+    // *m.. undirected serves the SAME rows for every m (walks pad by
+    // 2 through any incident edge, so >= m never excludes a
+    // connected pair) — and the executor agrees
+    GqlViews.register(cat, "peers3", "MATCH (a:N)-[:link*3..]-(b:N)")
+    val r3 = GqlViews.refresh(cat, "peers3", base, m2)
+    assert(rows(r3) == pairs(comps2))
+    val exe3 = graft.gql.GqlExecutor.run(m2,
+      "MATCH (a:N)-[:link*3..]-(b:N) RETURN id(a) AS s, id(b) AS d").df
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(r3) == exe3)
   }
 
   test("GQL-registered var-length view: refresh parity and rejections") {
