@@ -2003,9 +2003,17 @@ object Views {
       val rFromV = r0.select(col("src").as("__v"), col("dst").as("__b"))
       val shape2 = rToU.join(remUV, "__u")
         .select(col("__a").as("src"), col("__v").as("dst"))
-      val shape3 = remUV.join(rFromV, "__v")
+      // (u, b) pairs with u→v removed and v ⇒ b — computed ONCE and
+      // shared by shapes 3 and 4. Counted + re-hinted: composing it
+      // into shape4 with a second raw join would strand the broadcast
+      // hint on the inner frame and SMJ the closure-sized rFromV on
+      // __v (LowerShuffleProbe r12: a 74 MB refresh exchange on a
+      // w=64 window — the state-sized shuffle this fold must not pay)
+      val (remReach, remReachCnt) = cutCount(remUV.join(rFromV, "__v")
+        .select(col("__u"), col("__b")))
+      val shape3 = remReach
         .select(col("__u").as("src"), col("__b").as("dst"))
-      val shape4 = rToU.join(remUV, "__u").join(rFromV, "__v")
+      val shape4 = rToU.join(hinted(remReach, remReachCnt), "__u")
         .select(col("__a").as("src"), col("__b").as("dst"))
       // every shape row is in R BY CONSTRUCTION — each composes
       // R-paths with an E_old edge (a⇒u, u→v ∈ E_old, v⇒b gives
@@ -2053,7 +2061,13 @@ object Views {
         // semi against (keptCore ∪ keptTail) in split form —
         // semi(x, A∪B) = semi(x, A) ∪ semi(anti(x, A), B) — so the
         // core side never shuffles and the tail side broadcasts
-        val direct = p.join(eMid, Seq("src", "dst"), "left_semi")
+        // pending ∩ E, oriented so the hinted window frame is the
+        // BUILD side: a semi join can only broadcast its RIGHT input,
+        // so `p.join(eMid, semi)` strands the hint and SMJs — which
+        // exchanged + rebroadcast the corpus-sized eMid EVERY round
+        // (LowerShuffleProbe r12: 11 × (6.1 MB exchange + 8 MB
+        // broadcast build) on a w=64 window)
+        val direct = eMid.join(p, Seq("src", "dst"), "left_semi")
         val probe = p.join(eMid.select(col("src"), col("dst").as("__x")),
           "src")
         val keptCoreR = keptCore.select(col("src").as("__x"), col("dst"))
