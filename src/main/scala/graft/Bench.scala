@@ -455,11 +455,22 @@ object Bench {
         if (e._3) math.min(e._1, e._2) else Double.PositiveInfinity
       val runMap = results.map { case (k, p1, p2, _, ok) =>
         k -> ((p1, p2, ok)) }.toMap
-      // record entries whose query no longer exists are dropped —
-      // a renamed/removed query must not haunt the totals forever
-      val mergedMap = runMap.map { case (k, e) =>
-        k -> recordRaw.get(k).filter(r => mn(r) < mn(e)).getOrElse(e)
-      }
+      // merge over the UNION of keys: record entries for queries this
+      // run didn't select must survive (a filtered run explicitly
+      // routed to the record path would otherwise erase the converged
+      // multi-run floor for every unselected query); record entries
+      // whose query no longer EXISTS are dropped — a renamed/removed
+      // query must not haunt the totals forever
+      val liveRecord = recordRaw.filter { case (k, _) =>
+        SparkEntry.queries.contains(k) }
+      val mergedMap = (runMap.keySet ++ liveRecord.keySet).map { k =>
+        (runMap.get(k), liveRecord.get(k)) match {
+          case (Some(e), Some(r)) => k -> (if (mn(r) < mn(e)) r else e)
+          case (Some(e), None) => k -> e
+          case (None, Some(r)) => k -> r
+          case (None, None) => k -> ((0.0, 0.0, false))
+        }
+      }.toMap
       val merged = mergedMap.toSeq.sortBy(_._1)
       val mq = merged.map { case (k, (p1, p2, ok)) =>
         "\"" + k + "\":[" + raw(p1) + "," + raw(p2) + "," +

@@ -141,6 +141,12 @@ object GqlViews {
             "var-length view ranges start at *1 — a *0 lower bound " +
               "adds only identity pairs, which the executor's own " +
               "expansion does not emit; register *1.. / *1..n"))
+          // an INVERTED range (*5..3) is empty by construction —
+          // reject it here with the other eager checks rather than
+          // letting requireHops throw at first refresh
+          e.range.foreach(r => require(r._1 <= r._2,
+            s"var-length view range *${r._1}..${r._2} is inverted " +
+              "(min > max) and matches nothing"))
           // UNBOUNDED ranges (parser-carried as Int.MaxValue) route to
           // the reachability maintainer (semi-naive + DRed) for *1..,
           // or the walk ⋈ closure composition for *m.. (r11 — a

@@ -135,16 +135,25 @@ object Views {
     // Single-writer by contract, like foreachBatch itself.
     private var journal: Option[mutable.Map[String, (Option[DataFrame], Option[Long])]] = None
     private val deferredUnpersist = mutable.ArrayBuffer[DataFrame]()
+    // scalar side-state per key (e.g. a reach core's row count,
+    // `<key>!coreCnt`) — journal-covered like data/lastRefresh so a
+    // rollback restores the count that matches the restored frame.
+    // NOT persisted by save(): a parquet-reloaded catalog falls back
+    // to recounting once (metaOf → None).
+    private val meta = mutable.Map[String, Long]()
+    private var metaJournal: Option[mutable.Map[String, Option[Long]]] = None
 
     def beginBatch(): Unit = {
       require(journal.isEmpty, "a catalog batch is already open")
       journal = Some(mutable.Map())
+      metaJournal = Some(mutable.Map())
     }
     def commitBatch(): Unit = {
       require(journal.nonEmpty, "no catalog batch is open")
       deferredUnpersist.foreach(_.unpersist(false))
       deferredUnpersist.clear()
       journal = None
+      metaJournal = None
     }
     def rollbackBatch(): Unit = {
       journal.foreach(_.foreach { case (name, (oldDf, oldTs)) =>
@@ -160,9 +169,21 @@ object Views {
           case None => lastRefresh.remove(name)
         }
       })
+      metaJournal.foreach(_.foreach {
+        case (name, Some(v)) => meta(name) = v
+        case (name, None) => meta.remove(name)
+      })
       deferredUnpersist.clear()
       journal = None
+      metaJournal = None
     }
+
+    def putMeta(name: String, v: Long): Unit = {
+      metaJournal.foreach(j =>
+        if (!j.contains(name)) j(name) = meta.get(name))
+      meta(name) = v
+    }
+    def metaOf(name: String): Option[Long] = meta.get(name)
 
     def register(d: ViewDefn): Unit = defns(d.name) = d
     def definitions: Seq[ViewDefn] = defns.values.toSeq
@@ -377,12 +398,21 @@ object Views {
     * and no exchange / no sort with it off). The scope covers only
     * the checkpoint's own planning; consumer queries keep AQE.
     */
-  private def aqeOff[A](spark: SparkSession)(f: => A): A = {
-    val key = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.get(key, "true")
-    spark.conf.set(key, "false")
-    try f finally spark.conf.set(key, prev)
-  }
+  private val aqeLock = new Object
+  private def aqeOff[A](spark: SparkSession)(f: => A): A =
+    // the conf is SESSION-global: two concurrent maintainers (the
+    // batch journal's foreachBatch use case) racing on set/restore
+    // could capture an AQE-degraded layout into a checkpoint or
+    // leave AQE off session-wide. Serialized under one monitor —
+    // callers scope `f` to PLANNING only (a lazy localCheckpoint
+    // builds its LogicalRDD at call time; materialization happens
+    // outside the lock), so the critical section holds no jobs.
+    aqeLock.synchronized {
+      val key = "spark.sql.adaptive.enabled"
+      val prev = spark.conf.get(key, "true")
+      spark.conf.set(key, "false")
+      try f finally spark.conf.set(key, prev)
+    }
 
   /** One state-sized shuffle that buys shuffle-free membership joins
     * for every later fold round and refresh: hash-partition + sort on
@@ -391,12 +421,21 @@ object Views {
     * equi/semi/anti join on these keys with NO exchange and NO sort
     * on this side — only the window-sized probe side shuffles.
     */
-  private def partitionedCkpt(df: DataFrame, keyCols: Seq[String]): DataFrame =
-    aqeOff(df.sparkSession) {
+  private def partitionedCkpt(df: DataFrame, keyCols: Seq[String])
+      : (DataFrame, Long) = {
+    // lazy checkpoint planned under the AQE-off lock, then ONE count
+    // job (outside the lock) that both materializes it and yields
+    // the row count — the count rides the job the eager checkpoint
+    // already paid, so callers get the core's cardinality for free
+    // (carried across refreshes as `!coreCnt` meta; finish()'s
+    // compaction test then needs no state scan)
+    val c = aqeOff(df.sparkSession) {
       df.repartition(keyCols.map(col): _*)
         .sortWithinPartitions(keyCols.map(col): _*)
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
+    (c, c.count())
+  }
 
   /** Lazy checkpoint of a frame DERIVED from a partitioned core by
     * layout-preserving operators (broadcast joins, filters, alias
@@ -420,13 +459,16 @@ object Views {
     val raw = try df.sparkSession.conf
       .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     catch { case _: Throwable => "10485760" }
-    val m = "(?i)^(-?\\d+)\\s*(b|kb?|mb?|gb?)?$".r.findFirstMatchIn(raw.trim)
+    val m = "(?i)^(-?\\d+)\\s*(b|kb?|mb?|gb?|tb?|pb?)?$".r
+      .findFirstMatchIn(raw.trim)
     val bytes = m.map { mm =>
       val n = mm.group(1).toLong
       Option(mm.group(2)).map(_.toLowerCase.head) match {
         case Some('k') => n << 10
         case Some('m') => n << 20
         case Some('g') => n << 30
+        case Some('t') => n << 40
+        case Some('p') => n << 50
         case _ => n
       }
     }.filter(_ > 0).getOrElse(10L << 20)
@@ -1932,9 +1974,17 @@ object Views {
     // the whole state — ViewScaleProbe r12 measured a w=64 refresh
     // shuffling 116 MB on the 1× dep fixture, the same as recompute,
     // i.e. the class was NOT window-bounded in shuffle terms.
-    val (core0, tail0, tailBound0) = (catalog.dataOf(s"$stateKey!core"),
+    // the core's row count rides along as catalog meta so finish()'s
+    // compaction test needs no state scan (r12 review: the old
+    // `core.count()` per nonempty-tail refresh re-added one
+    // state-sized driver job per view per batch); a reloaded catalog
+    // without meta recounts once here
+    val (core0, tail0, tailBound0, coreCnt0) =
+      (catalog.dataOf(s"$stateKey!core"),
         catalog.dataOf(s"$stateKey!tail")) match {
-      case (Some(c), Some(t)) => (c, t, t.count())
+      case (Some(c), Some(t)) =>
+        (c, t, t.count(),
+          catalog.metaOf(s"$stateKey!coreCnt").getOrElse(c.count()))
       case _ =>
         // bootstrap (or a parquet-reloaded catalog): compact the
         // whole closure into a fresh partitioned core — the one
@@ -1942,7 +1992,8 @@ object Views {
         // compaction
         val boot = catalog.dataOf(stateKey).getOrElse(
           initReachState(oldStore, edgeLabel, maxRounds))
-        (partitionedCkpt(boot, keys), boot.limit(0).localCheckpoint(), 0L)
+        val (c, n) = partitionedCkpt(boot, keys)
+        (c, boot.limit(0).localCheckpoint(), 0L, n)
     }
     val s0 = core0.unionByName(tail0)
     val (eAdd, eRem) = reachEdgeDelta(oldStore, newStore, edgeLabel,
@@ -1953,21 +2004,24 @@ object Views {
     // they get an empty frame instead (the fold paths' own ops are
     // byproducts of work already done and stay as-is).
     def finish(core: DataFrame, tail: DataFrame, tailBound: Long,
-        ops: Option[DataFrame]): (DataFrame, DataFrame, DataFrame) = {
+        coreCnt: Long, ops: Option[DataFrame])
+        : (DataFrame, DataFrame, DataFrame) = {
       // COMPACTION: fold the tail into the partitioned core when it
       // outgrows a quarter of the core or the broadcast license —
       // one state-sized shuffle amortized over ~core/window
       // refreshes; between compactions the state-side shuffle is
-      // zero
-      val (coreF, tailF) =
-        if (tailBound == 0L) (core, tail)
-        else if (tailBound > rederiveCap || tailBound * 4 > core.count())
-          (partitionedCkpt(core.unionByName(tail), keys),
-            tail.limit(0).localCheckpoint())
-        else (core, cut(tail))
+      // zero. The core count is CARRIED (meta + the counted
+      // partitionedCkpt), never re-scanned.
+      val (coreF, tailF, coreCntF) =
+        if (tailBound == 0L) (core, tail, coreCnt)
+        else if (tailBound > rederiveCap || tailBound * 4 > coreCnt) {
+          val (c, n) = partitionedCkpt(core.unionByName(tail), keys)
+          (c, tail.limit(0).localCheckpoint(), n)
+        } else (core, cut(tail), coreCnt)
       val state = coreF.unionByName(tailF)
       catalog.put(s"$stateKey!core", coreF)
       catalog.put(s"$stateKey!tail", tailF)
+      catalog.putMeta(s"$stateKey!coreCnt", coreCntF)
       // the union is served under the plain key (compat: save/load,
       // direct readers); persist = false — its blocks live in the
       // two checkpoints just stored
@@ -1986,6 +2040,7 @@ object Views {
     var core = core0
     var tail = tail0
     var tailBound = tailBound0
+    var coreCnt = coreCnt0
     var removedPend: DataFrame = eRem.limit(0)
     var removedCnt = 0L
     var added: DataFrame = eAdd.limit(0)
@@ -2021,8 +2076,11 @@ object Views {
       // (closure-sized) R is needed; distinct() is the only dedup
       val (cands, aCnt) = cutCount(eRem.unionByName(shape2)
         .unionByName(shape3).unionByName(shape4).distinct())
-      val stateCnt = s0.count()
-      if (aCnt > recomputeRatio * stateCnt)
+      // core and tail are disjoint by construction (additions pass
+      // antiState, re-derived rows are anti-joined out of both
+      // first), so the state size is the sum — no s0 scan
+      val stateCnt = coreCnt + tailBound
+      if (aCnt > recomputeRatio * stateCnt) {
         // deletion wavefront churns too much of the closure for
         // candidate-restricted re-derivation to pay: recompute over
         // the new edge set (additions folded in for free). Both
@@ -2031,10 +2089,10 @@ object Views {
         // one count. Ops fall back to the state-diff anti-join —
         // proportionate, the wavefront IS a large fraction of the
         // state here.
-        return finish(
-          partitionedCkpt(initReachState(newStore, edgeLabel, maxRounds),
-            keys),
-          eRem.limit(0), 0L, None)
+        val (rc, rcCnt) = partitionedCkpt(
+          initReachState(newStore, edgeLabel, maxRounds), keys)
+        return finish(rc, eRem.limit(0), 0L, rcCnt, None)
+      }
       // lazy cuts throughout the loop: each round's single count
       // materializes that round's derived frame AND (through the
       // join lineage) the previous round's lazy union — one driver
@@ -2048,9 +2106,17 @@ object Views {
       // probe; re-derived rows accumulate in the window-sized tail
       val keptCore = preservedCkpt(core.join(hinted(cands, aCnt), keys,
         "left_anti"))
-      var keptTail = lazyCut(tail.join(hinted(cands, aCnt), keys,
-        "left_anti"))
-      var keptTailBound = tailBound
+      // counting keptCore fuses into the materialization the fold
+      // pays anyway (first round's action would have done it) and
+      // keeps the carried core count exact through deletions
+      val keptCoreCnt = keptCore.count()
+      // EXACT tail bound (r12 review: carrying the pre-deletion
+      // tailBound across the anti-join overestimates — a wavefront
+      // that guts the tail then triggers premature compaction and
+      // can skip a broadcast that would have fit)
+      var (keptTail, keptTailBound) =
+        if (tailBound == 0L) (tail, 0L)
+        else cutCount(tail.join(hinted(cands, aCnt), keys, "left_anti"))
       var pending = cands
       var pendCnt = aCnt
       var rounds = 0
@@ -2094,6 +2160,7 @@ object Views {
         s"DRed re-derivation did not converge in $maxRounds rounds " +
           s"($pendCnt candidates still open); raise maxRounds")
       core = keptCore
+      coreCnt = keptCoreCnt
       tail = keptTail
       tailBound = keptTailBound
       removedPend = pending // truly-underivable candidates = removals
@@ -2149,7 +2216,7 @@ object Views {
       .unionByName(removedPend.join(hinted(added, addedCnt),
           Seq("src", "dst"), "left_anti")
         .withColumn("op", lit("remove")))))
-    finish(core, tail, tailBound, ops)
+    finish(core, tail, tailBound, coreCnt, ops)
   }
 
   /** Counting state + signed delta for a LOWER-BOUNDED unbounded reach

@@ -159,6 +159,11 @@ class StreamViewsSpec extends SparkSpec {
       // Spark default byte budget
       spark.conf.set(key, "-1")
       assert(Views.broadcastRowBudget(shape) == (10L << 20) / width)
+      // large unit suffixes Spark's byteString conf accepts must
+      // parse too — an operator forcing the merge path with "1tb"
+      // must not silently land on the 10 MB default
+      spark.conf.set(key, "1tb")
+      assert(Views.broadcastRowBudget(shape) == (1L << 40) / width)
       val state = Seq((1L, 2L), (3L, 4L), (3L, 4L), (5L, 6L))
         .toDF("src", "dst").groupBy("src", "dst")
         .agg(count(lit(1)).as("__mult"))
@@ -1735,6 +1740,15 @@ class StreamViewsSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] {
       GqlViews.register(cat, "bad_zero_b", "MATCH (a:N)-[:dep*0..2]->(b:N)")
+    }
+    // a bounded range past the hop cap and an INVERTED range both
+    // fail at register too (r12 review: *5..3 used to slip through
+    // the eager checks and only die in requireHops at first refresh)
+    intercept[IllegalArgumentException] {
+      GqlViews.register(cat, "bad_wide", "MATCH (a:N)-[:dep*1..7]->(b:N)")
+    }
+    intercept[IllegalArgumentException] {
+      GqlViews.register(cat, "bad_inv", "MATCH (a:N)-[:dep*5..3]->(b:N)")
     }
   }
 
