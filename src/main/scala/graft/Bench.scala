@@ -339,6 +339,13 @@ object Bench {
     // buffer's 2-per-query positional alignment is what env_flagged
     // indexes by.
     val remeasureCanaries = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // r13 (r12 verdict #4a): each remeasure samples the FULL canary
+    // triad itself, and a remeasure taken while its own canaries sit
+    // outside the run's quiet band is flagged `remeasure_contended` —
+    // a contended box was observed handing the triage an isolated
+    // rerun WORSE than the in-run number (g23_modularity 13.1 →
+    // "remeasured" 62.9 s, r12), which reads as a code regression
+    // unless the rerun carries its own environment evidence.
     // Two ways in: (a) min exceeds the committed record by both triage
     // thresholds; (b) the query is env_flagged AND >5 s — a flagged
     // heavy query gets its isolated pass even when the record has no
@@ -353,13 +360,24 @@ object Bench {
         (name, repr - recordMins.getOrElse(name, 0.0))
     }.sortBy(-_._2)
     val remeasureCap = 16
+    val remeasureContended = scala.collection.mutable.ArrayBuffer.empty[String]
     val remeasured: Seq[(String, Double)] =
       suspects.take(remeasureCap).map { case (name, _) =>
         System.gc()
         val t0 = System.nanoTime()
         canaryRdd.count()
-        remeasureCanaries += (System.nanoTime() - t0) / 1e9
-        name -> timedPass(name, selected(name))._1
+        val schedC = (System.nanoTime() - t0) / 1e9
+        remeasureCanaries += schedC
+        val sec = timedPass(name, selected(name))._1
+        val t1 = System.nanoTime()
+        cpuCanaryRdd.count()
+        val cpuC = (System.nanoTime() - t1) / 1e9
+        ioCanary()
+        val ioC = ioCanaries.remove(ioCanaries.size - 1) // triad-only sample
+        if (schedC > envThresh(canaryMed) || cpuC > envThresh(cpuCanaryMed) ||
+            ioC > envThresh(ioCanaryMed))
+          remeasureContended += name
+        name -> sec
       }
     val remeasureSkipped = suspects.size - remeasured.size
 
@@ -402,7 +420,24 @@ object Bench {
         if (remeasured.isEmpty) ""
         else remeasured.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
           .mkString(""","remeasured":{""", ",", "}") +
+          (if (remeasureContended.isEmpty) ""
+           else remeasureContended.map("\"" + _ + "\"")
+             .mkString(""","remeasure_contended":[""", ",", "]")) +
           (if (remeasureSkipped > 0) s""","remeasure_skipped":$remeasureSkipped""" else "")
+      // r13 (r12 verdict #4b): driver-min ÷ committed-record-min per
+      // >5 s query, so a judge reads code-vs-environment from ONE
+      // field — a uniform elevation is the box, a single outlier is
+      // the plan. ≤ ~20 entries at the current floor; the fold loop
+      // below keeps the line inside the window by shrinking the
+      // queries map first.
+      val recordRatioField = {
+        val entries = mins.collect {
+          case (k, v) if v > 5.0 && recordMins.get(k).exists(_ > 0.0) =>
+            "\"" + k + "\":" + fmt(v / recordMins(k))
+        }
+        if (entries.isEmpty) ""
+        else entries.mkString(""","record_ratio":{""", ",", "}")
+      }
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
         s""","queries":$qs,"passes":2,"p1_total":${fmt(p1Total)}""" +
         s""","p2_total":${fmt(p2Total)},"canary_med":${fmt(canaryMed)}""" +
@@ -411,7 +446,7 @@ object Bench {
         s""","cpu_canary_max":${fmt(cpuCanaryMax)}""" +
         s""","io_canary_med":${fmt(ioCanaryMed)}""" +
         s""","io_canary_max":${fmt(ioCanaryMax)}$envField$remeasuredField""" +
-        s"""$failedField,"sf":"$sfDir"}"""
+        s"""$recordRatioField$failedField,"sf":"$sfDir"}"""
     }
 
     def raw(v: Double): String = String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
@@ -427,6 +462,7 @@ object Bench {
       s""""env_flagged":[${envFlagged.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""remeasured":{${remeasured.map { case (k, v) => "\"" + k + "\":" + raw(v) }.mkString(",")}},""" +
       s""""remeasure_canary":[${remeasureCanaries.map(raw).mkString(",")}],""" +
+      s""""remeasure_contended":[${remeasureContended.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""sf":"$sfDir"}"""
     println(s"BENCH_DETAIL $detail")
     // The committed record is the FULL-suite sf0.1 run only: a
@@ -463,12 +499,16 @@ object Bench {
       // query must not haunt the totals forever
       val liveRecord = recordRaw.filter { case (k, _) =>
         SparkEntry.queries.contains(k) }
+      // exhaustive over the three reachable shapes (keys come from
+      // the union of the two maps, so both-None cannot occur; a
+      // fabricated (0,0,false) entry would silently deflate the
+      // merged totals — r12 ADVICE)
       val mergedMap = (runMap.keySet ++ liveRecord.keySet).map { k =>
         (runMap.get(k), liveRecord.get(k)) match {
           case (Some(e), Some(r)) => k -> (if (mn(r) < mn(e)) r else e)
           case (Some(e), None) => k -> e
-          case (None, Some(r)) => k -> r
-          case (None, None) => k -> ((0.0, 0.0, false))
+          case (None, r) => k -> r.getOrElse(
+            throw new IllegalStateException(s"merge key $k in neither map"))
         }
       }.toMap
       val merged = mergedMap.toSeq.sortBy(_._1)
@@ -483,7 +523,14 @@ object Bench {
         s""""canary":[${canaries.map(raw).mkString(",")}],""" +
         s""""cpu_canary":[${cpuCanaries.map(raw).mkString(",")}],""" +
         s""""io_canary":[${ioCanaries.map(raw).mkString(",")}],""" +
-        s""""env_flagged":[],"remeasured":{},"remeasure_canary":[],""" +
+        // this-run facts ride the merged record like the canaries do
+        // (r12 ADVICE: hardcoded empties dropped the run's remeasure
+        // evidence from the record file)
+        s""""env_flagged":[${envFlagged.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""remeasured":{${remeasured.map { case (k, v) =>
+          "\"" + k + "\":" + raw(v) }.mkString(",")}},""" +
+        s""""remeasure_canary":[${remeasureCanaries.map(raw).mkString(",")}],""" +
+        s""""remeasure_contended":[${remeasureContended.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""merged_from":["record","run"],"sf":"$sfDir"}"""
     }
     try {

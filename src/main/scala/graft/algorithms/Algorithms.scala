@@ -50,6 +50,18 @@ object Algorithms {
       ceiling: Long): DataFrame =
     if (rows <= ceiling) broadcast(df) else df
 
+  /** Byte-aware variant of [[hintIfAtMost]] (r13, r12 verdict #6):
+    * the caller's row ceiling is additionally clamped by the session
+    * broadcast byte budget derived from THIS frame's estimated row
+    * width ([[graft.views.Views.broadcastRowBudget]]) — the policy
+    * ceiling stays as an upper bound, the row-width blindness goes.
+    */
+  private[graft] def hintIfFits(df: DataFrame, rows: Long,
+      ceiling: Long): DataFrame =
+    if (rows <= math.min(ceiling, graft.views.Views.broadcastRowBudget(df)))
+      broadcast(df)
+    else df
+
   /** True when `df` is a pure projection over an already-cached (or
     * driver-local) relation — the cases where re-persisting would
     * duplicate a cache that already serves scans cheaply. Anything
@@ -603,6 +615,10 @@ object Algorithms {
     try {
       var arrival = seeds.select(col("id").as("seed"), col("id"),
         lit(sentinel).as("d")).cut(rel)
+      // running upper bound on |arrival| (seed rows + every improved
+      // frame folded in): licenses the SCAN-ONLY state merge below
+      // without ever counting the state — one seed-sized job here
+      var arrivalUb = arrival.count()
       // equal-width bucket bounds over the edge-stamp span (one agg;
       // any boundary choice is CORRECT, this one is deterministic).
       // dateBuckets = 1 (the default) skips the span agg, the slice
@@ -644,21 +660,51 @@ object Algorithms {
         var frontierCnt = frontier.count()
         var improvedCnt = -1L
         while (frontierCnt > 0 && improvedCnt != 0 && rounds < maxRounds) {
-          val fr = hintIfAtMost(frontier, frontierCnt, broadcastRows)
+          val fr = hintIfFits(frontier, frontierCnt, broadcastRows)
           val candidates = fr.join(eb,
               fr("id") === eb("src") && eb("ed") >= fr("d"))
             .select(col("seed"), col("dst").as("id"), col("ed").as("d"))
             .groupBy("seed", "id").agg(min(col("d")).as("d"))
+          // `old` kept on the improved frame: the state-merge below
+          // splits on it (null = first arrival, else strictly better),
+          // so the arrival update needs NO re-probe of the state
           val improved = candidates
             .join(arrival.select(col("seed"), col("id"),
               col("d").as("old")), Seq("seed", "id"), "left")
             .filter(col("old").isNull || col("d") < col("old"))
-            .select("seed", "id", "d").cut(rel)
+            .cut(rel)
           improvedCnt = improved.count()
           if (improvedCnt > 0) {
-            arrival = arrival.unionByName(improved)
-              .groupBy("seed", "id").agg(min(col("d")).as("d")).cut(rel)
-            frontier = improved
+            // SCAN-ONLY state merge (r13, the r12 verdict watch item):
+            // the old union+groupBy re-shuffled the O(seeds·V) arrival
+            // state every round; a window-sized improvement instead
+            // broadcast-joins onto a state SCAN (keys stay unique:
+            // arrival keys are unique, `better` keys are a groupBy's
+            // output, `fresh` keys are provably absent). Gated BOTH
+            // ways: the improvement must fit the broadcast budget AND
+            // the state must have outgrown the slim-frame ceiling —
+            // below it the single-shuffle groupBy merge is cheaper
+            // than a per-round broadcast build (measured: g32's
+            // 3-seed state lost ~1 s/run to unconditional broadcast
+            // merging), above it the state scan replaces an
+            // O(rounds·state) shuffle series.
+            val fits = improvedCnt <= math.min(broadcastRows,
+              graft.views.Views.broadcastRowBudget(improved))
+            val merged = if (fits && arrivalUb > broadcastRows) {
+              val better = broadcast(improved.filter(col("old").isNotNull)
+                .select(col("seed"), col("id"), col("d").as("__nd")))
+              val fresh = improved.filter(col("old").isNull)
+                .select("seed", "id", "d")
+              arrival.join(better, Seq("seed", "id"), "left")
+                .select(col("seed"), col("id"),
+                  coalesce(col("__nd"), col("d")).as("d"))
+                .unionByName(fresh)
+            } else
+              arrival.unionByName(improved.select("seed", "id", "d"))
+                .groupBy("seed", "id").agg(min(col("d")).as("d"))
+            arrival = merged.cut(rel)
+            arrivalUb += improvedCnt
+            frontier = improved.select("seed", "id", "d")
             frontierCnt = improvedCnt
           }
           rounds += 1

@@ -228,9 +228,21 @@ object Curation {
     */
   def corpusDrift(a: DataFrame, b: DataFrame, idCol: String,
       textCol: String, buckets: Int = 4096,
+      alpha: Double = 1.0, untouchedCorrection: Boolean = true): DataFrame =
+    corpusDriftJoint(sideUnion(a, b, idCol, textCol), idCol, textCol,
+      buckets, alpha, untouchedCorrection)
+
+  /** [[corpusDrift]] over ONE frame carrying a boolean `__sa` side
+    * column (true = snapshot A) — when both snapshots derive from the
+    * same base table this form profiles them in a SINGLE corpus scan
+    * and shingle pass (r13: the two-DataFrame form paid two scans and
+    * two persists for one 4096-row answer; at 100 TB the scan IS the
+    * query). Values are identical: the joint (bk, ca, cb) profile is
+    * the full-outer join of the per-side profiles by construction.
+    */
+  def corpusDriftJoint(df: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 4096,
       alpha: Double = 1.0, untouchedCorrection: Boolean = true): DataFrame = {
-    def profile(df: DataFrame, cname: String): DataFrame =
-      bigramProfile(df, idCol, textCol, buckets, cname)
     // per-bucket JS contribution (bits) quantized to 1e-9-bit units;
     // pointwise ≥ 0 (two-point KL), so the unit count is ≥ 0
     def termUnits(p: Column, q: Column): Column = {
@@ -238,18 +250,16 @@ object Curation {
       floor((p * log2(p / m) / 2 + q * log2(q / m) / 2) * 1e9 + 0.5)
         .cast("long")
     }
-    val pa = graft.TransientCache.persist(profile(a, "ca"))
-    val pb = graft.TransientCache.persist(profile(b, "cb"))
-    val na = pa.agg(sum("ca").as("na"))
-    val nb = pb.agg(sum("cb").as("nb"))
-    // full outer: a bucket empty on one side still carries its
-    // smoothed mass; the frame is buckets-bounded either way
-    val touched = pa.join(pb, Seq("bk"), "full_outer")
+    val prof = graft.TransientCache.persist(
+      bigramProfileJoint(df, idCol, textCol, buckets))
+    val na = prof.agg(sum("ca").as("na"))
+    val nb = prof.agg(sum("cb").as("nb"))
+    val touched = prof
       .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
       .select(col("na"), col("nb"), termUnits(
-        (coalesce(col("ca"), lit(0L)).cast("double") + alpha) /
+        (col("ca").cast("double") + alpha) /
           (col("na").cast("double") + alpha * buckets),
-        (coalesce(col("cb"), lit(0L)).cast("double") + alpha) /
+        (col("cb").cast("double") + alpha) /
           (col("nb").cast("double") + alpha * buckets)).as("u"))
       .groupBy("na", "nb")
       .agg(sum("u").as("su"), count(lit(1)).as("touched"))
@@ -272,12 +282,46 @@ object Curation {
     * size (the DSIR profile — two corpus scans and a 4096-row join
     * no matter whether the snapshots are 60k docs or 100 TB).
     */
-  private def bigramProfile(df: DataFrame, idCol: String,
-      textCol: String, buckets: Int, cname: String): DataFrame =
-    TextFunctions.shingleRows(df, idCol, textCol, 2)
-      .select((conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long")
-        % buckets).as("bk"))
-      .groupBy("bk").agg(count(lit(1)).as(cname))
+  private def bigramProfileJoint(df: DataFrame, idCol: String,
+      textCol: String, buckets: Int): DataFrame =
+    TextFunctions.shingleRows(
+        df.select(col("__sa"), col(textCol)), "__sa", textCol, 2)
+      .select(col("id").as("__sa"),
+        (conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long")
+          % buckets).as("bk"))
+      .groupBy("bk").agg(
+        sum(when(col("__sa"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("__sa"), 0L).otherwise(1L)).as("cb"))
+
+  /** Order-free checksums of the joint drift profile, one row:
+    * (a_bk_weighted, a_total, a_buckets, b_bk_weighted, b_total,
+    * b_buckets) — Σ(bk·c), Σc and the touched-bucket count per side.
+    * Any engine that builds the same per-side profiles produces the
+    * same six integers regardless of row order, so a cross-engine
+    * profile divergence is visible WITHOUT comparing 4096 rows
+    * (r13 drift-bisect probe b).
+    */
+  def driftProfileChecksums(df: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 4096): DataFrame =
+    bigramProfileJoint(df, idCol, textCol, buckets).agg(
+      sum(col("bk") * col("ca")).as("a_bk_weighted"),
+      sum(col("ca")).as("a_total"),
+      sum(when(col("ca") > 0, 1L).otherwise(0L)).as("a_buckets"),
+      sum(col("bk") * col("cb")).as("b_bk_weighted"),
+      sum(col("cb")).as("b_total"),
+      sum(when(col("cb") > 0, 1L).otherwise(0L)).as("b_buckets"))
+
+  /** Tag-and-union fallback for the generic two-DataFrame drift
+    * forms: the joint profile still computes in one aggregation, but
+    * two unrelated inputs cost two scans (callers whose snapshots
+    * share a base table should pass the side column directly through
+    * the `Joint` forms instead).
+    */
+  private def sideUnion(a: DataFrame, b: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    a.select(col(idCol), col(textCol), lit(true).as("__sa"))
+      .unionByName(
+        b.select(col(idCol), col(textCol), lit(false).as("__sa")))
 
   /** Corpus drift as TOTAL-VARIATION distance between the two
     * snapshots' Laplace-1-smoothed hashed-bigram profiles —
@@ -303,19 +347,37 @@ object Curation {
     * integer count of 1e-6 TV units.
     */
   def corpusDriftTv(a: DataFrame, b: DataFrame, idCol: String,
-      textCol: String, buckets: Int = 4096): DataFrame = {
-    val pa = graft.TransientCache.persist(bigramProfile(a, idCol, textCol, buckets, "ca"))
-    val pb = graft.TransientCache.persist(bigramProfile(b, idCol, textCol, buckets, "cb"))
-    val na = pa.agg(sum("ca").as("na"))
-    val nb = pb.agg(sum("cb").as("nb"))
+      textCol: String, buckets: Int = 4096): DataFrame =
+    corpusDriftTvJoint(sideUnion(a, b, idCol, textCol), idCol, textCol,
+      buckets)
+
+  /** [[corpusDriftTv]] over one side-tagged frame — see
+    * [[corpusDriftJoint]] for the single-scan rationale.
+    */
+  def corpusDriftTvJoint(df: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 4096): DataFrame =
+    corpusDriftTvFromProfile(graft.TransientCache.persist(
+      bigramProfileJoint(df, idCol, textCol, buckets)), buckets)
+
+  /** The TV statistic over an already-built joint (bk, ca, cb)
+    * profile — the arithmetic-only tail of [[corpusDriftTv]], exposed
+    * so a literal-input probe can check the statistic's integer
+    * arithmetic with no corpus dependence (r12 verdict: bisecting a
+    * cross-engine divergence needs the stat isolated from the
+    * profile build).
+    */
+  def corpusDriftTvFromProfile(prof: DataFrame,
+      buckets: Int = 4096): DataFrame = {
+    val na = prof.agg(sum("ca").as("na"))
+    val nb = prof.agg(sum("cb").as("nb"))
     val dec = "decimal(38,0)"
     val bL = lit(buckets.toLong)
-    val touched = pa.join(pb, Seq("bk"), "full_outer")
+    val touched = prof
       .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
       .select(col("na"), col("nb"),
-        abs((coalesce(col("ca"), lit(0L)) + 1L).cast(dec) *
+        abs((col("ca") + 1L).cast(dec) *
               (col("nb") + bL).cast(dec) -
-            (coalesce(col("cb"), lit(0L)) + 1L).cast(dec) *
+            (col("cb") + 1L).cast(dec) *
               (col("na") + bL).cast(dec)).as("t"))
       .groupBy("na", "nb")
       .agg(sum(col("t")).as("st"), count(lit(1)).as("touched"))

@@ -24,15 +24,35 @@ object CurationQueries {
     "longword" -> "\\b[a-z]{6,}\\b" // 6+ letter lowercase words
   )
 
-  /** The two deterministic corpus halves every drift query compares
+  /** The deterministic corpus split every drift query compares
     * (sources src0-9 vs src10-19 standing in for consecutive crawl
-    * snapshots).
+    * snapshots), as ONE side-tagged frame: `__sa` = true for the old
+    * snapshot. One frame instead of two filtered halves so the drift
+    * profiles build in a single corpus scan ([[Curation.corpusDriftJoint]]).
+    *
+    * r13 de-regex (r12 verdict #1): the snapshot number is substring
+    * arithmetic on the literal 'src' prefix, not `regexp_extract` —
+    * that regex was the ONLY construct unique to the driver-red drift
+    * family, with both the stale-oracle and libm hypotheses
+    * experimentally refuted; sources are 'src<N>' by the corpus
+    * contract, so `substr(source, 4)` is the same integer on any
+    * engine. The null-guard filter keeps the two-filter semantics
+    * (a hypothetical non-numeric source lands in NEITHER snapshot)
+    * bit-identical.
     */
-  private def driftSnapshots(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
+  /** Fixed literal joint profile for `pipe_drift_probe_stat` — the
+    * statistic's integer arithmetic with zero corpus dependence. The
+    * DuckDB oracle inlines the identical VALUES rows.
+    */
+  private val driftProbeProfile: Seq[(Long, Long, Long)] = Seq(
+    (0L, 5L, 3L), (1L, 0L, 7L), (2L, 2L, 0L), (40L, 11L, 11L),
+    (4095L, 1L, 2L))
+
+  private def driftSide(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-    val sn = regexp_extract(col("source"), "src(\\d+)", 1).cast("int")
-    (d.filter(sn < 10), d.filter(sn >= 10))
+    val sn = substring(col("source"), 4, 10).cast("int")
+    d.filter(sn.isNotNull)
+      .select(col("doc_id"), col("text"), (sn < 10).as("__sa"))
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -103,8 +123,7 @@ object CurationQueries {
     // with); the corrected full-profile value ships under the NEW
     // name `pipe_corpus_drift_full` below.
     "pipe_corpus_drift" -> ((s, dir) => {
-      val (oldSnap, newSnap) = driftSnapshots(s, dir)
-      Curation.corpusDrift(oldSnap, newSnap, "doc_id", "text",
+      Curation.corpusDriftJoint(driftSide(s, dir), "doc_id", "text",
         untouchedCorrection = false)
     }),
 
@@ -113,16 +132,35 @@ object CurationQueries {
     // the snapshot totals differ — the value a fresh deployment
     // should record baselines against.
     "pipe_corpus_drift_full" -> ((s, dir) => {
-      val (oldSnap, newSnap) = driftSnapshots(s, dir)
-      Curation.corpusDrift(oldSnap, newSnap, "doc_id", "text")
+      Curation.corpusDriftJoint(driftSide(s, dir), "doc_id", "text")
     }),
 
     // Total-variation drift (r12): the same profiles, a statistic
     // that is exactly rational — integer arithmetic end-to-end, no
     // libm on either engine, deterministic by construction.
     "pipe_corpus_drift_tv" -> ((s, dir) => {
-      val (oldSnap, newSnap) = driftSnapshots(s, dir)
-      Curation.corpusDriftTv(oldSnap, newSnap, "doc_id", "text")
+      Curation.corpusDriftTvJoint(driftSide(s, dir), "doc_id", "text")
+    }),
+
+    // r13 drift bisect probes (r12 verdict #1): three fresh-name
+    // oracle rows decomposing the drift pipeline so the driver's
+    // green/red vector pinpoints WHERE its environment diverges —
+    // (a) the snapshot split + bigram construction alone, (b) the
+    // md5-bucketed profiles as order-free checksums, (c) the TV
+    // statistic over a LITERAL profile (no corpus dependence at all).
+    "pipe_drift_probe_split" -> ((s, dir) => {
+      val old = driftSide(s, dir).filter(col("__sa"))
+      old.agg(count(lit(1)).as("n_docs")).crossJoin(
+        graft.functions.TextFunctions.shingleRows(old, "doc_id", "text", 2)
+          .agg(count(lit(1)).as("n_bigrams")))
+    }),
+    "pipe_drift_probe_profile" -> ((s, dir) => {
+      Curation.driftProfileChecksums(driftSide(s, dir), "doc_id", "text")
+    }),
+    "pipe_drift_probe_stat" -> ((s, _) => {
+      Curation.corpusDriftTvFromProfile(
+        s.createDataFrame(driftProbeProfile)
+          .toDF("bk", "ca", "cb"))
     }),
 
     // Per-doc top-3 TF-IDF terms.
@@ -259,19 +297,18 @@ object CurationQueries {
   /** The Morton-interleave bit expression, generated to mirror
     * Layout.zorderKey(Seq(orderkey%256, suppkey%256), 8) term by term.
     */
-  /** JS-drift oracle, with (`full`) or without the untouched-bucket
-    * closed-form correction — shared scaffold, one diverging CTE.
+  /** Shared profile CTEs for EVERY drift oracle (r12 verdict #7: one
+    * builder so a change to the split or the profile lands in one
+    * place): snapshot split, bigram construction, md5 bucketing,
+    * per-side profiles and totals. r13 de-regex: the snapshot number
+    * is `CAST(substr(source, 4) AS INT)` — substring arithmetic on
+    * the literal 'src' prefix, no regex engine anywhere (the
+    * `regexp_extract` this replaces was the only construct unique to
+    * the driver-red drift family).
     */
-  private def driftJsSql(full: Boolean): String = {
-    val units =
-      if (full)
-        """su + (4096 - touched) *
-                  CAST(floor((p0 * log2(p0 / ((p0 + q0) / 2)) / 2 +
-                              q0 * log2(q0 / ((p0 + q0) / 2)) / 2)
-                             * 1000000000 + 0.5) AS BIGINT)"""
-      else "su"
-    s"""WITH t AS (SELECT doc_id,
-              CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) AS sn,
+  private def driftProfileCtes: String =
+    s"""t AS (SELECT doc_id,
+              CAST(substr(source, 4) AS INT) AS sn,
               CASE WHEN len(w) >= 2
                 THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
                 ELSE [array_to_string(w, ' ')] END AS b
@@ -284,7 +321,20 @@ object CurationQueries {
           pa AS (SELECT bk, COUNT(*) AS ca FROM g WHERE sn < 10 GROUP BY bk),
           pb AS (SELECT bk, COUNT(*) AS cb FROM g WHERE sn >= 10 GROUP BY bk),
           ta AS (SELECT SUM(ca) AS na FROM pa),
-          tb AS (SELECT SUM(cb) AS nb FROM pb),
+          tb AS (SELECT SUM(cb) AS nb FROM pb)"""
+
+  /** JS-drift oracle, with (`full`) or without the untouched-bucket
+    * closed-form correction — shared scaffold, one diverging CTE.
+    */
+  private def driftJsSql(full: Boolean): String = {
+    val units =
+      if (full)
+        """su + (4096 - touched) *
+                  CAST(floor((p0 * log2(p0 / ((p0 + q0) / 2)) / 2 +
+                              q0 * log2(q0 / ((p0 + q0) / 2)) / 2)
+                             * 1000000000 + 0.5) AS BIGINT)"""
+      else "su"
+    s"""WITH $driftProfileCtes,
           terms AS (
             SELECT na, nb,
                    CAST(floor((p * log2(p / ((p + q) / 2)) / 2 +
@@ -365,21 +415,7 @@ object CurationQueries {
     // 100 TB-scale totals; int128 holds both), one integer divide
     // for the 1e-6-unit presentation. No libm anywhere.
     "pipe_corpus_drift_tv" ->
-      s"""WITH t AS (SELECT doc_id,
-              CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) AS sn,
-              CASE WHEN len(w) >= 2
-                THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
-                ELSE [array_to_string(w, ' ')] END AS b
-            FROM (SELECT doc_id, source,
-                    string_split(${PipelineQueries.normText}, ' ') AS w
-                  FROM documents)),
-          g AS (SELECT sn, CAST(('0x' || substr(md5(s), 1, 8))::UBIGINT
-                  % 4096 AS BIGINT) AS bk
-                FROM (SELECT sn, unnest(b) AS s FROM t)),
-          pa AS (SELECT bk, COUNT(*) AS ca FROM g WHERE sn < 10 GROUP BY bk),
-          pb AS (SELECT bk, COUNT(*) AS cb FROM g WHERE sn >= 10 GROUP BY bk),
-          ta AS (SELECT SUM(ca) AS na FROM pa),
-          tb AS (SELECT SUM(cb) AS nb FROM pb),
+      s"""WITH $driftProfileCtes,
           terms AS (
             SELECT na, nb,
                    abs((COALESCE(ca, 0) + 1)::HUGEINT * (nb + 4096)::HUGEINT
@@ -387,6 +423,47 @@ object CurationQueries {
                      AS t
             FROM pa FULL OUTER JOIN pb USING (bk)
             CROSS JOIN ta CROSS JOIN tb),
+          s AS (SELECT na, nb, SUM(t) AS st, COUNT(*) AS touched
+                FROM terms GROUP BY na, nb),
+          c AS (SELECT na, nb,
+                  st + (4096 - touched)::HUGEINT * abs(nb - na)::HUGEINT AS s,
+                  (na + 4096)::HUGEINT * (nb + 4096)::HUGEINT AS dd
+                FROM s)
+          SELECT na AS n_a, nb AS n_b,
+                 CAST((s * 1000000 + dd) // (dd * 2) AS BIGINT) AS tv_units
+          FROM c""",
+    // r13 drift-bisect probes (r12 verdict #1). (a) split + bigram
+    // construction only; (b) order-free per-side profile checksums;
+    // (c) the TV statistic over a literal profile, no corpus at all.
+    // The driver's green/red vector across (a)(b)(c) names the
+    // diverging stage.
+    "pipe_drift_probe_split" ->
+      s"""WITH $driftProfileCtes
+          SELECT (SELECT COUNT(*) FROM t WHERE sn < 10) AS n_docs,
+                 (SELECT COUNT(*)
+                  FROM (SELECT unnest(b) FROM t WHERE sn < 10))
+                   AS n_bigrams""",
+    "pipe_drift_probe_profile" ->
+      s"""WITH $driftProfileCtes
+          SELECT (SELECT CAST(SUM(bk * ca) AS BIGINT) FROM pa)
+                   AS a_bk_weighted,
+                 (SELECT CAST(SUM(ca) AS BIGINT) FROM pa) AS a_total,
+                 (SELECT COUNT(*) FROM pa) AS a_buckets,
+                 (SELECT CAST(SUM(bk * cb) AS BIGINT) FROM pb)
+                   AS b_bk_weighted,
+                 (SELECT CAST(SUM(cb) AS BIGINT) FROM pb) AS b_total,
+                 (SELECT COUNT(*) FROM pb) AS b_buckets""",
+    "pipe_drift_probe_stat" ->
+      """WITH prof(bk, ca, cb) AS (
+            VALUES (0, 5, 3), (1, 0, 7), (2, 2, 0), (40, 11, 11),
+                   (4095, 1, 2)),
+          ta AS (SELECT CAST(SUM(ca) AS BIGINT) AS na FROM prof),
+          tb AS (SELECT CAST(SUM(cb) AS BIGINT) AS nb FROM prof),
+          terms AS (
+            SELECT na, nb,
+                   abs((ca + 1)::HUGEINT * (nb + 4096)::HUGEINT
+                     - (cb + 1)::HUGEINT * (na + 4096)::HUGEINT) AS t
+            FROM prof CROSS JOIN ta CROSS JOIN tb),
           s AS (SELECT na, nb, SUM(t) AS st, COUNT(*) AS touched
                 FROM terms GROUP BY na, nb),
           c AS (SELECT na, nb,

@@ -243,6 +243,67 @@ object ViewScaleProbe {
             f"shfRatio=${sRec.toDouble / math.max(1L, sInc)}%.1fx")
         }
       }
+
+      // r13 (r12 verdict #2): decade rows for the CC class
+      // (undirected unbounded = incremental connected components) —
+      // the one maintained class with no measured refresh-shuffle
+      // table. Undirected CC over the clustered `dep` graph: each
+      // 32-vertex cluster is one component. SPLIT-heavy windows cut
+      // w clusters at offset 27→28 (no skip straddles it: the only
+      // candidate j=25 fails j%32<25, so the removal genuinely
+      // splits — the risky re-derivation path); MERGE-heavy windows
+      // bridge w adjacent cluster pairs. FOLD and SERVE are timed
+      // separately: the fold (foldCcState) is the maintenance cost
+      // whose window-boundedness is under test — its jobs run
+      // eagerly inside the refresh call; the serve materializes the
+      // all-pairs view, whose size is the ANSWER's own cardinality
+      // (quadratic in component size by definition), not state.
+      if (scale < 100 && only.forall(_.contains("cc"))) {
+        def ccStore(split: Boolean, w: Long): GraphStore =
+          if (split) {
+            val r = spark.range(math.min(w, clusters))
+            base.removeEdges(r.select((col("id") * cSize + 27).as("src"),
+                (col("id") * cSize + 28).as("dst"), lit("dep").as("label")))
+              .truncated().truncatedEdges()
+          } else {
+            // bridge i→i+1 within GROUPS of 8 clusters: the merge
+            // graph is a depth-8 component chain (exercises the
+            // shortcut's multi-round convergence — pre-r13 this path
+            // FAILED outright past 60 chained components) while the
+            // merged components stay 256 vertices, so the all-pairs
+            // serve stays countable (an unbounded chain merged the
+            // whole window into ONE component whose answer is
+            // quadratic in w — 1B served rows at w=1000)
+            val r = spark.range(math.min(w, clusters - 1))
+              .filter(col("id") % 8 =!= 7)
+            base.addEdges(r.select((col("id") * cSize + 31).as("src"),
+                ((col("id") + 1) * cSize).as("dst"), lit("dep").as("label"))
+                .withColumn("props", noProps))
+              .truncated().truncatedEdges()
+          }
+        for (kind <- Seq("cc_split", "cc_merge");
+             w <- Seq(64L, n / 1000, n / 50)) {
+          val m1 = ccStore(kind == "cc_split", w)
+          val cat = newCat()
+          Views.refreshUndirectedReachView(cat, "ccv", base, base,
+            "N", "dep", "N") // boot (fold jobs run eagerly inside)
+          val (tFold, sFold, jFold, bFold) = timed(
+            Views.refreshUndirectedReachView(cat, "ccv", base, m1,
+              "N", "dep", "N"))
+          val (tSrv, sSrv, _, _) = timed(cat.dataOf("ccv").get.count())
+          val cat2 = newCat()
+          val (tRec, sRec, jRec, bRec) = timed(
+            Views.refreshUndirectedReachView(cat2, "ccv", m1, m1,
+              "N", "dep", "N"))
+          println(f"PROBE scale=${scale}x class=$kind w=$w " +
+            f"tFold=$tFold%.2fs shfFold=${sFold / 1e6}%.1fMB " +
+            f"jobsFold=$jFold bcastFold=$bFold " +
+            f"tServe=$tSrv%.2fs shfServe=${sSrv / 1e6}%.1fMB " +
+            f"tRecompute=$tRec%.2fs shfRecompute=${sRec / 1e6}%.1fMB " +
+            f"jobsRecompute=$jRec bcastRecompute=$bRec " +
+            f"shfRatio=${sRec.toDouble / math.max(1L, sFold)}%.1fx")
+        }
+      }
     }
     spark.stop()
   }

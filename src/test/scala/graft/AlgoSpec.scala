@@ -906,6 +906,15 @@ class AlgoSpec extends SparkSpec {
         .collect()
         .map(r => (r.getLong(0), r.getLong(1)) -> r.getTimestamp(2)).toMap
       assert(bucketed == want, s"seed=$seed (dateBuckets=3)")
+      // r13: force the SCAN-ONLY state merge (broadcastRows tiny, so
+      // arrivalUb outgrows the ceiling while per-round improvements
+      // still fit) — answer-identical to the shuffling groupBy merge
+      val scanMerged = Algorithms.temporalReachability(
+          esr.toDF("src", "dst", "d"), Seq(1L, 2L).toDF("id"), sentinel,
+          broadcastRows = 3)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getTimestamp(2)).toMap
+      assert(scanMerged == want, s"seed=$seed (broadcastRows=3)")
     }
   }
 

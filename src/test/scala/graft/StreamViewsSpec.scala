@@ -1986,6 +1986,12 @@ class StreamViewsSpec extends SparkSpec {
     assert(rows(r1) == pairs(comps1))
     assert(rows(r1).contains((10L, 10L)), "self-loop self-pair")
     assert(rows(r1).contains((0L, 0L)), "any incident vertex self-pairs")
+    // r13: the carried '!ccCnt' meta must equal the stored label
+    // state's true cardinality after the merge-only window — it
+    // replaces the per-deletion state-sized count job
+    assert(cat.metaOf("peers!cc!ccCnt")
+      .contains(cat.dataOf("peers!cc").get.count()),
+      "ccCnt meta after merge window")
     // executor parity: reachability over the symmetrized bag (the
     // fixture's diameter is under the executor's VarLenCap)
     val exe = graft.gql.GqlExecutor.run(m1,
@@ -2009,6 +2015,11 @@ class StreamViewsSpec extends SparkSpec {
     assert(!rows(r2).contains((16L, 16L)) && !rows(r2).contains((17L, 17L)),
       "isolated vertices leave the state")
     assert(rows(r2).contains((12L, 13L)), "redundant path keeps the pair")
+    // r13: ccCnt stays exact through the mixed window (split +
+    // re-derivation drop-outs + merge + fresh endpoints + cascade)
+    assert(cat.metaOf("peers!cc!ccCnt")
+      .contains(cat.dataOf("peers!cc").get.count()),
+      "ccCnt meta after mixed split/merge window")
     // FORCED-BRANCH parity: recomputeRatio = MaxValue can never trip
     // (always candidate-restricted re-derivation), 0.0 trips on any
     // deletion (always recompute) — end state identical
@@ -2020,6 +2031,11 @@ class StreamViewsSpec extends SparkSpec {
       val rf = Views.refreshUndirectedReachView(cat2, "p2", m1, m2,
         "N", "link", "N", recomputeRatio = ratio)
       assert(rows(rf) == pairs(comps2), s"recomputeRatio=$ratio")
+      // r13: both the re-derivation branch (ratio = MaxValue) and the
+      // recompute branch (ratio = 0.0) must land the exact ccCnt
+      assert(cat2.metaOf("p2!cc!ccCnt")
+        .contains(cat2.dataOf("p2!cc").get.count()),
+        s"ccCnt meta, recomputeRatio=$ratio")
     }
     // *m.. undirected serves the SAME rows for every m (walks pad by
     // 2 through any incident edge, so >= m never excludes a
