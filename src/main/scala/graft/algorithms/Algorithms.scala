@@ -58,9 +58,7 @@ object Algorithms {
     */
   private[graft] def hintIfFits(df: DataFrame, rows: Long,
       ceiling: Long): DataFrame =
-    if (rows <= math.min(ceiling, graft.views.Views.broadcastRowBudget(df)))
-      broadcast(df)
-    else df
+    if (graft.views.Views.fitsBudget(df, rows, ceiling)) broadcast(df) else df
 
   /** True when `df` is a pure projection over an already-cached (or
     * driver-local) relation — the cases where re-persisting would
@@ -613,8 +611,12 @@ object Algorithms {
     val e = tedges.select(col("src"), col("dst"), col("d").as("ed"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // distinct: the scan-only merge below maintains the state by
+      // key-unique broadcast joins (no re-grouping), so duplicate
+      // seed rows must collapse HERE — the old union+groupBy merge
+      // absorbed them incidentally on the first improving round
       var arrival = seeds.select(col("id").as("seed"), col("id"),
-        lit(sentinel).as("d")).cut(rel)
+        lit(sentinel).as("d")).distinct().cut(rel)
       // running upper bound on |arrival| (seed rows + every improved
       // frame folded in): licenses the SCAN-ONLY state merge below
       // without ever counting the state — one seed-sized job here
@@ -688,8 +690,8 @@ object Algorithms {
             // 3-seed state lost ~1 s/run to unconditional broadcast
             // merging), above it the state scan replaces an
             // O(rounds·state) shuffle series.
-            val fits = improvedCnt <= math.min(broadcastRows,
-              graft.views.Views.broadcastRowBudget(improved))
+            val fits = graft.views.Views.fitsBudget(improved, improvedCnt,
+              broadcastRows)
             val merged = if (fits && arrivalUb > broadcastRows) {
               val better = broadcast(improved.filter(col("old").isNotNull)
                 .select(col("seed"), col("id"), col("d").as("__nd")))

@@ -303,13 +303,19 @@ object Curation {
     */
   def driftProfileChecksums(df: DataFrame, idCol: String,
       textCol: String, buckets: Int = 4096): DataFrame =
+    // every aggregate coalesced to 0 — the DuckDB mirror does the
+    // same, so a degenerate corpus (one side empty) reads 0 == 0 on
+    // both engines instead of a 0-vs-NULL false red on exactly the
+    // probe built to LOCALIZE divergence
     bigramProfileJoint(df, idCol, textCol, buckets).agg(
-      sum(col("bk") * col("ca")).as("a_bk_weighted"),
-      sum(col("ca")).as("a_total"),
-      sum(when(col("ca") > 0, 1L).otherwise(0L)).as("a_buckets"),
-      sum(col("bk") * col("cb")).as("b_bk_weighted"),
-      sum(col("cb")).as("b_total"),
-      sum(when(col("cb") > 0, 1L).otherwise(0L)).as("b_buckets"))
+      coalesce(sum(col("bk") * col("ca")), lit(0L)).as("a_bk_weighted"),
+      coalesce(sum(col("ca")), lit(0L)).as("a_total"),
+      coalesce(sum(when(col("ca") > 0, 1L).otherwise(0L)), lit(0L))
+        .as("a_buckets"),
+      coalesce(sum(col("bk") * col("cb")), lit(0L)).as("b_bk_weighted"),
+      coalesce(sum(col("cb")), lit(0L)).as("b_total"),
+      coalesce(sum(when(col("cb") > 0, 1L).otherwise(0L)), lit(0L))
+        .as("b_buckets"))
 
   /** Tag-and-union fallback for the generic two-DataFrame drift
     * forms: the joint profile still computes in one aggregation, but

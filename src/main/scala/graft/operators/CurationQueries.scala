@@ -445,13 +445,15 @@ object CurationQueries {
                    AS n_bigrams""",
     "pipe_drift_probe_profile" ->
       s"""WITH $driftProfileCtes
-          SELECT (SELECT CAST(SUM(bk * ca) AS BIGINT) FROM pa)
+          SELECT (SELECT CAST(COALESCE(SUM(bk * ca), 0) AS BIGINT) FROM pa)
                    AS a_bk_weighted,
-                 (SELECT CAST(SUM(ca) AS BIGINT) FROM pa) AS a_total,
+                 (SELECT CAST(COALESCE(SUM(ca), 0) AS BIGINT) FROM pa)
+                   AS a_total,
                  (SELECT COUNT(*) FROM pa) AS a_buckets,
-                 (SELECT CAST(SUM(bk * cb) AS BIGINT) FROM pb)
+                 (SELECT CAST(COALESCE(SUM(bk * cb), 0) AS BIGINT) FROM pb)
                    AS b_bk_weighted,
-                 (SELECT CAST(SUM(cb) AS BIGINT) FROM pb) AS b_total,
+                 (SELECT CAST(COALESCE(SUM(cb), 0) AS BIGINT) FROM pb)
+                   AS b_total,
                  (SELECT COUNT(*) FROM pb) AS b_buckets""",
     "pipe_drift_probe_stat" ->
       """WITH prof(bk, ca, cb) AS (

@@ -258,13 +258,25 @@ object ViewScaleProbe {
       // eagerly inside the refresh call; the serve materializes the
       // all-pairs view, whose size is the ANSWER's own cardinality
       // (quadratic in component size by definition), not state.
-      if (scale < 100 && only.forall(_.contains("cc"))) {
+      if (scale < 100 &&
+          only.forall(o => o.exists(t => t == "cc" || t.startsWith("cc_")))) {
         def ccStore(split: Boolean, w: Long): GraphStore =
           if (split) {
+            // cut the 27→28 chain edge AND every skip that could
+            // bridge it (skips live on ABSOLUTE ids ≡ 0 mod 5, so
+            // per cluster exactly one of offsets 21..24 may carry a
+            // bridging j→j+7 — removing all four candidate offsets
+            // guarantees EVERY windowed cluster genuinely splits
+            // into {0..27} and {28..31}; the remaining skips end ≤ 27
+            // and stay inside the parts)
             val r = spark.range(math.min(w, clusters))
-            base.removeEdges(r.select((col("id") * cSize + 27).as("src"),
-                (col("id") * cSize + 28).as("dst"), lit("dep").as("label")))
-              .truncated().truncatedEdges()
+            val cuts = (Seq(27L -> 28L) ++
+              (21L to 24L).map(k => k -> (k + 7)))
+              .map { case (a, b) =>
+                r.select((col("id") * cSize + a).as("src"),
+                  (col("id") * cSize + b).as("dst"), lit("dep").as("label"))
+              }.reduce(_ unionByName _)
+            base.removeEdges(cuts).truncated().truncatedEdges()
           } else {
             // bridge i→i+1 within GROUPS of 8 clusters: the merge
             // graph is a depth-8 component chain (exercises the

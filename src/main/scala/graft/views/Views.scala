@@ -215,10 +215,14 @@ object Views {
       // Loading an older snapshot over a live entry must drop the
       // derived counters of the frame it replaces (r12 ADVICE): a
       // stale '!coreCnt'/'!ccCnt' would mis-gate compaction and the
-      // recompute switch. Removing the name's own meta and any meta
-      // derived from it makes metaOf fall back to the one-time
-      // recount. (Over-removal is safe — worth one recount.)
-      meta.keys.filter(k => k == name || k.startsWith(name)).toSeq
+      // recompute switch. Scope: the name's own meta, meta namespaced
+      // under it ("x" -> "x!cc!ccCnt"), and the sibling-counter form
+      // ("x!core" -> "x!coreCnt") — NOT a bare prefix match, which
+      // would purge an unrelated frame sharing a name prefix
+      // ("peers" vs "peers2") and force the state-sized recount this
+      // meta exists to avoid.
+      meta.keys.filter(k => k == name || k.startsWith(name + "!") ||
+          k == name + "Cnt").toSeq
         .foreach(meta.remove)
       df
     }
@@ -482,6 +486,15 @@ object Views {
     }.filter(_ > 0).getOrElse(10L << 20)
     math.max(1L, bytes / math.max(df.schema.defaultSize.toLong, 8L))
   }
+
+  /** THE broadcast license (r13): `rows` fits when it is under both
+    * the caller's policy row ceiling and the byte budget derived from
+    * this frame's row shape. One definition so a budget-policy change
+    * lands once (previously restated at three call sites).
+    */
+  private[graft] def fitsBudget(df: DataFrame, rows: Long,
+      ceiling: Long): Boolean =
+    rows <= math.min(ceiling, broadcastRowBudget(df))
 
   /** Fold a signed join delta into multiset state: merge on the view
     * columns, sum multiplicities, drop rows whose net count reaches
@@ -2464,12 +2477,11 @@ object Views {
       : (DataFrame, DataFrame) = {
     // broadcast license: row count against min(policy cap, the BYTE
     // budget for this frame's row shape) — r12 verdict #6: a row
-    // count alone is row-width blind; broadcastRowBudget derives
+    // count alone is row-width blind; fitsBudget derives
     // rows-from-bytes off autoBroadcastJoinThreshold exactly as
     // mergeJoinDelta already does
     def hinted(df: DataFrame, cnt: Long): DataFrame =
-      if (cnt <= math.min(rederiveCap, broadcastRowBudget(df))) broadcast(df)
-      else df
+      if (fitsBudget(df, cnt, rederiveCap)) broadcast(df) else df
     val s0 = catalog.dataOf(stateKey).getOrElse(
       initCcState(oldStore, edgeLabel, maxRounds))
     // the state's cardinality is journal-covered catalog meta carried
