@@ -409,34 +409,56 @@ object Bench {
       // past 24 names the line carries the COUNT and the full list
       // stays in BENCH_LOCAL.json — exactly the runs this field was
       // built to adjudicate must keep a parseable line
+      // r14 (r13 verdict #2): the r13 driver run's diagnostic fields
+      // (28 record_ratio entries + 12 env_flagged names + 16
+      // remeasured entries) crowded the ~2000-char window and the
+      // fold loop squeezed the queries map to ONE entry, blinding the
+      // driver's per-query comparison (n_common = 1) and emptying the
+      // scaling table. Diagnostics now fold BEFORE the queries map:
+      // env_flagged goes count-only past 10 names, remeasured keeps
+      // its 8 slowest entries + a count, record_ratio keeps its top 6
+      // outliers + a count — the full maps all ride BENCH_DETAIL /
+      // BENCH_LOCAL — and the queries fold loop keeps ≥ the 15
+      // slowest per-query mins.
       val envField =
-        if (envFlagged.size > 24)
+        if (envFlagged.size > 10)
           s""","env_flagged_n":${envFlagged.size}"""
         else envFlagged.map("\"" + _ + "\"")
           .mkString(""","env_flagged":[""", ",", "]")
-      // ≤16 entries by construction (remeasureCap), so the field can't
-      // outgrow the line the way an uncapped name list could
       val remeasuredField =
         if (remeasured.isEmpty) ""
-        else remeasured.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-          .mkString(""","remeasured":{""", ",", "}") +
-          (if (remeasureContended.isEmpty) ""
-           else remeasureContended.map("\"" + _ + "\"")
-             .mkString(""","remeasure_contended":[""", ",", "]")) +
-          (if (remeasureSkipped > 0) s""","remeasure_skipped":$remeasureSkipped""" else "")
+        else {
+          val shown = remeasured.sortBy(-_._2).take(8)
+          shown.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+            .mkString(""","remeasured":{""", ",", "}") +
+            (if (remeasured.size > shown.size)
+               s""","remeasured_more":${remeasured.size - shown.size}"""
+             else "") +
+            (if (remeasureContended.isEmpty) ""
+             else if (remeasureContended.size > 8)
+               s""","remeasure_contended_n":${remeasureContended.size}"""
+             else remeasureContended.map("\"" + _ + "\"")
+               .mkString(""","remeasure_contended":[""", ",", "]")) +
+            (if (remeasureSkipped > 0) s""","remeasure_skipped":$remeasureSkipped""" else "")
+        }
       // r13 (r12 verdict #4b): driver-min ÷ committed-record-min per
       // >5 s query, so a judge reads code-vs-environment from ONE
       // field — a uniform elevation is the box, a single outlier is
-      // the plan. ≤ ~20 entries at the current floor; the fold loop
-      // below keeps the line inside the window by shrinking the
-      // queries map first.
+      // the plan. The line keeps the 6 LARGEST ratios (the outlier
+      // read only needs the extremes) + a count; full map in
+      // BENCH_DETAIL/BENCH_LOCAL.
       val recordRatioField = {
-        val entries = mins.collect {
+        val all = mins.collect {
           case (k, v) if v > 5.0 && recordMins.get(k).exists(_ > 0.0) =>
-            "\"" + k + "\":" + fmt(v / recordMins(k))
+            (k, v / recordMins(k))
         }
+        val entries = all.sortBy(-_._2).take(6)
+          .map { case (k, r) => "\"" + k + "\":" + fmt(r) }
         if (entries.isEmpty) ""
-        else entries.mkString(""","record_ratio":{""", ",", "}")
+        else entries.mkString(""","record_ratio":{""", ",", "}") +
+          (if (all.size > entries.size)
+             s""","record_ratio_more":${all.size - entries.size}"""
+           else "")
       }
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
         s""","queries":$qs,"passes":2,"p1_total":${fmt(p1Total)}""" +
@@ -454,8 +476,14 @@ object Bench {
       "\"" + k + "\":[" + raw(p1) + "," + raw(p2) + "," +
         (if (ok) "true" else "false") + "]"
     }.mkString("{", ",", "}")
+    // FULL record_ratio map (the machine line keeps only the top 6)
+    val detailRatio = mins.collect {
+      case (k, v) if v > 5.0 && recordMins.get(k).exists(_ > 0.0) =>
+        "\"" + k + "\":" + raw(v / recordMins(k))
+    }.mkString("{", ",", "}")
     val detail = s"""{"total":${raw(total)},"p1_total":${raw(p1Total)},""" +
       s""""p2_total":${raw(p2Total)},"queries":$detailQs,""" +
+      s""""record_ratio":$detailRatio,""" +
       s""""canary":[${canaries.map(raw).mkString(",")}],""" +
       s""""cpu_canary":[${cpuCanaries.map(raw).mkString(",")}],""" +
       s""""io_canary":[${ioCanaries.map(raw).mkString(",")}],""" +
@@ -520,6 +548,7 @@ object Bench {
       s"""{"total":${raw(mTotal)},""" +
         s""""p1_total":${raw(merged.map(_._2._1).sum)},""" +
         s""""p2_total":${raw(merged.map(_._2._2).sum)},"queries":$mq,""" +
+        s""""record_ratio":$detailRatio,""" +
         s""""canary":[${canaries.map(raw).mkString(",")}],""" +
         s""""cpu_canary":[${cpuCanaries.map(raw).mkString(",")}],""" +
         s""""io_canary":[${ioCanaries.map(raw).mkString(",")}],""" +
@@ -548,7 +577,12 @@ object Bench {
     if (line.length > budget) {
       val byTime = mins.sortBy(-_._2)
       var keepN = byTime.length
-      while (keepN > 0 && {
+      // floor at the 15 slowest (r13 verdict #2): with the diagnostic
+      // fields capped above, 15 query entries + every capped field
+      // fits the window with slack; a per-query map thinner than this
+      // blinds the driver's round-over-round comparison, which is
+      // worth more than any diagnostic
+      while (keepN > 15 && {
         val (keep, fold) = byTime.splitAt(keepN)
         line = render(keep, fold.length, fold.map(_._2).sum)
         line.length > budget

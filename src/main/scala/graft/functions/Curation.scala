@@ -240,18 +240,35 @@ object Curation {
     * query). Values are identical: the joint (bk, ca, cb) profile is
     * the full-outer join of the per-side profiles by construction.
     */
+  /** Per-bucket JS contribution (bits) quantized to 1e-9-bit units;
+    * pointwise ≥ 0 (two-point KL), so the unit count is ≥ 0. ONE
+    * definition shared by the shipping JS drift and the r14 probe-d
+    * terms query, so the probe measures the identical expression.
+    */
+  private def jsTermUnits(p: Column, q: Column): Column = {
+    val m = (p + q) / 2
+    floor((p * log2(p / m) / 2 + q * log2(q / m) / 2) * 1e9 + 0.5)
+      .cast("long")
+  }
+
+  /** Per-bucket TV numerator |(ca+1)(n_b+B) − (cb+1)(n_a+B)| in
+    * decimal(38,0) — shared by [[corpusDriftTvFromProfile]] and the
+    * r14 probe-d terms query (same sharing rationale as
+    * [[jsTermUnits]]).
+    */
+  private def tvTermAbs(ca: Column, cb: Column, na: Column, nb: Column,
+      bL: Column): Column = {
+    val dec = "decimal(38,0)"
+    abs((ca + 1L).cast(dec) * (nb + bL).cast(dec) -
+        (cb + 1L).cast(dec) * (na + bL).cast(dec))
+  }
+
   def corpusDriftJoint(df: DataFrame, idCol: String,
       textCol: String, buckets: Int = 4096,
       alpha: Double = 1.0, untouchedCorrection: Boolean = true): DataFrame = {
-    // per-bucket JS contribution (bits) quantized to 1e-9-bit units;
-    // pointwise ≥ 0 (two-point KL), so the unit count is ≥ 0
-    def termUnits(p: Column, q: Column): Column = {
-      val m = (p + q) / 2
-      floor((p * log2(p / m) / 2 + q * log2(q / m) / 2) * 1e9 + 0.5)
-        .cast("long")
-    }
+    def termUnits(p: Column, q: Column): Column = jsTermUnits(p, q)
     val prof = graft.TransientCache.persist(
-      bigramProfileJoint(df, idCol, textCol, buckets))
+      bigramProfileJoint(df, textCol, buckets))
     val na = prof.agg(sum("ca").as("na"))
     val nb = prof.agg(sum("cb").as("nb"))
     val touched = prof
@@ -282,8 +299,16 @@ object Curation {
     * size (the DSIR profile — two corpus scans and a 4096-row join
     * no matter whether the snapshots are 60k docs or 100 TB).
     */
-  private def bigramProfileJoint(df: DataFrame, idCol: String,
-      textCol: String, buckets: Int): DataFrame =
+  private def bigramProfileJoint(df: DataFrame,
+      textCol: String, buckets: Int): DataFrame = {
+    // r13 ADVICE: the old idCol parameter was silently unused — the
+    // side tag is ALWAYS the `__sa` column. Validate it up front so a
+    // caller without the tag fails with the contract, not an
+    // unresolved-column analysis error.
+    require(df.columns.contains("__sa"),
+      "Joint drift forms require a boolean `__sa` side column " +
+        "(true = snapshot A); use corpusDrift/corpusDriftTv for two " +
+        "separate frames")
     TextFunctions.shingleRows(
         df.select(col("__sa"), col(textCol)), "__sa", textCol, 2)
       .select(col("id").as("__sa"),
@@ -292,6 +317,7 @@ object Curation {
       .groupBy("bk").agg(
         sum(when(col("__sa"), 1L).otherwise(0L)).as("ca"),
         sum(when(col("__sa"), 0L).otherwise(1L)).as("cb"))
+  }
 
   /** Order-free checksums of the joint drift profile, one row:
     * (a_bk_weighted, a_total, a_buckets, b_bk_weighted, b_total,
@@ -307,7 +333,7 @@ object Curation {
     // same, so a degenerate corpus (one side empty) reads 0 == 0 on
     // both engines instead of a 0-vs-NULL false red on exactly the
     // probe built to LOCALIZE divergence
-    bigramProfileJoint(df, idCol, textCol, buckets).agg(
+    bigramProfileJoint(df, textCol, buckets).agg(
       coalesce(sum(col("bk") * col("ca")), lit(0L)).as("a_bk_weighted"),
       coalesce(sum(col("ca")), lit(0L)).as("a_total"),
       coalesce(sum(when(col("ca") > 0, 1L).otherwise(0L)), lit(0L))
@@ -363,7 +389,7 @@ object Curation {
   def corpusDriftTvJoint(df: DataFrame, idCol: String,
       textCol: String, buckets: Int = 4096): DataFrame =
     corpusDriftTvFromProfile(graft.TransientCache.persist(
-      bigramProfileJoint(df, idCol, textCol, buckets)), buckets)
+      bigramProfileJoint(df, textCol, buckets)), buckets)
 
   /** The TV statistic over an already-built joint (bk, ca, cb)
     * profile — the arithmetic-only tail of [[corpusDriftTv]], exposed
@@ -381,10 +407,7 @@ object Curation {
     val touched = prof
       .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
       .select(col("na"), col("nb"),
-        abs((col("ca") + 1L).cast(dec) *
-              (col("nb") + bL).cast(dec) -
-            (col("cb") + 1L).cast(dec) *
-              (col("na") + bL).cast(dec)).as("t"))
+        tvTermAbs(col("ca"), col("cb"), col("na"), col("nb"), bL).as("t"))
       .groupBy("na", "nb")
       .agg(sum(col("t")).as("st"), count(lit(1)).as("touched"))
     touched
@@ -395,6 +418,98 @@ object Curation {
       .select(col("na").as("n_a"), col("nb").as("n_b"),
         expr(s"cast((s * 1000000 + dd) div (dd * 2) as long)")
           .as("tv_units"))
+  }
+
+  /** r14 drift-bisect probe d (r13 verdict #1): the RAW integer
+    * components of BOTH drift statistics over the REAL joint profile,
+    * emitted as columns with NO final divide — su (the JS 1e-9-bit
+    * unit sum, the one libm-adjacent quantity), st (the TV decimal
+    * numerator sum, as a string so no engine's big-integer rendering
+    * is trusted), the touched-bucket count, and the two totals. The
+    * r13 vector proved split (a), per-side profile checksums (b) and
+    * literal-profile statistic (c) all agree cross-engine while the
+    * shipping rows stay red; this isolates the one remaining
+    * aggregation stage — the statistic over the real profile — from
+    * the final divide/presentation ([[driftProbeUnits]] covers that).
+    * Shares [[jsTermUnits]]/[[tvTermAbs]]/[[bigramProfileJoint]] with
+    * the shipping queries BY CONSTRUCTION.
+    */
+  def driftProbeTerms(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 4096, alpha: Double = 1.0): DataFrame = {
+    val prof = graft.TransientCache.persist(
+      bigramProfileJoint(df, textCol, buckets))
+    val na = prof.agg(sum("ca").as("na"))
+    val nb = prof.agg(sum("cb").as("nb"))
+    val bL = lit(buckets.toLong)
+    prof.crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(col("na"), col("nb"),
+        jsTermUnits(
+          (col("ca").cast("double") + alpha) /
+            (col("na").cast("double") + alpha * buckets),
+          (col("cb").cast("double") + alpha) /
+            (col("nb").cast("double") + alpha * buckets)).as("u"),
+        tvTermAbs(col("ca"), col("cb"), col("na"), col("nb"), bL).as("t"))
+      .groupBy("na", "nb")
+      .agg(sum("u").as("su"), sum("t").as("st"),
+        count(lit(1)).as("touched"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"), col("touched"),
+        col("su").as("js_su"), col("st").cast("string").as("tv_st"))
+  }
+
+  /** r14 drift-bisect probe e (r13 verdict #1): the FINAL drift
+    * values over the real profile, each emitted under every plausible
+    * typing — the TV unit count as the shipping BIGINT, as a string,
+    * and with its two divide operands as strings; the JS unit counts
+    * (full-corrected and touched-only) as BIGINTs plus both shipping
+    * 6dp DOUBLE presentations. If probe d is green and any column
+    * here differs, the divergent stage is the divide/typing/rendering
+    * of that one value; if ALL columns here are green while the
+    * shipping rows stay red, the divergence is not in any computed
+    * value at all and the driver's per-name comparison machinery is
+    * the remaining suspect — either way the round names the stage.
+    */
+  def driftProbeUnits(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 4096, alpha: Double = 1.0): DataFrame = {
+    val prof = graft.TransientCache.persist(
+      bigramProfileJoint(df, textCol, buckets))
+    val na = prof.agg(sum("ca").as("na"))
+    val nb = prof.agg(sum("cb").as("nb"))
+    val bL = lit(buckets.toLong)
+    val terms = prof.crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(col("na"), col("nb"),
+        jsTermUnits(
+          (col("ca").cast("double") + alpha) /
+            (col("na").cast("double") + alpha * buckets),
+          (col("cb").cast("double") + alpha) /
+            (col("nb").cast("double") + alpha * buckets)).as("u"),
+        tvTermAbs(col("ca"), col("cb"), col("na"), col("nb"), bL).as("t"))
+      .groupBy("na", "nb")
+      .agg(sum("u").as("su"), sum("t").as("st"),
+        count(lit(1)).as("touched"))
+    val dec = "decimal(38,0)"
+    val jsUnitsFull = col("su") +
+      (lit(buckets.toLong) - col("touched")) * jsTermUnits(
+        lit(alpha) / (col("na").cast("double") + alpha * buckets),
+        lit(alpha) / (col("nb").cast("double") + alpha * buckets))
+    terms
+      .select(col("na"), col("nb"), col("su"),
+        jsUnitsFull.as("juf"),
+        (col("st") + (bL - col("touched")).cast(dec) *
+          abs(col("nb") - col("na")).cast(dec)).as("s"),
+        ((col("na") + bL).cast(dec) * (col("nb") + bL).cast(dec)).as("dd"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        expr("cast((s * 1000000 + dd) div (dd * 2) as long)")
+          .as("tv_units"),
+        expr("cast((s * 1000000 + dd) div (dd * 2) as string)")
+          .as("tv_units_str"),
+        col("s").cast("string").as("tv_s"),
+        col("dd").cast("string").as("tv_dd"),
+        col("juf").as("js_units_full"),
+        col("su").as("js_units_nc"),
+        (expr("(juf + 500) div 1000").cast("double") / 1e6)
+          .as("js_bits_full"),
+        (expr("(su + 500) div 1000").cast("double") / 1e6)
+          .as("js_bits_nc"))
   }
 
   /** Leakage-free train/val/test split. The naive per-doc hash split

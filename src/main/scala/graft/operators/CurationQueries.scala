@@ -162,6 +162,23 @@ object CurationQueries {
         s.createDataFrame(driftProbeProfile)
           .toDF("bk", "ca", "cb"))
     }),
+    // r14 drift bisect probes d/e (r13 verdict #1): the r13 vector
+    // proved split (a), profile checksums (b) and literal-profile
+    // statistic (c) all green in the driver environment while the
+    // three shipping rows stay hash-red. (d) emits the RAW integer
+    // components of both statistics over the REAL profile (no final
+    // divide); (e) emits the final values under every plausible
+    // typing. The (d, e, shipping) green/red vector names the
+    // divergent stage: d red = the aggregation over the real
+    // profile; d green + e red = the divide/typing of the column e
+    // localizes; d and e green + shipping red = no computed value
+    // differs and the divergence is in the per-name compare itself.
+    "pipe_drift_probe_terms" -> ((s, dir) => {
+      Curation.driftProbeTerms(driftSide(s, dir), "doc_id", "text")
+    }),
+    "pipe_drift_probe_units" -> ((s, dir) => {
+      Curation.driftProbeUnits(driftSide(s, dir), "doc_id", "text")
+    }),
 
     // Per-doc top-3 TF-IDF terms.
     "tfidf_top_terms" -> ((s, dir) => {
@@ -306,9 +323,18 @@ object CurationQueries {
     * `regexp_extract` this replaces was the only construct unique to
     * the driver-red drift family).
     */
+  /* r14 failure-mode parity (r13 ADVICE): TRY_CAST + the same 10-char
+   * cap as Spark's `substring(source, 4, 10).cast("int")`, so a
+   * malformed source routes to NEITHER snapshot on BOTH engines
+   * instead of NULLing out on Spark while hard-erroring DuckDB; and
+   * ta/tb COALESCE to 0 so a degenerate one-side-empty corpus reads
+   * the same numeric totals the Spark joint profile produces (sum of
+   * all-zero conditional counts) instead of NULL. Both changes are
+   * value-identical on the corpus contract (every source is
+   * 'src<N>', both snapshots non-empty). */
   private def driftProfileCtes: String =
     s"""t AS (SELECT doc_id,
-              CAST(substr(source, 4) AS INT) AS sn,
+              TRY_CAST(substr(source, 4, 10) AS INT) AS sn,
               CASE WHEN len(w) >= 2
                 THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
                 ELSE [array_to_string(w, ' ')] END AS b
@@ -320,8 +346,8 @@ object CurationQueries {
                 FROM (SELECT sn, unnest(b) AS s FROM t)),
           pa AS (SELECT bk, COUNT(*) AS ca FROM g WHERE sn < 10 GROUP BY bk),
           pb AS (SELECT bk, COUNT(*) AS cb FROM g WHERE sn >= 10 GROUP BY bk),
-          ta AS (SELECT SUM(ca) AS na FROM pa),
-          tb AS (SELECT SUM(cb) AS nb FROM pb)"""
+          ta AS (SELECT COALESCE(SUM(ca), 0) AS na FROM pa),
+          tb AS (SELECT COALESCE(SUM(cb), 0) AS nb FROM pb)"""
 
   /** JS-drift oracle, with (`full`) or without the untouched-bucket
     * closed-form correction — shared scaffold, one diverging CTE.
@@ -474,6 +500,77 @@ object CurationQueries {
                 FROM s)
           SELECT na AS n_a, nb AS n_b,
                  CAST((s * 1000000 + dd) // (dd * 2) AS BIGINT) AS tv_units
+          FROM c""",
+    // r14 drift-bisect probes d/e (r13 verdict #1): raw components of
+    // both statistics over the REAL profile (d — no final divide, the
+    // big-integer sum as VARCHAR so no engine's rendering is
+    // trusted), and the final values under every plausible typing
+    // (e). Shares driftProfileCtes and repeats the shipping terms
+    // arithmetic verbatim.
+    "pipe_drift_probe_terms" ->
+      s"""WITH $driftProfileCtes,
+          jt AS (
+            SELECT na, nb,
+                   CAST(floor((p * log2(p / ((p + q) / 2)) / 2 +
+                               q * log2(q / ((p + q) / 2)) / 2)
+                              * 1000000000 + 0.5) AS BIGINT) AS u,
+                   abs((ca0 + 1)::HUGEINT * (nb + 4096)::HUGEINT
+                     - (cb0 + 1)::HUGEINT * (na + 4096)::HUGEINT) AS t
+            FROM (SELECT na, nb,
+                    COALESCE(ca, 0) AS ca0, COALESCE(cb, 0) AS cb0,
+                    (COALESCE(ca, 0) + 1.0) / (na + 4096.0) AS p,
+                    (COALESCE(cb, 0) + 1.0) / (nb + 4096.0) AS q
+                  FROM pa FULL OUTER JOIN pb USING (bk)
+                  CROSS JOIN ta CROSS JOIN tb)),
+          s AS (SELECT na, nb, SUM(u) AS su, SUM(t) AS st,
+                       COUNT(*) AS touched
+                FROM jt GROUP BY na, nb)
+          SELECT na AS n_a, nb AS n_b, touched,
+                 CAST(su AS BIGINT) AS js_su,
+                 CAST(st AS VARCHAR) AS tv_st
+          FROM s""",
+    "pipe_drift_probe_units" ->
+      s"""WITH $driftProfileCtes,
+          jt AS (
+            SELECT na, nb,
+                   CAST(floor((p * log2(p / ((p + q) / 2)) / 2 +
+                               q * log2(q / ((p + q) / 2)) / 2)
+                              * 1000000000 + 0.5) AS BIGINT) AS u,
+                   abs((ca0 + 1)::HUGEINT * (nb + 4096)::HUGEINT
+                     - (cb0 + 1)::HUGEINT * (na + 4096)::HUGEINT) AS t
+            FROM (SELECT na, nb,
+                    COALESCE(ca, 0) AS ca0, COALESCE(cb, 0) AS cb0,
+                    (COALESCE(ca, 0) + 1.0) / (na + 4096.0) AS p,
+                    (COALESCE(cb, 0) + 1.0) / (nb + 4096.0) AS q
+                  FROM pa FULL OUTER JOIN pb USING (bk)
+                  CROSS JOIN ta CROSS JOIN tb)),
+          s AS (SELECT na, nb, SUM(u) AS su, SUM(t) AS st,
+                       COUNT(*) AS touched
+                FROM jt GROUP BY na, nb),
+          c AS (SELECT na, nb, su, touched,
+                  CAST(su AS BIGINT) + (4096 - touched) *
+                    CAST(floor((p0 * log2(p0 / ((p0 + q0) / 2)) / 2 +
+                                q0 * log2(q0 / ((p0 + q0) / 2)) / 2)
+                               * 1000000000 + 0.5) AS BIGINT) AS juf,
+                  st + (4096 - touched)::HUGEINT * abs(nb - na)::HUGEINT
+                    AS sfull,
+                  (na + 4096)::HUGEINT * (nb + 4096)::HUGEINT AS dd
+                FROM (SELECT na, nb, su, st, touched,
+                        1.0 / (na + 4096.0) AS p0,
+                        1.0 / (nb + 4096.0) AS q0 FROM s))
+          SELECT na AS n_a, nb AS n_b,
+                 CAST((sfull * 1000000 + dd) // (dd * 2) AS BIGINT)
+                   AS tv_units,
+                 CAST((sfull * 1000000 + dd) // (dd * 2) AS VARCHAR)
+                   AS tv_units_str,
+                 CAST(sfull AS VARCHAR) AS tv_s,
+                 CAST(dd AS VARCHAR) AS tv_dd,
+                 juf AS js_units_full,
+                 CAST(su AS BIGINT) AS js_units_nc,
+                 CAST((juf + 500) // 1000 AS DOUBLE) / 1000000.0
+                   AS js_bits_full,
+                 CAST((su + 500) // 1000 AS DOUBLE) / 1000000.0
+                   AS js_bits_nc
           FROM c""",
     // LM mirror: identical bigram construction (incl. the <2-word
     // whole-text fallback), add-0.4 smoothing over the English

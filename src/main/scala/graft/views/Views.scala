@@ -211,6 +211,12 @@ object Views {
       data.get(name).foreach(_.write.mode("overwrite").parquet(s"$dir/$name.parquet"))
     def load(name: String): DataFrame = {
       val df = spark.read.parquet(s"$dir/$name.parquet")
+      // journal-covered like put()/putMeta() (r13 ADVICE): a load
+      // inside an open batch must roll back — both the replaced frame
+      // and the purged derived counters — or a foreachBatch retry
+      // restarts from a half-loaded catalog.
+      journal.foreach(j => if (!j.contains(name))
+        j(name) = (data.get(name), lastRefresh.get(name)))
       data(name) = df
       // Loading an older snapshot over a live entry must drop the
       // derived counters of the frame it replaces (r12 ADVICE): a
@@ -223,7 +229,10 @@ object Views {
       // meta exists to avoid.
       meta.keys.filter(k => k == name || k.startsWith(name + "!") ||
           k == name + "Cnt").toSeq
-        .foreach(meta.remove)
+        .foreach { k =>
+          metaJournal.foreach(j => if (!j.contains(k)) j(k) = meta.get(k))
+          meta.remove(k)
+        }
       df
     }
   }

@@ -1055,6 +1055,29 @@ class StreamViewsSpec extends SparkSpec {
     assert(reloaded.orderBy("id").collect().map(_.getString(1)).toSeq == Seq("x", "y"))
   }
 
+  test("view catalog: load() inside an open batch rolls back — frame, " +
+    "timestamp and purged derived meta all restored (r13 ADVICE)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_views_lj").toString
+    val catalog = new ViewCatalog(spark, dir)
+    catalog.register(ViewDefn("v1", Lookup("id", Seq(1L)),
+      EventDriven(50), Seq("vertices")))
+    catalog.put("v1", Seq((1L, "old")).toDF("id", "v"), persist = false)
+    catalog.save("v1")
+    // live state moves past the snapshot; a derived counter rides it
+    catalog.put("v1", Seq((1L, "live"), (2L, "live")).toDF("id", "v"),
+      persist = false)
+    catalog.putMeta("v1!ccCnt", 2L)
+    catalog.beginBatch()
+    val loaded = catalog.load("v1") // loads the OLD snapshot mid-batch
+    assert(loaded.count() == 1L)
+    assert(catalog.metaOf("v1!ccCnt").isEmpty, "load purges derived meta")
+    catalog.rollbackBatch()
+    assert(catalog.dataOf("v1").get.count() == 2L,
+      "rollback must restore the pre-batch frame over the loaded one")
+    assert(catalog.metaOf("v1!ccCnt").contains(2L),
+      "rollback must restore the purged derived counter")
+  }
+
   test("pattern view: incremental refresh equals MATCH recompute across two mutation rounds") {
     import spark.implicits._
     import graft.graph.GraphStore
